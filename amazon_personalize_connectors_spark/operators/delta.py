@@ -1,0 +1,76 @@
+"""D1/F7 — delta check against the last-sync state, and K5 state write.
+
+Reference (related_items_etl.py:243-271): sort both frames' columns
+(positional set-op alignment, F7) then ``DataFrame.subtract`` — EXCEPT
+DISTINCT, which both removes already-synced records *and* silently
+dedups the output. We resolve columns **by name** (no positional
+fragility) and preserve the dedup side-effect.
+
+Scale notes: ``subtract`` shuffles both full datasets on all columns.
+That's fine at dimension scale but wrong at 100 TB of state, so
+``delta_check_anti_hash`` offers the scalable physical strategy: anti-
+join on a 256-bit record digest — state side reduces to one 32-byte
+hash column (pruned scan), the join key is high-entropy (no skew), and
+with both sides bucketed by digest it's a co-located join. Semantics
+are identical modulo hash collisions (~2^-128).
+
+The reference never writes state back ("TODO", README.md:150);
+``write_sync_state`` closes that loop (K5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _align_by_name(df: DataFrame, like: DataFrame) -> DataFrame:
+    """Project ``df``'s columns in ``like``'s order, failing loudly on a
+    schema mismatch (replaces the reference's sorted-column positional
+    alignment, ri:262-264)."""
+    missing = set(like.columns) - set(df.columns)
+    extra = set(df.columns) - set(like.columns)
+    if missing or extra:
+        raise ValueError(
+            f"delta state schema mismatch: missing={sorted(missing)} extra={sorted(extra)}"
+        )
+    return df.select(*like.columns)
+
+
+def delta_check(current: DataFrame, state: DataFrame | None) -> DataFrame:
+    """EXCEPT DISTINCT of current decorated output vs last-sync state
+    (ri:249-271). ``state=None`` (first sync) returns ``current``
+    deduplicated — preserving subtract's distinct semantics so delta
+    on/off agree about duplicate records."""
+    if state is None:
+        return current.distinct()
+    return current.subtract(_align_by_name(state, current))
+
+
+def _record_digest(df: DataFrame) -> F.Column:
+    """256-bit canonical record digest: sha2 over the JSON encoding of
+    the full row struct with map keys sorted (deterministic)."""
+    return F.sha2(
+        F.to_json(F.struct(*[F.col(c) for c in sorted(df.columns)])), 256
+    )
+
+
+def delta_check_anti_hash(current: DataFrame, state: DataFrame | None) -> DataFrame:
+    """Scalable delta: left-anti join on a record digest. State scans
+    prune to the digest column; the shuffle key is uniform. Used when
+    the state snapshot is too large for subtract to be sensible."""
+    current = current.dropDuplicates()
+    if state is None:
+        return current
+    state_digests = state.select(_record_digest(state).alias("__digest")).distinct()
+    return (
+        current.withColumn("__digest", _record_digest(current))
+        .join(state_digests, "__digest", "left_anti")
+        .drop("__digest")
+    )
+
+
+def write_sync_state(decorated: DataFrame, state_path: str) -> None:
+    """K5 — persist the new last-sync snapshot (closes README.md:150's
+    TODO). Overwrite: state is a full snapshot, not a log."""
+    decorated.write.mode("overwrite").json(state_path)

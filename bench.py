@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line.
+
+The headline metric is the flagship related-items pipeline wall time
+(scan → split → attribution join → explode → decorate → re-nest →
+stamp → count), per BASELINE.md §B. Each query is timed to a full
+materialization (count of the final frame) so the whole plan executes;
+nothing is cached between queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from amazon_personalize_connectors_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_QUERIES = [
+    "flagship_related_flat",
+    "attribution_join",
+    "decorate_flat",
+    "renest_ordered",
+    "user_pers_flat",
+    "delta_except",
+    "payload_pivot",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as e
+
+    spark = get_spark("apc-bench")
+    qs = e.queries()
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(f"{SF_DIR}/part.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()  # no cross-query reuse or memory bleed
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
