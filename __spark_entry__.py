@@ -224,7 +224,7 @@ def q_user_pers_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_delta_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1: EXCEPT DISTINCT of current vs simulated last-sync state
     (state = records of even user ids, as if already synced)."""
-    current = q_flagship_related_flat(spark, sf_dir).cache()
+    current = q_flagship_related_flat(spark, sf_dir)
     state = current.where(F.col("user_id").cast("bigint") % 2 == 0)
     return current.subtract(state)
 
@@ -285,6 +285,226 @@ def q_stamp_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# extension queries: text analysis, dedup, similarity, events
+# ---------------------------------------------------------------------------
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace and BPE-ish regex lexers."""
+    from amazon_personalize_connectors_spark.functions import text as Tx
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        Tx.whitespace_token_count(F.col("text")).cast("bigint").alias("n_ws_tokens"),
+        Tx.regex_token_count(F.col("text")).cast("bigint").alias("n_regex_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token stats + stopword ratio + language flag."""
+    from amazon_personalize_connectors_spark.functions import text as Tx
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    feats = Tx.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["is_english"].alias("is_english"),
+    )
+
+
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile (group aggregate with exact sums)."""
+    from amazon_personalize_connectors_spark.functions import text as Tx
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(Tx.tokens(F.col("text"))).cast("bigint")).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint (min md5 over 8-grams)."""
+    from amazon_personalize_connectors_spark.functions import text as Tx
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", Tx.fingerprint_min_8gram(F.col("text")).alias("fingerprint")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content digest."""
+    from amazon_personalize_connectors_spark.functions.dedup import exact_dedup_groups
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs).select(
+        "digest", F.col("rep_id").cast("bigint").alias("rep_id"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup candidates over a doc sample."""
+    from amazon_personalize_connectors_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = synthetic.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    return ngram_jaccard_pairs(docs).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "common", "union_size", "jaccard",
+    )
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (6 hashes, 3 bands of 2)."""
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    return minhash_lsh_candidates(docs, n=2).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "n_shared_bands",
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document."""
+    from amazon_personalize_connectors_spark.functions.dedup import simhash16
+
+    docs = synthetic.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 10 == 0
+    )
+    return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for sampled query vectors."""
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        brute_force_topk,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    return brute_force_topk(emb, queries_df, k=5).select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("n_id").cast("bigint").alias("n_id"),
+        "rank", "score",
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked embedding near-dup pairs (block = label)."""
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        blocked_near_duplicates,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    return blocked_near_duplicates(emb, min_cosine=0.3).select(
+        F.col("block").cast("bigint").alias("block"),
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "score",
+    )
+
+
+def q_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid sums per (block, dim) with exact decimal sums."""
+    from amazon_personalize_connectors_spark.functions.similarity import ivf_centroids
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    return ivf_centroids(emb).select(
+        F.col("block").cast("bigint").alias("block"),
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("sum_e6").cast("bigint").alias("sum_e6"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse assignment: nearest centroid per vector."""
+    from amazon_personalize_connectors_spark.functions.similarity import ivf_assign
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    return ivf_assign(emb).select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("assigned_block").cast("bigint").alias("assigned_block"),
+        "score",
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate (1h) over the events stream table."""
+    ev = synthetic.load_events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via window lag."""
+    from pyspark.sql.window import Window
+
+    ev = synthetic.load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 1800 * 1000 * 1000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        ev.withColumn("new_s", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_s").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + aggregate over the props column."""
+    ev = synthetic.load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary with exact decimal sums."""
+    li = synthetic.load_table(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias(
+            "sum_qty"
+        ),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias(
+            "sum_base_price"
+        ),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "error_split_ok": q_error_split_ok,
@@ -299,12 +519,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_pivot": q_payload_pivot,
         "topk_slice": q_topk_slice,
         "stamp_literals": q_stamp_literals,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "lang_profile": q_lang_profile,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "ivf_centroids": q_ivf_centroids,
+        "ivf_assign": q_ivf_assign,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "events_props": q_events_props,
+        "lineitem_pricing": q_lineitem_pricing,
     }
 
 
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect) — built on the shared fixture CTEs
 # ---------------------------------------------------------------------------
+
+# tokenizer mirror of functions/text.py::tokens
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+# word-shingle mirror of functions/dedup.py::word_shingles (n=3):
+# 0-based windows over tokens; 1-based list indexing; concat_ws skips
+# out-of-range NULLs in both engines.
+def _shingles_cte(n: int) -> str:
+    grams = ", ".join(f"t[i+{j+1}]" for j in range(n))
+    return f"""
+toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 5 = 0
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(0, greatest(len(t) - {n}, 0) + 1),
+                          i -> concat_ws(' ', {grams}))
+         ) AS shingles
+  FROM toks
+),
+exploded_sh AS (
+  SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS shingle FROM sh
+)"""
+
+
+_SHINGLES_CTE = _shingles_cte(3)
+_SHINGLES_CTE_2 = _shingles_cte(2)
+
+# 16-bit simhash mirror of functions/dedup.py::simhash16
+_SIMHASH_BIT = (
+    "list_sum(list_transform(dt, tok -> "
+    "len(list_filter(t, x -> x = tok)) * "
+    "(((CAST(concat('0x', substr(md5(tok), 1, 4)) AS INTEGER) >> {i}) & 1) * 2 - 1)))"
+)
+_SIMHASH_SIG = " + ".join(
+    f"(CASE WHEN ({_SIMHASH_BIT.format(i=i)}) >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(16)
+)
+
+_COSINE = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+_CENTROID_CTE = """
+ev AS (
+  SELECT label AS block, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+edim AS (
+  SELECT block, vec_id, CAST(u.i - 1 AS BIGINT) AS dim, v[u.i] AS val
+  FROM ev, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+),
+centroid_sums AS (
+  SELECT block, dim,
+         CAST(sum(CAST(val AS DECIMAL(27,12))) AS DOUBLE) AS sum_val,
+         CAST(sum(CAST(floor(val * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_e6,
+         CAST(count(*) AS BIGINT) AS n
+  FROM edim GROUP BY block, dim
+)"""
 
 _EXPLODE_OUTER = """
 exploded AS (
@@ -443,5 +739,187 @@ SELECT DISTINCT query_item_id, user_id,
        '{RUN_TS.isoformat()}' AS run_datetime,
        'recs_' AS attribute_prefix
 FROM attributed
+""",
+        "text_tokens": """
+SELECT doc_id,
+  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_regex_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_measured
+FROM documents
+""",
+        "text_quality": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars,
+    CAST(len(list_filter(toks, x -> x IN ('a','the','of','and','to','in','is'))) AS BIGINT) AS hits
+  FROM t
+)
+SELECT doc_id, n_tokens,
+  CASE WHEN n_tokens > 0 THEN total_chars / n_tokens END AS avg_token_len,
+  CASE WHEN n_tokens > 0 THEN hits / n_tokens END AS stopword_ratio,
+  coalesce(CASE WHEN n_tokens > 0 THEN hits / n_tokens > 0.05 END, FALSE) AS is_english
+FROM s
+""",
+        "lang_profile": f"""
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+""",
+        "doc_fingerprint": """
+SELECT doc_id,
+  list_aggregate(
+    list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                   i -> md5(substr(text, i, 8))),
+    'min') AS fingerprint
+FROM documents
+""",
+        "dedup_exact": """
+SELECT md5(text) AS digest,
+       CAST(min(doc_id) AS BIGINT) AS rep_id,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY md5(text)
+""",
+        "ngram_jaccard_pairs": f"""
+WITH {_SHINGLES_CTE.lstrip()},
+rare AS (
+  SELECT shingle FROM exploded_sh GROUP BY shingle HAVING count(*) <= 100
+),
+filtered AS (SELECT e.* FROM exploded_sh e JOIN rare USING (shingle)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.n_shingles AS n_a, b.n_shingles AS n_b,
+         count(*) AS common
+  FROM filtered a JOIN filtered b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+  HAVING count(*) >= 2
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(common AS BIGINT) AS common,
+       CAST(n_a + n_b - common AS BIGINT) AS union_size,
+       common / (n_a + n_b - common) AS jaccard
+FROM pairs
+""",
+        "minhash_lsh": f"""
+WITH {_SHINGLES_CTE_2.lstrip()},
+sig AS (
+  SELECT doc_id,
+    list_aggregate(list_transform(shingles, s -> md5('0|' || s)), 'min') AS mh0,
+    list_aggregate(list_transform(shingles, s -> md5('1|' || s)), 'min') AS mh1,
+    list_aggregate(list_transform(shingles, s -> md5('2|' || s)), 'min') AS mh2,
+    list_aggregate(list_transform(shingles, s -> md5('3|' || s)), 'min') AS mh3,
+    list_aggregate(list_transform(shingles, s -> md5('4|' || s)), 'min') AS mh4,
+    list_aggregate(list_transform(shingles, s -> md5('5|' || s)), 'min') AS mh5
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+  UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+        "simhash": f"""
+WITH t0 AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 10 = 0
+),
+t1 AS (SELECT doc_id, t, list_distinct(t) AS dt FROM t0)
+SELECT doc_id, CAST({_SIMHASH_SIG} AS BIGINT) AS simhash FROM t1
+""",
+        "ann_topk": f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+         {_COSINE.format(a='q.v', b='e.v')} AS score
+  FROM q JOIN e ON e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+  FROM scored
+)
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(n_id AS BIGINT) AS n_id,
+       CAST(rank AS BIGINT) AS rank, score
+FROM ranked WHERE rank <= 5
+""",
+        "embedding_neardup": f"""
+WITH e AS (
+  SELECT label AS block, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+scored AS (
+  SELECT a.block, a.vec_id AS id_a, b.vec_id AS id_b,
+         {_COSINE.format(a='a.v', b='b.v')} AS score
+  FROM e a JOIN e b ON a.block = b.block AND a.vec_id < b.vec_id
+)
+SELECT CAST(block AS BIGINT) AS block, CAST(id_a AS BIGINT) AS id_a,
+       CAST(id_b AS BIGINT) AS id_b, score
+FROM scored WHERE score >= 0.3
+""",
+        "ivf_centroids": f"""
+WITH {_CENTROID_CTE.lstrip()}
+SELECT CAST(block AS BIGINT) AS block, dim, sum_e6, n FROM centroid_sums
+""",
+        "ivf_assign": f"""
+WITH {_CENTROID_CTE.lstrip()},
+centroids AS (
+  SELECT block, list(sum_val / n ORDER BY dim) AS centroid
+  FROM centroid_sums GROUP BY block
+),
+scored AS (
+  SELECT ev.vec_id AS id, c.block,
+         {_COSINE.format(a='ev.v', b='c.centroid')} AS score
+  FROM ev, centroids c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, block) AS rn
+  FROM scored
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(block AS BIGINT) AS assigned_block, score
+FROM ranked WHERE rn = 1
+""",
+        "events_hourly": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "events_sessionize": """
+WITH w AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800 * 1000 * 1000
+              THEN 1 ELSE 0 END AS new_s
+  FROM w
+)
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM flagged GROUP BY user_id
+""",
+        "events_props": """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""",
+        "lineitem_pricing": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,
     }

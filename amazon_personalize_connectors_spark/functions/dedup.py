@@ -1,0 +1,228 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, n-gram Jaccard, MinHash+LSH, and SimHash.
+
+Design for 100 TB: every variant reduces the problem to *hash-keyed
+shuffles* (group-by or equi-join on a digest/bucket) — never a cross
+join. Exact dedup groups on a 128-bit digest; Jaccard joins on rare
+shingles; MinHash-LSH joins on band buckets; SimHash groups on the
+16-bit signature. All are built-in Catalyst expressions (md5, higher-
+order array functions, bit ops) — no Python in the hot path.
+
+Hashes are md5-hex based (not xxhash) so results are reproducible
+across engines — the DuckDB oracles compute the identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from amazon_personalize_connectors_spark.functions.text import tokens
+
+
+def text_digest(text: Column) -> Column:
+    """Exact-dedup key: md5 of the raw text."""
+    return F.md5(text)
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group documents by content digest: one row per distinct content
+    with the representative (minimum) id and the duplicate count.
+    One hash-aggregate shuffle on the digest — at 100 TB this is the
+    canonical map-side-combinable dedup."""
+    return (
+        df.groupBy(text_digest(F.col(text_col)).alias("digest"))
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the tokenized text."""
+    toks = tokens(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.get(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def shingle_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(id, shingle) exploded table plus per-doc shingle counts."""
+    with_sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
+    )
+    return with_sh.select(
+        "id",
+        F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_common: int = 2,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Candidate near-dup pairs by n-gram overlap.
+
+    Explode shingles → drop shingles appearing in more than
+    ``max_shingle_df`` docs (stop-shingle blocking: a shingle shared by
+    thousands of docs generates quadratic pairs while carrying no
+    near-dup signal — standard at scale) → self-join on shingle →
+    count common shingles per pair → integer threshold + exact Jaccard
+    from the per-doc shingle counts.
+
+    Returns (id_a, id_b, common, union_size, jaccard) with id_a < id_b.
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_shingle_df)
+        .select("shingle")
+    )
+    sh = sh.join(rare, "shingle")
+    a = sh.select(
+        F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle"
+    )
+    b = sh.select(
+        F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"), "shingle"
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    union_size = F.col("n_a") + F.col("n_b") - F.col("common")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("common").cast("bigint").alias("common"),
+        union_size.cast("bigint").alias("union_size"),
+        (F.col("common") / union_size).alias("jaccard"),
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 6) -> list[Column]:
+    """MinHash signature: for seed s, min over shingles of
+    md5('<s>|' + shingle). Hex-string min == numeric min (fixed-width
+    lowercase hex), so the signature is engine-portable."""
+    return [
+        F.array_min(
+            F.transform(shingles, lambda sh: F.md5(F.concat(F.lit(f"{s}|"), sh)))
+        ).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 6,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature (rows of ``band_size``
+    mins), bucket-join per band, dedup pairs across bands.
+
+    Returns (id_a, id_b, n_shared_bands). Probability a pair with
+    Jaccard j collides: 1-(1-j^band_size)^(num_hashes/band_size).
+    The join key is (band_index, band_digest) — high entropy, no skew,
+    and never a cross join.
+    """
+    num_bands = num_hashes // band_size
+    # Signature via explode + groupBy-min rather than per-row
+    # array-fold expressions: the inlined higher-order tree (6 x
+    # array_min(transform(distinct(transform(...))))) blows up
+    # whole-stage codegen compile time, and at scale the exploded
+    # shingle table is the shape you want anyway (map-side combinable
+    # min aggregates, one shuffle keyed by doc id).
+    sh = shingle_table(df, text_col, id_col, n)
+    sig = sh.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"mh{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    bands = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|", *[F.col(f"mh{b * band_size + r}") for r in range(band_size)]
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = bands.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = bands.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_bands"))
+    )
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over tokens: token hash = first 4 hex digits of
+    md5 as an int; each bit contributes +count/-count by token
+    frequency; signature bit i is 1 iff the weighted sum >= 0.
+
+    Near-dup docs differ in few bits (compare with
+    ``bit_count(a ^ b)``). 16 bits keeps the oracle SQL tractable;
+    the same expression extends to 64 via conv on 16 hex digits.
+    """
+    toks = tokens(text)
+    # (token, count) pairs without a shuffle: distinct tokens, count via filter
+    distinct_toks = F.array_distinct(toks)
+
+    def bit_merge(i: int):
+        # factory keeps lambdas arity-2/arity-1: higher-order functions
+        # bind extra lambda params as array-index variables otherwise
+        def merge(acc, t):
+            count = F.size(F.filter(toks, _equals(t))).cast("bigint")
+            bit = (
+                F.shiftright(
+                    F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("bigint"), i
+                ).bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            )
+            return acc + count * bit
+
+        return merge
+
+    def _equals(t):
+        return lambda x: x == t
+
+    bit_sums = [
+        F.aggregate(distinct_toks, F.lit(0).cast("bigint"), bit_merge(i))
+        for i in range(16)
+    ]
+    sig = F.lit(0).cast("bigint")
+    for i, s in enumerate(bit_sums):
+        sig = sig + F.when(s >= 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
+    return sig

@@ -90,6 +90,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table loader. The driver's events.parquet carries
+    TIMESTAMP(NANOS) which Spark 4 rejects outright — read nanos as
+    raw longs and derive an exact microsecond timestamp (integer DIV,
+    no double round-trip: ns epochs exceed 2^53). Matches DuckDB's
+    native nanos→micros truncation."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts_us", F.expr("ts DIV 1000")).withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
+    )
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition a fixture fact to default parallelism. The synthetic
     sources are single small parquet files (1-2 scan partitions), while

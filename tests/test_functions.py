@@ -1,0 +1,126 @@
+"""Unit tests for text/dedup/similarity functions on hand-built data
+with known-by-construction answers."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from amazon_personalize_connectors_spark.functions import text as Tx
+from amazon_personalize_connectors_spark.functions.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from amazon_personalize_connectors_spark.functions.similarity import (
+    blocked_near_duplicates,
+    brute_force_topk,
+    ivf_assign,
+)
+from amazon_personalize_connectors_spark.operators.payload import chunk_iterable
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, ""),  # empty doc
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_tokens_and_quality(spark, docs):
+    out = docs.select(
+        "doc_id",
+        F.size(Tx.tokens(F.col("text"))).alias("n"),
+        Tx.quality_features(F.col("text"))["stopword_ratio"].alias("ratio"),
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].n == 9
+    assert by_id[5].n == 0 and by_id[5].ratio is None
+    assert by_id[1].ratio == pytest.approx(2 / 9)  # two 'the'
+
+
+def test_exact_dedup(docs):
+    groups = exact_dedup_groups(docs).collect()
+    dup = [g for g in groups if g.n_docs > 1]
+    assert len(dup) == 1 and dup[0].rep_id == 1 and dup[0].n_docs == 2
+
+
+def test_ngram_jaccard_known_value(docs):
+    pairs = ngram_jaccard_pairs(docs, min_common=1).collect()
+    by_pair = {(p.id_a, p.id_b): p for p in pairs}
+    # docs 1 and 2 share 6 of their 7 trigram shingles (all but the last)
+    p = by_pair[(1, 2)]
+    assert p.common == 6 and p.union_size == 8
+    assert p.jaccard == pytest.approx(6 / 8)
+    # exact dups share everything
+    p = by_pair[(1, 4)]
+    assert p.common == 7 and p.jaccard == 1.0
+    assert (1, 3) not in by_pair  # nothing in common
+
+
+def test_minhash_catches_exact_dups(docs):
+    cands = minhash_lsh_candidates(docs).collect()
+    pairs = {(c.id_a, c.id_b): c.n_shared_bands for c in cands}
+    assert pairs.get((1, 4)) == 3  # identical docs agree on all bands
+
+
+def test_simhash_similarity_structure(spark, docs):
+    out = {
+        r.doc_id: r.sh
+        for r in docs.select("doc_id", simhash16(F.col("text")).alias("sh")).collect()
+    }
+    ham_near = bin(out[1] ^ out[2]).count("1")
+    ham_far = bin(out[1] ^ out[3]).count("1")
+    assert out[1] == out[4]  # exact dups → identical signature
+    assert ham_near < ham_far  # near-dup closer than unrelated
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),  # close to 0
+        (2, [0.0, 1.0, 0.0], 0),  # orthogonal to 0
+        (3, [0.0, 0.0, 1.0], 1),
+        (4, [0.0, 0.1, 0.9], 1),  # close to 3
+    ]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>, label int")
+
+
+def test_brute_force_topk_ranks(vectors):
+    topk = brute_force_topk(vectors, vectors.where(F.col("vec_id") == 0), k=2)
+    rows = sorted(topk.collect(), key=lambda r: r.rank)
+    assert [r.n_id for r in rows] == [1, 2]
+    assert rows[0].score > 0.99
+
+
+def test_blocked_neardup_stays_in_block(vectors):
+    pairs = blocked_near_duplicates(vectors, min_cosine=0.5).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(0, 1), (3, 4)}
+
+
+def test_ivf_assign_matches_label_clusters(vectors):
+    out = {r.id: r.assigned_block for r in ivf_assign(vectors).collect()}
+    # vectors sit in their own label's centroid direction
+    assert out[0] == 0 and out[1] == 0 and out[3] == 1 and out[4] == 1
+
+
+@given(st.lists(st.integers(), max_size=500), st.integers(min_value=1, max_value=80))
+@settings(max_examples=50, deadline=None)
+def test_chunk_iterable_partitions_exactly(items, size):
+    chunks = list(chunk_iterable(items, size))
+    assert [x for c in chunks for x in c] == items
+    assert all(len(c) == size for c in chunks[:-1])
+    if chunks:
+        assert 0 < len(chunks[-1]) <= size
+
+
+def test_chunk_rejects_nonpositive():
+    with pytest.raises(ValueError):
+        list(chunk_iterable([1], 0))

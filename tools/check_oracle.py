@@ -94,6 +94,7 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
+            spark.catalog.clearCache()
         except Exception as ex:
             print(f"[FAIL] {name}: spark error: {ex}")
             failed.append(name)
