@@ -20,21 +20,47 @@ The reference never writes state back ("TODO", README.md:150);
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
-def _align_by_name(df: DataFrame, like: DataFrame) -> DataFrame:
-    """Project ``df``'s columns in ``like``'s order, failing loudly on a
-    schema mismatch (replaces the reference's sorted-column positional
-    alignment, ri:262-264)."""
+def _conform_expr(col: Column, dt: T.DataType) -> Column:
+    """Rebuild ``col`` to match ``dt`` resolving struct fields BY NAME
+    at every nesting level. A plain cast matches struct fields by
+    position, which silently mangles JSON-round-tripped state (JSON
+    readers alphabetize struct fields)."""
+    if isinstance(dt, T.StructType):
+        rebuilt = F.struct(
+            *[
+                _conform_expr(col.getField(f.name), f.dataType).alias(f.name)
+                for f in dt.fields
+            ]
+        )
+        return F.when(col.isNotNull(), rebuilt)
+    if isinstance(dt, T.ArrayType):
+        return F.transform(col, lambda x: _conform_expr(x, dt.elementType)).cast(dt)
+    return col.cast(dt)
+
+
+def conform_to_schema(df: DataFrame, like: DataFrame) -> DataFrame:
+    """Project ``df`` into ``like``'s exact schema (column order, field
+    order, types), resolving everything by name; fails loudly on
+    missing/extra columns (replaces the reference's sorted-column
+    positional alignment, ri:262-264). This is what makes the delta
+    check robust to state snapshots re-read from JSONL."""
     missing = set(like.columns) - set(df.columns)
     extra = set(df.columns) - set(like.columns)
     if missing or extra:
         raise ValueError(
             f"delta state schema mismatch: missing={sorted(missing)} extra={sorted(extra)}"
         )
-    return df.select(*like.columns)
+    return df.select(
+        *[
+            _conform_expr(F.col(f.name), f.dataType).alias(f.name)
+            for f in like.schema.fields
+        ]
+    )
 
 
 def delta_check(current: DataFrame, state: DataFrame | None) -> DataFrame:
@@ -44,7 +70,7 @@ def delta_check(current: DataFrame, state: DataFrame | None) -> DataFrame:
     on/off agree about duplicate records."""
     if state is None:
         return current.distinct()
-    return current.subtract(_align_by_name(state, current))
+    return current.subtract(conform_to_schema(state, current))
 
 
 def _record_digest(df: DataFrame) -> F.Column:

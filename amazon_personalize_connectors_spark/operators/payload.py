@@ -61,6 +61,14 @@ def build_user_track_payloads(
     other = dict(connector.other_attributes) if connector else {}
 
     cols = decorated.columns
+    if rec_col not in cols:
+        # a zero-row JSONL output read back has an empty schema — fail
+        # with the cause rather than an unresolved-column error later
+        raise ValueError(
+            f"payload input has no {rec_col!r} column (columns: {cols}); "
+            "reading back an empty JSONL output loses the schema — pass "
+            "the decorated frame directly or supply a read schema"
+        )
     if "queryUserId" not in cols:
         decorated = decorated.withColumn("queryUserId", F.lit(None).cast("string"))
     if "userId" not in cols:

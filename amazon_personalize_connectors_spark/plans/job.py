@@ -1,0 +1,108 @@
+"""The full config-driven job — the engine's equivalent of the
+reference's Glue job ``main`` (related_items_etl.py:56-318 /
+user_personalization_etl.py:56-280), cloud-agnostic.
+
+Layout convention mirrors the reference's S3 job prefix
+(README.md:140-152)::
+
+    <job_root>/
+      batch_inference/        input JSONL (from Personalize batch job)
+      user_item_mapping/      CSV bridge (related_items only)
+      item_metadata/          optional JSONL dimension
+      errors/year=.../        failed inference rows (K2)
+      output/<connector>/year=.../   decorated output (K1)
+      output/<connector>/state/      last-sync snapshot (S4 + K5)
+
+The reference reads state but never writes it (README.md:150 "TODO");
+``run_job`` closes the loop: after a successful connector write, the
+pre-delta decorated frame becomes the new state snapshot.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from amazon_personalize_connectors_spark.config import PipelineConfig
+from amazon_personalize_connectors_spark.plans.pipeline import run_connector_pipelines
+from amazon_personalize_connectors_spark.sinks.jsonl import (
+    write_connector_output,
+    write_errors,
+)
+from amazon_personalize_connectors_spark.sources.readers import (
+    read_batch_inference,
+    read_item_metadata,
+    read_last_sync_state,
+    read_user_item_mapping,
+    split_corrupt,
+)
+
+
+@dataclass
+class JobReport:
+    output_paths: dict[str, str] = field(default_factory=dict)
+    state_paths: dict[str, str] = field(default_factory=dict)
+    delivered_rows: dict[str, int] = field(default_factory=dict)
+    error_path: str | None = None
+    n_errors: int = 0
+    n_corrupt: int = 0
+
+
+def run_job(
+    spark: SparkSession,
+    job_type: str,
+    job_root: str,
+    config: PipelineConfig,
+    write_state: bool = True,
+) -> JobReport:
+    """Execute one batch ETL run end-to-end. Returns the paths written
+    and row counts observed (the reference logs these; we report them)."""
+    report = JobReport()
+
+    # Cache the raw scan ourselves and unpersist at the end: cached
+    # plans are keyed by plan text, so a leaked cache on this path
+    # would serve stale bytes to later runs in the same session.
+    batch_raw = read_batch_inference(
+        spark, f"{job_root}/batch_inference", job_type
+    ).cache()
+    batch, corrupt = split_corrupt(batch_raw, cache=False)
+    report.n_corrupt = corrupt.count()
+
+    mapping = None
+    if job_type == "related_items":
+        mapping = read_user_item_mapping(spark, f"{job_root}/user_item_mapping")
+    metadata = read_item_metadata(spark, f"{job_root}/item_metadata")
+
+    states = {}
+    for connector in config.connectors:
+        if config.delta_enabled(connector):
+            states[connector.name] = read_last_sync_state(
+                spark, f"{job_root}/output/{connector.name}/state"
+            )
+
+    results = run_connector_pipelines(
+        job_type, batch, config, mapping=mapping, metadata=metadata,
+        states=states, cache_source=False,
+    )
+
+    for name, res in results.items():
+        report.output_paths[name] = write_connector_output(
+            res.decorated, f"{job_root}/output", name, config.run_datetime
+        )
+        report.delivered_rows[name] = res.decorated.count()
+        if write_state:
+            # K5 — new snapshot is the full pre-delta decorated output
+            state_path = f"{job_root}/output/{name}/state"
+            res.pre_delta.write.mode("overwrite").json(state_path)
+            report.state_paths[name] = state_path
+
+    if config.save_batch_inference_errors and results:
+        # the error branch is connector-independent (same source split)
+        any_res = next(iter(results.values()))
+        report.n_errors = any_res.errors.count()
+        report.error_path = write_errors(
+            any_res.errors, f"{job_root}/errors", config.run_datetime
+        )
+    batch_raw.unpersist()
+    return report

@@ -38,10 +38,16 @@ def related_items_pipeline(
     config: PipelineConfig,
     state: DataFrame | None = None,
     legacy_window_mode: bool = False,
+    cache_source: bool = True,
 ) -> PipelineResult:
     """Entry point 1 (related_items_etl.py main): error split (F1/F2) →
     decorate (G1/J2/E1/E2/A1) → attribution join (J1) → delta (D1) →
     stamp (P1).
+
+    ``cache_source=False`` when the caller already materialized the
+    scan: Spark keys cached plans by plan text, so re-caching the same
+    path in a long-lived session silently serves stale bytes after the
+    files change (run_job caches and unpersists the raw scan itself).
 
     Operator order differs from the reference deliberately: the
     reference attributes first (ri:159-165) and decorates the fanned-out
@@ -53,7 +59,7 @@ def related_items_pipeline(
     the same for every attributed user); the oracle-checked flagship
     query pins this equivalence.
     """
-    ok, errors = split_errors(batch_inference)
+    ok, errors = split_errors(batch_inference, cache=cache_source)
     per_item = decorate_items(
         ok,
         metadata,
@@ -82,13 +88,14 @@ def user_personalization_pipeline(
     config: PipelineConfig,
     state: DataFrame | None = None,
     legacy_window_mode: bool = False,
+    cache_source: bool = True,
 ) -> PipelineResult:
     """Entry point 2 (user_personalization_etl.py main): same skeleton
     minus the attribution join — recs are already per-user (keyed on
     ``input.userId → queryUserId``, up:167). Fixes the reference's
     up:180 wrong-window-key crash path by always re-nesting on
     queryUserId."""
-    ok, errors = split_errors(batch_inference)
+    ok, errors = split_errors(batch_inference, cache=cache_source)
     decorated = decorate_items(
         ok,
         metadata,
@@ -114,6 +121,7 @@ def run_connector_pipelines(
     mapping: DataFrame | None = None,
     metadata: DataFrame | None = None,
     states: dict[str, DataFrame] | None = None,
+    cache_source: bool = True,
 ) -> dict[str, PipelineResult]:
     """Per-connector loop (ri:237-315): one PipelineResult per connector
     in the config. ``states`` maps connector name → last-sync frame."""
@@ -124,11 +132,13 @@ def run_connector_pipelines(
             if mapping is None:
                 raise ValueError("related_items requires a user-item mapping")
             results[connector.name] = related_items_pipeline(
-                batch_inference, mapping, metadata, connector, config, state
+                batch_inference, mapping, metadata, connector, config, state,
+                cache_source=cache_source,
             )
         elif job_type == "user_personalization":
             results[connector.name] = user_personalization_pipeline(
-                batch_inference, metadata, connector, config, state
+                batch_inference, metadata, connector, config, state,
+                cache_source=cache_source,
             )
         else:
             raise ValueError(f"unknown job type: {job_type!r}")

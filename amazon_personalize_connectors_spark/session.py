@@ -28,6 +28,17 @@ def get_spark(
     cluster you would size this so that post-shuffle partitions fit in
     executor memory at the target data scale; AQE coalesces the excess.
     """
+    # Python workers import this package by reference when executing
+    # mapPartitions/mapInPandas closures; ensure the package root is on
+    # their PYTHONPATH regardless of the caller's cwd (the env var is
+    # inherited JVM → worker daemon → worker).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
     cores = str(cores or os.environ.get("SPARK_GRAFT_CPUS") or "*")
     if shuffle_partitions is None:
         ncore = os.cpu_count() or 8 if cores == "*" else int(cores)

@@ -1,0 +1,130 @@
+"""Delivery transports (K3/K4), streaming incremental (T1), and
+multimodal plumbing."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from amazon_personalize_connectors_spark.functions.multimodal import (
+    attach_fake_media,
+    decode_media,
+    fake_decoder,
+    sample_frames,
+)
+from amazon_personalize_connectors_spark.sinks.transport import (
+    RecordingTransport,
+    deliver,
+    deliver_and_collect_failures,
+)
+from amazon_personalize_connectors_spark.streaming.incremental import (
+    incremental_pipeline_run,
+)
+
+
+@pytest.fixture()
+def payloads(spark):
+    rows = [(str(i), [f"it{i}a", f"it{i}b"]) for i in range(23)]
+    return spark.createDataFrame(
+        rows, "external_id string, recs_itemId array<string>"
+    ).repartition(2)
+
+
+def test_deliver_chunks_and_succeeds(payloads, tmp_path):
+    spool = str(tmp_path / "spool")
+    failures = deliver(payloads, lambda: RecordingTransport(spool), batch_size=5)
+    assert failures.count() == 0
+    batches = RecordingTransport.read_batches(spool)
+    sent = [r for b in batches for r in b]
+    assert len(sent) == 23
+    assert {r["external_id"] for r in sent} == {str(i) for i in range(23)}
+    assert all(len(b) <= 5 for b in batches)
+    # rank order survives the JSON round-trip
+    rec = next(r for r in sent if r["external_id"] == "7")
+    assert rec["recs_itemId"] == ["it7a", "it7b"]
+
+
+def test_deliver_routes_failures_to_dlq(payloads, tmp_path):
+    n = deliver_and_collect_failures(
+        payloads,
+        lambda: RecordingTransport(str(tmp_path / "spool"), fail_keys=("3",)),
+        batch_size=1,
+        dlq_path=str(tmp_path / "dlq"),
+    )
+    assert n == 1
+    dlq = [
+        json.loads(line)
+        for f in os.listdir(tmp_path / "dlq")
+        if f.endswith(".json")
+        for line in open(tmp_path / "dlq" / f)
+    ]
+    assert len(dlq) == 1
+    assert json.loads(dlq[0]["record_json"])["external_id"] == "3"
+    assert "TransportError" in dlq[0]["error"]
+
+
+def test_incremental_available_now_processes_each_file_once(spark, tmp_path):
+    """T1 bookmark semantics: run-1 drains existing files; run-2 with no
+    new input is a no-op; run-3 sees only the newly-landed file."""
+    inp = tmp_path / "landing"
+    inp.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    seen: list[list[int]] = []
+
+    def sink(df, batch_id):
+        seen.append(sorted(r.v for r in df.collect()))
+
+    def run():
+        incremental_pipeline_run(
+            spark, str(inp), schema, ckpt,
+            process=lambda df: df.withColumn("v", F.col("v") * 2),
+            sink=sink,
+        )
+
+    (inp / "a.json").write_text('{"v": 1}\n{"v": 2}\n')
+    run()
+    assert [v for batch in seen for v in batch] == [2, 4]
+
+    seen.clear()
+    run()  # no new files → no non-empty batches
+    assert [v for batch in seen for v in batch] == []
+
+    seen.clear()
+    (inp / "b.json").write_text('{"v": 10}\n')
+    run()
+    assert [v for batch in seen for v in batch] == [20]
+
+
+def test_multimodal_decode_roundtrip(spark):
+    import zlib
+
+    base = spark.range(1, 9).withColumnRenamed("id", "media_id")
+    media = attach_fake_media(base, "media_id")
+    feats = decode_media(media, decoder=fake_decoder).collect()
+    assert len(feats) == 8
+    by_id = {r.media_id: r for r in feats}
+    # independently recompute one checksum from the fake content rule
+    row = media.where(F.col("media_id") == 3).first()
+    assert by_id[3].checksum == zlib.crc32(bytes(row.content))
+    assert by_id[3].n_bytes == row.meta.n_bytes
+    assert len(by_id[3].features) == 8
+    assert abs(sum(by_id[3].features) - 1.0) < 1e-9
+
+
+def test_multimodal_decode_stub_raises_without_decoder(spark):
+    media = attach_fake_media(spark.range(1, 3).withColumnRenamed("id", "media_id"), "media_id")
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        decode_media(media).collect()
+
+
+def test_sample_frames_strides_content(spark):
+    media = attach_fake_media(spark.range(4, 5).withColumnRenamed("id", "media_id"), "media_id")
+    n_bytes = media.first().meta.n_bytes
+    frames = sample_frames(media, every_n_bytes=16).collect()
+    assert len(frames) == max(n_bytes // 16, 1)
+    assert all(len(f.frame_bytes) <= 16 for f in frames)
+    joined = b"".join(bytes(f.frame_bytes) for f in sorted(frames, key=lambda f: f.frame_no))
+    assert bytes(media.first().content).startswith(joined[:16])
