@@ -487,6 +487,53 @@ def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_renest_legacy_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+A1 literal form (window prefix collect + groupBy/max,
+    ri:202-214) — checked against the SAME oracle as the flagship to
+    prove the idiomatic single-aggregate replacement is equivalent."""
+    decorated = related_items_pipeline(
+        synthetic.related_items_batch_inference(spark, sf_dir),
+        synthetic.user_item_mapping(spark, sf_dir),
+        synthetic.item_metadata(spark, sf_dir),
+        _CONNECTOR,
+        _CONFIG,
+        legacy_window_mode=True,
+    ).pre_delta
+    return _flatten_decorated(decorated, ["queryItemId", "userId"]).withColumnsRenamed(
+        {"queryItemId": "query_item_id", "userId": "user_id"}
+    )
+
+
+def q_delta_anti_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable delta variant (left-anti join on a record digest) —
+    must produce the same rows as subtract-based delta_except."""
+    from amazon_personalize_connectors_spark.operators.delta import (
+        delta_check_anti_hash,
+    )
+
+    current = q_flagship_related_flat(spark, sf_dir)
+    state = current.where(F.col("user_id").cast("bigint") % 2 == 0)
+    return delta_check_anti_hash(current, state)
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: binary media column + Arrow-batched decode
+    (deterministic fake decoder; no SQL oracle for crc32)."""
+    from amazon_personalize_connectors_spark.functions.multimodal import (
+        attach_fake_media,
+        decode_media,
+        fake_decoder,
+    )
+
+    part = synthetic.load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("media_id")
+    )
+    media = attach_fake_media(part.where(F.col("media_id") % 20 == 0), "media_id")
+    return decode_media(media, decoder=fake_decoder).select(
+        "media_id", "n_bytes", "checksum"
+    )
+
+
 def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary with exact decimal sums."""
     li = synthetic.load_table(spark, sf_dir, "lineitem")
@@ -535,6 +582,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_props": q_events_props,
         "lineitem_pricing": q_lineitem_pricing,
+        "renest_legacy_window": q_renest_legacy_window,
+        "delta_anti_hash": q_delta_anti_hash,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -913,6 +963,16 @@ SELECT event_type,
        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY event_type
+""",
+        "renest_legacy_window": f"""
+{_FLAGSHIP}
+SELECT * FROM decorated
+""",
+        "delta_anti_hash": f"""
+{_FLAGSHIP}
+SELECT * FROM decorated
+EXCEPT
+SELECT * FROM decorated WHERE CAST(user_id AS BIGINT) % 2 = 0
 """,
         "lineitem_pricing": """
 SELECT l_returnflag, l_linestatus,

@@ -30,7 +30,20 @@ BENCH_QUERIES = [
     "renest_ordered",
     "user_pers_flat",
     "delta_except",
+    "delta_anti_hash",
     "payload_pivot",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh",
+    "simhash",
+    "ann_topk",
+    "embedding_neardup",
+    "ivf_assign",
+    "text_quality",
+    "doc_fingerprint",
+    "events_hourly",
+    "events_sessionize",
+    "lineitem_pricing",
 ]
 
 
@@ -51,7 +64,12 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).count()
         times[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()  # no cross-query reuse or memory bleed
+        # No cross-query reuse or memory bleed: drop caches and force a
+        # JVM GC so ContextCleaner reclaims accumulated broadcasts —
+        # without this, a long sequential session degrades later
+        # queries by 10-60x (broadcast blocks pin the driver heap).
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(times.values()), 3)
     print(
