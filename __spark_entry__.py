@@ -534,6 +534,42 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time as-of join (union+window pattern; Spark has no
+    native asof) — each event gets the user's latest prior order.
+    Oracle: DuckDB's native ASOF LEFT JOIN. Right side deduped to one
+    row per (user, date) so ties are deterministic."""
+    from amazon_personalize_connectors_spark.operators.asof import asof_join
+
+    events = synthetic.load_events(spark, sf_dir)
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    orders_d = (
+        orders.groupBy(
+            F.col("o_custkey").alias("user_id"), F.col("o_orderdate")
+        )
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    joined = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        orders_d,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_payload=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+
+
 def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary with exact decimal sums."""
     li = synthetic.load_table(spark, sf_dir, "lineitem")
@@ -582,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_props": q_events_props,
         "lineitem_pricing": q_lineitem_pricing,
+        "asof_join": q_asof_join,
         "renest_legacy_window": q_renest_legacy_window,
         "delta_anti_hash": q_delta_anti_hash,
         "multimodal_decode": q_multimodal_decode,
@@ -973,6 +1010,20 @@ SELECT * FROM decorated
 SELECT * FROM decorated
 EXCEPT
 SELECT * FROM decorated WHERE CAST(user_id AS BIGINT) % 2 = 0
+""",
+        "asof_join": """
+WITH od AS (
+  SELECT o_custkey AS user_id, o_orderdate,
+         max(o_orderkey) AS o_orderkey,
+         max_by(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       o.o_orderkey, o.o_totalprice,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+FROM events e ASOF LEFT JOIN od o
+  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
 """,
         "lineitem_pricing": """
 SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,93 @@
+"""As-of join — a point-in-time lookup Spark's DataFrame API lacks.
+
+``asof_join(left, right, ...)`` attaches, to each left row, the most
+recent right row with the same key and time <= the left row's time
+(e.g. each event gets the customer's latest prior order).
+
+Implementation is the scalable union+window pattern, not a range join:
+
+1. tag both sides and union them by name into one stream of
+   (key, time, side, payload) rows;
+2. one window per key ordered by (time, side-priority) computes
+   ``last(payload, ignorenulls)`` over the unbounded-preceding frame —
+   i.e. "the latest right payload seen so far";
+3. keep only left rows.
+
+Cost: ONE shuffle on the key (same as any groupBy on it) + a per-key
+sort — no cross join, no O(left x right) candidate pairs, no range
+explosion. This is the pattern that survives 100 TB: skewed keys can
+additionally be range-bucketed by time before the window.
+
+DuckDB's native ``ASOF JOIN`` serves as the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_payload: Sequence[str],
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row: fields of the latest right row with matching
+    ``on`` key and ``right_time`` <= ``left_time`` (< when ``strict``);
+    nulls when no prior right row exists (left-outer semantics).
+
+    Ties (right_time == left_time, non-strict): the right row wins —
+    it sorts before the left row via the side-priority column.
+    """
+    lt = F.col(left_time).cast("timestamp")
+    rt = F.col(right_time).cast("timestamp")
+
+    # side ordering at equal times: non-strict → right first (visible
+    # to the left row); strict → right after (invisible).
+    right_prio = 1 if strict else 0
+    left_prio = 1 - right_prio if strict else 1
+
+    tagged_left = left.select(
+        F.col(on).alias("__key"),
+        lt.alias("__t"),
+        F.lit(left_prio).alias("__prio"),
+        F.lit(True).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_payload
+            ) + ">"
+        ).alias("__right"),
+    )
+    tagged_right = right.select(
+        F.col(on).alias("__key"),
+        rt.alias("__t"),
+        F.lit(right_prio).alias("__prio"),
+        F.lit(False).alias("__is_left"),
+        F.lit(None).cast(tagged_left.schema["__left"].dataType.simpleString()).alias(
+            "__left"
+        ),
+        F.struct(*[F.col(c) for c in right_payload]).alias("__right"),
+    )
+    combined = tagged_left.unionByName(tagged_right)
+
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__t", "__prio")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_latest = combined.withColumn(
+        "__latest_right", F.last("__right", ignorenulls=True).over(w)
+    )
+    out = with_latest.where(F.col("__is_left")).select(
+        *[F.col(f"__left.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__latest_right.{c}").alias(c) for c in right_payload],
+    )
+    return out

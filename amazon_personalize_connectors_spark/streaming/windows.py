@@ -1,0 +1,141 @@
+"""Streaming windowed aggregation and custom stateful operators.
+
+The reference has no true stream processing (time appears only as
+run-timestamp path values, SURVEY.md §2.9); these extend the engine to
+the streaming shapes a large event pipeline needs:
+
+* ``windowed_event_counts`` — tumbling event-time windows with a
+  watermark for late data (state store evicts windows older than the
+  watermark — bounded state at any scale);
+* ``sessionize_stateful`` — gap-based sessionization as a custom
+  stateful operator via ``applyInPandasWithState`` (Arrow-batched
+  per-key state, timeout-driven session close).
+
+Both run identically over a file source with Trigger.AvailableNow
+(this repo's incremental mode) and over a live stream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data watermark.
+
+    The watermark bounds state: windows whose end precedes
+    (max event time - delay) are finalized and evicted, so state size
+    is O(active windows), independent of stream length. Works on batch
+    frames too (watermark is a no-op there) — used by the tests to
+    cross-check streaming output against the batch groupBy."""
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window_duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def _sessionize_group(
+    key: tuple[Any, ...],
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+    gap_us: int,
+) -> Iterator[pd.DataFrame]:
+    """Per-user session state machine. Emits a row per CLOSED session;
+    the open session lives in state until the gap elapses (processing-
+    time timeout) or a later event closes it."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [[user_id, start_us, last_us, n]], columns=SESSION_SCHEMA.fieldNames()
+        )
+        return
+
+    ts_list: list[int] = []
+    for pdf in batches:
+        ts_list.extend(int(v) for v in pdf["ts_us"])
+    ts_list.sort()
+
+    closed: list[list[int]] = []
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us = last_us = ts_list[0]
+        n = 0
+        ts_list = ts_list  # first event counted in the loop
+    for t in ts_list:
+        if t - last_us > gap_us:
+            closed.append([user_id, start_us, last_us, n])
+            start_us, n = t, 0
+        last_us = max(last_us, t)
+        n += 1
+    state.update((start_us, last_us, n))
+    state.setTimeoutDuration(gap_us // 1000)
+    if closed:
+        yield pd.DataFrame(closed, columns=SESSION_SCHEMA.fieldNames())
+
+
+def sessionize_stateful(
+    events: DataFrame, gap_minutes: int = 30, ts_us_col: str = "ts_us"
+) -> DataFrame:
+    """Custom stateful sessionization over a stream:
+    ``applyInPandasWithState`` keyed by user, per-key (start, last, n)
+    state, sessions emitted when the gap passes. The batch-mode
+    equivalent (window lag over ts) is the oracle-checked
+    ``events_sessionize`` query; this is the streaming form with
+    bounded state + timeouts."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return (
+        events.selectExpr("user_id", f"{ts_us_col} as ts_us")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            lambda key, pdfs, state: _sessionize_group(key, pdfs, state, gap_us),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1,0 +1,158 @@
+"""Extended operators: observe metrics, schema drift, salted join,
+as-of join, and streaming windows/stateful sessionization."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from amazon_personalize_connectors_spark.operators.asof import asof_join
+from amazon_personalize_connectors_spark.operators.drift import (
+    filter_by_source_file,
+    union_drifted,
+)
+from amazon_personalize_connectors_spark.operators.metrics import observe_counts
+from amazon_personalize_connectors_spark.operators.skew import salted_join
+from amazon_personalize_connectors_spark.streaming.windows import (
+    sessionize_stateful,
+    windowed_event_counts,
+)
+
+
+def test_observe_counts_no_extra_jobs(spark):
+    df = spark.createDataFrame([(i, i % 3 == 0) for i in range(30)], "id long, flag boolean")
+    observed, obs = observe_counts(df, n_flagged=F.col("flag"))
+    observed.write.format("noop").mode("overwrite").save()
+    assert obs.get["n_rows"] == 30
+    assert obs.get["n_flagged"] == 10
+
+
+def test_union_drifted_aligns_and_widens(spark):
+    a = spark.createDataFrame([(1, 10)], "id int, v int")
+    b = spark.createDataFrame([(2.5, "x", 2)], "v double, extra string, id int")
+    out = union_drifted(a, b)
+    assert dict(out.dtypes)["v"] == "double"
+    assert "extra" in out.columns
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].v == 10.0 and rows[1].extra is None
+    assert rows[2].v == 2.5 and rows[2].extra == "x"
+
+
+def test_union_drifted_choice_conflict_falls_back_to_string(spark):
+    a = spark.createDataFrame([(1, 5)], "id int, v int")
+    b = spark.createDataFrame([(2, "five")], "id int, v string")
+    out = union_drifted(a, b)
+    assert dict(out.dtypes)["v"] == "string"
+    assert {r.v for r in out.collect()} == {"5", "five"}
+
+
+def test_filter_by_source_file(spark, tmp_path):
+    good = tmp_path / "etl_jobs" / "output" / "braze"
+    bad = tmp_path / "etl_jobs" / "state"
+    good.mkdir(parents=True), bad.mkdir(parents=True)
+    (good / "a.json").write_text('{"v": 1}\n')
+    (bad / "b.json").write_text('{"v": 2}\n')
+    df = spark.read.json(f"{tmp_path}/etl_jobs/*/*")
+    kept = filter_by_source_file(df, r".*/output/braze/.*")
+    assert [r.v for r in kept.collect()] == [1]
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed fact: one hot key
+    fact = spark.createDataFrame(
+        [(1, f"r{i}") for i in range(500)] + [(2, "cold")], "k int, payload string"
+    )
+    dim = spark.createDataFrame([(1, "hot-dim"), (2, "cold-dim"), (3, "unused")], "k int, d string")
+    salted = salted_join(fact, dim, on="k", salt_factor=4)
+    plain = fact.join(dim, "k")
+    assert salted.count() == plain.count() == 501
+    assert salted.exceptAll(plain).isEmpty() and plain.exceptAll(salted).isEmpty()
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, "2026-01-05 10:00:00", "e1"),
+         (1, "2026-01-01 00:00:00", "e0"),   # before any right row
+         (2, "2026-01-05 10:00:00", "e2")],
+        "k int, t string, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, "2026-01-02 00:00:00", 100.0),
+         (1, "2026-01-04 00:00:00", 200.0),  # latest prior for e1
+         (1, "2026-01-06 00:00:00", 300.0),  # after e1 — must not leak
+         (2, "2026-01-05 10:00:00", 400.0)], # exact tie with e2 (non-strict → match)
+        "k int, rt string, amount double",
+    )
+    out = asof_join(left, right, on="k", left_time="t", right_time="rt",
+                    right_payload=["amount"])
+    got = {r.ev: r.amount for r in out.collect()}
+    assert got == {"e0": None, "e1": 200.0, "e2": 400.0}
+    strict = asof_join(left, right, on="k", left_time="t", right_time="rt",
+                       right_payload=["amount"], strict=True)
+    got_s = {r.ev: r.amount for r in strict.collect()}
+    assert got_s["e2"] is None  # tie excluded under strict
+
+
+def test_windowed_counts_batch_equals_manual(spark, sf_dir):
+    from amazon_personalize_connectors_spark.sources import synthetic
+
+    ev = synthetic.load_events(spark, sf_dir)
+    out = windowed_event_counts(ev, "1 hour", "30 minutes")
+    manual = ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    assert out.exceptAll(manual).isEmpty() and manual.exceptAll(out).isEmpty()
+
+
+def test_stateful_sessionization_stream(spark, tmp_path):
+    """Drive applyInPandasWithState through a real streaming query:
+    events for one user with a >30min gap → first session closes."""
+    import json as jsonlib
+
+    inp = tmp_path / "events"
+    inp.mkdir()
+    base = 1_700_000_000_000_000  # us
+    rows = [
+        {"user_id": 7, "ts_us": base},
+        {"user_id": 7, "ts_us": base + 60_000_000},          # same session
+        {"user_id": 7, "ts_us": base + 3_600_000_000},       # 1h later → new session
+        {"user_id": 8, "ts_us": base},
+    ]
+    (inp / "a.json").write_text("\n".join(jsonlib.dumps(r) for r in rows))
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("ts_us", T.LongType())]
+    )
+    stream = spark.readStream.schema(schema).json(str(inp))
+    sessions = sessionize_stateful(stream, gap_minutes=30)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # ProcessingTimeTimeout keeps the availableNow query cycling empty
+    # batches until all state times out — poll for the closed session
+    # and stop early instead of waiting for full termination.
+    import time as time_mod
+
+    got = set()
+    deadline = time_mod.time() + 90
+    while time_mod.time() < deadline:
+        got = {
+            (r.user_id, r.n_events)
+            for r in spark.sql("select * from sess_test").collect()
+        }
+        if (7, 2) in got:
+            break
+        time_mod.sleep(1)
+    q.stop()
+    # user 7's first session (2 events) closed by the 1h-later event;
+    # open sessions (u7 second, u8) stay in state awaiting timeout
+    assert (7, 2) in got
