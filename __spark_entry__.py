@@ -506,12 +506,16 @@ def q_renest_legacy_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_delta_anti_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalable delta variant (left-anti join on a record digest) —
-    must produce the same rows as subtract-based delta_except."""
+    must produce the same rows as subtract-based delta_except.
+    ``localCheckpoint`` models the real shape (state is a snapshot
+    READ from storage, not a live lineage re-derived per branch);
+    without it Spark re-runs the whole flagship pipeline for the
+    state side because the digest-after-filter breaks exchange reuse."""
     from amazon_personalize_connectors_spark.operators.delta import (
         delta_check_anti_hash,
     )
 
-    current = q_flagship_related_flat(spark, sf_dir)
+    current = q_flagship_related_flat(spark, sf_dir).localCheckpoint()
     state = current.where(F.col("user_id").cast("bigint") % 2 == 0)
     return delta_check_anti_hash(current, state)
 

@@ -89,15 +89,23 @@ def _record_digest(df: DataFrame) -> F.Column:
 def delta_check_anti_hash(current: DataFrame, state: DataFrame | None) -> DataFrame:
     """Scalable delta: left-anti join on a record digest. State scans
     prune to the digest column; the shuffle key is uniform. Used when
-    the state snapshot is too large for subtract to be sensible."""
-    current = current.dropDuplicates()
+    the state snapshot is too large for subtract to be sensible.
+
+    Physical strategy: compute the digest FIRST, then both the dedup
+    (``dropDuplicates`` on the digest — equal digests ⇒ equal rows,
+    the same assumption the anti-join itself makes) and the anti-join
+    key on the SAME narrow column. The current side then shuffles once
+    on 12 bytes of key instead of twice (once on every column for the
+    row-dedup, once more for the join), and the join reuses the
+    aggregate's hash partitioning — `.explain` shows a single Exchange
+    above the current branch."""
+    cur = current.withColumn("__digest", _record_digest(current))
+    deduped = cur.dropDuplicates(["__digest"])
     if state is None:
-        return current
+        return deduped.drop("__digest")
     state_digests = state.select(_record_digest(state).alias("__digest")).distinct()
     return (
-        current.withColumn("__digest", _record_digest(current))
-        .join(state_digests, "__digest", "left_anti")
-        .drop("__digest")
+        deduped.join(state_digests, "__digest", "left_anti").drop("__digest")
     )
 
 

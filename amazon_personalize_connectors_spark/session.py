@@ -49,6 +49,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 10 MB default is sized for small executors; with 100+ GiB
+        # executors a 64 MB dimension (mapping/metadata) is cheap to
+        # broadcast and saves a full shuffle+sort of the fact side.
+        # AQE re-checks against RUNTIME sizes, so this never force-
+        # broadcasts something that turned out big.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
