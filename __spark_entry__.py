@@ -592,6 +592,147 @@ def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_band_join_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (interval) join, equi-keyed: per order, count and value of
+    its lineitems shipped within 60 days of the order date — the
+    canonical feature-window shape (equi key bounds the candidate set;
+    the band predicate is a post-join filter, no range explosion)."""
+    from amazon_personalize_connectors_spark.operators.band import band_join
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = synthetic.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    joined = band_join(
+        orders,
+        li,
+        left_time="o_orderdate",
+        right_time="l_shipdate",
+        lower_seconds=0,
+        upper_seconds=60 * 86400,
+        equi_keys=[("o_orderkey", "l_orderkey")],
+        how="left",
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(
+            F.count("l_shipdate").alias("n_shipped_60d"),
+            F.coalesce(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("value_shipped_60d"),
+        )
+    )
+
+
+def q_band_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure band join (NO equi key) via the time-bucket replication
+    strategy: for each event, how many platform-wide events landed
+    within +/-10 minutes (self-match included, so every count >= 1).
+    A naive plan is a cross join; the bucketed plan is one equi join
+    on the bucket id with bounded replication."""
+    from amazon_personalize_connectors_spark.operators.band import band_join
+
+    events = synthetic.load_events(spark, sf_dir)
+    left = events.select(F.col("event_id").alias("l_event_id"), F.col("ts").alias("l_ts"))
+    right = events.select(F.col("event_id").alias("r_event_id"), F.col("ts").alias("r_ts"))
+    joined = band_join(
+        left,
+        right,
+        left_time="l_ts",
+        right_time="r_ts",
+        lower_seconds=-600,
+        upper_seconds=600,
+    )
+    return joined.groupBy(F.col("l_event_id").alias("event_id")).agg(
+        F.count(F.lit(1)).alias("n_events_band"),
+        F.min("r_event_id").alias("first_event_id"),
+    )
+
+
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General window-function suite over orders: per-customer rank,
+    previous order price (lag), running spend, and share of customer
+    total — one window shuffle on the customer key."""
+    from pyspark.sql.window import Window
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("o_custkey")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.lag(price_dec).over(w).cast("double").alias("prev_price"),
+        F.sum(price_dec).over(w_run).cast("double").alias("run_spend"),
+        (price_dec / F.sum(price_dec).over(w_all))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("spend_share"),
+    )
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate: revenue by (priority, year) with subtotals
+    and grand total; GROUPING() distinguishes subtotal nulls from
+    data nulls. Partial aggregation keeps the shuffle small."""
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderpriority",
+            F.year("o_orderdate").alias("order_year"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .rollup("o_orderpriority", "order_year")
+        .agg(
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.grouping("order_year").alias("g_year"),
+            F.sum("price").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch validation: per event type, exact distinct users
+    plus a flag that Spark's approx_count_distinct (rsd=2%) landed
+    within 5% of truth. The oracle pins the flag to TRUE, so a sketch
+    regression fails the value-hash — exact values stay comparable
+    across engines while the sketch itself is still exercised."""
+    events = synthetic.load_events(spark, sf_dir)
+    agg = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("__approx") - F.col("n_users_exact"))
+            <= 0.05 * F.col("n_users_exact")
+        ).alias("approx_within_5pct"),
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price within each priority class — row_number
+    window + early filter (one shuffle, no global sort)."""
+    from amazon_personalize_connectors_spark.operators.band import top_k_per_group
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    return top_k_per_group(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        group_cols=["o_orderpriority"],
+        order_cols=["o_totalprice", "o_orderkey"],
+        k=3,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "error_split_ok": q_error_split_ok,
@@ -623,6 +764,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props": q_events_props,
         "lineitem_pricing": q_lineitem_pricing,
         "asof_join": q_asof_join,
+        "band_join_features": q_band_join_features,
+        "band_join_bucketed": q_band_join_bucketed,
+        "window_analytics": q_window_analytics,
+        "rollup_revenue": q_rollup_revenue,
+        "approx_distinct": q_approx_distinct,
+        "topk_per_group": q_topk_per_group,
         "renest_legacy_window": q_renest_legacy_window,
         "delta_anti_hash": q_delta_anti_hash,
         "multimodal_decode": q_multimodal_decode,
@@ -1028,6 +1175,77 @@ SELECT e.event_id, e.user_id,
        strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
 FROM events e ASOF LEFT JOIN od o
   ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+""",
+        "band_join_features": """
+SELECT o.o_orderkey,
+       count(l.l_shipdate) AS n_shipped_60d,
+       CAST(coalesce(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+         AS value_shipped_60d
+FROM orders o
+LEFT JOIN lineitem l
+  ON o.o_orderkey = l.l_orderkey
+ AND epoch(l.l_shipdate) >= epoch(o.o_orderdate)
+ AND epoch(l.l_shipdate) <= epoch(o.o_orderdate) + 60*86400
+GROUP BY o.o_orderkey
+""",
+        "band_join_bucketed": """
+SELECT a.event_id,
+       count(*) AS n_events_band,
+       min(b.event_id) AS first_event_id
+FROM events a
+JOIN events b
+  ON epoch(date_trunc('second', b.ts)) >= epoch(date_trunc('second', a.ts)) - 600
+ AND epoch(date_trunc('second', b.ts)) <= epoch(date_trunc('second', a.ts)) + 600
+GROUP BY a.event_id
+""",
+        "window_analytics": """
+SELECT o_orderkey, o_custkey,
+       CAST(row_number() OVER w AS INT) AS order_seq,
+       CAST(lag(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS prev_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS run_spend,
+       CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                 / sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     OVER (PARTITION BY o_custkey)
+                 AS DECIMAL(18,6)) AS DOUBLE) AS spend_share
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+        "rollup_revenue": """
+SELECT o_orderpriority,
+       order_year,
+       CAST(grouping(o_orderpriority) AS TINYINT) AS g_priority,
+       CAST(grouping(order_year) AS TINYINT) AS g_year,
+       CAST(sum(price) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM (
+  SELECT o_orderpriority,
+         CAST(year(o_orderdate) AS INT) AS order_year,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+)
+GROUP BY ROLLUP (o_orderpriority, order_year)
+""",
+        "approx_distinct": """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users_exact,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY event_type
+""",
+        "topk_per_group": """
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       CAST(rank_in_group AS INT) AS rank_in_group
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rank_in_group
+  FROM orders
+)
+WHERE rank_in_group <= 3
 """,
         "lineitem_pricing": """
 SELECT l_returnflag, l_linestatus,

@@ -156,3 +156,98 @@ def test_stateful_sessionization_stream(spark, tmp_path):
     # user 7's first session (2 events) closed by the 1h-later event;
     # open sessions (u7 second, u8) stay in state awaiting timeout
     assert (7, 2) in got
+
+
+# ---------------------------------------------------------------------------
+# band join / top-k per group
+# ---------------------------------------------------------------------------
+
+from amazon_personalize_connectors_spark.operators.band import (  # noqa: E402
+    band_join,
+    top_k_per_group,
+)
+
+
+def _ts_df(spark, name_prefix, rows):
+    return spark.createDataFrame(
+        [(i, f"{name_prefix}{i}", ts) for i, ts in rows],
+        "id long, name string, t timestamp",
+    ).withColumn("t", F.col("t").cast("timestamp"))
+
+
+def test_band_join_equi_keyed(spark):
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-10 00:00:00"), (2, "k", "2024-01-20 00:00:00")],
+        "lid long, key string, lt string",
+    )
+    right = spark.createDataFrame(
+        [("k", "2024-01-09 00:00:00"), ("k", "2024-01-12 00:00:00"),
+         ("k", "2024-01-19 00:00:00"), ("z", "2024-01-10 00:00:00")],
+        "rkey string, rt string",
+    )
+    out = band_join(
+        left, right, "lt", "rt", lower_seconds=-2 * 86400, upper_seconds=0,
+        equi_keys=[("key", "rkey")],
+    )
+    got = sorted((r.lid, r.rt) for r in out.collect())
+    assert got == [(1, "2024-01-09 00:00:00"), (2, "2024-01-19 00:00:00")]
+
+
+def test_band_join_bucketed_matches_naive_cross(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, 1_700_000_000 + rnd.randrange(0, 50_000)) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, sec long").withColumn(
+        "t", F.col("sec").cast("timestamp")
+    )
+    a = df.select(F.col("id").alias("aid"), F.col("t").alias("at"))
+    b = df.select(F.col("id").alias("bid"), F.col("t").alias("bt"))
+    bucketed = band_join(a, b, "at", "bt", -900, 900)
+    naive = a.crossJoin(b).where(
+        (F.col("bt").cast("long") >= F.col("at").cast("long") - 900)
+        & (F.col("bt").cast("long") <= F.col("at").cast("long") + 900)
+    )
+    got = sorted((r.aid, r.bid) for r in bucketed.collect())
+    want = sorted((r.aid, r.bid) for r in naive.collect())
+    assert got == want and len(got) > 120  # some non-self matches exist
+
+
+def test_band_join_bucketed_no_duplicate_pairs(spark):
+    # right rows replicated into several buckets must not produce
+    # duplicate joined pairs
+    a = spark.createDataFrame([(1, 10_000)], "aid long, sec long").withColumn(
+        "at", F.col("sec").cast("timestamp")
+    )
+    b = spark.createDataFrame([(9, 10_500)], "bid long, sec long").withColumn(
+        "bt", F.col("sec").cast("timestamp")
+    )
+    out = band_join(
+        a.select("aid", "at"), b.select("bid", "bt"), "at", "bt",
+        -3600, 3600, bucket_width_seconds=600,
+    )
+    assert out.count() == 1
+
+
+def test_band_join_validates_args(spark):
+    df = spark.range(1).withColumn("t", F.current_timestamp())
+    with pytest.raises(ValueError):
+        band_join(df, df, "t", "t", 10, -10)
+    with pytest.raises(ValueError):
+        band_join(
+            df.select(F.col("id").alias("a"), F.col("t").alias("ta")),
+            df.select(F.col("id").alias("b"), F.col("t").alias("tb")),
+            "ta", "tb", -10, 10, how="left",
+        )
+
+
+def test_top_k_per_group_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [("g1", 1, 5.0), ("g1", 2, 5.0), ("g1", 3, 7.0), ("g1", 4, 1.0),
+         ("g2", 5, 2.0)],
+        "grp string, id long, score double",
+    )
+    out = top_k_per_group(df, ["grp"], ["score", "id"], k=2)
+    got = {(r.grp, r.id, r.rank_in_group) for r in out.collect()}
+    # ties broken by ascending id: score 5.0 → id 1 wins rank 2
+    assert got == {("g1", 3, 1), ("g1", 1, 2), ("g2", 5, 1)}
