@@ -677,6 +677,62 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti joins (SURVEY §2.4: the reference fakes
+    anti-diff with a set-op; the engine uses real join types — no
+    column duplication, null-safe, and Catalyst can broadcast them).
+    Customers classified by whether they have any open ('O') order."""
+    customer = synthetic.load_table(spark, sf_dir, "customer")
+    open_orders = (
+        synthetic.load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+    )
+    with_open = customer.join(
+        open_orders, customer["c_custkey"] == open_orders["o_custkey"], "left_semi"
+    ).select("c_custkey", F.lit("has_open").alias("bucket"))
+    without_open = customer.join(
+        open_orders, customer["c_custkey"] == open_orders["o_custkey"], "left_anti"
+    ).select("c_custkey", F.lit("no_open").alias("bucket"))
+    return with_open.unionByName(without_open)
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (columns from values): per user, one column per event
+    type with the event count — fixed pivot values so the plan is a
+    single pass with no distinct-values pre-query."""
+    events = synthetic.load_events(spark, sf_dir)
+    types = ["view", "click", "purchase", "add_to_cart", "search"]
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distribution stats per order priority: median and p90 of
+    order value (linear-interpolation percentiles over sorted groups)
+    plus min/max. Exact percentile = full sort per group; the approx
+    (sketch-merge, no sort) alternative is percentile_approx."""
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    cents = F.col("o_totalprice").cast("decimal(18,2)") * 100
+    return (
+        orders.select("o_orderpriority", cents.cast("bigint").alias("cents"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(cents, 0.5)").alias("median_cents"),
+            F.expr("percentile(cents, 0.9)").alias("p90_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregate: revenue by (priority, year) with subtotals
     and grand total; GROUPING() distinguishes subtotal nulls from
@@ -768,6 +824,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_join_bucketed": q_band_join_bucketed,
         "window_analytics": q_window_analytics,
         "rollup_revenue": q_rollup_revenue,
+        "semi_anti_join": q_semi_anti_join,
+        "pivot_events": q_pivot_events,
+        "percentiles": q_percentiles,
         "approx_distinct": q_approx_distinct,
         "topk_per_group": q_topk_per_group,
         "renest_legacy_window": q_renest_legacy_window,
@@ -1212,6 +1271,37 @@ SELECT o_orderkey, o_custkey,
                  AS DECIMAL(18,6)) AS DOUBLE) AS spend_share
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+        "semi_anti_join": """
+SELECT c_custkey, 'has_open' AS bucket FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+UNION ALL
+SELECT c_custkey, 'no_open' AS bucket FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+""",
+        "pivot_events": """
+SELECT user_id,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'add_to_cart') AS n_add_to_cart,
+       count(*) FILTER (event_type = 'search') AS n_search
+FROM events GROUP BY user_id
+""",
+        "percentiles": """
+SELECT o_orderpriority,
+       quantile_cont(cents, 0.5) AS median_cents,
+       quantile_cont(cents, 0.9) AS p90_cents,
+       min(cents) AS min_cents,
+       max(cents) AS max_cents
+FROM (
+  SELECT o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+)
+GROUP BY o_orderpriority
 """,
         "rollup_revenue": """
 SELECT o_orderpriority,
