@@ -89,6 +89,13 @@ def ngram_jaccard_pairs(
     from the per-doc shingle counts.
 
     Returns (id_a, id_b, common, union_size, jaccard) with id_a < id_b.
+
+    Deliberately NOT cached: measured at sf0.1, persisting the
+    exploded shingle table costs more than re-running the tokenizer
+    for each broadcast build (cache write + a stats-opaque cache
+    boundary that degrades AQE's join planning). At corpus scale the
+    right move is writing the shingle table to parquet once and
+    self-joining that, not an in-memory persist.
     """
     sh = shingle_table(df, text_col, id_col, n)
     rare = (
