@@ -733,6 +733,32 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming, oracle-checked: tumbling 1-hour
+    event-time windows with a watermark, run as Trigger.AvailableNow
+    over the events parquet and drained to a memory sink. With
+    AvailableNow the stream result is a deterministic function of the
+    input files, so the same DuckDB oracle as a batch GROUP BY
+    applies — proving the streaming and batch paths agree."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.windows import (
+        run_stream_to_memory,
+        windowed_event_counts,
+    )
+
+    # Stage a landing prefix (load_events also normalizes the
+    # fixture's TIMESTAMP(NANOS), which no parquet source reads
+    # directly as a timestamp in Spark 4).
+    landing = tempfile.mkdtemp(prefix="apc-stream-landing-")
+    batch = synthetic.load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    batch.write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(batch.schema).parquet(landing)
+    return run_stream_to_memory(windowed_event_counts(stream))
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregate: revenue by (priority, year) with subtotals
     and grand total; GROUPING() distinguishes subtotal nulls from
@@ -827,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": q_semi_anti_join,
         "pivot_events": q_pivot_events,
         "percentiles": q_percentiles,
+        "stream_windowed_counts": q_stream_windowed_counts,
         "approx_distinct": q_approx_distinct,
         "topk_per_group": q_topk_per_group,
         "renest_legacy_window": q_renest_legacy_window,
@@ -1289,6 +1316,14 @@ SELECT user_id,
        count(*) FILTER (event_type = 'add_to_cart') AS n_add_to_cart,
        count(*) FILTER (event_type = 'search') AS n_search
 FROM events GROUP BY user_id
+""",
+        "stream_windowed_counts": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
 """,
         "percentiles": """
 SELECT o_orderpriority,

@@ -139,3 +139,44 @@ def sessionize_stateful(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+_MEMORY_SINK_SEQ = [0]
+
+
+def run_stream_to_memory(
+    transformed: DataFrame,
+    output_mode: str = "complete",
+    checkpoint_dir: str | None = None,
+    timeout_s: float = 300.0,
+) -> DataFrame:
+    """Drain a streaming frame through Trigger.AvailableNow into a
+    memory sink and return the result as a batch DataFrame.
+
+    This is the bridge that lets streaming operators share the same
+    DuckDB oracles as batch ones: with AvailableNow the stream is a
+    deterministic function of the files present at start. The memory
+    sink collects to the driver — correctness-gate scale only; real
+    deployments write parquet/JSONL sinks (see incremental.py).
+    """
+    import tempfile
+
+    spark = transformed.sparkSession
+    _MEMORY_SINK_SEQ[0] += 1
+    name = f"apc_stream_result_{_MEMORY_SINK_SEQ[0]}"
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="apc-stream-ckpt-")
+    q = (
+        transformed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(f"stream {name} still running after {timeout_s}s")
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
