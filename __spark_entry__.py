@@ -733,6 +733,37 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 under the explicit skew strategy: salted_join must produce
+    exactly the attribution join's rows (same oracle). The mapping is
+    the skewed fan-out side; recs replicate salt_factor times."""
+    from amazon_personalize_connectors_spark.operators.skew import salted_join
+
+    recs = _ok_recs(spark, sf_dir).select(
+        F.col("input.itemId").alias("item_id")
+    )
+    mapping = synthetic.user_item_mapping(spark, sf_dir).select(
+        F.col("ITEM_ID").alias("item_id"), F.col("USER_ID").alias("user_id")
+    )
+    return salted_join(mapping, recs, on="item_id", salt_factor=8).select(
+        F.col("item_id").alias("query_item_id"), "user_id"
+    )
+
+
+def q_intersect_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) set op: recommended item ids that also
+    exist in the metadata catalog — completes the set-op family
+    (union = multi-file scans, except = delta, intersect = here).
+    Catalyst plans it as a left-semi aggregate, one shuffle each."""
+    recommended = _ok_recs(spark, sf_dir).select(
+        F.explode("output.recommendedItems").alias("item_id")
+    )
+    catalog = synthetic.item_metadata(spark, sf_dir).select(
+        F.col("id").alias("item_id")
+    )
+    return recommended.intersect(catalog)
+
+
 def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming, oracle-checked: tumbling 1-hour
     event-time windows with a watermark, run as Trigger.AvailableNow
@@ -854,6 +885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_events": q_pivot_events,
         "percentiles": q_percentiles,
         "stream_windowed_counts": q_stream_windowed_counts,
+        "salted_attribution": q_salted_attribution,
+        "intersect_items": q_intersect_items,
         "approx_distinct": q_approx_distinct,
         "topk_per_group": q_topk_per_group,
         "renest_legacy_window": q_renest_legacy_window,
@@ -1316,6 +1349,20 @@ SELECT user_id,
        count(*) FILTER (event_type = 'add_to_cart') AS n_add_to_cart,
        count(*) FILTER (event_type = 'search') AS n_search
 FROM events GROUP BY user_id
+""",
+        "salted_attribution": f"""
+WITH {RECS_CTE.lstrip()}, {MAPPING_CTE.lstrip()}
+SELECT r.query_item_id, m.user_id
+FROM recs r JOIN mapping m ON r.query_item_id = m.item_id
+WHERE r.error IS NULL
+""",
+        "intersect_items": f"""
+WITH {RECS_CTE.lstrip()}, {META_CTE.lstrip()}
+SELECT item_id FROM (
+  SELECT unnest(rec_items) AS item_id FROM recs WHERE error IS NULL
+)
+INTERSECT
+SELECT id AS item_id FROM meta
 """,
         "stream_windowed_counts": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
