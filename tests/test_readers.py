@@ -1,0 +1,113 @@
+"""Direct reader-level tests (S1/S2/S3/S4/S6) plus the P2 payload
+rank-order property — complements the end-to-end coverage in
+test_job.py with per-function checks."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from amazon_personalize_connectors_spark.config import ConnectorConfig
+from amazon_personalize_connectors_spark.operators.payload import (
+    build_user_track_payloads,
+)
+from amazon_personalize_connectors_spark.sources.readers import (
+    path_exists,
+    read_batch_inference,
+    read_item_metadata,
+    read_user_item_mapping,
+    split_corrupt,
+)
+
+
+def test_path_exists_file_dir_prefix_and_missing(spark, tmp_path):
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "part-0.json").write_text("{}\n")
+    assert path_exists(spark, str(d))
+    assert path_exists(spark, str(d / "part-0.json"))
+    assert not path_exists(spark, str(tmp_path / "nope"))
+
+
+def test_read_batch_inference_permissive_corrupt_capture(spark, tmp_path):
+    p = tmp_path / "bi"
+    p.mkdir()
+    lines = [
+        json.dumps(
+            {"input": {"itemId": "1"}, "output": {"recommendedItems": ["2", "3"]}}
+        ),
+        "{this is not json",
+        json.dumps({"input": {"itemId": "4"}, "error": "BOOM"}),
+    ]
+    (p / "part-0.json").write_text("\n".join(lines) + "\n")
+    clean, corrupt = split_corrupt(read_batch_inference(spark, str(p)))
+    assert clean.count() == 2
+    bad = corrupt.collect()
+    assert len(bad) == 1 and bad[0]._corrupt_record.startswith("{this")
+    row = {r["input"]["itemId"]: r for r in clean.collect()}
+    assert row["1"]["output"]["recommendedItems"] == ["2", "3"]
+    assert row["4"]["error"] == "BOOM"
+
+
+def test_read_user_item_mapping_recursive_quoted_untyped(spark, tmp_path):
+    root = tmp_path / "mapping"
+    sub = root / "nested"
+    sub.mkdir(parents=True)
+    (root / "a.csv").write_text('USER_ID,ITEM_ID\n"u,1",100\n')
+    (sub / "b.csv").write_text("USER_ID,ITEM_ID\nu2,200\n")
+    df = read_user_item_mapping(spark, str(root))
+    rows = {r.USER_ID: r.ITEM_ID for r in df.collect()}
+    # recursive listing found both files; quoted comma preserved;
+    # numerics stay strings (no inference)
+    assert rows == {"u,1": "100", "u2": "200"}
+    assert dict(df.dtypes) == {"USER_ID": "string", "ITEM_ID": "string"}
+
+
+def test_read_item_metadata_missing_path_returns_none(spark, tmp_path):
+    assert read_item_metadata(spark, str(tmp_path / "absent")) is None
+    p = tmp_path / "meta"
+    p.mkdir()
+    (p / "items.json").write_text('{"id": "1", "name": "x"}\n')
+    df = read_item_metadata(spark, str(p))
+    assert df is not None and df.count() == 1
+
+
+def test_payload_pivot_preserves_rank_order_and_length(spark):
+    # P2 property: every pivoted attribute array aligns 1:1 with the
+    # ordered recommendations array
+    recs = [
+        {"itemId": str(i), "name": f"n{i}", "price": float(i)} for i in range(7)
+    ]
+    df = spark.createDataFrame(
+        [("u1", recs), ("u2", recs[:3]), ("u3", [])],
+        "queryUserId string, recommendations array<struct<itemId:string,name:string,price:double>>",
+    )
+    connector = ConnectorConfig(name="braze", attribute_prefix="rec_")
+    payloads, invalid = build_user_track_payloads(df, connector)
+    got = {r.external_id: r for r in payloads.collect()}
+    assert set(got) == {"u1", "u2"}  # empty-recs user routed to invalid
+    assert invalid.count() == 1
+    for uid, n in [("u1", 7), ("u2", 3)]:
+        r = got[uid]
+        assert list(r.rec_itemId) == [str(i) for i in range(n)]
+        assert list(r.rec_name) == [f"n{i}" for i in range(n)]
+        assert list(r.rec_price) == [float(i) for i in range(n)]
+
+
+def test_payload_merges_other_attributes_and_shadows_reserved(spark):
+    # P3: otherAttributes merged as literal columns; reserved keys
+    # (external_id) shadowed out rather than overriding the real id
+    df = spark.createDataFrame(
+        [("u1", [{"itemId": "1"}])],
+        "queryUserId string, recommendations array<struct<itemId:string>>",
+    )
+    connector = ConnectorConfig(
+        name="braze",
+        attribute_prefix="rec_",
+        other_attributes={"campaign": "summer", "external_id": "spoofed"},
+    )
+    payloads, _ = build_user_track_payloads(df, connector)
+    row = payloads.collect()[0]
+    assert row.external_id == "u1"          # not "spoofed"
+    assert row.campaign == "summer"
+    assert "external_id" not in [c for c in payloads.columns if c != "external_id"] or \
+        payloads.columns.count("external_id") == 1
