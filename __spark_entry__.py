@@ -507,15 +507,22 @@ def q_renest_legacy_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_delta_anti_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalable delta variant (left-anti join on a record digest) —
     must produce the same rows as subtract-based delta_except.
-    ``localCheckpoint`` models the real shape (state is a snapshot
-    READ from storage, not a live lineage re-derived per branch);
-    without it Spark re-runs the whole flagship pipeline for the
-    state side because the digest-after-filter breaks exchange reuse."""
+    The current snapshot is materialized to parquet and read back,
+    modeling the real shape (state is a snapshot READ from storage,
+    not a live lineage re-derived per branch); recomputing the
+    pipeline per branch is what made the naive form 10x slower
+    (digest-after-filter breaks exchange reuse). Parquet round-trip
+    measured steadier than localCheckpoint, whose block-manager
+    blocks compete with shuffle memory."""
+    import tempfile
+
     from amazon_personalize_connectors_spark.operators.delta import (
         delta_check_anti_hash,
     )
 
-    current = q_flagship_related_flat(spark, sf_dir).localCheckpoint()
+    snap = tempfile.mkdtemp(prefix="apc-delta-snap-")
+    q_flagship_related_flat(spark, sf_dir).write.mode("overwrite").parquet(snap)
+    current = spark.read.parquet(snap)
     state = current.where(F.col("user_id").cast("bigint") % 2 == 0)
     return delta_check_anti_hash(current, state)
 
