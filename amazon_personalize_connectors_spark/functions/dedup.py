@@ -97,7 +97,13 @@ def ngram_jaccard_pairs(
     right move is writing the shingle table to parquet once and
     self-joining that, not an in-memory persist.
     """
-    sh = shingle_table(df, text_col, id_col, n)
+    # shingle strings collapse to 64-bit hashes before any shuffle:
+    # the group-by and self-join then move/compare 8-byte longs rather
+    # than multi-word strings (collision odds ~n^2/2^64 — harmless for
+    # candidate generation, and deterministic).
+    sh = shingle_table(df, text_col, id_col, n).withColumn(
+        "shingle", F.xxhash64("shingle")
+    )
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
