@@ -740,6 +740,46 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by tf-idf (integer
+    outputs only; the double score orders the window but never leaves
+    the query, so cross-engine float formatting can't bite)."""
+    from amazon_personalize_connectors_spark.functions.text import tfidf_top_terms
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=5).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        "term",
+        "tf",
+        "df",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: per-split doc
+    counts plus totals — checks the split is exhaustive and disjoint
+    (sum of counts == corpus size; no doc id in two splits). Bucket
+    assignment itself is xxhash64-based (no SQL-oracle equivalent),
+    so the oracle pins the verifiable invariants."""
+    from amazon_personalize_connectors_spark.functions.text import hash_split
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    splits = hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="doc_id"
+    )
+    parts = [
+        df.select(F.lit(name).alias("split"), "doc_id")
+        for name, df in splits.items()
+    ]
+    union = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return union.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("doc_id").alias("n_distinct_docs"),
+        F.countDistinct("split").alias("n_splits"),
+    )
+
+
 def q_salted_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 under the explicit skew strategy: salted_join must produce
     exactly the attribution join's rows (same oracle). The mapping is
@@ -893,6 +933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "stream_windowed_counts": q_stream_windowed_counts,
         "salted_attribution": q_salted_attribution,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "hash_split": q_hash_split,
         "intersect_items": q_intersect_items,
         "approx_distinct": q_approx_distinct,
         "topk_per_group": q_topk_per_group,
@@ -1356,6 +1398,33 @@ SELECT user_id,
        count(*) FILTER (event_type = 'add_to_cart') AS n_add_to_cart,
        count(*) FILTER (event_type = 'search') AS n_search
 FROM events GROUP BY user_id
+""",
+        "tfidf_top_terms": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE length(term) >= 3 GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf * ln(n_docs / dfreq.df) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC
+  ) AS rank FROM scored
+) WHERE rank <= 5
+""",
+        "hash_split": """
+SELECT count(*) AS n_total,
+       count(DISTINCT doc_id) AS n_distinct_docs,
+       CAST(3 AS BIGINT) AS n_splits
+FROM documents
 """,
         "salted_attribution": f"""
 WITH {RECS_CTE.lstrip()}, {MAPPING_CTE.lstrip()}

@@ -84,3 +84,83 @@ def fingerprint_min_8gram(text: Column) -> Column:
             lambda i: F.md5(F.substring(text, i, 8)),
         )
     )
+
+
+def term_frequencies(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, term, tf) — distinct-term explode with per-doc counts.
+    One narrow shuffle keyed (id, term); map-side combine applies."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_top_terms(
+    df,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_term_len: int = 3,
+):
+    """Top-k characteristic terms per document by tf·idf.
+
+    idf = ln(n_docs / df): document frequency via a second aggregate on
+    the term key, joined back (broadcast — the vocabulary is orders of
+    magnitude smaller than the corpus); ranking by one window on the
+    doc key with (score desc, term asc) determinism. Short terms are
+    dropped up front (stopword-ish noise, smaller shuffle).
+
+    At 100 TB: tf table >> vocabulary; both aggregates are map-side
+    combinable, and the join stays broadcast until the vocabulary
+    itself is huge — then it's still an equi join on the term key.
+    """
+    from pyspark.sql.window import Window
+
+    tf = term_frequencies(df, text_col, id_col).where(
+        F.length("term") >= min_term_len
+    )
+    # n_docs as a broadcast 1-row frame keeps the whole plan lazy (no
+    # driver-side collect action before the real one)
+    n_docs = df.select(
+        F.countDistinct(id_col).cast("double").alias("__n_docs")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.log(F.col("__n_docs") / F.col("df")))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "term", "tf", "df", "rank")
+    )
+
+
+def hash_split(
+    df, weights: dict[str, float], id_col: str, salt: str = "split-v1"
+):
+    """Deterministic train/validation/test split: bucket by a salted
+    64-bit hash of the id — stable across runs, machines, and
+    repartitions (unlike randomSplit, which depends on partition
+    layout). Returns {name: DataFrame}; weights must sum to 1.
+
+    A row's assignment never changes when the dataset grows — the
+    property that keeps eval sets leak-free across dataset versions.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(salt)), F.lit(1_000_000))
+    out = {}
+    lo = 0.0
+    for name, w in weights.items():
+        hi = lo + w * 1_000_000
+        cond = (bucket >= F.lit(int(lo))) & (bucket < F.lit(int(hi)))
+        if name == list(weights)[-1]:
+            cond = bucket >= F.lit(int(lo))  # absorb rounding residue
+        out[name] = df.where(cond)
+        lo = hi
+    return out

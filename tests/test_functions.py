@@ -124,3 +124,46 @@ def test_chunk_iterable_partitions_exactly(items, size):
 def test_chunk_rejects_nonpositive():
     with pytest.raises(ValueError):
         list(chunk_iterable([1], 0))
+
+
+def test_hash_split_deterministic_disjoint_stable(spark):
+    from amazon_personalize_connectors_spark.functions.text import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = hash_split(df, w, "doc_id")
+    s2 = hash_split(df, w, "doc_id")
+    counts = {k: v.count() for k, v in s1.items()}
+    assert sum(counts.values()) == 2000                       # exhaustive
+    assert counts["train"] > counts["val"] > 0                # roughly weighted
+    ids = {k: {r.doc_id for r in v.collect()} for k, v in s1.items()}
+    assert not (ids["train"] & ids["val"]) and not (ids["val"] & ids["test"])
+    assert ids == {k: {r.doc_id for r in v.collect()} for k, v in s2.items()}
+    # growth stability: the same doc keeps its split in a bigger dataset
+    bigger = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    s3 = hash_split(bigger, w, "doc_id")
+    val_ids_big = {r.doc_id for r in s3["val"].collect()}
+    assert ids["val"] == {i for i in val_ids_big if i < 2000}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split(df, {"a": 0.5, "b": 0.4}, "doc_id")
+
+
+def test_tfidf_ranks_rare_terms_over_common(spark):
+    from amazon_personalize_connectors_spark.functions.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common zebra zebra unique"),
+            (2, "common common words words here"),
+            (3, "common words other thing here"),
+        ],
+        "doc_id long, text string",
+    )
+    top = tfidf_top_terms(docs, k=2)
+    d1 = [r.term for r in top.where("id = 1").orderBy("rank").collect()]
+    # zebra (tf=2, df=1) outranks common (tf=3, df=3 -> idf=0)
+    assert d1[0] == "zebra"
+    assert "common" not in d1
