@@ -54,3 +54,39 @@ def write_errors(
         writer = writer.option("compression", compression)
     writer.json(path)
     return path
+
+
+def compact_write(
+    df: DataFrame,
+    path: str,
+    target_file_mb: int = 256,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    est_bytes: int | None = None,
+) -> int:
+    """Write ``df`` with a bounded number of output files sized near
+    ``target_file_mb`` — the small-files control a 100 TB pipeline
+    needs (a 1000-executor job otherwise emits one shard per task;
+    millions of tiny files destroy downstream listing and scan
+    throughput).
+
+    File count comes from Catalyst's size estimate for the plan
+    (column-pruned, post-filter), so upstream selectivity is taken
+    into account. Uses ``coalesce`` when shrinking (no shuffle — it
+    merges task outputs) and ``repartition`` only when the frame has
+    too few partitions to fill the target. Returns the file count.
+    """
+    if target_file_mb <= 0:
+        raise ValueError("target_file_mb must be > 0")
+    if est_bytes is None:
+        # accurate when the frame scans files (parquet footer sizes);
+        # a lower bound for purely computed frames — pass est_bytes
+        # when the caller knows better
+        est_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    n_files = max(1, min(100_000, -(-est_bytes // (target_file_mb << 20))))
+    current = df.rdd.getNumPartitions()
+    shaped = df.coalesce(n_files) if n_files <= current else df.repartition(n_files)
+    shaped.write.mode(mode).format(format).save(path)
+    return n_files

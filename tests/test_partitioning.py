@@ -51,3 +51,32 @@ def test_partition_values_roundtrip(spark, tmp_path):
     finally:
         spark.conf.set(key, old)
     assert got_s == {("2026", "01", "05"), ("2026", "01", "06")}
+
+
+def test_compact_write_bounds_file_count(spark, tmp_path):
+    import os
+
+    from amazon_personalize_connectors_spark.sinks.jsonl import compact_write
+
+    df = spark.range(0, 50_000).selectExpr(
+        "id", "repeat('x', 100) AS pad"
+    ).repartition(16)
+
+    out1 = str(tmp_path / "one")
+    n1 = compact_write(df, out1, target_file_mb=1024)
+    files1 = [f for f in os.listdir(out1) if f.endswith(".parquet")]
+    assert n1 == 1 and len(files1) == 1  # ~5MB << 1GB target -> one file
+
+    out2 = str(tmp_path / "many")
+    # tiny target forces a split into multiple bounded files
+    n2 = compact_write(df, out2, target_file_mb=1, est_bytes=6 << 20)
+    files2 = [f for f in os.listdir(out2) if f.endswith(".parquet")]
+    assert n2 > 1 and len(files2) == n2
+
+    back = spark.read.parquet(out2)
+    assert back.count() == 50_000
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compact_write(df, str(tmp_path / "bad"), target_file_mb=0)
