@@ -740,6 +740,20 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row ids in (o_orderdate, o_orderkey) order via
+    the two-phase range-partition pattern — no single-task global
+    window. Oracle: row_number() OVER (ORDER BY ...) - 1."""
+    from amazon_personalize_connectors_spark.operators.ids import add_contiguous_ids
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    return add_contiguous_ids(orders, ["o_orderdate", "o_orderkey"]).select(
+        "o_orderkey", F.col("row_id").cast("bigint").alias("row_id")
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per document by tf-idf (integer
     outputs only; the double score orders the window but never leaves
@@ -934,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": q_stream_windowed_counts,
         "salted_attribution": q_salted_attribution,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "contiguous_ids": q_contiguous_ids,
         "hash_split": q_hash_split,
         "intersect_items": q_intersect_items,
         "approx_distinct": q_approx_distinct,
@@ -1398,6 +1413,11 @@ SELECT user_id,
        count(*) FILTER (event_type = 'add_to_cart') AS n_add_to_cart,
        count(*) FILTER (event_type = 'search') AS n_search
 FROM events GROUP BY user_id
+""",
+        "contiguous_ids": """
+SELECT o_orderkey,
+       row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS row_id
+FROM orders
 """,
         "tfidf_top_terms": f"""
 WITH toks AS (

@@ -251,3 +251,18 @@ def test_top_k_per_group_deterministic_ties(spark):
     got = {(r.grp, r.id, r.rank_in_group) for r in out.collect()}
     # ties broken by ascending id: score 5.0 → id 1 wins rank 2
     assert got == {("g1", 3, 1), ("g1", 1, 2), ("g2", 5, 1)}
+
+
+def test_add_contiguous_ids_dense_and_ordered(spark):
+    from amazon_personalize_connectors_spark.operators.ids import add_contiguous_ids
+
+    df = (
+        spark.range(0, 5000)
+        .selectExpr("id AS k", "CAST(id % 97 AS INT) AS grp")
+        .repartition(13)  # scrambled layout
+    )
+    out = add_contiguous_ids(df, ["grp", "k"], num_partitions=7)
+    rows = out.orderBy("row_id").collect()
+    assert [r.row_id for r in rows] == list(range(5000))  # dense 0..n-1
+    keys = [(r.grp, r.k) for r in rows]
+    assert keys == sorted(keys)  # ids follow the requested order
