@@ -872,6 +872,26 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate (all 4 grouping combinations of priority x
+    status) — completes the grouping-sets family next to ROLLUP."""
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.sum("price").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketch validation: per event type, exact distinct users
     plus a flag that Spark's approx_count_distinct (rsd=2%) landed
@@ -942,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_join_bucketed": q_band_join_bucketed,
         "window_analytics": q_window_analytics,
         "rollup_revenue": q_rollup_revenue,
+        "cube_revenue": q_cube_revenue,
         "semi_anti_join": q_semi_anti_join,
         "pivot_events": q_pivot_events,
         "percentiles": q_percentiles,
@@ -1395,6 +1416,15 @@ SELECT o_orderkey, o_custkey,
                  AS DECIMAL(18,6)) AS DOUBLE) AS spend_share
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+        "cube_revenue": """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(grouping(o_orderpriority) AS TINYINT) AS g_priority,
+       CAST(grouping(o_orderstatus) AS TINYINT) AS g_status,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """,
         "semi_anti_join": """
 SELECT c_custkey, 'has_open' AS bucket FROM customer c
