@@ -872,6 +872,31 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1h wide, 30min slide): every event
+    lands in exactly two windows. Spark's window() generator aligns
+    to the epoch; the oracle reproduces both window starts per event
+    via floor(epoch/slide) arithmetic."""
+    ev = synthetic.load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregate (all 4 grouping combinations of priority x
     status) — completes the grouping-sets family next to ROLLUP."""
@@ -963,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_analytics": q_window_analytics,
         "rollup_revenue": q_rollup_revenue,
         "cube_revenue": q_cube_revenue,
+        "sliding_windows": q_sliding_windows,
         "semi_anti_join": q_semi_anti_join,
         "pivot_events": q_pivot_events,
         "percentiles": q_percentiles,
@@ -1416,6 +1442,21 @@ SELECT o_orderkey, o_custkey,
                  AS DECIMAL(18,6)) AS DOUBLE) AS spend_share
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+        "sliding_windows": """
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT unnest([
+           to_timestamp(floor(epoch(ts) / 1800) * 1800),
+           to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)
+         ]) AS ws,
+         event_type, value
+  FROM events
+)
+GROUP BY 1, 2
 """,
         "cube_revenue": """
 SELECT o_orderpriority, o_orderstatus,
