@@ -9,10 +9,12 @@ fragility) and preserve the dedup side-effect.
 Scale notes: ``subtract`` shuffles both full datasets on all columns.
 That's fine at dimension scale but wrong at 100 TB of state, so
 ``delta_check_anti_hash`` offers the scalable physical strategy: anti-
-join on a 256-bit record digest — state side reduces to one 32-byte
-hash column (pruned scan), the join key is high-entropy (no skew), and
-with both sides bucketed by digest it's a co-located join. Semantics
-are identical modulo hash collisions (~2^-128).
+join on a 96-bit record digest (xxhash64 + murmur3) — state side
+reduces to one 12-byte hash column (pruned scan), the join key is
+high-entropy (no skew), and with both sides bucketed by digest it's a
+co-located join. Semantics are identical modulo hash collisions
+(birthday bound safe past ~10^12 records; swap in sha2(to_json, 256)
+where a cryptographic bound is required).
 
 The reference never writes state back ("TODO", README.md:150);
 ``write_sync_state`` closes that loop (K5).
@@ -103,6 +105,11 @@ def delta_check_anti_hash(current: DataFrame, state: DataFrame | None) -> DataFr
     deduped = cur.dropDuplicates(["__digest"])
     if state is None:
         return deduped.drop("__digest")
+    # Conform state to current's exact schema BEFORE digesting (same as
+    # delta_check): a snapshot re-read from JSONL comes back with
+    # alphabetized nested struct fields and re-inferred types, which
+    # would silently change every digest and resync the full dataset.
+    state = conform_to_schema(state, current)
     state_digests = state.select(_record_digest(state).alias("__digest")).distinct()
     return (
         deduped.join(state_digests, "__digest", "left_anti").drop("__digest")

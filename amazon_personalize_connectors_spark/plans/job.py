@@ -25,6 +25,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 from amazon_personalize_connectors_spark.config import PipelineConfig
+from amazon_personalize_connectors_spark.operators.metrics import observe_counts
 from amazon_personalize_connectors_spark.plans.pipeline import run_connector_pipelines
 from amazon_personalize_connectors_spark.sinks.jsonl import (
     write_connector_output,
@@ -87,10 +88,16 @@ def run_job(
     )
 
     for name, res in results.items():
+        # A2 fix: the delivered-row count rides along with the sink
+        # write via observe() — the join/aggregate lineage runs exactly
+        # once per connector instead of once for the write and once
+        # more for a post-write count() (the reference's eager-count
+        # anti-pattern, ri:108,112,117-118,156,187,260,267).
+        observed, obs = observe_counts(res.decorated, name=f"apc_delivered_{name}")
         report.output_paths[name] = write_connector_output(
-            res.decorated, f"{job_root}/output", name, config.run_datetime
+            observed, f"{job_root}/output", name, config.run_datetime
         )
-        report.delivered_rows[name] = res.decorated.count()
+        report.delivered_rows[name] = int(obs.get["n_rows"])
         if write_state:
             # K5 — new snapshot is the full pre-delta decorated output
             state_path = f"{job_root}/output/{name}/state"
@@ -100,9 +107,19 @@ def run_job(
     if config.save_batch_inference_errors and results:
         # the error branch is connector-independent (same source split)
         any_res = next(iter(results.values()))
-        report.n_errors = any_res.errors.count()
-        report.error_path = write_errors(
-            any_res.errors, f"{job_root}/errors", config.run_datetime
-        )
+        # cheap limit-1 probe on the cached scan preserves the
+        # reference's nonempty gate; the actual count comes from the
+        # write action's observation, never a separate count() job
+        if any_res.errors.isEmpty():
+            report.n_errors, report.error_path = 0, None
+        else:
+            observed_errors, err_obs = observe_counts(
+                any_res.errors, name="apc_error_rows"
+            )
+            report.error_path = write_errors(
+                observed_errors, f"{job_root}/errors", config.run_datetime,
+                known_nonempty=True,
+            )
+            report.n_errors = int(err_obs.get["n_rows"])
     batch_raw.unpersist()
     return report

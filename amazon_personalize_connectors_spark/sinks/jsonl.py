@@ -44,9 +44,14 @@ def write_errors(
     base: str,
     run_datetime: datetime,
     compression: str | None = "gzip",
+    known_nonempty: bool = False,
 ) -> str | None:
-    """K2 — failed inference rows, only when nonempty (ri:114-133)."""
-    if errors.isEmpty():
+    """K2 — failed inference rows, only when nonempty (ri:114-133).
+
+    ``known_nonempty=True`` skips the ``isEmpty`` probe — required when
+    the caller attached an ``observe()`` to ``errors`` (a limit-1 probe
+    would fulfil the observation with partial counts)."""
+    if not known_nonempty and errors.isEmpty():
         return None
     path = partitioned_output_path(base, "errors", run_datetime)
     writer = errors.write.mode("overwrite")

@@ -112,6 +112,33 @@ def test_run_job_end_to_end_with_delta_loop(spark, tmp_path, config):
     assert resynced == {"u1", "u2"}
 
 
+def test_run_job_counts_never_reexecute_pipeline(spark, tmp_path, config, monkeypatch):
+    """A2 fix: delivered/error counts come from observe() metrics
+    riding the sink writes — the join/aggregate lineage runs once per
+    connector. The only count() is the corrupt-row probe over the
+    cached raw scan."""
+    # patch the concrete class — pyspark 4's classic DataFrame
+    # overrides count(), so patching the abstract base misses it
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    root = str(tmp_path / "jobobs")
+    _write_inputs(root, RECS)
+    count_calls = []
+    orig_count = DataFrame.count
+
+    def spy(self):
+        count_calls.append(self)
+        return orig_count(self)
+
+    monkeypatch.setattr(DataFrame, "count", spy)
+    report = run_job(spark, "related_items", root, config)
+    assert len(count_calls) == 1  # n_corrupt only
+    # counts still reported, and correct
+    assert report.delivered_rows["braze"] == 3
+    assert report.delivered_rows["jsonl"] == 3
+    assert report.n_errors == 1 and report.error_path is not None
+
+
 def test_run_job_user_personalization(spark, tmp_path, config):
     root = str(tmp_path / "upjob")
     os.makedirs(f"{root}/batch_inference", exist_ok=True)

@@ -196,3 +196,28 @@ def test_delta_column_order_invariance(fixtures, config):
     )
     state_shuffled = res.pre_delta.select(*reversed(res.pre_delta.columns))
     assert delta_check(res.pre_delta, state_shuffled).isEmpty()
+
+
+def test_delta_anti_hash_survives_jsonl_roundtrip(spark, tmp_path, fixtures, config):
+    """The advertised use case for the anti-hash delta is state read
+    back from storage. A JSONL round-trip alphabetizes nested struct
+    fields and re-infers types; without schema conformance every digest
+    changes and the delta silently resyncs everything."""
+    res = related_items_pipeline(
+        fixtures["recs"], fixtures["mapping"], fixtures["meta"],
+        config.connectors[0], config,
+    )
+    state_path = str(tmp_path / "state")
+    res.pre_delta.write.mode("overwrite").json(state_path)
+    state = spark.read.json(state_path)
+    # sanity: the round-trip really did reorder nested struct fields
+    rt_fields = [
+        f.name for f in state.schema["recommendations"].dataType.elementType.fields
+    ]
+    cur_fields = [
+        f.name
+        for f in res.pre_delta.schema["recommendations"].dataType.elementType.fields
+    ]
+    assert rt_fields != cur_fields
+    assert delta_check_anti_hash(res.pre_delta, state).isEmpty()
+    assert delta_check(res.pre_delta, state).isEmpty()
