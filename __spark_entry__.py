@@ -365,6 +365,27 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB form of the Jaccard near-dup: tokenize once, materialize
+    the hashed shingle table to parquet, self-join that (same oracle as
+    the recompute form — results are identical)."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        ngram_jaccard_pairs_materialized,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    work = tempfile.mkdtemp(prefix="apcs_shingles_")
+    return ngram_jaccard_pairs_materialized(spark, docs, f"{work}/shingles").select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "common", "union_size", "jaccard",
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (6 hashes, 3 bands of 2)."""
     from amazon_personalize_connectors_spark.functions.dedup import (
@@ -972,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ngram_jaccard_materialized": q_ngram_jaccard_materialized,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
@@ -1108,7 +1130,7 @@ decorated AS (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sqls = {
         "error_split_ok": f"""
 WITH {RECS_CTE.lstrip()}
 SELECT query_item_id, CAST(len(rec_items) AS BIGINT) AS num_recs
@@ -1595,3 +1617,7 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,
     }
+    # the materialized-shingle Jaccard is result-identical to the
+    # recompute form — same oracle pins both physical strategies
+    sqls["ngram_jaccard_materialized"] = sqls["ngram_jaccard_pairs"]
+    return sqls

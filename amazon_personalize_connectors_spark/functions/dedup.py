@@ -93,14 +93,23 @@ def ngram_jaccard_pairs(
     Deliberately NOT cached: measured at sf0.1, persisting the
     exploded shingle table costs more than re-running the tokenizer
     for each broadcast build (cache write + a stats-opaque cache
-    boundary that degrades AQE's join planning). At corpus scale the
-    right move is writing the shingle table to parquet once and
-    self-joining that, not an in-memory persist.
+    boundary that degrades AQE's join planning). At corpus scale use
+    ``ngram_jaccard_pairs_materialized`` — tokenize once, write the
+    hashed shingle table to parquet (optionally bucketed), self-join
+    that.
     """
     # shingle strings collapse to 64-bit hashes before any shuffle:
     # the group-by and self-join then move/compare 8-byte longs rather
     # than multi-word strings (collision odds ~n^2/2^64 — harmless for
     # candidate generation, and deterministic).
+    sh = _rare_hashed_shingles(df, text_col, id_col, n, max_shingle_df)
+    return _pairs_from_shingle_table(sh, min_common)
+
+
+def _rare_hashed_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int, max_shingle_df: int
+) -> DataFrame:
+    """(id, n_shingles, shingle:int64) with stop-shingles removed."""
     sh = shingle_table(df, text_col, id_col, n).withColumn(
         "shingle", F.xxhash64("shingle")
     )
@@ -110,7 +119,12 @@ def ngram_jaccard_pairs(
         .where(F.col("df") <= max_shingle_df)
         .select("shingle")
     )
-    sh = sh.join(rare, "shingle")
+    return sh.join(rare, "shingle")
+
+
+def _pairs_from_shingle_table(sh: DataFrame, min_common: int) -> DataFrame:
+    """Self-join half of ``ngram_jaccard_pairs`` over a prepared
+    (id, n_shingles, shingle) table."""
     a = sh.select(
         F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle"
     )
@@ -132,6 +146,51 @@ def ngram_jaccard_pairs(
         union_size.cast("bigint").alias("union_size"),
         (F.col("common") / union_size).alias("jaccard"),
     )
+
+
+def ngram_jaccard_pairs_materialized(
+    spark,
+    df: DataFrame,
+    work_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_common: int = 2,
+    max_shingle_df: int = 100,
+    buckets: int = 0,
+    table_name: str = "apcs_shingles",
+) -> DataFrame:
+    """``ngram_jaccard_pairs`` with the shingle table tokenized ONCE and
+    materialized to parquet before the self-join — the 100 TB form.
+
+    The recompute form tokenizes the corpus three times (rare-shingle
+    aggregate + both self-join sides); here the tokenizer and the
+    stop-shingle filter run once, and both join sides scan an 8-byte-
+    hash parquet table that is a fraction of the raw corpus size.
+
+    ``buckets > 0`` additionally writes the table bucketed by
+    ``shingle`` (saveAsTable) so the self-join and the pair aggregate
+    read pre-partitioned data — zero shuffle of the shingle table at
+    any scale (the pair group-by still shuffles, keyed on doc pairs).
+
+    Returns the same (id_a, id_b, common, union_size, jaccard) frame.
+    """
+    sh = _rare_hashed_shingles(df, text_col, id_col, n, max_shingle_df)
+    if buckets > 0:
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        (
+            sh.write.mode("overwrite")
+            .format("parquet")
+            .option("path", work_path)
+            .bucketBy(buckets, "shingle")
+            .sortBy("shingle")
+            .saveAsTable(table_name)
+        )
+        mat = spark.table(table_name)
+    else:
+        sh.write.mode("overwrite").parquet(work_path)
+        mat = spark.read.parquet(work_path)
+    return _pairs_from_shingle_table(mat, min_common)
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 6) -> list[Column]:

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -22,6 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from amazon_personalize_connectors_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# Bench rigor: each query runs N_RUNS times; per-query time = MEDIAN.
+# A single run at sf0.1 showed 1.3-1.5x same-session swings (see
+# BASELINE.md round-1 variance note) — medians make round-over-round
+# comparisons trustworthy.
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 BENCH_QUERIES = [
     "flagship_related_flat",
@@ -34,6 +40,7 @@ BENCH_QUERIES = [
     "payload_pivot",
     "dedup_exact",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_materialized",
     "minhash_lsh",
     "simhash",
     "ann_topk",
@@ -57,20 +64,29 @@ def main() -> None:
     # warm the JVM + parquet footers with a trivial action
     spark.read.parquet(f"{SF_DIR}/part.parquet").count()
 
-    times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        if name not in qs:
-            continue
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        # No cross-query reuse or memory bleed: drop caches and force a
-        # JVM GC so ContextCleaner reclaims accumulated broadcasts —
-        # without this, a long sequential session degrades later
-        # queries by 10-60x (broadcast blocks pin the driver heap).
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES if name in qs}
+    # Interleave whole-suite passes (run 1 of every query, then run 2,
+    # ...) rather than back-to-back repeats of one query: back-to-back
+    # repeats share hot page cache/JIT state and understate variance,
+    # while interleaving exposes the session-order effects we're trying
+    # to measure out.
+    for _ in range(max(1, N_RUNS)):
+        for name in samples:
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).count()
+            samples[name].append(round(time.perf_counter() - t0, 3))
+            # No cross-query reuse or memory bleed: drop caches and
+            # force a JVM GC so ContextCleaner reclaims accumulated
+            # broadcasts — without this, a long sequential session
+            # degrades later queries by 10-60x (broadcast blocks pin
+            # the driver heap).
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
 
+    times = {name: round(statistics.median(s), 3) for name, s in samples.items()}
+    spread = {
+        name: [round(min(s), 3), round(max(s), 3)] for name, s in samples.items()
+    }
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -80,6 +96,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "runs_per_query": max(1, N_RUNS),
+                "spread": spread,
             }
         )
     )

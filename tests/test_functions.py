@@ -64,6 +64,40 @@ def test_ngram_jaccard_known_value(docs):
     assert (1, 3) not in by_pair  # nothing in common
 
 
+def test_ngram_jaccard_materialized_agrees_with_recompute(spark, tmp_path, docs):
+    """The 100 TB form (shingle table written once to parquet, self-
+    joined) returns exactly the recompute form's pairs; the bucketed
+    variant self-joins with no shuffle of the shingle table."""
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        ngram_jaccard_pairs_materialized,
+    )
+
+    expected = sorted(
+        tuple(r) for r in ngram_jaccard_pairs(docs, min_common=1).collect()
+    )
+    plain = ngram_jaccard_pairs_materialized(
+        spark, docs, str(tmp_path / "sh"), min_common=1
+    )
+    assert sorted(tuple(r) for r in plain.collect()) == expected
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = ngram_jaccard_pairs_materialized(
+            spark, docs, str(tmp_path / "shb"), min_common=1, buckets=4,
+            table_name="apcs_shingles_test",
+        )
+        assert sorted(tuple(r) for r in bucketed.collect()) == expected
+        # both scans of the bucketed table feed the sort-merge join
+        # without an Exchange — the join is co-located by construction
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        join_region = plan[plan.index("SortMergeJoin"):]
+        assert "Exchange" not in join_region.split("HashAggregate")[0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS apcs_shingles_test")
+
+
 def test_minhash_catches_exact_dups(docs):
     cands = minhash_lsh_candidates(docs).collect()
     pairs = {(c.id_a, c.id_b): c.n_shared_bands for c in cands}
