@@ -412,6 +412,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
 
 
+def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signature per document (signed-int64 encoding)."""
+    from amazon_personalize_connectors_spark.functions.dedup import simhash64
+
+    docs = synthetic.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 10 == 0
+    )
+    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for sampled query vectors."""
     from amazon_personalize_connectors_spark.functions.similarity import (
@@ -996,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_materialized": q_ngram_jaccard_materialized,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "simhash64": q_simhash64,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "ivf_centroids": q_ivf_centroids,
@@ -1069,6 +1080,25 @@ _SIMHASH_BIT = (
 _SIMHASH_SIG = " + ".join(
     f"(CASE WHEN ({_SIMHASH_BIT.format(i=i)}) >= 0 THEN {1 << i} ELSE 0 END)"
     for i in range(16)
+)
+
+
+def _simhash64_bit(i: int) -> str:
+    # bits 0-31 from md5 hex digits 9-16, bits 32-63 from digits 1-8
+    # (mirrors functions/dedup.py::simhash64); sum over occurrences,
+    # coalesce(…, 0) so empty docs get the all-ones signature like Spark
+    start, shift = (9, i) if i < 32 else (1, i - 32)
+    word = f"CAST(concat('0x', substr(md5(tok), {start}, 8)) AS BIGINT)"
+    return (
+        f"coalesce(list_sum(list_transform(t, "
+        f"tok -> ((({word} >> {shift}) & 1) * 2 - 1))), 0)"
+    )
+
+
+_SIMHASH64_SIG = " + ".join(
+    f"(CASE WHEN ({_simhash64_bit(i)}) >= 0 "
+    f"THEN {(1 << i) if i < 63 else -(1 << 63)} ELSE 0 END)"
+    for i in range(64)
 )
 
 _COSINE = (
@@ -1323,6 +1353,12 @@ WITH t0 AS (
 ),
 t1 AS (SELECT doc_id, t, list_distinct(t) AS dt FROM t0)
 SELECT doc_id, CAST({_SIMHASH_SIG} AS BIGINT) AS simhash FROM t1
+""",
+        "simhash64": f"""
+WITH t0 AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 10 = 0
+)
+SELECT doc_id, CAST({_SIMHASH64_SIG} AS BIGINT) AS simhash FROM t0
 """,
         "ann_topk": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -258,43 +258,86 @@ def minhash_lsh_candidates(
     )
 
 
+def _simhash_bit_sums(text: Column, hex_offsets: list[tuple[int, int]]) -> Column:
+    """Per-bit signed occurrence sums, single pass over the tokens.
+
+    ``hex_offsets`` lists (start, bits) slices of the token's md5 hex
+    digest; each slice contributes ``bits`` signature bits. Work is
+    O(n_tokens * n_bits) integer ops after ONE md5 per token — the
+    frequency weighting falls out of summing over occurrences (equal to
+    the textbook sum over distinct tokens weighted by count, without
+    the O(distinct * n) rescan per bit).
+
+    Returns an array<bigint> of length sum(bits): element i >= 0 means
+    signature bit i is 1.
+    """
+    toks = tokens(text)
+    n_bits = sum(b for _, b in hex_offsets)
+
+    def words(t: Column) -> Column:
+        # one md5 per token; each (start, bits) hex slice parses once
+        h = F.md5(t)
+        return F.array(
+            *[
+                F.conv(F.substring(h, start, bits // 4), 16, 10)
+                .cast("bigint")
+                .alias(f"w{k}")
+                for k, (start, bits) in enumerate(hex_offsets)
+            ]
+        )
+
+    def bits_of(w: Column) -> Column:
+        # per-token ±1 contributions for every signature bit
+        out = []
+        for k, (_, bits) in enumerate(hex_offsets):
+            word = F.get(w, k)
+            out += [
+                (F.shiftright(word, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("bigint")
+                for i in range(bits)
+            ]
+        return F.array(*out)
+
+    contrib = F.transform(F.transform(toks, words), bits_of)
+    return F.aggregate(
+        contrib,
+        F.array_repeat(F.lit(0).cast("bigint"), n_bits),
+        lambda acc, b: F.zip_with(acc, b, lambda a, x: a + x),
+    )
+
+
 def simhash16(text: Column) -> Column:
     """16-bit SimHash over tokens: token hash = first 4 hex digits of
-    md5 as an int; each bit contributes +count/-count by token
-    frequency; signature bit i is 1 iff the weighted sum >= 0.
+    md5 as an int; each bit contributes ±1 per token occurrence
+    (= ±count per distinct token); signature bit i is 1 iff the
+    weighted sum >= 0.
 
     Near-dup docs differ in few bits (compare with
     ``bit_count(a ^ b)``). 16 bits keeps the oracle SQL tractable;
-    the same expression extends to 64 via conv on 16 hex digits.
+    ``simhash64`` is the full-width form.
     """
-    toks = tokens(text)
-    # (token, count) pairs without a shuffle: distinct tokens, count via filter
-    distinct_toks = F.array_distinct(toks)
-
-    def bit_merge(i: int):
-        # factory keeps lambdas arity-2/arity-1: higher-order functions
-        # bind extra lambda params as array-index variables otherwise
-        def merge(acc, t):
-            count = F.size(F.filter(toks, _equals(t))).cast("bigint")
-            bit = (
-                F.shiftright(
-                    F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("bigint"), i
-                ).bitwiseAND(F.lit(1))
-                * 2
-                - 1
-            )
-            return acc + count * bit
-
-        return merge
-
-    def _equals(t):
-        return lambda x: x == t
-
-    bit_sums = [
-        F.aggregate(distinct_toks, F.lit(0).cast("bigint"), bit_merge(i))
-        for i in range(16)
-    ]
+    sums = _simhash_bit_sums(text, [(1, 16)])
     sig = F.lit(0).cast("bigint")
-    for i, s in enumerate(bit_sums):
-        sig = sig + F.when(s >= 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
+    for i in range(16):
+        sig = sig + F.when(
+            F.get(sums, i) >= 0, F.lit(1 << i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
     return sig
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash: bits 0-31 from md5 hex digits 9-16, bits 32-63
+    from digits 1-8 (two 32-bit words — a single 16-digit conv would
+    overflow signed bigint under ANSI mode). The signature is the
+    SIGNED 64-bit integer whose unsigned bit pattern is the simhash:
+    bit 63 contributes -2^63, so the value round-trips through any
+    int64 channel (parquet, DuckDB) unchanged.
+    """
+    sums = _simhash_bit_sums(text, [(9, 32), (1, 32)])
+    sig = F.lit(0).cast("bigint")
+    for i in range(63):
+        sig = sig + F.when(
+            F.get(sums, i) >= 0, F.lit(1 << i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return sig + F.when(
+        F.get(sums, 63) >= 0, F.lit(-(1 << 63)).cast("bigint")
+    ).otherwise(F.lit(0).cast("bigint"))

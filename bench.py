@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "ngram_jaccard_materialized",
     "minhash_lsh",
     "simhash",
+    "simhash64",
     "ann_topk",
     "embedding_neardup",
     "ivf_assign",

@@ -115,6 +115,40 @@ def test_simhash_similarity_structure(spark, docs):
     assert ham_near < ham_far  # near-dup closer than unrelated
 
 
+def test_simhash64_structure_and_long_doc_cost(spark, docs):
+    """64-bit variant: exact dups identical, near-dups closer than
+    unrelated docs, and cost is linear in doc length (the pre-fix
+    expression was O(bits * distinct * n) — a 20k-token doc took
+    minutes; the one-md5-per-token form handles a batch of them in
+    seconds)."""
+    import time
+
+    from amazon_personalize_connectors_spark.functions.dedup import simhash64
+
+    sigs = {
+        r.doc_id: r.s
+        for r in docs.select("doc_id", simhash64(F.col("text")).alias("s")).collect()
+    }
+    assert sigs[1] == sigs[4]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
+    # empty doc: zero bit-sums → all-ones signature (signed -1)
+    assert sigs[5] == -1
+
+    long_rows = [
+        (i, " ".join(f"tok{(i * 7 + j) % 5000}" for j in range(20_000)))
+        for i in range(8)
+    ]
+    ldf = spark.createDataFrame(long_rows, "doc_id int, text string")
+    t0 = time.perf_counter()
+    out = ldf.select("doc_id", simhash64(F.col("text")).alias("s")).collect()
+    elapsed = time.perf_counter() - t0
+    assert len(out) == 8 and elapsed < 60.0
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rows = [
