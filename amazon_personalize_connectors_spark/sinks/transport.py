@@ -85,6 +85,69 @@ class RecordingTransport(Transport):
         ]
 
 
+class QueueTransport(Transport):
+    """K3 — queue-shaped transport reproducing the reference's SQS
+    batch entry scheme (enqueue.py:53-67): one entry per record with
+    ``Id = "{i}-{user id}"`` — ``i`` the position within the batch
+    (0..9), the user id ``queryUserId`` falling back to ``userId``
+    (E4, enq:53-55) — and the full JSON record as the message body.
+    Batches are capped at ``SQS_MAX_BATCH`` (10, enq:19).
+
+    The base class only shapes entries; subclasses implement
+    ``send_entries`` (the ``send_message_batch``-shaped client
+    boundary). ``SpoolingQueueTransport`` is the filesystem test
+    double."""
+
+    def send_batch(self, batch: list[dict[str, Any]]) -> None:
+        if len(batch) > SQS_MAX_BATCH:
+            raise TransportError(
+                f"queue batch of {len(batch)} exceeds SQS_MAX_BATCH={SQS_MAX_BATCH}"
+            )
+        entries = []
+        for rec in batch:
+            uid = rec.get("queryUserId") or rec.get("userId")
+            entries.append(
+                {"Id": f"{len(entries)}-{uid}", "MessageBody": json.dumps(rec)}
+            )
+        self.send_entries(entries)
+
+    def send_entries(self, entries: list[dict[str, str]]) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+
+class SpoolingQueueTransport(QueueTransport):
+    """Queue test double: spools each entry batch to a directory (the
+    same filesystem-as-channel trick as RecordingTransport). Entries
+    whose user id is in ``fail_user_ids`` fail the whole batch — the
+    reference's redrive-to-DLQ path, surfaced as DLQ rows here."""
+
+    def __init__(self, spool_dir: str, fail_user_ids: tuple[str, ...] = ()):
+        self.spool_dir = spool_dir
+        self.fail_user_ids = set(fail_user_ids)
+
+    def send_entries(self, entries: list[dict[str, str]]) -> None:
+        if any(e["Id"].split("-", 1)[1] in self.fail_user_ids for e in entries):
+            raise TransportError(f"synthetic queue failure ({len(entries)} entries)")
+        import os
+        import uuid
+
+        os.makedirs(self.spool_dir, exist_ok=True)
+        path = os.path.join(self.spool_dir, f"entries-{uuid.uuid4().hex}.json")
+        with open(path, "w") as f:
+            json.dump(entries, f)
+
+    @staticmethod
+    def read_entry_batches(spool_dir: str) -> list[list[dict[str, str]]]:
+        import os
+
+        if not os.path.isdir(spool_dir):
+            return []
+        return [
+            json.load(open(os.path.join(spool_dir, f)))
+            for f in sorted(os.listdir(spool_dir))
+        ]
+
+
 class HttpUserTrackTransport(Transport):
     """K4 — REST sink for Braze-style ``/users/track`` endpoints.
 

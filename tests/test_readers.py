@@ -48,6 +48,33 @@ def test_read_batch_inference_permissive_corrupt_capture(spark, tmp_path):
     assert row["4"]["error"] == "BOOM"
 
 
+def test_read_batch_inference_gzipped_parts(spark, tmp_path):
+    """S1 gzip-awareness (enq:40-43): `.json.gz` part files read
+    transparently, mixed with plain parts in the same folder scan."""
+    import gzip
+
+    p = tmp_path / "bi_gz"
+    p.mkdir()
+    gz_lines = [
+        json.dumps(
+            {"input": {"itemId": str(i)}, "output": {"recommendedItems": ["x"]}}
+        )
+        for i in range(3)
+    ]
+    with gzip.open(p / "part-0.json.gz", "wt") as f:
+        f.write("\n".join(gz_lines) + "\n")
+    (p / "part-1.json").write_text(
+        json.dumps(
+            {"input": {"itemId": "9"}, "output": {"recommendedItems": ["y"]}}
+        )
+        + "\n"
+    )
+    clean, corrupt = split_corrupt(read_batch_inference(spark, str(p)))
+    assert corrupt.count() == 0
+    ids = {r["input"]["itemId"] for r in clean.collect()}
+    assert ids == {"0", "1", "2", "9"}
+
+
 def test_read_user_item_mapping_recursive_quoted_untyped(spark, tmp_path):
     root = tmp_path / "mapping"
     sub = root / "nested"
