@@ -422,6 +422,33 @@ def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
 
 
+def q_state_digest_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5-at-scale update cycle: state = bucketed digests of all but
+    every-200th order (materialized first), then the measured work is
+    the digest anti-join plus appending the 0.5% delta's digests —
+    cost ∝ delta size, not snapshot size (compare delta_except, which
+    shuffles the full snapshot). Oracle: the delta is exactly the
+    orders with o_orderkey % 200 == 0."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.operators.delta import (
+        append_state_digests,
+        delta_check_against_digests,
+        read_state_digests,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    path = tempfile.mkdtemp(prefix="apcs_state_") + "/state_digests"
+    append_state_digests(orders.where(F.col("o_orderkey") % 200 != 0), path)
+    delta = delta_check_against_digests(orders, read_state_digests(spark, path))
+    append_state_digests(delta, path)  # the incremental state update
+    return delta
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for sampled query vectors."""
     from amazon_personalize_connectors_spark.functions.similarity import (
@@ -1007,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "simhash64": q_simhash64,
+        "state_digest_update": q_state_digest_update,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "ivf_centroids": q_ivf_centroids,
@@ -1359,6 +1387,12 @@ WITH t0 AS (
   SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 10 = 0
 )
 SELECT doc_id, CAST({_SIMHASH64_SIG} AS BIGINT) AS simhash FROM t0
+""",
+        "state_digest_update": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders WHERE o_orderkey % 200 = 0
 """,
         "ann_topk": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -75,17 +75,31 @@ def delta_check(current: DataFrame, state: DataFrame | None) -> DataFrame:
     return current.subtract(conform_to_schema(state, current))
 
 
+def _digest_cols(df: DataFrame) -> tuple[Column, Column]:
+    """The two independent record-hash columns over ``df``'s columns in
+    name order. Both evaluate JVM-side inside codegen (measured ~6x
+    faster than sha2-over-to_json at 2.5M rows) and support nested
+    struct/array values."""
+    cols = [F.col(c) for c in sorted(df.columns)]
+    return F.xxhash64(*cols), F.hash(*cols)
+
+
 def _record_digest(df: DataFrame) -> F.Column:
     """96-bit record digest: xxhash64 + murmur3 over the columns in
-    name order. Both hashes evaluate JVM-side inside codegen (measured
-    ~6x faster than sha2-over-to_json at 2.5M rows) and support nested
-    struct/array values. Two independent hash families push the
-    collision birthday bound past 10^12 records; swap in
-    sha2(to_json(...), 256) where a cryptographic digest is required."""
-    cols = [F.col(c) for c in sorted(df.columns)]
-    return F.struct(
-        F.xxhash64(*cols).alias("h1"), F.hash(*cols).alias("h2")
-    )
+    name order. Two independent hash families push the collision
+    birthday bound past 10^12 records; swap in sha2(to_json(...), 256)
+    when a cryptographic digest is required."""
+    h1, h2 = _digest_cols(df)
+    return F.struct(h1.alias("h1"), h2.alias("h2"))
+
+
+def record_digests(df: DataFrame) -> DataFrame:
+    """Narrow (h1, h2) digest frame of ``df`` — 12 bytes per record.
+    This is what the bucketed state store persists: digests computed
+    once, at write time, from the canonical in-session frame — so the
+    JSONL-round-trip schema hazards of full-record state never arise."""
+    h1, h2 = _digest_cols(df)
+    return df.select(h1.alias("h1"), h2.alias("h2"))
 
 
 def delta_check_anti_hash(current: DataFrame, state: DataFrame | None) -> DataFrame:
@@ -118,5 +132,83 @@ def delta_check_anti_hash(current: DataFrame, state: DataFrame | None) -> DataFr
 
 def write_sync_state(decorated: DataFrame, state_path: str) -> None:
     """K5 — persist the new last-sync snapshot (closes README.md:150's
-    TODO). Overwrite: state is a full snapshot, not a log."""
+    TODO). Overwrite: state is a full snapshot, not a log. This is the
+    reference-semantics form; at 100 TB of state use the digest store
+    below (append cost ∝ delta size, not snapshot size)."""
     decorated.write.mode("overwrite").json(state_path)
+
+
+# --- Digest-bucketed state store (K5 at scale) -----------------------
+#
+# The snapshot form rewrites ALL state every run. The digest store
+# keeps only (h1, h2) record digests, hash-bucketed into parquet
+# partition directories:
+#
+#   state_digests/bucket=0/part-*.parquet
+#   state_digests/bucket=1/...
+#
+# * UPDATE  = append the delivered delta's digests (one small file per
+#   touched bucket) — cost proportional to the delta, never the
+#   accumulated state.
+# * READ    = plain parquet scan of two int columns; feeds
+#   delta_check_against_digests' left-anti join.
+# * Stale digests (a record changed, its old digest lingers) are
+#   harmless — no current row hashes to them — and are swept by
+#   compact_state_digests, which also merges per-run small files.
+#   Compaction is bucket-parallel and needs memory ∝ one bucket.
+
+N_STATE_BUCKETS = 64
+
+
+def delta_check_against_digests(
+    current: DataFrame, digests: DataFrame | None
+) -> DataFrame:
+    """Scalable delta against a stored digest set: semantics of
+    ``delta_check_anti_hash`` with the state side already reduced to
+    (h1, h2). The current side shuffles once on the narrow key for
+    both the dedup and the anti-join; the digest side needs no schema
+    conformance because digests were computed before any round-trip."""
+    h1, h2 = _digest_cols(current)
+    cur = current.withColumn("__h1", h1).withColumn("__h2", h2)
+    deduped = cur.dropDuplicates(["__h1", "__h2"])
+    if digests is None:
+        return deduped.drop("__h1", "__h2")
+    d = digests.select(F.col("h1").alias("__h1"), F.col("h2").alias("__h2"))
+    return deduped.join(d, ["__h1", "__h2"], "left_anti").drop("__h1", "__h2")
+
+
+def read_state_digests(spark, path: str) -> DataFrame | None:
+    """Load the digest set, or None when no state exists (first sync)."""
+    from amazon_personalize_connectors_spark.sources.readers import path_exists
+
+    if not path_exists(spark, path):
+        return None
+    return spark.read.parquet(path).select("h1", "h2")
+
+
+def append_state_digests(
+    delta: DataFrame, path: str, n_buckets: int = N_STATE_BUCKETS
+) -> None:
+    """Record the just-delivered delta rows as synced: append their
+    digests to the bucketed store. Work ∝ delta size."""
+    dg = record_digests(delta).withColumn(
+        "bucket", F.pmod(F.col("h1"), F.lit(n_buckets))
+    )
+    dg.write.mode("append").partitionBy("bucket").parquet(path)
+
+
+def compact_state_digests(spark, path: str) -> None:
+    """Merge each bucket's accumulated run-files and drop duplicate
+    digests. Writes to a sibling temp dir then swaps via FileSystem
+    rename (atomic on HDFS/local; copy-on-rename stores like S3 should
+    compact to a versioned path instead)."""
+    df = spark.read.parquet(path).dropDuplicates(["h1", "h2"])
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    fs = dst.getFileSystem(conf)
+    fs.delete(dst, True)
+    fs.rename(src, dst)

@@ -25,6 +25,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 from amazon_personalize_connectors_spark.config import PipelineConfig
+from amazon_personalize_connectors_spark.operators.delta import (
+    append_state_digests,
+    read_state_digests,
+)
 from amazon_personalize_connectors_spark.operators.metrics import observe_counts
 from amazon_personalize_connectors_spark.plans.pipeline import run_connector_pipelines
 from amazon_personalize_connectors_spark.sinks.jsonl import (
@@ -56,9 +60,22 @@ def run_job(
     job_root: str,
     config: PipelineConfig,
     write_state: bool = True,
+    state_format: str = "json",
 ) -> JobReport:
     """Execute one batch ETL run end-to-end. Returns the paths written
-    and row counts observed (the reference logs these; we report them)."""
+    and row counts observed (the reference logs these; we report them).
+
+    ``state_format``:
+
+    * ``"json"`` — reference semantics: the full pre-delta snapshot is
+      rewritten as JSONL every run (cost ∝ snapshot size).
+    * ``"digest"`` — the 100 TB path: state is the bucketed (h1, h2)
+      digest store under ``output/<connector>/state_digests``; each run
+      APPENDS only the delivered delta's digests (cost ∝ delta size).
+    """
+    if state_format not in ("json", "digest"):
+        raise ValueError(f"unknown state_format: {state_format!r}")
+    digest_mode = state_format == "digest"
     report = JobReport()
 
     # Cache the raw scan ourselves and unpersist at the end: cached
@@ -78,13 +95,18 @@ def run_job(
     states = {}
     for connector in config.connectors:
         if config.delta_enabled(connector):
-            states[connector.name] = read_last_sync_state(
-                spark, f"{job_root}/output/{connector.name}/state"
-            )
+            if digest_mode:
+                states[connector.name] = read_state_digests(
+                    spark, f"{job_root}/output/{connector.name}/state_digests"
+                )
+            else:
+                states[connector.name] = read_last_sync_state(
+                    spark, f"{job_root}/output/{connector.name}/state"
+                )
 
     results = run_connector_pipelines(
         job_type, batch, config, mapping=mapping, metadata=metadata,
-        states=states, cache_source=False,
+        states=states, cache_source=False, state_is_digests=digest_mode,
     )
 
     for name, res in results.items():
@@ -98,7 +120,13 @@ def run_job(
             observed, f"{job_root}/output", name, config.run_datetime
         )
         report.delivered_rows[name] = int(obs.get["n_rows"])
-        if write_state:
+        if write_state and digest_mode:
+            # K5 at scale — append only the delivered delta's digests
+            state_path = f"{job_root}/output/{name}/state_digests"
+            if report.delivered_rows[name] > 0:
+                append_state_digests(res.delta_unstamped, state_path)
+            report.state_paths[name] = state_path
+        elif write_state:
             # K5 — new snapshot is the full pre-delta decorated output
             state_path = f"{job_root}/output/{name}/state"
             res.pre_delta.write.mode("overwrite").json(state_path)

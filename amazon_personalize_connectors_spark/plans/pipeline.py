@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame
 from amazon_personalize_connectors_spark.config import ConnectorConfig, PipelineConfig
 from amazon_personalize_connectors_spark.operators.attribution import attribute_users
 from amazon_personalize_connectors_spark.operators.decorate import decorate_items
-from amazon_personalize_connectors_spark.operators.delta import delta_check
+from amazon_personalize_connectors_spark.operators.delta import (
+    delta_check,
+    delta_check_against_digests,
+)
 from amazon_personalize_connectors_spark.operators.split import split_errors
 from amazon_personalize_connectors_spark.operators.stamp import add_job_and_sync_info
 
@@ -28,6 +31,7 @@ class PipelineResult:
     decorated: DataFrame  # post-delta, stamped — what the connector receives
     pre_delta: DataFrame  # decorated before delta — the next sync state (K5)
     errors: DataFrame  # failed inference rows (K2)
+    delta_unstamped: DataFrame = None  # post-delta, pre-stamp — digest-state input
 
 
 def related_items_pipeline(
@@ -39,10 +43,15 @@ def related_items_pipeline(
     state: DataFrame | None = None,
     legacy_window_mode: bool = False,
     cache_source: bool = True,
+    state_is_digests: bool = False,
 ) -> PipelineResult:
     """Entry point 1 (related_items_etl.py main): error split (F1/F2) →
     decorate (G1/J2/E1/E2/A1) → attribution join (J1) → delta (D1) →
     stamp (P1).
+
+    ``state_is_digests=True`` means ``state`` is a narrow (h1, h2)
+    digest frame from the bucketed state store; the delta becomes a
+    digest anti-join (the 100 TB path).
 
     ``cache_source=False`` when the caller already materialized the
     scan: Spark keys cached plans by plan text, so re-caching the same
@@ -70,15 +79,21 @@ def related_items_pipeline(
     decorated = attribute_users(
         per_item, mapping, recs_item_col="queryItemId"
     ).select("queryItemId", "userId", "recommendations")
-    delta = (
-        delta_check(decorated, state)
-        if config.delta_enabled(connector)
-        else decorated
-    )
+    delta = _delta_step(decorated, state, connector, config, state_is_digests)
     stamped = add_job_and_sync_info(
         delta, config.job_name, config.run_datetime, connector
     )
-    return PipelineResult(decorated=stamped, pre_delta=decorated, errors=errors)
+    return PipelineResult(
+        decorated=stamped, pre_delta=decorated, errors=errors, delta_unstamped=delta
+    )
+
+
+def _delta_step(decorated, state, connector, config, state_is_digests):
+    if not config.delta_enabled(connector):
+        return decorated
+    if state_is_digests:
+        return delta_check_against_digests(decorated, state)
+    return delta_check(decorated, state)
 
 
 def user_personalization_pipeline(
@@ -89,6 +104,7 @@ def user_personalization_pipeline(
     state: DataFrame | None = None,
     legacy_window_mode: bool = False,
     cache_source: bool = True,
+    state_is_digests: bool = False,
 ) -> PipelineResult:
     """Entry point 2 (user_personalization_etl.py main): same skeleton
     minus the attribution join — recs are already per-user (keyed on
@@ -103,15 +119,13 @@ def user_personalization_pipeline(
         metadata_fields=connector.item_metadata_fields or None,
         legacy_window_mode=legacy_window_mode,
     )
-    delta = (
-        delta_check(decorated, state)
-        if config.delta_enabled(connector)
-        else decorated
-    )
+    delta = _delta_step(decorated, state, connector, config, state_is_digests)
     stamped = add_job_and_sync_info(
         delta, config.job_name, config.run_datetime, connector
     )
-    return PipelineResult(decorated=stamped, pre_delta=decorated, errors=errors)
+    return PipelineResult(
+        decorated=stamped, pre_delta=decorated, errors=errors, delta_unstamped=delta
+    )
 
 
 def run_connector_pipelines(
@@ -122,9 +136,11 @@ def run_connector_pipelines(
     metadata: DataFrame | None = None,
     states: dict[str, DataFrame] | None = None,
     cache_source: bool = True,
+    state_is_digests: bool = False,
 ) -> dict[str, PipelineResult]:
     """Per-connector loop (ri:237-315): one PipelineResult per connector
-    in the config. ``states`` maps connector name → last-sync frame."""
+    in the config. ``states`` maps connector name → last-sync frame
+    (full snapshot, or digest frame when ``state_is_digests``)."""
     results: dict[str, PipelineResult] = {}
     for connector in config.connectors:
         state = (states or {}).get(connector.name)
@@ -133,12 +149,12 @@ def run_connector_pipelines(
                 raise ValueError("related_items requires a user-item mapping")
             results[connector.name] = related_items_pipeline(
                 batch_inference, mapping, metadata, connector, config, state,
-                cache_source=cache_source,
+                cache_source=cache_source, state_is_digests=state_is_digests,
             )
         elif job_type == "user_personalization":
             results[connector.name] = user_personalization_pipeline(
                 batch_inference, metadata, connector, config, state,
-                cache_source=cache_source,
+                cache_source=cache_source, state_is_digests=state_is_digests,
             )
         else:
             raise ValueError(f"unknown job type: {job_type!r}")

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "user_pers_flat",
     "delta_except",
     "delta_anti_hash",
+    "state_digest_update",
     "payload_pivot",
     "dedup_exact",
     "ngram_jaccard_pairs",

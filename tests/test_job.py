@@ -112,6 +112,54 @@ def test_run_job_end_to_end_with_delta_loop(spark, tmp_path, config):
     assert resynced == {"u1", "u2"}
 
 
+def test_run_job_digest_state_loop(spark, tmp_path, config):
+    """K5 at scale: bucketed digest state — run-twice idempotence,
+    append growth proportional to the delta (not the snapshot), and
+    compaction preserving the synced set."""
+    from amazon_personalize_connectors_spark.operators.delta import (
+        compact_state_digests,
+    )
+
+    root = str(tmp_path / "djob")
+    _write_inputs(root, RECS)
+    r1 = run_job(spark, "related_items", root, config, state_format="digest")
+    assert r1.delivered_rows["braze"] == 3
+    dpath = r1.state_paths["braze"]
+    assert dpath.endswith("state_digests")
+    digests = spark.read.parquet(dpath)
+    assert digests.count() == 3 and "bucket" in digests.columns
+
+    def rerun(day):
+        cfg = PipelineConfig.from_dict(
+            CONFIG_JSON,
+            job_name="job-under-test",
+            run_datetime=datetime(2026, 8, day, 9, 30, tzinfo=timezone.utc),
+        )
+        return run_job(spark, "related_items", root, cfg, state_format="digest")
+
+    # run 2, same input → empty delta AND no digest growth
+    r2 = rerun(14)
+    assert r2.delivered_rows["braze"] == 0
+    assert spark.read.parquet(dpath).count() == 3
+
+    # run 3: item 100's recs change → exactly u1,u2 resync; the append
+    # adds exactly those two digests (cost ∝ delta)
+    changed = [dict(RECS[0], output={"recommendedItems": ["201"]}), RECS[1], RECS[2]]
+    _write_inputs(root, changed)
+    r3 = rerun(15)
+    assert r3.delivered_rows["braze"] == 2
+    resynced = {r["userId"] for r in _read_jsonl_tree(r3.output_paths["braze"])}
+    assert resynced == {"u1", "u2"}
+    assert spark.read.parquet(dpath).count() == 5
+
+    # compaction: set survives (digests here are already distinct),
+    # and a rerun still sees everything as synced
+    compact_state_digests(spark, dpath)
+    assert spark.read.parquet(dpath).count() == 5
+    r4 = rerun(16)
+    assert r4.delivered_rows["braze"] == 0
+
+
 def test_run_job_counts_never_reexecute_pipeline(spark, tmp_path, config, monkeypatch):
     """A2 fix: delivered/error counts come from observe() metrics
     riding the sink writes — the join/aggregate lineage runs once per
