@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import zlib
 from collections.abc import Callable, Iterator
+from contextlib import contextmanager
 from typing import Any
 
 import pandas as pd
@@ -97,9 +98,29 @@ def real_decoder(content: bytes, kind: str) -> dict[str, Any]:  # pragma: no cov
     )
 
 
-def decode_media(
-    df: DataFrame, decoder: Decoder | None = None, batch_rows: int = 64
-) -> DataFrame:
+@contextmanager
+def arrow_batch_rows(spark, n: int):
+    """Bound Arrow batch row count around an ACTION (it is read at
+    execution time, not plan-build time): big binary payloads need
+    small batches or executor Python workers balloon. Restores the
+    previous session value on exit — use as::
+
+        with arrow_batch_rows(spark, 64):
+            decode_media(media).write.parquet(out)
+    """
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def decode_media(df: DataFrame, decoder: Decoder | None = None) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
     ``mapInPandas``: each Arrow batch arrives as a pandas DataFrame;
@@ -107,13 +128,14 @@ def decode_media(
     further inside the decoder where the codec allows). Output schema
     is fixed (FEATURE_SCHEMA) so downstream plans are stable whether
     the decoder is real or fake.
+
+    Deliberately does NOT touch session conf: Arrow batch sizing is the
+    caller's choice at action time — wrap the action in
+    ``arrow_batch_rows`` (a leaked session-wide override here would
+    throttle every later Arrow/pandas operation).
     """
     if decoder is None:
         decoder = real_decoder
-    spark_session = df.sparkSession
-    spark_session.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
-    )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -40,13 +40,19 @@ def add_contiguous_ids(
     ordered = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(
         *order_cols
     )
-    # persist BEFORE reading partition ids: the offsets collect and the
-    # final plan must observe the same physical partitioning, and range
-    # boundaries are sampled per-computation (a nondeterministic
-    # upstream — e.g. round-robin repartition — would otherwise shift
-    # rows between the two passes). The two-phase shape needs a
-    # barrier here regardless; persisting makes it explicit.
-    with_pid = ordered.withColumn("__pid", F.spark_partition_id()).persist()
+    # freeze the partitioning BEFORE reading partition ids: the offsets
+    # collect and the final plan must observe the same physical layout,
+    # and range boundaries are sampled per-computation (a recompute
+    # would shift rows between the two passes). localCheckpoint rather
+    # than persist(): it materializes eagerly, cuts lineage (no
+    # resampling possible), and its blocks are reclaimed by the
+    # ContextCleaner once this frame is garbage-collected — a plain
+    # persist leaks cached blocks for the session unless every caller
+    # remembers to unpersist. On a real cluster prefer a reliable
+    # checkpoint dir if executor loss must be survivable mid-job.
+    with_pid = ordered.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
 
     # tiny: one row per partition
     counts = (

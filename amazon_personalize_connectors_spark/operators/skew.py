@@ -31,9 +31,23 @@ def salted_join(
     ``other`` is replicated ``salt_factor``x — keep it the smaller
     side. The salt is derived from a uniform hash of the full skewed
     row (monotonically_increasing_id-free: deterministic under
-    retries)."""
+    retries).
+
+    Only fact-preserving join types are allowed: with a replicated
+    dimension side, right/full outer joins would emit every unmatched
+    dim row ``salt_factor`` times."""
     if salt_factor < 1:
         raise ValueError("salt_factor must be >= 1")
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports only fact-preserving join types {sorted(allowed)}; "
+            f"got {how!r} (a replicated dim side duplicates unmatched rows "
+            f"under right/full outer joins)"
+        )
     salt = (
         F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_factor))
     ).cast("int")

@@ -194,6 +194,24 @@ def test_multimodal_decode_roundtrip(spark):
     assert abs(sum(by_id[3].features) - 1.0) < 1e-9
 
 
+def test_decode_media_leaves_arrow_conf_untouched(spark):
+    from amazon_personalize_connectors_spark.functions.multimodal import (
+        arrow_batch_rows,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(key)
+    media = attach_fake_media(
+        spark.range(1, 4).withColumnRenamed("id", "media_id"), "media_id"
+    )
+    decode_media(media, decoder=fake_decoder).collect()
+    assert spark.conf.get(key) == before
+    with arrow_batch_rows(spark, 7):
+        assert spark.conf.get(key) == "7"
+        decode_media(media, decoder=fake_decoder).collect()
+    assert spark.conf.get(key) == before
+
+
 def test_multimodal_decode_stub_raises_without_decoder(spark):
     media = attach_fake_media(spark.range(1, 3).withColumnRenamed("id", "media_id"), "media_id")
     with pytest.raises(Exception, match="NotImplementedError|media decoding"):

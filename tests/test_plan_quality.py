@@ -63,3 +63,104 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     assert "PushedFilters: [" in scan
     pushed = scan.split("PushedFilters:")[1]
     assert "o_orderstatus" in pushed[:200]
+
+
+def _hot_key_pair(spark, hot_rows: int, payload_width: int = 32):
+    """Synthetic extreme skew: key 1 carries ``hot_rows`` fact rows,
+    keys 2..1000 ten each; dim has one row per key."""
+    from pyspark.sql import functions as F
+
+    hot = spark.range(hot_rows).select(
+        F.lit(1).alias("k"),
+        F.concat(F.lit("x" * payload_width), F.col("id")).alias("payload"),
+    )
+    cold = spark.range(10 * 999).select(
+        (F.col("id") % 999 + 2).cast("int").alias("k"),
+        F.concat(F.lit("c"), F.col("id")).alias("payload"),
+    )
+    fact = hot.unionByName(cold)
+    dim = spark.range(1, 1001).select(
+        F.col("id").cast("int").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("d")
+    )
+    return fact, dim
+
+
+def test_salted_join_splits_hot_partition(spark):
+    """The explicit skew strategy: after salting, the hot key's output
+    rows span multiple reducer partitions instead of one."""
+    from pyspark.sql import functions as F
+
+    from amazon_personalize_connectors_spark.operators.skew import salted_join
+
+    fact, dim = _hot_key_pair(spark, hot_rows=50_000)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # keep reducer partitions distinct — AQE would coalesce this
+        # tiny test output into one partition and mask the split
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = salted_join(fact, dim, on="k", salt_factor=8)
+        hot_pids = (
+            joined.where(F.col("k") == 1)
+            .select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+        assert hot_pids > 1, "hot key stayed in a single reducer partition"
+        # un-salted baseline: the hot key lands in exactly one partition
+        plain_pids = (
+            fact.join(dim, "k")
+            .where(F.col("k") == 1)
+            .select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+        assert plain_pids == 1
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def test_salted_join_rejects_dim_preserving_outer_joins(spark):
+    import pytest
+
+    from amazon_personalize_connectors_spark.operators.skew import salted_join
+
+    fact, dim = _hot_key_pair(spark, hot_rows=10)
+    with pytest.raises(ValueError, match="fact-preserving"):
+        salted_join(fact, dim, on="k", how="right")
+    with pytest.raises(ValueError, match="fact-preserving"):
+        salted_join(fact, dim, on="k", how="full_outer")
+
+
+def test_aqe_skew_join_splits_plain_attribution_join(spark):
+    """The implicit strategy: AQE's runtime re-plan marks and splits
+    the skewed shuffle partition of the un-salted J1-shaped join."""
+    fact, dim = _hot_key_pair(spark, hot_rows=200_000, payload_width=64)
+    confs = {
+        # disable both static and AQE-runtime broadcast demotion — with
+        # a broadcastable dim AQE's first answer to skew is (rightly) a
+        # broadcast join; force the SMJ path this test is about
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = fact.join(dim, "k")
+        # collect() (not count()) — count builds its own QueryExecution;
+        # the skew assertion must read the plan that actually ran
+        assert len(joined.collect()) == 200_000 + 10 * 999
+        plan = _plan(joined)
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
