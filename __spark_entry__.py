@@ -464,6 +464,23 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage partial top-k (huge-corpus path): per-batch numpy
+    pruning + Catalyst re-score. Same oracle as ann_topk — the result
+    is identical to the window form by construction."""
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        brute_force_topk_partial,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    return brute_force_topk_partial(emb, queries_df, k=5).select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("n_id").cast("bigint").alias("n_id"),
+        "rank", "score",
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked embedding near-dup pairs (block = label)."""
     from amazon_personalize_connectors_spark.functions.similarity import (
@@ -1036,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": q_simhash64,
         "state_digest_update": q_state_digest_update,
         "ann_topk": q_ann_topk,
+        "ann_topk_partial": q_ann_topk_partial,
         "embedding_neardup": q_embedding_neardup,
         "ivf_centroids": q_ivf_centroids,
         "ivf_assign": q_ivf_assign,
@@ -1690,4 +1708,6 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
     # the materialized-shingle Jaccard is result-identical to the
     # recompute form — same oracle pins both physical strategies
     sqls["ngram_jaccard_materialized"] = sqls["ngram_jaccard_pairs"]
+    # likewise the two-stage partial top-k vs the window form
+    sqls["ann_topk_partial"] = sqls["ann_topk"]
     return sqls

@@ -82,6 +82,101 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_partial(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k for HUGE corpora: two-stage partial top-k
+    replacing ``brute_force_topk``'s per-query window over all
+    |corpus| x |queries| candidate rows (which must shuffle every
+    candidate to rank it).
+
+    Stage 1 (``mapInPandas``, the sanctioned Python path — bounded
+    partial aggregation is inexpressible with built-in aggregates):
+    each Arrow batch computes all query scores with one vectorized
+    numpy GEMM and keeps only candidates within ``10^-round_digits``
+    of its local k-th raw score. The margin makes pruning exact: a
+    candidate can only enter the global ROUNDED top-k if its raw score
+    is within one rounding quantum of the local raw k-th, and it also
+    absorbs numpy-vs-Catalyst last-bit summation drift (~1e-13).
+    Nothing but ~k rows per (batch, query) ever leaves an executor.
+
+    Stage 2 re-scores the tiny candidate set with the same Catalyst
+    expression as the window form (broadcast joins, no shuffle of the
+    corpus) — so scores, rounding, and tie-breaks are identical to
+    ``brute_force_topk`` by construction, not by float luck.
+
+    The query set is collected to the driver (it is broadcast in the
+    window form anyway — both strategies assume |queries| is small).
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = _as_double(embeddings, vec_col).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    )
+    qry = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    q_rows = qry.collect()
+    q_ids = np.array([r["q_id"] for r in q_rows])
+    q_mat = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    margin = 10.0 ** (-round_digits)
+
+    def local_candidates(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["n_id"].to_numpy()
+            v = np.stack(pdf["n_vec"].to_numpy()).astype(np.float64)
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            scores = v @ q_norm.T  # (batch, n_queries) in one GEMM
+            out_q, out_n = [], []
+            for j in range(len(q_ids)):
+                s = scores[:, j]
+                valid = ids != q_ids[j]
+                s_valid = s[valid]
+                if len(s_valid) == 0:
+                    continue
+                kth = (
+                    np.partition(s_valid, len(s_valid) - k)[len(s_valid) - k]
+                    if len(s_valid) > k
+                    else s_valid.min()
+                )
+                keep = valid & (s >= kth - margin)
+                out_q.append(np.full(keep.sum(), q_ids[j]))
+                out_n.append(ids[keep])
+            if out_q:
+                yield pd.DataFrame(
+                    {"q_id": np.concatenate(out_q), "n_id": np.concatenate(out_n)}
+                )
+
+    cand_schema = f"q_id {dict(qry.dtypes)['q_id']}, n_id {dict(emb.dtypes)['n_id']}"
+    cands = emb.mapInPandas(local_candidates, cand_schema)
+    rescored = (
+        emb.join(F.broadcast(cands), "n_id")
+        .join(F.broadcast(qry), "q_id")
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), round_digits).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("rank").cast("bigint").alias("rank"), "score")
+    )
+
+
 def blocked_near_duplicates(
     embeddings: DataFrame,
     block_col: str = "label",

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "simhash",
     "simhash64",
     "ann_topk",
+    "ann_topk_partial",
     "embedding_neardup",
     "ivf_assign",
     "text_quality",

@@ -168,6 +168,26 @@ def test_brute_force_topk_ranks(vectors):
     assert rows[0].score > 0.99
 
 
+def test_partial_topk_agrees_with_window_form(spark, vectors):
+    """The huge-corpus two-stage top-k must reproduce the window form
+    exactly — same ids, ranks, and rounded scores."""
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        brute_force_topk_partial,
+    )
+
+    queries = vectors.where(F.col("vec_id") % 3 == 0)
+    base = sorted(
+        tuple(r) for r in brute_force_topk(vectors, queries, k=3).collect()
+    )
+    part = sorted(
+        tuple(r)
+        for r in brute_force_topk_partial(
+            vectors.repartition(4), queries, k=3
+        ).collect()
+    )
+    assert part == base
+
+
 def test_blocked_neardup_stays_in_block(vectors):
     pairs = blocked_near_duplicates(vectors, min_cosine=0.5).collect()
     assert {(p.id_a, p.id_b) for p in pairs} == {(0, 1), (3, 4)}
