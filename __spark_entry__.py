@@ -449,6 +449,37 @@ def q_state_digest_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-SimHash near-dup candidate pairs with exact Hamming
+    filter — the pairing operator the signature feeds."""
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, max_hamming=16).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "hamming",
+    )
+
+
+def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search (nprobe=1): queries score only their assigned
+    inverted list."""
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        ivf_probe_topk,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    return ivf_probe_topk(emb, queries_df, k=5).select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("n_id").cast("bigint").alias("n_id"),
+        "rank", "score",
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for sampled query vectors."""
     from amazon_personalize_connectors_spark.functions.similarity import (
@@ -1054,6 +1085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_digest_update": q_state_digest_update,
         "ann_topk": q_ann_topk,
         "ann_topk_partial": q_ann_topk_partial,
+        "simhash_neardup": q_simhash_neardup,
+        "ivf_probe_topk": q_ivf_probe_topk,
         "embedding_neardup": q_embedding_neardup,
         "ivf_centroids": q_ivf_centroids,
         "ivf_assign": q_ivf_assign,
@@ -1411,6 +1444,59 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
        CAST(o_custkey AS BIGINT) AS o_custkey,
        CAST(o_totalprice AS DOUBLE) AS o_totalprice
 FROM orders WHERE o_orderkey % 200 = 0
+""",
+        "simhash_neardup": f"""
+WITH t0 AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+sigs AS (
+  SELECT doc_id, CAST({_SIMHASH64_SIG} AS BIGINT) AS sig FROM t0
+),
+bands AS (
+  SELECT doc_id, sig, b.band, (sig >> (b.band * 16)) & 65535 AS band_val
+  FROM sigs, LATERAL (SELECT unnest(range(0, 4)) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 16
+""",
+        "ivf_probe_topk": f"""
+WITH {_CENTROID_CTE.lstrip()},
+centroids AS (
+  SELECT block, list(sum_val / n ORDER BY dim) AS centroid
+  FROM centroid_sums GROUP BY block
+),
+assigned AS (
+  SELECT id, v, block AS assigned_block FROM (
+    SELECT ev.vec_id AS id, ev.v, c.block,
+           row_number() OVER (
+             PARTITION BY ev.vec_id
+             ORDER BY {_COSINE.format(a='ev.v', b='c.centroid')} DESC, c.block
+           ) AS rn
+    FROM ev, centroids c
+  ) WHERE rn = 1
+),
+q AS (SELECT * FROM assigned WHERE id % 50 = 0),
+scored AS (
+  SELECT q.id AS q_id, a.id AS n_id,
+         {_COSINE.format(a='q.v', b='a.v')} AS score
+  FROM q JOIN assigned a
+    ON a.assigned_block = q.assigned_block AND a.id <> q.id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+  FROM scored
+)
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(n_id AS BIGINT) AS n_id,
+       CAST(rank AS BIGINT) AS rank, score
+FROM ranked WHERE rank <= 5
 """,
         "ann_topk": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -175,11 +175,17 @@ def ngram_jaccard_pairs_materialized(
 
     Returns the same (id_a, id_b, common, union_size, jaccard) frame.
     """
-    sh = _rare_hashed_shingles(df, text_col, id_col, n, max_shingle_df)
+    # materialize the RAW hashed table (before the rare filter): the
+    # tokenizer+explode runs exactly once; the stop-shingle aggregate,
+    # its join, and both self-join sides all scan the narrow
+    # (id, n_shingles, shingle:int64) parquet instead
+    sh_raw = shingle_table(df, text_col, id_col, n).withColumn(
+        "shingle", F.xxhash64("shingle")
+    )
     if buckets > 0:
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
         (
-            sh.write.mode("overwrite")
+            sh_raw.write.mode("overwrite")
             .format("parquet")
             .option("path", work_path)
             .bucketBy(buckets, "shingle")
@@ -188,9 +194,15 @@ def ngram_jaccard_pairs_materialized(
         )
         mat = spark.table(table_name)
     else:
-        sh.write.mode("overwrite").parquet(work_path)
+        sh_raw.write.mode("overwrite").parquet(work_path)
         mat = spark.read.parquet(work_path)
-    return _pairs_from_shingle_table(mat, min_common)
+    rare = (
+        mat.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_shingle_df)
+        .select("shingle")
+    )
+    return _pairs_from_shingle_table(mat.join(rare, "shingle"), min_common)
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 6) -> list[Column]:
@@ -322,6 +334,59 @@ def simhash16(text: Column) -> Column:
             F.get(sums, i) >= 0, F.lit(1 << i).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
     return sig
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 16,
+) -> DataFrame:
+    """Near-dup candidate pairs from banded 64-bit SimHash.
+
+    Classic simhash blocking: docs within small Hamming distance must
+    agree exactly on at least one of four 16-bit bands (pigeonhole: a
+    pair differing in <= 3 bits cannot disagree in all 4 bands; wider
+    ``max_hamming`` admits recall loss like any LSH). Band agreement is
+    an equi-join on (band_index, band_value) — hash-bucketed shuffle,
+    never a cross join — then the exact Hamming distance filters
+    candidates via bit_count(xor).
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig")
+    )
+    bands = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), b * 16).bitwiseAND(F.lit(65535))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_val"
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_val"
+    )
+    pairs = (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()  # a pair may agree on several bands
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("bigint"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def simhash64(text: Column) -> Column:

@@ -239,6 +239,45 @@ def ivf_centroids(
     )
 
 
+def _centroid_table(
+    embeddings: DataFrame, block_col: str, vec_col: str
+) -> DataFrame:
+    """(block, centroid: array<double>) — nlist rows, broadcastable."""
+    sums = ivf_centroids(embeddings, block_col, vec_col)
+    return (
+        sums.withColumn("mean", F.col("sum_val") / F.col("n"))
+        .groupBy("block")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("mean")))
+                ),
+                lambda s: s["mean"],
+            ).alias("centroid")
+        )
+    )
+
+
+def _assign_to_centroids(
+    vectors: DataFrame, centroids: DataFrame, round_digits: int = 6
+) -> DataFrame:
+    """Nearest centroid per (id, vec) row: broadcast nested-loop over
+    the nlist-row centroid table, then keep the best by (score desc,
+    block asc). Adds (assigned_block, score); keeps id and vec."""
+    scored = vectors.join(F.broadcast(centroids)).select(
+        "id",
+        "vec",
+        F.col("block"),
+        F.round(cosine(F.col("vec"), F.col("centroid")), round_digits).alias("score"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("block"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "vec", F.col("block").alias("assigned_block"), "score")
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     block_col: str = "label",
@@ -251,31 +290,63 @@ def ivf_assign(
     (id, assigned_block, score). At scale the centroid table is tiny
     (nlist rows) — the assignment is a broadcast nested-loop over
     nlist candidates per vector, then a max-by; queries then probe
-    only their assigned list."""
-    sums = ivf_centroids(embeddings, block_col, vec_col)
-    centroids = (
-        sums.withColumn("mean", F.col("sum_val") / F.col("n"))
-        .groupBy("block")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("dim"), F.col("mean")))
-                ),
-                lambda s: s["mean"],
-            ).alias("centroid")
-        )
-    )
+    only their assigned list (``ivf_probe_topk``)."""
+    centroids = _centroid_table(embeddings, block_col, vec_col)
     emb = _as_double(embeddings, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
-    scored = emb.join(F.broadcast(centroids)).select(
-        "id",
-        F.col("block"),
-        F.round(cosine(F.col("vec"), F.col("centroid")), round_digits).alias("score"),
+    return _assign_to_centroids(emb, centroids, round_digits).select(
+        "id", "assigned_block", "score"
     )
-    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("block"))
+
+
+def ivf_probe_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF search, nprobe=1: each query scores only the corpus vectors
+    whose nearest centroid matches its own. The pairwise stage is an
+    equi-join on the assigned list — cost bounded per inverted list,
+    never |corpus| x |queries| — which is what IVF buys at scale.
+    Approximate by design: a true neighbor quantized into another list
+    is missed (probe more lists for recall; this is the standard
+    recall/cost dial).
+
+    Returns (q_id, n_id, rank, score) ranked per query by
+    (rounded cosine desc, n_id asc), self-matches excluded.
+    """
+    centroids = _centroid_table(embeddings, block_col, vec_col)
+    emb = _as_double(embeddings, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    qry = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    corpus_lists = _assign_to_centroids(emb, centroids, round_digits).select(
+        F.col("id").alias("n_id"), F.col("vec").alias("n_vec"), "assigned_block"
+    )
+    query_lists = _assign_to_centroids(qry, centroids, round_digits).select(
+        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), "assigned_block"
+    )
+    scored = (
+        corpus_lists.join(F.broadcast(query_lists), "assigned_block")
+        .where(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), round_digits).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("id", F.col("block").alias("assigned_block"), "score")
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("rank").cast("bigint").alias("rank"), "score")
     )

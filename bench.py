@@ -45,10 +45,12 @@ BENCH_QUERIES = [
     "minhash_lsh",
     "simhash",
     "simhash64",
+    "simhash_neardup",
     "ann_topk",
     "ann_topk_partial",
     "embedding_neardup",
     "ivf_assign",
+    "ivf_probe_topk",
     "text_quality",
     "doc_fingerprint",
     "events_hourly",

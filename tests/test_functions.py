@@ -149,6 +149,44 @@ def test_simhash64_structure_and_long_doc_cost(spark, docs):
     assert len(out) == 8 and elapsed < 60.0
 
 
+def test_simhash_neardup_pairs_band_and_filter(spark, docs):
+    """Exact dups always pair at hamming 0; unrelated docs never pass
+    a tight hamming filter."""
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_neardup_pairs(docs, max_hamming=12).collect()
+    }
+    assert pairs[(1, 4)] == 0  # exact dups always collide on every band
+    assert (1, 3) not in pairs and (2, 3) not in pairs  # unrelated
+    assert all(h <= 12 for h in pairs.values())
+    # recall note: docs 1/2 differ by 11 bits — banding only guarantees
+    # pairs within 3 bits (4 bands of 16), so their absence is correct
+    # LSH behavior, not a bug
+
+
+def test_ivf_probe_matches_assignment_blocks(spark, vectors):
+    """Probe results stay within the query's assigned inverted list,
+    and ranks are contiguous from 1."""
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        ivf_assign,
+        ivf_probe_topk,
+    )
+
+    queries = vectors.where(F.col("vec_id") % 3 == 0)
+    out = ivf_probe_topk(vectors, queries, k=3).collect()
+    assert out
+    assigned = {r.id: r.assigned_block for r in ivf_assign(vectors).collect()}
+    by_q = {}
+    for r in out:
+        assert assigned[r.n_id] == assigned[r.q_id]
+        by_q.setdefault(r.q_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rows = [
