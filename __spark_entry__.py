@@ -449,6 +449,55 @@ def q_state_digest_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta
 
 
+_QUALITY_FLAG_COLS = [
+    "flag_too_short", "flag_token_len", "flag_low_stopword",
+    "flag_symbol_heavy", "flag_digit_heavy", "keep",
+]
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style per-document quality rules with per-rule audit
+    flags and the combined keep verdict."""
+    from amazon_personalize_connectors_spark.functions.text import (
+        quality_filter_flags,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    flags = quality_filter_flags(F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        *[flags[k].alias(k) for k in _QUALITY_FLAG_COLS],
+    )
+
+
+def q_llm_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite LLM-corpus pipeline: quality filter -> exact dedup ->
+    surviving representative docs with copy counts and token sizes.
+    One projected scan feeds the filter; dedup is one map-side-
+    combinable hash aggregate on the content digest."""
+    from amazon_personalize_connectors_spark.functions.text import (
+        quality_filter_flags,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    flags = quality_filter_flags(F.col("text"))
+    kept = (
+        docs.withColumn("keep", flags["keep"])
+        .withColumn("n_tokens", flags["n_tokens"])
+        .where(F.col("keep"))
+    )
+    reps = kept.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+    )
+    return reps.join(kept.select("doc_id", "n_tokens"), "doc_id").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "digest",
+        "n_copies",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-SimHash near-dup candidate pairs with exact Hamming
     filter — the pairing operator the signature feeds."""
@@ -1087,6 +1136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_partial": q_ann_topk_partial,
         "simhash_neardup": q_simhash_neardup,
         "ivf_probe_topk": q_ivf_probe_topk,
+        "quality_filter": q_quality_filter,
+        "llm_corpus_survivors": q_llm_corpus_survivors,
         "embedding_neardup": q_embedding_neardup,
         "ivf_centroids": q_ivf_centroids,
         "ivf_assign": q_ivf_assign,
@@ -1184,6 +1235,44 @@ _COSINE = (
     "round(list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 )
+
+# quality_filter_flags mirror (functions/text.py): CTE `qflags` ending
+# with per-doc flag columns + keep. bigint/bigint division is DOUBLE in
+# both engines; ratios guard zero denominators identically.
+_QUALITY_CTE = """
+qt AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+qs AS (
+  SELECT doc_id, text,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars,
+    CAST(len(list_filter(toks, x -> x IN ('a','the','of','and','to','in','is')))
+         AS BIGINT) AS hits,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS BIGINT)
+         AS symbols,
+    CAST(length(regexp_replace(lower(text), '[^0-9]', '', 'g')) AS BIGINT)
+         AS digits
+  FROM qt
+),
+qflags AS (
+  SELECT doc_id, text, n_tokens,
+    n_tokens < 10 AS flag_too_short,
+    NOT coalesce(
+      CASE WHEN n_tokens > 0 THEN total_chars / n_tokens END
+        BETWEEN 2.0 AND 12.0, FALSE) AS flag_token_len,
+    coalesce(CASE WHEN n_tokens > 0 THEN hits / n_tokens END, 0.0) < 0.02
+      AS flag_low_stopword,
+    (CASE WHEN n_chars > 0 THEN symbols / n_chars ELSE 0.0 END) > 0.10
+      AS flag_symbol_heavy,
+    (CASE WHEN n_chars > 0 THEN digits / n_chars ELSE 0.0 END) > 0.30
+      AS flag_digit_heavy
+  FROM qs
+)"""
 
 _CENTROID_CTE = """
 ev AS (
@@ -1444,6 +1533,30 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
        CAST(o_custkey AS BIGINT) AS o_custkey,
        CAST(o_totalprice AS DOUBLE) AS o_totalprice
 FROM orders WHERE o_orderkey % 200 = 0
+""",
+        "quality_filter": f"""
+WITH {_QUALITY_CTE.lstrip()}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       flag_too_short, flag_token_len, flag_low_stopword,
+       flag_symbol_heavy, flag_digit_heavy,
+       NOT (flag_too_short OR flag_token_len OR flag_low_stopword OR
+            flag_symbol_heavy OR flag_digit_heavy) AS keep
+FROM qflags
+""",
+        "llm_corpus_survivors": f"""
+WITH {_QUALITY_CTE.lstrip()},
+kept AS (
+  SELECT doc_id, text, n_tokens FROM qflags
+  WHERE NOT (flag_too_short OR flag_token_len OR flag_low_stopword OR
+             flag_symbol_heavy OR flag_digit_heavy)
+),
+reps AS (
+  SELECT md5(text) AS digest, CAST(min(doc_id) AS BIGINT) AS doc_id,
+         CAST(count(*) AS BIGINT) AS n_copies
+  FROM kept GROUP BY 1
+)
+SELECT r.doc_id, r.digest, r.n_copies, CAST(k.n_tokens AS BIGINT) AS n_tokens
+FROM reps r JOIN kept k ON k.doc_id = r.doc_id
 """,
         "simhash_neardup": f"""
 WITH t0 AS (

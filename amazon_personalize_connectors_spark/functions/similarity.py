@@ -263,13 +263,37 @@ def _assign_to_centroids(
 ) -> DataFrame:
     """Nearest centroid per (id, vec) row: broadcast nested-loop over
     the nlist-row centroid table, then keep the best by (score desc,
-    block asc). Adds (assigned_block, score); keeps id and vec."""
+    block asc). Adds (assigned_block, score); keeps id and vec.
+
+    Physical strategy: ``max_by`` hash aggregate, not a row_number
+    window — partial aggregation combines the nlist candidate rows
+    map-side, so ONE row per id crosses the shuffle instead of nlist
+    rows through a window sort. Numeric blocks order the (score,
+    -block) tie-break inside the max; non-numeric blocks fall back to
+    the window form."""
     scored = vectors.join(F.broadcast(centroids)).select(
         "id",
         "vec",
         F.col("block"),
         F.round(cosine(F.col("vec"), F.col("centroid")), round_digits).alias("score"),
     )
+    block_type = dict(centroids.dtypes)["block"]
+    numeric = block_type in (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    ) or block_type.startswith("decimal")
+    if numeric:
+        best = scored.groupBy("id").agg(
+            F.max_by(
+                F.struct(F.col("vec"), F.col("block"), F.col("score")),
+                F.struct(F.col("score"), (-F.col("block")).alias("neg_block")),
+            ).alias("b")
+        )
+        return best.select(
+            "id",
+            F.col("b.vec").alias("vec"),
+            F.col("b.block").alias("assigned_block"),
+            F.col("b.score").alias("score"),
+        )
     w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("block"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

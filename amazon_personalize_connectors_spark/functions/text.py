@@ -71,6 +71,46 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+def quality_filter_flags(
+    text: Column,
+    min_tokens: int = 10,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+    min_stopword_ratio: float = 0.02,
+    max_symbol_ratio: float = 0.10,
+    max_digit_ratio: float = 0.30,
+) -> dict[str, Column]:
+    """C4/Gopher-style document quality rules as boolean flag columns
+    plus the combined ``keep`` verdict. Each rule is a pure Catalyst
+    expression (one pass over the text, integer-ratio arithmetic) so a
+    100 TB corpus filter is a single projected scan — flags kept as
+    columns rather than filtering eagerly, because real pipelines audit
+    WHY documents were dropped (per-rule rejection rates)."""
+    qf = quality_features(text)
+    low = F.lower(text)
+    n_chars = F.length(text).cast("bigint")
+    symbols = F.length(F.regexp_replace(low, "[a-z0-9\\s]", "")).cast("bigint")
+    digits = F.length(F.regexp_replace(low, "[^0-9]", "")).cast("bigint")
+    nonzero = n_chars > 0
+    flags = {
+        "flag_too_short": qf["n_tokens"] < min_tokens,
+        "flag_token_len": ~F.coalesce(
+            qf["avg_token_len"].between(min_avg_token_len, max_avg_token_len),
+            F.lit(False),
+        ),
+        "flag_low_stopword": F.coalesce(qf["stopword_ratio"], F.lit(0.0))
+        < min_stopword_ratio,
+        "flag_symbol_heavy": F.when(nonzero, symbols / n_chars).otherwise(0.0)
+        > max_symbol_ratio,
+        "flag_digit_heavy": F.when(nonzero, digits / n_chars).otherwise(0.0)
+        > max_digit_ratio,
+    }
+    keep = F.lit(True)
+    for c in flags.values():
+        keep = keep & ~c
+    return {**flags, "keep": keep, "n_tokens": qf["n_tokens"]}
+
+
 def fingerprint_min_8gram(text: Column) -> Column:
     """Content fingerprint: the minimum md5 over all character 8-grams
     (winnowing-style rolling fingerprint, window = whole document).

@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "ivf_assign",
     "ivf_probe_topk",
     "text_quality",
+    "quality_filter",
+    "llm_corpus_survivors",
     "doc_fingerprint",
     "events_hourly",
     "events_sessionize",
