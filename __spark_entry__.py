@@ -498,6 +498,22 @@ def q_llm_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document."""
+    from amazon_personalize_connectors_spark.functions.text import (
+        repetition_signals,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    return repetition_signals(docs).select(
+        F.col("id").cast("bigint").alias("id"),
+        "n_tokens",
+        "top_unigram_frac",
+        "top_bigram_frac",
+        "flag_repetitive",
+    )
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-SimHash near-dup candidate pairs with exact Hamming
     filter — the pairing operator the signature feeds."""
@@ -1138,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_probe_topk": q_ivf_probe_topk,
         "quality_filter": q_quality_filter,
         "llm_corpus_survivors": q_llm_corpus_survivors,
+        "repetition_signals": q_repetition_signals,
         "embedding_neardup": q_embedding_neardup,
         "ivf_centroids": q_ivf_centroids,
         "ivf_assign": q_ivf_assign,
@@ -1533,6 +1550,41 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
        CAST(o_custkey AS BIGINT) AS o_custkey,
        CAST(o_totalprice AS DOUBLE) AS o_totalprice
 FROM orders WHERE o_orderkey % 200 = 0
+""",
+        "repetition_signals": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+uni AS (
+  SELECT doc_id, u.tok AS gram, count(*) AS c
+  FROM t, LATERAL (SELECT unnest(toks) AS tok) u
+  GROUP BY 1, 2
+),
+unia AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS max_uni,
+         CAST(sum(c) AS BIGINT) AS n_tokens
+  FROM uni GROUP BY 1
+),
+tb AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+           AS bgs
+  FROM t
+),
+big AS (
+  SELECT doc_id, u.g AS gram, count(*) AS c
+  FROM tb, LATERAL (SELECT unnest(bgs) AS g) u
+  GROUP BY 1, 2
+),
+biga AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS max_big,
+         CAST(sum(c) AS BIGINT) AS n_bigrams
+  FROM big GROUP BY 1
+)
+SELECT CAST(a.doc_id AS BIGINT) AS id, a.n_tokens,
+       a.max_uni / a.n_tokens AS top_unigram_frac,
+       b.max_big / b.n_bigrams AS top_bigram_frac,
+       (a.max_uni / a.n_tokens > 0.20) OR
+         coalesce(b.max_big / b.n_bigrams > 0.18, FALSE) AS flag_repetitive
+FROM unia a LEFT JOIN biga b ON a.doc_id = b.doc_id
 """,
         "quality_filter": f"""
 WITH {_QUALITY_CTE.lstrip()}

@@ -179,6 +179,67 @@ def tfidf_top_terms(
     )
 
 
+def repetition_signals(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_top_unigram: float = 0.20,
+    max_top_bigram: float = 0.18,
+):
+    """Gopher-style repetition quality signals: the fraction of a
+    document covered by its most frequent unigram and bigram (template
+    spam and keyword stuffing score high; natural text stays low).
+
+    Shape at 100 TB: explode to (id, gram) then two map-side-
+    combinable aggregates — count per (id, gram), then max/sum per id
+    — never an O(distinct x n) per-row expression rescan. Documents
+    with no tokens drop out (no grams to measure).
+
+    Returns (id, n_tokens, top_unigram_frac, top_bigram_frac,
+    flag_repetitive).
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    uni = (
+        base.select("id", F.explode("toks").alias("gram"))
+        .groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.max("c").alias("max_uni"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+        )
+    )
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(" ", F.get(F.col("toks"), i - 1), F.get(F.col("toks"), i)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = (
+        base.select("id", F.explode(bigrams).alias("gram"))
+        .groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.max("c").alias("max_big"),
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    out = uni.join(big, "id", "left").select(
+        "id",
+        "n_tokens",
+        (F.col("max_uni") / F.col("n_tokens")).alias("top_unigram_frac"),
+        (F.col("max_big") / F.col("n_bigrams")).alias("top_bigram_frac"),
+    )
+    return out.withColumn(
+        "flag_repetitive",
+        (F.col("top_unigram_frac") > max_top_unigram)
+        | F.coalesce(F.col("top_bigram_frac") > max_top_bigram, F.lit(False)),
+    )
+
+
 def hash_split(
     df, weights: dict[str, float], id_col: str, salt: str = "split-v1"
 ):

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "text_quality",
     "quality_filter",
     "llm_corpus_survivors",
+    "repetition_signals",
     "doc_fingerprint",
     "events_hourly",
     "events_sessionize",

@@ -149,6 +149,26 @@ def test_simhash64_structure_and_long_doc_cost(spark, docs):
     assert len(out) == 8 and elapsed < 60.0
 
 
+def test_repetition_signals_flags_stuffed_docs(spark):
+    from amazon_personalize_connectors_spark.functions.text import (
+        repetition_signals,
+    )
+
+    rows = [
+        (1, "buy cheap pills " * 20),  # stuffed: top bigram dominates
+        (2, "the quick brown fox jumps over a lazy dog near the river bank"),
+        (3, "word"),  # single token: no bigrams, unigram frac 1.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.id: r for r in repetition_signals(df).collect()}
+    assert out[1].flag_repetitive
+    assert not out[2].flag_repetitive
+    assert out[3].top_unigram_frac == 1.0 and out[3].top_bigram_frac is None
+    assert out[3].flag_repetitive  # unigram rule fires, bigram rule null-safe
+    # fraction sanity: doc 1 has 60 tokens, top unigram 20/60
+    assert abs(out[1].top_unigram_frac - 20 / 60) < 1e-12
+
+
 def test_simhash_neardup_pairs_band_and_filter(spark, docs):
     """Exact dups always pair at hamming 0; unrelated docs never pass
     a tight hamming filter."""
