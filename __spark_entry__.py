@@ -1022,6 +1022,51 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(windowed_event_counts(stream))
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, oracle-checked: clicks joined to
+    same-user purchases within 10 minutes, both sides watermarked
+    file streams drained with Trigger.AvailableNow. Inner-join output
+    is a deterministic function of the inputs, so the batch interval
+    join is the oracle."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_interval_join,
+    )
+
+    landing = tempfile.mkdtemp(prefix="apc-stream-join-")
+    batch = synthetic.load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    batch.write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(batch.schema).parquet(landing)
+    clicks = stream.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    purchases = stream.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    joined = stream_interval_join(clicks, purchases)
+    out = joined.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("click_id").cast("bigint").alias("click_id"),
+        F.col("purchase_id").cast("bigint").alias("purchase_id"),
+        # exact integer microseconds, floor-divided — second-level
+        # truncation differs between engines on fractional timestamps
+        F.floor(
+            (F.unix_micros("r_ts") - F.unix_micros("l_ts")) / F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("delay_s"),
+    )
+    return run_stream_to_memory(out, output_mode="append")
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregate: revenue by (priority, year) with subtotals
     and grand total; GROUPING() distinguishes subtotal nulls from
@@ -1173,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_events": q_pivot_events,
         "percentiles": q_percentiles,
         "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_interval_join": q_stream_interval_join,
         "salted_attribution": q_salted_attribution,
         "tfidf_top_terms": q_tfidf_top_terms,
         "contiguous_ids": q_contiguous_ids,
@@ -1899,6 +1945,24 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
+""",
+        "stream_interval_join": """
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS l_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS r_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(c.user_id AS BIGINT) AS user_id,
+       CAST(click_id AS BIGINT) AS click_id,
+       CAST(purchase_id AS BIGINT) AS purchase_id,
+       CAST((epoch_us(r_ts) - epoch_us(l_ts)) // 1000000 AS BIGINT) AS delay_s
+FROM c JOIN p
+  ON c.user_id = p.user_id
+ AND p.r_ts >= c.l_ts
+ AND p.r_ts <= c.l_ts + INTERVAL 10 MINUTE
 """,
         "percentiles": """
 SELECT o_orderpriority,

@@ -336,6 +336,55 @@ def simhash16(text: Column) -> Column:
     return sig
 
 
+def simhash64_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sig) 64-bit SimHash signatures for a whole corpus — the
+    scale form of ``simhash64``: explode tokens, then ONE hash
+    aggregate with 64 integer sums, all inside whole-stage codegen
+    with map-side partial combine (the per-row column expression folds
+    arrays through interpreted higher-order lambdas — fine for ad-hoc
+    columns, ~4x slower corpus-wide). Bit-identical to ``simhash64``:
+    integer sums are associative, and token order never matters.
+
+    Docs with no tokens get the all-ones signature (-1), matching the
+    column form's zero-sum convention."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    h = F.md5("tok")
+    words = toks.select(
+        "id",
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("lo"),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("hi"),
+    )
+    sums = words.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("lo" if i < 32 else "hi"), i % 32)
+                .bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            ).alias(f"s{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("bigint")
+    for i in range(63):
+        sig = sig + F.when(
+            F.col(f"s{i}") >= 0, F.lit(1 << i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    sig = sig + F.when(
+        F.col("s63") >= 0, F.lit(-(1 << 63)).cast("bigint")
+    ).otherwise(F.lit(0).cast("bigint"))
+    with_sig = sums.select("id", sig.alias("sig"))
+    # tokenless docs vanish at the explode — restore with all-ones
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return all_ids.join(with_sig, "id", "left").select(
+        "id", F.coalesce("sig", F.lit(-1).cast("bigint")).alias("sig")
+    )
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -354,9 +403,7 @@ def simhash_neardup_pairs(
 
     Returns (id_a, id_b, hamming) with id_a < id_b.
     """
-    sigs = df.select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig")
-    )
+    sigs = simhash64_table(df, text_col, id_col)
     bands = sigs.select(
         "id",
         "sig",

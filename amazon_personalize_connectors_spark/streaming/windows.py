@@ -76,6 +76,39 @@ def windowed_event_counts(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    max_delay: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` with an event-time interval
+    condition: right events within [left_ts, left_ts + max_delay].
+
+    Both sides carry watermarks and the join condition bounds event
+    time on BOTH ends, so Spark derives a state-cleanup horizon for
+    each side — state is O(events inside the watermark window), not
+    O(stream length). This is the canonical attribution-at-stream-time
+    shape (click -> purchase within N minutes). For an inner join the
+    emitted pairs are a deterministic function of the input (the
+    watermark only governs state eviction), so an AvailableNow drain
+    equals the batch interval join — the oracle relies on that.
+    """
+    cond = (
+        (left[key] == right[key])
+        & (right[right_ts] >= left[left_ts])
+        & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return (
+        left.withWatermark(left_ts, watermark)
+        .join(right.withWatermark(right_ts, watermark), cond, "inner")
+        .drop(right[key])
+    )
+
+
 def _sessionize_group(
     key: tuple[Any, ...],
     batches: Iterable[pd.DataFrame],

@@ -36,9 +36,19 @@ def test_core_queries_have_no_python_udf(spark, sf_dir):
         "band_join_features",
         "asof_join",
         "tfidf_top_terms",
+        # round-2 operators stay JVM-side too (ann_topk_partial is the
+        # one sanctioned Arrow user among the similarity queries)
+        "simhash64",
+        "simhash_neardup",
+        "ivf_probe_topk",
+        "quality_filter",
+        "llm_corpus_survivors",
+        "repetition_signals",
+        "state_digest_update",
     ]:
         plan = _plan(qs[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"python UDF in {name}"
+        assert "ArrowEvalPython" not in plan, f"arrow UDF in {name}"
 
 
 def test_scans_are_column_pruned(spark, sf_dir):
