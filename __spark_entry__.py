@@ -413,13 +413,17 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signature per document (signed-int64 encoding)."""
-    from amazon_personalize_connectors_spark.functions.dedup import simhash64
+    """64-bit SimHash signature per document (signed-int64 encoding),
+    via the corpus-scale explode+aggregate form (bit-identical to the
+    per-row simhash64 column)."""
+    from amazon_personalize_connectors_spark.functions.dedup import simhash64_table
 
     docs = synthetic.load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") % 10 == 0
     )
-    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+    return simhash64_table(docs).select(
+        F.col("id").alias("doc_id"), F.col("sig").alias("simhash")
+    )
 
 
 def q_state_digest_update(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,6 +499,18 @@ def q_llm_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "digest",
         "n_copies",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping 32-token windows (8-token
+    overlap) per document, one generator projection, no joins."""
+    from amazon_personalize_connectors_spark.functions.text import chunk_documents
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8).select(
+        F.col("id").cast("bigint").alias("id"),
+        "chunk_no", "n_tokens", "chunk_text",
     )
 
 
@@ -1200,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "llm_corpus_survivors": q_llm_corpus_survivors,
         "repetition_signals": q_repetition_signals,
+        "chunk_documents": q_chunk_documents,
         "embedding_neardup": q_embedding_neardup,
         "ivf_centroids": q_ivf_centroids,
         "ivf_assign": q_ivf_assign,
@@ -1596,6 +1613,21 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
        CAST(o_custkey AS BIGINT) AS o_custkey,
        CAST(o_totalprice AS DOUBLE) AS o_totalprice
 FROM orders WHERE o_orderkey % 200 = 0
+""",
+        "chunk_documents": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+p AS (
+  SELECT doc_id, toks,
+         greatest(CAST(floor((len(toks) - 9) / 24.0) AS BIGINT), 0) * 24
+           AS last_start
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS id,
+       CAST(u.s // 24 AS BIGINT) AS chunk_no,
+       CAST(len(list_slice(toks, u.s + 1, u.s + 32)) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, u.s + 1, u.s + 32), ' ') AS chunk_text
+FROM p, LATERAL (SELECT unnest(range(0, last_start + 1, 24)) AS s) u
+WHERE len(list_slice(toks, u.s + 1, u.s + 32)) > 0
 """,
         "repetition_signals": f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

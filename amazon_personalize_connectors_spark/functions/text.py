@@ -179,6 +179,54 @@ def tfidf_top_terms(
     )
 
 
+def chunk_documents(
+    df,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Split documents into overlapping token windows — the context-
+    window packing step before tokenizer/training shards. One
+    generator expression per doc (sequence of chunk starts → slice →
+    posexplode), zero Python and zero joins: the fan-out is a narrow
+    projection, so a 100 TB corpus chunks in a single scan.
+
+    Chunks step by ``chunk_tokens - overlap``; the final window keeps
+    its tail (shorter than ``chunk_tokens``) unless it would duplicate
+    the previous window entirely (docs shorter than one chunk yield
+    exactly one). Returns (id, chunk_no, n_tokens, chunk_text).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # 0-based start offsets: 0, step, 2*step, ... while start < n and
+    # (start == 0 or start + overlap < n) — the second clause drops a
+    # trailing window that would be a pure suffix of the previous one
+    last_start = F.greatest(
+        F.floor((n - F.lit(overlap) - 1) / F.lit(step)).cast("int"), F.lit(0)
+    ) * step
+    starts = F.sequence(F.lit(0), last_start, F.lit(step))
+    chunks = F.transform(
+        starts, lambda s: F.slice(toks, s + 1, F.lit(chunk_tokens))
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(chunks).alias("chunk_no", "chunk_toks"),
+        )
+        .where(F.size("chunk_toks") > 0)
+        .select(
+            "id",
+            F.col("chunk_no").cast("bigint").alias("chunk_no"),
+            F.size("chunk_toks").cast("bigint").alias("n_tokens"),
+            F.concat_ws(" ", F.col("chunk_toks")).alias("chunk_text"),
+        )
+    )
+
+
 def repetition_signals(
     df,
     text_col: str = "text",

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "quality_filter",
     "llm_corpus_survivors",
     "repetition_signals",
+    "chunk_documents",
     "doc_fingerprint",
     "events_hourly",
     "events_sessionize",

@@ -149,6 +149,31 @@ def test_simhash64_structure_and_long_doc_cost(spark, docs):
     assert len(out) == 8 and elapsed < 60.0
 
 
+def test_chunk_documents_window_math(spark):
+    from amazon_personalize_connectors_spark.functions.text import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),  # one window
+        (2, " ".join(f"t{i}" for i in range(70))),  # 3 windows of step 24
+        (3, " ".join(f"t{i}" for i in range(32))),  # exactly one chunk
+        (4, ""),  # nothing to pack
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = chunk_documents(df, chunk_tokens=32, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append(r)
+    assert {r.chunk_no for r in by_doc[1]} == {0} and by_doc[1][0].n_tokens == 10
+    c2 = sorted(by_doc[2], key=lambda r: r.chunk_no)
+    assert [r.n_tokens for r in c2] == [32, 32, 22]  # starts 0, 24, 48
+    # overlap: each later chunk re-includes the prior 8 tokens
+    assert c2[1].chunk_text.split()[:8] == c2[0].chunk_text.split()[-8:]
+    assert [r.chunk_no for r in by_doc[3]] == [0]
+    assert 4 not in by_doc
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
 def test_repetition_signals_flags_stuffed_docs(spark):
     from amazon_personalize_connectors_spark.functions.text import (
         repetition_signals,
