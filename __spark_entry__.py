@@ -1083,6 +1083,22 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(out, output_mode="append")
 
 
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global running revenue in order-key order via the distributed
+    prefix sum (no single-task global window); exact decimal
+    accumulation so the running value is layout-independent."""
+    from amazon_personalize_connectors_spark.operators.ids import add_running_total
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    out = add_running_total(orders, ["o_orderkey"], "price", "running_price")
+    return out.select(
+        "o_orderkey", F.col("running_price").cast("double").alias("running_price")
+    )
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregate: revenue by (priority, year) with subtotals
     and grand total; GROUPING() distinguishes subtotal nulls from
@@ -1239,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_attribution": q_salted_attribution,
         "tfidf_top_terms": q_tfidf_top_terms,
         "contiguous_ids": q_contiguous_ids,
+        "running_revenue": q_running_revenue,
         "hash_split": q_hash_split,
         "intersect_items": q_intersect_items,
         "approx_distinct": q_approx_distinct,
@@ -1927,6 +1944,12 @@ FROM events GROUP BY user_id
         "contiguous_ids": """
 SELECT o_orderkey,
        row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS row_id
+FROM orders
+""",
+        "running_revenue": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (ORDER BY o_orderkey) AS DOUBLE) AS running_price
 FROM orders
 """,
         "tfidf_top_terms": f"""

@@ -28,6 +28,64 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def add_running_total(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    total_name: str = "running_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global cumulative sum of ``value_col`` in ``order_cols`` order —
+    the distributed prefix-sum twin of ``add_contiguous_ids``. A plain
+    ``sum() OVER (ORDER BY ...)`` collapses the dataset into one task;
+    here: range-partition on the order key, one tiny per-partition sum
+    collect, prefix-sum the offsets on the driver, then add each
+    partition's offset to its local running sum. No task ever sees
+    more than one partition.
+
+    Sum ``value_col`` as decimal for exactness — double accumulation
+    would make the running value partition-layout-dependent.
+    ``order_cols`` must be a unique ordering (add a tiebreaker).
+    """
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    with_pid = ordered.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+    part_sums = (
+        with_pid.groupBy("__pid")
+        .agg(F.sum(value_col).alias("s"))
+        .orderBy("__pid")
+        .collect()
+    )
+    offsets, acc = {}, None
+    for row in part_sums:
+        offsets[row["__pid"]] = acc
+        acc = row["s"] if acc is None else acc + row["s"]
+    offset_rows = [(pid, off) for pid, off in offsets.items()]
+    value_type = dict(with_pid.dtypes)[value_col]
+    offset_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            offset_rows, f"__pid int, __offset {value_type}"
+        )
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_pid.join(offset_df, "__pid")
+        .withColumn(
+            total_name,
+            F.coalesce(F.col("__offset"), F.lit(0)) + F.sum(value_col).over(w),
+        )
+        .drop("__pid", "__offset")
+    )
+
+
 def add_contiguous_ids(
     df: DataFrame,
     order_cols: Sequence[str],

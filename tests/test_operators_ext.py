@@ -266,3 +266,28 @@ def test_add_contiguous_ids_dense_and_ordered(spark):
     assert [r.row_id for r in rows] == list(range(5000))  # dense 0..n-1
     keys = [(r.grp, r.k) for r in rows]
     assert keys == sorted(keys)  # ids follow the requested order
+
+
+def test_add_running_total_matches_global_window(spark):
+    """Distributed prefix sum == single-task global window, regardless
+    of input layout."""
+    from pyspark.sql.window import Window
+
+    from amazon_personalize_connectors_spark.operators.ids import add_running_total
+
+    df = (
+        spark.range(0, 3000)
+        .selectExpr("id AS k", "CAST((id * 37) % 1000 AS DECIMAL(10,2)) AS v")
+        .repartition(11)
+    )
+    out = add_running_total(df, ["k"], "v", num_partitions=5)
+    got = {r.k: r.running_total for r in out.collect()}
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    expected = {
+        r.k: r.rt
+        for r in df.withColumn("rt", F.sum("v").over(w)).collect()
+    }
+    assert got == expected
+    assert got[0] == expected[0] and got[2999] == sum(
+        (i * 37) % 1000 for i in range(3000)
+    )
