@@ -1083,6 +1083,51 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(out, output_mode="append")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% stratified sample of events per event type:
+    md5-bucket the event id (engine-portable, stable under growth and
+    repartitioning — randomSplit/sample are neither) and keep the
+    lowest fifth of the bucket space. No shuffle at all — a pure
+    filter the scan can evaluate."""
+    events = synthetic.load_events(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "event_id", "event_type")), 1, 8), 16, 10
+    ).cast("bigint")
+    return events.where(bucket < F.lit(int(0.2 * 2**32))).select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "event_type",
+        F.col("user_id").cast("bigint").alias("user_id"),
+    )
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose first view precedes their first
+    click which precedes their first purchase. One conditional
+    aggregation per user (map-side combinable) then an ordering
+    predicate — no joins, no windows."""
+    events = synthetic.load_events(spark, sf_dir)
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    per_user = events.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return per_user.where(
+        F.col("t_view").isNotNull()
+        & F.col("t_click").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_view") < F.col("t_click"))
+        & (F.col("t_click") < F.col("t_purchase"))
+    ).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.date_format("t_view", "yyyy-MM-dd HH:mm:ss").alias("first_view"),
+        F.date_format("t_purchase", "yyyy-MM-dd HH:mm:ss").alias("first_purchase"),
+    )
+
+
 def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global running revenue in order-key order via the distributed
     prefix sum (no single-task global window); exact decimal
@@ -1256,6 +1301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "contiguous_ids": q_contiguous_ids,
         "running_revenue": q_running_revenue,
+        "stratified_sample": q_stratified_sample,
+        "event_funnel": q_event_funnel,
         "hash_split": q_hash_split,
         "intersect_items": q_intersect_items,
         "approx_distinct": q_approx_distinct,
@@ -1951,6 +1998,29 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
               OVER (ORDER BY o_orderkey) AS DOUBLE) AS running_price
 FROM orders
+""",
+        "stratified_sample": f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       event_type,
+       CAST(user_id AS BIGINT) AS user_id
+FROM events
+WHERE CAST(concat('0x', substr(md5(event_id || '|' || event_type), 1, 8))
+           AS BIGINT) < {int(0.2 * 2**32)}
+""",
+        "event_funnel": """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       strftime(t_view, '%Y-%m-%d %H:%M:%S') AS first_view,
+       strftime(t_purchase, '%Y-%m-%d %H:%M:%S') AS first_purchase
+FROM per_user
+WHERE t_view IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
+  AND t_view < t_click AND t_click < t_purchase
 """,
         "tfidf_top_terms": f"""
 WITH toks AS (
