@@ -561,6 +561,19 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd refinement round from the label-seeded centroids:
+    reassign every vector, recompute per-cluster integer sums."""
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        kmeans_refine_sums,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    return kmeans_refine_sums(emb, iters=1).select(
+        F.col("block").cast("bigint").alias("block"), "dim", "sum_e6", "n"
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for sampled query vectors."""
     from amazon_personalize_connectors_spark.functions.similarity import (
@@ -1277,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "llm_corpus_survivors": q_llm_corpus_survivors,
         "repetition_signals": q_repetition_signals,
+        "kmeans_refine": q_kmeans_refine,
         "chunk_documents": q_chunk_documents,
         "embedding_neardup": q_embedding_neardup,
         "ivf_centroids": q_ivf_centroids,
@@ -1773,6 +1787,31 @@ pairs AS (
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
 FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 16
+""",
+        "kmeans_refine": f"""
+WITH {_CENTROID_CTE.lstrip()},
+centroids AS (
+  SELECT block, list(sum_val / n ORDER BY dim) AS centroid
+  FROM centroid_sums GROUP BY block
+),
+assigned AS (
+  SELECT id, v, block AS a_block FROM (
+    SELECT ev.vec_id AS id, ev.v, c.block,
+           row_number() OVER (
+             PARTITION BY ev.vec_id
+             ORDER BY {_COSINE.format(a='ev.v', b='c.centroid')} DESC, c.block
+           ) AS rn
+    FROM ev, centroids c
+  ) WHERE rn = 1
+),
+adim AS (
+  SELECT a_block AS block, CAST(u.i - 1 AS BIGINT) AS dim, v[u.i] AS val
+  FROM assigned, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+)
+SELECT CAST(block AS BIGINT) AS block, dim,
+       CAST(sum(CAST(floor(val * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_e6,
+       CAST(count(*) AS BIGINT) AS n
+FROM adim GROUP BY 1, 2
 """,
         "ivf_probe_topk": f"""
 WITH {_CENTROID_CTE.lstrip()},

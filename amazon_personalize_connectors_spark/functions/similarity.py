@@ -324,6 +324,74 @@ def ivf_assign(
     )
 
 
+def kmeans_refine_sums(
+    embeddings: DataFrame,
+    iters: int = 1,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd (k-means) refinement of the label-seeded centroids:
+    ``iters`` rounds of assign-to-nearest then recompute-means.
+
+    The iterative-algorithm pattern on Spark: the BIG side (vectors)
+    streams through one broadcast assignment + one map-side-combinable
+    aggregate per round; only the TINY side (nlist x dim centroid
+    table) crosses rounds, collected to the driver between iterations
+    — the standard k-means shape (MLlib does the same), which also
+    keeps the lineage flat instead of doubling per round.
+
+    Returns (block, dim, sum_e6, n) for the FINAL assignment — integer
+    ``floor(val * 1e6)`` sums, deterministic under any aggregation
+    order and engine-portable (see ivf_centroids on why not double or
+    decimal-cast sums).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    spark = embeddings.sparkSession
+    emb = _as_double(embeddings, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    centroids = _centroid_table(embeddings, block_col, vec_col)
+    for i in range(iters):
+        assigned = _assign_to_centroids(emb, centroids).select(
+            F.col("assigned_block").alias("block"), "vec"
+        )
+        sums = assigned.select(
+            "block", F.posexplode("vec").alias("dim", "val")
+        ).groupBy("block", "dim").agg(
+            F.sum(F.col("val").cast("decimal(27,12)")).alias("sum_dec"),
+            F.sum(F.floor(F.col("val") * F.lit(1000000.0)).cast("bigint")).alias(
+                "sum_e6"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        if i == iters - 1:
+            return sums.select(
+                "block",
+                F.col("dim").cast("bigint").alias("dim"),
+                "sum_e6",
+                F.col("n").cast("bigint").alias("n"),
+            )
+        # tiny table: rebuild the centroid frame driver-side per round
+        rows = (
+            sums.withColumn("mean", (F.col("sum_dec") / F.col("n")).cast("double"))
+            .select("block", "dim", "mean")
+            .collect()
+        )
+        by_block: dict = {}
+        for r in rows:
+            by_block.setdefault(r["block"], []).append((r["dim"], r["mean"]))
+        centroids = spark.createDataFrame(
+            [
+                (b, [m for _, m in sorted(dims)])
+                for b, dims in sorted(by_block.items())
+            ],
+            f"block {dict(centroids.dtypes)['block']}, centroid array<double>",
+        )
+    raise AssertionError("unreachable")
+
+
 def ivf_probe_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -276,6 +276,25 @@ def test_blocked_neardup_stays_in_block(vectors):
     assert {(p.id_a, p.id_b) for p in pairs} == {(0, 1), (3, 4)}
 
 
+def test_kmeans_refine_multi_iteration(spark, vectors):
+    """Two Lloyd rounds run end-to-end (tiny centroid state collected
+    between rounds) and cluster sizes stay a partition of the corpus."""
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        kmeans_refine_sums,
+    )
+
+    one = kmeans_refine_sums(vectors, iters=1)
+    two = kmeans_refine_sums(vectors, iters=2)
+    n_vecs = vectors.count()
+    for out in (one, two):
+        sizes = {
+            r.block: r.n for r in out.where(F.col("dim") == 0).collect()
+        }
+        assert sum(sizes.values()) == n_vecs
+    with pytest.raises(ValueError):
+        kmeans_refine_sums(vectors, iters=0)
+
+
 def test_ivf_assign_matches_label_clusters(vectors):
     out = {r.id: r.assigned_block for r in ivf_assign(vectors).collect()}
     # vectors sit in their own label's centroid direction
