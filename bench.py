@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "ivf_assign",
     "ivf_probe_topk",
+    "kmeans_refine",
     "text_quality",
     "quality_filter",
     "llm_corpus_survivors",
@@ -60,6 +61,7 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_sessionize",
     "lineitem_pricing",
+    "running_revenue",
 ]
 
 
