@@ -483,22 +483,29 @@ def q_llm_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_filter_flags,
     )
 
+    from pyspark.sql.window import Window
+
     docs = synthetic.load_table(spark, sf_dir, "documents")
     flags = quality_filter_flags(F.col("text"))
-    kept = (
-        docs.withColumn("keep", flags["keep"])
-        .withColumn("n_tokens", flags["n_tokens"])
-        .where(F.col("keep"))
+    kept = docs.where(flags["keep"]).select(
+        "doc_id",
+        F.md5("text").alias("digest"),
+        flags["n_tokens"].alias("n_tokens"),
     )
-    reps = kept.groupBy(F.md5("text").alias("digest")).agg(
-        F.min("doc_id").alias("doc_id"),
-        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
-    )
-    return reps.join(kept.select("doc_id", "n_tokens"), "doc_id").select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        "digest",
-        "n_copies",
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    # one scan, one shuffle: representative + copy count via a window
+    # over the digest partition (the join-back form scans the corpus
+    # twice and shuffles twice — at corpus scale that is the bill)
+    w = Window.partitionBy("digest")
+    return (
+        kept.withColumn("n_copies", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn("min_id", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("min_id"))
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "digest",
+            "n_copies",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        )
     )
 
 

@@ -75,6 +75,21 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     assert "o_orderstatus" in pushed[:200]
 
 
+def test_chunk_documents_is_shuffle_free(spark, sf_dir):
+    """Chunking is a pure generator projection — no Exchange anywhere
+    in the plan; a 100 TB corpus chunks in one scan."""
+    plan = _plan(entry.q_chunk_documents(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_llm_corpus_survivors_single_scan(spark, sf_dir):
+    """The composite filter+dedup pipeline reads the corpus ONCE (the
+    join-back form scanned it twice)."""
+    plan = _plan(entry.q_llm_corpus_survivors(spark, sf_dir))
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert len(scans) == 1, scans
+
+
 def _hot_key_pair(spark, hot_rows: int, payload_width: int = 32):
     """Synthetic extreme skew: key 1 carries ``hot_rows`` fact rows,
     keys 2..1000 ten each; dim has one row per key."""
