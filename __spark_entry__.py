@@ -365,6 +365,25 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup groups from Jaccard candidate pairs via iterative
+    min-label connected components; oracle = DuckDB recursive CTE
+    computing the minimum reachable doc id."""
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        neardup_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    edges = ngram_jaccard_pairs(docs)
+    return neardup_components(edges).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
 def q_ngram_jaccard_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """100 TB form of the Jaccard near-dup: tokenize once, materialize
     the hashed shingle table to parquet, self-join that (same oracle as
@@ -1286,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ngram_jaccard_materialized": q_ngram_jaccard_materialized,
+        "neardup_components": q_neardup_components,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "simhash64": q_simhash64,
@@ -1656,6 +1676,31 @@ SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        CAST(n_a + n_b - common AS BIGINT) AS union_size,
        common / (n_a + n_b - common) AS jaccard
 FROM pairs
+""",
+        "neardup_components": f"""
+WITH RECURSIVE {_SHINGLES_CTE.lstrip()},
+rare AS (
+  SELECT shingle FROM exploded_sh GROUP BY shingle HAVING count(*) <= 100
+),
+filtered AS (SELECT e.* FROM exploded_sh e JOIN rare USING (shingle)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM filtered a JOIN filtered b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+FROM reach GROUP BY node
 """,
         "minhash_lsh": f"""
 WITH {_SHINGLES_CTE_2.lstrip()},

@@ -205,6 +205,67 @@ def ngram_jaccard_pairs_materialized(
     return _pairs_from_shingle_table(mat.join(rare, "shingle"), min_common)
 
 
+def neardup_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs: the step
+    that turns pairwise candidates (Jaccard/MinHash/SimHash output)
+    into dedup GROUPS — component id = the minimum doc id reachable.
+
+    Iterative min-label propagation: each round every node takes the
+    minimum of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds (near-dup clusters are shallow).
+    Each round is one equi-join + one map-side-combinable min
+    aggregate; labels are localCheckpoint'ed per round so lineage
+    stays flat, and the loop stops at the first fixpoint (a tiny
+    changed-row count per round — the iterative-algorithm pattern,
+    same family as kmeans_refine_sums).
+
+    Returns (id, component).
+    """
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["id"] == neigh_min["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new")
+            .join(labels, "id")
+            .where(F.col("new") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 6) -> list[Column]:
     """MinHash signature: for seed s, min over shingles of
     md5('<s>|' + shingle). Hex-string min == numeric min (fixed-width

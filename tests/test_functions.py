@@ -98,6 +98,25 @@ def test_ngram_jaccard_materialized_agrees_with_recompute(spark, tmp_path, docs)
         spark.sql("DROP TABLE IF EXISTS apcs_shingles_test")
 
 
+def test_neardup_components_chain_and_clusters(spark):
+    """Min-label propagation walks a chain (diameter > 1 round),
+    keeps clusters separate, and labels every component by its min."""
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        neardup_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r.id: r.component for r in neardup_components(edges).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
 def test_minhash_catches_exact_dups(docs):
     cands = minhash_lsh_candidates(docs).collect()
     pairs = {(c.id_a, c.id_b): c.n_shared_bands for c in cands}
