@@ -587,6 +587,33 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid text+vector pipeline: the quality filter prunes the
+    corpus FIRST (documents and embeddings share the id key), then
+    exact cosine top-3 runs over only the surviving vectors — the
+    filter-before-expensive-stage composition a cleaning pipeline
+    uses."""
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        brute_force_topk,
+    )
+    from amazon_personalize_connectors_spark.functions.text import (
+        quality_filter_flags,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    flags = quality_filter_flags(F.col("text"))
+    kept_ids = docs.where(flags["keep"]).select(F.col("doc_id").alias("vec_id"))
+    emb = synthetic.load_table(spark, sf_dir, "embeddings").join(
+        F.broadcast(kept_ids), "vec_id"
+    )
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    return brute_force_topk(emb, queries_df, k=3).select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("n_id").cast("bigint").alias("n_id"),
+        "rank", "score",
+    )
+
+
 def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd refinement round from the label-seeded centroids:
     reassign every vector, recompute per-cluster integer sums."""
@@ -1318,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_corpus_survivors": q_llm_corpus_survivors,
         "repetition_signals": q_repetition_signals,
         "kmeans_refine": q_kmeans_refine,
+        "hybrid_filtered_ann": q_hybrid_filtered_ann,
         "chunk_documents": q_chunk_documents,
         "embedding_neardup": q_embedding_neardup,
         "ivf_centroids": q_ivf_centroids,
@@ -1839,6 +1867,31 @@ pairs AS (
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
 FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 16
+""",
+        "hybrid_filtered_ann": f"""
+WITH {_QUALITY_CTE.lstrip()},
+keep_ids AS (
+  SELECT doc_id FROM qflags
+  WHERE NOT (flag_too_short OR flag_token_len OR flag_low_stopword OR
+             flag_symbol_heavy OR flag_digit_heavy)
+),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings JOIN keep_ids ON vec_id = doc_id
+),
+q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+         {_COSINE.format(a='q.v', b='e.v')} AS score
+  FROM q JOIN e ON e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+  FROM scored
+)
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(n_id AS BIGINT) AS n_id,
+       CAST(rank AS BIGINT) AS rank, score
+FROM ranked WHERE rank <= 3
 """,
         "kmeans_refine": f"""
 WITH {_CENTROID_CTE.lstrip()},

@@ -193,6 +193,31 @@ def test_chunk_documents_window_math(spark):
         chunk_documents(df, chunk_tokens=8, overlap=8)
 
 
+def test_chunk_documents_grid_coverage(spark):
+    """Every token appears in some chunk, chunk starts step uniformly,
+    and every non-first chunk carries more than pure overlap — across
+    the boundary grid around multiples of chunk and step sizes."""
+    from amazon_personalize_connectors_spark.functions.text import chunk_documents
+
+    ns = [1, 7, 23, 24, 25, 31, 32, 33, 47, 48, 49, 56, 57, 80, 100]
+    rows = [(n, " ".join(f"w{i}" for i in range(n))) for n in ns]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = chunk_documents(df, chunk_tokens=32, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append(r)
+    for n in ns:
+        chunks = sorted(by_doc[n], key=lambda r: r.chunk_no)
+        covered = set()
+        for k, c in enumerate(chunks):
+            toks = c.chunk_text.split()
+            assert toks[0] == f"w{k * 24}"  # starts step by chunk - overlap
+            if k > 0:
+                assert c.n_tokens > 8  # never a pure-overlap suffix
+            covered.update(toks)
+        assert covered == {f"w{i}" for i in range(n)}, f"gap for n={n}"
+
+
 def test_repetition_signals_flags_stuffed_docs(spark):
     from amazon_personalize_connectors_spark.functions.text import (
         repetition_signals,
