@@ -42,6 +42,33 @@ def test_bucketed_join_no_shuffle_and_correct(spark, bucketed_pair):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_bucketed_attribution_join_no_shuffle(spark, tmp_path):
+    """The flagship J1 shape over pre-bucketed tables: per-item recs
+    joined to the user-item mapping with ZERO exchange — the
+    write-once-shuffle-never strategy for the join that otherwise
+    re-shuffles the fact side every run."""
+    recs = spark.range(0, 2000).select(
+        F.col("id").alias("item_id"),
+        F.array(F.concat(F.lit("r"), F.col("id"))).alias("recommendations"),
+    )
+    mapping = spark.range(0, 60_000).select(
+        (F.col("id") % 2000).alias("item_id"),
+        F.concat(F.lit("u"), (F.col("id") % 7000)).alias("user_id"),
+    )
+    write_bucketed(recs, "t_recs_attr", ["item_id"], 8)
+    write_bucketed(mapping, "t_map_attr", ["item_id"], 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "t_recs_attr", "t_map_attr", ["item_id"])
+        assert_no_shuffle_join(joined)
+        assert joined.count() == 60_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_recs_attr")
+        spark.sql("DROP TABLE IF EXISTS t_map_attr")
+
+
 def test_assert_no_shuffle_join_detects_shuffle(spark):
     a = spark.range(100).select((F.col("id") % 7).alias("k"))
     b = spark.range(100).select((F.col("id") % 7).alias("k"))
