@@ -54,21 +54,19 @@ def add_running_total(
     with_pid = ordered.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
         eager=True
     )
-    part_sums = (
-        with_pid.groupBy("__pid")
-        .agg(F.sum(value_col).alias("s"))
-        .orderBy("__pid")
-        .collect()
-    )
+    sums_frame = with_pid.groupBy("__pid").agg(F.sum(value_col).alias("s"))
+    part_sums = sums_frame.orderBy("__pid").collect()
     offsets, acc = {}, None
     for row in part_sums:
         offsets[row["__pid"]] = acc
         acc = row["s"] if acc is None else acc + row["s"]
     offset_rows = [(pid, off) for pid, off in offsets.items()]
-    value_type = dict(with_pid.dtypes)[value_col]
+    # offsets are SUMS — use the aggregate's (widened) type, not the
+    # input value type, or large datasets overflow the narrower decimal
+    sum_type = dict(sums_frame.dtypes)["s"]
     offset_df = F.broadcast(
         df.sparkSession.createDataFrame(
-            offset_rows, f"__pid int, __offset {value_type}"
+            offset_rows, f"__pid int, __offset {sum_type}"
         )
     )
     w = (
