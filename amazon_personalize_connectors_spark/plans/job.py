@@ -120,12 +120,18 @@ def run_job(
             observed, f"{job_root}/output", name, config.run_datetime
         )
         report.delivered_rows[name] = int(obs.get["n_rows"])
+        connector = next(c for c in config.connectors if c.name == name)
         if write_state and digest_mode:
-            # K5 at scale — append only the delivered delta's digests
-            state_path = f"{job_root}/output/{name}/state_digests"
-            if report.delivered_rows[name] > 0:
-                append_state_digests(res.delta_unstamped, state_path)
-            report.state_paths[name] = state_path
+            # K5 at scale — append only the delivered delta's digests.
+            # Digest state is only meaningful when the delta check runs:
+            # without it delta_unstamped is the FULL output, and
+            # appending it every run would grow the store with
+            # duplicates instead of deltas.
+            if config.delta_enabled(connector):
+                state_path = f"{job_root}/output/{name}/state_digests"
+                if report.delivered_rows[name] > 0:
+                    append_state_digests(res.delta_unstamped, state_path)
+                report.state_paths[name] = state_path
         elif write_state:
             # K5 — new snapshot is the full pre-delta decorated output
             state_path = f"{job_root}/output/{name}/state"
