@@ -1311,6 +1311,143 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 10 != 7)
+    sharing any word 4-gram with the held-out benchmark split
+    (doc_id % 10 == 7). The benchmark gram set is hashed to 8 bytes
+    and broadcast, so the corpus side never shuffles."""
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        decontaminate_ngrams,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 7)
+    test = docs.where(F.col("doc_id") % 10 == 7)
+    return decontaminate_ngrams(train, test, n=4).select(
+        F.col("train_id").cast("bigint").alias("train_id"),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_hit_grams").cast("bigint").alias("n_hit_grams"),
+        "hit_frac",
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: docs laid end-to-end in doc_id order and cut
+    into 512-token context windows via the distributed prefix sum;
+    the oracle is the single-task SQL window the operator refuses to
+    run at scale."""
+    from amazon_personalize_connectors_spark.functions.text import (
+        pack_sequences,
+        tokens,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    return pack_sequences(sized, ["doc_id"], capacity=512).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        "start_offset",
+        "bin_id",
+        "spans_boundary",
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a corpus with synthesized contact strings
+    (the synthetic docs contain none): every doc gets one email and
+    one NANP phone appended; the scrubber must mask exactly those and
+    nothing else. Scrubbed text is pinned by md5 digest."""
+    from amazon_personalize_connectors_spark.functions.text import scrub_pii
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    withc = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 010-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        ).alias("text2"),
+    )
+    cols = scrub_pii(F.col("text2"))
+    return withc.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        cols["n_emails"].alias("n_emails"),
+        cols["n_phones"].alias("n_phones"),
+        F.md5(cols["scrubbed"]).alias("scrub_digest"),
+    )
+
+
+def q_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (cosine) LSH near-dup pairs: exact-int64
+    dot-product signs give a data-independent 6-bit bucket; candidates
+    are a same-bucket equi-join, then the exact rounded cosine."""
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        rp_lsh_pairs,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    return rp_lsh_pairs(emb, n_bits=6, min_cosine=0.3).select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "score",
+    )
+
+
+def q_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha = 0.5) language-mixture rebalancing:
+    per-lang keep rate sqrt(min_count / count), membership by salted
+    md5 bucket; output = per-lang survivor counts + the keep rate."""
+    from amazon_personalize_connectors_spark.functions.text import (
+        temperature_resample,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    kept = temperature_resample(docs, group_col="lang", id_col="doc_id")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.min("keep_rate"), 6).alias("keep_rate"),
+    )
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup, oracle-checked: the events table is
+    staged TWICE into the landing prefix (two identical file batches);
+    dropDuplicatesWithinWatermark must emit each event exactly once —
+    a duplicate is either matched in state or dropped as late, and
+    its first copy was already emitted, so the AvailableNow result is
+    the batch DISTINCT regardless of how files split into
+    micro-batches."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_dedup,
+    )
+
+    landing = tempfile.mkdtemp(prefix="apc-stream-dedup-")
+    batch = synthetic.load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    batch.coalesce(4).write.mode("append").parquet(landing)
+    batch.coalesce(4).write.mode("append").parquet(landing)
+    stream = spark.readStream.schema(batch.schema).parquet(landing)
+    out = stream_dedup(stream, ["event_id"], "ts", "1 hour")
+    return run_stream_to_memory(
+        out.select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "event_type",
+        ),
+        output_mode="append",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "error_split_ok": q_error_split_ok,
@@ -1379,6 +1516,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "renest_legacy_window": q_renest_legacy_window,
         "delta_anti_hash": q_delta_anti_hash,
         "multimodal_decode": q_multimodal_decode,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
+        "pii_scrub": q_pii_scrub,
+        "rp_lsh_pairs": q_rp_lsh_pairs,
+        "lang_mixture": q_lang_mixture,
+        "stream_dedup": q_stream_dedup,
     }
 
 
@@ -2287,6 +2430,114 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
        CAST(count(*) AS BIGINT) AS n
 FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "decontaminate": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(0, greatest(len(t) - 4, 0) + 1),
+                          i -> concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4]))
+         ) AS gs
+  FROM toks
+),
+ex AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM sh),
+te AS (SELECT DISTINCT g FROM ex WHERE doc_id % 10 = 7)
+SELECT CAST(e.doc_id AS BIGINT) AS train_id,
+       CAST(e.n_grams AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_hit_grams,
+       count(*) / e.n_grams AS hit_frac
+FROM ex e JOIN te USING (g)
+WHERE e.doc_id % 10 <> 7
+GROUP BY e.doc_id, e.n_grams
+""",
+        "pack_sequences": f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS e
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+       CAST(e - n_tokens AS BIGINT) AS start_offset,
+       CAST((e - n_tokens) // 512 AS BIGINT) AS bin_id,
+       n_tokens > 0 AND (e - n_tokens) // 512 <> (e - 1) // 512
+         AS spans_boundary
+FROM c
+""",
+        "pii_scrub": """
+WITH w AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 (555) 010-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t2
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+         regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS ne
+  FROM w
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(ne, '\\+[0-9]{1,2} \\(([0-9]{3})\\) [0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(ne, '\\+[0-9]{1,2} \\(([0-9]{3})\\) [0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrub_digest
+FROM s
+""",
+        "rp_lsh_pairs": f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+edim AS (
+  SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS dim,
+         CAST(floor(v[u.i] * 1000000.0) AS BIGINT) AS iv
+  FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+),
+dots AS (
+  SELECT vec_id,
+         sum(iv * ((dim * 1009 + 12345) % 2001 - 1000)) AS d0,
+         sum(iv * ((dim * 1009 + 21521) % 2001 - 1000)) AS d1,
+         sum(iv * ((dim * 1009 + 30697) % 2001 - 1000)) AS d2,
+         sum(iv * ((dim * 1009 + 39873) % 2001 - 1000)) AS d3,
+         sum(iv * ((dim * 1009 + 49049) % 2001 - 1000)) AS d4,
+         sum(iv * ((dim * 1009 + 58225) % 2001 - 1000)) AS d5
+  FROM edim GROUP BY vec_id
+),
+bk AS (SELECT vec_id, (CASE WHEN d0 >= 0 THEN 1 ELSE 0 END) + (CASE WHEN d1 >= 0 THEN 2 ELSE 0 END) + (CASE WHEN d2 >= 0 THEN 4 ELSE 0 END) + (CASE WHEN d3 >= 0 THEN 8 ELSE 0 END) + (CASE WHEN d4 >= 0 THEN 16 ELSE 0 END) + (CASE WHEN d5 >= 0 THEN 32 ELSE 0 END) AS bucket FROM dots),
+withv AS (SELECT e.vec_id, bk.bucket, e.v FROM e JOIN bk USING (vec_id)),
+scored AS (
+  SELECT CAST(a.bucket AS BIGINT) AS bucket,
+         CAST(a.vec_id AS BIGINT) AS id_a,
+         CAST(b.vec_id AS BIGINT) AS id_b,
+         {_COSINE.format(a='a.v', b='b.v')} AS score
+  FROM withv a JOIN withv b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT * FROM scored WHERE score >= 0.3
+""",
+        "lang_mixture": """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+r AS (SELECT lang, sqrt((SELECT min(n) FROM c) / n) AS rate FROM c),
+k AS (
+  SELECT d.lang, r.rate FROM documents d JOIN r USING (lang)
+  WHERE CAST(concat('0x',
+          substr(md5(d.doc_id || '|' || 'mix-v1'), 1, 8)) AS BIGINT)
+        < floor(rate * 4294967296.0)
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       round(min(rate), 6) AS keep_rate
+FROM k GROUP BY lang
+""",
+        "stream_dedup": """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       event_type
+FROM events
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the

@@ -514,3 +514,52 @@ def simhash64(text: Column) -> Column:
     return sig + F.when(
         F.get(sums, 63) >= 0, F.lit(-(1 << 63)).cast("bigint")
     ).otherwise(F.lit(0).cast("bigint"))
+
+
+def decontaminate_ngrams(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any word ``n``-gram with a held-out/benchmark document (the
+    GPT-3/PaLM data-prep step that keeps eval sets honest).
+
+    100 TB shape: the benchmark side collapses to DISTINCT n-gram
+    hashes — tiny next to the corpus, so it is broadcast and the
+    training side never shuffles at all: explode grams, hash to
+    8 bytes pre-join, broadcast-hash-join, map-side-combinable count
+    aggregate. No cross join, no wide shuffle key, and the only
+    full-corpus pass is the tokenize+explode projection.
+
+    Returns one row per CONTAMINATED training doc:
+    ``(train_id, n_grams, n_hit_grams, hit_frac)`` where ``n_grams``
+    is the doc's distinct-gram count (``word_shingles`` dedups) and
+    ``hit_frac = n_hit_grams / n_grams``.
+    """
+    tr = (
+        train.select(
+            F.col(id_col).alias("train_id"),
+            word_shingles(F.col(text_col), n).alias("gs"),
+        )
+        .select(
+            "train_id",
+            F.size("gs").alias("n_grams"),
+            F.explode("gs").alias("g"),
+        )
+        .withColumn("gh", F.xxhash64("g"))
+        .drop("g")
+    )
+    te = (
+        test.select(F.explode(word_shingles(F.col(text_col), n)).alias("g"))
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(te), "gh")
+        .groupBy("train_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+        .withColumn("hit_frac", F.col("n_hit_grams") / F.col("n_grams"))
+    )

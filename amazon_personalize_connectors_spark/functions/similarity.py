@@ -442,3 +442,91 @@ def ivf_probe_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", F.col("rank").cast("bigint").alias("rank"), "score")
     )
+
+
+# --- random-hyperplane (cosine) LSH ---------------------------------------
+
+
+def _rp_weight(bit: int, dim: Column) -> Column:
+    """Engine-portable pseudo-random hyperplane weight in [-1000, 1000]:
+    pure integer arithmetic on (bit, dim), identical in any SQL engine."""
+    return (dim * 1009 + F.lit(bit * 9176 + 12345)) % 2001 - 1000
+
+
+def rp_lsh_buckets(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 6,
+) -> DataFrame:
+    """Random-hyperplane (cosine) LSH bucket per vector: bit b is the
+    sign of the dot product against the b-th fixed pseudo-random
+    hyperplane; the bucket is the ``n_bits``-bit signature.
+
+    Determinism at any scale: embedding values are scaled to exact
+    integers (``floor(v * 1e6)``) and the hyperplane weights are
+    integers, so every dot product is exact int64 arithmetic — float
+    summation order can never flip a sign-boundary bit across
+    engines, partitionings, or retries.
+
+    Corpus-scale shape (same as ``simhash64_table``): posexplode dims
+    once, ONE map-side-combinable hash aggregate computes all bits —
+    whole-stage codegen, no Python, no shuffle wider than
+    (id, n_bits sums).
+    """
+    e = _as_double(embeddings, vec_col)
+    d = e.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(vec_col).alias("dim", "val"),
+    ).withColumn("iv", F.floor(F.col("val") * 1e6).cast("bigint"))
+    aggs = [
+        F.sum(F.col("iv") * _rp_weight(b, F.col("dim"))).alias(f"d{b}")
+        for b in range(n_bits)
+    ]
+    dots = d.groupBy("id").agg(*aggs)
+    bucket = F.lit(0)
+    for b in range(n_bits):
+        bucket = bucket + F.when(
+            F.col(f"d{b}") >= 0, F.lit(1 << b)
+        ).otherwise(F.lit(0))
+    return dots.select("id", bucket.cast("bigint").alias("bucket"))
+
+
+def rp_lsh_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 6,
+    min_cosine: float = 0.3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cosine near-dup candidate pairs via random-hyperplane LSH:
+    same-bucket equi-join (shuffle key = the integer bucket — the
+    blocked_near_duplicates shape with a DATA-INDEPENDENT block key),
+    then exact rounded cosine. Quadratic cost is bounded per bucket;
+    doubling n_bits quarters the expected bucket size."""
+    emb = _as_double(embeddings, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    withb = emb.join(
+        rp_lsh_buckets(embeddings, id_col, vec_col, n_bits), "id"
+    )
+    a = withb.select(
+        "bucket", F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
+    )
+    b = withb.select(
+        "bucket", F.col("id").alias("id_b"), F.col("vec").alias("vec_b")
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "bucket",
+            "id_a",
+            "id_b",
+            F.round(
+                cosine(F.col("vec_a"), F.col("vec_b")), round_digits
+            ).alias("score"),
+        )
+        .where(F.col("score") >= min_cosine)
+    )

@@ -313,3 +313,132 @@ def hash_split(
         out[name] = df.where(cond)
         lo = hi
     return out
+
+
+# --- PII scrubbing ---------------------------------------------------------
+
+# Deliberately simple, engine-portable patterns (valid Java regex AND
+# RE2): the operator contract is "same spans in any engine", not
+# maximal recall — production rule packs slot into the same shape.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,2} \([0-9]{3}\) [0-9]{3}-[0-9]{4}"
+
+
+def scrub_pii(
+    text: Column,
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+) -> dict[str, Column]:
+    """Mask email/phone spans in ``text`` and count what was masked.
+
+    Pure Catalyst regexp expressions — per-row, no shuffle, runs
+    inside the scan's codegen stage; at 100 TB this is a free map over
+    the corpus. Emails are scrubbed before phones so the two counts
+    partition the masked spans deterministically.
+
+    Returns ``{"scrubbed", "n_emails", "n_phones"}`` columns.
+    """
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), F.lit(0)))
+    no_email = F.regexp_replace(text, PII_EMAIL_RE, email_token)
+    n_phones = F.size(
+        F.regexp_extract_all(no_email, F.lit(PII_PHONE_RE), F.lit(0))
+    )
+    scrubbed = F.regexp_replace(no_email, PII_PHONE_RE, phone_token)
+    return {
+        "scrubbed": scrubbed,
+        "n_emails": n_emails.cast("bigint"),
+        "n_phones": n_phones.cast("bigint"),
+    }
+
+
+# --- sequence packing ------------------------------------------------------
+
+
+def pack_sequences(
+    df,
+    order_cols,
+    token_col: str = "n_tokens",
+    capacity: int = 2048,
+    bin_name: str = "bin_id",
+):
+    """Concatenative sequence packing for LLM pretraining: documents
+    are laid end-to-end in ``order_cols`` order and cut into fixed
+    ``capacity``-token context windows. Adds:
+
+    - ``start_offset`` — the doc's global token offset, from the
+      distributed prefix sum (``add_running_total``): range-partition
+      + per-partition offsets, never a single-task global window;
+    - ``bin_name`` — the context window the doc starts in
+      (``start_offset // capacity``);
+    - ``spans_boundary`` — docs crossing a cut point (the ones a
+      loader splits or masks across windows).
+
+    ``order_cols`` must be a unique ordering. Zero-token docs never
+    span.
+    """
+    from amazon_personalize_connectors_spark.operators.ids import (
+        add_running_total,
+    )
+
+    out = add_running_total(df, order_cols, token_col, total_name="__end")
+    start = F.col("__end") - F.col(token_col)
+    return (
+        out.withColumn("start_offset", start.cast("bigint"))
+        .withColumn(
+            bin_name, F.floor(start / F.lit(capacity)).cast("bigint")
+        )
+        .withColumn(
+            "spans_boundary",
+            (F.col(token_col) > 0)
+            & (
+                F.floor(start / F.lit(capacity))
+                != F.floor((F.col("__end") - 1) / F.lit(capacity))
+            ),
+        )
+        .drop("__end")
+    )
+
+
+# --- data-mixture rebalancing ---------------------------------------------
+
+
+def temperature_resample(
+    df,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+):
+    """Deterministic temperature (alpha = 0.5) down-sampling of
+    over-represented groups — the multilingual/multi-source mixture
+    rebalancing step of LLM corpus prep. Keep rate per group is
+    ``sqrt(min_count / count_g)`` (the smallest group keeps 100%),
+    membership decided by a salted md5 bucket of the id — stable
+    under growth and repartitioning, like ``hash_split``.
+
+    100 TB shape: group counts are one map-side-combinable aggregate
+    producing |groups| rows, broadcast back; the keep decision is then
+    a pure per-row filter the scan evaluates. ``sqrt`` is IEEE
+    correctly-rounded, so rates (and membership) are engine-exact.
+
+    Returns (df + ``keep_rate``, filtered to kept rows).
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    min_n = counts.agg(F.min("__n").alias("__min_n"))
+    rates = (
+        counts.crossJoin(F.broadcast(min_n))
+        .withColumn("keep_rate", F.sqrt(F.col("__min_n") / F.col("__n")))
+        .drop("__n", "__min_n")
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(bucket < F.floor(F.col("keep_rate") * F.lit(2.0 ** 32)))
+    )

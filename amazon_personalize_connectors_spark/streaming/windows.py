@@ -213,3 +213,21 @@ def run_stream_to_memory(
         if q.isActive:
             q.stop()
     return spark.table(name)
+
+
+def stream_dedup(
+    stream: DataFrame,
+    key_cols: Iterable[str] = ("event_id",),
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each key wins,
+    duplicates arriving within the watermark horizon are dropped and
+    the key's state is evicted once the watermark passes it —
+    ``dropDuplicatesWithinWatermark``, so state is bounded by the
+    delay window, not the stream's lifetime key cardinality (the
+    property that matters when the key space is 100 TB of events).
+    """
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

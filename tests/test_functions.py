@@ -401,3 +401,126 @@ def test_tfidf_ranks_rare_terms_over_common(spark):
     # zebra (tf=2, df=1) outranks common (tf=3, df=3 -> idf=0)
     assert d1[0] == "zebra"
     assert "common" not in d1
+
+
+def test_decontaminate_flags_shared_ngrams(spark, docs):
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        decontaminate_ngrams,
+    )
+
+    train = docs.where(F.col("doc_id") != 4)
+    test = docs.where(F.col("doc_id") == 4)  # exact dup of doc 1
+    out = decontaminate_ngrams(train, test, n=3).collect()
+    by_id = {r["train_id"]: r for r in out}
+    # doc 1 is an exact copy of the benchmark doc: every gram hits
+    assert by_id[1]["n_hit_grams"] == by_id[1]["n_grams"]
+    assert by_id[1]["hit_frac"] == 1.0
+    # doc 2 differs only in the last word: shares all but the tail grams
+    assert 0 < by_id[2]["n_hit_grams"] < by_id[2]["n_grams"]
+    # unrelated and empty docs are NOT in the output at all
+    assert 3 not in by_id and 5 not in by_id
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, docs):
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        decontaminate_ngrams,
+    )
+
+    out = decontaminate_ngrams(
+        docs.where(F.col("doc_id") != 4), docs.where(F.col("doc_id") == 4)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles
+
+
+def test_pack_sequences_covers_token_stream(spark):
+    from amazon_personalize_connectors_spark.functions.text import pack_sequences
+
+    rows = [(i, (i * 37) % 90 + 1) for i in range(200)] + [(999, 0)]
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens long")
+    out = pack_sequences(df, ["doc_id"], capacity=100).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # offsets are the exclusive prefix sum in doc_id order
+    acc = 0
+    for i in sorted(by_id):
+        r = by_id[i]
+        assert r["start_offset"] == acc
+        assert r["bin_id"] == acc // 100
+        end = acc + r["n_tokens"]
+        expect_spans = r["n_tokens"] > 0 and (acc // 100) != ((end - 1) // 100)
+        assert r["spans_boundary"] == expect_spans
+        acc = end
+    assert by_id[999]["spans_boundary"] is False  # zero-token doc never spans
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from amazon_personalize_connectors_spark.functions.text import scrub_pii
+
+    rows = [
+        (1, "write to alice.smith+x@mail.example.org today"),
+        (2, "call +1 (555) 123-4567 or mail bob@ex.io and eve@ex.io"),
+        (3, "no contact info here"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    cols = scrub_pii(F.col("text"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id", cols["scrubbed"].alias("s"), cols["n_emails"].alias("e"),
+            cols["n_phones"].alias("p"),
+        ).collect()
+    }
+    assert out[1]["e"] == 1 and out[1]["s"] == "write to <EMAIL> today"
+    assert out[2]["e"] == 2 and out[2]["p"] == 1
+    assert out[2]["s"] == "call <PHONE> or mail <EMAIL> and <EMAIL>"
+    assert out[3]["e"] == 0 and out[3]["p"] == 0 and out[3]["s"] == rows[2][1]
+    # idempotent: scrubbing scrubbed text changes nothing
+    again = scrub_pii(F.col("text"))
+    df2 = df.select(cols["scrubbed"].alias("text"))
+    assert df2.select(scrub_pii(F.col("text"))["n_emails"].alias("e")).agg(
+        F.sum("e")
+    ).first()[0] == 0
+
+
+def test_rp_lsh_same_bucket_for_identical_vectors(spark):
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        rp_lsh_buckets,
+        rp_lsh_pairs,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),   # identical to 0
+        (2, [0.99, 0.01, 0.0, 0.0]),  # near 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # antipodal: all bits flip
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    b = {r["id"]: r["bucket"] for r in rp_lsh_buckets(df, n_bits=6).collect()}
+    assert b[0] == b[1] == b[2]
+    assert b[3] == (2 ** 6 - 1) ^ b[0]  # sign flip complements every bit
+    pairs = rp_lsh_pairs(df, n_bits=6, min_cosine=0.9).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got and (0, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_temperature_resample_rates_and_determinism(spark):
+    from amazon_personalize_connectors_spark.functions.text import (
+        temperature_resample,
+    )
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    kept = temperature_resample(df, group_col="lang", id_col="doc_id")
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # smallest group keeps everything; big group ~ sqrt(100/400)=50%
+    assert counts["small"] == 100
+    assert 150 <= counts["big"] <= 250
+    # deterministic: same rows on recompute and under repartition
+    kept2 = temperature_resample(
+        df.repartition(13), group_col="lang", id_col="doc_id"
+    )
+    ids1 = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in kept2.select("doc_id").collect()}
+    assert ids1 == ids2

@@ -291,3 +291,29 @@ def test_add_running_total_matches_global_window(spark):
     assert got[0] == expected[0] and got[2999] == sum(
         (i * 37) % 1000 for i in range(3000)
     )
+
+
+def test_stream_dedup_exactly_once_across_file_batches(spark, tmp_path):
+    from amazon_personalize_connectors_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_dedup,
+    )
+
+    rows = [
+        (i, f"2024-01-01 10:{i % 50:02d}:00", i % 7) for i in range(100)
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    landing = str(tmp_path / "landing")
+    # the same rows land twice (duplicate delivery)
+    batch.coalesce(2).write.mode("append").parquet(landing)
+    batch.coalesce(2).write.mode("append").parquet(landing)
+    stream = spark.readStream.schema(batch.schema).parquet(landing)
+    out = run_stream_to_memory(
+        stream_dedup(stream, ["event_id"], "ts", "1 hour"),
+        output_mode="append",
+    )
+    got = out.select("event_id").collect()
+    assert len(got) == 100  # exactly once despite double delivery
+    assert {r["event_id"] for r in got} == set(range(100))
