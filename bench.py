@@ -62,6 +62,11 @@ BENCH_QUERIES = [
     "events_sessionize",
     "lineitem_pricing",
     "running_revenue",
+    "decontaminate",
+    "pack_sequences",
+    "pii_scrub",
+    "rp_lsh_pairs",
+    "lang_mixture",
 ]
 
 
