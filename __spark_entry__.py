@@ -1448,6 +1448,135 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quartiles (ntile window) per order priority with
+    per-bucket counts and integer-cents bounds — the histogram/binning
+    member of the window family. Tie-broken by order key so bucket
+    assignment is deterministic; one window shuffle on the group key."""
+    from pyspark.sql.window import Window
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    return (
+        orders.select("o_orderpriority", "o_orderkey", cents.alias("cents"))
+        .withColumn("q", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("q").cast("bigint").alias("quartile"),
+            "n",
+            "lo_cents",
+            "hi_cents",
+        )
+    )
+
+
+def q_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic reservoir-style sample of k=3 events per event
+    type: rank by a salted md5 of the event id (uniform,
+    engine-portable, stable under growth and repartitioning — unlike
+    sampleBy) and keep the first k per group. One window shuffle."""
+    from pyspark.sql.window import Window
+
+    events = synthetic.load_events(spark, sf_dir)
+    key = F.md5(
+        F.concat_ws("|", F.col("event_id").cast("string"), F.lit("sample-v1"))
+    )
+    w = Window.partitionBy("event_type").orderBy("__k", "event_id")
+    return (
+        events.select("event_type", "event_id", key.alias("__k"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "event_type",
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def q_approx_median_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch validation (the approx_distinct pattern): per
+    priority, the exact integer-cents median next to a flag that
+    percentile_approx (GK sketch, accuracy 1000, mergeable — no
+    per-group sort) landed within 2%. The oracle pins the flag TRUE,
+    so a sketch regression fails the value-hash while exact values
+    stay engine-comparable."""
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    agg = (
+        orders.select("o_orderpriority", cents.alias("cents"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(cents, 0.5)").alias("median_cents"),
+            F.expr("approx_percentile(cents, 0.5, 1000)").alias("__apx"),
+        )
+    )
+    return agg.select(
+        "o_orderpriority",
+        "median_cents",
+        (
+            F.abs(F.col("__apx") - F.col("median_cents"))
+            <= 0.02 * F.col("median_cents")
+        ).alias("approx_within_2pct"),
+    )
+
+
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LLM corpus-prep chain as ONE lazy plan: quality filter
+    -> exact dedup (min-id representative, one window shuffle) ->
+    4-gram benchmark decontamination (contaminated survivors dropped)
+    -> temperature language rebalancing -> sequence packing into
+    512-token context windows. Every stage is the library operator;
+    the composition proves they fuse without materialization
+    barriers."""
+    from pyspark.sql.window import Window
+
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        decontaminate_ngrams,
+    )
+    from amazon_personalize_connectors_spark.functions.text import (
+        pack_sequences,
+        quality_filter_flags,
+        temperature_resample,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    flags = quality_filter_flags(F.col("text"))
+    kept = docs.where(flags["keep"]).select(
+        "doc_id", "lang", "text", flags["n_tokens"].alias("n_tokens")
+    )
+    w = Window.partitionBy(F.md5("text"))
+    reps = (
+        kept.withColumn("min_id", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("min_id"))
+        .drop("min_id")
+    )
+    train = reps.where(F.col("doc_id") % 10 != 7)
+    bench = docs.where(F.col("doc_id") % 10 == 7)
+    contaminated = decontaminate_ngrams(train, bench, n=4).select(
+        F.col("train_id").alias("doc_id")
+    )
+    clean = train.join(contaminated, "doc_id", "left_anti")
+    balanced = temperature_resample(clean, group_col="lang", id_col="doc_id")
+    packed = pack_sequences(
+        balanced.select("doc_id", "lang", "n_tokens"), ["doc_id"], capacity=512
+    )
+    return packed.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "start_offset",
+        "bin_id",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "error_split_ok": q_error_split_ok,
@@ -1522,6 +1651,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_lsh_pairs": q_rp_lsh_pairs,
         "lang_mixture": q_lang_mixture,
         "stream_dedup": q_stream_dedup,
+        "ntile_quartiles": q_ntile_quartiles,
+        "sample_k_per_group": q_sample_k_per_group,
+        "approx_median_check": q_approx_median_check,
+        "corpus_prep_pipeline": q_corpus_prep_pipeline,
     }
 
 
@@ -2538,6 +2671,101 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(user_id AS BIGINT) AS user_id,
        event_type
 FROM events
+""",
+        "ntile_quartiles": """
+WITH c AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+t AS (
+  SELECT o_orderpriority, cents,
+         ntile(4) OVER (
+           PARTITION BY o_orderpriority ORDER BY cents, o_orderkey
+         ) AS q
+  FROM c
+)
+SELECT o_orderpriority, CAST(q AS BIGINT) AS quartile,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(cents) AS BIGINT) AS lo_cents,
+       CAST(max(cents) AS BIGINT) AS hi_cents
+FROM t GROUP BY 1, 2
+""",
+        "sample_k_per_group": """
+WITH r AS (
+  SELECT event_type, event_id,
+         md5(event_id || '|' || 'sample-v1') AS k,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(event_id || '|' || 'sample-v1'), event_id
+         ) AS rank
+  FROM events
+)
+SELECT event_type, CAST(event_id AS BIGINT) AS event_id,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+""",
+        "approx_median_check": """
+SELECT o_orderpriority,
+       quantile_cont(cents, 0.5) AS median_cents,
+       TRUE AS approx_within_2pct
+FROM (
+  SELECT o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+)
+GROUP BY o_orderpriority
+""",
+        "corpus_prep_pipeline": f"""
+WITH {_QUALITY_CTE.lstrip()},
+kept AS (
+  SELECT q.doc_id, d.lang, q.text, q.n_tokens
+  FROM qflags q JOIN documents d USING (doc_id)
+  WHERE NOT (flag_too_short OR flag_token_len OR flag_low_stopword OR
+             flag_symbol_heavy OR flag_digit_heavy)
+),
+reps AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+train AS (
+  SELECT k.* FROM kept k JOIN reps r USING (doc_id)
+  WHERE k.doc_id % 10 <> 7
+),
+ttoks AS (SELECT doc_id, {_TOKS} AS t FROM train),
+tg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(len(t) - 4, 0) + 1),
+                i -> concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4]))) AS g
+  FROM ttoks
+),
+btoks AS (SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 10 = 7),
+bg AS (
+  SELECT DISTINCT
+         unnest(list_transform(range(0, greatest(len(t) - 4, 0) + 1),
+                i -> concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4]))) AS g
+  FROM btoks
+),
+contaminated AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (g)),
+clean AS (
+  SELECT * FROM train
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+cnt AS (SELECT lang, count(*) AS n FROM clean GROUP BY lang),
+rt AS (SELECT lang, sqrt((SELECT min(n) FROM cnt) / n) AS rate FROM cnt),
+bal AS (
+  SELECT c.* FROM clean c JOIN rt USING (lang)
+  WHERE CAST(concat('0x',
+          substr(md5(c.doc_id || '|' || 'mix-v1'), 1, 8)) AS BIGINT)
+        < floor(rate * 4294967296.0)
+),
+packed AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS e
+  FROM bal
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(e - n_tokens AS BIGINT) AS start_offset,
+       CAST((e - n_tokens) // 512 AS BIGINT) AS bin_id
+FROM packed
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the

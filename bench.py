@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "pii_scrub",
     "rp_lsh_pairs",
     "lang_mixture",
+    "ntile_quartiles",
+    "sample_k_per_group",
+    "approx_median_check",
+    "corpus_prep_pipeline",
 ]
 
 
