@@ -189,23 +189,36 @@ def blocked_near_duplicates(
     key (cluster/LSH bucket/label), then pairwise cosine inside each
     block only. The join is shuffle-partitioned by block — quadratic
     cost is bounded per block, never global."""
-    emb = _as_double(embeddings, vec_col)
+    # Norms are computed ONCE per vector before the join, not per pair:
+    # the higher-order fold behind dot() is interpreted per element, so
+    # folding each vector 3x per pair (dot + both norms) triples the
+    # dominant cost. Same floats — norm(a) is the identical expression
+    # either side of the join — so scores are bit-identical.
+    emb = _as_double(embeddings, vec_col).withColumn(
+        "__norm", norm(F.col(vec_col))
+    )
     a = emb.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
+        F.col("__norm").alias("norm_a"),
     )
     b = emb.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
+        F.col("__norm").alias("norm_b"),
     )
     pairs = a.join(b, "block").where(F.col("id_a") < F.col("id_b"))
     scored = pairs.select(
         "block",
         "id_a",
         "id_b",
-        F.round(cosine(F.col("vec_a"), F.col("vec_b")), round_digits).alias("score"),
+        F.round(
+            dot(F.col("vec_a"), F.col("vec_b"))
+            / (F.col("norm_a") * F.col("norm_b")),
+            round_digits,
+        ).alias("score"),
     )
     return scored.where(F.col("score") >= min_cosine)
 
@@ -505,17 +518,26 @@ def rp_lsh_pairs(
     blocked_near_duplicates shape with a DATA-INDEPENDENT block key),
     then exact rounded cosine. Quadratic cost is bounded per bucket;
     doubling n_bits quarters the expected bucket size."""
+    # per-vector norm precompute — see blocked_near_duplicates
     emb = _as_double(embeddings, vec_col).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("__norm"),
     )
     withb = emb.join(
         rp_lsh_buckets(embeddings, id_col, vec_col, n_bits), "id"
     )
     a = withb.select(
-        "bucket", F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
+        "bucket",
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("__norm").alias("norm_a"),
     )
     b = withb.select(
-        "bucket", F.col("id").alias("id_b"), F.col("vec").alias("vec_b")
+        "bucket",
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("__norm").alias("norm_b"),
     )
     return (
         a.join(b, "bucket")
@@ -525,7 +547,9 @@ def rp_lsh_pairs(
             "id_a",
             "id_b",
             F.round(
-                cosine(F.col("vec_a"), F.col("vec_b")), round_digits
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                round_digits,
             ).alias("score"),
         )
         .where(F.col("score") >= min_cosine)
