@@ -1577,6 +1577,45 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregate (30-min gap): Spark merges
+    overlapping per-event windows inside one (user, session)
+    aggregate — the engine's third sessionization strategy next to
+    the window-lag form (events_sessionize) and the stateful
+    applyInPandasWithState form, all pinned to the same
+    island-detection semantics. Bounds exposed as exact integer
+    microseconds (second-level formatting differs across engines on
+    fractional timestamps)."""
+    events = synthetic.load_events(spark, sf_dir)
+    agg = events.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return agg.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.unix_micros("session_window.start").alias("start_us"),
+        F.unix_micros("session_window.end").alias("end_us"),
+        "n_events",
+    )
+
+
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured columns: parse the
+    JSON props string once into a variant, then typed variant_get
+    extraction — no per-query re-parsing, open schema. The oracle is
+    classic JSON-path extraction, pinning variant results to the
+    string-path semantics."""
+    events = synthetic.load_events(spark, sf_dir)
+    v = events.select(
+        "event_id", "event_type", F.parse_json("props").alias("v")
+    )
+    return v.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k_val"),
+        (F.expr("variant_get(v, '$.k', 'bigint')") % 2 == 0).alias("k_even"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "error_split_ok": q_error_split_ok,
@@ -1655,6 +1694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_k_per_group": q_sample_k_per_group,
         "approx_median_check": q_approx_median_check,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
+        "session_window_native": q_session_window_native,
+        "variant_props": q_variant_props,
     }
 
 
@@ -2766,6 +2807,41 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
        CAST(e - n_tokens AS BIGINT) AS start_offset,
        CAST((e - n_tokens) // 512 AS BIGINT) AS bin_id
 FROM packed
+""",
+        "session_window_native": """
+WITH w AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800 * 1000 * 1000
+              THEN 1 ELSE 0 END AS new_s
+  FROM w
+),
+sess AS (
+  SELECT user_id, ts_us,
+         sum(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS sid
+  FROM flagged
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(min(ts_us) AS BIGINT) AS start_us,
+       CAST(max(ts_us) + 1800 * 1000 * 1000 AS BIGINT) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+        "variant_props": """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0 AS k_even
+FROM events
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the

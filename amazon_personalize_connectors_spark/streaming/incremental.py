@@ -89,3 +89,43 @@ def incremental_pipeline_run(
         sink(process(batch_df), batch_id)
 
     return run_available_now(source, checkpoint_dir, batch_fn)
+
+
+def incremental_content_ingest(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    deliver: Callable[[DataFrame, int], None],
+) -> StreamingQuery:
+    """Streaming once-per-CONTENT ingestion: each micro-batch deltas
+    against the digest-bucketed state store (left-anti join on the
+    96-bit record digest), hands only never-seen records to
+    ``deliver``, then appends their digests — the streaming face of
+    ``delta_check_against_digests``/``append_state_digests``, so
+    state growth and per-batch cost are ∝ new content, never corpus
+    size.
+
+    Replay safety: if a batch is reprocessed after a crash between
+    deliver() and the digest append, records are re-delivered
+    (at-least-once delivery, like the reference's queue path) but the
+    digest append itself is idempotent — duplicates collapse at
+    read/compaction time, so state never diverges.
+    """
+    from amazon_personalize_connectors_spark.operators.delta import (
+        append_state_digests,
+        delta_check_against_digests,
+        read_state_digests,
+    )
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        digests = read_state_digests(spark, state_path)
+        fresh = delta_check_against_digests(batch_df, digests)
+        fresh.persist()
+        try:
+            deliver(fresh, batch_id)
+            append_state_digests(fresh, state_path)
+        finally:
+            fresh.unpersist()
+
+    return run_available_now(stream, checkpoint_dir, batch_fn)

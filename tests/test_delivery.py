@@ -226,3 +226,43 @@ def test_sample_frames_strides_content(spark):
     assert all(len(f.frame_bytes) <= 16 for f in frames)
     joined = b"".join(bytes(f.frame_bytes) for f in sorted(frames, key=lambda f: f.frame_no))
     assert bytes(media.first().content).startswith(joined[:16])
+
+
+def test_incremental_content_ingest_delivers_each_content_once(spark, tmp_path):
+    from amazon_personalize_connectors_spark.streaming.incremental import (
+        incremental_content_ingest,
+    )
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "digest-state")
+    delivered: list[set] = []
+
+    def deliver(df, batch_id):
+        delivered.append({r["doc_id"] for r in df.select("doc_id").collect()})
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(landing)
+        )
+        q = incremental_content_ingest(stream, state, str(tmp_path / ckpt), deliver)
+        q.awaitTermination(120)
+
+    b1 = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(50)], "doc_id long, text string"
+    )
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    run("ck1")
+    assert delivered and delivered[-1] == set(range(50))
+
+    # second wave: 20 exact repeats (same doc_id AND text) + 10 new
+    b2 = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(30, 60)], "doc_id long, text string"
+    )
+    b2.coalesce(1).write.mode("append").parquet(landing)
+    run("ck2")  # fresh checkpoint: files re-read, content still deduped
+    flat = set().union(*delivered)
+    assert flat == set(range(60))
+    # repeated content was never re-delivered in the later batches
+    later = set().union(*(delivered[1:] or [set()]))
+    assert later & set(range(30)) == set()
