@@ -1616,6 +1616,26 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal: 3-token segments appearing in
+    more than 2 distinct docs are stripped corpus-wide, documents
+    reconstructed from surviving segments in order (text pinned by
+    digest). One codegen segmentation pass, one distinct-doc-count
+    aggregate on the segment hash, one ordered re-nest."""
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        strip_repeated_segments,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    out = strip_repeated_segments(docs, seg_tokens=3, max_doc_freq=2)
+    return out.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("n_segs").cast("bigint").alias("n_segs"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.md5("clean_text").alias("clean_digest"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "error_split_ok": q_error_split_ok,
@@ -1696,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
         "session_window_native": q_session_window_native,
         "variant_props": q_variant_props,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -2842,6 +2863,23 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
        CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0 AS k_even
 FROM events
+""",
+        "line_dedup": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+segs AS (
+  SELECT doc_id, CAST(ceil(len(t) / 3.0) AS BIGINT) AS n_segs, u.i,
+         concat_ws(' ', t[i*3+1], t[i*3+2], t[i*3+3]) AS seg
+  FROM toks, LATERAL (
+    SELECT unnest(range(0, CAST(ceil(len(t) / 3.0) AS BIGINT))) AS i
+  ) u
+),
+freq AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) <= 2),
+kept AS (SELECT s.* FROM segs s JOIN freq f USING (seg))
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min(n_segs) AS BIGINT) AS n_segs,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       md5(string_agg(seg, ' ' ORDER BY i)) AS clean_digest
+FROM kept GROUP BY doc_id
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the

@@ -596,3 +596,80 @@ def decontaminate_ngrams(
         .where(F.col("n_hit_grams") > 0)
         .withColumn("hit_frac", F.col("n_hit_grams") / F.col("n_grams"))
     )
+
+
+def segment_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 3,
+) -> DataFrame:
+    """(id, n_segs, i, seg): consecutive non-overlapping token
+    segments — the 'lines' of layout-free text. Same codegen shape as
+    ``gram_table`` (explode the segment-index sequence + flat
+    slice/concat_ws projection); zero-token docs emit no rows."""
+    with_t = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+    )
+    n_segs = F.ceil(F.size("t") / F.lit(seg_tokens)).cast("int")
+    idx = F.when(n_segs > 0, F.sequence(F.lit(0), n_segs - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    ex = with_t.select(
+        "id",
+        "t",
+        n_segs.cast("bigint").alias("n_segs"),
+        F.explode(idx).alias("i"),
+    )
+    return ex.select(
+        "id",
+        "n_segs",
+        F.col("i").cast("bigint").alias("i"),
+        F.concat_ws(
+            " ", F.slice("t", F.col("i") * seg_tokens + 1, seg_tokens)
+        ).alias("seg"),
+    )
+
+
+def strip_repeated_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 3,
+    max_doc_freq: int = 2,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal: drop every segment
+    ('line') that appears in more than ``max_doc_freq`` distinct
+    documents, then reconstruct each document from its surviving
+    segments in order.
+
+    100 TB shape: segment the corpus once (codegen, no shuffle), one
+    map-side-combinable distinct-doc-count aggregate keyed by the
+    8-byte segment hash, equi-join the frequency verdict back on that
+    hash, and one ordered re-nest aggregate per doc. Documents whose
+    every segment is boilerplate vanish from the output (fully-
+    templated pages — the rows CCNet drops).
+
+    Returns (id, n_segs, n_kept, clean_text).
+    """
+    segs = segment_table(df, text_col, id_col, seg_tokens).withColumn(
+        "sh", F.xxhash64("seg")
+    )
+    freq = (
+        segs.groupBy("sh")
+        .agg(F.countDistinct("id").alias("df"))
+        .where(F.col("df") <= max_doc_freq)
+        .select("sh")
+    )
+    kept = segs.join(freq, "sh")
+    return kept.groupBy("id").agg(
+        F.min("n_segs").alias("n_segs"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

@@ -524,3 +524,35 @@ def test_temperature_resample_rates_and_determinism(spark):
     ids1 = {r["doc_id"] for r in kept.select("doc_id").collect()}
     ids2 = {r["doc_id"] for r in kept2.select("doc_id").collect()}
     assert ids1 == ids2
+
+
+def test_strip_repeated_segments_removes_boilerplate(spark):
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        strip_repeated_segments,
+    )
+
+    # bodies are exactly seg_tokens long so the shared footer lands on
+    # a segment boundary in every doc (segments are aligned windows of
+    # the token stream, not sentence-split)
+    footer = "subscribe to our newsletter now"
+    rows = [
+        (1, f"unique alpha content here today {footer}"),
+        (2, f"other beta words entirely different {footer}"),
+        (3, f"third gamma body text block {footer}"),
+        (4, footer),                      # pure boilerplate -> dropped
+        (5, "completely original document standing alone"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["id"]: r
+        for r in strip_repeated_segments(
+            df, seg_tokens=5, max_doc_freq=2
+        ).collect()
+    }
+    # the shared footer segment (df=4 > 2) is stripped everywhere
+    assert out[1]["clean_text"] == "unique alpha content here today"
+    assert out[2]["clean_text"] == "other beta words entirely different"
+    assert out[3]["clean_text"] == "third gamma body text block"
+    assert 4 not in out  # fully-boilerplate doc vanishes
+    assert out[5]["clean_text"] == "completely original document standing alone"
+    assert out[1]["n_segs"] == 2 and out[1]["n_kept"] == 1
