@@ -643,12 +643,17 @@ def strip_repeated_segments(
     documents, then reconstruct each document from its surviving
     segments in order.
 
-    100 TB shape: segment the corpus once (codegen, no shuffle), one
-    map-side-combinable distinct-doc-count aggregate keyed by the
-    8-byte segment hash, equi-join the frequency verdict back on that
-    hash, and one ordered re-nest aggregate per doc. Documents whose
-    every segment is boilerplate vanish from the output (fully-
-    templated pages — the rows CCNet drops).
+    100 TB shape: one map-side-combinable distinct-doc-count
+    aggregate keyed by the 8-byte segment hash, equi-join the
+    frequency verdict back on that hash, one ordered re-nest
+    aggregate per doc. The frequency branch re-segments the corpus
+    (column pruning reduces it to tokenize+hash) rather than caching
+    — the same measured tradeoff as ngram_jaccard_pairs; at corpus
+    scale, materialize the segment table to parquet first and feed
+    it to both branches, exactly like
+    ngram_jaccard_pairs_materialized. Documents whose every segment
+    is boilerplate vanish from the output (fully-templated pages —
+    the rows CCNet drops).
 
     Returns (id, n_segs, n_kept, clean_text).
     """

@@ -10,6 +10,7 @@ unchanged) and gzip by default like the Lambda half expects
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from datetime import datetime
 
 from pyspark.sql import DataFrame
@@ -95,3 +96,29 @@ def compact_write(
     shaped = df.coalesce(n_files) if n_files <= current else df.repartition(n_files)
     shaped.write.mode(mode).format(format).save(path)
     return n_files
+
+
+def write_partitioned_idempotent(
+    df: DataFrame,
+    base: str,
+    partition_cols: Sequence[str],
+    format: str = "parquet",
+) -> None:
+    """Idempotent backfill write: dynamic partition overwrite replaces
+    ONLY the partitions present in ``df`` — re-running one day (or one
+    connector/date slice) of a 100 TB output never touches sibling
+    partitions, unlike static overwrite which truncates the whole
+    table root. The session conf is set per-write and restored."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "dynamic")
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .format(format)
+            .save(base)
+        )
+    finally:
+        spark.conf.set(key, old)

@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "sample_k_per_group",
     "approx_median_check",
     "corpus_prep_pipeline",
+    "line_dedup",
+    "session_window_native",
+    "variant_props",
 ]
 
 

@@ -45,6 +45,14 @@ def test_core_queries_have_no_python_udf(spark, sf_dir):
         "llm_corpus_survivors",
         "repetition_signals",
         "state_digest_update",
+        # third-wave operators stay JVM-side as well
+        "decontaminate",
+        "line_dedup",
+        "pack_sequences",
+        "rp_lsh_pairs",
+        "corpus_prep_pipeline",
+        "session_window_native",
+        "variant_props",
     ]:
         plan = _plan(qs[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"python UDF in {name}"
