@@ -1636,6 +1636,31 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB form of line_dedup: the segment table is written to
+    parquet once and feeds both the frequency aggregate and the
+    reconstruction branch (the recompute form segments the corpus
+    twice). Same oracle as line_dedup — identical results from a
+    different physical strategy."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        strip_repeated_segments_materialized,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="apcs_segments_")
+    out = strip_repeated_segments_materialized(
+        spark, docs, f"{work}/segments", seg_tokens=3, max_doc_freq=2
+    )
+    return out.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("n_segs").cast("bigint").alias("n_segs"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.md5("clean_text").alias("clean_digest"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "error_split_ok": q_error_split_ok,
@@ -1717,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_native": q_session_window_native,
         "variant_props": q_variant_props,
         "line_dedup": q_line_dedup,
+        "line_dedup_materialized": q_line_dedup_materialized,
     }
 
 
@@ -2885,6 +2911,8 @@ FROM kept GROUP BY doc_id
     # the materialized-shingle Jaccard is result-identical to the
     # recompute form — same oracle pins both physical strategies
     sqls["ngram_jaccard_materialized"] = sqls["ngram_jaccard_pairs"]
+    # materialized line dedup is result-identical to the recompute form
+    sqls["line_dedup_materialized"] = sqls["line_dedup"]
     # likewise the two-stage partial top-k vs the window form
     sqls["ann_topk_partial"] = sqls["ann_topk"]
     return sqls

@@ -678,3 +678,41 @@ def strip_repeated_segments(
             " ",
         ).alias("clean_text"),
     )
+
+
+def strip_repeated_segments_materialized(
+    spark,
+    df: DataFrame,
+    work_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 3,
+    max_doc_freq: int = 2,
+) -> DataFrame:
+    """``strip_repeated_segments`` with the segment table written to
+    parquet ONCE and read by both the frequency aggregate and the
+    reconstruction branch — the corpus-scale form (the recompute
+    variant tokenizes the corpus twice). Results are identical; the
+    same oracle pins both physical strategies."""
+    segment_table(df, text_col, id_col, seg_tokens).withColumn(
+        "sh", F.xxhash64("seg")
+    ).write.mode("overwrite").parquet(work_path)
+    segs = spark.read.parquet(work_path)
+    freq = (
+        segs.groupBy("sh")
+        .agg(F.countDistinct("id").alias("df"))
+        .where(F.col("df") <= max_doc_freq)
+        .select("sh")
+    )
+    kept = segs.join(freq, "sh")
+    return kept.groupBy("id").agg(
+        F.min("n_segs").alias("n_segs"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
