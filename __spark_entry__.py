@@ -1661,6 +1661,26 @@ def q_line_dedup_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration PageRank over the Jaccard near-dup graph in exact
+    fixed-point integer arithmetic (ranks scaled by 1e12, integral
+    div everywhere) — bit-reproducible on any engine/partitioning;
+    the iterative driver-unrolled pattern next to kmeans_refine and
+    neardup_components."""
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+        pagerank_fixed_point,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    edges = ngram_jaccard_pairs(docs)
+    return pagerank_fixed_point(edges, n_iter=2).select(
+        F.col("node").cast("bigint").alias("node"), "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "error_split_ok": q_error_split_ok,
@@ -1743,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_props": q_variant_props,
         "line_dedup": q_line_dedup,
         "line_dedup_materialized": q_line_dedup_materialized,
+        "neardup_pagerank": q_neardup_pagerank,
     }
 
 
@@ -2906,6 +2927,50 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(count(*) AS BIGINT) AS n_kept,
        md5(string_agg(seg, ' ' ORDER BY i)) AS clean_digest
 FROM kept GROUP BY doc_id
+""",
+        "neardup_pagerank": f"""
+WITH {_SHINGLES_CTE.lstrip()},
+rare AS (
+  SELECT shingle FROM exploded_sh GROUP BY shingle HAVING count(*) <= 100
+),
+filtered AS (SELECT e.* FROM exploded_sh e JOIN rare USING (shingle)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM filtered a JOIN filtered b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (
+  SELECT src AS node, deg, 1000000000000 // n AS rank FROM deg, nn
+),
+c1 AS (
+  SELECT s.dst, sum(r.rank // r.deg) AS in_sum
+  FROM sym s JOIN r0 r ON s.src = r.node GROUP BY s.dst
+),
+r1 AS (
+  SELECT d.src AS node, d.deg,
+         ((15 * 1000000000000) // 100) // nn.n
+           + (85 * coalesce(c1.in_sum, 0)) // 100 AS rank
+  FROM deg d CROSS JOIN nn LEFT JOIN c1 ON c1.dst = d.src
+),
+c2 AS (
+  SELECT s.dst, sum(r.rank // r.deg) AS in_sum
+  FROM sym s JOIN r1 r ON s.src = r.node GROUP BY s.dst
+),
+r2 AS (
+  SELECT d.src AS node, d.deg,
+         ((15 * 1000000000000) // 100) // nn.n
+           + (85 * coalesce(c2.in_sum, 0)) // 100 AS rank
+  FROM deg d CROSS JOIN nn LEFT JOIN c2 ON c2.dst = d.src
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank FROM r2
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the

@@ -716,3 +716,63 @@ def strip_repeated_segments_materialized(
             " ",
         ).alias("clean_text"),
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    n_iter: int = 2,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """PageRank over an undirected pair list (near-dup graph), in
+    EXACT fixed-point integer arithmetic: ranks are integers scaled by
+    ``scale``; every division is an integral ``div`` and the damping
+    factor is a percentage, so each iteration is reproducible
+    bit-for-bit on any engine and any partitioning — no float
+    accumulation order anywhere.
+
+    Per iteration (all shuffles keyed on the node id):
+    contribution = rank div degree per directed edge, one
+    map-side-combinable sum per destination, then
+    rank' = teleport + (damping_pct * in_sum) div 100. The iteration
+    count is a driver-side unrolled loop over lazy plans (the
+    kmeans_refine pattern); node/degree frames are computed once.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    ).distinct()
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"), "deg")
+    n = nodes.select(F.count(F.lit(1)).alias("__n"))
+    teleport = F.expr(f"(({100 - damping_pct} * {scale}) div 100) div __n")
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "node", "deg", F.expr(f"{scale} div __n").alias("rank")
+    )
+    for _ in range(n_iter):
+        contrib = sym.join(
+            ranks.select(F.col("node").alias("src"), "deg", "rank"), "src"
+        ).select("dst", F.expr("rank div deg").alias("c"))
+        in_sums = contrib.groupBy("dst").agg(F.sum("c").alias("in_sum"))
+        ranks = (
+            nodes.join(
+                in_sums.select(F.col("dst").alias("node"), "in_sum"),
+                "node",
+                "left",
+            )
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                "deg",
+                (
+                    teleport
+                    + F.expr(
+                        f"({damping_pct} * coalesce(in_sum, 0)) div 100"
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.col("rank").cast("bigint").alias("rank"))
