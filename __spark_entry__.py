@@ -1681,6 +1681,38 @@ def q_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM statistics: exact counts and conditional
+    probability P(w2 | w1) = c(w1 w2) / c(w1 ·) as exact
+    bigint/bigint division. One codegen bigram explode, two
+    map-side-combinable aggregates sharing the (w1-keyed) second
+    shuffle via broadcast join back. Bounded output: bigrams seen
+    at least 5 times."""
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    from amazon_personalize_connectors_spark.functions.text import tokens
+
+    with_t = docs.select(tokens(F.col("text")).alias("t")).where(
+        F.size("t") >= 2
+    )
+    big = with_t.select(
+        "t",
+        F.explode(F.sequence(F.lit(0), F.size("t") - 2)).alias("i"),
+    ).select(
+        F.get("t", F.col("i")).alias("w1"),
+        F.get("t", F.col("i") + 1).alias("w2"),
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    return (
+        c12.where(F.col("c12") >= 5)
+        .join(F.broadcast(c1), "w1")
+        .select(
+            "w1", "w2", "c12", "c1",
+            (F.col("c12") / F.col("c1")).alias("p"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "error_split_ok": q_error_split_ok,
@@ -1764,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "line_dedup_materialized": q_line_dedup_materialized,
         "neardup_pagerank": q_neardup_pagerank,
+        "bigram_stats": q_bigram_stats,
     }
 
 
@@ -2971,6 +3004,22 @@ r2 AS (
   FROM deg d CROSS JOIN nn LEFT JOIN c2 ON c2.dst = d.src
 )
 SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank FROM r2
+""",
+        "bigram_stats": f"""
+WITH toks AS (
+  SELECT {_TOKS} AS t FROM documents
+),
+big AS (
+  SELECT t[i+1] AS w1, t[i+2] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 1)) AS i) u
+  WHERE len(t) >= 2
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+       c12 / c1 AS p
+FROM c12 JOIN c1 USING (w1)
+WHERE c12 >= 5
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the

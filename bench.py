@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "line_dedup",
     "session_window_native",
     "variant_props",
+    "bigram_stats",
 ]
 
 
