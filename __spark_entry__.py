@@ -1713,6 +1713,56 @@ def q_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-aware train/val/test split: near-duplicate documents
+    must land in the SAME split, or eval leaks training content — so
+    membership is decided by the salted md5 bucket of each doc's
+    near-dup COMPONENT representative (singletons represent
+    themselves), not of the doc id. Output: per-split doc and
+    component counts; the oracle replays components + bucketing, so
+    any doc crossing splits breaks the value-hash."""
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        neardup_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    comp = neardup_components(ngram_jaccard_pairs(docs)).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    with_comp = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("component").cast("string"), F.lit("split-v1")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    split = (
+        F.when(bucket < 3435973836, F.lit("train"))
+        .when(bucket < 3865470566, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        with_comp.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("component").alias("n_components"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "error_split_ok": q_error_split_ok,
@@ -1797,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_materialized": q_line_dedup_materialized,
         "neardup_pagerank": q_neardup_pagerank,
         "bigram_stats": q_bigram_stats,
+        "leakage_safe_split": q_leakage_safe_split,
     }
 
 
@@ -3020,6 +3071,49 @@ SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
        c12 / c1 AS p
 FROM c12 JOIN c1 USING (w1)
 WHERE c12 >= 5
+""",
+        "leakage_safe_split": f"""
+WITH RECURSIVE {_SHINGLES_CTE.lstrip()},
+rare AS (
+  SELECT shingle FROM exploded_sh GROUP BY shingle HAVING count(*) <= 100
+),
+filtered AS (SELECT e.* FROM exploded_sh e JOIN rare USING (shingle)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM filtered a JOIN filtered b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+wc AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+  LEFT JOIN comp c USING (doc_id)
+),
+assigned AS (
+  SELECT doc_id, component,
+         CASE
+           WHEN CAST(concat('0x', substr(md5(component || '|' || 'split-v1'), 1, 8))
+                     AS BIGINT) < 3435973836 THEN 'train'
+           WHEN CAST(concat('0x', substr(md5(component || '|' || 'split-v1'), 1, 8))
+                     AS BIGINT) < 3865470566 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM wc
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT component) AS BIGINT) AS n_components
+FROM assigned GROUP BY split
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the
