@@ -1763,6 +1763,29 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search against a PERSISTED parquet index (build once:
+    centroids + block-partitioned inverted lists; serve: quantize
+    queries, equi-join the stored lists with partition pruning) —
+    result-identical to the in-plan ivf_probe_topk, same oracle."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        ivf_index_build,
+        ivf_probe_topk_indexed,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    index = tempfile.mkdtemp(prefix="apcs_ivf_index_")
+    ivf_index_build(spark, emb, index)
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    return ivf_probe_topk_indexed(spark, index, queries_df, k=5).select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("n_id").cast("bigint").alias("n_id"),
+        "rank", "score",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "error_split_ok": q_error_split_ok,
@@ -1848,6 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_pagerank": q_neardup_pagerank,
         "bigram_stats": q_bigram_stats,
         "leakage_safe_split": q_leakage_safe_split,
+        "ivf_index_probe": q_ivf_index_probe,
     }
 
 
@@ -3121,6 +3145,8 @@ FROM assigned GROUP BY split
     sqls["ngram_jaccard_materialized"] = sqls["ngram_jaccard_pairs"]
     # materialized line dedup is result-identical to the recompute form
     sqls["line_dedup_materialized"] = sqls["line_dedup"]
+    # the persisted-index IVF probe serves the same results as in-plan
+    sqls["ivf_index_probe"] = sqls["ivf_probe_topk"]
     # likewise the two-stage partial top-k vs the window form
     sqls["ann_topk_partial"] = sqls["ann_topk"]
     return sqls

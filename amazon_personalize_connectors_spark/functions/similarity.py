@@ -554,3 +554,75 @@ def rp_lsh_pairs(
         )
         .where(F.col("score") >= min_cosine)
     )
+
+
+def ivf_index_build(
+    spark,
+    embeddings: DataFrame,
+    index_path: str,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> None:
+    """Persist the IVF index: the nlist-row centroid table plus the
+    coarse-quantized corpus (inverted lists) written to parquet,
+    partitioned by ``assigned_block`` — the index-build / query-serve
+    split of a production ANN system. Serving then never re-quantizes
+    the corpus, and a probe's list equi-join prunes to its block's
+    files via partition pruning. Doubles round-trip parquet exactly,
+    so indexed scores are bit-identical to the in-plan form."""
+    centroids = _centroid_table(embeddings, block_col, vec_col)
+    centroids.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    emb = _as_double(embeddings, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    lists = _assign_to_centroids(emb, centroids, round_digits).select(
+        F.col("id").alias("n_id"),
+        F.col("vec").alias("n_vec"),
+        "assigned_block",
+    )
+    lists.write.mode("overwrite").partitionBy("assigned_block").parquet(
+        f"{index_path}/lists"
+    )
+
+
+def ivf_probe_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF search (nprobe=1) against a PERSISTED index: quantize the
+    queries with the stored centroid table, equi-join the stored
+    inverted lists. Result-identical to ``ivf_probe_topk`` when the
+    index was built from the same corpus — the same oracle pins both
+    the in-plan and the index-serving strategy."""
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    qry = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    query_lists = _assign_to_centroids(qry, centroids, round_digits).select(
+        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), "assigned_block"
+    )
+    corpus_lists = spark.read.parquet(f"{index_path}/lists")
+    scored = (
+        corpus_lists.join(F.broadcast(query_lists), "assigned_block")
+        .where(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), round_digits).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("rank").cast("bigint").alias("rank"), "score")
+    )

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "session_window_native",
     "variant_props",
     "bigram_stats",
+    "ivf_index_probe",
 ]
 
 
