@@ -415,19 +415,29 @@ def temperature_resample(
     membership decided by a salted md5 bucket of the id — stable
     under growth and repartitioning, like ``hash_split``.
 
-    100 TB shape: group counts are one map-side-combinable aggregate
-    producing |groups| rows, broadcast back; the keep decision is then
-    a pure per-row filter the scan evaluates. ``sqrt`` is IEEE
-    correctly-rounded, so rates (and membership) are engine-exact.
+    100 TB shape: ONE eager map-side-combinable aggregate collects the
+    |groups|-row count table to the driver (the mixture contract is a
+    low-cardinality group key — languages/sources; same pattern as the
+    ids.py per-partition offsets), rates become a literal broadcast
+    frame, and the keep decision is a pure per-row filter the scan
+    evaluates — exactly one lazy pass over the corpus, no lineage
+    re-scans. ``sqrt`` and float division are IEEE correctly-rounded,
+    so rates (and membership) are engine-exact.
 
     Returns (df + ``keep_rate``, filtered to kept rows).
     """
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
-    min_n = counts.agg(F.min("__n").alias("__min_n"))
-    rates = (
-        counts.crossJoin(F.broadcast(min_n))
-        .withColumn("keep_rate", F.sqrt(F.col("__min_n") / F.col("__n")))
-        .drop("__n", "__min_n")
+    import math
+
+    count_rows = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    ).collect()
+    min_n = min(r["__n"] for r in count_rows)
+    group_type = dict(df.dtypes)[group_col]
+    rates = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(r[group_col], math.sqrt(min_n / r["__n"])) for r in count_rows],
+            f"`{group_col}` {group_type}, keep_rate double",
+        )
     )
     bucket = F.conv(
         F.substring(
@@ -438,7 +448,6 @@ def temperature_resample(
         16,
         10,
     ).cast("bigint")
-    return (
-        df.join(F.broadcast(rates), group_col)
-        .where(bucket < F.floor(F.col("keep_rate") * F.lit(2.0 ** 32)))
+    return df.join(rates, group_col).where(
+        bucket < F.floor(F.col("keep_rate") * F.lit(2.0 ** 32))
     )
