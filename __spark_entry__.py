@@ -659,6 +659,49 @@ def q_ann_topk_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8-quantized ANN top-5: per-dim min/max scalar quantization to
+    8-bit codes (4x less memory traffic per vector), then exact int64
+    dot products of the codes — a pure-integer ranking that is
+    bit-reproducible across engines. The quantizer stats are a
+    dim-row tiny table re-entered as literal arrays, so quantization
+    itself is one codegen projection with zero joins."""
+    from amazon_personalize_connectors_spark.functions.similarity import sq8_topk
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    return sq8_topk(emb, queries_df, k=5).select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("n_id").cast("bigint").alias("n_id"),
+        "rank", "qdot",
+    )
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval fusion: reciprocal-rank fusion (k=60) of the
+    exact cosine top-10 and the SQ8-quantized top-10, per query —
+    the standard combiner for vector+vector or vector+lexical stacks.
+    Both inputs are already ~k rows per query, so the fuse (one outer
+    equi-join + one window) never touches corpus-scale data; the
+    score is two exact IEEE divisions added in fixed order, hence
+    deterministic cross-engine without rounding."""
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        brute_force_topk,
+        rrf_fuse,
+        sq8_topk,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    exact = brute_force_topk(emb, queries_df, k=10)
+    quant = sq8_topk(emb, queries_df, k=10)
+    return rrf_fuse(exact, quant, k=5).select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("n_id").cast("bigint").alias("n_id"),
+        "rrf_rank", "rrf_score",
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked embedding near-dup pairs (block = label)."""
     from amazon_personalize_connectors_spark.functions.similarity import (
@@ -1814,6 +1857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_digest_update": q_state_digest_update,
         "ann_topk": q_ann_topk,
         "ann_topk_partial": q_ann_topk_partial,
+        "ann_quantized": q_ann_quantized,
+        "rrf_fusion": q_rrf_fusion,
         "simhash_neardup": q_simhash_neardup,
         "ivf_probe_topk": q_ivf_probe_topk,
         "quality_filter": q_quality_filter,
@@ -1995,6 +2040,32 @@ centroid_sums AS (
          CAST(count(*) AS BIGINT) AS n
   FROM edim GROUP BY block, dim
 )"""
+
+# SQ8 mirror of functions/similarity.py::sq8_codes: integer-valued
+# quantizer stats and codes. (iv - lo) * 255.0 is an exact double
+# (< 2^53), so floor of the IEEE quotient matches Spark bit-for-bit.
+_SQ8_CODES_CTE = """
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+edim AS (
+  SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS dim,
+         CAST(floor(v[u.i] * 1000000.0) AS BIGINT) AS iv
+  FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+),
+sq8_stats AS (SELECT dim, min(iv) AS lo, max(iv) AS hi FROM edim GROUP BY dim),
+codes AS (
+  SELECT vec_id,
+         list(CASE WHEN hi = lo THEN 0
+              ELSE greatest(0, least(255,
+                   CAST(floor((iv - lo) * 255.0 / (hi - lo)) AS BIGINT)))
+              END ORDER BY dim) AS c
+  FROM edim JOIN sq8_stats USING (dim) GROUP BY vec_id
+)"""
+
+# exact int64 dot product of two SQ8 code lists (values <= 255, sums
+# <= 4.2e6 — exactly representable in the double accumulator)
+_SQ8_DOT = (
+    "CAST(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) AS BIGINT)"
+)
 
 _EXPLODE_OUTER = """
 exploded AS (
@@ -2457,6 +2528,66 @@ ranked AS (
 SELECT CAST(q_id AS BIGINT) AS q_id, CAST(n_id AS BIGINT) AS n_id,
        CAST(rank AS BIGINT) AS rank, score
 FROM ranked WHERE rank <= 5
+""",
+        "ann_quantized": f"""
+WITH {_SQ8_CODES_CTE.lstrip()},
+q AS (SELECT * FROM codes WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.vec_id AS q_id, c2.vec_id AS n_id,
+         {_SQ8_DOT.format(a='q.c', b='c2.c')} AS qdot
+  FROM q JOIN codes c2 ON c2.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, n_id) AS rank
+  FROM scored
+)
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(n_id AS BIGINT) AS n_id,
+       CAST(rank AS BIGINT) AS rank, qdot
+FROM ranked WHERE rank <= 5
+""",
+        "rrf_fusion": f"""
+WITH {_SQ8_CODES_CTE.lstrip()},
+qv AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+exact_scored AS (
+  SELECT qv.vec_id AS q_id, e.vec_id AS n_id,
+         {_COSINE.format(a='qv.v', b='e.v')} AS score
+  FROM qv JOIN e ON e.vec_id <> qv.vec_id
+),
+exact_top AS (
+  SELECT q_id, n_id, rank_a FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank_a
+    FROM exact_scored
+  ) WHERE rank_a <= 10
+),
+qc AS (SELECT * FROM codes WHERE vec_id % 50 = 0),
+quant_scored AS (
+  SELECT qc.vec_id AS q_id, c2.vec_id AS n_id,
+         {_SQ8_DOT.format(a='qc.c', b='c2.c')} AS qdot
+  FROM qc JOIN codes c2 ON c2.vec_id <> qc.vec_id
+),
+quant_top AS (
+  SELECT q_id, n_id, rank_b FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, n_id) AS rank_b
+    FROM quant_scored
+  ) WHERE rank_b <= 10
+),
+fused AS (
+  SELECT COALESCE(a.q_id, b.q_id) AS q_id, COALESCE(a.n_id, b.n_id) AS n_id,
+         COALESCE(CAST(1 AS DOUBLE) / (60 + a.rank_a), CAST(0 AS DOUBLE))
+         + COALESCE(CAST(1 AS DOUBLE) / (60 + b.rank_b), CAST(0 AS DOUBLE))
+           AS rrf_score
+  FROM exact_top a FULL OUTER JOIN quant_top b
+    ON a.q_id = b.q_id AND a.n_id = b.n_id
+)
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(n_id AS BIGINT) AS n_id,
+       CAST(rrf_rank AS BIGINT) AS rrf_rank, rrf_score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf_score DESC, n_id)
+           AS rrf_rank
+  FROM fused
+) WHERE rrf_rank <= 5
 """,
         "embedding_neardup": f"""
 WITH e AS (

@@ -556,6 +556,157 @@ def rp_lsh_pairs(
     )
 
 
+# --- scalar quantization (SQ8) ---------------------------------------------
+
+
+def sq8_dim_stats(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> list[tuple[int, int]]:
+    """Per-dimension (min, max) of ``floor(val * 1e6)`` over the corpus
+    — the quantizer's training statistics. One posexplode + one
+    map-side-combinable aggregate; the result is dim rows (tiny) and is
+    collected driver-side to be re-broadcast as literal arrays, the
+    same tiny-table pattern as the k-means centroid loop. Integer
+    bounds (not doubles) so every downstream comparison is exact."""
+    d = (
+        _as_double(embeddings, vec_col)
+        .select(F.posexplode(vec_col).alias("dim", "val"))
+        .withColumn("iv", F.floor(F.col("val") * 1e6).cast("bigint"))
+        .groupBy("dim")
+        .agg(F.min("iv").alias("lo"), F.max("iv").alias("hi"))
+        .collect()
+    )
+    return [(r["lo"], r["hi"]) for r in sorted(d, key=lambda r: r["dim"])]
+
+
+def sq8_codes(
+    embeddings: DataFrame,
+    stats: list[tuple[int, int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """8-bit scalar quantization: each dimension mapped to an integer
+    code in [0, 255] by its corpus (min, max) range — the standard
+    SQ8 memory/bandwidth dial of a vector store (4 bytes/dim -> 1).
+
+    The code is ``floor((iv - lo) * 255 / (hi - lo))`` in exact
+    integer-valued arithmetic (inputs are pre-scaled ints; the double
+    quotient of exact ints this small floors identically in any IEEE
+    engine), so codes — and therefore every quantized distance — are
+    bit-reproducible across engines, partitionings, and retries.
+
+    Zero shuffle and zero joins: the stats enter as literal arrays and
+    the transform is one codegen projection over the vector column.
+    """
+    lo = F.array(*[F.lit(int(s[0])) for s in stats])
+    span = F.array(*[F.lit(int(s[1] - s[0])) for s in stats])
+    codes = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda v, i: F.when(F.element_at(span, i + 1) == 0, F.lit(0))
+        .otherwise(
+            # clamp so out-of-training-range query values saturate at
+            # the code range edges instead of escaping [0, 255]
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(255),
+                    F.floor(
+                        (F.floor(v * 1e6).cast("bigint") - F.element_at(lo, i + 1))
+                        * 255
+                        / F.element_at(span, i + 1)
+                    ),
+                ),
+            )
+        )
+        .cast("int"),
+    )
+    return embeddings.select(F.col(id_col).alias("id"), codes.alias("codes"))
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over SQ8 codes: integer dot product of the quantized
+    vectors (symmetric distance), ranked per query. Same broadcast
+    shape as ``brute_force_topk`` — the corpus side streams, only
+    ~k rows per query cross the final window shuffle — but the
+    pairwise math is int64 folds over int8-range codes: exact, engine
+    portable, and ~4x less memory traffic per vector at scale.
+
+    Approximate by design (quantization error reorders near-ties);
+    ``rrf_fuse`` shows the standard recovery: fuse with an exact or
+    lexical ranking. Returns (q_id, n_id, rank, qdot).
+    """
+    stats = sq8_dim_stats(embeddings, vec_col)
+    corpus = sq8_codes(embeddings, stats, id_col, vec_col).select(
+        F.col("id").alias("n_id"), F.col("codes").alias("n_codes")
+    )
+    qry = sq8_codes(queries, stats, id_col, vec_col).select(
+        F.col("id").alias("q_id"), F.col("codes").alias("q_codes")
+    )
+    scored = corpus.join(
+        F.broadcast(qry), F.col("n_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "n_id",
+        F.aggregate(
+            F.zip_with("q_codes", "n_codes", lambda a, b: (a * b).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("qdot"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("qdot"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("rank").cast("bigint").alias("rank"), "qdot")
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 5,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two (q_id, n_id, rank) lists:
+    ``score = sum over lists of 1 / (rrf_k + rank)``, missing-from-one-
+    list candidates contribute only their present term — the standard
+    hybrid-retrieval combiner (exact + quantized, or vector + lexical).
+
+    Deterministic across engines: each term is one exact IEEE division
+    of small integers and the two terms add in a fixed order, so the
+    double score is bit-identical everywhere. The fuse itself is one
+    outer equi-join on (q_id, n_id) + one per-query top-k window —
+    both sides are already ~k rows per query, so this never touches
+    corpus-scale data. Returns (q_id, n_id, rrf_rank, rrf_score)."""
+    a = ranked_a.select("q_id", "n_id", F.col("rank").alias("rank_a"))
+    b = ranked_b.select("q_id", "n_id", F.col("rank").alias("rank_b"))
+    fused = a.join(b, ["q_id", "n_id"], "full_outer").select(
+        "q_id",
+        "n_id",
+        (
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("rank_b")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("rrf_score"), F.asc("n_id"))
+    return (
+        fused.withColumn("rrf_rank", F.row_number().over(w))
+        .where(F.col("rrf_rank") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.col("rrf_rank").cast("bigint").alias("rrf_rank"),
+            "rrf_score",
+        )
+    )
+
+
 def ivf_index_build(
     spark,
     embeddings: DataFrame,
