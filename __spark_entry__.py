@@ -1756,6 +1756,35 @@ def q_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM coverage scoring: the LM is built from the train
+    split (doc_id % 10 != 7) and every held-out doc is scored by its
+    known-bigram count, summed LM mass, and known fraction — the
+    integer-exact stand-in for perplexity filtering. One bigram-keyed
+    equi-join + one per-doc aggregate; no broadcast assumption (a
+    web-scale LM is itself large)."""
+    from amazon_personalize_connectors_spark.functions.text import lm_coverage
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 7)
+    heldout = docs.where(F.col("doc_id") % 10 == 7)
+    return lm_coverage(train, heldout).select(
+        F.col("id").cast("bigint").alias("id"),
+        "n_bigrams", "n_hits", "hit_mass", "coverage",
+    )
+
+
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge round: top-20 adjacent character pairs inside
+    tokens, corpus-wide — the statistic a byte-pair tokenizer trainer
+    computes per merge. One count aggregate over two codegen explodes;
+    the global top-n sorts only the aggregated pair table."""
+    from amazon_personalize_connectors_spark.functions.text import bpe_pair_stats
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    return bpe_pair_stats(docs, top_n=20)
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-aware train/val/test split: near-duplicate documents
     must land in the SAME split, or eval leaks training content — so
@@ -1915,6 +1944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_materialized": q_line_dedup_materialized,
         "neardup_pagerank": q_neardup_pagerank,
         "bigram_stats": q_bigram_stats,
+        "lm_coverage": q_lm_coverage,
+        "bpe_pair_stats": q_bpe_pair_stats,
         "leakage_safe_split": q_leakage_safe_split,
         "ivf_index_probe": q_ivf_index_probe,
     }
@@ -3226,6 +3257,40 @@ SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
        c12 / c1 AS p
 FROM c12 JOIN c1 USING (w1)
 WHERE c12 >= 5
+""",
+        "lm_coverage": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+big AS (
+  SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 1)) AS i) u
+  WHERE len(t) >= 2
+),
+lm AS (
+  SELECT w1, w2, count(*) AS c12 FROM big WHERE doc_id % 10 <> 7 GROUP BY 1, 2
+),
+held AS (SELECT doc_id, w1, w2 FROM big WHERE doc_id % 10 = 7)
+SELECT CAST(h.doc_id AS BIGINT) AS id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN lm.c12 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST(sum(COALESCE(lm.c12, 0)) AS BIGINT) AS hit_mass,
+       CAST(sum(CASE WHEN lm.c12 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         / CAST(count(*) AS BIGINT) AS coverage
+FROM held h LEFT JOIN lm ON h.w1 = lm.w1 AND h.w2 = lm.w2
+GROUP BY h.doc_id
+""",
+        "bpe_pair_stats": f"""
+WITH toks AS (
+  SELECT unnest({_TOKS}) AS tok FROM documents
+),
+pairs AS (
+  SELECT substr(tok, CAST(u.i AS INTEGER), 2) AS pair
+  FROM toks, LATERAL (SELECT unnest(range(1, length(tok))) AS i) u
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS c
+FROM pairs GROUP BY pair ORDER BY c DESC, pair LIMIT 20
 """,
         "leakage_safe_split": f"""
 WITH RECURSIVE {_SHINGLES_CTE.lstrip()},

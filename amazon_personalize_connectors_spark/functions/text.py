@@ -451,3 +451,108 @@ def temperature_resample(
     return df.join(rates, group_col).where(
         bucket < F.floor(F.col("keep_rate") * F.lit(2.0 ** 32))
     )
+
+
+def doc_bigrams(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, w1, w2) — one row per adjacent token pair per document.
+
+    One codegen projection: explode the 0..n-2 index sequence and pick
+    both grams with flat array gets (the gram_table shape — no
+    per-element HOF lambdas, no shuffle). Documents with fewer than
+    two tokens produce no rows."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+        )
+        .where(F.size("t") >= 2)
+        .select(
+            "id",
+            "t",
+            F.explode(F.sequence(F.lit(0), F.size("t") - 2)).alias("i"),
+        )
+        .select(
+            "id",
+            F.get("t", F.col("i")).alias("w1"),
+            F.get("t", F.col("i") + 1).alias("w2"),
+        )
+    )
+
+
+def lm_coverage(
+    train,
+    heldout,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Bigram-LM coverage scoring of held-out documents: build the LM
+    (bigram -> count) from the training split, then score every
+    held-out document by how much of it the LM has seen — the
+    integer-exact stand-in for perplexity filtering (log-prob sums are
+    engine-divergent doubles; hit counts and mass are not).
+
+    Shape at 100 TB: the LM is a map-side-combinable aggregate keyed
+    on (w1, w2); scoring is one hash equi-join on the same key (both
+    sides shuffle-partitioned by bigram — no broadcast assumption, an
+    LM over web-scale text is itself large) plus one per-doc
+    aggregate. The two splits are separate frames (typically filters
+    of one scan), so nothing ever joins on the row-scale doc id; at
+    scale, materialize ``doc_bigrams`` to parquet first (the
+    ngram_jaccard_materialized pattern) to scan the corpus once.
+
+    Returns (id, n_bigrams, n_hits, hit_mass, coverage): total pairs,
+    pairs known to the LM, summed LM counts of known pairs, and the
+    known fraction (exact bigint/bigint -> double division).
+    """
+    lm = (
+        doc_bigrams(train, text_col, id_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    held = doc_bigrams(heldout, text_col, id_col)
+    joined = held.join(lm, ["w1", "w2"], "left")
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("c12").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_hits"),
+            F.sum(F.coalesce(F.col("c12"), F.lit(0))).cast("bigint").alias(
+                "hit_mass"
+            ),
+        )
+        .select(
+            "id",
+            "n_bigrams",
+            "n_hits",
+            "hit_mass",
+            (F.col("n_hits") / F.col("n_bigrams")).alias("coverage"),
+        )
+    )
+
+
+def bpe_pair_stats(df, text_col: str = "text", top_n: int = 20):
+    """First BPE merge round: corpus-wide counts of adjacent character
+    pairs inside tokens, top ``top_n`` by (count desc, pair asc) —
+    the statistic a byte-pair tokenizer trainer computes to pick its
+    next merge. Iterating = re-running over the re-paired symbol
+    table; each round is this same one-aggregate shape.
+
+    Plan: explode tokens, explode the 1..len-1 positions, slice each
+    pair with substring — flat codegen projections into ONE map-side-
+    combinable count aggregate; the global top-n sorts only the
+    aggregated pair table (TakeOrderedAndProject, never row-scale).
+    """
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("tok")).where(
+        F.length("tok") >= 2
+    )
+    pairs = tok.select(
+        "tok",
+        F.explode(F.sequence(F.lit(1), F.length("tok") - 1)).alias("i"),
+    ).select(F.substring(F.col("tok"), F.col("i"), F.lit(2)).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.desc("c"), F.asc("pair"))
+        .limit(top_n)
+    )
