@@ -1785,6 +1785,31 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_stats(docs, top_n=20)
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key per order, interleaving the
+    customer bucket and the order-date day bucket — the
+    multi-dimensional layout key that, range-partitioned and sorted,
+    bounds how many files a (customer AND date-range) predicate
+    touches. Pure int64 shift/mask/add codegen; bit-identical in any
+    engine."""
+    from amazon_personalize_connectors_spark.operators.layout import zorder_key
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 1024).cast("bigint")
+    y = (
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1995-01-01"))
+        )
+        % 1024
+    ).cast("bigint")
+    return orders.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        x.alias("x"),
+        y.alias("y"),
+        zorder_key([x, y], bits=10).alias("zkey"),
+    )
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-aware train/val/test split: near-duplicate documents
     must land in the SAME split, or eval leaks training content — so
@@ -1946,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_stats": q_bigram_stats,
         "lm_coverage": q_lm_coverage,
         "bpe_pair_stats": q_bpe_pair_stats,
+        "zorder_layout": q_zorder_layout,
         "leakage_safe_split": q_leakage_safe_split,
         "ivf_index_probe": q_ivf_index_probe,
     }
@@ -3291,6 +3317,22 @@ pairs AS (
 )
 SELECT pair, CAST(count(*) AS BIGINT) AS c
 FROM pairs GROUP BY pair ORDER BY c DESC, pair LIMIT 20
+""",
+        "zorder_layout": f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey % 1024 AS x,
+         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 1024
+           AS y
+  FROM orders
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST({" + ".join(
+           f"(((x >> {b}) & 1) * {1 << (2 * b)})"
+           f" + (((y >> {b}) & 1) * {1 << (2 * b + 1)})"
+           for b in range(10)
+       )} AS BIGINT) AS zkey
+FROM base
 """,
         "leakage_safe_split": f"""
 WITH RECURSIVE {_SHINGLES_CTE.lstrip()},

@@ -1,0 +1,75 @@
+"""Z-order layout keys (operators/layout.py): bijectivity of the
+interleave and the file-pruning property the layout exists for."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_personalize_connectors_spark.operators.layout import (
+    write_zordered,
+    zorder_key,
+    zorder_unkey,
+)
+
+
+def test_zorder_roundtrip_bijective(spark):
+    """interleave -> deinterleave is the identity on the bucket grid,
+    and distinct keys == distinct (x, y) points (true bijection)."""
+    grid = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("bigint").alias("y")
+    )
+    keyed = grid.withColumn("z", zorder_key([F.col("x"), F.col("y")], bits=6))
+    ux, uy = zorder_unkey(F.col("z"), 2, bits=6)
+    bad = keyed.where((ux != F.col("x")) | (uy != F.col("y"))).count()
+    assert bad == 0
+    assert keyed.select("z").distinct().count() == 4096
+    # key range is exactly the 12-bit square
+    lo, hi = keyed.agg(F.min("z"), F.max("z")).first()
+    assert (lo, hi) == (0, 4095)
+
+
+def test_zorder_overflow_guard():
+    with pytest.raises(ValueError):
+        zorder_key([F.lit(1), F.lit(2), F.lit(3)], bits=21)
+
+
+def test_zordered_files_bound_both_dimensions(spark, tmp_path):
+    """The point of the layout: sorted by the Morton key and cut into
+    files, EVERY file covers a compact square-ish region — per-file
+    min/max bounds on BOTH x and y stay small, so a predicate on
+    either (or both) prunes most files. A single-column sort bounds
+    only its own column; y-ranges stay near the full domain."""
+    n = 64
+    grid = spark.range(0, n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("bigint").alias("y")
+    )
+    zpath = str(tmp_path / "zordered")
+    write_zordered(grid, zpath, [F.col("x"), F.col("y")], bits=6, num_files=16)
+
+    xpath = str(tmp_path / "xsorted")
+    grid.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(xpath)
+
+    def max_spans(path):
+        spans = []
+        for f in glob.glob(os.path.join(path, "part-*.parquet")):
+            row = (
+                spark.read.parquet(f)
+                .agg(
+                    (F.max("x") - F.min("x")).alias("sx"),
+                    (F.max("y") - F.min("y")).alias("sy"),
+                )
+                .first()
+            )
+            spans.append((row["sx"], row["sy"]))
+        return max(s[0] for s in spans), max(s[1] for s in spans)
+
+    zx, zy = max_spans(zpath)
+    bx, by = max_spans(xpath)
+    # 16 files over a 64x64 grid -> each Z file is a 16x16 quadrant
+    assert zx <= 16 and zy <= 16
+    # the x-sorted layout leaves y unclustered (full-domain span)
+    assert by >= n - 1
+    # and the z layout beats it on the unclustered dimension by 4x
+    assert zy * 4 <= by
