@@ -384,6 +384,26 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the embedding near-dup graph (a<b<c,
+    each triangle once): wedge equi-join closed by a left-semi probe
+    — the clustering-density check that distinguishes tight duplicate
+    cliques from transitive over-merged chains."""
+    from amazon_personalize_connectors_spark.functions.dedup import triangles
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        blocked_near_duplicates,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    edges = blocked_near_duplicates(emb, min_cosine=0.3)
+    tri = triangles(edges)
+    return tri.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("c").cast("bigint").alias("c"),
+    )
+
+
 def q_ngram_jaccard_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """100 TB form of the Jaccard near-dup: tokenize once, materialize
     the hashed shingle table to parquet, self-join that (same oracle as
@@ -1192,6 +1212,73 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(out, output_mode="append")
 
 
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events file stream enriched with the
+    (broadcast) customer dimension — no state store, no stream-side
+    shuffle; each micro-batch hash-probes the dim map-side. Drained
+    with Trigger.AvailableNow, so the batch join is the oracle."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_static_enrich,
+    )
+
+    landing = tempfile.mkdtemp(prefix="apc-stream-static-")
+    batch = synthetic.load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    batch.write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(batch.schema).parquet(landing)
+    cust = synthetic.load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") - 1).cast("bigint").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+    )
+    enriched = stream_static_enrich(stream, cust, "user_id")
+    out = enriched.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "segment",
+        "nation",
+    )
+    return run_stream_to_memory(out, output_mode="append")
+
+
+def q_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality audit: five named expectations over
+    orders evaluated as ONE map-side-combinable aggregate (one scan
+    however many rules run), plus the quarantine count the same rules
+    produce row-wise — the F10 validity predicates generalized to a
+    declarative rule set."""
+    from amazon_personalize_connectors_spark.operators.expectations import (
+        Expectation,
+        expectations_audit,
+        valid_row,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    rules = [
+        Expectation("price_positive", F.col("o_totalprice") > 0),
+        Expectation("price_under_cap", F.col("o_totalprice") <= 300000),
+        Expectation(
+            "status_known", F.col("o_orderstatus").isin("O", "F", "P")
+        ),
+        Expectation(
+            "date_in_range",
+            F.col("o_orderdate").cast("date") < F.lit("2001-01-01").cast("date"),
+        ),
+        Expectation(
+            "priority_format", F.col("o_orderpriority").rlike("^[1-5]-")
+        ),
+    ]
+    # the quarantine count is the violation count of the conjunction —
+    # one more conditional-count column in the SAME single-pass agg
+    return expectations_audit(
+        orders, rules + [Expectation("n_quarantined", valid_row(rules))]
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 20% stratified sample of events per event type:
     md5-bucket the event id (engine-portable, stable under growth and
@@ -1972,6 +2059,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_coverage": q_lm_coverage,
         "bpe_pair_stats": q_bpe_pair_stats,
         "zorder_layout": q_zorder_layout,
+        "stream_static_join": q_stream_static_join,
+        "expectations_audit": q_expectations_audit,
+        "neardup_triangles": q_neardup_triangles,
         "leakage_safe_split": q_leakage_safe_split,
         "ivf_index_probe": q_ivf_index_probe,
     }
@@ -2350,6 +2440,22 @@ reach(node, lbl) AS (
 )
 SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS component
 FROM reach GROUP BY node
+""",
+        "neardup_triangles": f"""
+WITH ev AS (
+  SELECT label AS block, vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+e AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM ev a JOIN ev b ON a.block = b.block AND a.vec_id < b.vec_id
+  WHERE {_COSINE.format(a='a.v', b='b.v')} >= 0.3
+)
+SELECT CAST(e1.a AS BIGINT) AS a, CAST(e1.b AS BIGINT) AS b,
+       CAST(e2.b AS BIGINT) AS c
+FROM e e1
+JOIN e e2 ON e2.a = e1.b
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
 """,
         "minhash_lsh": f"""
 WITH {_SHINGLES_CTE_2.lstrip()},
@@ -3317,6 +3423,32 @@ pairs AS (
 )
 SELECT pair, CAST(count(*) AS BIGINT) AS c
 FROM pairs GROUP BY pair ORDER BY c DESC, pair LIMIT 20
+""",
+        "expectations_audit": """
+WITH r AS (
+  SELECT COALESCE(o_totalprice > 0, FALSE) AS r1,
+         COALESCE(o_totalprice <= 300000, FALSE) AS r2,
+         COALESCE(o_orderstatus IN ('O', 'F', 'P'), FALSE) AS r3,
+         COALESCE(CAST(o_orderdate AS DATE) < DATE '2001-01-01', FALSE) AS r4,
+         COALESCE(regexp_matches(o_orderpriority, '^[1-5]-'), FALSE) AS r5
+  FROM orders
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN r1 THEN 0 ELSE 1 END) AS BIGINT) AS price_positive,
+       CAST(sum(CASE WHEN r2 THEN 0 ELSE 1 END) AS BIGINT) AS price_under_cap,
+       CAST(sum(CASE WHEN r3 THEN 0 ELSE 1 END) AS BIGINT) AS status_known,
+       CAST(sum(CASE WHEN r4 THEN 0 ELSE 1 END) AS BIGINT) AS date_in_range,
+       CAST(sum(CASE WHEN r5 THEN 0 ELSE 1 END) AS BIGINT) AS priority_format,
+       CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_quarantined
+FROM r
+""",
+        "stream_static_join": """
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       CAST(e.user_id AS BIGINT) AS user_id,
+       c.c_mktsegment AS segment,
+       CAST(c.c_nationkey AS BIGINT) AS nation
+FROM events e JOIN customer c ON c.c_custkey - 1 = e.user_id
 """,
         "zorder_layout": f"""
 WITH base AS (

@@ -776,3 +776,32 @@ def pagerank_fixed_point(
             )
         )
     return ranks.select("node", F.col("rank").cast("bigint").alias("rank"))
+
+
+def triangles(edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
+    """Triangle enumeration over the near-dup graph: the clustering-
+    density probe that distinguishes tight duplicate cliques from
+    chains of marginal matches (a dedup group whose pairs form few
+    triangles is usually transitive-closure over-merging).
+
+    Input edges are ordered pairs (a < b), as every pairing operator
+    here emits. Two hash equi-joins: wedges (a<b<c) from edges
+    (a,b)x(b,c), closed by a LEFT SEMI probe for the (a,c) edge — each
+    triangle found exactly once, no DISTINCT pass needed. At web
+    scale, rank vertices by degree instead of raw id before the wedge
+    join (order hub vertices LAST) to bound per-vertex wedge fan-out;
+    the id ordering here is the right default for near-dup graphs,
+    whose components are small by construction.
+    """
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    wedge = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    closing = e.select(F.col("a"), F.col("b").alias("c"))
+    return wedge.join(closing, ["a", "c"], "left_semi").select("a", "b", "c")

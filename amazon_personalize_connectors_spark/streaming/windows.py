@@ -231,3 +231,21 @@ def stream_dedup(
     return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static join: enrich a streaming fact with a batch
+    dimension. The static side is broadcast — each micro-batch
+    hash-probes the dim map-side with NO stream-side shuffle and no
+    state store at all (unlike stream-stream joins), which is why
+    this is the default decoration strategy for streaming pipelines.
+    The dim is re-resolved per micro-batch, so a dim refresh between
+    batches is picked up automatically."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), on, how)

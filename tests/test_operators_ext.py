@@ -317,3 +317,39 @@ def test_stream_dedup_exactly_once_across_file_batches(spark, tmp_path):
     got = out.select("event_id").collect()
     assert len(got) == 100  # exactly once despite double delivery
     assert {r["event_id"] for r in got} == set(range(100))
+
+
+def test_expectations_audit_and_valid_row(spark):
+    from amazon_personalize_connectors_spark.operators.expectations import (
+        Expectation,
+        expectations_audit,
+        valid_row,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None)], "id bigint, v double"
+    )
+    rules = [
+        Expectation("v_pos", F.col("v") > 0),
+        Expectation("id_small", F.col("id") <= 2),
+    ]
+    row = expectations_audit(df, rules).first()
+    # NULL comparison counts as a violation, not an unknown
+    assert (row["n_rows"], row["v_pos"], row["id_small"]) == (3, 2, 1)
+    kept = df.where(valid_row(rules)).select("id").collect()
+    assert [r["id"] for r in kept] == [1]
+
+
+def test_triangles_each_counted_once(spark):
+    from amazon_personalize_connectors_spark.functions.dedup import triangles
+
+    # 4-clique on {1,2,3,4} plus a dangling edge (4,9): C(4,3) = 4
+    # triangles, the dangler closes nothing
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 9)],
+        "id_a bigint, id_b bigint",
+    )
+    tri = sorted(
+        (r["a"], r["b"], r["c"]) for r in triangles(edges).collect()
+    )
+    assert tri == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
