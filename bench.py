@@ -76,6 +76,13 @@ BENCH_QUERIES = [
     "variant_props",
     "bigram_stats",
     "ivf_index_probe",
+    "ann_quantized",
+    "rrf_fusion",
+    "lm_coverage",
+    "bpe_pair_stats",
+    "zorder_layout",
+    "expectations_audit",
+    "neardup_triangles",
 ]
 
 
