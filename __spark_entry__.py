@@ -722,6 +722,25 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization search with asymmetric distance: 8
+    subspaces x 16 integer-floored centroids; corpus vectors collapse
+    to 8 codes, queries stay unquantized and probe a broadcast
+    per-query lookup table — one (sub, code) equi-join + one sum per
+    pair, all-integer L2 end to end (bit-reproducible). The PQ
+    memory dial: m bytes per vector instead of 4*dim at serve time."""
+    from amazon_personalize_connectors_spark.functions.similarity import pq_adc_topk
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    return pq_adc_topk(emb, queries_df, topk=5).select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("n_id").cast("bigint").alias("n_id"),
+        "rank",
+        F.col("adist").cast("bigint").alias("adist"),
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked embedding near-dup pairs (block = label)."""
     from amazon_personalize_connectors_spark.functions.similarity import (
@@ -2000,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_partial": q_ann_topk_partial,
         "ann_quantized": q_ann_quantized,
         "rrf_fusion": q_rrf_fusion,
+        "pq_adc": q_pq_adc,
         "simhash_neardup": q_simhash_neardup,
         "ivf_probe_topk": q_ivf_probe_topk,
         "quality_filter": q_quality_filter,
@@ -2691,6 +2711,56 @@ ranked AS (
 SELECT CAST(q_id AS BIGINT) AS q_id, CAST(n_id AS BIGINT) AS n_id,
        CAST(rank AS BIGINT) AS rank, score
 FROM ranked WHERE rank <= 5
+""",
+        "pq_adc": """
+WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ed AS (
+  SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS dim,
+         CAST(floor(v[u.i] * 1000000.0) AS BIGINT) AS iv
+  FROM ev, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+),
+sv AS (
+  SELECT vec_id, CAST(dim // 8 AS INTEGER) AS sub,
+         CAST(dim % 8 AS INTEGER) AS d, iv
+  FROM ed
+),
+cb AS (
+  SELECT sub, CAST(vec_id % 16 AS INTEGER) AS code, d,
+         CAST(floor(CAST(sum(iv) AS DOUBLE) / count(*)) AS BIGINT) AS c
+  FROM sv GROUP BY 1, 2, 3
+),
+enc_dist AS (
+  SELECT sv.vec_id, sv.sub, cb.code,
+         sum((sv.iv - cb.c) * (sv.iv - cb.c)) AS dist
+  FROM sv JOIN cb ON cb.sub = sv.sub AND cb.d = sv.d
+  GROUP BY 1, 2, 3
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+    FROM enc_dist
+  ) WHERE rn = 1
+),
+qsv AS (SELECT * FROM sv WHERE vec_id % 50 = 0),
+lut AS (
+  SELECT qsv.vec_id AS q_id, qsv.sub, cb.code,
+         sum((qsv.iv - cb.c) * (qsv.iv - cb.c)) AS ldist
+  FROM qsv JOIN cb ON cb.sub = qsv.sub AND cb.d = qsv.d
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT lut.q_id, enc.vec_id AS n_id, sum(lut.ldist) AS adist
+  FROM enc JOIN lut ON lut.sub = enc.sub AND lut.code = enc.code
+  WHERE enc.vec_id <> lut.q_id
+  GROUP BY 1, 2
+)
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(n_id AS BIGINT) AS n_id,
+       CAST(rank AS BIGINT) AS rank, CAST(adist AS BIGINT) AS adist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rank
+  FROM scored
+) WHERE rank <= 5
 """,
         "ann_quantized": f"""
 WITH {_SQ8_CODES_CTE.lstrip()},

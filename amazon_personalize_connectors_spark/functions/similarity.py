@@ -777,3 +777,143 @@ def ivf_probe_topk_indexed(
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", F.col("rank").cast("bigint").alias("rank"), "score")
     )
+
+
+# --- product quantization (PQ) ---------------------------------------------
+
+
+def _pq_subvectors(
+    embeddings: DataFrame, m: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, sub, d, iv): each vector split into ``m`` contiguous
+    subspaces; values pre-scaled to exact ints (floor(v * 1e6)) so all
+    PQ distances are int64 arithmetic. One posexplode projection."""
+    return (
+        _as_double(embeddings, vec_col)
+        .select(
+            F.col(id_col).alias("id"),
+            # subspace width rides along the explode (the vec column
+            # itself does not survive the generator projection)
+            (F.size(vec_col) / m).alias("dp"),
+            F.posexplode(vec_col).alias("dim", "val"),
+        )
+        .select(
+            "id",
+            F.floor(F.col("dim") / F.col("dp")).cast("int").alias("sub"),
+            (F.col("dim") % F.col("dp")).cast("int").alias("d"),
+            F.floor(F.col("val") * 1e6).cast("bigint").alias("iv"),
+        )
+    )
+
+
+def pq_codebook(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codebook: per subspace, ``k`` centroids seeded from the
+    ``id % k`` buckets — integer-floored means (floor(sum/n) per
+    component), so centroids, and therefore every encode/ADC distance,
+    are exact int64 quantities that no engine or partitioning can
+    perturb. Returns (sub, code, d, c) — a flat m*k*dim_per table,
+    tiny and broadcastable at any corpus size.
+
+    Seeding by id-bucket is the deterministic baseline; refine with
+    Lloyd rounds per subspace exactly as ``kmeans_refine_sums`` does
+    for the coarse quantizer when recall matters more than
+    reproducibility of the training step."""
+    sv = _pq_subvectors(embeddings, m, id_col, vec_col)
+    return (
+        sv.withColumn("code", (F.col("id") % k).cast("int"))
+        .groupBy("sub", "code", "d")
+        .agg(
+            F.floor(
+                F.sum("iv").cast("double") / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("c")
+        )
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encode: each (vector, subspace) assigned its nearest codebook
+    centroid by exact integer L2 (ties -> smallest code). The corpus
+    streams through one broadcast join against the flat codebook and
+    one map-side-combinable min_by aggregate — m small ints per vector
+    replace the full float array (64 dims -> 8 bytes at m=8).
+    Returns (id, sub, code, dist)."""
+    sv = _pq_subvectors(embeddings, m, id_col, vec_col)
+    joined = sv.join(F.broadcast(codebook), ["sub", "d"])
+    per_code = joined.groupBy("id", "sub", "code").agg(
+        F.sum((F.col("iv") - F.col("c")) * (F.col("iv") - F.col("c"))).alias(
+            "dist"
+        )
+    )
+    best = per_code.groupBy("id", "sub").agg(
+        F.min_by(
+            F.struct(F.col("code"), F.col("dist")),
+            F.struct(F.col("dist"), F.col("code")),
+        ).alias("b")
+    )
+    return best.select(
+        "id", "sub", F.col("b.code").alias("code"), F.col("b.dist").alias("dist")
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    topk: int = 5,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ search with asymmetric distance (ADC): the query stays
+    unquantized; its distance to every codebook centroid forms a
+    per-query lookup table (m*k rows — tiny, broadcast), and each
+    corpus vector's approximate distance is the SUM of its m code
+    lookups. The corpus side therefore never touches float arrays at
+    query time — one equi-join on (sub, code) against the broadcast
+    LUT and one map-side-combinable sum per (query, vector), then the
+    standard per-query top-k window over ~k rows per query.
+
+    All-integer arithmetic end to end: exact, reproducible, and the
+    real memory win of PQ at 100 TB (codes are m bytes vs 4*dim).
+    Returns (q_id, n_id, rank, adist), rank by (adist asc, n_id asc),
+    self-matches excluded."""
+    codebook = pq_codebook(embeddings, m, k, id_col, vec_col)
+    codes = pq_encode(embeddings, codebook, m, id_col, vec_col).select(
+        F.col("id").alias("n_id"), "sub", "code"
+    )
+    q_sv = _pq_subvectors(queries, m, id_col, vec_col)
+    lut = (
+        q_sv.join(F.broadcast(codebook), ["sub", "d"])
+        .groupBy(F.col("id").alias("q_id"), "sub", "code")
+        .agg(
+            F.sum(
+                (F.col("iv") - F.col("c")) * (F.col("iv") - F.col("c"))
+            ).alias("ldist")
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .where(F.col("n_id") != F.col("q_id"))
+        .groupBy("q_id", "n_id")
+        .agg(F.sum("ldist").alias("adist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("q_id", "n_id", F.col("rank").cast("bigint").alias("rank"), "adist")
+    )

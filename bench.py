@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "bigram_stats",
     "ivf_index_probe",
     "ann_quantized",
+    "pq_adc",
     "rrf_fusion",
     "lm_coverage",
     "bpe_pair_stats",
