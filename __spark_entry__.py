@@ -1359,6 +1359,30 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding count-distinct (cumulative unique users by day). An
+    expanding DISTINCT window would hold all history in every frame —
+    the scalable form is first-seen day per user (one map-side-
+    combinable min agg), daily new-user counts, then the distributed
+    prefix sum over the tiny day table. Exact integer arithmetic
+    end to end."""
+    from amazon_personalize_connectors_spark.operators.ids import add_running_total
+
+    events = synthetic.load_events(spark, sf_dir)
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    out = add_running_total(daily, ["day"], "new_users", "cum_users")
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.col("cum_users").cast("bigint").alias("cum_users"),
+    )
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregate: revenue by (priority, year) with subtotals
     and grand total; GROUPING() distinguishes subtotal nulls from
@@ -1891,6 +1915,22 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_stats(docs, top_n=20)
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring removal: 8-token grams occurring in
+    >= 2 distinct docs mark their positions for removal everywhere;
+    docs rebuilt from surviving tokens (md5 of the cleaned text is
+    the portable value-hash). Grams hash to 64 bits pre-shuffle; all
+    joins are 8-byte equi-joins — the overlapping-span complement to
+    line_dedup's fixed segments."""
+    from amazon_personalize_connectors_spark.functions.dedup import substring_dedup
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    return substring_dedup(docs, n=8, min_docs=2).select(
+        F.col("id").cast("bigint").alias("id"),
+        "n_tokens", "n_removed", "clean_md5",
+    )
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key per order, interleaving the
     customer bucket and the order-date day bucket — the
@@ -2079,6 +2119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_coverage": q_lm_coverage,
         "bpe_pair_stats": q_bpe_pair_stats,
         "zorder_layout": q_zorder_layout,
+        "substring_dedup": q_substring_dedup,
+        "cumulative_uniques": q_cumulative_uniques,
         "stream_static_join": q_stream_static_join,
         "expectations_audit": q_expectations_audit,
         "neardup_triangles": q_neardup_triangles,
@@ -3000,6 +3042,16 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
               OVER (ORDER BY o_orderkey) AS DOUBLE) AS running_price
 FROM orders
 """,
+        "cumulative_uniques": """
+WITH fs AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+),
+d AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM d
+""",
         "stratified_sample": f"""
 SELECT CAST(event_id AS BIGINT) AS event_id,
        event_type,
@@ -3519,6 +3571,40 @@ SELECT CAST(e.event_id AS BIGINT) AS event_id,
        c.c_mktsegment AS segment,
        CAST(c.c_nationkey AS BIGINT) AS nation
 FROM events e JOIN customer c ON c.c_custkey - 1 = e.user_id
+""",
+        "substring_dedup": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+pos_tok AS (
+  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, t[u.i] AS tok
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) u
+),
+g AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS start,
+         concat_ws(' ', {", ".join(f"t[u.i+{j+1}]" for j in range(8))}) AS gram
+  FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 7)) AS i) u
+  WHERE len(t) >= 8
+),
+rep AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.start + v.j AS pos
+  FROM g JOIN rep USING (gram), LATERAL (SELECT unnest(range(0, 8)) AS j) v
+),
+surv AS (
+  SELECT pt.doc_id, pt.pos, pt.tok
+  FROM pos_tok pt LEFT JOIN cov ON cov.doc_id = pt.doc_id AND cov.pos = pt.pos
+  WHERE cov.doc_id IS NULL
+),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS cleaned
+  FROM surv GROUP BY doc_id
+)
+SELECT CAST(t.doc_id AS BIGINT) AS id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed,
+       md5(COALESCE(reb.cleaned, '')) AS clean_md5
+FROM toks t LEFT JOIN reb ON reb.doc_id = t.doc_id
 """,
         "zorder_layout": f"""
 WITH base AS (

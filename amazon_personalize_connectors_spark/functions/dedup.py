@@ -805,3 +805,92 @@ def triangles(edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b") -> Dat
     )
     closing = e.select(F.col("a"), F.col("b").alias("c"))
     return wedge.join(closing, ["a", "c"], "left_semi").select("a", "b", "c")
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact repeated-substring removal (the bounded-gram variant of
+    suffix-array substring dedup from the "Deduplicating Training
+    Data Makes Language Models Better" recipe): every n-token gram
+    occurring in >= ``min_docs`` DISTINCT documents marks its n token
+    positions for removal in every document containing it; documents
+    are rebuilt from the surviving tokens in order. line_dedup strips
+    repeated fixed segments — this strips repeated OVERLAPPING spans,
+    which is what catches boilerplate that does not align on segment
+    boundaries.
+
+    Scale shape: positional grams hash to 64 bits before any shuffle
+    (the ngram_jaccard trick); repeated grams come from one map-side-
+    combinable distinct-doc count; coverage explodes n positions per
+    repeated occurrence only (repeats are rare by definition); the
+    rebuild is one left-anti join + one per-doc sort-collect — the
+    line_dedup reconstruction shape. Nothing is quadratic; every join
+    is an equi-join on an 8-byte key.
+
+    Returns (id, n_tokens, n_removed, clean_md5): token counts before
+    and removed, and the md5 of the cleaned space-joined text (the
+    portable value-hash of the rebuilt document; fully-covered docs
+    clean to the empty string, not a dropped row).
+    """
+    with_t = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+    )
+    pos_tok = with_t.select(
+        "id", F.posexplode("t").alias("pos", "tok")
+    ).select("id", F.col("pos").cast("bigint").alias("pos"), "tok")
+    grams = (
+        with_t.where(F.size("t") >= n)
+        .select(
+            "id",
+            "t",
+            F.explode(F.sequence(F.lit(0), F.size("t") - n)).alias("i"),
+        )
+        .select(
+            "id",
+            F.col("i").cast("bigint").alias("start"),
+            F.xxhash64(
+                F.concat_ws(" ", F.slice("t", F.col("i") + 1, n))
+            ).alias("gh"),
+        )
+    )
+    repeated = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    covered = (
+        grams.join(repeated, "gh")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    surviving = pos_tok.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = surviving.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("cleaned"),
+    )
+    stats = with_t.select("id", F.size("t").cast("bigint").alias("n_tokens"))
+    return stats.join(rebuilt, "id", "left").select(
+        "id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.md5(F.coalesce(F.col("cleaned"), F.lit(""))).alias("clean_md5"),
+    )
