@@ -1484,6 +1484,180 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_revenue_28d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 28-day revenue per customer over sparse daily spend:
+    pre-aggregate to one row per (customer, day), then an integer
+    RANGE frame (missing days contribute nothing — a ROWS frame
+    would be wrong). Decimal accumulation; day numbers are exact
+    epoch-day integers."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        rolling_range_sum,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400))
+            .cast("bigint")
+            .alias("day"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .groupBy("o_custkey", "day")
+        .agg(F.sum("price").alias("spend"))
+    )
+    out = rolling_range_sum(
+        daily, ["o_custkey"], "day", "spend", 28, "spend_28d"
+    )
+    return out.select(
+        "o_custkey",
+        "day",
+        F.col("spend").cast("double").alias("spend"),
+        F.col("spend_28d").cast("double").alias("spend_28d"),
+    )
+
+
+def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: daily order counts per priority with
+    every missing day in the global span zero-filled. Span and group
+    list come from tiny broadcast aggregates — no driver collect
+    builds the calendar."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        gap_fill_days,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            "o_orderpriority", F.to_date("o_orderdate").alias("day")
+        )
+        .groupBy("o_orderpriority", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    filled = gap_fill_days(
+        daily, ["o_orderpriority"], "day", "n_orders", 0
+    )
+    return filled.select(
+        "o_orderpriority",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over events: users bucketed by
+    first-active 7-day period, counted once per (cohort, offset)
+    cell. Pure integer period arithmetic (floor(epoch_day/7)) — no
+    engine-specific week truncation."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    events = synthetic.load_events(spark, sf_dir)
+    return cohort_retention(events, "user_id", "ts", period_days=7).select(
+        "cohort", F.col("offset").cast("bigint").alias("offset"), "n_users"
+    )
+
+
+def q_orders_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands / SCD-2 history build: collapse each
+    customer's consecutive same-status order runs (date+key order)
+    into validity ranges. Both window passes share one sort."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        gaps_islands,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400))
+        .cast("bigint")
+        .alias("day"),
+        "o_orderstatus",
+    )
+    out = gaps_islands(
+        orders,
+        ["o_custkey"],
+        ["day", "o_orderkey"],
+        "o_orderstatus",
+    )
+    return out.select(
+        "o_custkey",
+        "island_id",
+        "o_orderstatus",
+        "n_rows",
+        F.col("island_start").cast("bigint").alias("island_start"),
+        F.col("island_end").cast("bigint").alias("island_end"),
+    )
+
+
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over order baskets: part pairs
+    co-ordered in >= 3 orders with support counts and lift. Pair
+    generation is a self equi-join on the order key (fan-out bounded
+    by items per order); totals join in as broadcasts; the single
+    final integer division keeps the double bit-stable."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        cooccurrence_lift,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+        F.col("l_partkey").cast("bigint").alias("l_partkey"),
+    )
+    return cooccurrence_lift(
+        li, "l_orderkey", "l_partkey", min_pair_count=3
+    ).select("item_a", "item_b", "n_ab", "n_a", "n_b", "lift")
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample: 5 orders per priority class,
+    weighted by price, via all-integer priority keys
+    (hash-uniform * 1e6 // weight_cents) — reproducible across
+    engines, partition layouts, and data growth."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        priority_sample_k,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    out = priority_sample_k(
+        orders, ["o_orderpriority"], "cents", ["o_orderkey"], k=5
+    )
+    return out.select(
+        "o_orderpriority",
+        "o_orderkey",
+        (F.col("cents").cast("decimal(18,2)") / 100)
+        .cast("double")
+        .alias("price"),
+    )
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler over orders (nulls, exact distincts,
+    min/max as strings, long-form): all stats in ONE aggregate over
+    one scan, unpivoted via an inline struct array."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        profile_columns,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    return profile_columns(
+        orders,
+        ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs (doc_id % 10 != 7)
     sharing any word 4-gram with the held-out benchmark split
@@ -2121,6 +2295,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "substring_dedup": q_substring_dedup,
         "cumulative_uniques": q_cumulative_uniques,
+        "rolling_revenue_28d": q_rolling_revenue_28d,
+        "gap_fill_daily": q_gap_fill_daily,
+        "cohort_retention": q_cohort_retention,
+        "orders_islands": q_orders_islands,
+        "basket_lift": q_basket_lift,
+        "priority_sample": q_priority_sample,
+        "column_profile": q_column_profile,
         "stream_static_join": q_stream_static_join,
         "expectations_audit": q_expectations_audit,
         "neardup_triangles": q_neardup_triangles,
@@ -3051,6 +3232,151 @@ SELECT strftime(day, '%Y-%m-%d') AS day,
        CAST(new_users AS BIGINT) AS new_users,
        CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
 FROM d
+""",
+        "rolling_revenue_28d": """
+WITH daily AS (
+  SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_custkey, day,
+       CAST(spend AS DOUBLE) AS spend,
+       CAST(sum(spend) OVER (PARTITION BY o_custkey ORDER BY day
+                             RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS spend_28d
+FROM daily
+""",
+        "gap_fill_daily": """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+cal AS (
+  SELECT g.o_orderpriority, CAST(u.d AS DATE) AS day
+  FROM (SELECT DISTINCT o_orderpriority FROM orders) g,
+       bounds b,
+       LATERAL (SELECT unnest(generate_series(b.d0, b.d1,
+                                              INTERVAL 1 DAY)) AS d) u
+)
+SELECT c.o_orderpriority,
+       strftime(c.day, '%Y-%m-%d') AS day,
+       CAST(COALESCE(daily.n_orders, 0) AS BIGINT) AS n_orders
+FROM cal c LEFT JOIN daily
+  ON daily.o_orderpriority = c.o_orderpriority AND daily.day = c.day
+""",
+        "cohort_retention": """
+WITH up AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(floor(epoch(ts) / 86400) / 7) AS BIGINT) AS p
+  FROM events
+),
+cohorts AS (SELECT u, min(p) AS cohort FROM up GROUP BY u)
+SELECT c.cohort, CAST(up.p - c.cohort AS BIGINT) AS offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM up JOIN cohorts c ON up.u = c.u
+GROUP BY 1, 2
+""",
+        "orders_islands": """
+WITH o AS (
+  SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+         CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+         o_orderstatus
+  FROM orders
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(o_orderstatus) OVER w IS NULL
+                   OR lag(o_orderstatus) OVER w <> o_orderstatus
+                 THEN 1 ELSE 0 END AS chg
+  FROM o
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)
+),
+islands AS (
+  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+                                ORDER BY day, o_orderkey) AS BIGINT)
+              AS island_id
+  FROM flagged
+)
+SELECT o_custkey, island_id, min(o_orderstatus) AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(day) AS BIGINT) AS island_start,
+       CAST(max(day) AS BIGINT) AS island_end
+FROM islands GROUP BY 1, 2
+""",
+        "basket_lift": """
+WITH bi AS (
+  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS b,
+                  CAST(l_partkey AS BIGINT) AS i
+  FROM lineitem
+),
+pairs AS (
+  SELECT a.i AS item_a, c.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+freq AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM bi GROUP BY i),
+total AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM bi)
+SELECT p.item_a, p.item_b, p.n_ab, fa.n AS n_a, fb.n AS n_b,
+       CAST(p.n_ab * t.n_baskets AS DOUBLE)
+         / CAST(fa.n * fb.n AS DOUBLE) AS lift
+FROM pairs p
+JOIN freq fa ON fa.i = p.item_a
+JOIN freq fb ON fb.i = p.item_b
+CROSS JOIN total t
+""",
+        "priority_sample": """
+WITH keyed AS (
+  SELECT o_orderpriority,
+         CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(concat('0x', substr(md5(CAST(CAST(o_orderkey AS BIGINT)
+                                           AS VARCHAR)), 1, 8)) AS BIGINT)
+           * 1000000 AS num
+  FROM orders
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY num // cents, o_orderkey) AS rn
+  FROM keyed
+)
+SELECT o_orderpriority, o_orderkey,
+       CAST(CAST(cents AS DECIMAL(18,2)) / 100 AS DOUBLE) AS price
+FROM ranked WHERE rn <= 5
+""",
+        "column_profile": """
+WITH o AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+         o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+  FROM orders
+)
+SELECT 'o_orderkey' AS "column",
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       min(CAST(o_orderkey AS VARCHAR)) AS min_value,
+       max(CAST(o_orderkey AS VARCHAR)) AS max_value
+FROM o
+UNION ALL
+SELECT 'o_orderstatus',
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       min(o_orderstatus), max(o_orderstatus)
+FROM o
+UNION ALL
+SELECT 'o_orderpriority',
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+       min(o_orderpriority), max(o_orderpriority)
+FROM o
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+       min(CAST(o_totalprice AS VARCHAR)), max(CAST(o_totalprice AS VARCHAR))
+FROM o
 """,
         "stratified_sample": f"""
 SELECT CAST(event_id AS BIGINT) AS event_id,

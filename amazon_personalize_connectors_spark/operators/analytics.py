@@ -1,0 +1,277 @@
+"""Classic warehouse analytics operators the reference's users run
+downstream of its ETL output but that no reference file implements
+(SURVEY.md §2 stops at the connector pipeline): time-range rolling
+windows, calendar densification, cohort retention, gaps-and-islands
+run collapsing, market-basket co-occurrence, weighted priority
+sampling, and one-pass column profiling.
+
+Each follows the repo's scale rules: aggregate BEFORE windowing so
+window partitions are small; derive calendars/bounds from one tiny
+aggregate broadcast back (never a driver-side collect in the data
+path); keep every expression in Catalyst (no Python UDFs); make all
+arithmetic that crosses an engine boundary exact-integer or decimal
+so results are partition-layout-independent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rolling_range_sum(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    day_col: str,
+    value_col: str,
+    window_days: int,
+    out_col: str = "rolling_sum",
+) -> DataFrame:
+    """Per-key rolling sum over a trailing ``window_days``-day RANGE
+    frame (missing days contribute nothing — a ROWS frame would be
+    wrong on sparse dailies). ``day_col`` must be an integer day
+    number; range frames over integers are engine-portable where
+    interval frames are not.
+
+    Scale shape: callers pre-aggregate to one row per (key, day), so
+    the window partition is bounded by the key's active-day count,
+    not its raw row count; the sort is within each hash partition
+    only. Sum as decimal for layout-independent totals.
+    """
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(day_col)
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def gap_fill_days(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    day_col: str,
+    value_col: str,
+    fill_value=0,
+) -> DataFrame:
+    """Calendar densification: emit one row per (group, day) for
+    EVERY day in the global [min, max] span, filling absent days with
+    ``fill_value``. ``day_col`` must be a date column.
+
+    Scale shape: the span comes from one global min/max aggregate
+    (1 row) and the group list from one distinct over the grouping
+    columns — both tiny, both broadcast into a cross join, so the
+    calendar is built without any driver collect. The only shuffle
+    against the data is the left join back, keyed on (group, day).
+    """
+    bounds = df.agg(
+        F.min(day_col).alias("__d0"), F.max(day_col).alias("__d1")
+    )
+    groups = df.select(*group_cols).distinct()
+    calendar = groups.crossJoin(F.broadcast(bounds)).select(
+        *group_cols,
+        F.explode(
+            F.sequence("__d0", "__d1", F.expr("interval 1 day"))
+        ).alias(day_col),
+    )
+    return calendar.join(df, [*group_cols, day_col], "left").withColumn(
+        value_col, F.coalesce(F.col(value_col), F.lit(fill_value))
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-active period
+    (cohort), counted once per (cohort, periods-since-cohort) cell.
+    Periods are ``floor(epoch_day / period_days)`` — pure integer
+    arithmetic, no engine-specific week-truncation semantics.
+
+    Scale shape: raw events collapse to distinct (user, period) first
+    (map-side combinable), cohorts derive from a min-aggregate over
+    that same frame, and the join back is co-partitioned on the user
+    key — the full event table is touched exactly once.
+    """
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400))
+    period = F.floor(day / F.lit(period_days)).cast("bigint")
+    user_period = (
+        events.select(F.col(user_col).alias("u"), period.alias("p")).distinct()
+    )
+    cohorts = user_period.groupBy("u").agg(F.min("p").alias("cohort"))
+    return (
+        user_period.join(cohorts, "u")
+        .groupBy("cohort", (F.col("p") - F.col("cohort")).alias("offset"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+def gaps_islands(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_cols: Sequence[str],
+    state_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: collapse consecutive runs of an identical
+    ``state_col`` value (per partition key, in ``order_cols`` order)
+    into one row per run — the SCD-type-2 history builder (validity
+    ranges of a changing attribute) expressed as lag + change-flag +
+    running island id.
+
+    Returns partition keys + (island_id, state, n_rows, first/last
+    order-key bounds). Two window passes over the same partitioning
+    and ordering — Catalyst plans ONE sort/exchange and reuses it.
+    """
+    w = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    changed = (
+        F.lag(state_col).over(w).isNull()
+        | (F.lag(state_col).over(w) != F.col(state_col))
+    ).cast("int")
+    first_order = order_cols[0]
+    with_island = df.withColumn(
+        "island_id", F.sum(changed).over(w).cast("bigint")
+    )
+    return with_island.groupBy(*part_cols, "island_id").agg(
+        F.min(state_col).alias(state_col),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min(first_order).alias("island_start"),
+        F.max(first_order).alias("island_end"),
+    )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Market-basket association: for unordered item pairs appearing
+    together in >= ``min_pair_count`` baskets, emit support counts and
+    lift = P(a,b) / (P(a) P(b)). One division of exact integers at
+    the very end, so the double is bit-identical across layouts.
+
+    Scale shape: rows collapse to distinct (basket, item) first; the
+    pair generation is a self equi-join ON THE BASKET KEY (fan-out
+    bounded by items-per-basket squared, never all-pairs across
+    baskets); item and basket totals are map-side-combinable counts;
+    the basket total joins in as a broadcast 1-row frame — no driver
+    collect. The pair filter runs before the frequency joins so only
+    surviving pairs shuffle again.
+    """
+    bi = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    a = bi.select("b", F.col("i").alias("item_a"))
+    c = bi.select("b", F.col("i").alias("item_b"))
+    pairs = (
+        a.join(c, "b")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= min_pair_count)
+    )
+    freq = bi.groupBy("i").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    total = bi.select(
+        F.count_distinct("b").cast("bigint").alias("n_baskets")
+    )
+    return (
+        pairs.join(
+            F.broadcast(freq.select(F.col("i").alias("item_a"), F.col("n").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(freq.select(F.col("i").alias("item_b"), F.col("n").alias("n_b"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_ab") * F.col("n_baskets")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+def priority_sample_k(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    weight_cents_col: str,
+    seed_cols: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sample of ``k`` rows per group:
+    priority = hash-uniform * 1e6 // weight (all-integer, so the
+    ranking is reproducible across engines and partition layouts —
+    rand()/randomSplit are neither), keep the k smallest priorities.
+    Heavier rows draw smaller priorities more often, approximating
+    weighted sampling without replacement (Ohlsson's sequential
+    Poisson / priority sampling), stable under data growth because a
+    row's priority never changes.
+
+    ``weight_cents_col`` must be a positive integer column (scale
+    prices to cents first).
+    """
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in seed_cols])),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    pr = (u * F.lit(1_000_000)).cast("bigint") / F.col(weight_cents_col)
+    keyed = df.withColumn("__pr", F.floor(pr).cast("bigint"))
+    w = Window.partitionBy(*group_cols).orderBy("__pr", *seed_cols)
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """One-pass column profiler (the Deequ/expectations-suite shape):
+    per column, null count, exact distinct count, and min/max
+    rendered as strings, returned long-form as one row per column.
+
+    All stats compute in a SINGLE aggregate — one scan of the input —
+    then unpivot via an inline array of structs (rows = number of
+    profiled columns, so the explode is trivial). Exact distinct
+    counts make Catalyst expand the input once per distinct aggregate;
+    at warehouse scale swap ``count_distinct`` for
+    ``approx_count_distinct`` — the plan shape is otherwise identical.
+    Avoid double-typed columns (min/max string rendering is not
+    engine-portable); cast to decimal first.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"__mn_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__nn_{c}").alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_value"),
+                F.col(f"__mx_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")

@@ -1,0 +1,117 @@
+"""Warehouse-analytics operators: rolling range windows, calendar
+gap-fill, cohort retention, gaps-and-islands, basket lift, priority
+sampling, and the one-pass column profiler."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from amazon_personalize_connectors_spark.operators.analytics import (
+    cohort_retention,
+    cooccurrence_lift,
+    gap_fill_days,
+    gaps_islands,
+    priority_sample_k,
+    profile_columns,
+    rolling_range_sum,
+)
+
+
+def test_rolling_range_sum_skips_gap_days(spark):
+    # days 1, 2, 10: a 3-day range frame at day 10 must NOT include
+    # day 2 (a ROWS frame would).
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("a", 10, 40)], "k string, day int, v int"
+    )
+    out = rolling_range_sum(df, ["k"], "day", "v", 3, "r")
+    got = {r.day: r.r for r in out.collect()}
+    assert got == {1: 10, 2: 30, 10: 40}
+
+
+def test_gap_fill_days_densifies_global_span(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", datetime.date(2024, 1, 1), 5),
+            ("a", datetime.date(2024, 1, 4), 7),
+            ("b", datetime.date(2024, 1, 2), 1),
+        ],
+        "g string, day date, n int",
+    )
+    out = gap_fill_days(df, ["g"], "day", "n", 0)
+    rows = {(r.g, str(r.day)): r.n for r in out.collect()}
+    # 4-day global span x 2 groups = 8 rows, zeros where absent
+    assert len(rows) == 8
+    assert rows[("a", "2024-01-01")] == 5
+    assert rows[("a", "2024-01-02")] == 0
+    assert rows[("b", "2024-01-02")] == 1
+    assert rows[("b", "2024-01-04")] == 0
+
+
+def test_cohort_retention_counts_each_user_once_per_cell(spark):
+    # u1 active in periods 0 and 1 (twice); u2 only period 1.
+    base = datetime.datetime(2024, 1, 1)  # aligns within some period
+    rows = [
+        (1, base),
+        (1, base + datetime.timedelta(days=8)),
+        (1, base + datetime.timedelta(days=9)),
+        (2, base + datetime.timedelta(days=8)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = cohort_retention(df, "user_id", "ts", period_days=7)
+    got = {(r.cohort, r.offset): r.n_users for r in out.collect()}
+    cohorts = sorted({c for c, _ in got})
+    first = cohorts[0]
+    assert got[(first, 0)] == 1  # u1's cohort cell
+    assert got[(first, 1)] == 1  # u1 retained once despite 2 events
+    assert sum(got.values()) == 3
+
+
+def test_gaps_islands_collapses_runs(spark):
+    df = spark.createDataFrame(
+        [("c", 1, "A"), ("c", 2, "A"), ("c", 3, "B"), ("c", 4, "A")],
+        "k string, o int, s string",
+    )
+    out = gaps_islands(df, ["k"], ["o"], "s").orderBy("island_id")
+    rows = [(r.island_id, r.s, r.n_rows, r.island_start, r.island_end) for r in out.collect()]
+    assert rows == [(1, "A", 2, 1, 2), (2, "B", 1, 3, 3), (3, "A", 1, 4, 4)]
+
+
+def test_cooccurrence_lift_exact_small_case(spark):
+    # baskets: {x,y}, {x,y}, {x,z} -> pair (x,y) n_ab=2, n_x=3, n_y=2, N=3
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z")],
+        "b int, i string",
+    )
+    out = cooccurrence_lift(df, "b", "i", min_pair_count=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.item_a, r.item_b, r.n_ab, r.n_a, r.n_b) == ("x", "y", 2, 3, 2)
+    assert abs(r.lift - (2 * 3) / (3 * 2)) < 1e-12
+
+
+def test_priority_sample_is_deterministic_and_weighted(spark):
+    rows = [(i % 2, i, 100 + i) for i in range(200)]
+    df = spark.createDataFrame(rows, "g int, id long, w long")
+    a = priority_sample_k(df, ["g"], "w", ["id"], 5)
+    b = priority_sample_k(df.repartition(7), ["g"], "w", ["id"], 5)
+    ga = sorted((r.g, r.id) for r in a.collect())
+    gb = sorted((r.g, r.id) for r in b.collect())
+    assert ga == gb  # layout-independent
+    assert len(ga) == 10  # 5 per group
+
+
+def test_profile_columns_one_row_per_column(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "c")], "id long, s string"
+    )
+    out = {r.column: r for r in profile_columns(df, ["id", "s"]).collect()}
+    assert out["id"].n_nulls == 0 and out["id"].n_distinct == 2
+    assert out["id"].min_value == "1" and out["id"].max_value == "2"
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+
+
+def test_profile_columns_single_scan(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    plan = profile_columns(df, ["id", "s"])._jdf.queryExecution().optimizedPlan().toString()
+    # one scan: the source relation appears exactly once in the plan
+    assert plan.count("LogicalRDD") + plan.count("LocalRelation") == 1
