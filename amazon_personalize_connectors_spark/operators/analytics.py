@@ -153,29 +153,47 @@ def cooccurrence_lift(
     lift = P(a,b) / (P(a) P(b)). One division of exact integers at
     the very end, so the double is bit-identical across layouts.
 
-    Scale shape: rows collapse to distinct (basket, item) first; the
-    pair generation is a self equi-join ON THE BASKET KEY (fan-out
-    bounded by items-per-basket squared, never all-pairs across
-    baskets); item and basket totals are map-side-combinable counts;
-    the basket total joins in as a broadcast 1-row frame — no driver
-    collect. The pair filter runs before the frequency joins so only
-    surviving pairs shuffle again.
+    Scale shape: ONE shuffle groups each basket's distinct items into
+    a sorted array; pairs, item frequencies, and the basket total all
+    derive from that same grouped subtree, so Catalyst plans it once
+    and wires the other consumers through ReusedExchange — the input
+    is scanned once and grouped once (the naive self-join form
+    recomputes the distinct four times). Pair fan-out is bounded by
+    items-per-basket squared within each basket, never cross-basket;
+    pair generation is two generators over the array (posexplode +
+    explode of the tail slice — codegen, no lambda); the basket total
+    joins in as a broadcast 1-row frame — no driver collect. The pair
+    filter runs before the frequency joins so only surviving pairs
+    shuffle again.
     """
-    bi = df.select(
-        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
-    ).distinct()
-    a = bi.select("b", F.col("i").alias("item_a"))
-    c = bi.select("b", F.col("i").alias("item_b"))
+    grouped = (
+        df.groupBy(F.col(basket_col).alias("b"))
+        .agg(F.sort_array(F.collect_set(item_col)).alias("items"))
+    )
     pairs = (
-        a.join(c, "b")
-        .where(F.col("item_a") < F.col("item_b"))
+        grouped.select(F.posexplode("items").alias("pos", "item_a"), "items")
+        .select(
+            "item_a",
+            F.explode(
+                F.slice("items", F.col("pos") + 2, F.size("items"))
+            ).alias("item_b"),
+        )
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
         .where(F.col("n_ab") >= min_pair_count)
     )
-    freq = bi.groupBy("i").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    total = bi.select(
-        F.count_distinct("b").cast("bigint").alias("n_baskets")
+    freq = (
+        grouped.select(F.explode("items").alias("i"))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    # count via size(items) so the aggregate still references the array:
+    # a plain count(1) lets column pruning rewrite this branch into a
+    # second scan+distinct of the raw input, while referencing `items`
+    # keeps the subtree canonical-equal to `grouped` and AQE wires it
+    # through ReusedExchange — one scan, one grouping shuffle, total.
+    total = grouped.agg(
+        F.sum((F.size("items") >= 0).cast("bigint")).alias("n_baskets")
     )
     return (
         pairs.join(

@@ -84,6 +84,15 @@ BENCH_QUERIES = [
     "zorder_layout",
     "expectations_audit",
     "neardup_triangles",
+    "substring_dedup",
+    "cumulative_uniques",
+    "rolling_revenue_28d",
+    "gap_fill_daily",
+    "cohort_retention",
+    "orders_islands",
+    "basket_lift",
+    "priority_sample",
+    "column_profile",
 ]
 
 

@@ -2,6 +2,8 @@
 promises, asserted from physical plans so refactors can't silently
 regress them (README "Design decisions that matter at 100 TB")."""
 
+import re
+
 import __spark_entry__ as entry
 
 
@@ -230,3 +232,60 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def _final_explain(spark, df) -> str:
+    """collect() the SAME frame, then dump the formatted final AQE plan
+    (count() builds a different plan and leaves this one unexecuted)."""
+    df.collect()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_basket_lift_single_scan_with_exchange_reuse(spark, sf_dir):
+    """Market-basket lift reads the input ONCE: pairs, item
+    frequencies, and the basket total all reuse the one basket-
+    grouping shuffle (the naive self-join form scans 5x)."""
+    import re
+
+    s = _final_explain(spark, entry.q_basket_lift(spark, sf_dir))
+    # AQE explain embeds the pre-execution tree under "== Initial
+    # Plan ==" — only the final stage tree above it is what ran
+    final = s.split("== Initial Plan ==")[0]
+    scan_ids = set(re.findall(r"Scan parquet\s*\((\d+)\)", final))
+    assert len(scan_ids) == 1, scan_ids
+    assert "ReusedExchange" in final
+
+
+def test_orders_islands_one_exchange(spark, sf_dir):
+    """Gaps-and-islands: the lag window, the island running sum, and
+    the per-island aggregate all run on ONE hash exchange of the
+    partition key."""
+    df = entry.q_orders_islands(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    exchanges = [
+        l
+        for l in plan.splitlines()
+        if "Exchange" in l and "Reused" not in l and "QueryStage" not in l
+    ]
+    assert len(exchanges) == 1, exchanges
+
+
+def test_rolling_revenue_both_shuffles_post_reduction(spark, sf_dir):
+    """The rolling window shuffles only pre-aggregated dailies: both
+    exchanges sit ABOVE a partial aggregate, never on raw rows."""
+    df = entry.q_rolling_revenue_28d(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    exchanges = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "Reused" not in l
+    ]
+    assert len(exchanges) <= 2, exchanges
+    assert "partial_sum" in plan  # map-side combine before the shuffle
