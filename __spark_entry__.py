@@ -1484,6 +1484,206 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization quality evaluation: recall@5 of the SQ8 integer
+    ranking against the exact cosine ranking, per query vector. Both
+    rankings are deterministic (round-6 floats / pure int64), so the
+    intersection count — and the single constant division — is
+    bit-stable across engines. This is the eval loop a user runs
+    before trusting a quantized index at corpus scale."""
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        brute_force_topk,
+        sq8_topk,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    exact = brute_force_topk(emb, queries_df, k=5).select("q_id", "n_id")
+    quant = sq8_topk(emb, queries_df, k=5).select("q_id", "n_id")
+    hits = (
+        exact.join(quant, ["q_id", "n_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            F.col("q_id").cast("bigint").alias("q_id"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / F.lit(5.0)).alias("recall_at_5"),
+        )
+    )
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: per near-dup component keep the
+    best representative (longest text, then smallest id) — the final
+    step that turns dedup groups into a cleaned corpus. Singleton
+    docs (no near-dup edge) form their own component. Selection is
+    one max(struct) aggregate — no window, no per-group sort."""
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        neardup_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    edges = ngram_jaccard_pairs(docs)
+    comp = neardup_components(edges).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    labeled = (
+        docs.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
+    return (
+        labeled.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max(
+                F.struct(
+                    F.col("n_chars").alias("nc"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                )
+            ).alias("best"),
+        )
+        .select(
+            F.col("component").cast("bigint").alias("component"),
+            "n_docs",
+            (-F.col("best.neg_id")).cast("bigint").alias("canonical_id"),
+            F.col("best.nc").cast("bigint").alias("canonical_chars"),
+        )
+    )
+
+
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free temporal split: the first day where the running
+    event count reaches ceil(80%) of the total becomes the boundary
+    (train = up to and including it). Day counts collapse the data
+    first, the prefix sum runs distributed, and the threshold is
+    exact integer arithmetic — no percentile interpolation."""
+    from amazon_personalize_connectors_spark.operators.ids import add_running_total
+
+    events = synthetic.load_events(spark, sf_dir)
+    daily = (
+        events.select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    cum = add_running_total(daily, ["day"], "n", "cum")
+    total = daily.agg(F.sum("n").cast("bigint").alias("total"))
+    with_k = cum.crossJoin(F.broadcast(total)).withColumn(
+        "k", F.floor((F.lit(8) * F.col("total") + 9) / 10).cast("bigint")
+    )
+    return with_k.agg(
+        F.date_format(
+            F.min(F.when(F.col("cum") >= F.col("k"), F.col("day"))), "yyyy-MM-dd"
+        ).alias("split_day"),
+        F.min(F.when(F.col("cum") >= F.col("k"), F.col("cum")))
+        .cast("bigint")
+        .alias("n_train"),
+        (
+            F.max("total") - F.min(F.when(F.col("cum") >= F.col("k"), F.col("cum")))
+        )
+        .cast("bigint")
+        .alias("n_test"),
+    )
+
+
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users per day. An expanding/sliding
+    DISTINCT window does not distribute; the scale shape is bounded
+    fan-out: distinct (user, day) pairs each replicate into the <= 7
+    window-days they serve, then one distinct count per window-day.
+    Fan-out is exactly 7x the ALREADY-collapSED pair set — never 7x
+    the raw events."""
+    events = synthetic.load_events(spark, sf_dir)
+    du = (
+        events.select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / F.lit(86400))
+            .cast("bigint")
+            .alias("day"),
+        )
+        .distinct()
+    )
+    bounds = du.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    fanned = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(6))
+        ).alias("wday"),
+    ).distinct()
+    return (
+        fanned.crossJoin(F.broadcast(bounds))
+        .where((F.col("wday") >= F.col("d0")) & (F.col("wday") <= F.col("d1")))
+        .groupBy("wday")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users_7d"))
+        .select(F.col("wday").cast("bigint").alias("day"), "n_users_7d")
+    )
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: event-type transition counts and
+    probabilities per user session stream (lead over (ts, event_id)
+    order). The per-source totals join back as a broadcast (the type
+    vocabulary is tiny); probability is one bigint division."""
+    from pyspark.sql.window import Window
+
+    events = synthetic.load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select(
+            "user_id", "ts", "event_id", F.col("event_type").alias("from_type")
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = trans.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("n_from")
+    )
+    return trans.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias("p"),
+    )
+
+
+def q_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM feature build per user: recency in integer days against
+    the global max day (broadcast 1-row bound), exact frequency, and
+    decimal-accumulated monetary value — the standard personalization
+    feature triple, one shuffle on the user key."""
+    events = synthetic.load_events(spark, sf_dir)
+    per_user = events.groupBy("user_id").agg(
+        F.max(F.floor(F.unix_timestamp("ts") / F.lit(86400)))
+        .cast("bigint")
+        .alias("last_day"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("monetary_dec"),
+    )
+    gmax = per_user.agg(F.max("last_day").alias("gday"))
+    return per_user.crossJoin(F.broadcast(gmax)).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        (F.col("gday") - F.col("last_day")).cast("bigint").alias("recency_days"),
+        "frequency",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+    )
+
+
 def q_rolling_revenue_28d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 28-day revenue per customer over sparse daily spend:
     pre-aggregate to one row per (customer, day), then an integer
@@ -2295,6 +2495,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "substring_dedup": q_substring_dedup,
         "cumulative_uniques": q_cumulative_uniques,
+        "ann_recall": q_ann_recall,
+        "dedup_canonical": q_dedup_canonical,
+        "temporal_split": q_temporal_split,
+        "rolling_distinct_users": q_rolling_distinct_users,
+        "markov_transitions": q_markov_transitions,
+        "rfm_features": q_rfm_features,
         "rolling_revenue_28d": q_rolling_revenue_28d,
         "gap_fill_daily": q_gap_fill_daily,
         "cohort_retention": q_cohort_retention,
@@ -3232,6 +3438,175 @@ SELECT strftime(day, '%Y-%m-%d') AS day,
        CAST(new_users AS BIGINT) AS new_users,
        CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
 FROM d
+""",
+        "ann_recall": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+         round(list_dot_product(q.v, e.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(e.v, e.v))), 6) AS score
+  FROM q JOIN e ON e.vec_id <> q.vec_id
+),
+exact AS (
+  SELECT q_id, n_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY score DESC, n_id) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+edim AS (
+  SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS dim,
+         CAST(floor(v[u.i] * 1000000.0) AS BIGINT) AS iv
+  FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+),
+sq8_stats AS (SELECT dim, min(iv) AS lo, max(iv) AS hi FROM edim GROUP BY dim),
+codes AS (
+  SELECT vec_id,
+         list(CASE WHEN hi = lo THEN 0
+              ELSE greatest(0, least(255,
+                   CAST(floor((iv - lo) * 255.0 / (hi - lo)) AS BIGINT)))
+              END ORDER BY dim) AS c
+  FROM edim JOIN sq8_stats USING (dim) GROUP BY vec_id
+),
+qc AS (SELECT * FROM codes WHERE vec_id % 50 = 0),
+qscored AS (
+  SELECT qc.vec_id AS q_id, c2.vec_id AS n_id,
+         CAST(list_dot_product(CAST(qc.c AS DOUBLE[]), CAST(c2.c AS DOUBLE[]))
+              AS BIGINT) AS qdot
+  FROM qc JOIN codes c2 ON c2.vec_id <> qc.vec_id
+),
+quant AS (
+  SELECT q_id, n_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY qdot DESC, n_id) AS rank
+    FROM qscored
+  ) WHERE rank <= 5
+),
+hits AS (
+  SELECT e2.q_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM exact e2 JOIN quant ON quant.q_id = e2.q_id AND quant.n_id = e2.n_id
+  GROUP BY e2.q_id
+)
+SELECT CAST(q.vec_id AS BIGINT) AS q_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) / 5.0 AS recall_at_5
+FROM q LEFT JOIN hits h ON h.q_id = q.vec_id
+""",
+        "dedup_canonical": f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 5 = 0
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+                          i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))
+         ) AS shingles
+  FROM toks
+),
+exploded_sh AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+),
+rare AS (
+  SELECT shingle FROM exploded_sh GROUP BY shingle HAVING count(*) <= 100
+),
+filtered AS (SELECT e.* FROM exploded_sh e JOIN rare USING (shingle)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM filtered a JOIN filtered b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+labeled AS (
+  SELECT d.doc_id, d.n_chars,
+         COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+  WHERE d.doc_id % 5 = 0
+)
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(arg_max(doc_id, n_chars * 10000000000 - doc_id) AS BIGINT)
+         AS canonical_id,
+       CAST(max(n_chars) AS BIGINT) AS canonical_chars
+FROM labeled GROUP BY component
+""",
+        "temporal_split": """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT day, sum(n) OVER (ORDER BY day) AS cum FROM daily
+),
+tot AS (SELECT sum(n) AS total FROM daily),
+k AS (SELECT CAST(floor((8 * total + 9) / 10) AS BIGINT) AS k, total FROM tot)
+SELECT strftime(min(CASE WHEN cum >= k.k THEN day END), '%Y-%m-%d') AS split_day,
+       CAST(min(CASE WHEN cum >= k.k THEN cum END) AS BIGINT) AS n_train,
+       CAST(max(k.total) - min(CASE WHEN cum >= k.k THEN cum END) AS BIGINT)
+         AS n_test
+FROM cum, k
+""",
+        "rolling_distinct_users": """
+WITH du AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM du),
+fanned AS (
+  SELECT DISTINCT du.user_id, du.day + v.j AS wday
+  FROM du, LATERAL (SELECT unnest(range(0, 7)) AS j) v
+)
+SELECT CAST(f.wday AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_users_7d
+FROM fanned f, bounds b
+WHERE f.wday >= b.d0 AND f.wday <= b.d1
+GROUP BY f.wday
+""",
+        "markov_transitions": """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+trans AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+totals AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+           FROM trans GROUP BY 1)
+SELECT t.from_type, t.to_type, t.n,
+       CAST(t.n AS DOUBLE) / CAST(tt.n_from AS DOUBLE) AS p
+FROM trans t JOIN totals tt ON tt.from_type = t.from_type
+""",
+        "rfm_features": """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(max(floor(epoch(ts) / 86400)) AS BIGINT) AS last_day,
+         CAST(count(*) AS BIGINT) AS frequency,
+         sum(CAST(value AS DECIMAL(18,6))) AS monetary_dec
+  FROM events GROUP BY user_id
+),
+gmax AS (SELECT max(last_day) AS gday FROM per_user)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(g.gday - last_day AS BIGINT) AS recency_days,
+       frequency,
+       CAST(monetary_dec AS DOUBLE) AS monetary
+FROM per_user, gmax g
 """,
         "rolling_revenue_28d": """
 WITH daily AS (

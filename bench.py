@@ -93,6 +93,12 @@ BENCH_QUERIES = [
     "basket_lift",
     "priority_sample",
     "column_profile",
+    "ann_recall",
+    "dedup_canonical",
+    "temporal_split",
+    "rolling_distinct_users",
+    "markov_transitions",
+    "rfm_features",
 ]
 
 
