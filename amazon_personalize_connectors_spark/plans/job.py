@@ -23,6 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from amazon_personalize_connectors_spark.config import PipelineConfig
 from amazon_personalize_connectors_spark.operators.delta import (
@@ -84,8 +85,14 @@ def run_job(
     batch_raw = read_batch_inference(
         spark, f"{job_root}/batch_inference", job_type
     ).cache()
-    batch, corrupt = split_corrupt(batch_raw, cache=False)
-    report.n_corrupt = corrupt.count()
+    # A2: the corrupt-row count rides along with the first connector
+    # write via observe() — no separate count() job over the scan.
+    observed_raw, raw_obs = observe_counts(
+        batch_raw,
+        name="apc_raw_scan",
+        n_corrupt=F.col("_corrupt_record").isNotNull(),
+    )
+    batch, corrupt = split_corrupt(observed_raw, cache=False)
 
     mapping = None
     if job_type == "related_items":
@@ -155,5 +162,12 @@ def run_job(
                 known_nonempty=True,
             )
             report.n_errors = int(err_obs.get["n_rows"])
+    if results:
+        # metrics landed during the first connector write
+        report.n_corrupt = int(raw_obs.get["n_corrupt"])
+    else:
+        # no connector ran an action, so the observation never fired;
+        # the one-off count here is the cold path, not per-connector
+        report.n_corrupt = corrupt.count()
     batch_raw.unpersist()
     return report

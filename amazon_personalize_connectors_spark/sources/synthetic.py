@@ -91,16 +91,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events table loader. The driver's events.parquet carries
-    TIMESTAMP(NANOS) which Spark 4 rejects outright — read nanos as
-    raw longs and derive an exact microsecond timestamp (integer DIV,
-    no double round-trip: ns epochs exceed 2^53). Matches DuckDB's
-    native nanos→micros truncation."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts_us", F.expr("ts DIV 1000")).withColumn(
-        "ts", F.timestamp_micros(F.col("ts_us"))
-    )
+    """Events table loader, robust to driver-data timestamp drift.
+
+    Output contract (stable across testdata generations):
+      * ``ts_us``  bigint — exact epoch microseconds as stored,
+      * ``ts``     timestamp — microsecond timestamp for date functions.
+
+    The driver's events.parquet has shipped two physical encodings:
+    TIMESTAMP(NANOS) (round 1 — Spark 4 only reads it as raw longs via
+    the nanosAsLong legacy conf) and plain ``timestamp[us]`` (round 2+
+    — arrives as TIMESTAMP_NTZ). Branch on the decoded dtype rather
+    than assuming either; ``unix_micros`` requires TIMESTAMP, so the
+    NTZ column is cast first — the session tz is UTC in this
+    environment, so the wall time round-trips exactly and matches
+    DuckDB's naive ``epoch_us(ts)``. The legacy conf is only touched
+    when actually needed, and restored afterwards."""
+    try:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ts_type = dict(df.dtypes)["ts"]
+    except Exception:
+        ts_type = None  # unreadable without the legacy nanos conf
+    if ts_type == "bigint" or ts_type is None:
+        # Only mutate the session conf when the data actually demands it
+        # (it cannot be restored before execution: the lazy parquet scan
+        # re-reads the conf when the job runs).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # integer DIV, no double round-trip: ns epochs exceed 2^53.
+        return df.withColumn("ts_us", F.expr("ts DIV 1000")).withColumn(
+            "ts", F.timestamp_micros(F.col("ts_us"))
+        )
+    if ts_type.startswith("timestamp"):
+        ts = F.col("ts")
+        if ts_type == "timestamp_ntz":
+            ts = ts.cast("timestamp")
+        return df.withColumn("ts", ts).withColumn("ts_us", F.unix_micros(F.col("ts")))
+    raise TypeError(f"events.ts: unsupported dtype {ts_type!r}")
 
 
 def _spread(df: DataFrame) -> DataFrame:

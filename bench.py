@@ -118,11 +118,21 @@ def main() -> None:
     # repeats share hot page cache/JIT state and understate variance,
     # while interleaving exposes the session-order effects we're trying
     # to measure out.
+    # A failing query must cost ONE row, not the round's whole bench
+    # (round-2 post-mortem: one loader bug crashed the entire run and
+    # left the round with zero official numbers). Errors are recorded
+    # per-query and excluded from the suite total.
+    errors: dict[str, str] = {}
     for _ in range(max(1, N_RUNS)):
         for name in samples:
-            t0 = time.perf_counter()
-            qs[name](spark, SF_DIR).count()
-            samples[name].append(round(time.perf_counter() - t0, 3))
+            if name in errors:
+                continue
+            try:
+                t0 = time.perf_counter()
+                qs[name](spark, SF_DIR).count()
+                samples[name].append(round(time.perf_counter() - t0, 3))
+            except Exception as exc:  # noqa: BLE001 — record and move on
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             # No cross-query reuse or memory bleed: drop caches and
             # force a JVM GC so ContextCleaner reclaims accumulated
             # broadcasts — without this, a long sequential session
@@ -131,24 +141,22 @@ def main() -> None:
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
 
-    times = {name: round(statistics.median(s), 3) for name, s in samples.items()}
-    spread = {
-        name: [round(min(s), 3), round(max(s), 3)] for name, s in samples.items()
-    }
+    ok = {name: s for name, s in samples.items() if s and name not in errors}
+    times = {name: round(statistics.median(s), 3) for name, s in ok.items()}
+    spread = {name: [round(min(s), 3), round(max(s), 3)] for name, s in ok.items()}
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "runs_per_query": max(1, N_RUNS),
-                "spread": spread,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "runs_per_query": max(1, N_RUNS),
+        "spread": spread,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

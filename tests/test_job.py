@@ -161,10 +161,9 @@ def test_run_job_digest_state_loop(spark, tmp_path, config):
 
 
 def test_run_job_counts_never_reexecute_pipeline(spark, tmp_path, config, monkeypatch):
-    """A2 fix: delivered/error counts come from observe() metrics
-    riding the sink writes — the join/aggregate lineage runs once per
-    connector. The only count() is the corrupt-row probe over the
-    cached raw scan."""
+    """A2 fix: delivered/error/corrupt counts all come from observe()
+    metrics riding the sink writes — the join/aggregate lineage runs
+    once per connector and run_job issues ZERO count() jobs."""
     # patch the concrete class — pyspark 4's classic DataFrame
     # overrides count(), so patching the abstract base misses it
     from pyspark.sql.classic.dataframe import DataFrame
@@ -180,11 +179,24 @@ def test_run_job_counts_never_reexecute_pipeline(spark, tmp_path, config, monkey
 
     monkeypatch.setattr(DataFrame, "count", spy)
     report = run_job(spark, "related_items", root, config)
-    assert len(count_calls) == 1  # n_corrupt only
+    assert len(count_calls) == 0  # everything rides observe()
     # counts still reported, and correct
     assert report.delivered_rows["braze"] == 3
     assert report.delivered_rows["jsonl"] == 3
     assert report.n_errors == 1 and report.error_path is not None
+    assert report.n_corrupt == 0
+
+
+def test_run_job_reports_corrupt_rows_via_observe(spark, tmp_path, config):
+    """n_corrupt > 0 flows out of the observe() metric, not a count()."""
+    root = str(tmp_path / "jobcorrupt")
+    _write_inputs(root, RECS)
+    with open(f"{root}/batch_inference/part-0.json", "a") as f:
+        f.write("{this is not json\n")
+        f.write('{"input": {"itemId": "broken"\n')
+    report = run_job(spark, "related_items", root, config)
+    assert report.n_corrupt == 2
+    assert report.delivered_rows["braze"] == 3  # clean rows unaffected
 
 
 def test_run_job_user_personalization(spark, tmp_path, config):
