@@ -2405,74 +2405,21 @@ def q_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "error_split_ok": q_error_split_ok,
-        "error_split_errors": q_error_split_errors,
-        "attribution_join": q_attribution_join,
-        "explode_outer": q_explode_outer,
-        "decorate_flat": q_decorate_flat,
-        "renest_ordered": q_renest_ordered,
+        # --- driver verification window: the driver oracle-checks the
+        # FIRST 50 entries in dict order. Round-3 rotation: 1 sentinel +
+        # 5 round-2 regressions + the 44 never-driver-verified queries.
+        # Rotate each round so every query earns a driver-green row;
+        # ledger: VERIFIED.md.
         "flagship_related_flat": q_flagship_related_flat,
-        "user_pers_flat": q_user_pers_flat,
-        "delta_except": q_delta_except,
-        "payload_pivot": q_payload_pivot,
-        "topk_slice": q_topk_slice,
-        "stamp_literals": q_stamp_literals,
-        "text_tokens": q_text_tokens,
-        "text_quality": q_text_quality,
-        "lang_profile": q_lang_profile,
-        "doc_fingerprint": q_doc_fingerprint,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "ngram_jaccard_materialized": q_ngram_jaccard_materialized,
-        "neardup_components": q_neardup_components,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "simhash64": q_simhash64,
-        "state_digest_update": q_state_digest_update,
-        "ann_topk": q_ann_topk,
-        "ann_topk_partial": q_ann_topk_partial,
-        "ann_quantized": q_ann_quantized,
-        "rrf_fusion": q_rrf_fusion,
-        "pq_adc": q_pq_adc,
-        "simhash_neardup": q_simhash_neardup,
-        "ivf_probe_topk": q_ivf_probe_topk,
-        "quality_filter": q_quality_filter,
-        "llm_corpus_survivors": q_llm_corpus_survivors,
-        "repetition_signals": q_repetition_signals,
-        "kmeans_refine": q_kmeans_refine,
-        "hybrid_filtered_ann": q_hybrid_filtered_ann,
-        "chunk_documents": q_chunk_documents,
-        "embedding_neardup": q_embedding_neardup,
-        "ivf_centroids": q_ivf_centroids,
-        "ivf_assign": q_ivf_assign,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_props": q_events_props,
-        "lineitem_pricing": q_lineitem_pricing,
         "asof_join": q_asof_join,
-        "band_join_features": q_band_join_features,
         "band_join_bucketed": q_band_join_bucketed,
-        "window_analytics": q_window_analytics,
-        "rollup_revenue": q_rollup_revenue,
-        "cube_revenue": q_cube_revenue,
-        "sliding_windows": q_sliding_windows,
-        "semi_anti_join": q_semi_anti_join,
-        "pivot_events": q_pivot_events,
-        "percentiles": q_percentiles,
-        "stream_windowed_counts": q_stream_windowed_counts,
         "stream_interval_join": q_stream_interval_join,
-        "salted_attribution": q_salted_attribution,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "contiguous_ids": q_contiguous_ids,
         "running_revenue": q_running_revenue,
         "stratified_sample": q_stratified_sample,
         "event_funnel": q_event_funnel,
-        "hash_split": q_hash_split,
-        "intersect_items": q_intersect_items,
-        "approx_distinct": q_approx_distinct,
-        "topk_per_group": q_topk_per_group,
-        "renest_legacy_window": q_renest_legacy_window,
-        "delta_anti_hash": q_delta_anti_hash,
         "multimodal_decode": q_multimodal_decode,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
@@ -2513,6 +2460,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_triangles": q_neardup_triangles,
         "leakage_safe_split": q_leakage_safe_split,
         "ivf_index_probe": q_ivf_index_probe,
+        # --- beyond the 50-query window (driver-green in a prior round;
+        # see VERIFIED.md) ---
+        "error_split_ok": q_error_split_ok,
+        "error_split_errors": q_error_split_errors,
+        "attribution_join": q_attribution_join,
+        "explode_outer": q_explode_outer,
+        "decorate_flat": q_decorate_flat,
+        "renest_ordered": q_renest_ordered,
+        "user_pers_flat": q_user_pers_flat,
+        "delta_except": q_delta_except,
+        "payload_pivot": q_payload_pivot,
+        "topk_slice": q_topk_slice,
+        "stamp_literals": q_stamp_literals,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "lang_profile": q_lang_profile,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ngram_jaccard_materialized": q_ngram_jaccard_materialized,
+        "neardup_components": q_neardup_components,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "simhash64": q_simhash64,
+        "state_digest_update": q_state_digest_update,
+        "ann_topk": q_ann_topk,
+        "ann_topk_partial": q_ann_topk_partial,
+        "ann_quantized": q_ann_quantized,
+        "rrf_fusion": q_rrf_fusion,
+        "pq_adc": q_pq_adc,
+        "simhash_neardup": q_simhash_neardup,
+        "ivf_probe_topk": q_ivf_probe_topk,
+        "quality_filter": q_quality_filter,
+        "llm_corpus_survivors": q_llm_corpus_survivors,
+        "repetition_signals": q_repetition_signals,
+        "kmeans_refine": q_kmeans_refine,
+        "hybrid_filtered_ann": q_hybrid_filtered_ann,
+        "chunk_documents": q_chunk_documents,
+        "embedding_neardup": q_embedding_neardup,
+        "ivf_centroids": q_ivf_centroids,
+        "ivf_assign": q_ivf_assign,
+        "lineitem_pricing": q_lineitem_pricing,
+        "band_join_features": q_band_join_features,
+        "window_analytics": q_window_analytics,
+        "rollup_revenue": q_rollup_revenue,
+        "cube_revenue": q_cube_revenue,
+        "sliding_windows": q_sliding_windows,
+        "semi_anti_join": q_semi_anti_join,
+        "pivot_events": q_pivot_events,
+        "percentiles": q_percentiles,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "salted_attribution": q_salted_attribution,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "contiguous_ids": q_contiguous_ids,
+        "hash_split": q_hash_split,
+        "intersect_items": q_intersect_items,
+        "approx_distinct": q_approx_distinct,
+        "topk_per_group": q_topk_per_group,
+        "renest_legacy_window": q_renest_legacy_window,
+        "delta_anti_hash": q_delta_anti_hash,
     }
 
 
