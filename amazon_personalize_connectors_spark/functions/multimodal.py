@@ -1,13 +1,17 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, processed with Arrow-batched Pandas functions.
 
-The container has no image/audio codecs, so the decode step is a
-clearly-marked stub (``decode_media`` raises NotImplementedError unless
-given a decoder); everything Spark-side is real and tested: the column
-schema, the ``mapInPandas`` plumbing (Arrow batch in, Arrow batch out),
-the deterministic fake decoder used by tests, and the partitioning
-story (binary payloads are large — repartition by byte budget before
-a decode pass, not by row count).
+``real_decoder`` REALLY decodes the formats the Python standard
+library can handle without external codecs — PCM WAV (``wave``),
+8-bit PNG (``zlib`` inflate + scanline unfilter), uncompressed BMP,
+and binary PPM — and raises a clearly-marked NotImplementedError for
+codec-heavy containers (JPEG/MP3/MP4) with instructions to wire
+PIL/soundfile/pyav where those exist. Everything Spark-side is real
+and tested either way: the column schema, the ``mapInPandas`` plumbing
+(Arrow batch in, Arrow batch out), the deterministic fake decoder used
+for oracle-checked queries, and the partitioning story (binary
+payloads are large — repartition by byte budget before a decode pass,
+not by row count).
 
 At 100 TB the pattern is: keep binaries in their own column family
 (parquet column chunk), prune them out of every query that doesn't
@@ -89,12 +93,191 @@ def fake_decoder(content: bytes, kind: str) -> dict[str, Any]:
     }
 
 
-def real_decoder(content: bytes, kind: str) -> dict[str, Any]:  # pragma: no cover
-    """STUB — the container ships no media codecs. Wire PIL (image),
-    soundfile (audio) or pyav/ffmpeg (video) here when available."""
+def _decode_wav(content: bytes) -> dict[str, Any]:
+    """PCM WAV via stdlib ``wave``: sample rate / channels / duration
+    plus RMS + peak over the normalized samples."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        nch, sw, rate, nframes = (
+            w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+        )
+        raw = w.readframes(nframes)
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype="u1").astype(np.float64) - 128.0) / 128.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"WAV sample width {sw} not supported")
+    rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+    peak = float(np.max(np.abs(x))) if x.size else 0.0
+    duration = nframes / rate if rate else 0.0
+    return {
+        "checksum": zlib.crc32(content),
+        "features": [float(rate), float(nch), duration, rms, peak],
+    }
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytearray:
+    """Reverse PNG scanline filters (types 0-4, RFC 2083 §6)."""
+    out = bytearray(height * stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1: pos + 1 + stride])
+        pos += 1 + stride
+        off = y * stride
+        prev_off = off - stride
+        for i in range(stride):
+            a = out[off + i - bpp] if i >= bpp else 0
+            b = out[prev_off + i] if y > 0 else 0
+            c = out[prev_off + i - bpp] if (y > 0 and i >= bpp) else 0
+            x = line[i]
+            if ftype == 0:
+                v = x
+            elif ftype == 1:
+                v = x + a
+            elif ftype == 2:
+                v = x + b
+            elif ftype == 3:
+                v = x + (a + b) // 2
+            elif ftype == 4:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                v = x + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+            else:
+                raise NotImplementedError(f"PNG filter type {ftype}")
+            out[off + i] = v & 0xFF
+    return out
+
+
+def _decode_png(content: bytes) -> dict[str, Any]:
+    """8-bit non-interlaced PNG (gray / RGB / gray+A / RGBA) via stdlib
+    ``zlib``: IDAT inflate + scanline unfilter, then per-channel means."""
+    import struct
+
+    import numpy as np
+
+    pos, width = 8, None
+    idat = bytearray()
+    while pos < len(content):
+        (clen,), ctype = struct.unpack(">I", content[pos: pos + 4]), content[pos + 4: pos + 8]
+        data = content[pos + 8: pos + 8 + clen]
+        pos += 12 + clen
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0:
+                raise NotImplementedError(
+                    f"PNG depth={depth} interlace={interlace} not supported"
+                )
+            nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if nch is None:
+                raise NotImplementedError(f"PNG color type {color} (palette?)")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    stride = width * nch
+    pixels = _png_unfilter(zlib.decompress(bytes(idat)), height, stride, nch)
+    arr = np.frombuffer(bytes(pixels), dtype="u1").reshape(height, width, nch)
+    means = arr.reshape(-1, nch).mean(axis=0) / 255.0
+    return {
+        "checksum": zlib.crc32(content),
+        "features": [float(width), float(height), float(nch)] + [float(m) for m in means],
+    }
+
+
+def _decode_bmp(content: bytes) -> dict[str, Any]:
+    """Uncompressed 24/32-bit BMP (BITMAPINFOHEADER, bottom-up rows
+    padded to 4 bytes); per-channel means in RGB order."""
+    import struct
+
+    import numpy as np
+
+    data_off = struct.unpack("<I", content[10:14])[0]
+    width, height = struct.unpack("<ii", content[18:26])
+    planes, bpp = struct.unpack("<HH", content[26:30])
+    compression = struct.unpack("<I", content[30:34])[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    nch = bpp // 8
+    stride = (width * nch + 3) & ~3
+    rows = []
+    flipped = height > 0
+    height = abs(height)
+    for y in range(height):
+        start = data_off + y * stride
+        rows.append(np.frombuffer(content[start: start + width * nch], dtype="u1"))
+    arr = np.stack(rows[::-1] if flipped else rows).reshape(height, width, nch)
+    bgr = arr.reshape(-1, nch).mean(axis=0) / 255.0  # BMP stores BGR(A)
+    means = [float(bgr[2]), float(bgr[1]), float(bgr[0])]
+    return {
+        "checksum": zlib.crc32(content),
+        "features": [float(width), float(height), float(nch)] + means,
+    }
+
+
+def _decode_ppm(content: bytes) -> dict[str, Any]:
+    """Binary PPM (P6, maxval<=255): header tokens then raw RGB."""
+    import numpy as np
+
+    tokens, pos = [], 2  # skip "P6"
+    while len(tokens) < 3:
+        while pos < len(content) and content[pos: pos + 1].isspace():
+            pos += 1
+        if content[pos: pos + 1] == b"#":  # comment to EOL
+            while content[pos: pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos: pos + 1].isspace():
+            pos += 1
+        tokens.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    arr = np.frombuffer(content[pos: pos + width * height * 3], dtype="u1")
+    means = arr.reshape(-1, 3).mean(axis=0) / float(maxval)
+    return {
+        "checksum": zlib.crc32(content),
+        "features": [float(width), float(height), 3.0] + [float(m) for m in means],
+    }
+
+
+def real_decoder(content: bytes, kind: str) -> dict[str, Any]:
+    """Pure-stdlib media decoder — REAL decode paths for the formats
+    the standard library can handle (no external codecs needed):
+
+    * WAV/PCM audio (``wave`` + numpy): rate, channels, duration, RMS, peak
+    * PNG 8-bit gray/RGB/RGBA (``zlib`` inflate + scanline unfilter)
+    * BMP 24/32-bit uncompressed
+    * PPM (P6) binary
+
+    Container formats that require external codec libraries (JPEG, MP3,
+    MP4, ...) raise NotImplementedError with the magic bytes sniffed —
+    wire PIL / soundfile / pyav here where those exist. Dispatch is by
+    content magic, not the ``kind`` tag: storage metadata lies."""
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return _decode_wav(content)
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(content)
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
+    if content[:2] == b"P6":
+        return _decode_ppm(content)
     raise NotImplementedError(
-        "media decoding requires image/audio libraries not present in this "
-        "environment; pass decoder=fake_decoder or your own Decoder"
+        f"no stdlib codec for magic {content[:4]!r} (kind={kind}); JPEG/MP3/"
+        "MP4 etc. need external libraries — pass your own Decoder"
     )
 
 
