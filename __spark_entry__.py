@@ -2403,6 +2403,113 @@ def q_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 build from the orders change log: per-customer priority
+    history with maximal [valid_from, valid_to) intervals (consecutive
+    unchanged snapshots collapse into one interval). One window pass
+    per key — operators/history.py:scd2_from_changelog."""
+    from amazon_personalize_connectors_spark.operators.history import (
+        scd2_from_changelog,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    log = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    scd = scd2_from_changelog(log, ["cust"], "d", ["prio"])
+    return scd.select(
+        "cust", "prio",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+        "is_current",
+    )
+
+
+def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a stored rollup (orders
+    before 1997) merged with a delta rollup (1997+) must equal the
+    full recompute — cost ∝ |state| + |delta|, never ∝ history.
+    operators/history.py:merge_rollup; the full-recompute SQL IS the
+    oracle, so the equivalence is what the driver checks."""
+    from amazon_personalize_connectors_spark.operators.history import merge_rollup
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    agg = lambda df: df.groupBy("prio").agg(
+        F.sum("price").alias("revenue"), F.count(F.lit(1)).alias("n")
+    )
+    state = agg(orders.where(F.col("d") < F.lit("1997-01-01").cast("date")))
+    delta = agg(orders.where(F.col("d") >= F.lit("1997-01-01").cast("date")))
+    merged = merge_rollup(state, delta, ["prio"], ["revenue"], "n")
+    return merged.select(
+        "prio", F.col("revenue").cast("double").alias("revenue"), "n"
+    )
+
+
+def q_distinct_rollup_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct customers per priority via mergeable bitmap
+    partials: monthly (prio, month) bitmaps bit_or-merged up to prio —
+    a daily/monthly materialization answers coarser distincts without
+    rescanning facts. functions/sketches.py; oracle = COUNT(DISTINCT)."""
+    from amazon_personalize_connectors_spark.functions.sketches import (
+        bitmap_distinct_merge,
+        bitmap_partials,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_custkey").alias("cust"),
+    )
+    partials = bitmap_partials(orders, ["prio", "month"], "cust")
+    return bitmap_distinct_merge(partials, ["prio"])
+
+
+def q_bloom_prune_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned EXACT semi-join: lineitem rows whose part is
+    size-45, pruned by a 3-hash Bloom bit-array literal before the
+    exact semi-join (big side never shuffles for the bloom pass).
+    Result identical to the plain semi-join — that's the oracle.
+    functions/sketches.py:bloom_prune_semi_join."""
+    from amazon_personalize_connectors_spark.functions.sketches import (
+        bloom_prune_semi_join,
+    )
+
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    part = synthetic.load_table(spark, sf_dir, "part")
+    keys = part.where(F.col("p_size") == 45).select("p_partkey")
+    hits = bloom_prune_semi_join(lineitem, keys, "l_partkey", "p_partkey")
+    return hits.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch rollup (rows-only check: the Datasketches
+    estimate has no DuckDB equivalent; the merge==direct equivalence
+    and ±5% accuracy are pytest-pinned in test_sketches_history.py):
+    daily (event_type, day) sketches union-merged to per-type
+    approximate distinct users."""
+    from amazon_personalize_connectors_spark.functions.sketches import (
+        hll_partials,
+        hll_rollup,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir).select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = hll_partials(ev, ["event_type", "day"], "user_id")
+    return hll_rollup(daily, ["event_type"]).select(
+        "event_type", F.col("approx_distinct").cast("bigint").alias("approx_distinct")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver verification window: the driver oracle-checks the
@@ -2520,6 +2627,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "renest_legacy_window": q_renest_legacy_window,
         "delta_anti_hash": q_delta_anti_hash,
+        # --- round-3 additions (driver window candidates for round 4) ---
+        "scd2_dimension": q_scd2_dimension,
+        "incremental_rollup_merge": q_incremental_rollup_merge,
+        "distinct_rollup_bitmap": q_distinct_rollup_bitmap,
+        "bloom_prune_semi": q_bloom_prune_semi,
+        "hll_user_rollup": q_hll_user_rollup,
     }
 
 
@@ -4372,6 +4485,53 @@ assigned AS (
 SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT component) AS BIGINT) AS n_components
 FROM assigned GROUP BY split
+""",
+        # hll_user_rollup: intentionally absent (rows-only) — the
+        # Datasketches HLL estimate has no DuckDB equivalent; merge
+        # equivalence + accuracy are pytest-pinned.
+        "scd2_dimension": """
+WITH log AS (
+  SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS d,
+         o_orderpriority AS prio
+  FROM orders
+),
+w AS (
+  SELECT cust, d, prio,
+         CASE WHEN lag(prio) OVER (PARTITION BY cust ORDER BY d, prio)
+                   IS DISTINCT FROM prio
+              THEN 1 ELSE 0 END AS chg
+  FROM log
+),
+pts AS (SELECT cust, d, prio FROM w WHERE chg = 1),
+iv AS (
+  SELECT cust, prio, d AS valid_from,
+         lead(d) OVER (PARTITION BY cust ORDER BY d, prio) AS nxt
+  FROM pts
+)
+SELECT cust, prio,
+       strftime(valid_from, '%Y-%m-%d') AS valid_from,
+       strftime(coalesce(nxt, DATE '9999-12-31'), '%Y-%m-%d') AS valid_to,
+       nxt IS NULL AS is_current
+FROM iv
+""",
+        "incremental_rollup_merge": """
+SELECT o_orderpriority AS prio,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+        "distinct_rollup_bitmap": """
+SELECT o_orderpriority AS prio,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+FROM orders GROUP BY o_orderpriority
+""",
+        "bloom_prune_semi": """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 45)
+GROUP BY l_returnflag
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the

@@ -1,0 +1,216 @@
+"""Mergeable-summary operators: exact bitmap distinct rollups, HLL
+sketch rollups, and Bloom-pruned joins — the pre-aggregation layer a
+100 TB warehouse runs so repeated "distinct users per X" and "does
+this key exist" questions never re-shuffle raw facts.
+
+Everything here is built from Spark 4 built-ins (bitmap_construct_agg,
+hll_sketch_agg, xxhash64, bit ops) — JVM-side, codegen-friendly, no
+Python in the data path.
+
+Why three shapes:
+
+* ``bitmap_*`` — EXACT distinct counts over integer ids, mergeable
+  with bit_or. Costs memory ∝ id-space density per group; ideal for
+  bounded surrogate keys (the engine's ids.py produces exactly
+  those). Exactness makes it oracle-checkable against COUNT(DISTINCT).
+* ``hll_*`` — approximate, fixed ~1.5 KB per group at lgk=12, for
+  unbounded/high-cardinality ids. Mergeability (union-agg) is the
+  scale property: daily sketches roll up to monthly without touching
+  the raw events again.
+* Bloom pruning — a semi/anti join against a key set that is too big
+  to broadcast raw but fits as a bit array. The bloom pass removes
+  the bulk of the big side BEFORE the shuffle; a final exact join
+  over the survivors removes false positives, so results stay exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact bitmap distinct rollup
+# ---------------------------------------------------------------------------
+
+
+def bitmap_partials(
+    df: DataFrame, group_cols: Sequence[str], id_col: str
+) -> DataFrame:
+    """Per-(group, id-bucket) exact bitmap — the materializable
+    partial. Spark's bitmap covers one 32768-id bucket, so the bucket
+    number MUST be a grouping key (``bitmap_bit_position`` is only
+    unique within a bucket); together (bucket, position) round-trips
+    any long id exactly. Each partial is ≤4 KiB regardless of count."""
+    return df.groupBy(
+        *group_cols, F.bitmap_bucket_number(F.col(id_col)).alias("id_bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position(F.col(id_col))).alias("bm"))
+
+
+def bitmap_distinct_rollup(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Exact distinct-``id_col`` count per group via Spark's bitmap
+    aggregates: one shuffle keyed (group, id-bucket) where state is a
+    compressed bitmap (not a hash set of raw ids), then a tiny
+    per-group sum over bucket counts (rows ∝ groups × touched
+    buckets, already aggregated)."""
+    return (
+        bitmap_partials(df, group_cols, id_col)
+        .groupBy(*group_cols)
+        .agg(F.sum(F.bitmap_count("bm")).cast("bigint").alias(out_col))
+    )
+
+
+def bitmap_distinct_merge(
+    partials: DataFrame,
+    group_cols: Sequence[str],
+    bitmap_col: str = "bm",
+    bucket_col: str = "id_bucket",
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Merge finer-grain partials (from ``bitmap_partials``) up to
+    coarser groups EXACTLY: ``bitmap_or_agg`` unions bitmaps within
+    each id-bucket, so a daily materialization answers monthly
+    distincts without rescanning facts."""
+    return (
+        partials.groupBy(*group_cols, bucket_col)
+        .agg(F.bitmap_or_agg(F.col(bitmap_col)).alias("_bm"))
+        .groupBy(*group_cols)
+        .agg(F.sum(F.bitmap_count("_bm")).cast("bigint").alias(out_col))
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch rollup (approximate, unbounded id domains)
+# ---------------------------------------------------------------------------
+
+
+def hll_partials(
+    df: DataFrame, group_cols: Sequence[str], id_col: str, lgk: int = 12
+) -> DataFrame:
+    """Per-group HLL sketch (Datasketches binary) — the materializable
+    partial. ~2^lgk bytes per group regardless of cardinality."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(id_col), F.lit(lgk)).alias("hll")
+    )
+
+
+def hll_rollup(
+    partials: DataFrame,
+    group_cols: Sequence[str],
+    hll_col: str = "hll",
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Union per-group sketches up to coarser groups and estimate.
+    The estimate after merging equals the estimate of sketching the
+    union directly (HLL union is lossless over same-lgk sketches) —
+    pinned by tests/test_sketches.py."""
+    return partials.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col(hll_col))).alias(out_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned semi/anti join
+# ---------------------------------------------------------------------------
+
+_WORD_BITS = 64
+
+
+def _positions(key, n_words: int, k: int):
+    """k (word_idx, bit_mask) probes per key. Independent hashes from
+    xxhash64 with distinct seeds; modulo across the whole bit space."""
+    probes = []
+    for seed in range(k):
+        h = F.xxhash64(key, F.lit(seed))
+        bit = F.pmod(h, F.lit(n_words * _WORD_BITS))
+        probes.append(
+            F.struct(
+                (bit / _WORD_BITS).cast("int").alias("word_idx"),
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (bit % _WORD_BITS).cast("int")
+                ).alias("mask"),
+            )
+        )
+    return F.array(*probes)
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, n_words: int = 1 << 14, k: int = 3
+) -> DataFrame:
+    """Aggregate a key set into a Bloom bit array stored as rows
+    (word_idx → or-ed 64-bit word): ``n_words * 8`` bytes total,
+    default 128 KiB ≈ 1M keys at ~3% FPR. Row form (not one giant
+    array) keeps the build a plain groupBy and the probe a plain
+    equi-join — both shapes Spark already scales."""
+    return (
+        keys.select(F.explode(_positions(F.col(key_col), n_words, k)).alias("p"))
+        .groupBy(F.col("p.word_idx").alias("word_idx"))
+        .agg(F.bit_or("p.mask").alias("word"))
+    )
+
+
+def bloom_prune_semi_join(
+    big: DataFrame,
+    keys: DataFrame,
+    big_key: str,
+    keys_key: str,
+    n_words: int = 1 << 14,
+    k: int = 3,
+) -> DataFrame:
+    """EXACT semi-join of ``big`` against ``keys`` for key sets too
+    large to broadcast raw: fold the key set into a Bloom bit array,
+    ship it to every task as a broadcast 1-row scalar, filter the big
+    side with a pure Catalyst expression, then run the exact semi-join
+    over the survivors only.
+
+    At 100 TB the win is shuffle volume: the exact semi-join's big
+    side shrinks by (1 - selectivity - FPR) BEFORE its exchange, and
+    the bloom pass itself costs the big side NOTHING but a codegen'd
+    filter — no explode, no shuffle. The word array rides a broadcast
+    1-row crossJoin (the repo's scalar pattern) rather than a literal:
+    a literal bloom would be copied into codegen's constant pool once
+    per probe and caps out around the JVM's 64 KB method limit, while
+    a broadcast row scales to multi-MB blooms and is shipped once per
+    executor. The driver-side collect is bounded by ``n_words`` longs
+    (128 KiB at the default) — ∝ the filter size we CHOSE, never ∝
+    data (same budget class as the IVF centroid pull).
+
+    False positives are removed by the final semi-join; false
+    negatives are impossible (bit_or never loses a set bit), so the
+    result is exactly the plain semi-join — that identity is the
+    oracle (__spark_entry__.bloom_prune_semi).
+    """
+    word_rows = bloom_build(keys, keys_key, n_words=n_words, k=k).collect()
+    dense = [0] * n_words
+    for r in word_rows:
+        dense[r["word_idx"]] = r["word"]
+    words_df = keys.sparkSession.createDataFrame(
+        [(dense,)], T.StructType([T.StructField("_bloom_words", T.ArrayType(T.LongType()))])
+    )
+
+    key = F.col(big_key)
+    cond = F.lit(True)
+    for seed in range(k):
+        bit = F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(n_words * _WORD_BITS))
+        # F.shiftleft only takes a Python-int shift; call the SQL
+        # function directly to shift by a column
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (bit % _WORD_BITS).cast("int")
+        )
+        word = F.element_at(F.col("_bloom_words"), (bit / _WORD_BITS).cast("int") + 1)
+        cond = cond & (word.bitwiseAND(mask) == mask)
+    survivors = (
+        big.crossJoin(F.broadcast(words_df)).where(cond).drop("_bloom_words")
+    )
+    return survivors.join(
+        keys.select(F.col(keys_key).alias(big_key)).distinct(),
+        big_key,
+        "left_semi",
+    )

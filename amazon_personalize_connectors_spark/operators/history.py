@@ -1,0 +1,109 @@
+"""Dimension-history operators: SCD2 interval builds, point-in-time
+snapshots, and incremental aggregate maintenance.
+
+The reference's state loop (README.md:150, closed by plans/job.py K5)
+keeps only the LATEST snapshot; warehouse users also need the history
+form — a slowly-changing-dimension table with validity intervals — and
+the incremental-maintenance form — stored rollups merged with a delta
+instead of recomputed from all of history.
+
+Scale shapes:
+
+* SCD2 is one window pass per key (lead over the change log). The
+  window partition is a key's change count — tiny — never the fact
+  table. No joins, no second shuffle.
+* Point-in-time snapshot is a filter on the interval columns —
+  partition-prunable if the table is written partitioned by
+  valid_to_bucket, and never a window at read time.
+* Rollup merge is union + one re-aggregate over (state ∪ delta):
+  cost ∝ |state| + |delta|, not ∝ history. Sums stay decimal so
+  merged totals are bit-identical to a full recompute at any
+  partition layout — that equivalence is the oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_from_changelog(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    end_of_time: str = "9999-12-31",
+) -> DataFrame:
+    """Build an SCD2 (type-2 slowly-changing-dimension) table from a
+    change log: one row per (key, change), carrying the attribute
+    values and a [valid_from, valid_to) interval; the current row gets
+    ``end_of_time`` and ``is_current = true``.
+
+    Consecutive rows with UNCHANGED attributes are collapsed first
+    (run-collapse via lag comparison) so the output intervals are
+    maximal — two successive identical snapshots extend one interval
+    instead of splitting it.
+
+    Ties on ``ts_col`` within a key are broken deterministically by the
+    attribute tuple so the build is stable under re-partitioning.
+    """
+    attr_struct = F.struct(*[F.col(c) for c in attr_cols])
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *attr_cols)
+    changed = (
+        F.lag(attr_struct).over(w).isNull()
+        | (F.lag(attr_struct).over(w) != attr_struct)
+    )
+    runs = df.select(*key_cols, ts_col, *attr_cols).withColumn(
+        "_chg", changed.cast("int")
+    )
+    # keep only change points; their next change point closes the interval
+    points = runs.where(F.col("_chg") == 1).drop("_chg")
+    w2 = Window.partitionBy(*key_cols).orderBy(ts_col, *attr_cols)
+    valid_to = F.lead(ts_col).over(w2)
+    return points.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.coalesce(valid_to, F.lit(end_of_time).cast(points.schema[ts_col].dataType))
+        .alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+def snapshot_at(scd2: DataFrame, at: Column | str) -> DataFrame:
+    """Point-in-time read of an SCD2 table: rows whose interval covers
+    ``at`` ([valid_from, valid_to) semantics). A plain filter — at
+    scale this is a metadata-pruned scan, not a window or join."""
+    at_col = F.lit(at) if isinstance(at, str) else at
+    return scd2.where(
+        (F.col("valid_from") <= at_col) & (F.col("valid_to") > at_col)
+    ).drop("is_current")
+
+
+def merge_rollup(
+    state: DataFrame,
+    delta: DataFrame,
+    key_cols: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    count_col: str | None = "n",
+) -> DataFrame:
+    """Incremental aggregate maintenance: merge a stored rollup with a
+    delta rollup of the SAME shape. Both inputs carry the key columns,
+    pre-summed ``sum_cols`` and the ``count_col``; the merge is
+    union-all + re-sum, which is exactly the map-side-combine algebra
+    Spark applies inside one aggregation — applied ACROSS batches.
+
+    Sums must be decimal (or integer) typed: double accumulation
+    order varies with partition layout, and the whole point is that
+    state+delta is bit-identical to a full recompute.
+    """
+    merged = state.select(*key_cols, *sum_cols, *( [count_col] if count_col else [] ))
+    merged = merged.unionByName(
+        delta.select(*key_cols, *sum_cols, *( [count_col] if count_col else [] ))
+    )
+    aggs = [F.sum(c).alias(c) for c in sum_cols]
+    if count_col:
+        aggs.append(F.sum(count_col).cast("bigint").alias(count_col))
+    return merged.groupBy(*key_cols).agg(*aggs)

@@ -99,6 +99,11 @@ BENCH_QUERIES = [
     "rolling_distinct_users",
     "markov_transitions",
     "rfm_features",
+    "scd2_dimension",
+    "incremental_rollup_merge",
+    "distinct_rollup_bitmap",
+    "bloom_prune_semi",
+    "hll_user_rollup",
 ]
 
 

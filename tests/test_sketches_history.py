@@ -1,0 +1,155 @@
+"""Mergeable-summary (sketches.py) + dimension-history (history.py)
+operators: exactness and merge-equivalence properties."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from amazon_personalize_connectors_spark.functions.sketches import (
+    bitmap_distinct_merge,
+    bitmap_distinct_rollup,
+    bloom_prune_semi_join,
+    hll_partials,
+    hll_rollup,
+)
+from amazon_personalize_connectors_spark.operators.history import (
+    merge_rollup,
+    scd2_from_changelog,
+    snapshot_at,
+)
+
+
+@pytest.fixture(scope="module")
+def facts(spark):
+    # (day, event_type, user_id) with heavy overlap across days; ids
+    # include 0 and span multiple 32768-id bitmap buckets
+    rows = [
+        (d, "click" if u % 3 else "view", (u % 7) * 50000 + (u * 13) % 100)
+        for d in range(1, 11)
+        for u in range(d * 13 % 50 + 10)
+    ]
+    return spark.createDataFrame(rows, "day int, event_type string, user_id long")
+
+
+def test_bitmap_rollup_is_exact(spark, facts):
+    got = {
+        (r["event_type"],): r["n_distinct"]
+        for r in bitmap_distinct_rollup(facts, ["event_type"], "user_id").collect()
+    }
+    want = {
+        (r["event_type"],): r["x"]
+        for r in facts.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_bitmap_merge_equals_direct(spark, facts):
+    # daily partial bitmaps → per-type rollup must equal direct distinct
+    from amazon_personalize_connectors_spark.functions.sketches import bitmap_partials
+
+    partials = bitmap_partials(facts, ["day", "event_type"], "user_id")
+    merged = {
+        r["event_type"]: r["n_distinct"]
+        for r in bitmap_distinct_merge(partials, ["event_type"]).collect()
+    }
+    direct = {
+        r["event_type"]: r["n_distinct"]
+        for r in bitmap_distinct_rollup(facts, ["event_type"], "user_id").collect()
+    }
+    assert merged == direct
+
+
+def test_hll_merge_equals_direct_sketch(spark, facts):
+    """Union-of-sketches estimate == direct-sketch estimate (lossless
+    merge at equal lgk), and within 5% of exact."""
+    daily = hll_partials(facts, ["day", "event_type"], "user_id", lgk=12)
+    merged = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_rollup(daily, ["event_type"]).collect()
+    }
+    direct = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_rollup(
+            hll_partials(facts, ["event_type"], "user_id", lgk=12), ["event_type"]
+        ).collect()
+    }
+    assert merged == direct
+    exact = {
+        r["event_type"]: r["x"]
+        for r in facts.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    for t, est in merged.items():
+        assert est == pytest.approx(exact[t], rel=0.05)
+
+
+def test_bloom_prune_semi_join_is_exact(spark):
+    big = spark.range(0, 5000).select((F.col("id") * 3).alias("k"), F.col("id").alias("v"))
+    keys = spark.range(0, 400).select((F.col("id") * 15).alias("kk"))
+    got = sorted(
+        r["v"] for r in bloom_prune_semi_join(big, keys, "k", "kk", n_words=256).collect()
+    )
+    want = sorted(
+        r["v"]
+        for r in big.join(
+            keys.select(F.col("kk").alias("k")).distinct(), "k", "left_semi"
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_bloom_filter_actually_prunes(spark):
+    """The bloom pass alone must reject most non-members (sanity that
+    the bit arithmetic works and the filter is not vacuously true)."""
+    from amazon_personalize_connectors_spark.functions.sketches import bloom_build
+
+    keys = spark.range(0, 100).select((F.col("id") * 11).alias("kk"))
+    big = spark.range(0, 10000).select(F.col("id").alias("k"))
+    exact = bloom_prune_semi_join(big, keys, "k", "kk", n_words=1 << 10, k=3)
+    # with 64 Kbit for 100 keys FPR is ~0: survivor count == true members
+    members = big.join(keys.select(F.col("kk").alias("k")), "k", "left_semi").count()
+    assert exact.count() == members
+
+
+def test_scd2_intervals_and_collapse(spark):
+    log = spark.createDataFrame(
+        [
+            (1, "2024-01-01", "gold"),
+            (1, "2024-02-01", "gold"),      # unchanged → collapsed
+            (1, "2024-03-01", "silver"),
+            (1, "2024-04-01", "gold"),      # back to gold → NEW interval
+            (2, "2024-01-15", "bronze"),
+        ],
+        "cust int, d string, tier string",
+    ).select("cust", F.to_date("d").alias("d"), "tier")
+    scd = scd2_from_changelog(log, ["cust"], "d", ["tier"]).orderBy("cust", "valid_from")
+    rows = [(r.cust, str(r.valid_from), str(r.valid_to), r.tier, r.is_current)
+            for r in scd.collect()]
+    assert rows == [
+        (1, "2024-01-01", "2024-03-01", "gold", False),
+        (1, "2024-03-01", "2024-04-01", "silver", False),
+        (1, "2024-04-01", "9999-12-31", "gold", True),
+        (2, "2024-01-15", "9999-12-31", "bronze", True),
+    ]
+    snap = snapshot_at(scd, "2024-03-15").collect()
+    assert {(r.cust, r.tier) for r in snap} == {(1, "silver"), (2, "bronze")}
+
+
+def test_merge_rollup_equals_full_recompute(spark):
+    full = spark.createDataFrame(
+        [(k % 5, (k * 13) % 97) for k in range(1000)], "g int, v long"
+    ).select("g", F.col("v").cast("decimal(18,2)").alias("v"))
+    state_src = full.where(F.col("v") < 50)
+    delta_src = full.where(F.col("v") >= 50)
+    agg = lambda df: df.groupBy("g").agg(
+        F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n")
+    )
+    merged = merge_rollup(agg(state_src), agg(delta_src), ["g"], ["sv"], "n")
+    want = {
+        r["g"]: (r["sv"], r["n"]) for r in agg(full).collect()
+    }
+    got = {r["g"]: (r["sv"], r["n"]) for r in merged.collect()}
+    assert got == want
