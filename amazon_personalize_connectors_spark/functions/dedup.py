@@ -272,30 +272,32 @@ def neardup_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+    from pyspark.sql import Observation
+
+    for i in range(max_iters):
         neigh_min = (
             sym.join(labels, sym["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        # changed-row count rides the checkpoint job via observe() —
+        # ONE job per round instead of checkpoint + count
+        obs = Observation(f"cc_round_{i}")
         new_labels = (
             labels.join(neigh_min, labels["id"] == neigh_min["src"], "left")
             .select(
                 labels["id"],
+                F.col("label").alias("old"),
                 F.least(
                     F.col("label"), F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
             )
+            .observe(obs, F.count_if(F.col("label") != F.col("old")).alias("changed"))
+            .drop("old")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new")
-            .join(labels, "id")
-            .where(F.col("new") != F.col("label"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if int(obs.get["changed"]) == 0:
             break
     return labels.select("id", F.col("label").alias("component"))
 
