@@ -2510,6 +2510,66 @@ def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _orders_window_snapshot(spark, sf_dir, lo, hi):
+    """Per-customer (n, revenue) aggregate over an o_orderdate window —
+    the snapshot shape both CDC queries version-diff."""
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def q_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two snapshot versions (sliding one-year order
+    windows): one full-outer join on the key, null-safe struct
+    comparison drops unchanged keys, op in insert/update/delete with
+    the NEW values. operators/cdc.py:snapshot_diff."""
+    from amazon_personalize_connectors_spark.operators.cdc import snapshot_diff
+
+    old = _orders_window_snapshot(spark, sf_dir, "1995-01-01", "1996-01-01")
+    new = _orders_window_snapshot(spark, sf_dir, "1995-07-01", "1996-07-01")
+    return snapshot_diff(old, new, ["cust"])
+
+
+def q_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE application: rolling the old snapshot forward by the CDC
+    batch must reproduce the new snapshot EXACTLY — the oracle is the
+    new snapshot computed directly. operators/cdc.py:apply_changes."""
+    from amazon_personalize_connectors_spark.operators.cdc import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    old = _orders_window_snapshot(spark, sf_dir, "1995-01-01", "1996-01-01")
+    new = _orders_window_snapshot(spark, sf_dir, "1995-07-01", "1996-07-01")
+    return apply_changes(old, snapshot_diff(old, new, ["cust"]), ["cust"])
+
+
+def q_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 self-join over supplier names via FastSS
+    deletion-neighborhood blocking: variant fan-out is Catalyst-only,
+    candidates meet on an 8-byte hashed-variant equi-join, exact
+    levenshtein runs on candidates only — no cross join in the plan
+    (test-pinned). functions/fuzzy.py:editdist_self_join."""
+    from amazon_personalize_connectors_spark.functions.fuzzy import (
+        editdist_self_join,
+    )
+
+    supplier = synthetic.load_table(spark, sf_dir, "supplier")
+    return editdist_self_join(supplier, "s_suppkey", "s_name")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver verification window: the driver oracle-checks the
@@ -2633,6 +2693,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_rollup_bitmap": q_distinct_rollup_bitmap,
         "bloom_prune_semi": q_bloom_prune_semi,
         "hll_user_rollup": q_hll_user_rollup,
+        "snapshot_cdc": q_snapshot_cdc,
+        "cdc_roundtrip": q_cdc_roundtrip,
+        "editdist_join": q_editdist_join,
     }
 
 
@@ -4532,6 +4595,45 @@ SELECT l_returnflag,
 FROM lineitem
 WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 45)
 GROUP BY l_returnflag
+""",
+        "snapshot_cdc": """
+WITH o AS (
+  SELECT o_custkey AS cust, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+  GROUP BY 1
+),
+n AS (
+  SELECT o_custkey AS cust, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-07-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  GROUP BY 1
+),
+d AS (
+  SELECT coalesce(o.cust, n.cust) AS cust,
+         CASE WHEN o.cust IS NULL THEN 'insert'
+              WHEN n.cust IS NULL THEN 'delete'
+              WHEN o.n <> n.n OR o.revenue <> n.revenue THEN 'update'
+         END AS op,
+         n.n AS n, n.revenue AS revenue
+  FROM o FULL OUTER JOIN n ON o.cust = n.cust
+)
+SELECT cust, op, n, revenue FROM d WHERE op IS NOT NULL
+""",
+        "cdc_roundtrip": """
+SELECT o_custkey AS cust, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-07-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY 1
+""",
+        "editdist_join": """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the

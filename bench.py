@@ -104,6 +104,9 @@ BENCH_QUERIES = [
     "distinct_rollup_bitmap",
     "bloom_prune_semi",
     "hll_user_rollup",
+    "snapshot_cdc",
+    "cdc_roundtrip",
+    "editdist_join",
 ]
 
 

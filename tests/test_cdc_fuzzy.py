@@ -1,0 +1,98 @@
+"""CDC snapshot diff / apply round-trip and deletion-neighborhood
+edit-distance join."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from amazon_personalize_connectors_spark.functions.fuzzy import (
+    deletion_variants,
+    editdist_self_join,
+)
+from amazon_personalize_connectors_spark.operators.cdc import (
+    apply_changes,
+    snapshot_diff,
+)
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", None)],
+        "k int, name string, v int",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c2", 30), (4, "d", None), (5, "e", 50)],
+        "k int, name string, v int",
+    )
+    return old, new
+
+
+def test_snapshot_diff_ops(spark, snapshots):
+    old, new = snapshots
+    diff = {r["k"]: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert set(diff) == {1, 3, 5}          # 2 and 4 unchanged (4 has null v)
+    assert diff[1]["op"] == "delete" and diff[1]["name"] is None
+    assert diff[3]["op"] == "update" and diff[3]["name"] == "c2"
+    assert diff[5]["op"] == "insert" and diff[5]["v"] == 50
+
+
+def test_cdc_roundtrip_identity(spark, snapshots):
+    old, new = snapshots
+    rolled = apply_changes(old, snapshot_diff(old, new, ["k"]), ["k"])
+    got = sorted(map(tuple, rolled.collect()))
+    want = sorted(map(tuple, new.collect()))
+    assert got == want
+
+
+def test_apply_changes_handles_delete_only_batch(spark, snapshots):
+    old, _ = snapshots
+    batch = spark.createDataFrame(
+        [(1, "delete", None, None)], "k int, op string, name string, v int"
+    )
+    got = sorted(r["k"] for r in apply_changes(old, batch, ["k"]).collect())
+    assert got == [2, 3, 4]
+
+
+def test_deletion_variants(spark):
+    row = spark.range(1).select(
+        deletion_variants(F.lit("abc")).alias("v")
+    ).collect()[0]
+    assert sorted(row["v"]) == ["ab", "abc", "ac", "bc"]
+
+
+def test_editdist_self_join_matches_bruteforce(spark):
+    strings = [
+        (1, "kitten"), (2, "sitten"), (3, "kitte"), (4, "kitten"),
+        (5, "mitten"), (6, "flour"), (7, "flower"), (8, "flou"),
+        (9, ""), (10, "a"),
+    ]
+    df = spark.createDataFrame(strings, "id int, s string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in editdist_self_join(df, "id", "s").collect()
+    }
+    # brute force oracle
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(strings, 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want and len(want) >= 5
+
+
+def test_editdist_join_plan_has_no_cartesian(spark):
+    df = spark.createDataFrame([(1, "ab"), (2, "ac")], "id int, s string")
+    plan = editdist_self_join(df, "id", "s")._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
