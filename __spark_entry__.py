@@ -2570,6 +2570,96 @@ def q_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return editdist_self_join(supplier, "s_suppkey", "s_name")
 
 
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via fixed-width bucket blocking (no
+    range-predicate cartesian): order activity intervals x part
+    campaign intervals, aggregated per part. Exact integer overlap
+    lengths. operators/analytics.py:interval_overlap_join."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        interval_overlap_join,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    left = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("oid"),
+        day.cast("long").alias("ls"),
+        (day + F.col("o_orderkey") % 20 + 1).cast("long").alias("le"),
+    )
+    part = synthetic.load_table(spark, sf_dir, "part")
+    base = F.lit(9131)  # epoch day of 1995-01-01
+    right = part.select(
+        F.col("p_partkey").alias("pid"),
+        (base + (F.col("p_partkey") * 17) % 3000).cast("long").alias("rs"),
+        (base + (F.col("p_partkey") * 17) % 3000 + F.col("p_partkey") % 30 + 1)
+        .cast("long")
+        .alias("re"),
+    )
+    pairs = interval_overlap_join(
+        left, right, ("oid", "ls", "le"), ("pid", "rs", "re"), bucket_width=16
+    )
+    return pairs.groupBy(F.col("r_id").alias("pid")).agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.sum("overlap_len").cast("bigint").alias("sum_overlap"),
+    )
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable binned quantiles: (priority, month, bin) count
+    partials merged up to priority, discrete p50/p90/p99 from the
+    cumulative bin histogram — plain-row partials persist and re-roll
+    at any grain, unlike approx_percentile state.
+    functions/sketches.py:histogram_partials/histogram_quantiles."""
+    from amazon_personalize_connectors_spark.functions.sketches import (
+        histogram_partials,
+        histogram_quantiles,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_totalprice").alias("price"),
+    )
+    fine = histogram_partials(orders, ["prio", "month"], "price", 10000.0)
+    return histogram_quantiles(fine, ["prio"], [0.5, 0.9, 0.99], 10000.0)
+
+
+def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution composite: fuzzy blocking join (deletion
+    neighborhood, functions/fuzzy.py) -> connected components
+    (functions/dedup.py) -> per-cluster stats, singletons kept as
+    their own cluster. The full record-linkage pipeline with every
+    stage an equi-join."""
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        neardup_components,
+    )
+    from amazon_personalize_connectors_spark.functions.fuzzy import (
+        editdist_self_join,
+    )
+
+    supplier = synthetic.load_table(spark, sf_dir, "supplier")
+    pairs = editdist_self_join(
+        supplier, "s_suppkey", "s_name", block_col="s_nationkey"
+    )
+    comp = neardup_components(pairs).select(
+        F.col("id").alias("s_suppkey"), "component"
+    )
+    labeled = (
+        supplier.select("s_suppkey", "s_name")
+        .join(comp, "s_suppkey", "left")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.coalesce("component", F.col("s_suppkey")).alias("cluster"),
+        )
+    )
+    return labeled.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("s_name").alias("canonical_name"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver verification window: the driver oracle-checks the
@@ -2696,6 +2786,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_cdc": q_snapshot_cdc,
         "cdc_roundtrip": q_cdc_roundtrip,
         "editdist_join": q_editdist_join,
+        "interval_overlap": q_interval_overlap,
+        "histogram_quantiles": q_histogram_quantiles,
+        "er_clusters": q_er_clusters,
     }
 
 
@@ -4634,6 +4727,70 @@ SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
        CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
 FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
 WHERE levenshtein(a.s_name, b.s_name) <= 1
+""",
+        "interval_overlap": """
+WITH l AS (
+  SELECT o_orderkey AS oid,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS ls,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           + o_orderkey % 20 + 1 AS le
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+r AS (
+  SELECT p_partkey AS pid,
+         9131 + (p_partkey * 17) % 3000 AS rs,
+         9131 + (p_partkey * 17) % 3000 + p_partkey % 30 + 1 AS re
+  FROM part
+)
+SELECT pid, CAST(count(*) AS BIGINT) AS n_overlaps,
+       CAST(sum(least(le, re) - greatest(ls, rs)) AS BIGINT) AS sum_overlap
+FROM l JOIN r ON l.ls < r.re AND r.rs < l.le
+GROUP BY pid
+""",
+        "histogram_quantiles": """
+WITH b AS (
+  SELECT o_orderpriority AS prio,
+         CAST(floor(o_totalprice / 10000.0) AS BIGINT) AS bin,
+         count(*) AS bin_n
+  FROM orders GROUP BY 1, 2
+),
+c AS (
+  SELECT prio, bin,
+         sum(bin_n) OVER (PARTITION BY prio ORDER BY bin) AS cum_n,
+         sum(bin_n) OVER (PARTITION BY prio) AS total
+  FROM b
+)
+SELECT prio, CAST(0.5 AS DOUBLE) AS q, CAST(min(bin) * 10000.0 AS DOUBLE) AS value
+FROM c WHERE cum_n >= ceil(0.5 * total) GROUP BY prio
+UNION ALL
+SELECT prio, CAST(0.9 AS DOUBLE) AS q, CAST(min(bin) * 10000.0 AS DOUBLE) AS value
+FROM c WHERE cum_n >= ceil(0.9 * total) GROUP BY prio
+UNION ALL
+SELECT prio, CAST(0.99 AS DOUBLE) AS q, CAST(min(bin) * 10000.0 AS DOUBLE) AS value
+FROM c WHERE cum_n >= ceil(0.99 * total) GROUP BY prio
+""",
+        "er_clusters": """
+WITH RECURSIVE pairs AS (
+  SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b
+  FROM supplier a JOIN supplier b
+    ON a.s_suppkey < b.s_suppkey AND a.s_nationkey = b.s_nationkey
+  WHERE levenshtein(a.s_name, b.s_name) <= 1
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.node
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+SELECT coalesce(c.component, s.s_suppkey) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_members,
+       min(s.s_name) AS canonical_name
+FROM supplier s LEFT JOIN comp c ON s.s_suppkey = c.node
+GROUP BY 1
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the

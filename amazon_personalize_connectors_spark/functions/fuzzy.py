@@ -36,17 +36,27 @@ def deletion_variants(col: Column) -> Column:
     return F.array_union(F.array(col), deletions)
 
 
-def _variant_table(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
-    """(id, string, variant-hash) — one row per deletion variant."""
+def _variant_table(
+    df: DataFrame, id_col: str, str_col: str, block_col: str | None
+) -> DataFrame:
+    """(id, string, block, variant-hash) — one row per deletion
+    variant. ``block`` is a structured blocking key (constant when
+    none given) that rides into the candidate equi-join."""
+    block = F.col(block_col) if block_col else F.lit(0)
     return df.select(
         F.col(id_col).alias("_id"),
         F.col(str_col).alias("_s"),
+        block.alias("_blk"),
         F.explode(deletion_variants(F.col(str_col))).alias("_v"),
-    ).select("_id", "_s", F.xxhash64("_v").alias("_vh"))
+    ).select("_id", "_s", "_blk", F.xxhash64("_v").alias("_vh"))
 
 
 def editdist_self_join(
-    df: DataFrame, id_col: str, str_col: str, max_dist: int = 1
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 1,
+    block_col: str | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) whose strings are within edit distance
     ``max_dist`` (currently 1 — the deletion-neighborhood guarantee
@@ -55,22 +65,26 @@ def editdist_self_join(
     Candidates come from an equi-join on hashed deletion variants;
     the exact levenshtein filter runs only on candidates that share a
     variant — per string that is its near-neighborhood, never the
-    corpus.
+    corpus. ``block_col`` adds a structured blocking key to the join
+    (the classic record-linkage move: only resolve entities within
+    the same region/category), which both shrinks candidates and
+    spreads the shuffle across (block, variant) instead of variant
+    alone.
     """
     if max_dist != 1:
         raise NotImplementedError(
             "deletion-neighborhood blocking implemented for max_dist=1; "
             "higher distances need k-deletion variants"
         )
-    v = _variant_table(df, id_col, str_col)
+    v = _variant_table(df, id_col, str_col, block_col)
     a = v.select(
-        F.col("_id").alias("id_a"), F.col("_s").alias("_sa"), "_vh"
+        F.col("_id").alias("id_a"), F.col("_s").alias("_sa"), "_blk", "_vh"
     )
     b = v.select(
-        F.col("_id").alias("id_b"), F.col("_s").alias("_sb"), "_vh"
+        F.col("_id").alias("id_b"), F.col("_s").alias("_sb"), "_blk", "_vh"
     )
     cand = (
-        a.join(b, "_vh")
+        a.join(b, ["_vh", "_blk"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "_sa", "_sb")
         .distinct()

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import types as T
 from pyspark.sql import functions as F
 
@@ -213,4 +213,78 @@ def bloom_prune_semi_join(
         keys.select(F.col(keys_key).alias(big_key)).distinct(),
         big_key,
         "left_semi",
+    )
+
+
+# ---------------------------------------------------------------------------
+# mergeable binned-histogram quantiles
+# ---------------------------------------------------------------------------
+
+
+def histogram_partials(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Per-(group, bin) row counts — the materializable quantile
+    partial. Unlike approx_percentile state, these partials are plain
+    rows: they parquet-persist, merge with a sum, and roll up across
+    any grouping level. Resolution is ``bin_width`` (quantiles land on
+    bin lower bounds); state per group is bounded by the value range /
+    bin_width, independent of row count."""
+    bin_col = F.floor(F.col(value_col) / F.lit(bin_width)).cast("bigint")
+    return df.groupBy(*group_cols, bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("bin_n")
+    )
+
+
+def histogram_quantiles(
+    partials: DataFrame,
+    group_cols: Sequence[str],
+    quantiles: Sequence[float],
+    bin_width: float,
+) -> DataFrame:
+    """Merge histogram partials (possibly from a finer grouping) up to
+    ``group_cols`` and emit discrete quantiles: for each q, the lower
+    bound of the first bin whose cumulative count reaches
+    ceil(q * total). Deterministic and engine-portable (no
+    interpolation, integer arithmetic) — the same definition is
+    expressible in ANSI SQL, which is the oracle.
+
+    One window pass per group over ALREADY-AGGREGATED bins (rows ∝
+    groups × active bins), never over raw values.
+    """
+    merged = partials.groupBy(*group_cols, "bin").agg(
+        F.sum("bin_n").cast("bigint").alias("bin_n")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    wtot = Window.partitionBy(*group_cols)
+    cum = merged.withColumn("cum_n", F.sum("bin_n").over(w)).withColumn(
+        "total", F.sum("bin_n").over(wtot)
+    )
+    # all quantiles in ONE aggregate over the windowed bins (a
+    # per-quantile union would re-run the window pass per q), then a
+    # trivial unpivot to long form
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum_n") >= F.ceil(F.lit(q) * F.col("total")).cast("bigint"),
+                F.col("bin"),
+            )
+        ).alias(f"_qbin_{i}")
+        for i, q in enumerate(quantiles)
+    ]
+    g = cum.groupBy(*group_cols).agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("q"),
+                (F.col(f"_qbin_{i}") * F.lit(bin_width)).alias("value"),
+            )
+            for i, q in enumerate(quantiles)
+        ]
+    )
+    return g.select(*group_cols, F.explode(rows).alias("_p")).select(
+        *group_cols, "_p.q", "_p.value"
     )

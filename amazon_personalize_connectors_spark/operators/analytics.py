@@ -293,3 +293,49 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         ]
     )
     return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: tuple[str, str, str],
+    right_cols: tuple[str, str, str],
+    bucket_width: int,
+) -> DataFrame:
+    """Interval-overlap equi-join: all (left, right) pairs whose
+    half-open integer intervals [start, end) intersect, plus the exact
+    overlap length.
+
+    The naive form is a range-predicate join — a cartesian product
+    with a filter, dead at scale. Here each interval explodes to the
+    fixed-width buckets it covers, candidates meet on a bucket
+    equi-join (8-byte key), duplicates from multi-bucket overlaps are
+    dropped with a distinct on the id pair, and the exact overlap
+    predicate runs on candidates only. Choose ``bucket_width`` near
+    the median interval length: fan-out per row is
+    ceil(len/width)+1 ≤ 2 at that choice, and long outlier intervals
+    degrade their own fan-out only, not the join's.
+
+    ``left_cols``/``right_cols`` = (id, start, end) column names.
+    """
+    lid, ls, le = left_cols
+    rid, rs, re_ = right_cols
+
+    def bucketed(df: DataFrame, id_c: str, s_c: str, e_c: str, side: str) -> DataFrame:
+        first = (F.col(s_c) / bucket_width).cast("bigint")
+        last = ((F.col(e_c) - 1) / bucket_width).cast("bigint")
+        return df.select(
+            F.col(id_c).alias(f"{side}_id"),
+            F.col(s_c).alias(f"{side}_start"),
+            F.col(e_c).alias(f"{side}_end"),
+            F.explode(F.sequence(first, last)).alias("bucket"),
+        )
+
+    cand = (
+        bucketed(left, lid, ls, le, "l")
+        .join(bucketed(right, rid, rs, re_, "r"), "bucket")
+        .drop("bucket")
+        .distinct()
+    )
+    overlap = F.least("l_end", "r_end") - F.greatest("l_start", "r_start")
+    return cand.where(overlap > 0).withColumn("overlap_len", overlap)

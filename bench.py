@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     "snapshot_cdc",
     "cdc_roundtrip",
     "editdist_join",
+    "interval_overlap",
+    "histogram_quantiles",
+    "er_clusters",
 ]
 
 
