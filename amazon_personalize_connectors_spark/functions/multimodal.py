@@ -356,3 +356,42 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 16) -> DataFrame:
             )
         ).alias("frame_no", "frame_bytes"),
     )
+
+
+def read_media_dir(
+    spark,
+    path: str,
+    kind: str = "image",
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Ingest a directory of media files into the MEDIA_SCHEMA shape
+    via Spark's native ``binaryFile`` source (content + path + length
+    per file, read JVM-side — no Python in the scan).
+
+    ``media_id`` is the xxhash64 of the file path — stable across
+    reruns and clusters, no driver-side numbering. ``max_bytes``
+    maps to the source's pathGlobFilter-independent size pushdown:
+    files larger than the cap are EXCLUDED at the listing, which is
+    the guard against one 4 GB video blowing an Arrow batch. At scale
+    pair this with ``arrow_batch_rows`` around the decode action and
+    partition the listing by size so each task holds a bounded byte
+    budget.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= max_bytes)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mime = F.concat(F.lit(f"{kind}/"), ext)
+    return df.select(
+        F.xxhash64(F.col("path")).alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col("content"),
+        F.struct(
+            mime.alias("mime"),
+            F.col("length").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )

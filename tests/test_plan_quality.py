@@ -289,3 +289,65 @@ def test_rolling_revenue_both_shuffles_post_reduction(spark, sf_dir):
     ]
     assert len(exchanges) <= 2, exchanges
     assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_round3_queries_have_no_python_udf(spark, sf_dir):
+    qs = entry.queries()
+    for name in [
+        "scd2_dimension",
+        "incremental_rollup_merge",
+        "distinct_rollup_bitmap",
+        "bloom_prune_semi",
+        "hll_user_rollup",
+        "snapshot_cdc",
+        "cdc_roundtrip",
+        "editdist_join",
+        "interval_overlap",
+        "histogram_quantiles",
+        "er_clusters",
+    ]:
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"python UDF in {name}"
+        assert "ArrowEvalPython" not in plan, f"arrow UDF in {name}"
+
+
+def test_bloom_prune_filters_big_side_before_exact_join(spark):
+    """The bloom pass must be a plain Filter over the big side's scan —
+    no join, no exchange, no explode between scan and filter — and the
+    bloom words must arrive via a broadcast, not a literal."""
+    from pyspark.sql import functions as F
+
+    from amazon_personalize_connectors_spark.functions.sketches import (
+        bloom_prune_semi_join,
+    )
+
+    big = spark.range(0, 10000).select(F.col("id").alias("k"))
+    keys = spark.range(0, 100).select((F.col("id") * 11).alias("kk"))
+    plan = _plan(bloom_prune_semi_join(big, keys, "k", "kk", n_words=256))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # the semi join runs AFTER the bloom filter: survivors flow into it
+    assert "LeftSemi" in plan
+
+
+def test_interval_overlap_no_cartesian(spark):
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        interval_overlap_join,
+    )
+
+    ldf = spark.createDataFrame([(1, 0, 10)], "lid int, ls long, le long")
+    rdf = spark.createDataFrame([(2, 5, 8)], "rid int, rs long, re long")
+    plan = _plan(
+        interval_overlap_join(ldf, rdf, ("lid", "ls", "le"), ("rid", "rs", "re"), 16)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """The SCD2 build must shuffle ONCE on the key: both window passes
+    share the same (key) partitioning, so exactly one Exchange appears."""
+    df = entry.q_scd2_dimension(spark, sf_dir)
+    plan = _plan(df)
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 1, f"expected 1 key exchange, saw {n_exchanges}"
