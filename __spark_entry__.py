@@ -2660,6 +2660,74 @@ def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority top-k): 3-way join with
+    selective filters on every input, decimal-exact revenue, top 10.
+    Catalyst orders the joins; the customer filter prunes before the
+    join (PushedFilters), and AQE picks broadcast for the filtered
+    customer side at driver scale. Deterministic tie-break on
+    l_orderkey keeps top-k engine-portable."""
+    customer = synthetic.load_table(spark, sf_dir, "customer")
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-03-15").cast("timestamp_ntz")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return (
+        customer.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < cutoff)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate").cast("timestamp_ntz") > cutoff)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").cast("string").alias("o_orderdate"))
+        .agg(F.sum(rev).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            "o_orderdate",
+        )
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): 6-way join where the
+    two dimension chains (customer->nation->region and
+    supplier->nation) meet on the SAME nationkey — the classic
+    join-graph the optimizer must not turn into a cartesian. nation
+    and region are explicit broadcasts; revenue decimal-exact."""
+    customer = synthetic.load_table(spark, sf_dir, "customer")
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    supplier = synthetic.load_table(spark, sf_dir, "supplier")
+    nation = synthetic.load_table(spark, sf_dir, "nation")
+    region = synthetic.load_table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    lo = F.lit("1995-01-01").cast("timestamp_ntz")
+    hi = F.lit("1996-01-01").cast("timestamp_ntz")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("_rev"))
+        .select("n_name", F.col("_rev").cast("double").alias("revenue"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver verification window: the driver oracle-checks the
@@ -2789,6 +2857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "histogram_quantiles": q_histogram_quantiles,
         "er_clusters": q_er_clusters,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
     }
 
 
@@ -4791,6 +4861,41 @@ SELECT coalesce(c.component, s.s_suppkey) AS cluster,
        min(s.s_name) AS canonical_name
 FROM supplier s LEFT JOIN comp c ON s.s_suppkey = c.node
 GROUP BY 1
+""",
+        "tpch_q3": """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+            AS DOUBLE) AS revenue,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) DESC,
+         l_orderkey
+LIMIT 10
+""",
+        "tpch_q5": """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+            AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY n_name
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the

@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "interval_overlap",
     "histogram_quantiles",
     "er_clusters",
+    "tpch_q3",
+    "tpch_q5",
 ]
 
 
