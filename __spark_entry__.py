@@ -2785,6 +2785,26 @@ def q_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rec_hitrate_by_cooccurrence(exploded, mapping)
 
 
+
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-negative sampler: up to 5 non-interacted
+    catalog items per user via the portable salted-md5 recipe — the
+    SAME hash is expressible in ANSI SQL, so the sampler itself (not
+    just its invariants) is oracle-checked.
+    operators/recsys.py:negative_sampling."""
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        negative_sampling,
+    )
+
+    mapping = synthetic.user_item_mapping(spark, sf_dir).select(
+        F.col("USER_ID").cast("bigint").alias("user_id"),
+        F.col("ITEM_ID").cast("bigint").alias("item_id"),
+    )
+    part = synthetic.load_table(spark, sf_dir, "part")
+    catalog = part.select(F.col("p_partkey").alias("item_id"))
+    return negative_sampling(mapping, catalog, k=5, oversample=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver verification window: the driver oracle-checks the
@@ -2919,6 +2939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "covisitation_topk": q_covisitation_topk,
         "rec_coverage": q_rec_coverage,
         "rec_hitrate": q_rec_hitrate,
+        "negative_sampling": q_negative_sampling,
     }
 
 
@@ -5044,6 +5065,34 @@ SELECT e.query_item_id,
 FROM exploded e
 LEFT JOIN truth t ON e.query_item_id = t.qi AND e.rec_item = t.ri
 GROUP BY e.query_item_id
+""",
+        "negative_sampling": """
+WITH n AS (SELECT MAX(p_partkey) + 1 AS n FROM part),
+m AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+users AS (SELECT DISTINCT u FROM m),
+cand AS (
+  SELECT users.u, t.j,
+         CAST(concat('0x', substr(md5(
+           CAST(users.u AS VARCHAR) || '|' || CAST(t.j AS VARCHAR) || '|neg-v1'
+         ), 1, 8)) AS BIGINT) % n.n AS neg_item
+  FROM users, n, (SELECT unnest(range(1, 16)) AS j) t
+),
+nohist AS (
+  SELECT c.u, c.j, c.neg_item
+  FROM cand c LEFT JOIN m h ON c.u = h.u AND c.neg_item = h.i
+  WHERE h.u IS NULL
+),
+dedup AS (SELECT u, neg_item, min(j) AS j FROM nohist GROUP BY 1, 2),
+ranked AS (
+  SELECT u, neg_item,
+         row_number() OVER (PARTITION BY u ORDER BY j) AS rank
+  FROM dedup
+)
+SELECT u AS user_id, neg_item, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the

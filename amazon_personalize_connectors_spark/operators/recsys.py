@@ -162,3 +162,89 @@ def rec_hitrate_by_cooccurrence(
             F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
         )
     )
+
+
+def negative_sampling(
+    interactions: DataFrame,
+    catalog: DataFrame,
+    k: int = 5,
+    oversample: int = 3,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    catalog_item_col: str = "item_id",
+    tag: str = "neg-v1",
+) -> DataFrame:
+    """Deterministic negative sampling for training pairs: up to ``k``
+    catalog items per user that the user has NOT interacted with,
+    reproducible across engines, partition layouts, and reruns.
+
+    The classic trap is user x catalog ("all items the user didn't
+    touch") — a cross join. Instead each user proposes k*oversample
+    candidates by a portable salted-md5 hash of (user, j, tag) modulo
+    the catalog size, history hits are anti-joined away, hash
+    collisions dedup to the smallest j, and the first k surviving
+    candidates (by j) win. Cost per user is k*oversample rows —
+    O(users * k), never O(users * catalog). Oversampling covers both
+    history hits and collisions; a user can return fewer than k only
+    if most proposals hit their history, which sizing oversample
+    against max history/catalog density prevents.
+
+    ``catalog`` must carry contiguous 0-based ids in
+    ``catalog_item_col`` (the engine's ids.py produces exactly that);
+    the modulus is its max+1, read via a broadcast 1-row aggregate —
+    no driver-side collect in the data path.
+
+    The md5-substring hash (not xxhash64) is deliberate: it is the
+    repo's engine-portable recipe (same expression exists in ANSI
+    SQL), so the sampler itself is oracle-checkable.
+    """
+    n_row = catalog.agg(
+        (F.max(F.col(catalog_item_col)) + F.lit(1)).alias("_n")
+    )
+    users = interactions.select(F.col(user_col).alias("u")).distinct()
+    cand = (
+        users.crossJoin(F.broadcast(n_row))
+        .select(
+            "u",
+            "_n",
+            F.explode(F.sequence(F.lit(1), F.lit(k * oversample))).alias("j"),
+        )
+        .withColumn(
+            "neg_item",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.col("u").cast("string"),
+                                F.col("j").cast("string"),
+                                F.lit(tag),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.col("_n"),
+            ),
+        )
+        .select("u", "j", "neg_item")
+    )
+    hist = interactions.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("neg_item")
+    ).distinct()
+    survivors = cand.join(hist, ["u", "neg_item"], "left_anti")
+    dedup = survivors.groupBy("u", "neg_item").agg(F.min("j").alias("j"))
+    w = Window.partitionBy("u").orderBy("j")
+    return (
+        dedup.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("u").alias(user_col),
+            F.col("neg_item"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "covisitation_topk",
     "rec_coverage",
     "rec_hitrate",
+    "negative_sampling",
 ]
 
 

@@ -69,3 +69,32 @@ def test_hitrate_by_cooccurrence(spark, interactions):
     }
     # (a,b) hits via u1/u2; (a,zz) no; (c,b) hits via u1/u3; (zz,a) no
     assert got == {"a": (2, 1), "c": (1, 1), "zz": (1, 0)}
+
+
+def test_negative_sampling_properties(spark, interactions):
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        negative_sampling,
+    )
+
+    catalog = spark.range(0, 100).select(F.col("id").alias("item_id"))
+    inter = spark.createDataFrame(
+        [(u, i) for u in range(20) for i in range(u % 7)],
+        "user_id long, item_id long",
+    )
+    negs = negative_sampling(inter, catalog, k=5, oversample=3)
+    rows = negs.collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    hist = {(r["user_id"], r["item_id"]) for r in inter.collect()}
+    for u, rs in by_user.items():
+        assert len(rs) <= 5
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        for r in rs:
+            assert (u, r["neg_item"]) not in hist       # never a positive
+            assert 0 <= r["neg_item"] < 100             # in catalog
+        assert len({r["neg_item"] for r in rs}) == len(rs)  # distinct
+    # deterministic across recomputation
+    again = {(r["user_id"], r["neg_item"], r["rank"]) for r in negs.collect()}
+    assert again == {(r["user_id"], r["neg_item"], r["rank"]) for r in rows}
