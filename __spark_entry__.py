@@ -1523,15 +1523,21 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     step that turns dedup groups into a cleaned corpus. Singleton
     docs (no near-dup edge) form their own component. Selection is
     one max(struct) aggregate — no window, no per-group sort."""
+    import tempfile
+
     from amazon_personalize_connectors_spark.functions.dedup import (
         neardup_components,
-        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_materialized,
     )
 
     docs = synthetic.load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") % 5 == 0
     )
-    edges = ngram_jaccard_pairs(docs)
+    # materialized-shingle pair path (result-identical to the in-plan
+    # form, same oracle): tokenize once, not once per self-join side —
+    # the shape you'd run at scale before an iterative consumer
+    work = tempfile.mkdtemp(prefix="apcs_canon_sh_")
+    edges = ngram_jaccard_pairs_materialized(spark, docs, f"{work}/shingles")
     comp = neardup_components(edges).select(
         F.col("id").alias("doc_id"), "component"
     )
@@ -2215,14 +2221,17 @@ def q_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the iterative driver-unrolled pattern next to kmeans_refine and
     neardup_components."""
     from amazon_personalize_connectors_spark.functions.dedup import (
-        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_materialized,
         pagerank_fixed_point,
     )
+
+    import tempfile
 
     docs = synthetic.load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") % 5 == 0
     )
-    edges = ngram_jaccard_pairs(docs)
+    work = tempfile.mkdtemp(prefix="apcs_pr_sh_")
+    edges = ngram_jaccard_pairs_materialized(spark, docs, f"{work}/shingles")
     return pagerank_fixed_point(edges, n_iter=2).select(
         F.col("node").cast("bigint").alias("node"), "rank"
     )
@@ -2338,15 +2347,20 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves), not of the doc id. Output: per-split doc and
     component counts; the oracle replays components + bucketing, so
     any doc crossing splits breaks the value-hash."""
+    import tempfile
+
     from amazon_personalize_connectors_spark.functions.dedup import (
         neardup_components,
-        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_materialized,
     )
 
     docs = synthetic.load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") % 5 == 0
     )
-    comp = neardup_components(ngram_jaccard_pairs(docs)).select(
+    work = tempfile.mkdtemp(prefix="apcs_split_sh_")
+    comp = neardup_components(
+        ngram_jaccard_pairs_materialized(spark, docs, f"{work}/shingles")
+    ).select(
         F.col("id").alias("doc_id"), "component"
     )
     with_comp = docs.select("doc_id").join(comp, "doc_id", "left").select(
