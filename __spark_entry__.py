@@ -2819,6 +2819,34 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_sampling(mapping, catalog, k=5, oversample=3)
 
 
+
+def q_user_profile_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User profile embeddings: elementwise mean of the embeddings of
+    a user's interacted items (items bridge to vectors by id modulo
+    the vector count — fixture bridging, broadcast 1-row modulus).
+    Long-form (user, dim, mean) output, 6-dp rounded for parity.
+    operators/recsys.py:mean_vectors_by_key."""
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        mean_vectors_by_key,
+    )
+
+    mapping = synthetic.user_item_mapping(spark, sf_dir).select(
+        F.col("USER_ID").cast("bigint").alias("user_id"),
+        F.col("ITEM_ID").cast("bigint").alias("item_id"),
+    )
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    nv = emb.agg(F.count(F.lit(1)).alias("_n"))
+    joined = (
+        mapping.crossJoin(F.broadcast(nv))
+        .withColumn("vec_id", F.pmod(F.col("item_id"), F.col("_n")))
+        .join(emb, "vec_id")
+        .select("user_id", "embedding")
+    )
+    return mean_vectors_by_key(joined, "user_id", "embedding").select(
+        "user_id", F.col("dim").cast("int").alias("dim"), "mean_val"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver verification window: the driver oracle-checks the
@@ -2954,6 +2982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_coverage": q_rec_coverage,
         "rec_hitrate": q_rec_hitrate,
         "negative_sampling": q_negative_sampling,
+        "user_profile_vectors": q_user_profile_vectors,
     }
 
 
@@ -5107,6 +5136,26 @@ ranked AS (
 )
 SELECT u AS user_id, neg_item, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
+""",
+        "user_profile_vectors": """
+WITH m AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+nv AS (SELECT count(*) AS n FROM embeddings),
+j AS (
+  SELECT m.u, e.embedding
+  FROM m, nv
+  JOIN embeddings e ON e.vec_id = m.i % nv.n
+),
+dims AS (SELECT unnest(range(64)) AS dim),
+x AS (
+  SELECT j.u, d.dim,
+         CAST(list_extract(j.embedding, d.dim + 1) AS DOUBLE) AS v
+  FROM j CROSS JOIN dims d
+)
+SELECT u AS user_id, CAST(dim AS INT) AS dim, round(avg(v), 6) AS mean_val
+FROM x GROUP BY 1, 2
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the

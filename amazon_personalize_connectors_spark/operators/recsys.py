@@ -248,3 +248,30 @@ def negative_sampling(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def mean_vectors_by_key(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Elementwise mean embedding per key, long-form output
+    (key, dim, mean_val) — the user-profile-vector build: average the
+    embeddings of everything a user interacted with.
+
+    Shape: posexplode + groupBy(key, dim) + avg. The explode looks
+    expensive but map-side combine collapses each task's stream to at
+    most keys x dims rows before the exchange — the shuffle is the
+    PROFILE size, not interactions x dims. (The collect_list
+    alternative holds every member vector in the aggregate buffer;
+    this holds one running sum per dim.) Means are rounded for
+    engine-portable comparison; raw doubles differ in the last ulp
+    with accumulation order.
+    """
+    exploded = df.select(
+        F.col(key_col), F.posexplode(F.col(vec_col)).alias("dim", "_v")
+    )
+    return exploded.groupBy(key_col, "dim").agg(
+        F.round(F.avg(F.col("_v").cast("double")), round_decimals).alias("mean_val")
+    )

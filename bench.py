@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "rec_coverage",
     "rec_hitrate",
     "negative_sampling",
+    "user_profile_vectors",
 ]
 
 
