@@ -2847,6 +2847,31 @@ def q_user_profile_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_funnel_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel with conversion windows (view -> click within
+    2h -> purchase within 24h): each step matches the earliest event
+    strictly after the previous match inside its window — the
+    product-analytics semantics the ordering-only funnel
+    (q_event_funnel) does not capture. ONE shuffle: per-user sorted
+    event-time arrays folded with array_min(filter(...)).
+    operators/analytics.py:funnel_with_windows."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        funnel_with_windows,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir)
+    out = funnel_with_windows(
+        ev,
+        [("view", None), ("click", 7_200_000_000), ("purchase", 86_400_000_000)],
+    )
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "steps_completed",
+        "t1", "t2", "t3",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver verification window: the driver oracle-checks the
@@ -2983,6 +3008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_hitrate": q_rec_hitrate,
         "negative_sampling": q_negative_sampling,
         "user_profile_vectors": q_user_profile_vectors,
+        "funnel_windows": q_funnel_windows,
     }
 
 
@@ -5156,6 +5182,33 @@ x AS (
 )
 SELECT u AS user_id, CAST(dim AS INT) AS dim, round(avg(v), 6) AS mean_val
 FROM x GROUP BY 1, 2
+""",
+        "funnel_windows": """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+s1 AS (
+  SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts_us) AS t2
+  FROM e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts_us > s1.t1
+    AND e.ts_us <= s1.t1 + 7200000000
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts_us) AS t3
+  FROM e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2
+    AND e.ts_us <= s2.t2 + 86400000000
+  GROUP BY 1
+)
+SELECT s1.user_id,
+       CAST(1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
+            AS INT) AS steps_completed,
+       s1.t1, s2.t2, s3.t3
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the

@@ -339,3 +339,70 @@ def interval_overlap_join(
     )
     overlap = F.least("l_end", "r_end") - F.greatest("l_start", "r_start")
     return cand.where(overlap > 0).withColumn("overlap_len", overlap)
+
+
+def funnel_with_windows(
+    events: DataFrame,
+    steps: Sequence[tuple[str, int | None]],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Sequential funnel with per-step conversion windows: step i
+    matches the EARLIEST event of its type that is strictly after the
+    previous step's match and (when a window is given) within
+    ``window`` microseconds of it — the product-analytics semantics
+    (a purchase before the click does not count; a purchase a month
+    later does not convert a 1-hour funnel).
+
+    ``steps`` = [(event_type, window_us|None), ...]; the first step's
+    window is ignored. Output: one row per user who completed step 1,
+    with ``steps_completed`` and each step's matched timestamp
+    (``t1..tN``, null past the drop-off point).
+
+    Scale shape: ONE shuffle. Per user, each step type's timestamps
+    collect into a sorted array (state bounded by that user's events
+    of that type — same class as the re-nest aggregate), then the
+    step chain folds as array_min(filter(...)) — pure Catalyst, no
+    join-per-step, no window functions. The naive form is one
+    join + aggregate round-trip over the events table PER STEP.
+    """
+    aggs = [
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col(type_col) == step_type, F.col(ts_col))
+            )
+        ).alias(f"_ts_{i}")
+        for i, (step_type, _) in enumerate(steps)
+    ]
+    per_user = events.groupBy(F.col(user_col).alias("user_id")).agg(*aggs)
+
+    t_cols = []
+    prev = None
+    for i, (_, window_us) in enumerate(steps):
+        arr = F.col(f"_ts_{i}")
+        if prev is None:
+            t = F.try_element_at(arr, F.lit(1))
+        else:
+            def _make_cond(p, w):
+                # factory keeps the pyspark lambda single-arg (default
+                # args would trip its arity inspection)
+                if w is None:
+                    return lambda x: x > p
+                return lambda x: (x > p) & (x <= p + F.lit(w))
+
+            t = F.array_min(F.filter(arr, _make_cond(prev, window_us)))
+        per_user = per_user.withColumn(f"t{i + 1}", t)
+        t_cols.append(f"t{i + 1}")
+        prev = F.col(f"t{i + 1}")
+    steps_completed = sum(
+        (F.col(c).isNotNull().cast("int") for c in t_cols), F.lit(0)
+    )
+    return (
+        per_user.where(F.col("t1").isNotNull())
+        .select(
+            "user_id",
+            steps_completed.cast("int").alias("steps_completed"),
+            *t_cols,
+        )
+    )

@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "rec_hitrate",
     "negative_sampling",
     "user_profile_vectors",
+    "funnel_windows",
 ]
 
 

@@ -115,3 +115,35 @@ def test_profile_columns_single_scan(spark):
     plan = profile_columns(df, ["id", "s"])._jdf.queryExecution().optimizedPlan().toString()
     # one scan: the source relation appears exactly once in the plan
     assert plan.count("LogicalRDD") + plan.count("LocalRelation") == 1
+
+
+def test_funnel_with_windows_semantics(spark):
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        funnel_with_windows,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        # u1 completes: view@10, click@20 (within 100), purchase@50 (within 100)
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 50),
+        # u2 click BEFORE view -> not counted; no click after view
+        (2, "click", 5), (2, "view", 10), (2, "purchase", 20),
+        # u3 click too late (window 100)
+        (3, "view", 10), (3, "click", 200), (3, "purchase", 250),
+        # u4 never views -> absent from output
+        (4, "click", 10), (4, "purchase", 20),
+        # u5 picks EARLIEST valid click (30, not 90), purchase after it
+        (5, "view", 10), (5, "click", 90), (5, "click", 30), (5, "purchase", 95),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts_us long")
+    got = {
+        r["user_id"]: (r["steps_completed"], r["t1"], r["t2"], r["t3"])
+        for r in funnel_with_windows(
+            ev, [("view", None), ("click", 100), ("purchase", 100)]
+        ).collect()
+    }
+    assert got[1] == (3, 10, 20, 50)
+    assert got[2] == (1, 10, None, None)
+    assert got[3] == (1, 10, None, None)
+    assert 4 not in got
+    assert got[5] == (3, 10, 30, 95)
