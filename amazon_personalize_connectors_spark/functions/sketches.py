@@ -226,16 +226,25 @@ def histogram_partials(
     group_cols: Sequence[str],
     value_col: str,
     bin_width: float,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-(group, bin) row counts — the materializable quantile
     partial. Unlike approx_percentile state, these partials are plain
     rows: they parquet-persist, merge with a sum, and roll up across
     any grouping level. Resolution is ``bin_width`` (quantiles land on
     bin lower bounds); state per group is bounded by the value range /
-    bin_width, independent of row count."""
+    bin_width, independent of row count.
+
+    ``weight_col`` makes the histogram weighted (bin mass = sum of
+    weights); pass an INTEGER or decimal weight so downstream
+    cumulative sums stay exact — double weights reintroduce
+    accumulation-order noise into the quantile boundary."""
     bin_col = F.floor(F.col(value_col) / F.lit(bin_width)).cast("bigint")
+    mass = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(F.col(weight_col))
+    )
     return df.groupBy(*group_cols, bin_col.alias("bin")).agg(
-        F.count(F.lit(1)).alias("bin_n")
+        mass.alias("bin_n")
     )
 
 

@@ -86,3 +86,22 @@ def test_histogram_quantiles_merge_and_definition(spark):
                     assert got[(g, q)] == b * width
                     break
     assert len(got) == 6
+
+
+def test_weighted_histogram_quantiles(spark):
+    """Weighted quantiles: bin mass = sum(weight). A value with weight
+    w must behave exactly like w copies of that value."""
+    rows = [("g", 10.0, 1), ("g", 20.0, 3), ("g", 30.0, 1)]
+    weighted = spark.createDataFrame(rows, "g string, v double, w long")
+    expanded = spark.createDataFrame(
+        [("g", v) for g, v, w in rows for _ in range(w)], "g string, v double"
+    )
+    qs = [0.2, 0.5, 0.9]
+    a = histogram_quantiles(
+        histogram_partials(weighted, ["g"], "v", 10.0, weight_col="w"),
+        ["g"], qs, 10.0,
+    )
+    b = histogram_quantiles(
+        histogram_partials(expanded, ["g"], "v", 10.0), ["g"], qs, 10.0
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
