@@ -2872,6 +2872,38 @@ def q_funnel_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily revenue per priority with missing days carried
+    forward (LOCF): calendar densification (broadcast bounds, no
+    driver collect) then one unbounded-preceding last(ignorenulls)
+    window — the "price on days with no trades" shape.
+    operators/analytics.py:gap_fill_days + locf_fill."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        gap_fill_days,
+        locf_fill,
+    )
+
+    daily = (
+        synthetic.load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < F.lit("1995-03-01").cast("timestamp_ntz"))
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+        )
+    )
+    dense = gap_fill_days(daily, ["prio"], "day", "revenue", fill_value=None)
+    filled = locf_fill(dense, ["prio"], "day", ["revenue"])
+    return filled.select(
+        "prio",
+        F.col("day").cast("string").alias("day"),
+        F.col("revenue").cast("double").alias("revenue"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver verification window: the driver oracle-checks the
@@ -3009,6 +3041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_sampling": q_negative_sampling,
         "user_profile_vectors": q_user_profile_vectors,
         "funnel_windows": q_funnel_windows,
+        "gap_fill_locf": q_gap_fill_locf,
     }
 
 
@@ -5209,6 +5242,34 @@ SELECT s1.user_id,
             AS INT) AS steps_completed,
        s1.t1, s2.t2, s3.t3
 FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+""",
+        "gap_fill_locf": """
+WITH daily AS (
+  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '1995-03-01'
+  GROUP BY 1, 2
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+offsets AS (
+  SELECT p.prio, bounds.d0,
+         unnest(range(0, datediff('day', bounds.d0, bounds.d1) + 1)) AS o
+  FROM (SELECT DISTINCT prio FROM daily) p, bounds
+),
+cal AS (
+  SELECT prio, CAST(d0 + o * INTERVAL 1 DAY AS DATE) AS day FROM offsets
+),
+dense AS (
+  SELECT cal.prio, cal.day, daily.revenue
+  FROM cal LEFT JOIN daily USING (prio, day)
+)
+SELECT prio, strftime(day, '%Y-%m-%d') AS day,
+       CAST(last_value(revenue IGNORE NULLS) OVER (
+         PARTITION BY prio ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS revenue
+FROM dense
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the

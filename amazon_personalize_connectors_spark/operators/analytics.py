@@ -406,3 +406,29 @@ def funnel_with_windows(
             *t_cols,
         )
     )
+
+
+def locf_fill(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Last-observation-carried-forward: nulls in ``value_cols`` take
+    the most recent non-null value within the group, in ``order_col``
+    order (leading nulls stay null — there is nothing to carry).
+
+    One window pass per group, unbounded-preceding ``last(ignorenulls)``
+    — compose AFTER ``gap_fill_days(..., fill_value=None)`` to turn a
+    sparse daily series into a dense carried-forward one (the classic
+    "price on days with no trades" shape).
+    """
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in value_cols:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out

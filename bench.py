@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "negative_sampling",
     "user_profile_vectors",
     "funnel_windows",
+    "gap_fill_locf",
 ]
 
 

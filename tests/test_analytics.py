@@ -147,3 +147,16 @@ def test_funnel_with_windows_semantics(spark):
     assert got[3] == (1, 10, None, None)
     assert 4 not in got
     assert got[5] == (3, 10, 30, 95)
+
+
+def test_locf_fill_carries_forward(spark):
+    from amazon_personalize_connectors_spark.operators.analytics import locf_fill
+
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, 10.0), ("a", 3, None), ("a", 4, None),
+         ("a", 5, 20.0), ("b", 1, 5.0), ("b", 2, None)],
+        "g string, d int, v double",
+    )
+    got = {(r.g, r.d): r.v for r in locf_fill(df, ["g"], "d", ["v"]).collect()}
+    assert got == {("a", 1): None, ("a", 2): 10.0, ("a", 3): 10.0,
+                   ("a", 4): 10.0, ("a", 5): 20.0, ("b", 1): 5.0, ("b", 2): 5.0}
