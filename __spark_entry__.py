@@ -2904,6 +2904,35 @@ def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-based outlier audit: per priority, orders whose
+    price exceeds the p90 histogram band (mergeable binned quantiles
+    joined back as a broadcast threshold) — the anomaly-screen shape:
+    thresholds from partials, one broadcast join, zero re-sort of the
+    facts. Composes functions/sketches.py histogram quantiles."""
+    from amazon_personalize_connectors_spark.functions.sketches import (
+        histogram_partials,
+        histogram_quantiles,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+    )
+    bands = histogram_quantiles(
+        histogram_partials(orders, ["prio"], "price", 10000.0),
+        ["prio"], [0.9], 10000.0,
+    ).select("prio", F.col("value").alias("p90_band"))
+    flagged = orders.join(F.broadcast(bands), "prio").where(
+        F.col("price") >= F.col("p90_band") + 10000.0  # above the p90 bin
+    )
+    return flagged.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n_outliers"),
+        F.max(F.col("price").cast("decimal(18,2)")).cast("double").alias("max_price"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver verification window: the driver oracle-checks the
@@ -3042,6 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_profile_vectors": q_user_profile_vectors,
         "funnel_windows": q_funnel_windows,
         "gap_fill_locf": q_gap_fill_locf,
+        "price_outliers": q_price_outliers,
     }
 
 
@@ -5270,6 +5300,30 @@ SELECT prio, strftime(day, '%Y-%m-%d') AS day,
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
        ) AS DOUBLE) AS revenue
 FROM dense
+""",
+        "price_outliers": """
+WITH b AS (
+  SELECT o_orderpriority AS prio,
+         CAST(floor(o_totalprice / 10000.0) AS BIGINT) AS bin,
+         count(*) AS bin_n
+  FROM orders GROUP BY 1, 2
+),
+c AS (
+  SELECT prio, bin,
+         sum(bin_n) OVER (PARTITION BY prio ORDER BY bin) AS cum_n,
+         sum(bin_n) OVER (PARTITION BY prio) AS total
+  FROM b
+),
+bands AS (
+  SELECT prio, min(bin) * 10000.0 AS p90_band
+  FROM c WHERE cum_n >= ceil(0.9 * total) GROUP BY prio
+)
+SELECT o.o_orderpriority AS prio,
+       CAST(count(*) AS BIGINT) AS n_outliers,
+       CAST(max(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+FROM orders o JOIN bands ON o.o_orderpriority = bands.prio
+WHERE o.o_totalprice >= bands.p90_band + 10000.0
+GROUP BY 1
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the

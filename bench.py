@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "user_profile_vectors",
     "funnel_windows",
     "gap_fill_locf",
+    "price_outliers",
 ]
 
 
