@@ -2933,6 +2933,31 @@ def q_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority revenue trend: OLS slope/intercept of daily
+    revenue over the day index, from five exactly-accumulated
+    sufficient statistics in ONE combinable aggregate (never a
+    per-group fit loop). operators/analytics.py:grouped_linear_trend."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        grouped_linear_trend,
+    )
+
+    daily = (
+        synthetic.load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
+            ).alias("day_idx"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+        )
+    )
+    return grouped_linear_trend(daily, ["prio"], "day_idx", "revenue")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver verification window: the driver oracle-checks the
@@ -3072,6 +3097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_windows": q_funnel_windows,
         "gap_fill_locf": q_gap_fill_locf,
         "price_outliers": q_price_outliers,
+        "revenue_trend": q_revenue_trend,
     }
 
 
@@ -5324,6 +5350,32 @@ SELECT o.o_orderpriority AS prio,
 FROM orders o JOIN bands ON o.o_orderpriority = bands.prio
 WHERE o.o_totalprice >= bands.p90_band + 10000.0
 GROUP BY 1
+""",
+        "revenue_trend": """
+WITH daily AS (
+  SELECT o_orderpriority AS prio,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_idx,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders GROUP BY 1, 2
+),
+stats AS (
+  SELECT prio,
+         CAST(count(*) AS DECIMAL(38,6)) AS n,
+         sum(CAST(day_idx AS DECIMAL(38,6))) AS sx,
+         sum(CAST(revenue AS DECIMAL(38,6))) AS sy,
+         sum(CAST(day_idx AS DECIMAL(38,6)) * CAST(revenue AS DECIMAL(38,6))) AS sxy,
+         sum(CAST(day_idx AS DECIMAL(38,6)) * CAST(day_idx AS DECIMAL(38,6))) AS sxx
+  FROM daily GROUP BY prio
+)
+SELECT prio,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept,
+       CAST(n AS BIGINT) AS n_points
+FROM stats
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the

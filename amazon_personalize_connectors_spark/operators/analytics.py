@@ -432,3 +432,44 @@ def locf_fill(
     for c in value_cols:
         out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
     return out
+
+
+def grouped_linear_trend(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group OLS trend line (slope + intercept) in ONE aggregate:
+    slope = (n Σxy − Σx Σy) / (n Σx² − (Σx)²), intercept from the
+    means. ``x_col`` must be integer (day numbers, period indexes),
+    ``y_col`` integer or decimal — all five sufficient statistics then
+    accumulate EXACTLY (map-side combinable, layout-independent), and
+    the only floating-point ops are two final divisions in fixed
+    order. Groups with a degenerate x-variance return null slope.
+
+    This is the distributed shape for "fit a tiny model per key":
+    sufficient statistics in one combinable aggregate — never a
+    per-group collect or a Python loop.
+    """
+    x = F.col(x_col).cast("decimal(38,6)")
+    y = F.col(y_col).cast("decimal(38,6)")
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("decimal(38,6)").alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    den = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    slope = F.when(den != 0, num / den)
+    intercept = (
+        F.col("_sy").cast("double") - slope * F.col("_sx").cast("double")
+    ) / F.col("_n").cast("double")
+    return stats.select(
+        *group_cols,
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.col("_n").cast("bigint").alias("n_points"),
+    )

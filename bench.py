@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "funnel_windows",
     "gap_fill_locf",
     "price_outliers",
+    "revenue_trend",
 ]
 
 

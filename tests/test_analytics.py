@@ -160,3 +160,22 @@ def test_locf_fill_carries_forward(spark):
     got = {(r.g, r.d): r.v for r in locf_fill(df, ["g"], "d", ["v"]).collect()}
     assert got == {("a", 1): None, ("a", 2): 10.0, ("a", 3): 10.0,
                    ("a", 4): 10.0, ("a", 5): 20.0, ("b", 1): 5.0, ("b", 2): 5.0}
+
+
+def test_grouped_linear_trend_exact_line(spark):
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        grouped_linear_trend,
+    )
+
+    # perfect line y = 3x + 7 plus a flat group and a degenerate group
+    rows = (
+        [("lin", x, 3 * x + 7) for x in range(10)]
+        + [("flat", x, 42) for x in range(5)]
+        + [("deg", 5, 1), ("deg", 5, 9)]
+    )
+    df = spark.createDataFrame(rows, "g string, x int, y int")
+    got = {r.g: (r.slope, r.intercept, r.n_points)
+           for r in grouped_linear_trend(df, ["g"], "x", "y").collect()}
+    assert got["lin"] == (3.0, 7.0, 10)
+    assert got["flat"] == (0.0, 42.0, 5)
+    assert got["deg"][0] is None and got["deg"][2] == 2
