@@ -2958,6 +2958,51 @@ def q_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_linear_trend(daily, ["prio"], "day_idx", "revenue")
 
 
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-10 documents for the query {hash, join,
+    window} — Robertson idf + tf saturation/length normalization, the
+    tf table filtered to query terms before any join, global top-k via
+    TakeOrdered (no single-task window over the corpus). 6-dp rounding
+    keeps libm ulp noise out of the ranking.
+    functions/text.py:bm25_topk."""
+    from amazon_personalize_connectors_spark.functions.text import bm25_topk
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["hash", "join", "window"], k=10).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        "score", "n_terms_hit", "rank",
+    )
+
+
+
+def q_scd2_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History analytics over the SCD2 build: per priority value, how
+    many CLOSED intervals existed and their total/avg covered days
+    (current open-ended rows excluded — no sentinel arithmetic).
+    Integer day math on the interval bounds; composes
+    operators/history.py:scd2_from_changelog."""
+    from amazon_personalize_connectors_spark.operators.history import (
+        scd2_from_changelog,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    log = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    scd = scd2_from_changelog(log, ["cust"], "d", ["prio"])
+    closed = scd.where(~F.col("is_current")).withColumn(
+        "days", F.datediff("valid_to", "valid_from")
+    )
+    return closed.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("days").cast("bigint").alias("total_days"),
+        F.round(F.avg("days"), 6).alias("avg_days"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver verification window: the driver oracle-checks the
@@ -3098,6 +3143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_locf": q_gap_fill_locf,
         "price_outliers": q_price_outliers,
         "revenue_trend": q_revenue_trend,
+        "bm25_search": q_bm25_search,
+        "scd2_durations": q_scd2_durations,
     }
 
 
@@ -5376,6 +5423,68 @@ SELECT prio,
              / CAST(n AS DOUBLE), 6) AS intercept,
        CAST(n AS BIGINT) AS n_points
 FROM stats
+""",
+        "bm25_search": """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id AS id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+),
+dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY id),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+qtf AS (SELECT * FROM tf WHERE term IN ('hash', 'join', 'window')),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM qtf GROUP BY term),
+scored AS (
+  SELECT q.id,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (q.tf * 2.2) / (q.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+           AS s
+  FROM qtf q JOIN dfreq d USING (term) JOIN dl ON q.id = dl.id, stats s
+),
+per_doc AS (
+  SELECT id, round(sum(s), 6) AS score,
+         CAST(count(*) AS INT) AS n_terms_hit
+  FROM scored GROUP BY id
+)
+SELECT CAST(id AS BIGINT) AS doc_id, score, n_terms_hit,
+       CAST(row_number() OVER (ORDER BY score DESC, id) AS INT) AS rank
+FROM per_doc
+ORDER BY score DESC, id LIMIT 10
+""",
+        "scd2_durations": """
+WITH log AS (
+  SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS d,
+         o_orderpriority AS prio
+  FROM orders
+),
+w AS (
+  SELECT cust, d, prio,
+         CASE WHEN lag(prio) OVER (PARTITION BY cust ORDER BY d, prio)
+                   IS DISTINCT FROM prio
+              THEN 1 ELSE 0 END AS chg
+  FROM log
+),
+pts AS (SELECT cust, d, prio FROM w WHERE chg = 1),
+iv AS (
+  SELECT cust, prio, d AS valid_from,
+         lead(d) OVER (PARTITION BY cust ORDER BY d, prio) AS valid_to
+  FROM pts
+),
+closed AS (
+  SELECT prio, datediff('day', valid_from, valid_to) AS days
+  FROM iv WHERE valid_to IS NOT NULL
+)
+SELECT prio,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(days) AS BIGINT) AS total_days,
+       round(avg(days), 6) AS avg_days
+FROM closed GROUP BY prio
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the

@@ -556,3 +556,76 @@ def bpe_pair_stats(df, text_col: str = "text", top_n: int = 20):
         .orderBy(F.desc("c"), F.asc("pair"))
         .limit(top_n)
     )
+
+
+def bm25_topk(
+    df,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """BM25 retrieval scoring: rank documents against a bag of query
+    terms with the classic Robertson idf
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))`` and tf saturation /
+    length normalization ``tf (k1+1) / (tf + k1 (1 - b + b dl/avgdl))``.
+
+    Scale shape: the term-frequency table filters to the QUERY terms
+    before anything else (rows ∝ docs x |query|, never the full
+    vocabulary); doc lengths come from one map-side-combinable
+    aggregate over the same tf table; N, avgdl, and the per-term dfs
+    ride broadcast 1-row / |query|-row frames. The only shuffles are
+    the tf build and the per-doc score sum. Scores are rounded to 6dp
+    so cross-engine libm ulp noise cannot reorder the ranking, and
+    ties break on doc id.
+    """
+    from pyspark.sql.window import Window
+
+    tf_all = term_frequencies(df, text_col, id_col)
+    doclen = tf_all.groupBy("id").agg(F.sum("tf").alias("dl"))
+    corpus_stats = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("__n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("__avgdl"),
+    )
+    qtf = tf_all.where(F.col("term").isin(list(query_terms)))
+    dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (
+        qtf.join(F.broadcast(dfreq), "term")
+        .join(doclen, "id")
+        .crossJoin(F.broadcast(corpus_stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl") / F.col("__avgdl")
+                )
+            ),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.round(F.sum("_s"), 6).alias("score"),
+        F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+    )
+    # global top-k via orderBy+limit (TakeOrdered — per-partition heaps,
+    # no single-task global window); the rank window then runs over k
+    # rows only
+    topk = per_doc.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "id", "score", "n_terms_hit", F.col("rank").cast("int").alias("rank")
+    )

@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "gap_fill_locf",
     "price_outliers",
     "revenue_trend",
+    "bm25_search",
+    "scd2_durations",
 ]
 
 
