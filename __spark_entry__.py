@@ -3003,6 +3003,48 @@ def q_scd2_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick TF-IDF vectorizer: 64-dim sparse doc features via
+    the portable salted-md5 dimension map (the feature assignment
+    itself is oracle-checked, not just shapes); weights = tf * idf
+    summed over colliding terms. functions/text.py:
+    hashed_tfidf_features."""
+    from amazon_personalize_connectors_spark.functions.text import (
+        hashed_tfidf_features,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    return hashed_tfidf_features(docs, n_dims=64).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("dim").cast("int").alias("dim"),
+        "weight",
+    )
+
+
+def q_price_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority exact percentile rank of each order's price
+    (percent_rank window over pre-deduplicated (prio, price) pairs so
+    the window input is the distinct-value set, not the fact table),
+    joined back to count orders at or below each decile. Output: per
+    (prio, decile) order counts — integer-exact."""
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("prio").orderBy("price")
+    ranked = orders.withColumn("pr", F.percent_rank().over(w))
+    decile = F.least(F.floor(F.col("pr") * 10).cast("int"), F.lit(9))
+    return ranked.groupBy("prio", decile.alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("pr"), 6).alias("min_pr"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver verification window: the driver oracle-checks the
@@ -3145,6 +3187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_trend": q_revenue_trend,
         "bm25_search": q_bm25_search,
         "scd2_durations": q_scd2_durations,
+        "hashed_features": q_hashed_features,
+        "price_percentile_rank": q_price_percentile_rank,
     }
 
 
@@ -5485,6 +5529,42 @@ SELECT prio,
        CAST(sum(days) AS BIGINT) AS total_days,
        round(avg(days), 6) AS avg_days
 FROM closed GROUP BY prio
+""",
+        "hashed_features": """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+  FROM documents WHERE doc_id % 5 = 0
+),
+tf AS (
+  SELECT doc_id AS id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE length(term) >= 3 GROUP BY 1, 2
+),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs
+       FROM documents WHERE doc_id % 5 = 0),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+mapped AS (
+  SELECT tf.id,
+         CAST(concat('0x', substr(md5(tf.term || '|feat-v1'), 1, 8)) AS BIGINT)
+           % 64 AS dim,
+         tf.tf * ln(nd.n_docs / dfreq.df) AS w
+  FROM tf JOIN dfreq USING (term), nd
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(dim AS INT) AS dim,
+       round(sum(w), 6) AS weight
+FROM mapped GROUP BY 1, 2
+""",
+        "price_percentile_rank": """
+WITH ranked AS (
+  SELECT o_orderpriority AS prio, o_totalprice AS price,
+         percent_rank() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice) AS pr
+  FROM orders
+)
+SELECT prio,
+       CAST(least(CAST(floor(pr * 10) AS INT), 9) AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(min(pr), 6) AS min_pr
+FROM ranked GROUP BY 1, 2
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the

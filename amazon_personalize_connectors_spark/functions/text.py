@@ -629,3 +629,49 @@ def bm25_topk(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "id", "score", "n_terms_hit", F.col("rank").cast("int").alias("rank")
     )
+
+
+def hashed_tfidf_features(
+    df,
+    n_dims: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_term_len: int = 3,
+    tag: str = "feat-v1",
+):
+    """Hashing-trick document vectorizer: each term maps to a fixed
+    dimension by a salted PORTABLE hash (md5-substring — the repo's
+    engine-portable recipe, so the feature map itself is
+    oracle-checkable), and dimension weights are tf * ln(N/df)
+    summed over the colliding terms. Sparse long-form output
+    (id, dim, weight): zero dims never materialize.
+
+    This is the classical-ML feature path at corpus scale — fixed
+    dimensionality regardless of vocabulary growth, no vocabulary
+    dictionary to build, broadcast or shuffle. Weights round to 6dp
+    so accumulation-order ulps stay out of the comparison.
+    """
+    tf = term_frequencies(df, text_col, id_col).where(
+        F.length("term") >= min_term_len
+    )
+    n_docs = df.select(F.countDistinct(id_col).cast("double").alias("__n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dim = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.col("term"), F.lit(tag))), 1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(n_dims),
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("dim", dim)
+        .groupBy("id", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("__n_docs") / F.col("df"))), 6
+            ).alias("weight")
+        )
+    )

@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "revenue_trend",
     "bm25_search",
     "scd2_durations",
+    "hashed_features",
+    "price_percentile_rank",
 ]
 
 
