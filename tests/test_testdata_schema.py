@@ -65,3 +65,34 @@ def test_load_events_matches_duckdb_epoch(spark):
         ).fetchall()
     )
     assert got == want
+
+
+EXPECTED_COLUMNS = {
+    "region": {"r_regionkey", "r_name"},
+    "nation": {"n_nationkey", "n_name", "n_regionkey"},
+    "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"},
+    "supplier": {"s_suppkey", "s_name", "s_nationkey", "s_acctbal"},
+    "part": {"p_partkey", "p_name", "p_type", "p_brand", "p_retailprice", "p_size"},
+    "orders": {"o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"},
+    "lineitem": {"l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"},
+    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+    "documents": {"doc_id", "text", "lang", "n_chars"},
+    "embeddings": {"vec_id", "embedding", "label"},
+}
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS or ["<missing>"])
+def test_expected_columns_present(sf_dir):
+    """Queries reference these columns by name; fail fast (with the
+    exact diff) if driver-generated testdata drops or renames any."""
+    if not SF_DIRS:
+        pytest.skip("no testdata dirs on this machine")
+    import pyarrow.parquet as pq
+
+    for table, want in EXPECTED_COLUMNS.items():
+        got = {f.name for f in pq.ParquetFile(f"{sf_dir}/{table}.parquet").schema_arrow}
+        missing = want - got
+        assert not missing, f"{sf_dir}/{table}: missing columns {missing}"
