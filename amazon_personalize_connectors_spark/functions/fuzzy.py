@@ -36,18 +36,49 @@ def deletion_variants(col: Column) -> Column:
     return F.array_union(F.array(col), deletions)
 
 
+def deletion_variants_k2(col: Column) -> Column:
+    """array<string>: the string, all 1-deletions, and all
+    2-deletions (delete positions i < j). Fan-out is
+    1 + L + L(L-1)/2 — quadratic in string LENGTH only, never in
+    corpus size. Nested transforms flattened; still pure Catalyst."""
+    two_del = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.length(col) + 1),
+                # j ranges one past length so empty inner arrays never
+                # appear; the j == length+1 slot re-emits the 1-deletion
+                # at i (harmless: array_distinct collapses it)
+                lambda j: F.concat(
+                    F.substring(col, F.lit(1), (i - 1).cast("int")),
+                    col.substr(i + 1, (j - i - 1).cast("int")),
+                    col.substr(j + 1, F.length(col)),
+                ),
+            ),
+        )
+    )
+    return F.array_distinct(F.concat(deletion_variants(col), two_del))
+
+
 def _variant_table(
-    df: DataFrame, id_col: str, str_col: str, block_col: str | None
+    df: DataFrame, id_col: str, str_col: str, block_col: str | None,
+    max_dist: int = 1,
 ) -> DataFrame:
     """(id, string, block, variant-hash) — one row per deletion
-    variant. ``block`` is a structured blocking key (constant when
-    none given) that rides into the candidate equi-join."""
+    variant (up to ``max_dist`` deletions). ``block`` is a structured
+    blocking key (constant when none given) that rides into the
+    candidate equi-join."""
     block = F.col(block_col) if block_col else F.lit(0)
+    variants = (
+        deletion_variants(F.col(str_col))
+        if max_dist == 1
+        else deletion_variants_k2(F.col(str_col))
+    )
     return df.select(
         F.col(id_col).alias("_id"),
         F.col(str_col).alias("_s"),
         block.alias("_blk"),
-        F.explode(deletion_variants(F.col(str_col))).alias("_v"),
+        F.explode(variants).alias("_v"),
     ).select("_id", "_s", "_blk", F.xxhash64("_v").alias("_vh"))
 
 
@@ -59,8 +90,10 @@ def editdist_self_join(
     block_col: str | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) whose strings are within edit distance
-    ``max_dist`` (currently 1 — the deletion-neighborhood guarantee
-    this blocking provides). Returns (id_a, id_b, dist).
+    ``max_dist`` (1 or 2; if lev(s,t) <= k, the <= k-deletion
+    neighborhoods of s and t intersect — the FastSS candidate
+    guarantee — and the exact levenshtein pass removes the rest).
+    Returns (id_a, id_b, dist).
 
     Candidates come from an equi-join on hashed deletion variants;
     the exact levenshtein filter runs only on candidates that share a
@@ -71,12 +104,12 @@ def editdist_self_join(
     spreads the shuffle across (block, variant) instead of variant
     alone.
     """
-    if max_dist != 1:
+    if max_dist not in (1, 2):
         raise NotImplementedError(
-            "deletion-neighborhood blocking implemented for max_dist=1; "
-            "higher distances need k-deletion variants"
+            "deletion-neighborhood blocking implemented for max_dist in "
+            "{1, 2}; higher distances need k-deletion variant generators"
         )
-    v = _variant_table(df, id_col, str_col, block_col)
+    v = _variant_table(df, id_col, str_col, block_col, max_dist)
     a = v.select(
         F.col("_id").alias("id_a"), F.col("_s").alias("_sa"), "_blk", "_vh"
     )

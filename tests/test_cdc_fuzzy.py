@@ -96,3 +96,33 @@ def test_editdist_join_plan_has_no_cartesian(spark):
     df = spark.createDataFrame([(1, "ab"), (2, "ac")], "id int, s string")
     plan = editdist_self_join(df, "id", "s")._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_editdist2_matches_bruteforce(spark):
+    strings = [
+        (1, "kitten"), (2, "sitting"), (3, "kiten"), (4, "mitten"),
+        (5, "kitte"), (6, "kien"), (7, "abc"), (8, "adc"), (9, "xbc"),
+        (10, "a"), (11, ""), (12, "ac"),
+    ]
+    df = spark.createDataFrame(strings, "id int, s string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in editdist_self_join(df, "id", "s", max_dist=2).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(strings, 2)
+        if lev(a, b) <= 2
+    }
+    assert got == want and any(d == 2 for _, _, d in want)
