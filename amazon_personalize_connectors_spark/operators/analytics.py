@@ -322,8 +322,10 @@ def interval_overlap_join(
     rid, rs, re_ = right_cols
 
     def bucketed(df: DataFrame, id_c: str, s_c: str, e_c: str, side: str) -> DataFrame:
-        first = (F.col(s_c) / bucket_width).cast("bigint")
-        last = ((F.col(e_c) - 1) / bucket_width).cast("bigint")
+        # floor division (cast truncates toward zero — wrong bucket for
+        # negative coordinates)
+        first = F.floor(F.col(s_c) / bucket_width).cast("bigint")
+        last = F.floor((F.col(e_c) - 1) / bucket_width).cast("bigint")
         return df.select(
             F.col(id_c).alias(f"{side}_id"),
             F.col(s_c).alias(f"{side}_start"),

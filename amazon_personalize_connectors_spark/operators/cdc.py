@@ -48,6 +48,11 @@ def snapshot_diff(
     """
     if compare_cols is None:
         compare_cols = [c for c in new.columns if c not in key_cols]
+    if op_col in (*key_cols, *compare_cols):
+        raise ValueError(
+            f"op_col {op_col!r} collides with a key/compare column; "
+            "pass a different op_col"
+        )
     o = old.select(
         *key_cols, F.struct(*[F.col(c) for c in compare_cols]).alias("_old")
     )

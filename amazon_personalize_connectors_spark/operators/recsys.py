@@ -93,10 +93,11 @@ def rec_catalog_coverage(
     catalog_item_col: str = "item_id",
 ) -> DataFrame:
     """Catalog-coverage monitor for a delivered recommendation set:
-    how many catalog items ever get recommended, how many
-    recommendation rows point at dead (non-catalog) items, and the
-    concentration of the top-1% most-recommended items. One aggregate
-    over the exploded recs joined to the catalog keys."""
+    how many catalog items ever get recommended, how many distinct
+    items appear in recs at all, and how many recommendation rows
+    point at dead (non-catalog) items. One aggregate over the exploded
+    recs left-joined to the catalog keys; the catalog size rides in as
+    a single bounded count."""
     cat = catalog.select(F.col(catalog_item_col).alias("_cat_item")).distinct()
     joined = recs_exploded.select(
         F.col(rec_item_col).alias("_rec_item")

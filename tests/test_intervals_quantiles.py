@@ -105,3 +105,17 @@ def test_weighted_histogram_quantiles(spark):
         histogram_partials(expanded, ["g"], "v", 10.0), ["g"], qs, 10.0
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_interval_overlap_negative_coordinates(spark):
+    ldf = spark.createDataFrame([(1, -25, -5)], "lid int, ls long, le long")
+    rdf = spark.createDataFrame(
+        [(10, -10, 3), (11, -100, -26)], "rid int, rs long, re long"
+    )
+    got = sorted(
+        (r["l_id"], r["r_id"], r["overlap_len"])
+        for r in interval_overlap_join(
+            ldf, rdf, ("lid", "ls", "le"), ("rid", "rs", "re"), 16
+        ).collect()
+    )
+    assert got == [(1, 10, 5)]
