@@ -3045,6 +3045,65 @@ def q_price_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew pre-flight over the lineitem part key: top-10
+    heaviest keys with exact counts and skew factor vs the mean key
+    load — the diagnosis that decides salting / AQE skew-join handling
+    before a big join. operators/analytics.py:key_skew_report."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        key_skew_report,
+    )
+
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    return key_skew_report(lineitem, ["l_partkey"], top_k=10)
+
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: the 20 most common 3-step event-type
+    sequences inside 30-minute sessions — the "how do users get to
+    purchase" analysis. Sessionize (lag + running flag sum, one window
+    pass), collect each session's ordered type path, slide a trigram
+    window over the array (generator, no joins), count globally,
+    TakeOrdered top-20."""
+    from pyspark.sql.window import Window
+
+    ev = synthetic.load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800 * 1000 * 1000), 1).otherwise(0)
+    sess = ev.withColumn("sid", F.sum(new_s).over(w))
+    paths = sess.groupBy("user_id", "sid").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ).alias("path")
+    )
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — drop short
+    # paths before building the index range
+    trigrams = paths.where(F.size("path") >= 3).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("path") - F.lit(2)),
+                lambda i: F.concat_ws(
+                    ">",
+                    F.element_at("path", i.cast("int")),
+                    F.element_at("path", (i + 1).cast("int")),
+                    F.element_at("path", (i + 2).cast("int")),
+                ),
+            )
+        ).alias("trigram")
+    )
+    counts = trigrams.groupBy("trigram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top = counts.orderBy(F.col("n").desc(), "trigram").limit(20)
+    return top.select("trigram", F.col("n").cast("bigint").alias("n"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver verification window: the driver oracle-checks the
@@ -3189,6 +3248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_durations": q_scd2_durations,
         "hashed_features": q_hashed_features,
         "price_percentile_rank": q_price_percentile_rank,
+        "skew_report": q_skew_report,
+        "session_paths": q_session_paths,
     }
 
 
@@ -5565,6 +5626,55 @@ SELECT prio,
        CAST(count(*) AS BIGINT) AS n_orders,
        round(min(pr), 6) AS min_pr
 FROM ranked GROUP BY 1, 2
+""",
+        "skew_report": """
+WITH per_key AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS key, count(*) AS n
+  FROM lineitem GROUP BY 1
+),
+scalars AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM per_key
+)
+SELECT key, CAST(n AS BIGINT) AS n_rows,
+       round(n / (total_rows * 1.0 / n_keys), 6) AS skew_factor,
+       round(n * 1.0 / total_rows, 6) AS row_share,
+       total_rows, n_keys
+FROM per_key, scalars
+ORDER BY n DESC, key LIMIT 10
+""",
+        "session_paths": """
+WITH w AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL
+                   OR ts_us - prev_us > 1800 * 1000 * 1000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM w
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                             ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, sid,
+         list(event_type ORDER BY ts_us, event_id) AS path
+  FROM sess GROUP BY user_id, sid
+),
+tri AS (
+  SELECT path[o] || '>' || path[o + 1] || '>' || path[o + 2] AS trigram
+  FROM paths, unnest(range(1, greatest(len(path) - 2, 0) + 1)) AS t(o)
+)
+SELECT trigram, CAST(count(*) AS BIGINT) AS n
+FROM tri GROUP BY trigram
+ORDER BY n DESC, trigram LIMIT 20
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the

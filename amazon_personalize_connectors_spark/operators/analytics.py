@@ -475,3 +475,41 @@ def grouped_linear_trend(
         F.round(intercept, 6).alias("intercept"),
         F.col("_n").cast("bigint").alias("n_points"),
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Join-key skew diagnosis — the pre-flight a 100 TB join runs
+    before choosing salting/AQE strategies. Per key-tuple counts
+    reduce to: total rows, distinct keys, the max/avg skew factor
+    (exact integer counts, one final double division), and the top-k
+    heaviest keys with their row share.
+
+    Shapes: one combinable aggregate to per-key counts; the scalar
+    stats are a second tiny aggregate; top-k heavy keys via
+    orderBy+limit (TakeOrdered), joined to the scalars as a broadcast
+    1-row frame. The per-key table shuffles once.
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    per_key = df.groupBy(key.alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    scalars = per_key.agg(
+        F.sum("n").cast("bigint").alias("__total"),
+        F.count(F.lit(1)).cast("bigint").alias("__n_keys"),
+        F.max("n").cast("bigint").alias("__max_n"),
+    )
+    top = per_key.orderBy(F.col("n").desc(), F.col("key")).limit(top_k)
+    return top.crossJoin(F.broadcast(scalars)).select(
+        "key",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(F.col("n") / (F.col("__total") / F.col("__n_keys")), 6).alias(
+            "skew_factor"
+        ),
+        F.round(F.col("n") / F.col("__total"), 6).alias("row_share"),
+        F.col("__total").alias("total_rows"),
+        F.col("__n_keys").alias("n_keys"),
+    )

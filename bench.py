@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "scd2_durations",
     "hashed_features",
     "price_percentile_rank",
+    "skew_report",
+    "session_paths",
 ]
 
 
