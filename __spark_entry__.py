@@ -3104,6 +3104,41 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("trigram", F.col("n").cast("bigint").alias("n"))
 
 
+
+def q_revenue_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report contribution analysis: each (priority, status)
+    cell's share of its priority's revenue and of the grand total —
+    decimal-exact sums at every level, shares as single fixed-order
+    double divisions rounded 6dp. One aggregate + one partition window
+    + a broadcast 1-row grand total (never a second scan)."""
+    from pyspark.sql.window import Window
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    cell = orders.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+    )
+    w = Window.partitionBy("prio")
+    total = cell.agg(F.sum("revenue").alias("__grand"))
+    return (
+        cell.withColumn("prio_rev", F.sum("revenue").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "prio",
+            "status",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.round(
+                F.col("revenue").cast("double") / F.col("prio_rev").cast("double"), 6
+            ).alias("share_of_prio"),
+            F.round(
+                F.col("revenue").cast("double") / F.col("__grand").cast("double"), 6
+            ).alias("share_of_total"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver verification window: the driver oracle-checks the
@@ -3250,6 +3285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_percentile_rank": q_price_percentile_rank,
         "skew_report": q_skew_report,
         "session_paths": q_session_paths,
+        "revenue_contribution": q_revenue_contribution,
     }
 
 
@@ -5675,6 +5711,22 @@ tri AS (
 SELECT trigram, CAST(count(*) AS BIGINT) AS n
 FROM tri GROUP BY trigram
 ORDER BY n DESC, trigram LIMIT 20
+""",
+        "revenue_contribution": """
+WITH cell AS (
+  SELECT o_orderpriority AS prio, o_orderstatus AS status,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders GROUP BY 1, 2
+),
+tot AS (SELECT sum(revenue) AS grand FROM cell)
+SELECT prio, status,
+       CAST(revenue AS DOUBLE) AS revenue,
+       round(CAST(revenue AS DOUBLE)
+             / CAST(sum(revenue) OVER (PARTITION BY prio) AS DOUBLE), 6)
+         AS share_of_prio,
+       round(CAST(revenue AS DOUBLE) / CAST(grand AS DOUBLE), 6)
+         AS share_of_total
+FROM cell, tot
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the

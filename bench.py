@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "price_percentile_rank",
     "skew_report",
     "session_paths",
+    "revenue_contribution",
 ]
 
 

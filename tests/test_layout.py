@@ -73,3 +73,33 @@ def test_zordered_files_bound_both_dimensions(spark, tmp_path):
     assert by >= n - 1
     # and the z layout beats it on the unclustered dimension by 4x
     assert zy * 4 <= by
+
+
+def test_compact_dataset_reduces_files_and_keeps_ranges(spark, tmp_path):
+    from amazon_personalize_connectors_spark.sinks.jsonl import compact_dataset
+    import pyarrow.parquet as pq
+    import glob
+
+    src = str(tmp_path / "many")
+    out = str(tmp_path / "compact")
+    # 40 tiny files of 25 rows each
+    spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartition(40).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*")) == 40
+
+    n = compact_dataset(spark, src, out, target_rows_per_file=250,
+                        order_cols=["k"])
+    assert n <= 5  # 1000 rows / 250 -> ~4 files
+    # same data
+    a = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert a == list(range(1000))
+    # range layout: per-file k ranges must not overlap
+    ranges = []
+    for f in glob.glob(f"{out}/part-*"):
+        t = pq.read_table(f, columns=["k"])
+        ks = t.column("k").to_pylist()
+        ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
