@@ -3139,6 +3139,54 @@ def q_revenue_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2vec-style (center, context) skip-gram pair counts with a
+    symmetric +/-2 window — embedding training-pair extraction as one
+    generator over each doc's token array (no positional self-join,
+    no shuffle before the count). functions/text.py:skipgram_pairs."""
+    from amazon_personalize_connectors_spark.functions.text import skipgram_pairs
+
+    docs = synthetic.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    return skipgram_pairs(docs, window=2)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary audit: corpus OOV statistics against
+    the top-1000-term vocabulary (count desc, term asc — fully
+    deterministic truncation). The vocab is a TakeOrdered over the
+    term-count aggregate broadcast back as a semi-join; output is one
+    row of exact integers."""
+    from amazon_personalize_connectors_spark.functions.text import (
+        term_frequencies,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    tf = term_frequencies(docs)
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("n"))
+    vocab = counts.orderBy(F.col("n").desc(), "term").limit(1000).select("term")
+    flagged = tf.join(vocab, "term", "left_semi").groupBy().agg(
+        F.sum("tf").alias("in_vocab_tokens")
+    )
+    totals = tf.groupBy().agg(
+        F.sum("tf").alias("total_tokens"),
+        F.count_distinct("term").alias("distinct_terms"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(flagged))
+        .select(
+            F.col("total_tokens").cast("bigint").alias("total_tokens"),
+            F.col("distinct_terms").cast("bigint").alias("distinct_terms"),
+            F.col("in_vocab_tokens").cast("bigint").alias("in_vocab_tokens"),
+            (F.col("total_tokens") - F.col("in_vocab_tokens"))
+            .cast("bigint")
+            .alias("oov_tokens"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver verification window: the driver oracle-checks the
@@ -3286,6 +3334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "session_paths": q_session_paths,
         "revenue_contribution": q_revenue_contribution,
+        "skipgram_pairs": q_skipgram_pairs,
+        "vocab_coverage": q_vocab_coverage,
     }
 
 
@@ -5727,6 +5777,49 @@ SELECT prio, status,
        round(CAST(revenue AS DOUBLE) / CAST(grand AS DOUBLE), 6)
          AS share_of_total
 FROM cell, tot
+""",
+        "skipgram_pairs": """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+  FROM documents WHERE doc_id % 5 = 0
+),
+fwd AS (
+  SELECT t[CAST(i AS INT)] AS center, t[CAST(i + d AS INT)] AS context
+  FROM toks,
+       unnest(range(1, len(t) + 1)) AS a(i),
+       (SELECT unnest([1, 2]) AS d) b
+  WHERE i + d <= len(t)
+),
+sym_pairs AS (
+  SELECT center, context FROM fwd
+  UNION ALL
+  SELECT context, center FROM fwd
+)
+SELECT center, context, CAST(count(*) AS BIGINT) AS n
+FROM sym_pairs GROUP BY 1, 2
+""",
+        "vocab_coverage": """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+),
+counts AS (SELECT term, sum(tf) AS n FROM tf GROUP BY term),
+vocab AS (SELECT term FROM counts ORDER BY n DESC, term LIMIT 1000),
+inv AS (
+  SELECT sum(tf.tf) AS in_vocab_tokens
+  FROM tf JOIN vocab USING (term)
+),
+tot AS (
+  SELECT sum(tf) AS total_tokens, count(DISTINCT term) AS distinct_terms
+  FROM tf
+)
+SELECT CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST(distinct_terms AS BIGINT) AS distinct_terms,
+       CAST(in_vocab_tokens AS BIGINT) AS in_vocab_tokens,
+       CAST(total_tokens - in_vocab_tokens AS BIGINT) AS oov_tokens
+FROM tot, inv
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the

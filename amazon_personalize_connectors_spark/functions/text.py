@@ -675,3 +675,41 @@ def hashed_tfidf_features(
             ).alias("weight")
         )
     )
+
+
+def skipgram_pairs(
+    df,
+    window: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """(center, context) skip-gram pair counts with a symmetric token
+    window — the training-pair extraction for word2vec-style embedding
+    pipelines. Pure generator over each document's token array (for
+    position i, contexts i+1..i+window; symmetric pairs come from
+    emitting both orientations), so pair fan-out is tokens x 2·window
+    with NO self-join on positions and no shuffle before the final
+    count aggregate."""
+    toks = tokens(F.col(text_col))
+    fwd = F.flatten(
+        F.transform(
+            toks,
+            lambda t, i: F.transform(
+                F.slice(
+                    toks,
+                    (i + 2).cast("int"),
+                    F.least(F.lit(window), F.size(toks) - i - 1).cast("int"),
+                ),
+                lambda c: F.struct(t.alias("center"), c.alias("context")),
+            ),
+        )
+    )
+    pairs = df.select(F.explode(fwd).alias("p")).select("p.center", "p.context")
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("context").alias("center"), F.col("center").alias("context")
+        )
+    )
+    return both.groupBy("center", "context").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )

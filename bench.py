@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "skew_report",
     "session_paths",
     "revenue_contribution",
+    "skipgram_pairs",
+    "vocab_coverage",
 ]
 
 
