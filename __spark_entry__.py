@@ -3187,6 +3187,64 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_trending_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items: top-5 parts per order-week by lineitem count
+    (count desc, part asc — deterministic). Week = integer
+    epoch-day/7 bucket (engine-portable; no week-truncation
+    semantics). One (week, part) aggregate then one ranking window
+    over the aggregated table."""
+    from pyspark.sql.window import Window
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    week = F.floor(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        / F.lit(7)
+    ).cast("bigint")
+    counts = (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(week.alias("week"), F.col("l_partkey").alias("part"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("week").orderBy(F.col("n").desc(), "part")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("week", "part", F.col("n").cast("bigint").alias("n"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def q_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per signup cohort over months-since-cohort
+    (the LTV-curve input): cohort = customer's first order month
+    index, cells decimal-exact, running total via one window over the
+    already-aggregated (cohort, offset) table."""
+    from pyspark.sql.window import Window
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    first_m = orders.groupBy("cust").agg(F.min("m").alias("cohort"))
+    cells = (
+        orders.join(first_m, "cust")
+        .groupBy("cohort", (F.col("m") - F.col("cohort")).alias("offset"))
+        .agg(F.sum("price").alias("revenue"))
+    )
+    w = Window.partitionBy("cohort").orderBy("offset")
+    return cells.withColumn(
+        "cum_revenue", F.sum("revenue").over(w)
+    ).select(
+        F.col("cohort").cast("bigint").alias("cohort"),
+        F.col("offset").cast("bigint").alias("offset"),
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("cum_revenue").cast("double").alias("cum_revenue"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver verification window: the driver oracle-checks the
@@ -3336,6 +3394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_contribution": q_revenue_contribution,
         "skipgram_pairs": q_skipgram_pairs,
         "vocab_coverage": q_vocab_coverage,
+        "trending_items": q_trending_items,
+        "cohort_revenue": q_cohort_revenue,
     }
 
 
@@ -5820,6 +5880,44 @@ SELECT CAST(total_tokens AS BIGINT) AS total_tokens,
        CAST(in_vocab_tokens AS BIGINT) AS in_vocab_tokens,
        CAST(total_tokens - in_vocab_tokens AS BIGINT) AS oov_tokens
 FROM tot, inv
+""",
+        "trending_items": """
+WITH counts AS (
+  SELECT CAST(floor(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) / 7) AS BIGINT) AS week,
+         l_partkey AS part, count(*) AS n
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT week, part, n,
+         row_number() OVER (PARTITION BY week ORDER BY n DESC, part) AS rank
+  FROM counts
+)
+SELECT week, part, CAST(n AS BIGINT) AS n, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+        "cohort_revenue": """
+WITH o AS (
+  SELECT o_custkey AS cust,
+         year(CAST(o_orderdate AS DATE)) * 12
+           + month(CAST(o_orderdate AS DATE)) AS m,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+firstm AS (SELECT cust, min(m) AS cohort FROM o GROUP BY cust),
+cells AS (
+  SELECT cohort, o.m - cohort AS "offset", sum(price) AS revenue
+  FROM o JOIN firstm USING (cust)
+  GROUP BY 1, 2
+)
+SELECT CAST(cohort AS BIGINT) AS cohort,
+       CAST("offset" AS BIGINT) AS "offset",
+       CAST(revenue AS DOUBLE) AS revenue,
+       CAST(sum(revenue) OVER (PARTITION BY cohort ORDER BY "offset"
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         AS cum_revenue
+FROM cells
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the

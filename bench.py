@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "revenue_contribution",
     "skipgram_pairs",
     "vocab_coverage",
+    "trending_items",
+    "cohort_revenue",
 ]
 
 
