@@ -351,3 +351,29 @@ def test_scd2_single_shuffle(spark, sf_dir):
     plan = _plan(df)
     n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_exchanges == 1, f"expected 1 key exchange, saw {n_exchanges}"
+
+
+def test_all_queries_plan_invariants(spark, sf_dir):
+    """Full-inventory sweep (the PLANS.md invariants, enforced in CI):
+    across EVERY queries() entry — zero row-Python evals, zero
+    CartesianProducts, Arrow boundaries only in the sanctioned
+    operators. Plans are built (not executed) at the small SF."""
+    sanctioned_arrow = {"multimodal_decode", "ann_topk_partial"}
+    failures = []
+    for name, fn in entry.queries().items():
+        try:
+            plan = _plan(fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: plan build failed: {exc}")
+            continue
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-Python eval")
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if name not in sanctioned_arrow and (
+            "ArrowEvalPython" in plan
+            or "MapInPandas" in plan
+            or "FlatMapGroupsInPandas" in plan
+        ):
+            failures.append(f"{name}: unsanctioned Arrow boundary")
+    assert not failures, failures
