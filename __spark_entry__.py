@@ -3245,6 +3245,56 @@ def q_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_covisitation_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank eval of the co-visitation model under the
+    PROPER offline protocol — temporal holdout: the model trains on
+    pre-1997 interactions, ground truth is co-interaction in the
+    held-out 1997+ window (truth independent of the ranking signal;
+    evaluating against same-window support is structurally rank-1 —
+    the top rec always qualifies first). Output: items by
+    first-confirmed rank with exact counts + 6-dp reciprocal-rank
+    sums. All equi-joins; composes covisitation_topk."""
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        covisitation_topk,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+
+    def interactions(pred):
+        return (
+            orders.where(pred)
+            .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+            .select(
+                F.col("o_custkey").alias("user_id"),
+                F.col("l_partkey").alias("item_id"),
+            )
+            .distinct()
+        )
+
+    train = interactions(F.col("o_orderdate") < cut)
+    test = interactions(F.col("o_orderdate") >= cut)
+    recs = covisitation_topk(train, k=5, max_items_per_user=1000, min_common=2)
+    a = test.select(F.col("user_id").alias("u"), F.col("item_id").alias("item"))
+    b = test.select(
+        F.col("user_id").alias("u"), F.col("item_id").alias("rec_item")
+    )
+    truth = (
+        a.join(b, "u")
+        .where(F.col("item") != F.col("rec_item"))
+        .select("item", "rec_item")
+        .distinct()
+    )
+    hits = recs.join(truth, ["item", "rec_item"], "left_semi")
+    first_hit = hits.groupBy("item").agg(F.min("rank").alias("first_rank"))
+    return first_hit.groupBy("first_rank").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.round(F.sum(F.lit(1.0) / F.col("first_rank")), 6).alias("rr_sum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver verification window: the driver oracle-checks the
@@ -3396,6 +3446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "trending_items": q_trending_items,
         "cohort_revenue": q_cohort_revenue,
+        "covisitation_mrr": q_covisitation_mrr,
     }
 
 
@@ -5918,6 +5969,44 @@ SELECT CAST(cohort AS BIGINT) AS cohort,
                                ROWS UNBOUNDED PRECEDING) AS DOUBLE)
          AS cum_revenue
 FROM cells
+""",
+        "covisitation_mrr": """
+WITH mtrain AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderdate < TIMESTAMP '1997-01-01'
+),
+mtest AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+),
+pairs AS (
+  SELECT a.i AS item, b.i AS rec_item, count(*) AS n_common
+  FROM mtrain a JOIN mtrain b ON a.u = b.u AND a.i <> b.i
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+ranked AS (
+  SELECT item, rec_item,
+         row_number() OVER (PARTITION BY item
+                            ORDER BY n_common DESC, rec_item) AS rank
+  FROM pairs
+),
+recs AS (SELECT * FROM ranked WHERE rank <= 5),
+truth AS (
+  SELECT DISTINCT a.i AS item, b.i AS rec_item
+  FROM mtest a JOIN mtest b ON a.u = b.u AND a.i <> b.i
+),
+hits AS (
+  SELECT r.item, r.rank
+  FROM recs r JOIN truth t ON r.item = t.item AND r.rec_item = t.rec_item
+),
+first_hit AS (SELECT item, min(rank) AS first_rank FROM hits GROUP BY item)
+SELECT CAST(first_rank AS INT) AS first_rank,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(1.0 / first_rank), 6) AS rr_sum
+FROM first_hit GROUP BY first_rank
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the

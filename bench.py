@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "vocab_coverage",
     "trending_items",
     "cohort_revenue",
+    "covisitation_mrr",
 ]
 
 

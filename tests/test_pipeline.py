@@ -221,3 +221,21 @@ def test_delta_anti_hash_survives_jsonl_roundtrip(spark, tmp_path, fixtures, con
     assert rt_fields != cur_fields
     assert delta_check_anti_hash(res.pre_delta, state).isEmpty()
     assert delta_check(res.pre_delta, state).isEmpty()
+
+
+def test_merge_schema_evolution_read(spark, tmp_path):
+    """Operational robustness: a dataset whose later files gained a
+    column reads as ONE frame under mergeSchema, old rows null-filled —
+    the storage-side counterpart of F7 conform_to_schema (which
+    handles the in-flight union case)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, price double"
+    ).write.mode("append").parquet(p)
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"id", "name", "price"}
+    rows = {r.id: (r.name, r.price) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
