@@ -3295,6 +3295,40 @@ def q_covisitation_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed item popularity: each order contributes
+    0.98^(days before the corpus max date) — the freshness-weighted
+    ranking signal behind "popular now" shelves. The reference date is
+    a broadcast 1-row max aggregate (no driver collect); integer day
+    deltas feed one pow per row and scores round to 6dp so libm ulp
+    and sum-order noise stay out of the comparison. Top-20 parts by
+    decayed score, deterministic tie-break."""
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    ref = orders.agg(F.max(F.to_date("o_orderdate")).alias("__ref"))
+    scored = (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .crossJoin(F.broadcast(ref))
+        .select(
+            F.col("l_partkey").alias("part"),
+            F.pow(
+                F.lit(0.98),
+                F.datediff(F.col("__ref"), F.to_date("o_orderdate")).cast("double"),
+            ).alias("w"),
+        )
+    )
+    pop = scored.groupBy("part").agg(
+        F.round(F.sum("w"), 6).alias("score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return (
+        pop.orderBy(F.col("score").desc(), "part")
+        .limit(20)
+        .select("part", "score", "n_events")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver verification window: the driver oracle-checks the
@@ -3447,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_items": q_trending_items,
         "cohort_revenue": q_cohort_revenue,
         "covisitation_mrr": q_covisitation_mrr,
+        "decayed_popularity": q_decayed_popularity,
     }
 
 
@@ -6007,6 +6042,22 @@ SELECT CAST(first_rank AS INT) AS first_rank,
        CAST(count(*) AS BIGINT) AS n_items,
        round(sum(1.0 / first_rank), 6) AS rr_sum
 FROM first_hit GROUP BY first_rank
+""",
+        "decayed_popularity": """
+WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS r FROM orders),
+scored AS (
+  SELECT l_partkey AS part,
+         pow(0.98, CAST(datediff('day', CAST(o_orderdate AS DATE), ref.r)
+                        AS DOUBLE)) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey, ref
+),
+pop AS (
+  SELECT part, round(sum(w), 6) AS score,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM scored GROUP BY part
+)
+SELECT part, score, n_events FROM pop
+ORDER BY score DESC, part LIMIT 20
 """,
     }
     # the materialized-shingle Jaccard is result-identical to the

@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "trending_items",
     "cohort_revenue",
     "covisitation_mrr",
+    "decayed_popularity",
 ]
 
 
