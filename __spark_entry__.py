@@ -3329,6 +3329,44 @@ def q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-as-of join: each purchase matched to the SAME USER's
+    closest click within 1 hour, either direction (|delta| tie -> the
+    earlier click) — "what click surrounds this purchase". One
+    union+window shuffle serves both directions (last over preceding,
+    first over following on a single sort). operators/asof.py:
+    asof_nearest_join; oracle = range-join + deterministic pick."""
+    from amazon_personalize_connectors_spark.operators.asof import (
+        asof_nearest_join,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    out = asof_nearest_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="click_ts",
+        right_payload=["click_event_id"],
+        tolerance_us=3600 * 1000_000,
+    )
+    return out.where(F.col("click_event_id").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "click_event_id",
+        F.col("asof_delta_us").alias("delta_us"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver verification window: the driver oracle-checks the
@@ -3482,6 +3520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_revenue": q_cohort_revenue,
         "covisitation_mrr": q_covisitation_mrr,
         "decayed_popularity": q_decayed_popularity,
+        "asof_nearest": q_asof_nearest,
     }
 
 
@@ -6059,6 +6098,32 @@ pop AS (
 SELECT part, score, n_events FROM pop
 ORDER BY score DESC, part LIMIT 20
 """,
+        "asof_nearest": """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) AS c_us, max(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click'
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT p.event_id, p.user_id, c.click_event_id,
+         c.c_us - p.t_us AS sd, abs(c.c_us - p.t_us) AS ad
+  FROM p JOIN c ON p.user_id = c.user_id
+  WHERE abs(c.c_us - p.t_us) <= CAST(3600 AS BIGINT) * 1000000
+),
+pick AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_id
+    ORDER BY ad, CASE WHEN sd <= 0 THEN 0 ELSE 1 END, click_event_id
+  ) AS rn
+  FROM cand
+)
+SELECT event_id, user_id, click_event_id, CAST(sd AS BIGINT) AS delta_us
+FROM pick WHERE rn = 1
+"""
     }
     # the materialized-shingle Jaccard is result-identical to the
     # recompute form — same oracle pins both physical strategies

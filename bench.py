@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "cohort_revenue",
     "covisitation_mrr",
     "decayed_popularity",
+    "asof_nearest",
 ]
 
 
