@@ -2796,7 +2796,12 @@ def q_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapping = synthetic.user_item_mapping(spark, sf_dir).select(
         F.col("USER_ID").alias("user_id"), F.col("ITEM_ID").alias("item_id")
     )
-    return rec_hitrate_by_cooccurrence(exploded, mapping)
+    # truth-side per-user cap: inert at driver SFs (no bridge user has
+    # 1000 distinct items) so the capless SQL oracle matches; the
+    # capping semantics themselves are pytest-pinned
+    return rec_hitrate_by_cooccurrence(
+        exploded, mapping, max_items_per_user=1000
+    )
 
 
 
@@ -3254,33 +3259,51 @@ def q_covisitation_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluating against same-window support is structurally rank-1 —
     the top rec always qualifies first). Output: items by
     first-confirmed rank with exact counts + 6-dp reciprocal-rank
-    sums. All equi-joins; composes covisitation_topk."""
+    sums. All equi-joins; composes covisitation_topk.
+
+    The orders⋈lineitem interaction build happens ONCE: one grouped
+    aggregate computes per-(user, item) membership flags for the train
+    and test windows, and both branches filter on the AGGREGATED
+    flags. Filters on aggregate outputs cannot be pushed below the
+    aggregate, so the scan + join + partial-agg + exchange subtree is
+    byte-identical in both branches and Spark's ReuseExchange computes
+    it a single time — the shuffle files are the materialization, no
+    cache needed, at any scale. (A plain train/test filter column
+    would be pushed through the distinct and split the subtrees.) The
+    held-out truth self-join is capped per user with the same
+    hash-priority truncation as the model side (inert at driver SFs so
+    the capless SQL oracle matches; bounded-fan-out semantics
+    pytest-pinned)."""
     from amazon_personalize_connectors_spark.operators.recsys import (
+        cap_items_per_user,
         covisitation_topk,
     )
 
     orders = synthetic.load_table(spark, sf_dir, "orders")
     lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
     cut = F.lit("1997-01-01").cast("timestamp_ntz")
-
-    def interactions(pred):
-        return (
-            orders.where(pred)
-            .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-            .select(
-                F.col("o_custkey").alias("user_id"),
-                F.col("l_partkey").alias("item_id"),
-            )
-            .distinct()
+    inter = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+            (F.col("o_orderdate") < cut).alias("is_train"),
         )
-
-    train = interactions(F.col("o_orderdate") < cut)
-    test = interactions(F.col("o_orderdate") >= cut)
-    recs = covisitation_topk(train, k=5, max_items_per_user=1000, min_common=2)
-    a = test.select(F.col("user_id").alias("u"), F.col("item_id").alias("item"))
-    b = test.select(
-        F.col("user_id").alias("u"), F.col("item_id").alias("rec_item")
+        .groupBy("user_id", "item_id")
+        .agg(
+            F.max(F.col("is_train").cast("int")).alias("in_train"),
+            F.max((~F.col("is_train")).cast("int")).alias("in_test"),
+        )
     )
+    train = inter.where(F.col("in_train") == 1).select("user_id", "item_id")
+    test = inter.where(F.col("in_test") == 1).select("user_id", "item_id")
+    recs = covisitation_topk(train, k=5, max_items_per_user=1000, min_common=2)
+    capped = cap_items_per_user(
+        test.select(F.col("user_id").alias("u"), F.col("item_id").alias("i")),
+        1000,
+    )
+    a = capped.select("u", F.col("i").alias("item"))
+    b = capped.select("u", F.col("i").alias("rec_item"))
     truth = (
         a.join(b, "u")
         .where(F.col("item") != F.col("rec_item"))

@@ -124,18 +124,27 @@ def gaps_islands(
     Returns partition keys + (island_id, state, n_rows, first/last
     order-key bounds). Two window passes over the same partitioning
     and ordering — Catalyst plans ONE sort/exchange and reuses it.
+
+    NULL is a state like any other: the change flag is a NULL-SAFE
+    comparison (plain ``lag(state) != state`` yields NULL — not true —
+    when either side is null, which would silently merge null-state
+    rows into the previous island), so a null run forms its own
+    island and is reported with state NULL. eqNullSafe also covers
+    the first-row lag-null case without a separate isNull branch.
     """
     w = Window.partitionBy(*part_cols).orderBy(*order_cols)
     changed = (
-        F.lag(state_col).over(w).isNull()
-        | (F.lag(state_col).over(w) != F.col(state_col))
+        ~F.lag(state_col).over(w).eqNullSafe(F.col(state_col))
     ).cast("int")
     first_order = order_cols[0]
     with_island = df.withColumn(
         "island_id", F.sum(changed).over(w).cast("bigint")
     )
     return with_island.groupBy(*part_cols, "island_id").agg(
-        F.min(state_col).alias(state_col),
+        # every row in an island shares one null-safe-identical state,
+        # so first() is deterministic here — and unlike min() it does
+        # not mask a null state with a non-null one
+        F.first(state_col).alias(state_col),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.min(first_order).alias("island_start"),
         F.max(first_order).alias("island_end"),

@@ -45,6 +45,14 @@ def asof_join(
 
     Ties (right_time == left_time, non-strict): the right row wins —
     it sorts before the left row via the side-priority column.
+
+    Duplicate right rows at the same (key, time): the window ordering
+    carries a final payload-hash tiebreak, so which duplicate's
+    payload wins is deterministic across partition layouts and reruns
+    (highest xxhash64 of the payload struct). WHICH one that is is
+    still arbitrary — pre-deduplicate right to one row per
+    (key, time) when the choice matters, as ``asof_nearest_join``
+    already requires.
     """
     lt = F.col(left_time).cast("timestamp")
     rt = F.col(right_time).cast("timestamp")
@@ -80,7 +88,7 @@ def asof_join(
 
     w = (
         Window.partitionBy("__key")
-        .orderBy("__t", "__prio")
+        .orderBy("__t", "__prio", F.xxhash64("__right"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     with_latest = combined.withColumn(

@@ -86,11 +86,17 @@ def apply_changes(
     rows keyed in ``changes`` are evicted from the snapshot (covers
     update + delete), then insert/update rows are appended with their
     new values. Column set of the result == column set of
-    ``snapshot``."""
+    ``snapshot``.
+
+    Only an EXPLICIT ``op == 'delete'`` deletes: the comparison is
+    null-safe, so a malformed change row with NULL in ``op_col`` is
+    treated as an upsert (its key was already evicted by the
+    anti-join; a plain ``op != 'delete'`` evaluates NULL and would
+    silently drop the row — i.e. delete the key)."""
     value_cols = [c for c in snapshot.columns if c not in key_cols]
     keys = changes.select(*key_cols)
     kept = snapshot.join(keys, list(key_cols), "left_anti")
-    upserts = changes.where(F.col(op_col) != "delete").select(
+    upserts = changes.where(~F.col(op_col).eqNullSafe("delete")).select(
         *key_cols, *value_cols
     )
     return kept.unionByName(upserts)

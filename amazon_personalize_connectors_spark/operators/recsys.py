@@ -24,6 +24,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def cap_items_per_user(
+    compact: DataFrame,
+    cap: int,
+    user_col: str = "u",
+    item_col: str = "i",
+) -> DataFrame:
+    """Deterministically truncate each user's item set to ``cap`` rows
+    by hash priority (xxhash64 of (user, item), item id as tie-break)
+    — one window over the user partition. This is THE guard that keeps
+    every self-join over per-user item lists bounded: downstream
+    pairing costs cap^2 per user, never history^2, so a bot with 10^5
+    interactions contributes the same as a heavy user. Shared by the
+    co-visitation model and the offline-eval ground-truth builds."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.xxhash64(user_col, item_col), F.col(item_col)
+    )
+    return (
+        compact.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
 def covisitation_topk(
     interactions: DataFrame,
     user_col: str = "user_id",
@@ -50,12 +73,7 @@ def covisitation_topk(
     compact = interactions.select(
         F.col(user_col).alias("u"), F.col(item_col).alias("i")
     ).distinct()
-    w = Window.partitionBy("u").orderBy(F.xxhash64("u", "i"), F.col("i"))
-    capped = (
-        compact.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= max_items_per_user)
-        .drop("_rn")
-    )
+    capped = cap_items_per_user(compact, max_items_per_user)
     # count each unordered pair ONCE (item < rec_item halves the join
     # fan-out and the pair shuffle) and mirror after aggregation — the
     # mirrored union is over the already-aggregated pair table, which
@@ -106,15 +124,29 @@ def rec_catalog_coverage(
         F.count(F.lit(1)).alias("n_recs"),
         F.max(F.col("_cat_item").isNotNull().cast("int")).alias("in_catalog"),
     )
-    n_catalog = cat.count()  # bounded control-plane read: one scalar
-    return per_item.agg(
-        F.lit(n_catalog).cast("bigint").alias("catalog_size"),
-        F.sum("in_catalog").cast("bigint").alias("items_covered"),
-        F.count(F.lit(1)).cast("bigint").alias("items_recommended"),
-        F.sum(F.when(F.col("in_catalog") == 0, F.col("n_recs")).otherwise(0))
-        .cast("bigint")
-        .alias("dead_rec_rows"),
-        F.sum("n_recs").cast("bigint").alias("total_rec_rows"),
+    # catalog size rides in as a broadcast 1-row aggregate — the plan
+    # stays fully lazy (no eager count() job before the caller's
+    # action) and the scalar never touches the driver
+    n_row = cat.agg(F.count(F.lit(1)).cast("bigint").alias("catalog_size"))
+    return (
+        per_item.agg(
+            F.sum("in_catalog").cast("bigint").alias("items_covered"),
+            F.count(F.lit(1)).cast("bigint").alias("items_recommended"),
+            F.sum(
+                F.when(F.col("in_catalog") == 0, F.col("n_recs")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("dead_rec_rows"),
+            F.sum("n_recs").cast("bigint").alias("total_rec_rows"),
+        )
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "catalog_size",
+            "items_covered",
+            "items_recommended",
+            "dead_rec_rows",
+            "total_rec_rows",
+        )
     )
 
 
@@ -125,6 +157,7 @@ def rec_hitrate_by_cooccurrence(
     rec_item_col: str = "rec_item",
     user_col: str = "user_id",
     item_col: str = "item_id",
+    max_items_per_user: int = 50,
 ) -> DataFrame:
     """Offline eval: a recommended pair (query_item -> rec_item)
     "hits" when at least one user interacted with BOTH items. Returns
@@ -133,15 +166,18 @@ def rec_hitrate_by_cooccurrence(
     outputs stay engine-portable).
 
     Ground truth is the co-interaction pair set, built once with the
-    same capped self-join shape as covisitation (bounded per user) and
-    semi-joined against the recommendation pairs — never
-    recs x interactions.
+    same capped self-join shape as covisitation: each user's item set
+    is truncated to ``max_items_per_user`` by hash priority
+    (cap_items_per_user) BEFORE pairing, so the truth build costs
+    cap^2 per user — never history^2 — and is semi-joined against the
+    recommendation pairs, never recs x interactions.
     """
     compact = interactions.select(
         F.col(user_col).alias("u"), F.col(item_col).alias("i")
     ).distinct()
-    a = compact.select("u", F.col("i").alias("qi"))
-    b = compact.select("u", F.col("i").alias("ri"))
+    capped = cap_items_per_user(compact, max_items_per_user)
+    a = capped.select("u", F.col("i").alias("qi"))
+    b = capped.select("u", F.col("i").alias("ri"))
     truth = (
         a.join(b, "u")
         .where(F.col("qi") != F.col("ri"))

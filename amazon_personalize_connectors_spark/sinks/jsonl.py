@@ -10,6 +10,8 @@ unchanged) and gzip by default like the Lambda half expects
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Sequence
 from datetime import datetime
 
@@ -145,9 +147,21 @@ def compact_dataset(
     carry non-overlapping key ranges — min/max pruning stays effective
     after compaction, the zorder_layout lesson) or a plain round-robin
     repartition otherwise. maxRecordsPerFile caps stragglers. Returns
-    the file count written."""
+    the file count written (via a local-filesystem glob — at cluster
+    scale count part files through the Hadoop FS API instead).
+
+    ``out_path`` must differ from ``in_path``: the source read is
+    lazy, so an in-place overwrite would truncate the input while the
+    rewrite is still scanning it and lose data. Compact to a fresh
+    directory and swap pointers (the cdc_sink versioning pattern)."""
     import glob as _glob
 
+    if os.path.abspath(out_path) == os.path.abspath(in_path):
+        raise ValueError(
+            "compact_dataset: out_path must differ from in_path — an "
+            "in-place overwrite truncates the lazily-read source; "
+            "write to a fresh directory and swap pointers"
+        )
     df = spark.read.format(fmt).load(in_path)
     n_rows = df.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))

@@ -74,7 +74,9 @@ def apply_batch(
     )
     current = read_snapshot(spark, store_path)
     if current is None:
-        merged = collapsed.where(F.col("op") != "delete").select(
+        # null-safe: a NULL op is an upsert, never a silent delete
+        # (same rule as operators/cdc.py apply_changes)
+        merged = collapsed.where(~F.col("op").eqNullSafe("delete")).select(
             *key_cols, *value_cols
         )
         version = 0

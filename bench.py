@@ -29,6 +29,36 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # comparisons trustworthy.
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+# The 20 round-1 headline queries — BASELINE.md §B's 62.8 s reference
+# was measured over exactly this set, so the printed driver line keeps
+# its ``value``/``queries`` fields scoped to these 20 for a stable
+# round-over-round comparison. (Rounds 2-3 printed all ~104 queries
+# plus spread on one line; the driver's output capture truncated it
+# and both rounds lost their official bench row — the full per-query
+# detail now goes to BENCH_LOCAL.json instead of stdout.)
+HEADLINE_20 = [
+    "flagship_related_flat",
+    "attribution_join",
+    "decorate_flat",
+    "renest_ordered",
+    "user_pers_flat",
+    "delta_except",
+    "delta_anti_hash",
+    "payload_pivot",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh",
+    "simhash",
+    "ann_topk",
+    "embedding_neardup",
+    "ivf_assign",
+    "text_quality",
+    "doc_fingerprint",
+    "events_hourly",
+    "events_sessionize",
+    "lineitem_pricing",
+]
+
 BENCH_QUERIES = [
     "flagship_related_flat",
     "attribution_join",
@@ -180,18 +210,45 @@ def main() -> None:
     ok = {name: s for name, s in samples.items() if s and name not in errors}
     times = {name: round(statistics.median(s), 3) for name, s in ok.items()}
     spread = {name: [round(min(s), 3), round(max(s), 3)] for name, s in ok.items()}
-    total = round(sum(times.values()), 3)
-    out = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
+    suite_total = round(sum(times.values()), 3)
+    headline = {n: times[n] for n in HEADLINE_20 if n in times}
+    headline_total = round(sum(headline.values()), 3)
+
+    # full per-query detail (all queries, medians + spread) to a repo
+    # file — NOT stdout, which the driver captures with a line limit
+    full = {
+        "metric": "suite_queries_total_wall",
+        "value": suite_total,
         "unit": "sec",
         "queries": times,
+        "spread": spread,
         "sf": sf,
         "runs_per_query": max(1, N_RUNS),
-        "spread": spread,
+        "errors": errors,
+    }
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    with open(local_path, "w") as f:
+        json.dump(full, f, indent=1)
+
+    # ONE compact driver line: value/queries scoped to the 20
+    # round-1 headline queries (the BASELINE.md §B comparison set),
+    # suite totals as scalars — small enough to survive the driver's
+    # output capture
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": headline_total,
+        "unit": "sec",
+        "queries": headline,
+        "sf": sf,
+        "runs_per_query": max(1, N_RUNS),
+        "suite_total": suite_total,
+        "suite_n_queries": len(times),
+        "n_errors": len(errors),
     }
     if errors:
-        out["errors"] = errors
+        out["error_queries"] = sorted(errors)[:10]
     print(json.dumps(out))
 
 

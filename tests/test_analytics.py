@@ -76,6 +76,28 @@ def test_gaps_islands_collapses_runs(spark):
     assert rows == [(1, "A", 2, 1, 2), (2, "B", 1, 3, 3), (3, "A", 1, 4, 4)]
 
 
+def test_gaps_islands_null_state_forms_own_island(spark):
+    # NULL is a state: 1, NULL, NULL, 1 must be THREE islands (a plain
+    # lag != comparison yields NULL at the 1->NULL boundary and merges
+    # the null run into the previous island)
+    df = spark.createDataFrame(
+        [("c", 1, 1), ("c", 2, None), ("c", 3, None), ("c", 4, 1)],
+        "k string, o int, s int",
+    )
+    out = gaps_islands(df, ["k"], ["o"], "s").orderBy("island_id")
+    rows = [(r.island_id, r.s, r.n_rows) for r in out.collect()]
+    assert rows == [(1, 1, 1), (2, None, 2), (3, 1, 1)]
+    # null state on the FIRST row also survives as its own island
+    df2 = spark.createDataFrame(
+        [("c", 1, None), ("c", 2, 7)], "k string, o int, s int"
+    )
+    rows2 = [
+        (r.s, r.n_rows)
+        for r in gaps_islands(df2, ["k"], ["o"], "s").orderBy("island_id").collect()
+    ]
+    assert rows2 == [(None, 1), (7, 1)]
+
+
 def test_cooccurrence_lift_exact_small_case(spark):
     # baskets: {x,y}, {x,y}, {x,z} -> pair (x,y) n_ab=2, n_x=3, n_y=2, N=3
     df = spark.createDataFrame(

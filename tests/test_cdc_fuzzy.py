@@ -54,6 +54,19 @@ def test_apply_changes_handles_delete_only_batch(spark, snapshots):
     assert got == [2, 3, 4]
 
 
+def test_apply_changes_null_op_is_upsert_not_silent_delete(spark, snapshots):
+    # a malformed change row with NULL op must land as an upsert —
+    # under a plain `op != 'delete'` filter NULL evaluates to NULL and
+    # the key (already evicted by the anti-join) silently disappears
+    old, _ = snapshots
+    batch = spark.createDataFrame(
+        [(2, None, "b2", 21)], "k int, op string, name string, v int"
+    )
+    got = {r["k"]: r for r in apply_changes(old, batch, ["k"]).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[2]["name"] == "b2" and got[2]["v"] == 21
+
+
 def test_deletion_variants(spark):
     row = spark.range(1).select(
         deletion_variants(F.lit("abc")).alias("v")

@@ -75,6 +75,18 @@ def test_zordered_files_bound_both_dimensions(spark, tmp_path):
     assert zy * 4 <= by
 
 
+def test_compact_dataset_rejects_in_place_overwrite(spark, tmp_path):
+    from amazon_personalize_connectors_spark.sinks.jsonl import compact_dataset
+    import pytest
+
+    src = str(tmp_path / "data")
+    spark.range(0, 10).write.parquet(src)
+    with pytest.raises(ValueError, match="out_path must differ"):
+        compact_dataset(spark, src, src, target_rows_per_file=5)
+    # source untouched after the rejected call
+    assert spark.read.parquet(src).count() == 10
+
+
 def test_compact_dataset_reduces_files_and_keeps_ranges(spark, tmp_path):
     from amazon_personalize_connectors_spark.sinks.jsonl import compact_dataset
     import pyarrow.parquet as pq

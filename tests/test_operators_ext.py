@@ -92,6 +92,26 @@ def test_asof_join_semantics(spark):
     assert got_s["e2"] is None  # tie excluded under strict
 
 
+def test_asof_join_duplicate_right_rows_deterministic(spark):
+    # two right rows at the same (key, time): which payload wins is
+    # arbitrary but must be STABLE across partition layouts (the
+    # window ordering carries a payload-hash tiebreak)
+    left = spark.createDataFrame(
+        [(1, "2026-01-05 10:00:00", "e1")], "k int, t string, ev string"
+    )
+    right_rows = [(1, "2026-01-02 00:00:00", 100.0),
+                  (1, "2026-01-02 00:00:00", 999.0)]
+    winners = set()
+    for nparts in (1, 2, 7):
+        right = spark.createDataFrame(
+            right_rows, "k int, rt string, amount double"
+        ).repartition(nparts)
+        out = asof_join(left, right, on="k", left_time="t",
+                        right_time="rt", right_payload=["amount"])
+        winners.add(out.collect()[0].amount)
+    assert len(winners) == 1
+
+
 def test_windowed_counts_batch_equals_manual(spark, sf_dir):
     from amazon_personalize_connectors_spark.sources import synthetic
 

@@ -71,6 +71,45 @@ def test_hitrate_by_cooccurrence(spark, interactions):
     assert got == {"a": (2, 1), "c": (1, 1), "zz": (1, 0)}
 
 
+def test_cap_items_per_user_bounds_fanout(spark):
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        cap_items_per_user,
+    )
+
+    rows = [("bot", f"i{n:03d}") for n in range(200)] + [("ok", "a")]
+    df = spark.createDataFrame(rows, "u string, i string")
+    capped = cap_items_per_user(df, 7)
+    per_user = {
+        r["u"]: r["n"]
+        for r in capped.groupBy("u").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_user == {"bot": 7, "ok": 1}
+    # deterministic: same survivors on recomputation
+    assert {tuple(r) for r in capped.collect()} == {
+        tuple(r) for r in capped.collect()
+    }
+
+
+def test_hitrate_truth_side_is_capped(spark):
+    # one bot user with 30 items: under truth cap 2 only the 2
+    # hash-surviving items can co-occur, so of the 30*29 possible rec
+    # pairs exactly 2 (ordered) hit; capless truth would confirm all
+    # 870. This pins the bounded per-user fan-out the docstring
+    # promises (cap^2, never history^2).
+    items = [f"i{n:02d}" for n in range(30)]
+    inter = spark.createDataFrame(
+        [("bot", i) for i in items], "user_id string, item_id string"
+    )
+    recs = spark.createDataFrame(
+        [(a, b) for a in items for b in items if a != b],
+        "query_item_id string, rec_item string",
+    )
+    capped = rec_hitrate_by_cooccurrence(recs, inter, max_items_per_user=2)
+    assert capped.agg(F.sum("n_hits")).collect()[0][0] == 2
+    uncapped = rec_hitrate_by_cooccurrence(recs, inter, max_items_per_user=50)
+    assert uncapped.agg(F.sum("n_hits")).collect()[0][0] == 30 * 29
+
+
 def test_negative_sampling_properties(spark, interactions):
     from amazon_personalize_connectors_spark.operators.recsys import (
         negative_sampling,
