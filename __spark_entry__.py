@@ -183,8 +183,12 @@ def q_decorate_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_renest_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 idiomatic re-nest: per query item — list size, first and last
-    element (order-sensitive summary of the nested array)."""
+    """A1 idiomatic re-nest: per query item — list size and the FULL
+    ordered item-id sequence of the re-nested array, flattened to a
+    CSV string so the oracle compares every element in order (the
+    explode → decorate → re-nest round-trip is the semantic heart of
+    the reference, ri:202-214 — a (len, first, last) summary can miss
+    an interior transposition)."""
     decorated = decorate_items(
         _ok_recs(spark, sf_dir),
         synthetic.item_metadata(spark, sf_dir),
@@ -194,10 +198,31 @@ def q_renest_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decorated.select(
         "query_item_id",
         F.size("recommendations").cast("bigint").alias("num_recs"),
-        F.try_element_at("recommendations", F.lit(1))["itemId"].alias("first_item"),
-        F.try_element_at(
-            "recommendations", F.greatest(F.size("recommendations"), F.lit(1))
-        )["itemId"].alias("last_item"),
+        F.array_join(
+            F.transform("recommendations", lambda r: r["itemId"]), ","
+        ).alias("items_csv"),
+    )
+
+
+def q_renest_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery-side maxRecommendations cap (config knob): decoration
+    keeps only ranks < 3, filtering the EXPLODED rows before the
+    metadata join and re-nest aggregate so join probes and the shuffle
+    shrink with the cap. Full ordered item-id sequence checked —
+    each capped list must be the exact top-3 prefix."""
+    decorated = decorate_items(
+        _ok_recs(spark, sf_dir),
+        synthetic.item_metadata(spark, sf_dir),
+        key_cols=[("input.itemId", "query_item_id")],
+        metadata_fields=["name"],
+        max_recommendations=3,
+    )
+    return decorated.select(
+        "query_item_id",
+        F.size("recommendations").cast("bigint").alias("num_recs"),
+        F.array_join(
+            F.transform("recommendations", lambda r: r["itemId"]), ","
+        ).alias("items_csv"),
     )
 
 
@@ -3455,6 +3480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_outer": q_explode_outer,
         "decorate_flat": q_decorate_flat,
         "renest_ordered": q_renest_ordered,
+        "renest_capped": q_renest_capped,
         "user_pers_flat": q_user_pers_flat,
         "delta_except": q_delta_except,
         "payload_pivot": q_payload_pivot,
@@ -3762,8 +3788,14 @@ FROM exploded e LEFT JOIN meta m ON e.rec_item_id = m.id
 WITH {RECS_CTE.lstrip()}
 SELECT query_item_id,
        CAST(coalesce(len(rec_items), 0) AS BIGINT) AS num_recs,
-       rec_items[1] AS first_item,
-       rec_items[len(rec_items)] AS last_item
+       coalesce(array_to_string(rec_items, ','), '') AS items_csv
+FROM recs WHERE error IS NULL
+""",
+        "renest_capped": f"""
+WITH {RECS_CTE.lstrip()}
+SELECT query_item_id,
+       CAST(coalesce(len(list_slice(rec_items, 1, 3)), 0) AS BIGINT) AS num_recs,
+       coalesce(array_to_string(list_slice(rec_items, 1, 3), ','), '') AS items_csv
 FROM recs WHERE error IS NULL
 """,
         "flagship_related_flat": f"""

@@ -37,12 +37,25 @@ class ConnectorConfig:
     attribute_prefix: str = DEFAULT_ATTRIBUTE_PREFIX
     other_attributes: dict[str, str] = field(default_factory=dict)
     perform_delta_check: bool | None = None  # per-connector override (ri:243)
+    # delivery-side cap: keep only the top-N recommendations per query
+    # entity (rank order preserved). None → deliver everything the
+    # batch inference produced. An engine addition to the reference's
+    # config family (README.md:118-131) — destinations routinely want
+    # fewer slots than the inference job's num-results.
+    max_recommendations: int | None = None
 
     @classmethod
     def from_dict(cls, name: str, raw: dict[str, Any]) -> "ConnectorConfig":
         fields_raw = raw.get("itemMetadataFields", [])
         if isinstance(fields_raw, str):  # reference accepts comma-joined strings
             fields_raw = fields_raw.split(",")
+        max_recs = raw.get("maxRecommendations")
+        if max_recs is not None:
+            if isinstance(max_recs, bool) or not isinstance(max_recs, int) or max_recs < 1:
+                raise ConfigError(
+                    f"connector {name!r}: maxRecommendations must be a "
+                    f"positive integer, got {max_recs!r}"
+                )
         return cls(
             name=name,
             # strip whitespace per ri:198
@@ -50,6 +63,7 @@ class ConnectorConfig:
             attribute_prefix=raw.get("attributePrefix", DEFAULT_ATTRIBUTE_PREFIX),
             other_attributes=dict(raw.get("otherAttributes", {})),
             perform_delta_check=raw.get("performDeltaCheck"),
+            max_recommendations=max_recs,
         )
 
 

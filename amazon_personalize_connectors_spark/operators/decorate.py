@@ -100,6 +100,7 @@ def decorate_items(
     metadata_fields: Sequence[str] | None = None,
     broadcast_metadata: bool = True,
     legacy_window_mode: bool = False,
+    max_recommendations: int | None = None,
 ) -> DataFrame:
     """Full decoration: explode → (optional) metadata left-join →
     null-guarded struct → ordered re-nest (ri:191-232).
@@ -110,8 +111,19 @@ def decorate_items(
     ``itemId`` structs — reference behavior when the optional dimension
     is missing (ri:176-189; and fixes the up:180 crash path by keying
     the re-nest on the caller's own query keys).
+
+    ``max_recommendations`` keeps only ranks < N. The cap filters the
+    EXPLODED rows (``pos`` is the rank), before the metadata join and
+    the re-nest aggregate — with a 500-slot inference capped to 10
+    delivery slots, the join probes and the re-nest shuffle shrink 50x;
+    slicing the finished array would pay full price first. No-rec
+    parents (null pos from posexplode_outer) are kept.
     """
     exploded = explode_recommendations(recs, key_cols)
+    if max_recommendations is not None:
+        exploded = exploded.where(
+            F.col("pos").isNull() | (F.col("pos") < max_recommendations)
+        )
     group_cols = [dst for _, dst in key_cols]
     if metadata is not None:
         if metadata_fields is None:

@@ -75,6 +75,7 @@ def related_items_pipeline(
         key_cols=[("input.itemId", "queryItemId")],
         metadata_fields=connector.item_metadata_fields or None,
         legacy_window_mode=legacy_window_mode,
+        max_recommendations=connector.max_recommendations,
     )
     decorated = attribute_users(
         per_item, mapping, recs_item_col="queryItemId"
@@ -118,6 +119,7 @@ def user_personalization_pipeline(
         key_cols=[("input.userId", "queryUserId")],
         metadata_fields=connector.item_metadata_fields or None,
         legacy_window_mode=legacy_window_mode,
+        max_recommendations=connector.max_recommendations,
     )
     delta = _delta_step(decorated, state, connector, config, state_is_digests)
     stamped = add_job_and_sync_info(

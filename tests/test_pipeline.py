@@ -116,6 +116,44 @@ def test_recommendation_order_preserved(fixtures):
         assert [r.itemId for r in row.recommendations] == expected
 
 
+def test_max_recommendations_caps_delivery(fixtures, config):
+    """maxRecommendations=2: every delivered rec list is the top-2
+    prefix of the uncapped list (rank order intact); no-rec parents
+    keep their empty arrays and no parents are lost."""
+    from amazon_personalize_connectors_spark.config import (
+        ConfigError,
+        ConnectorConfig,
+    )
+
+    ok, _ = split_errors(fixtures["recs"])
+    full = decorate_items(
+        ok, fixtures["meta"], key_cols=[("input.itemId", "queryItemId")],
+    )
+    capped = decorate_items(
+        ok, fixtures["meta"], key_cols=[("input.itemId", "queryItemId")],
+        max_recommendations=2,
+    )
+    f = {r.queryItemId: [x.itemId for x in r.recommendations] for r in full.collect()}
+    c = {r.queryItemId: [x.itemId for x in r.recommendations] for r in capped.collect()}
+    assert set(f) == set(c)                      # no parents lost
+    for k, items in c.items():
+        assert items == f[k][:2]                 # exact top-2 prefix
+    assert any(len(v) == 0 for v in c.values())  # empty parents survive
+
+    # config plumbing: the knob parses and reaches the pipeline
+    conn = ConnectorConfig.from_dict("braze", {"maxRecommendations": 2})
+    assert conn.max_recommendations == 2
+    res = related_items_pipeline(
+        fixtures["recs"], fixtures["mapping"], fixtures["meta"], conn, config,
+    )
+    assert res.decorated.where(F.size("recommendations") > 2).count() == 0
+    # validation: zero / negative / non-int rejected
+    import pytest as _pytest
+    for bad in (0, -3, "five", True):
+        with _pytest.raises(ConfigError):
+            ConnectorConfig.from_dict("braze", {"maxRecommendations": bad})
+
+
 def test_legacy_window_mode_equivalence(fixtures, config):
     """W1+A1 literal form == idiomatic single-aggregate form."""
     args = (
