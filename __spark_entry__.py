@@ -3415,13 +3415,70 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Driver verification window: the driver oracle-checks the FIRST 50
+# entries of queries() in dict order; queries() reorders the full
+# registry so this list comes first. Round-4 rotation (ledger:
+# VERIFIED.md): the 36 round-3 additions never driver-verified
+# (judge-verified only), the new renest_capped, and 13 of the 14
+# queries whose only driver evidence is round 1 (renest_legacy_window
+# defers to round 5 — its equivalence to renest_ordered is pytest-
+# pinned, lowest-risk deferral).
+_R4_WINDOW = [
+    "scd2_dimension",
+    "incremental_rollup_merge",
+    "distinct_rollup_bitmap",
+    "bloom_prune_semi",
+    "hll_user_rollup",
+    "snapshot_cdc",
+    "cdc_roundtrip",
+    "editdist_join",
+    "interval_overlap",
+    "histogram_quantiles",
+    "er_clusters",
+    "tpch_q3",
+    "tpch_q5",
+    "covisitation_topk",
+    "rec_coverage",
+    "rec_hitrate",
+    "negative_sampling",
+    "user_profile_vectors",
+    "funnel_windows",
+    "gap_fill_locf",
+    "price_outliers",
+    "revenue_trend",
+    "bm25_search",
+    "scd2_durations",
+    "hashed_features",
+    "price_percentile_rank",
+    "skew_report",
+    "session_paths",
+    "revenue_contribution",
+    "skipgram_pairs",
+    "vocab_coverage",
+    "trending_items",
+    "cohort_revenue",
+    "covisitation_mrr",
+    "decayed_popularity",
+    "asof_nearest",
+    "renest_capped",
+    "sliding_windows",
+    "semi_anti_join",
+    "pivot_events",
+    "percentiles",
+    "stream_windowed_counts",
+    "salted_attribution",
+    "tfidf_top_terms",
+    "contiguous_ids",
+    "hash_split",
+    "intersect_items",
+    "approx_distinct",
+    "topk_per_group",
+    "delta_anti_hash",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        # --- driver verification window: the driver oracle-checks the
-        # FIRST 50 entries in dict order. Round-3 rotation: 1 sentinel +
-        # 5 round-2 regressions + the 44 never-driver-verified queries.
-        # Rotate each round so every query earns a driver-green row;
-        # ledger: VERIFIED.md.
+    all_q = {
         "flagship_related_flat": q_flagship_related_flat,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
@@ -3571,6 +3628,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_popularity": q_decayed_popularity,
         "asof_nearest": q_asof_nearest,
     }
+    out = {name: all_q[name] for name in _R4_WINDOW}
+    out.update((k, v) for k, v in all_q.items() if k not in out)
+    return out
 
 
 # ---------------------------------------------------------------------------
