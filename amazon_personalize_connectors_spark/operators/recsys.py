@@ -10,8 +10,10 @@ Scale shapes:
 * Co-visitation pairs fan out per user as (items/user)^2 — the
   classic blow-up. ``covisitation_topk`` caps each user's
   contribution FIRST (deterministic hash-priority truncation, one
-  window over the user partition), so the pair join is bounded by
-  cap^2 per user regardless of power users. Pair counting is one
+  window over the user partition), so pair generation is bounded by
+  cap^2 per user regardless of power users — and is ROW-LOCAL: the
+  capped items collect into one bounded array per user and nested
+  generators emit the pairs, no self-join. Pair counting is one
   shuffle on (item_a, item_b); per-item top-k is one window over the
   already-aggregated pair table.
 * Coverage/eval are explode + join + aggregate over the delivered
@@ -74,15 +76,29 @@ def covisitation_topk(
         F.col(user_col).alias("u"), F.col(item_col).alias("i")
     ).distinct()
     capped = cap_items_per_user(compact, max_items_per_user)
-    # count each unordered pair ONCE (item < rec_item halves the join
-    # fan-out and the pair shuffle) and mirror after aggregation — the
-    # mirrored union is over the already-aggregated pair table, which
-    # is orders of magnitude smaller than the raw pair stream
-    a = capped.select("u", F.col("i").alias("item"))
-    b = capped.select("u", F.col("i").alias("rec_item"))
+    # Pair generation is row-local, not a self-join: the capped items
+    # collect into one BOUNDED array per user (≤ cap elements; the
+    # groupBy rides the window's existing hash partitioning on u, so
+    # no new exchange) and two nested generators emit each unordered
+    # pair once — least/greatest canonicalizes, halving the pair
+    # stream exactly like the old `item < rec_item` join predicate,
+    # with zero join shuffle/sort and no second read of the capped
+    # subtree. Memory stays bounded because the cap ran FIRST.
+    per_user = capped.groupBy("u").agg(F.collect_list("i").alias("_items"))
+    tail = F.slice(
+        F.col("_items"),
+        F.col("_pi") + 2,
+        F.greatest(F.size("_items") - F.col("_pi") - 1, F.lit(0)),
+    )
     half = (
-        a.join(b, "u")
-        .where(F.col("item") < F.col("rec_item"))
+        per_user.select(
+            F.col("_items"), F.posexplode("_items").alias("_pi", "_a")
+        )
+        .select(F.col("_a"), F.explode(tail).alias("_b"))
+        .select(
+            F.least("_a", "_b").alias("item"),
+            F.greatest("_a", "_b").alias("rec_item"),
+        )
         .groupBy("item", "rec_item")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
