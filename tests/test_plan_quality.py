@@ -377,3 +377,37 @@ def test_all_queries_plan_invariants(spark, sf_dir):
         ):
             failures.append(f"{name}: unsanctioned Arrow boundary")
     assert not failures, failures
+
+
+def test_covisitation_pair_generation_is_rowlocal(spark, sf_dir):
+    """Co-visitation pair generation must be generator-based, not a
+    self-join: the executed plan contains NO join operator at all
+    (pairs come from nested explodes over the bounded per-user array)
+    and the per-user collect rides the cap window's exchange — at most
+    4 live hash exchanges end-to-end (distinct, cap window, pair agg,
+    rank window)."""
+    df = entry.queries()["covisitation_topk"](spark, sf_dir)
+    final = _final_explain(spark, df).split("== Initial Plan ==")[0]
+    # the only joins allowed are the broadcast fixture build
+    # (orders⋈lineitem mapping input) — a shuffled join means the pair
+    # self-join came back
+    assert not re.search(r"SortMergeJoin|ShuffledHashJoin", final), (
+        "covisitation pairs regressed to a shuffled self-join"
+    )
+    assert "Generate" in final  # the explode-based pair generators
+    live = [
+        l
+        for l in final.splitlines()
+        if "Exchange hashpartitioning" in l and "Reused" not in l
+    ]
+    assert len(live) <= 4, live
+
+
+def test_covisitation_mrr_reuses_interaction_build(spark, sf_dir):
+    """The MRR eval builds orders⋈lineitem interactions ONCE: train
+    and test branches filter aggregated membership flags, so the
+    shared subtree shows up as ReusedExchange in the executed plan
+    instead of a second scan+join."""
+    df = entry.queries()["covisitation_mrr"](spark, sf_dir)
+    final = _final_explain(spark, df)
+    assert "ReusedExchange" in final
