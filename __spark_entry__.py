@@ -3327,13 +3327,30 @@ def q_covisitation_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         test.select(F.col("user_id").alias("u"), F.col("item_id").alias("i")),
         1000,
     )
-    a = capped.select("u", F.col("i").alias("item"))
-    b = capped.select("u", F.col("i").alias("rec_item"))
-    truth = (
-        a.join(b, "u")
-        .where(F.col("item") != F.col("rec_item"))
-        .select("item", "rec_item")
+    # held-out truth pairs: same row-local generator shape as the
+    # model side — bounded per-user arrays, unordered pairs distinct'd
+    # on the halved stream, mirrored after
+    per_user = capped.groupBy("u").agg(F.collect_list("i").alias("_items"))
+    tail = F.slice(
+        F.col("_items"),
+        F.col("_pi") + 2,
+        F.greatest(F.size("_items") - F.col("_pi") - 1, F.lit(0)),
+    )
+    half = (
+        per_user.select(
+            F.col("_items"), F.posexplode("_items").alias("_pi", "_a")
+        )
+        .select(F.col("_a"), F.explode(tail).alias("_b"))
+        .select(
+            F.least("_a", "_b").alias("item"),
+            F.greatest("_a", "_b").alias("rec_item"),
+        )
         .distinct()
+    )
+    truth = half.unionByName(
+        half.select(
+            F.col("rec_item").alias("item"), F.col("item").alias("rec_item")
+        )
     )
     hits = recs.join(truth, ["item", "rec_item"], "left_semi")
     first_hit = hits.groupBy("item").agg(F.min("rank").alias("first_rank"))

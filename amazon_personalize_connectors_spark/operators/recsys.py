@@ -182,23 +182,37 @@ def rec_hitrate_by_cooccurrence(
     outputs stay engine-portable).
 
     Ground truth is the co-interaction pair set, built once with the
-    same capped self-join shape as covisitation: each user's item set
-    is truncated to ``max_items_per_user`` by hash priority
-    (cap_items_per_user) BEFORE pairing, so the truth build costs
-    cap^2 per user — never history^2 — and is semi-joined against the
-    recommendation pairs, never recs x interactions.
+    same capped row-local pair shape as covisitation: each user's item
+    set is truncated to ``max_items_per_user`` by hash priority
+    (cap_items_per_user) BEFORE pairing, the capped items collect into
+    one bounded array per user, and nested generators emit each
+    unordered pair once (cap^2 per user — never history^2, no
+    self-join). The distinct runs on the halved unordered stream and
+    mirrors afterwards; recs semi-join against that truth set, never
+    recs x interactions.
     """
     compact = interactions.select(
         F.col(user_col).alias("u"), F.col(item_col).alias("i")
     ).distinct()
     capped = cap_items_per_user(compact, max_items_per_user)
-    a = capped.select("u", F.col("i").alias("qi"))
-    b = capped.select("u", F.col("i").alias("ri"))
-    truth = (
-        a.join(b, "u")
-        .where(F.col("qi") != F.col("ri"))
-        .select("qi", "ri")
+    per_user = capped.groupBy("u").agg(F.collect_list("i").alias("_items"))
+    tail = F.slice(
+        F.col("_items"),
+        F.col("_pi") + 2,
+        F.greatest(F.size("_items") - F.col("_pi") - 1, F.lit(0)),
+    )
+    half = (
+        per_user.select(
+            F.col("_items"), F.posexplode("_items").alias("_pi", "_a")
+        )
+        .select(F.col("_a"), F.explode(tail).alias("_b"))
+        .select(
+            F.least("_a", "_b").alias("qi"), F.greatest("_a", "_b").alias("ri")
+        )
         .distinct()
+    )
+    truth = half.unionByName(
+        half.select(F.col("ri").alias("qi"), F.col("qi").alias("ri"))
     )
     pairs = recs_exploded.select(
         F.col(query_item_col).alias("qi"), F.col(rec_item_col).alias("ri")
