@@ -110,6 +110,31 @@ def test_hitrate_truth_side_is_capped(spark):
     assert uncapped.agg(F.sum("n_hits")).collect()[0][0] == 30 * 29
 
 
+def test_covisitation_matches_bruteforce_reference(spark):
+    # generator-based pair counting == brute-force itertools reference
+    # over a deterministic pseudo-random interaction set (dups incl.)
+    import itertools
+    from collections import Counter
+
+    rows = [
+        (f"u{(n * 7) % 13}", f"i{(n * n + 3 * n) % 17}") for n in range(200)
+    ]
+    df = spark.createDataFrame(rows, "user_id string, item_id string")
+    got = {
+        (r["item"], r["rec_item"]): r["n_common"]
+        for r in covisitation_topk(df, k=100, max_items_per_user=100).collect()
+    }
+    by_user = {}
+    for u, i in set(rows):
+        by_user.setdefault(u, set()).add(i)
+    want = Counter()
+    for items in by_user.values():
+        for a, b in itertools.combinations(sorted(items), 2):
+            want[(a, b)] += 1
+            want[(b, a)] += 1
+    assert got == dict(want)
+
+
 def test_negative_sampling_properties(spark, interactions):
     from amazon_personalize_connectors_spark.operators.recsys import (
         negative_sampling,
