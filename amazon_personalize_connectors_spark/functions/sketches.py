@@ -297,3 +297,71 @@ def histogram_quantiles(
     return g.select(*group_cols, F.explode(rows).alias("_p")).select(
         *group_cols, "_p.q", "_p.value"
     )
+
+
+# ---------------------------------------------------------------------------
+# exact heavy hitters (two-pass: local candidates -> exact recount)
+# ---------------------------------------------------------------------------
+
+
+def frequent_values_exact(
+    df: DataFrame,
+    value_col: str,
+    min_share: float,
+) -> DataFrame:
+    """EXACT heavy hitters: every value of ``value_col`` whose global
+    frequency strictly exceeds ``min_share`` of the non-null rows,
+    with its exact count — without ever shuffling the long tail.
+
+    Plain ``groupBy(col).count()`` + HAVING is the right plan while
+    the distinct-value set fits the aggregate hash maps; on a
+    Zipf-tailed 100 TB token stream the tail (billions of near-unique
+    values) spills the map and dominates the shuffle even though none
+    of it can possibly be a heavy hitter. The classic two-pass fix:
+
+    1. **Candidates** (Arrow-batched ``mapInPandas``, the sanctioned
+       Python boundary): within each Arrow batch, keep values whose
+       batch-local share exceeds ``min_share``. Pigeonhole guarantee:
+       batches partition the rows, so a value with global share > s
+       must have share > s in at least one batch — the union of
+       batch-local survivors is a SUPERSET of the true heavy hitters
+       (≤ 1/s values per batch), and the tail never leaves the map
+       task.
+    2. **Exact recount**: broadcast-semi-join the raw rows against
+       the deduplicated candidates, count exactly, and apply the
+       strict global threshold — the threshold total rides in as a
+       1-row broadcast aggregate, so the plan stays fully lazy.
+
+    False positives from pass 1 die in pass 2; false negatives are
+    impossible, so the result is exact. NULLs are excluded (a null
+    key is not a value). Output: (value, n, share) sorted nowhere —
+    order downstream if needed."""
+    import pandas as pd  # local import: only the candidate pass needs it
+
+    src = df.select(value_col).where(F.col(value_col).isNotNull())
+    out_schema = T.StructType([src.schema[value_col]])
+
+    def _batch_candidates(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vc = pdf[value_col].value_counts()
+            keep = vc[vc > len(pdf) * min_share]
+            if len(keep):
+                yield pd.DataFrame({value_col: keep.index})
+
+    candidates = src.mapInPandas(_batch_candidates, out_schema).distinct()
+    survivors = src.join(F.broadcast(candidates), value_col, "left_semi")
+    counts = survivors.groupBy(value_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    total = src.agg(F.count(F.lit(1)).cast("bigint").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("n") > F.col("_total") * F.lit(min_share))
+        .select(
+            value_col,
+            "n",
+            (F.col("n") / F.col("_total")).alias("share"),
+        )
+    )

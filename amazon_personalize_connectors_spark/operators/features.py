@@ -1,0 +1,165 @@
+"""Feature-engineering operators for training-data preparation — the
+transforms a team feeding the reference's interaction exports into a
+model (Personalize or their own) runs between the raw connector
+output and the training job: leakage-safe categorical encodings,
+robust numeric clamping, and sequence-example generation.
+
+Scale shapes:
+
+* ``target_encoding_loo`` is groupBy-aggregate + equi-join-back, NOT
+  a window over the category partition: a window would pull every row
+  of a hot category into one task (the exact skew a popularity-
+  skewed catalog guarantees), while the join-back form shuffles both
+  sides hash-partitioned — AQE's skew-join splitting applies — and
+  the per-category aggregate side is tiny, usually broadcast.
+* ``winsorize_stats`` uses the DISCRETE (inverse-CDF) percentile —
+  the group value at rank ``ceil(pct/100 * n)`` — not interpolated
+  ``percentile``: rank selection is pure integer arithmetic, so the
+  bounds are actual data values and every downstream clamp/count/sum
+  is engine-exact (the histogram_quantiles portability lesson).
+  Cost: one sort per group (a window over the group partition) plus
+  the clamp re-aggregate — bounded by group size, and the bounds
+  table (one row per group) broadcasts back for the clamp.
+* ``next_item_examples`` is row-local generation: one sort-shuffle
+  per user (the window), then each example's context is a bounded
+  slice of the running collect_list frame — rows out ∝ interactions,
+  memory bounded by ``context_len``, no self-join.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def target_encoding_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    out_col: str = "te_loo",
+) -> DataFrame:
+    """Leave-one-out target encoding: each row's category is encoded
+    as the mean of ``target_col`` over all OTHER rows of the same
+    category — ``(sum_cat - y) / (n_cat - 1)`` — the standard
+    leakage-safe mean encoding (including the row's own target leaks
+    the label into its feature). Singleton categories encode NULL
+    (no other rows to average).
+
+    Shape: per-category (sum, count) via one map-side-combinable
+    aggregate, joined back on the category key. The aggregate side
+    has one row per category — Spark auto-broadcasts it under the
+    threshold, and past it the equi-join stays skew-splittable under
+    AQE, unlike a window over the category partition which would pin
+    each hot category to a single task."""
+    stats = df.groupBy(cat_col).agg(
+        F.sum(target_col).alias("_te_sum"),
+        F.count(target_col).alias("_te_n"),
+    )
+    joined = df.join(stats, cat_col, "left")
+    loo = F.when(
+        F.col("_te_n") > 1,
+        (F.col("_te_sum") - F.coalesce(F.col(target_col), F.lit(0.0)))
+        / (F.col("_te_n") - F.when(F.col(target_col).isNotNull(), 1).otherwise(0)),
+    )
+    return joined.withColumn(out_col, loo).drop("_te_sum", "_te_n")
+
+
+def winsorize_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Winsorized summary per group: clamp ``value_col`` into the
+    group's [lo_pct, hi_pct] discrete-percentile band, then report
+    per group the bounds, the clamped mean, and how many rows hit
+    each side — the outlier-robust version of a grouped mean (a
+    single fat-finger price doesn't drag the feature).
+
+    The bound at percentile p is the group's value at rank
+    ``ceil(p/100 * n)`` (inverse CDF) — rank math is integer-exact
+    (``(n*p + 99) div 100``), the bounds are actual data values, and
+    with an integer ``value_col`` (the engine's cents convention)
+    every clamp, count, and sum downstream is exact and
+    engine-portable — no interpolation, no float drift. Cost: one
+    sort per group (window over the group partition) for the ranks,
+    then the clamp re-aggregate; the bounds table (one row per
+    group) broadcasts back. ``winsorized_mean`` is an exact integer
+    sum over n, divided once at the end."""
+    w_ord = Window.partitionBy(*group_cols).orderBy(
+        F.col(value_col), *[F.col(c) for c in group_cols]
+    )
+    w_all = Window.partitionBy(*group_cols)
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).alias("_v"),
+        F.row_number().over(w_ord).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    )
+    lo_rank = F.expr(f"(_n * {lo_pct} + 99) div 100")
+    hi_rank = F.expr(f"(_n * {hi_pct} + 99) div 100")
+    bounds = ranked.groupBy(*group_cols).agg(
+        F.min(F.when(F.col("_rn") == lo_rank, F.col("_v"))).alias("lo_bound"),
+        F.min(F.when(F.col("_rn") == hi_rank, F.col("_v"))).alias("hi_bound"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    clamped = df.join(F.broadcast(bounds), list(group_cols)).select(
+        *group_cols,
+        "n_rows",
+        "lo_bound",
+        "hi_bound",
+        F.greatest(
+            F.col("lo_bound"), F.least(F.col("hi_bound"), F.col(value_col))
+        ).alias("_w"),
+        (F.col(value_col) < F.col("lo_bound")).cast("int").alias("_clo"),
+        (F.col(value_col) > F.col("hi_bound")).cast("int").alias("_chi"),
+    )
+    return clamped.groupBy(*group_cols).agg(
+        F.first("n_rows").alias("n_rows"),
+        F.first("lo_bound").alias("lo_bound"),
+        F.first("hi_bound").alias("hi_bound"),
+        (F.sum("_w").cast("double") / F.count(F.lit(1))).alias(
+            "winsorized_mean"
+        ),
+        F.sum("_clo").cast("bigint").alias("n_clamped_lo"),
+        F.sum("_chi").cast("bigint").alias("n_clamped_hi"),
+    )
+
+
+def next_item_examples(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    order_cols: Sequence[str],
+    context_len: int = 3,
+) -> DataFrame:
+    """Sequence-model training examples from interaction histories:
+    for each user's interaction stream (ordered by ``order_cols``,
+    which must be a deterministic total order within user), emit one
+    (context, label) example per interaction after the first — the
+    context is the up-to-``context_len`` immediately preceding items.
+    This is the sequential-recommendation dataset builder (next-item
+    prediction over the reference's interaction export).
+
+    Row-local: ONE sort-shuffle on the user partition; each row's
+    context is the running ``collect_list`` over a bounded preceding
+    frame (``context_len`` rows), so memory per row is bounded by the
+    context, rows out = interactions - users, and no self-join or
+    per-user re-scan happens. Output: (user, pos, context array,
+    label)."""
+    w = Window.partitionBy(user_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    ctx_frame = w.rowsBetween(-context_len, -1)
+    return (
+        interactions.select(
+            F.col(user_col).alias("user"),
+            F.col(item_col).alias("label"),
+            F.row_number().over(w).alias("pos"),
+            F.collect_list(item_col).over(ctx_frame).alias("context"),
+        )
+        .where(F.col("pos") >= 2)
+    )

@@ -165,6 +165,10 @@ BENCH_QUERIES = [
     "covisitation_mrr",
     "decayed_popularity",
     "asof_nearest",
+    "target_encoding",
+    "winsorize_prices",
+    "next_item_examples",
+    "frequent_tokens",
 ]
 
 

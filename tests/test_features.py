@@ -1,0 +1,160 @@
+"""Feature-engineering operators (operators/features.py) and the
+exact heavy-hitter pass (functions/sketches.frequent_values_exact):
+edge-case semantics the sf oracles can't isolate — singleton/null
+handling, context truncation, candidate-superset exactness."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from amazon_personalize_connectors_spark.functions.sketches import (
+    frequent_values_exact,
+)
+from amazon_personalize_connectors_spark.operators.features import (
+    next_item_examples,
+    target_encoding_loo,
+    winsorize_stats,
+)
+
+
+# ---------------------------------------------------------------------------
+# target_encoding_loo
+# ---------------------------------------------------------------------------
+
+
+def test_loo_excludes_own_row(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 30), ("b", 5), ("b", 7)],
+        "cat string, y long",
+    )
+    got = {
+        (r["cat"], r["y"]): r["te"]
+        for r in target_encoding_loo(df, "cat", "y", "te").collect()
+    }
+    assert got[("a", 10)] == pytest.approx(25.0)  # (20+30)/2
+    assert got[("a", 20)] == pytest.approx(20.0)  # (10+30)/2
+    assert got[("b", 5)] == pytest.approx(7.0)
+    assert got[("b", 7)] == pytest.approx(5.0)
+
+
+def test_loo_singleton_category_is_null(spark):
+    df = spark.createDataFrame([("solo", 42), ("pair", 1), ("pair", 3)],
+                               "cat string, y long")
+    rows = {r["cat"]: r for r in
+            target_encoding_loo(df, "cat", "y", "te").collect()
+            if r["cat"] == "solo"}
+    assert rows["solo"]["te"] is None
+
+
+def test_loo_null_target_row(spark):
+    # a null-target row gets the mean of the others' targets and does
+    # not poison its neighbours' encodings
+    df = spark.createDataFrame(
+        [("a", 10), ("a", None), ("a", 30)], "cat string, y long"
+    )
+    got = {r["y"]: r["te"] for r in
+           target_encoding_loo(df, "cat", "y", "te").collect()}
+    assert got[None] == pytest.approx(20.0)  # (10+30)/2, n not decremented
+    assert got[10] == pytest.approx(30.0)    # (40-10)/(2-1)
+    assert got[30] == pytest.approx(10.0)
+
+
+# ---------------------------------------------------------------------------
+# winsorize_stats
+# ---------------------------------------------------------------------------
+
+
+def test_winsorize_discrete_bounds_and_counts(spark):
+    # 1..20 in one group: lo rank = ceil(0.05*20)=1 -> 1,
+    # hi rank = ceil(0.95*20)=19 -> 19; 20 clamps down, nothing below 1
+    df = spark.createDataFrame([("g", v) for v in range(1, 21)],
+                               "g string, v long")
+    r = winsorize_stats(df, ["g"], "v", 5, 95).collect()[0]
+    assert (r["lo_bound"], r["hi_bound"]) == (1, 19)
+    assert (r["n_clamped_lo"], r["n_clamped_hi"]) == (0, 1)
+    # sum = 1..19 + 19 (the clamped 20) = 190 + 19 = 209
+    assert r["winsorized_mean"] == pytest.approx(209 / 20)
+
+
+def test_winsorize_ties_are_stable(spark):
+    # duplicated values around the rank boundary: the bound is the
+    # multiset's rank-k value regardless of tie ordering
+    vals = [1, 1, 1, 5, 5, 5, 5, 9, 9, 9]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    r = winsorize_stats(df, ["g"], "v", 10, 90).collect()[0]
+    # n=10: lo rank 1 -> 1, hi rank 9 -> 9
+    assert (r["lo_bound"], r["hi_bound"]) == (1, 9)
+
+
+# ---------------------------------------------------------------------------
+# next_item_examples
+# ---------------------------------------------------------------------------
+
+
+def test_next_item_context_truncates(spark):
+    df = spark.createDataFrame(
+        [("u", i, f"i{i}") for i in range(1, 6)], "u string, t long, item string"
+    )
+    rows = {r["pos"]: r for r in
+            next_item_examples(df, "u", "item", ["t"], context_len=2).collect()}
+    assert set(rows) == {2, 3, 4, 5}  # first interaction emits nothing
+    assert rows[2]["context"] == ["i1"]
+    assert rows[3]["context"] == ["i1", "i2"]
+    assert rows[5]["context"] == ["i3", "i4"]  # truncated to last 2
+    assert rows[5]["label"] == "i5"
+
+
+def test_next_item_examples_per_user_isolated(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y"), ("b", 1, "p"), ("b", 2, "q")],
+        "u string, t long, item string",
+    )
+    out = next_item_examples(df, "u", "item", ["t"], 3).collect()
+    assert len(out) == 2
+    ctx = {r["user"]: r["context"] for r in out}
+    assert ctx == {"a": ["x"], "b": ["p"]}  # no cross-user bleed
+
+
+# ---------------------------------------------------------------------------
+# frequent_values_exact
+# ---------------------------------------------------------------------------
+
+
+def test_frequent_values_matches_naive_exact(spark):
+    # skewed stream: exact two-pass result == naive groupBy/HAVING
+    rows = (["hot"] * 500 + ["warm"] * 120 + ["cool"] * 30
+            + [f"tail{i}" for i in range(350)])
+    df = spark.createDataFrame([(v,) for v in rows], "v string")
+    got = {r["v"]: r["n"] for r in
+           frequent_values_exact(df, "v", 0.05).collect()}
+    # n=1000: threshold 50 strictly -> hot (500), warm (120); cool=30 out
+    assert got == {"hot": 500, "warm": 120}
+
+
+def test_frequent_values_threshold_is_strict(spark):
+    df = spark.createDataFrame(
+        [("x",)] * 10 + [("y",)] * 90, "v string"
+    )
+    got = {r["v"] for r in frequent_values_exact(df, "v", 0.10).collect()}
+    # x has share exactly 0.10 -> strict > excludes it
+    assert got == {"y"}
+
+
+def test_frequent_values_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [(None,)] * 14, "v string"
+    )
+    rows = frequent_values_exact(df, "v", 0.5).collect()
+    # totals exclude nulls: a has 6 of 6 non-null rows
+    assert [(r["v"], r["n"]) for r in rows] == [("a", 6)]
+    assert rows[0]["share"] == pytest.approx(1.0)
+
+
+def test_frequent_values_cross_partition_hitters_survive(spark):
+    # a value that is locally light in every partition but globally
+    # heavy must still be found once batches are small: repartition
+    # spreads 'spread' thin, yet it is 25% of the stream
+    rows = ["spread"] * 250 + [f"t{i}" for i in range(750)]
+    df = spark.createDataFrame([(v,) for v in rows], "v string").repartition(8)
+    got = {r["v"] for r in frequent_values_exact(df, "v", 0.2).collect()}
+    assert got == {"spread"}
