@@ -3526,6 +3526,47 @@ def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift check (operators/features.py
+    ks_two_sample): returned vs non-returned line items' price
+    distributions. Integer-cents values keep the sup integer
+    (|cum_a*n_b - cum_b*n_a|) with ONE final division — engine-exact;
+    the cumulative CDFs ride the distributed prefix-sum, never a
+    single-task global window."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        ks_two_sample,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "l_returnflag",
+    )
+    return ks_two_sample(
+        li,
+        "cents",
+        F.col("l_returnflag") == "R",
+        F.col("l_returnflag") != "R",
+    )
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional sub-document containment (functions/dedup.py
+    containment_pairs): C(A in B) = common/|A| alongside C(B in A)
+    over the same rare-shingle candidate pairs as the Jaccard query —
+    catches short-inside-long duplication Jaccard misses. Integer
+    divisions only; same doc_id % 5 subset as the shingle fixtures."""
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        containment_pairs,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    return containment_pairs(docs, "text", "doc_id", n=3, min_common=2)
+
+
 # Driver verification window: the driver oracle-checks the FIRST 50
 # entries of queries() in dict order; queries() reorders the full
 # registry so this list comes first. Round-4 rotation (ledger:
@@ -3742,6 +3783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_prices": q_winsorize_prices,
         "next_item_examples": q_next_item_examples,
         "frequent_tokens": q_frequent_tokens,
+        "ks_drift": q_ks_drift,
+        "containment_pairs": q_containment_pairs,
     }
     out = {name: all_q[name] for name in _R4_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
@@ -6435,6 +6478,53 @@ SELECT token, CAST(count(*) AS BIGINT) AS n,
 FROM tok
 GROUP BY token
 HAVING count(*) > 0.002::DOUBLE * (SELECT total FROM tot)
+""",
+        # integer sup |cum_a*n_b - cum_b*n_a| over the per-value grid,
+        # one bigint/bigint division at the end — engine-exact
+        "ks_drift": """
+WITH v AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS fa,
+         CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END AS fb
+  FROM lineitem
+),
+per AS (SELECT c, sum(fa) AS a, sum(fb) AS b FROM v GROUP BY c),
+cum AS (
+  SELECT c, sum(a) OVER (ORDER BY c) AS ca, sum(b) OVER (ORDER BY c) AS cb
+  FROM per
+),
+tot AS (
+  SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b FROM per
+)
+SELECT n_a, n_b,
+       CAST(max(abs(ca * n_b - cb * n_a)) AS BIGINT) AS ks_num,
+       CAST(max(abs(ca * n_b - cb * n_a)) AS BIGINT) / (n_a * n_b) AS ks_stat
+FROM cum, tot
+GROUP BY n_a, n_b
+""",
+        # same rare-shingle candidates as ngram_jaccard_pairs; both
+        # containment directions are integer/integer divisions
+        "containment_pairs": f"""
+WITH {_SHINGLES_CTE.lstrip()},
+rare AS (
+  SELECT shingle FROM exploded_sh GROUP BY shingle HAVING count(*) <= 100
+),
+filtered AS (SELECT e.* FROM exploded_sh e JOIN rare USING (shingle)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.n_shingles AS n_a, b.n_shingles AS n_b,
+         count(*) AS common
+  FROM filtered a JOIN filtered b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+  HAVING count(*) >= 2
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(common AS BIGINT) AS common,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       common / n_a AS c_a_in_b,
+       common / n_b AS c_b_in_a
+FROM pairs
 """
     }
     # the materialized-shingle Jaccard is result-identical to the

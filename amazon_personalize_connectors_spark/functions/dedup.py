@@ -182,6 +182,51 @@ def _pairs_from_shingle_table(sh: DataFrame, min_common: int) -> DataFrame:
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_common: int = 2,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Sub-document duplication by DIRECTIONAL containment: for each
+    candidate pair, C(A in B) = |A ∩ B| / |A| and C(B in A) — the
+    asymmetric cousin of Jaccard that catches a short document pasted
+    inside a long one (Jaccard stays low because the union is big;
+    containment of the short side goes to 1). Same candidate
+    machinery as ``ngram_jaccard_pairs`` (hashed rare-shingle
+    equi-join — the stop-shingle cap keeps fan-out linear), so the
+    extra metric costs nothing new at scale: both directions come off
+    the one aggregated pair row as integer/integer divisions.
+
+    Returns (id_a, id_b, common, n_a, n_b, c_a_in_b, c_b_in_a) with
+    id_a < id_b."""
+    sh = _rare_hashed_shingles(df, text_col, id_col, n, max_shingle_df)
+    a = sh.select(
+        F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle"
+    )
+    b = sh.select(
+        F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"), "shingle"
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("common").cast("bigint").alias("common"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        (F.col("common") / F.col("n_a")).alias("c_a_in_b"),
+        (F.col("common") / F.col("n_b")).alias("c_b_in_a"),
+    )
+
+
 def ngram_jaccard_pairs_materialized(
     spark,
     df: DataFrame,

@@ -47,6 +47,23 @@ def add_running_total(
     would make the running value partition-layout-dependent.
     ``order_cols`` must be a unique ordering (add a tiebreaker).
     """
+    return add_running_totals(
+        df, order_cols, {value_col: total_name}, num_partitions
+    )
+
+
+def add_running_totals(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_cols: dict[str, str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-column twin of ``add_running_total``: one range
+    repartition + one per-partition offsets collect + one window pass
+    carries ALL the cumulative sums (``{value_col: output_name}``) —
+    callers needing several prefix sums over the same ordering (e.g.
+    the two-sample KS cumulative distribution pair) pay the
+    range-shuffle once, not per column."""
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ordered = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(
         *order_cols
@@ -54,19 +71,25 @@ def add_running_total(
     with_pid = ordered.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
         eager=True
     )
-    sums_frame = with_pid.groupBy("__pid").agg(F.sum(value_col).alias("s"))
+    sums_frame = with_pid.groupBy("__pid").agg(
+        *[F.sum(v).alias(f"__s_{i}") for i, v in enumerate(value_cols)]
+    )
     part_sums = sums_frame.orderBy("__pid").collect()
-    offsets, acc = {}, None
+    offsets, acc = {}, [None] * len(value_cols)
     for row in part_sums:
-        offsets[row["__pid"]] = acc
-        acc = row["s"] if acc is None else acc + row["s"]
-    offset_rows = [(pid, off) for pid, off in offsets.items()]
-    # offsets are SUMS — use the aggregate's (widened) type, not the
-    # input value type, or large datasets overflow the narrower decimal
-    sum_type = dict(sums_frame.dtypes)["s"]
+        offsets[row["__pid"]] = list(acc)
+        for i in range(len(value_cols)):
+            s = row[f"__s_{i}"]
+            acc[i] = s if acc[i] is None else acc[i] + s
+    # offsets are SUMS — use the aggregate's (widened) types, not the
+    # input value types, or large datasets overflow narrower decimals
+    sum_types = dict(sums_frame.dtypes)
+    offset_schema = "__pid int, " + ", ".join(
+        f"__offset_{i} {sum_types[f'__s_{i}']}" for i in range(len(value_cols))
+    )
     offset_df = F.broadcast(
         df.sparkSession.createDataFrame(
-            offset_rows, f"__pid int, __offset {sum_type}"
+            [(pid, *offs) for pid, offs in offsets.items()], offset_schema
         )
     )
     w = (
@@ -74,13 +97,15 @@ def add_running_total(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        with_pid.join(offset_df, "__pid")
-        .withColumn(
+    out = with_pid.join(offset_df, "__pid")
+    for i, (value_col, total_name) in enumerate(value_cols.items()):
+        out = out.withColumn(
             total_name,
-            F.coalesce(F.col("__offset"), F.lit(0)) + F.sum(value_col).over(w),
+            F.coalesce(F.col(f"__offset_{i}"), F.lit(0))
+            + F.sum(value_col).over(w),
         )
-        .drop("__pid", "__offset")
+    return out.drop(
+        "__pid", *[f"__offset_{i}" for i in range(len(value_cols))]
     )
 
 

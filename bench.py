@@ -169,6 +169,8 @@ BENCH_QUERIES = [
     "winsorize_prices",
     "next_item_examples",
     "frequent_tokens",
+    "ks_drift",
+    "containment_pairs",
 ]
 
 

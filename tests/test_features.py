@@ -158,3 +158,99 @@ def test_frequent_values_cross_partition_hitters_survive(spark):
     df = spark.createDataFrame([(v,) for v in rows], "v string").repartition(8)
     got = {r["v"] for r in frequent_values_exact(df, "v", 0.2).collect()}
     assert got == {"spread"}
+
+
+# ---------------------------------------------------------------------------
+# ks_two_sample / add_running_totals
+# ---------------------------------------------------------------------------
+
+
+def test_ks_identical_distributions_is_zero(spark):
+    df = spark.createDataFrame(
+        [("a", v) for v in [1, 2, 3, 4]] + [("b", v) for v in [1, 2, 3, 4]],
+        "g string, v long",
+    )
+    from amazon_personalize_connectors_spark.operators.features import (
+        ks_two_sample,
+    )
+
+    r = ks_two_sample(df, "v", F.col("g") == "a", F.col("g") == "b").collect()[0]
+    assert (r["n_a"], r["n_b"], r["ks_num"]) == (4, 4, 0)
+    assert r["ks_stat"] == 0.0
+
+
+def test_ks_disjoint_distributions_is_one(spark):
+    df = spark.createDataFrame(
+        [("a", v) for v in [1, 2, 3]] + [("b", v) for v in [10, 11]],
+        "g string, v long",
+    )
+    from amazon_personalize_connectors_spark.operators.features import (
+        ks_two_sample,
+    )
+
+    r = ks_two_sample(df, "v", F.col("g") == "a", F.col("g") == "b").collect()[0]
+    assert r["ks_stat"] == 1.0
+
+
+def test_ks_matches_scipy_definition(spark):
+    # hand-computed: A = {1,1,2,5}, B = {2,3,3}
+    # F_A: 1->.5, 2->.75, 3->.75, 5->1 ; F_B: 1->0, 2->1/3, 3->1, 5->1
+    # sup |diff| = at x=3: |0.75-1| = .25? at x=1: .5; x=2: .75-1/3=5/12
+    from amazon_personalize_connectors_spark.operators.features import (
+        ks_two_sample,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("a", 5),
+         ("b", 2), ("b", 3), ("b", 3)],
+        "g string, v long",
+    )
+    r = ks_two_sample(df, "v", F.col("g") == "a", F.col("g") == "b").collect()[0]
+    assert r["ks_stat"] == pytest.approx(0.5)  # at x=1
+    assert r["ks_num"] == 6  # |2*3 - 0*4|
+
+
+def test_running_totals_multi_column_matches_single(spark):
+    from amazon_personalize_connectors_spark.operators.ids import (
+        add_running_total,
+        add_running_totals,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3, (i * 7) % 5) for i in range(100)], "k long, x long, y long"
+    )
+    multi = add_running_totals(df, ["k"], {"x": "cx", "y": "cy"}, 7)
+    single_x = {r["k"]: r["cx"] for r in
+                add_running_total(df, ["k"], "x", "cx", 3).collect()}
+    got = {r["k"]: (r["cx"], r["cy"]) for r in multi.collect()}
+    run_x = run_y = 0
+    for i in range(100):
+        run_x += i % 3
+        run_y += (i * 7) % 5
+        assert got[i] == (run_x, run_y)
+        assert single_x[i] == run_x
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_containment_short_inside_long(spark):
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        containment_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " zeta eta theta iota kappa " + \
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    df = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    rows = containment_pairs(df, "text", "doc_id", n=3, min_common=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    # every shingle of the short doc appears in the long one
+    assert r["c_a_in_b"] == pytest.approx(1.0)
+    assert r["c_b_in_a"] < 0.5  # asymmetric: Jaccard-style would miss this
