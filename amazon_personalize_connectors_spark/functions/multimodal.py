@@ -156,9 +156,9 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytearray:
     return out
 
 
-def _decode_png(content: bytes) -> dict[str, Any]:
+def _png_pixels(content: bytes):
     """8-bit non-interlaced PNG (gray / RGB / gray+A / RGBA) via stdlib
-    ``zlib``: IDAT inflate + scanline unfilter, then per-channel means."""
+    ``zlib``: IDAT inflate + scanline unfilter -> (h, w, nch) uint8."""
     import struct
 
     import numpy as np
@@ -188,7 +188,13 @@ def _decode_png(content: bytes) -> dict[str, Any]:
         raise ValueError("PNG missing IHDR")
     stride = width * nch
     pixels = _png_unfilter(zlib.decompress(bytes(idat)), height, stride, nch)
-    arr = np.frombuffer(bytes(pixels), dtype="u1").reshape(height, width, nch)
+    return np.frombuffer(bytes(pixels), dtype="u1").reshape(height, width, nch)
+
+
+def _decode_png(content: bytes) -> dict[str, Any]:
+    """8-bit non-interlaced PNG: pixel decode + per-channel means."""
+    arr = _png_pixels(content)
+    height, width, nch = arr.shape
     means = arr.reshape(-1, nch).mean(axis=0) / 255.0
     return {
         "checksum": zlib.crc32(content),
@@ -196,9 +202,9 @@ def _decode_png(content: bytes) -> dict[str, Any]:
     }
 
 
-def _decode_bmp(content: bytes) -> dict[str, Any]:
+def _bmp_pixels(content: bytes):
     """Uncompressed 24/32-bit BMP (BITMAPINFOHEADER, bottom-up rows
-    padded to 4 bytes); per-channel means in RGB order."""
+    padded to 4 bytes) -> (h, w, nch) uint8 in stored BGR(A) order."""
     import struct
 
     import numpy as np
@@ -217,7 +223,13 @@ def _decode_bmp(content: bytes) -> dict[str, Any]:
     for y in range(height):
         start = data_off + y * stride
         rows.append(np.frombuffer(content[start: start + width * nch], dtype="u1"))
-    arr = np.stack(rows[::-1] if flipped else rows).reshape(height, width, nch)
+    return np.stack(rows[::-1] if flipped else rows).reshape(height, width, nch)
+
+
+def _decode_bmp(content: bytes) -> dict[str, Any]:
+    """Uncompressed BMP: pixel decode + per-channel means (RGB order)."""
+    arr = _bmp_pixels(content)
+    height, width, nch = arr.shape
     bgr = arr.reshape(-1, nch).mean(axis=0) / 255.0  # BMP stores BGR(A)
     means = [float(bgr[2]), float(bgr[1]), float(bgr[0])]
     return {
@@ -226,8 +238,8 @@ def _decode_bmp(content: bytes) -> dict[str, Any]:
     }
 
 
-def _decode_ppm(content: bytes) -> dict[str, Any]:
-    """Binary PPM (P6, maxval<=255): header tokens then raw RGB."""
+def _ppm_pixels(content: bytes):
+    """Binary PPM (P6, maxval<=255) -> ((h, w, 3) uint8, maxval)."""
     import numpy as np
 
     tokens, pos = [], 2  # skip "P6"
@@ -247,6 +259,13 @@ def _decode_ppm(content: bytes) -> dict[str, Any]:
     if maxval > 255:
         raise NotImplementedError("16-bit PPM not supported")
     arr = np.frombuffer(content[pos: pos + width * height * 3], dtype="u1")
+    return arr.reshape(height, width, 3), maxval
+
+
+def _decode_ppm(content: bytes) -> dict[str, Any]:
+    """Binary PPM: pixel decode + per-channel means."""
+    arr, maxval = _ppm_pixels(content)
+    height, width, _ = arr.shape
     means = arr.reshape(-1, 3).mean(axis=0) / float(maxval)
     return {
         "checksum": zlib.crc32(content),
@@ -395,3 +414,98 @@ def read_media_dir(
             F.col("length").cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
+
+
+def image_pixels(content: bytes):
+    """Decode a supported raster format to an (h, w, nch) uint8 array
+    (PNG / BMP / PPM, dispatch by magic). BMP arrays keep the stored
+    BGR(A) channel order — geometric ops (resize, crop, frame-select)
+    are channel-order-agnostic; convert where channel semantics
+    matter. Raises NotImplementedError for codec-heavy formats."""
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_pixels(content)
+    if content[:2] == b"BM":
+        return _bmp_pixels(content)
+    if content[:2] == b"P6":
+        return _ppm_pixels(content)[0]
+    raise NotImplementedError(
+        f"no stdlib raster codec for magic {content[:4]!r} — JPEG etc. "
+        "need external libraries"
+    )
+
+
+def resize_image(content: bytes, out_w: int, out_h: int) -> dict[str, Any]:
+    """REAL nearest-neighbor resize of a decodable raster image:
+    integer source-index mapping ``src = (dst * src_dim) // dst_dim``
+    — deterministic (no float rounding), the standard downsample for
+    thumbnail/embedding preprocessing. Returns the resized raw pixel
+    buffer plus dims; re-encoding to a container is the caller's
+    choice (training pipelines feed raw tensors, not PNGs)."""
+    import numpy as np
+
+    arr = image_pixels(content)
+    h, w, nch = arr.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    small = arr[ys][:, xs]
+    return {
+        "width": out_w,
+        "height": out_h,
+        "nch": nch,
+        "pixels": small.tobytes(),
+        "checksum": zlib.crc32(content),
+    }
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("nch", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, out_w: int, out_h: int, on_error: str = "skip"
+) -> DataFrame:
+    """Arrow-batched image resize over a MEDIA_SCHEMA frame — the
+    preprocessing stage that turns heterogeneous stored images into
+    fixed-shape tensors for a training job. Same ``mapInPandas``
+    plumbing (and batch-size caveats — wrap the action in
+    ``arrow_batch_rows``) as ``decode_media``; rows whose bytes can't
+    be decoded by the stdlib codecs are dropped when ``on_error='skip'``
+    (count them upstream via ``decode_media``'s error path) or raised
+    when ``on_error='raise'``."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                try:
+                    r = resize_image(bytes(content), out_w, out_h)
+                except (NotImplementedError, ValueError):
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": kind,
+                        "width": r["width"],
+                        "height": r["height"],
+                        "nch": r["nch"],
+                        "pixels": r["pixels"],
+                        "checksum": r["checksum"],
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(resize_batches, RESIZED_SCHEMA)

@@ -232,3 +232,61 @@ def test_read_media_dir_binary_file_source(spark, tmp_path):
     feats = decode_media(media, decoder=real_decoder).collect()
     assert sorted(f.features[:2] for f in feats) == [[3.0, 3.0], [5.0, 4.0]]
     assert len({f.media_id for f in feats}) == 2  # stable distinct ids
+
+
+def test_resize_nearest_neighbor_exact():
+    # 4x4 gradient -> 2x2: nearest-neighbor picks src rows/cols 0 and 2
+    import numpy as np
+
+    from amazon_personalize_connectors_spark.functions.multimodal import (
+        image_pixels,
+        resize_image,
+    )
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    content = make_png_from_array(img)
+    assert (image_pixels(content) == img).all()  # decode round-trip
+    r = resize_image(content, 2, 2)
+    got = np.frombuffer(r["pixels"], dtype=np.uint8).reshape(2, 2, 3)
+    assert (got == img[[0, 2]][:, [0, 2]]).all()
+    assert (r["width"], r["height"], r["nch"]) == (2, 2, 3)
+
+
+def test_resize_upscale_repeats_pixels():
+    import numpy as np
+
+    from amazon_personalize_connectors_spark.functions.multimodal import (
+        resize_image,
+    )
+
+    img = np.array([[[255, 0, 0], [0, 255, 0]]], dtype=np.uint8)  # 1x2
+    r = resize_image(make_png_from_array(img), 4, 2)
+    got = np.frombuffer(r["pixels"], dtype=np.uint8).reshape(2, 4, 3)
+    # rows duplicate; cols map 0,0,1,1
+    assert (got[0] == got[1]).all()
+    assert (got[0, 0] == [255, 0, 0]).all() and (got[0, 1] == [255, 0, 0]).all()
+    assert (got[0, 2] == [0, 255, 0]).all() and (got[0, 3] == [0, 255, 0]).all()
+
+
+def test_resize_images_spark_skips_undecodable(spark):
+    import numpy as np
+
+    from amazon_personalize_connectors_spark.functions.multimodal import (
+        resize_images,
+    )
+
+    img = np.zeros((3, 3, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(make_png_from_array(img)),
+         ("image/png", 0)),
+        (2, "image", bytearray(b"\xff\xd8\xff\xe0 fake jpeg"),
+         ("image/jpeg", 0)),
+    ]
+    from amazon_personalize_connectors_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resize_images(df, 2, 2).collect()
+    assert [r["media_id"] for r in out] == [1]
+    assert out[0]["nch"] == 3 and len(out[0]["pixels"]) == 2 * 2 * 3
