@@ -254,3 +254,64 @@ def test_containment_short_inside_long(spark):
     # every shingle of the short doc appears in the long one
     assert r["c_a_in_b"] == pytest.approx(1.0)
     assert r["c_b_in_a"] < 0.5  # asymmetric: Jaccard-style would miss this
+
+
+def test_ks_matches_bruteforce_random(spark):
+    # randomized (fixed-seed) cross-check against an independent
+    # pure-Python KS implementation over the pooled value grid
+    import random
+
+    rng = random.Random(20260814)
+    a = [rng.randint(0, 30) for _ in range(200)]
+    b = [rng.randint(5, 40) for _ in range(150)]
+
+    def brute_ks(xs, ys):
+        grid = sorted(set(xs) | set(ys))
+        na, nb = len(xs), len(ys)
+        best = 0
+        for g in grid:
+            ca = sum(1 for v in xs if v <= g)
+            cb = sum(1 for v in ys if v <= g)
+            best = max(best, abs(ca * nb - cb * na))
+        return best, na, nb
+
+    from amazon_personalize_connectors_spark.operators.features import (
+        ks_two_sample,
+    )
+
+    df = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in b], "g string, v long"
+    )
+    r = ks_two_sample(df, "v", F.col("g") == "a", F.col("g") == "b").collect()[0]
+    num, na, nb = brute_ks(a, b)
+    assert (r["n_a"], r["n_b"], r["ks_num"]) == (na, nb, num)
+    assert r["ks_stat"] == num / (na * nb)
+
+
+def test_winsorize_matches_bruteforce_random(spark):
+    import math
+    import random
+
+    rng = random.Random(99)
+    groups = {g: [rng.randint(-50, 1000) for _ in range(rng.randint(3, 60))]
+              for g in ["g1", "g2", "g3"]}
+
+    def brute(vals, lo_pct, hi_pct):
+        s = sorted(vals)
+        n = len(s)
+        lo = s[(n * lo_pct + 99) // 100 - 1]
+        hi = s[(n * hi_pct + 99) // 100 - 1]
+        w = [min(max(v, lo), hi) for v in vals]
+        return (lo, hi, sum(w) / n,
+                sum(1 for v in vals if v < lo),
+                sum(1 for v in vals if v > hi))
+
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r for r in winsorize_stats(df, ["g"], "v", 5, 95).collect()}
+    for g, vs in groups.items():
+        lo, hi, mean, clo, chi = brute(vs, 5, 95)
+        r = got[g]
+        assert (r["lo_bound"], r["hi_bound"]) == (lo, hi), g
+        assert r["winsorized_mean"] == pytest.approx(mean)
+        assert (r["n_clamped_lo"], r["n_clamped_hi"]) == (clo, chi), g
