@@ -3322,7 +3322,12 @@ def q_covisitation_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = inter.where(F.col("in_train") == 1).select("user_id", "item_id")
     test = inter.where(F.col("in_test") == 1).select("user_id", "item_id")
-    recs = covisitation_topk(train, k=5, max_items_per_user=1000, min_common=2)
+    # train rows are unique per (user, item) by construction (the
+    # groupBy above) — skip covisitation's dedup shuffle
+    recs = covisitation_topk(
+        train, k=5, max_items_per_user=1000, min_common=2,
+        assume_distinct=True,
+    )
     capped = cap_items_per_user(
         test.select(F.col("user_id").alias("u"), F.col("item_id").alias("i")),
         1000,
@@ -3330,29 +3335,29 @@ def q_covisitation_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # held-out truth pairs: same row-local generator shape as the
     # model side — bounded per-user arrays, unordered pairs distinct'd
     # on the halved stream, mirrored after
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        _half_pairs,
+    )
+
     per_user = capped.groupBy("u").agg(F.collect_list("i").alias("_items"))
-    tail = F.slice(
-        F.col("_items"),
-        F.col("_pi") + 2,
-        F.greatest(F.size("_items") - F.col("_pi") - 1, F.lit(0)),
-    )
-    half = (
-        per_user.select(
-            F.col("_items"), F.posexplode("_items").alias("_pi", "_a")
-        )
-        .select(F.col("_a"), F.explode(tail).alias("_b"))
-        .select(
-            F.least("_a", "_b").alias("item"),
-            F.greatest("_a", "_b").alias("rec_item"),
-        )
-        .distinct()
-    )
+    # No distinct() on the truth stream and no shuffle of it either:
+    # duplicates are harmless to a containment probe, and the rec
+    # table is tiny — so the millions of truth pairs STREAM past a
+    # broadcast hash of the recs (both orientations via the mirror
+    # union, still one pass), and only the matched survivors (≤ recs
+    # size in distinct keys) pay a dedup. The old shape dedup'd and
+    # shuffled the full truth pair stream twice for nothing.
+    half = _half_pairs(per_user, "item", "rec_item")
     truth = half.unionByName(
         half.select(
             F.col("rec_item").alias("item"), F.col("item").alias("rec_item")
         )
     )
-    hits = recs.join(truth, ["item", "rec_item"], "left_semi")
+    hits = (
+        truth.join(F.broadcast(recs), ["item", "rec_item"], "inner")
+        .select("item", "rec_item", "rank")
+        .dropDuplicates(["item", "rec_item"])
+    )
     first_hit = hits.groupBy("item").agg(F.min("rank").alias("first_rank"))
     return first_hit.groupBy("first_rank").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
