@@ -3572,6 +3572,74 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs, "text", "doc_id", n=3, min_common=2)
 
 
+def q_covisitation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental co-visitation refresh (recsys.py
+    covisitation_increments): interactions split at a date cut into
+    state (old) and delta (new); old pair counts merge with the
+    delta increments — old x old pairs are NEVER regenerated. The
+    oracle is a FULL recompute over all interactions, checking the
+    merge law merge(pairs(old), inc(old, delta)) == pairs(old ∪ delta)
+    end-to-end, through the same top-k ranking as covisitation_topk."""
+    from pyspark.sql import Window
+
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        _half_pairs,
+        covisitation_increments,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    # a quarter of the user base carries the law check end-to-end —
+    # pair volume scales linearly with users, and the merge law is
+    # per-user, so the subset loses no coverage (filter pushed to the
+    # orders scan on both engines)
+    inter = (
+        orders.where(F.col("o_custkey") % 4 == 0)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("u"),
+            F.col("l_partkey").alias("i"),
+            (F.col("o_orderdate") < cut).alias("is_old"),
+        )
+        .groupBy("u", "i")
+        .agg(F.max(F.col("is_old").cast("int")).alias("in_old"))
+    )
+    state = inter.where(F.col("in_old") == 1).select("u", "i")
+    delta = inter.where(F.col("in_old") == 0).select("u", "i")
+    old_counts = (
+        _half_pairs(
+            state.groupBy("u").agg(F.collect_list("i").alias("_items")),
+            "item",
+            "rec_item",
+        )
+        .groupBy("item", "rec_item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common_delta"))
+    )
+    inc = covisitation_increments(state, delta)
+    merged = (
+        old_counts.unionByName(inc)
+        .groupBy("item", "rec_item")
+        .agg(F.sum("n_common_delta").cast("bigint").alias("n_common"))
+        .where(F.col("n_common") >= 2)
+    )
+    pairs = merged.unionByName(
+        merged.select(
+            F.col("rec_item").alias("item"),
+            F.col("item").alias("rec_item"),
+            "n_common",
+        )
+    )
+    rank_w = Window.partitionBy("item").orderBy(
+        F.col("n_common").desc(), F.col("rec_item")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= 5)
+        .select("item", "rec_item", "n_common", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 # Driver verification window: the driver oracle-checks the FIRST 50
 # entries of queries() in dict order; queries() reorders the full
 # registry so this list comes first. Round-4 rotation (ledger:
@@ -3790,6 +3858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_tokens": q_frequent_tokens,
         "ks_drift": q_ks_drift,
         "containment_pairs": q_containment_pairs,
+        "covisitation_incremental": q_covisitation_incremental,
     }
     out = {name: all_q[name] for name in _R4_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
@@ -6530,6 +6599,29 @@ SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        common / n_a AS c_a_in_b,
        common / n_b AS c_b_in_a
 FROM pairs
+""",
+        # FULL recompute over all interactions — the incremental merge
+        # law is exactly that this equals state-pairs + increments
+        "covisitation_incremental": """
+WITH m AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey % 4 = 0
+),
+pairs AS (
+  SELECT a.i AS item, b.i AS rec_item, CAST(count(*) AS BIGINT) AS n_common
+  FROM m a JOIN m b ON a.u = b.u AND a.i <> b.i
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+ranked AS (
+  SELECT item, rec_item, n_common,
+         row_number() OVER (PARTITION BY item
+                            ORDER BY n_common DESC, rec_item) AS rank
+  FROM pairs
+)
+SELECT item, rec_item, n_common, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
 """
     }
     # the materialized-shingle Jaccard is result-identical to the

@@ -134,6 +134,61 @@ def covisitation_topk(
     )
 
 
+def covisitation_increments(
+    state_items: DataFrame,
+    delta_items: DataFrame,
+    user_col: str = "u",
+    item_col: str = "i",
+) -> DataFrame:
+    """Incremental co-visitation maintenance: the pair-count
+    INCREMENTS contributed by a batch of new interactions, given the
+    per-user item state accumulated so far — so the co-visitation
+    model refreshes from a day's delta without re-pairing the full
+    history (the incremental_rollup_merge pattern applied to the
+    recsys model).
+
+    For each user, writing O = existing items and N = genuinely new
+    items (delta is deduped internally and anti-joined against
+    state), the new unordered pairs are exactly
+    ``half_pairs(N) ∪ (N x O)`` — row-local on both sides: N and O
+    collect into bounded per-user arrays and nested generators emit
+    the pairs, no self-join. Merging ``pair_counts ⊎ increments``
+    (one unionByName + sum groupBy) then equals a full recompute over
+    ``state ∪ delta`` — the law the oracle checks. Caps: apply the
+    per-user cap to the SERVED recompute, not the maintained state —
+    hash-priority truncation does not commute with unions.
+
+    Returns (item, rec_item, n_common_delta) with item < rec_item
+    (canonical half; mirror when serving)."""
+    state = state_items.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("i")
+    )
+    new = (
+        delta_items.select(
+            F.col(user_col).alias("u"), F.col(item_col).alias("i")
+        )
+        .distinct()
+        .join(state, ["u", "i"], "left_anti")
+    )
+    news = new.groupBy("u").agg(F.collect_list("i").alias("_items"))
+    olds = state.groupBy("u").agg(F.collect_list("i").alias("_olds"))
+    nn = _half_pairs(news, "item", "rec_item")
+    no = (
+        news.join(olds, "u")
+        .select(F.explode("_items").alias("_a"), F.col("_olds"))
+        .select("_a", F.explode("_olds").alias("_b"))
+        .select(
+            F.least("_a", "_b").alias("item"),
+            F.greatest("_a", "_b").alias("rec_item"),
+        )
+    )
+    return (
+        nn.unionByName(no)
+        .groupBy("item", "rec_item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common_delta"))
+    )
+
+
 def rec_catalog_coverage(
     recs_exploded: DataFrame,
     catalog: DataFrame,

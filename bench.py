@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "frequent_tokens",
     "ks_drift",
     "containment_pairs",
+    "covisitation_incremental",
 ]
 
 

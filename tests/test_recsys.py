@@ -178,3 +178,48 @@ def test_mean_vectors_by_key(spark):
         for r in mean_vectors_by_key(df, "k", "v").collect()
     }
     assert got == {("u1", 0): 2.0, ("u1", 1): 4.0, ("u2", 0): 5.0, ("u2", 1): 0.0}
+
+
+def test_covisitation_increments_merge_law(spark):
+    """merge(pairs(old), increments(old, delta)) == pairs(old ∪ delta),
+    including delta rows that duplicate state (must contribute 0)."""
+    from pyspark.sql import functions as F
+
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        _half_pairs,
+        covisitation_increments,
+    )
+
+    old_rows = [("u1", 1), ("u1", 2), ("u2", 2), ("u2", 3), ("u3", 9)]
+    delta_rows = [("u1", 3), ("u1", 2),  # (u1,2) already in state
+                  ("u2", 1), ("u4", 5), ("u4", 6)]
+    state = spark.createDataFrame(old_rows, "u string, i long")
+    delta = spark.createDataFrame(delta_rows, "u string, i long")
+
+    def pair_counts(df):
+        per_user = df.groupBy("u").agg(F.collect_list("i").alias("_items"))
+        return (
+            _half_pairs(per_user, "item", "rec_item")
+            .groupBy("item", "rec_item")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+
+    inc = covisitation_increments(state, delta)
+    merged = (
+        pair_counts(state)
+        .unionByName(inc.withColumnRenamed("n_common_delta", "n"))
+        .groupBy("item", "rec_item")
+        .agg(F.sum("n").alias("n"))
+    )
+    full = pair_counts(
+        state.unionByName(delta).distinct()
+    )
+    got = {(r["item"], r["rec_item"]): r["n"] for r in merged.collect()}
+    want = {(r["item"], r["rec_item"]): r["n"] for r in full.collect()}
+    assert got == want
+    # sanity: the duplicated (u1,2) added nothing on its own
+    inc_rows = {(r["item"], r["rec_item"]): r["n_common_delta"]
+                for r in inc.collect()}
+    # (1,3) from u1 (new 3 x old 1) AND u2 (new 1 x old 3); (2,3) u1 only
+    assert inc_rows[(1, 3)] == 2 and inc_rows[(2, 3)] == 1
+    assert inc_rows[(5, 6)] == 1  # new user, new-new pair
