@@ -3640,6 +3640,43 @@ def q_covisitation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator, ORACLE-CHECKED: the
+    applyInPandasWithState sessionizer (streaming/windows.py) drains
+    the events table through Trigger.AvailableNow and must emit
+    exactly the CLOSED sessions — every session except each user's
+    last (which is still open in state when the file stream runs dry;
+    processing-time timeouts cannot fire inside the run). The oracle
+    is the batch gap-island sessionization minus each user's final
+    session — pinning the state machine's gap semantics (strict >
+    30 min), counts, and bounds to the declarative form."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.windows import (
+        run_stream_to_memory,
+        sessionize_stateful,
+    )
+
+    landing = tempfile.mkdtemp(prefix="apc-stream-sess-")
+    ev = synthetic.load_events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"), "ts_us"
+    )
+    ev.coalesce(4).write.mode("append").parquet(landing)
+    stream = spark.readStream.schema(ev.schema).parquet(landing)
+    sessions = sessionize_stateful(
+        stream, gap_minutes=30, ts_us_col="ts_us", close_on_timeout=False
+    )
+    return run_stream_to_memory(
+        sessions.select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "session_start_us",
+            "session_end_us",
+            F.col("n_events").cast("bigint").alias("n_events"),
+        ),
+        output_mode="append",
+    )
+
+
 # Driver verification window: the driver oracle-checks the FIRST 50
 # entries of queries() in dict order; queries() reorders the full
 # registry so this list comes first. Round-4 rotation (ledger:
@@ -3859,6 +3896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "containment_pairs": q_containment_pairs,
         "covisitation_incremental": q_covisitation_incremental,
+        "stream_sessionize_stateful": q_stream_sessionize_stateful,
     }
     out = {name: all_q[name] for name in _R4_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
@@ -6622,6 +6660,38 @@ ranked AS (
 )
 SELECT item, rec_item, n_common, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
+""",
+        # batch gap-island sessions MINUS each user's final session
+        # (still open in stream state when the AvailableNow run ends)
+        "stream_sessionize_stateful": """
+WITH w AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+           AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800 * 1000 * 1000
+              THEN 1 ELSE 0 END AS new_s
+  FROM w
+),
+sess AS (
+  SELECT user_id, ts_us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us) AS sid
+  FROM flagged
+),
+agg AS (
+  SELECT user_id, sid,
+         min(ts_us) AS session_start_us,
+         max(ts_us) AS session_end_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY 1, 2
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       session_start_us, session_end_us, n_events
+FROM agg
+QUALIFY sid < max(sid) OVER (PARTITION BY user_id)
 """
     }
     # the materialized-shingle Jaccard is result-identical to the

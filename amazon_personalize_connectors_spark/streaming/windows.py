@@ -114,6 +114,7 @@ def _sessionize_group(
     batches: Iterable[pd.DataFrame],
     state: GroupState,
     gap_us: int,
+    use_timeout: bool = True,
 ) -> Iterator[pd.DataFrame]:
     """Per-user session state machine. Emits a row per CLOSED session;
     the open session lives in state until the gap elapses (processing-
@@ -146,30 +147,50 @@ def _sessionize_group(
         last_us = max(last_us, t)
         n += 1
     state.update((start_us, last_us, n))
-    state.setTimeoutDuration(gap_us // 1000)
+    if use_timeout:
+        state.setTimeoutDuration(gap_us // 1000)
     if closed:
         yield pd.DataFrame(closed, columns=SESSION_SCHEMA.fieldNames())
 
 
 def sessionize_stateful(
-    events: DataFrame, gap_minutes: int = 30, ts_us_col: str = "ts_us"
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_us_col: str = "ts_us",
+    close_on_timeout: bool = True,
 ) -> DataFrame:
     """Custom stateful sessionization over a stream:
     ``applyInPandasWithState`` keyed by user, per-key (start, last, n)
     state, sessions emitted when the gap passes. The batch-mode
     equivalent (window lag over ts) is the oracle-checked
     ``events_sessionize`` query; this is the streaming form with
-    bounded state + timeouts."""
+    bounded state + timeouts.
+
+    ``close_on_timeout=False`` switches to ``NoTimeout``: sessions
+    close ONLY when a later event passes the gap, and the final open
+    session per user stays in state unemitted. That is the mode for
+    drain-and-compare runs (q:stream_sessionize_stateful): with a
+    processing-time timeout, Trigger.AvailableNow cannot terminate —
+    it cycles empty micro-batches until every key's wall-clock
+    timeout fires (30 real minutes here). Production streams keep the
+    default: the timeout is exactly what closes idle sessions."""
     gap_us = gap_minutes * 60 * 1_000_000
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if close_on_timeout
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         events.selectExpr("user_id", f"{ts_us_col} as ts_us")
         .groupBy("user_id")
         .applyInPandasWithState(
-            lambda key, pdfs, state: _sessionize_group(key, pdfs, state, gap_us),
+            lambda key, pdfs, state: _sessionize_group(
+                key, pdfs, state, gap_us, use_timeout=close_on_timeout
+            ),
             outputStructType=SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=timeout,
         )
     )
 

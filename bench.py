@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "ks_drift",
     "containment_pairs",
     "covisitation_incremental",
+    "stream_sessionize_stateful",
 ]
 
 
