@@ -223,3 +223,51 @@ def test_covisitation_increments_merge_law(spark):
     # (1,3) from u1 (new 3 x old 1) AND u2 (new 1 x old 3); (2,3) u1 only
     assert inc_rows[(1, 3)] == 2 and inc_rows[(2, 3)] == 1
     assert inc_rows[(5, 6)] == 1  # new user, new-new pair
+
+
+def test_covisitation_incremental_state_roundtrip(spark, tmp_path):
+    """Operational refresh loop: day-1 pair counts persist to parquet
+    state; day-2 increments merge onto the READ-BACK state; the merged
+    table equals a full recompute over both days."""
+    from pyspark.sql import functions as F
+
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        _half_pairs,
+        covisitation_increments,
+    )
+
+    day1 = spark.createDataFrame(
+        [("u1", 1), ("u1", 2), ("u2", 1), ("u2", 3)], "u string, i long"
+    )
+    day2 = spark.createDataFrame(
+        [("u1", 3), ("u2", 2), ("u3", 1), ("u3", 2)], "u string, i long"
+    )
+
+    def pair_counts(df):
+        per_user = df.groupBy("u").agg(F.collect_list("i").alias("_items"))
+        return (
+            _half_pairs(per_user, "item", "rec_item")
+            .groupBy("item", "rec_item")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+
+    state_dir = str(tmp_path / "pair_state")
+    items_dir = str(tmp_path / "item_state")
+    pair_counts(day1).write.parquet(state_dir)
+    day1.write.parquet(items_dir)
+
+    # refresh run: everything read back from storage, nothing cached
+    state_pairs = spark.read.parquet(state_dir)
+    state_items = spark.read.parquet(items_dir)
+    inc = covisitation_increments(state_items, day2).withColumnRenamed(
+        "n_common_delta", "n"
+    )
+    merged = (
+        state_pairs.unionByName(inc)
+        .groupBy("item", "rec_item")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    full = pair_counts(day1.unionByName(day2).distinct())
+    got = {(r["item"], r["rec_item"]): r["n"] for r in merged.collect()}
+    want = {(r["item"], r["rec_item"]): r["n"] for r in full.collect()}
+    assert got == want
