@@ -3677,6 +3677,81 @@ def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item revenue by customer): 4-way
+    join with a quarter date window and the returnflag filter pushed
+    to both scans, decimal-exact revenue, top 20. The nation dim
+    broadcasts; AQE picks broadcast for the filtered order window at
+    driver scale."""
+    customer = synthetic.load_table(spark, sf_dir, "customer")
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    nation = synthetic.load_table(spark, sf_dir, "nation")
+    lo = F.lit("1996-10-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return (
+        orders.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_returnflag") == "R")
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("decimal(18,2)").alias("_bal"),
+            "n_name",
+        )
+        .agg(F.sum(rev).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            "c_name",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.col("_bal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): the HAVING subquery is
+    one map-side-combinable aggregate over lineitem whose survivors
+    (big orders) SEMI-join back — the probe side never widens — then
+    customer decorates the survivors. Quantity sums as exact
+    decimals; top 100 with full deterministic tie-break."""
+    customer = synthetic.load_table(spark, sf_dir, "customer")
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate"),
+            F.col("o_orderkey"),
+        )
+        .limit(100)
+        .select(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            "c_name",
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.to_date("o_orderdate").cast("string").alias("o_orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
 # Driver verification window: the driver oracle-checks the FIRST 50
 # entries of queries() in dict order; queries() reorders the full
 # registry so this list comes first. Round-4 rotation (ledger:
@@ -3897,6 +3972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "covisitation_incremental": q_covisitation_incremental,
         "stream_sessionize_stateful": q_stream_sessionize_stateful,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q18": q_tpch_q18,
     }
     out = {name: all_q[name] for name in _R4_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
@@ -6692,6 +6769,42 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        session_start_us, session_end_us, n_events
 FROM agg
 QUALIFY sid < max(sid) OVER (PARTITION BY user_id)
+""",
+        "tpch_q10": """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+            AS DOUBLE) AS revenue,
+       CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS c_acctbal,
+       n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)), n_name
+ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) DESC,
+         c_custkey
+LIMIT 20
+""",
+        "tpch_q18": """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
 """
     }
     # the materialized-shingle Jaccard is result-identical to the

@@ -173,6 +173,8 @@ BENCH_QUERIES = [
     "containment_pairs",
     "covisitation_incremental",
     "stream_sessionize_stateful",
+    "tpch_q10",
+    "tpch_q18",
 ]
 
 
