@@ -3752,6 +3752,47 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_model_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming co-visitation model refresh, ORACLE-CHECKED end to
+    end (streaming/model_refresh.py): interactions staged as four
+    parquet files drain through foreachBatch ONE FILE PER
+    MICRO-BATCH (maxFilesPerTrigger=1), each batch folding its
+    increments into the versioned pairs+items store; serve_topk over
+    the final store must equal a FULL recompute over all
+    interactions — regardless of how the files split into batches.
+    Same quarter-of-users subset as covisitation_incremental."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.model_refresh import (
+        refresh_from_stream,
+        serve_topk,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    inter = (
+        orders.where(F.col("o_custkey") % 4 == 0)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("u"),
+            F.col("l_partkey").cast("long").alias("i"),
+        )
+    )
+    landing = tempfile.mkdtemp(prefix="apc-model-landing-")
+    store = tempfile.mkdtemp(prefix="apc-model-store-")
+    ckpt = tempfile.mkdtemp(prefix="apc-model-ckpt-")
+    inter.repartition(4).write.mode("append").parquet(landing)
+    stream = (
+        spark.readStream.schema("u long, i long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    refresh_from_stream(stream, store, ckpt)
+    return serve_topk(spark, store, k=5, min_common=2).select(
+        "item", "rec_item", "n_common", F.col("rank").cast("int").alias("rank")
+    )
+
+
 # Driver verification window: the driver oracle-checks the FIRST 50
 # entries of queries() in dict order; queries() reorders the full
 # registry so this list comes first. Round-4 rotation (ledger:
@@ -3974,6 +4015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize_stateful": q_stream_sessionize_stateful,
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
+        "stream_model_refresh": q_stream_model_refresh,
     }
     out = {name: all_q[name] for name in _R4_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
@@ -6805,6 +6847,29 @@ FROM orders JOIN big ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey
 ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
 LIMIT 100
+""",
+        # FULL recompute — the stream-maintained store must serve
+        # identical top-k no matter how files split into micro-batches
+        "stream_model_refresh": """
+WITH m AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey % 4 = 0
+),
+pairs AS (
+  SELECT a.i AS item, b.i AS rec_item, CAST(count(*) AS BIGINT) AS n_common
+  FROM m a JOIN m b ON a.u = b.u AND a.i <> b.i
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+ranked AS (
+  SELECT item, rec_item, n_common,
+         row_number() OVER (PARTITION BY item
+                            ORDER BY n_common DESC, rec_item) AS rank
+  FROM pairs
+)
+SELECT item, rec_item, n_common, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
 """
     }
     # the materialized-shingle Jaccard is result-identical to the
