@@ -315,3 +315,52 @@ def test_winsorize_matches_bruteforce_random(spark):
         assert (r["lo_bound"], r["hi_bound"]) == (lo, hi), g
         assert r["winsorized_mean"] == pytest.approx(mean)
         assert (r["n_clamped_lo"], r["n_clamped_hi"]) == (clo, chi), g
+
+
+def test_frequent_values_integer_column(spark):
+    # non-string value columns keep their type through the Arrow
+    # candidate pass (schema is built from the input column's type)
+    rows = [(7,)] * 40 + [(int(1000 + i),) for i in range(60)]
+    df = spark.createDataFrame(rows, "v long")
+    out = frequent_values_exact(df, "v", 0.2).collect()
+    assert [(r["v"], r["n"]) for r in out] == [(7, 40)]
+    assert out[0]["v"] == 7 and isinstance(out[0]["v"], int)
+
+
+def test_loo_matches_bruteforce_hypothesis(spark):
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(["a", "b", "c"]),
+                      st.integers(min_value=-100, max_value=100)),
+            min_size=1, max_size=30,
+        )
+    )
+    def check(rows):
+        from collections import defaultdict
+
+        df = spark.createDataFrame(rows, "cat string, y long")
+        sums, counts = defaultdict(int), defaultdict(int)
+        for c, y in rows:
+            sums[c] += y
+            counts[c] += 1
+        # multiset comparison of (cat, y, encoding) triples
+        want = sorted(
+            (c, y, (sums[c] - y) / (counts[c] - 1) if counts[c] > 1 else None)
+            for c, y in rows
+        )
+        have = sorted(
+            (r["cat"], r["y"], r["te"])
+            for r in target_encoding_loo(df, "cat", "y", "te").collect()
+        )
+        assert len(want) == len(have)
+        for (c1, y1, t1), (c2, y2, t2) in zip(want, have):
+            assert (c1, y1) == (c2, y2)
+            if t1 is None:
+                assert t2 is None
+            else:
+                assert t2 == pytest.approx(t1)
+
+    check()
