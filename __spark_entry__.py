@@ -3793,6 +3793,24 @@ def q_stream_model_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier screen (operators/features.py
+    robust_outlier_stats) over integer cents per return flag — the
+    robust sibling of the mean/std price_outliers band. Discrete
+    (rank-based) medians keep every statistic integer-exact."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        robust_outlier_stats,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return robust_outlier_stats(li, ["l_returnflag"], "cents", k=3)
+
+
 # Driver verification window: the driver oracle-checks the FIRST 50
 # entries of queries() in dict order; queries() reorders the full
 # registry so this list comes first. Round-4 rotation (ledger:
@@ -4016,6 +4034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
         "stream_model_refresh": q_stream_model_refresh,
+        "mad_outliers": q_mad_outliers,
     }
     out = {name: all_q[name] for name in _R4_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
@@ -6870,6 +6889,48 @@ ranked AS (
 )
 SELECT item, rec_item, n_common, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
+""",
+        # discrete lower-median + MAD, all-integer: rank (n+1)//2 over
+        # values, then over absolute deviations; k*MAD band count
+        "mad_outliers": """
+WITH v AS (
+  SELECT l_returnflag AS g,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM lineitem
+),
+r AS (
+  SELECT g, c, row_number() OVER (PARTITION BY g ORDER BY c) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM v
+),
+med AS (
+  SELECT g, min(CASE WHEN rn = (n + 1) // 2 THEN c END) AS median,
+         CAST(max(n) AS BIGINT) AS n_rows
+  FROM r GROUP BY g
+),
+d AS (
+  SELECT v.g, abs(c - median) AS ad, median, n_rows
+  FROM v JOIN med USING (g)
+),
+dr AS (
+  SELECT g, ad, median, n_rows,
+         row_number() OVER (PARTITION BY g ORDER BY ad) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM d
+),
+mad AS (
+  SELECT g, min(CASE WHEN rn = (n + 1) // 2 THEN ad END) AS mad
+  FROM dr GROUP BY g
+)
+SELECT v.g AS l_returnflag,
+       max(n_rows) AS n_rows,
+       max(median) AS median,
+       max(mad.mad) AS mad,
+       CAST(sum(CASE WHEN abs(c - median) > 3 * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(max(abs(c - median)) AS BIGINT) AS max_abs_dev
+FROM v JOIN med USING (g) JOIN mad USING (g)
+GROUP BY v.g
 """
     }
     # the materialized-shingle Jaccard is result-identical to the

@@ -229,3 +229,71 @@ def ks_two_sample(
             (F.col("ks_num") / (F.col("n_a") * F.col("n_b"))).alias("ks_stat"),
         )
     )
+
+
+def robust_outlier_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Median/MAD outlier screen per group: a value is an outlier when
+    ``|v - median| > k * MAD`` (MAD = median absolute deviation) — the
+    robust alternative to mean/std bands (one fat-finger row moves a
+    mean band; it cannot move the median or the MAD).
+
+    Both medians are DISCRETE (the value at rank ``ceil(n/2)`` — the
+    lower median): with an integer ``value_col`` every statistic,
+    deviation, threshold, and count is integer-exact and
+    engine-portable, the same portability rule as winsorize_stats.
+    Cost: two rank passes (one window over the group for the median,
+    one over the deviations for the MAD) + the flag re-aggregate;
+    each bounds work by group size, and the tiny per-group stats
+    broadcast back for the flagging pass."""
+    w_ord = Window.partitionBy(*group_cols).orderBy(F.col(value_col))
+    w_all = Window.partitionBy(*group_cols)
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).alias("_v"),
+        F.row_number().over(w_ord).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    )
+    med_rank = F.expr("(_n + 1) div 2")
+    med = ranked.groupBy(*group_cols).agg(
+        F.min(F.when(F.col("_rn") == med_rank, F.col("_v"))).alias("median"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    dev = df.join(F.broadcast(med), list(group_cols)).select(
+        *group_cols,
+        "median",
+        "n_rows",
+        F.abs(F.col(value_col) - F.col("median")).alias("_d"),
+    )
+    wd_ord = Window.partitionBy(*group_cols).orderBy(F.col("_d"))
+    dev_ranked = dev.select(
+        *group_cols,
+        "_d",
+        F.row_number().over(wd_ord).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    )
+    mad = dev_ranked.groupBy(*group_cols).agg(
+        F.min(F.when(F.col("_rn") == med_rank, F.col("_d"))).alias("mad")
+    )
+    stats = med.join(mad, list(group_cols))
+    flagged = df.join(F.broadcast(stats), list(group_cols)).select(
+        *group_cols,
+        "n_rows",
+        "median",
+        "mad",
+        (F.abs(F.col(value_col) - F.col("median")) > F.lit(k) * F.col("mad"))
+        .cast("int")
+        .alias("_out"),
+        F.abs(F.col(value_col) - F.col("median")).alias("_absdev"),
+    )
+    return flagged.groupBy(*group_cols).agg(
+        F.first("n_rows").alias("n_rows"),
+        F.first("median").alias("median"),
+        F.first("mad").alias("mad"),
+        F.sum("_out").cast("bigint").alias("n_outliers"),
+        F.max("_absdev").cast("bigint").alias("max_abs_dev"),
+    )

@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "stream_sessionize_stateful",
     "tpch_q10",
     "tpch_q18",
+    "mad_outliers",
     # stream_model_refresh is deliberately NOT benched: it drains 4
     # micro-batches each rewriting the versioned model store (~23 s at
     # sf0.1 by design) — a law-check query, not a throughput query.

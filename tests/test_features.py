@@ -364,3 +364,32 @@ def test_loo_matches_bruteforce_hypothesis(spark):
                 assert t2 == pytest.approx(t1)
 
     check()
+
+
+def test_mad_outliers_bruteforce(spark):
+    import random
+
+    from amazon_personalize_connectors_spark.operators.features import (
+        robust_outlier_stats,
+    )
+
+    rng = random.Random(7)
+    vals = [rng.randint(90, 110) for _ in range(41)] + [500, -300]
+
+    def brute(vs, k):
+        s = sorted(vs)
+        n = len(s)
+        med = s[(n + 1) // 2 - 1]
+        devs = sorted(abs(v - med) for v in vs)
+        mad = devs[(n + 1) // 2 - 1]
+        return (med, mad,
+                sum(1 for v in vs if abs(v - med) > k * mad),
+                max(abs(v - med) for v in vs))
+
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    r = robust_outlier_stats(df, ["g"], "v", k=5).collect()[0]
+    med, mad, n_out, mx = brute(vals, 5)
+    assert (r["median"], r["mad"], r["n_outliers"], r["max_abs_dev"]) == (
+        med, mad, n_out, mx
+    )
+    assert r["n_outliers"] >= 2  # the two planted spikes
