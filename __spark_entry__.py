@@ -2851,13 +2851,17 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_user_profile_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """User profile embeddings: elementwise mean of the embeddings of
-    a user's interacted items (items bridge to vectors by id modulo
-    the vector count — fixture bridging, broadcast 1-row modulus).
-    Long-form (user, dim, mean) output, 6-dp rounded for parity.
-    operators/recsys.py:mean_vectors_by_key."""
+    """User profile embeddings: per (user, dim) the EXACT bigint sum
+    of interacted-item embedding elements in micro-units plus the
+    member count (items bridge to vectors by id modulo the vector
+    count — fixture bridging, broadcast 1-row modulus). Integer sums
+    are associative, so the result is bit-identical under any
+    partitioning — the round-4 red row was a double avg() whose 6-dp
+    rounding flipped with accumulation order. The mean is
+    vsum_micro / (1e6 * n_vecs), recoverable downstream.
+    operators/recsys.py:profile_vector_sums."""
     from amazon_personalize_connectors_spark.operators.recsys import (
-        mean_vectors_by_key,
+        profile_vector_sums,
     )
 
     mapping = synthetic.user_item_mapping(spark, sf_dir).select(
@@ -2872,8 +2876,8 @@ def q_user_profile_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(emb, "vec_id")
         .select("user_id", "embedding")
     )
-    return mean_vectors_by_key(joined, "user_id", "embedding").select(
-        "user_id", F.col("dim").cast("int").alias("dim"), "mean_val"
+    return profile_vector_sums(joined, "user_id", "embedding").select(
+        "user_id", F.col("dim").cast("int").alias("dim"), "vsum_micro", "n_vecs"
     )
 
 
@@ -6215,7 +6219,9 @@ x AS (
          CAST(list_extract(j.embedding, d.dim + 1) AS DOUBLE) AS v
   FROM j CROSS JOIN dims d
 )
-SELECT u AS user_id, CAST(dim AS INT) AS dim, round(avg(v), 6) AS mean_val
+SELECT u AS user_id, CAST(dim AS INT) AS dim,
+       CAST(sum(CAST(round(v * 1000000.0) AS BIGINT)) AS BIGINT) AS vsum_micro,
+       CAST(count(*) AS BIGINT) AS n_vecs
 FROM x GROUP BY 1, 2
 """,
         "funnel_windows": """

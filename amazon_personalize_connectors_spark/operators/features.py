@@ -12,14 +12,16 @@ Scale shapes:
   skewed catalog guarantees), while the join-back form shuffles both
   sides hash-partitioned — AQE's skew-join splitting applies — and
   the per-category aggregate side is tiny, usually broadcast.
-* ``winsorize_stats`` uses the DISCRETE (inverse-CDF) percentile —
-  the group value at rank ``ceil(pct/100 * n)`` — not interpolated
-  ``percentile``: rank selection is pure integer arithmetic, so the
-  bounds are actual data values and every downstream clamp/count/sum
-  is engine-exact (the histogram_quantiles portability lesson).
-  Cost: one sort per group (a window over the group partition) plus
-  the clamp re-aggregate — bounded by group size, and the bounds
-  table (one row per group) broadcasts back for the clamp.
+* ``winsorize_stats`` and ``robust_outlier_stats`` use the DISCRETE
+  (inverse-CDF) percentile — the group value at rank
+  ``ceil(pct/100 * n)`` — not interpolated ``percentile``: rank
+  selection is pure integer arithmetic, so the bounds are actual
+  data values and every downstream clamp/count/sum is engine-exact
+  (the histogram_quantiles portability lesson). Both collapse the
+  raw rows to the (group, value, count) GRID before any ranking —
+  the window sorts grid rows (bounded by value-domain cardinality),
+  never raw rows, so a low-cardinality group key cannot funnel a
+  group's full row set through one task at scale.
 * ``next_item_examples`` is row-local generation: one sort-shuffle
   per user (the window), then each example's context is a bounded
   slice of the running collect_list frame — rows out ∝ interactions,
@@ -88,44 +90,62 @@ def winsorize_stats(
     (``(n*p + 99) div 100``), the bounds are actual data values, and
     with an integer ``value_col`` (the engine's cents convention)
     every clamp, count, and sum downstream is exact and
-    engine-portable — no interpolation, no float drift. Cost: one
-    sort per group (window over the group partition) for the ranks,
-    then the clamp re-aggregate; the bounds table (one row per
-    group) broadcasts back. ``winsorized_mean`` is an exact integer
-    sum over n, divided once at the end."""
-    w_ord = Window.partitionBy(*group_cols).orderBy(
-        F.col(value_col), *[F.col(c) for c in group_cols]
+    engine-portable — no interpolation, no float drift.
+
+    Scale shape: the raw rows are NEVER ranked. The input collapses
+    to the (group, value, count) GRID in one map-side-combinable
+    aggregate (the ks_two_sample / histogram_quantiles pattern), the
+    rank-r bound is read off the grid's running count (``min value
+    whose cumulative count >= r``), and the clamp statistics are
+    grid-side sums (``count * clamp(value)``). The only sort is a
+    window over the GRID partition — bounded by the value-domain
+    cardinality (cents of a bounded price range), not by row count,
+    so a 100x data scale-up grows the grid sublinearly while a
+    raw-row ``row_number()`` over a 3-value group key would funnel
+    every row of a group through one task. Raw data is scanned
+    exactly once."""
+    grid = df.groupBy(
+        *group_cols, F.col(value_col).alias("_v")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = Window.partitionBy(*group_cols)
-    ranked = df.select(
-        *group_cols,
-        F.col(value_col).alias("_v"),
-        F.row_number().over(w_ord).alias("_rn"),
-        F.count(F.lit(1)).over(w_all).alias("_n"),
-    )
+    cum = grid.withColumn("_cum", F.sum("_c").over(w_cum))
+    tot = grid.groupBy(*group_cols).agg(F.sum("_c").alias("_n"))
+    g2 = cum.join(F.broadcast(tot), list(group_cols))
     lo_rank = F.expr(f"(_n * {lo_pct} + 99) div 100")
     hi_rank = F.expr(f"(_n * {hi_pct} + 99) div 100")
-    bounds = ranked.groupBy(*group_cols).agg(
-        F.min(F.when(F.col("_rn") == lo_rank, F.col("_v"))).alias("lo_bound"),
-        F.min(F.when(F.col("_rn") == hi_rank, F.col("_v"))).alias("hi_bound"),
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    bounds = g2.groupBy(*group_cols).agg(
+        F.min(F.when(F.col("_cum") >= lo_rank, F.col("_v"))).alias("lo_bound"),
+        F.min(F.when(F.col("_cum") >= hi_rank, F.col("_v"))).alias("hi_bound"),
+        F.max("_n").cast("bigint").alias("n_rows"),
     )
-    clamped = df.join(F.broadcast(bounds), list(group_cols)).select(
+    clamped = grid.join(F.broadcast(bounds), list(group_cols)).select(
         *group_cols,
         "n_rows",
         "lo_bound",
         "hi_bound",
-        F.greatest(
-            F.col("lo_bound"), F.least(F.col("hi_bound"), F.col(value_col))
-        ).alias("_w"),
-        (F.col(value_col) < F.col("lo_bound")).cast("int").alias("_clo"),
-        (F.col(value_col) > F.col("hi_bound")).cast("int").alias("_chi"),
+        (
+            F.col("_c")
+            * F.greatest(
+                F.col("lo_bound"), F.least(F.col("hi_bound"), F.col("_v"))
+            )
+        ).alias("_wsum"),
+        F.when(F.col("_v") < F.col("lo_bound"), F.col("_c"))
+        .otherwise(F.lit(0))
+        .alias("_clo"),
+        F.when(F.col("_v") > F.col("hi_bound"), F.col("_c"))
+        .otherwise(F.lit(0))
+        .alias("_chi"),
+        F.col("_c"),
     )
     return clamped.groupBy(*group_cols).agg(
         F.first("n_rows").alias("n_rows"),
         F.first("lo_bound").alias("lo_bound"),
         F.first("hi_bound").alias("hi_bound"),
-        (F.sum("_w").cast("double") / F.count(F.lit(1))).alias(
+        (F.sum("_wsum").cast("double") / F.sum("_c")).alias(
             "winsorized_mean"
         ),
         F.sum("_clo").cast("bigint").alias("n_clamped_lo"),
@@ -246,54 +266,70 @@ def robust_outlier_stats(
     lower median): with an integer ``value_col`` every statistic,
     deviation, threshold, and count is integer-exact and
     engine-portable, the same portability rule as winsorize_stats.
-    Cost: two rank passes (one window over the group for the median,
-    one over the deviations for the MAD) + the flag re-aggregate;
-    each bounds work by group size, and the tiny per-group stats
-    broadcast back for the flagging pass."""
-    w_ord = Window.partitionBy(*group_cols).orderBy(F.col(value_col))
-    w_all = Window.partitionBy(*group_cols)
-    ranked = df.select(
-        *group_cols,
-        F.col(value_col).alias("_v"),
-        F.row_number().over(w_ord).alias("_rn"),
-        F.count(F.lit(1)).over(w_all).alias("_n"),
+
+    Scale shape: the raw rows are NEVER ranked. One map-side-
+    combinable aggregate collapses the input to the (group, value,
+    count) grid; the median is the grid value whose running count
+    first reaches rank ``(n+1) div 2``; the deviation DISTRIBUTION is
+    the grid re-keyed on ``|v - median|`` (a second grid aggregate —
+    values below and above the median collide, so counts re-merge);
+    the MAD is the deviation grid's rank read; the outlier count and
+    max deviation are grid-side sums. Every window sorts GRID rows
+    (bounded by value-domain cardinality, not row count), and raw
+    data is scanned exactly once."""
+    grid = df.groupBy(
+        *group_cols, F.col(value_col).alias("_v")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    cum = grid.withColumn("_cum", F.sum("_c").over(w_cum))
+    tot = grid.groupBy(*group_cols).agg(F.sum("_c").alias("_n"))
+    g2 = cum.join(F.broadcast(tot), list(group_cols))
     med_rank = F.expr("(_n + 1) div 2")
-    med = ranked.groupBy(*group_cols).agg(
-        F.min(F.when(F.col("_rn") == med_rank, F.col("_v"))).alias("median"),
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    med = g2.groupBy(*group_cols).agg(
+        F.min(F.when(F.col("_cum") >= med_rank, F.col("_v"))).alias("median"),
+        F.max("_n").cast("bigint").alias("n_rows"),
     )
-    dev = df.join(F.broadcast(med), list(group_cols)).select(
-        *group_cols,
-        "median",
-        "n_rows",
-        F.abs(F.col(value_col) - F.col("median")).alias("_d"),
+    # deviation grid: re-key the value grid on |v - median| and
+    # re-merge counts (v = median - d and v = median + d collide)
+    dev_grid = (
+        grid.join(F.broadcast(med), list(group_cols))
+        .groupBy(
+            *group_cols,
+            "median",
+            "n_rows",
+            F.abs(F.col("_v") - F.col("median")).alias("_d"),
+        )
+        .agg(F.sum("_c").alias("_dc"))
     )
-    wd_ord = Window.partitionBy(*group_cols).orderBy(F.col("_d"))
-    dev_ranked = dev.select(
-        *group_cols,
-        "_d",
-        F.row_number().over(wd_ord).alias("_rn"),
-        F.count(F.lit(1)).over(w_all).alias("_n"),
+    wd_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    mad = dev_ranked.groupBy(*group_cols).agg(
-        F.min(F.when(F.col("_rn") == med_rank, F.col("_d"))).alias("mad")
+    dev_cum = dev_grid.withColumn("_dcum", F.sum("_dc").over(wd_cum))
+    mad = dev_cum.groupBy(*group_cols).agg(
+        F.min(
+            F.when(F.col("_dcum") >= F.expr("(n_rows + 1) div 2"), F.col("_d"))
+        ).alias("mad")
     )
-    stats = med.join(mad, list(group_cols))
-    flagged = df.join(F.broadcast(stats), list(group_cols)).select(
+    flagged = dev_grid.join(F.broadcast(mad), list(group_cols)).select(
         *group_cols,
         "n_rows",
         "median",
         "mad",
-        (F.abs(F.col(value_col) - F.col("median")) > F.lit(k) * F.col("mad"))
-        .cast("int")
+        F.when(F.col("_d") > F.lit(k) * F.col("mad"), F.col("_dc"))
+        .otherwise(F.lit(0))
         .alias("_out"),
-        F.abs(F.col(value_col) - F.col("median")).alias("_absdev"),
+        "_d",
     )
     return flagged.groupBy(*group_cols).agg(
         F.first("n_rows").alias("n_rows"),
         F.first("median").alias("median"),
         F.first("mad").alias("mad"),
         F.sum("_out").cast("bigint").alias("n_outliers"),
-        F.max("_absdev").cast("bigint").alias("max_abs_dev"),
+        F.max("_d").cast("bigint").alias("max_abs_dev"),
     )

@@ -397,6 +397,48 @@ def mean_vectors_by_key(
     exploded = df.select(
         F.col(key_col), F.posexplode(F.col(vec_col)).alias("dim", "_v")
     )
+    # ORDER-INDEPENDENT mean: a double avg() is accumulation-order
+    # sensitive (last-ulp drift flips a 6-dp rounding at the boundary
+    # — observed as a partitioning-dependent hash mismatch). Decimal
+    # addition is exact and associative, so sum as decimal and divide
+    # ONCE; the result is identical under any partitioning/merge order.
+    s = F.sum(F.col("_v").cast("double").cast("decimal(38,12)"))
+    n = F.count(F.lit(1))
     return exploded.groupBy(key_col, "dim").agg(
-        F.round(F.avg(F.col("_v").cast("double")), round_decimals).alias("mean_val")
+        F.round((s / n).cast("double"), round_decimals).alias("mean_val")
+    )
+
+
+def profile_vector_sums(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact, engine-portable profile-vector aggregate: per (key, dim),
+    the bigint sum of each element rounded to ``1/scale`` units plus
+    the member count — ``(key, dim, vsum_micro, n_vecs)``. The mean is
+    ``vsum_micro / (scale * n_vecs)``, recoverable by any consumer.
+
+    Why integers instead of a mean: integer addition is associative,
+    so the result is bit-identical under ANY partitioning, merge
+    order, or engine — the property a cross-engine correctness gate
+    (and an incremental/streaming merge) needs. A double ``avg()``
+    drifts in the last ulp with accumulation order; rounding the mean
+    does not fix a value sitting on the rounding boundary. Per-value
+    scaling (``round(v * scale)``) is a deterministic IEEE multiply +
+    half-away-from-zero round, identical across engines.
+
+    Same shuffle shape as ``mean_vectors_by_key``: posexplode +
+    map-side-combinable groupBy — the exchange carries profile-sized
+    partial sums, not interactions x dims rows."""
+    exploded = df.select(
+        F.col(key_col), F.posexplode(F.col(vec_col)).alias("dim", "_v")
+    )
+    scaled = F.round(F.col("_v").cast("double") * F.lit(float(scale))).cast(
+        "bigint"
+    )
+    return exploded.groupBy(key_col, "dim").agg(
+        F.sum(scaled).alias("vsum_micro"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
     )
