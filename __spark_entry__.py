@@ -6759,19 +6759,26 @@ FROM cum, tot
 GROUP BY n_a, n_b
 """,
         # same rare-shingle candidates as ngram_jaccard_pairs; both
-        # containment directions are integer/integer divisions
+        # containment directions are integer/integer divisions.
+        # numerator and denominators share the RARE universe: common
+        # can only count rare shingles, so n_a/n_b are per-doc RARE
+        # counts (raw counts would understate containment for pairs
+        # sharing frequent shingles)
         "containment_pairs": f"""
 WITH {_SHINGLES_CTE.lstrip()},
 rare AS (
   SELECT shingle FROM exploded_sh GROUP BY shingle HAVING count(*) <= 100
 ),
 filtered AS (SELECT e.* FROM exploded_sh e JOIN rare USING (shingle)),
+fn AS (SELECT doc_id, count(*) AS n_rare FROM filtered GROUP BY 1),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         a.n_shingles AS n_a, b.n_shingles AS n_b,
+         na.n_rare AS n_a, nb.n_rare AS n_b,
          count(*) AS common
   FROM filtered a JOIN filtered b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN fn na ON na.doc_id = a.doc_id
+  JOIN fn nb ON nb.doc_id = b.doc_id
   GROUP BY 1, 2, 3, 4
   HAVING count(*) >= 2
 )

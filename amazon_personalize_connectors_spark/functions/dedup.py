@@ -14,7 +14,7 @@ across engines — the DuckDB oracles compute the identical signatures.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from amazon_personalize_connectors_spark.functions.text import tokens
@@ -200,14 +200,26 @@ def containment_pairs(
     extra metric costs nothing new at scale: both directions come off
     the one aggregated pair row as integer/integer divisions.
 
+    Numerator AND denominators are computed over the same universe —
+    the RARE-shingle subset (document frequency <= max_shingle_df):
+    ``common`` can only count rare shingles, so dividing by the raw
+    per-doc shingle count would systematically understate containment
+    for pairs sharing frequent shingles (a short doc pasted into many
+    long docs would never reach 1). The per-doc rare count is a
+    window over the doc-id partition — per-doc work, bounded by doc
+    size, scale-safe.
+
     Returns (id_a, id_b, common, n_a, n_b, c_a_in_b, c_b_in_a) with
-    id_a < id_b."""
+    id_a < id_b; n_a/n_b are rare-shingle counts."""
     sh = _rare_hashed_shingles(df, text_col, id_col, n, max_shingle_df)
+    sh = sh.withColumn(
+        "n_rare", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    )
     a = sh.select(
-        F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle"
+        F.col("id").alias("id_a"), F.col("n_rare").alias("n_a"), "shingle"
     )
     b = sh.select(
-        F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"), "shingle"
+        F.col("id").alias("id_b"), F.col("n_rare").alias("n_b"), "shingle"
     )
     pairs = (
         a.join(b, "shingle")

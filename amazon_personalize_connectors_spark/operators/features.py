@@ -66,7 +66,10 @@ def target_encoding_loo(
     joined = df.join(stats, cat_col, "left")
     loo = F.when(
         F.col("_te_n") > 1,
-        (F.col("_te_sum") - F.coalesce(F.col(target_col), F.lit(0.0)))
+        # integer zero: a 0.0 literal would promote the numerator to
+        # double and break the "exact integral sums, one promoting
+        # division at the end" contract past 2^53
+        (F.col("_te_sum") - F.coalesce(F.col(target_col), F.lit(0)))
         / (F.col("_te_n") - F.when(F.col(target_col).isNotNull(), 1).otherwise(0)),
     )
     return joined.withColumn(out_col, loo).drop("_te_sum", "_te_n")

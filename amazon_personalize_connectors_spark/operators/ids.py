@@ -80,7 +80,11 @@ def add_running_totals(
         offsets[row["__pid"]] = list(acc)
         for i in range(len(value_cols)):
             s = row[f"__s_{i}"]
-            acc[i] = s if acc[i] is None else acc[i] + s
+            # a partition where every summed value is NULL yields a
+            # NULL partition sum — treat as 0 (contributes nothing to
+            # downstream offsets) instead of raising on None + int
+            if s is not None:
+                acc[i] = s if acc[i] is None else acc[i] + s
     # offsets are SUMS — use the aggregate's (widened) types, not the
     # input value types, or large datasets overflow narrower decimals
     sum_types = dict(sums_frame.dtypes)
