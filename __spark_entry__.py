@@ -3817,12 +3817,65 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Driver verification window: the driver oracle-checks the FIRST 50
 # entries of queries() in dict order; queries() reorders the full
-# registry so this list comes first. Round-4 rotation (ledger:
-# VERIFIED.md): the 36 round-3 additions never driver-verified
-# (judge-verified only), the new renest_capped, and 13 of the 14
-# queries whose only driver evidence is round 1 (renest_legacy_window
-# defers to round 5 — its equivalence to renest_ordered is pytest-
-# pinned, lowest-risk deferral).
+# registry so this list comes first. Round-5 rotation (ledger:
+# VERIFIED.md, planned by tools/rotate_window.py): the 3 sentinels,
+# the round-4 red row (user_profile_vectors — now order-independent),
+# the 2 rows-only queries (refresh their weaker check), the 12 round-4
+# additions the driver has never seen, the deferred
+# renest_legacy_window, and the stalest r2 greens.
+_R5_WINDOW = [
+    "flagship_related_flat",
+    "attribution_join",
+    "delta_except",
+    "hll_user_rollup",
+    "user_profile_vectors",
+    "multimodal_decode",
+    "target_encoding",
+    "winsorize_prices",
+    "next_item_examples",
+    "frequent_tokens",
+    "ks_drift",
+    "containment_pairs",
+    "covisitation_incremental",
+    "stream_sessionize_stateful",
+    "tpch_q10",
+    "tpch_q18",
+    "stream_model_refresh",
+    "mad_outliers",
+    "renest_legacy_window",
+    "error_split_ok",
+    "error_split_errors",
+    "explode_outer",
+    "decorate_flat",
+    "renest_ordered",
+    "user_pers_flat",
+    "payload_pivot",
+    "topk_slice",
+    "stamp_literals",
+    "text_tokens",
+    "text_quality",
+    "lang_profile",
+    "doc_fingerprint",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_materialized",
+    "neardup_components",
+    "minhash_lsh",
+    "simhash",
+    "simhash64",
+    "state_digest_update",
+    "ann_topk",
+    "ann_topk_partial",
+    "ann_quantized",
+    "rrf_fusion",
+    "pq_adc",
+    "simhash_neardup",
+    "ivf_probe_topk",
+    "quality_filter",
+    "llm_corpus_survivors",
+    "repetition_signals",
+]
+
 _R4_WINDOW = [
     "scd2_dimension",
     "incremental_rollup_merge",
@@ -4040,7 +4093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_model_refresh": q_stream_model_refresh,
         "mad_outliers": q_mad_outliers,
     }
-    out = {name: all_q[name] for name in _R4_WINDOW}
+    out = {name: all_q[name] for name in _R5_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
     return out
 

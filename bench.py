@@ -182,26 +182,13 @@ BENCH_QUERIES = [
 ]
 
 
-def main() -> None:
-    import __spark_entry__ as e
-
-    spark = get_spark("apc-bench")
-    qs = e.queries()
-    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
-
-    # warm the JVM + parquet footers with a trivial action
-    spark.read.parquet(f"{SF_DIR}/part.parquet").count()
-
-    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES if name in qs}
-    # Interleave whole-suite passes (run 1 of every query, then run 2,
-    # ...) rather than back-to-back repeats of one query: back-to-back
-    # repeats share hot page cache/JIT state and understate variance,
-    # while interleaving exposes the session-order effects we're trying
-    # to measure out.
-    # A failing query must cost ONE row, not the round's whole bench
-    # (round-2 post-mortem: one loader bug crashed the entire run and
-    # left the round with zero official numbers). Errors are recorded
-    # per-query and excluded from the suite total.
+def _run_suite(spark, qs, names: list[str]):
+    """Interleaved N_RUNS passes over ``names``; returns (samples,
+    rows_out, errors). rows_out records each query's first-run count so
+    row-count drift can't masquerade as a perf change (every timing is
+    a count() to full materialization, so the row count is free)."""
+    samples: dict[str, list[float]] = {n: [] for n in names if n in qs}
+    rows_out: dict[str, int] = {}
     errors: dict[str, str] = {}
     for _ in range(max(1, N_RUNS)):
         for name in samples:
@@ -209,8 +196,13 @@ def main() -> None:
                 continue
             try:
                 t0 = time.perf_counter()
-                qs[name](spark, SF_DIR).count()
+                cnt = qs[name](spark, SF_DIR).count()
                 samples[name].append(round(time.perf_counter() - t0, 3))
+                if name in rows_out and rows_out[name] != cnt:
+                    errors[name] = (
+                        f"row-count drift across runs: {rows_out[name]} vs {cnt}"
+                    )
+                rows_out[name] = cnt
             except Exception as exc:  # noqa: BLE001 — record and move on
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             # No cross-query reuse or memory bleed: drop caches and
@@ -220,12 +212,85 @@ def main() -> None:
             # the driver heap).
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
+    return samples, rows_out, errors
+
+
+def _headline_isolated() -> dict:
+    """Run ONLY the pinned headline-20 in this process (invoked as a
+    fresh subprocess → fresh JVM): suite composition frozen, so the
+    per-query medians are comparable round-over-round — the full-suite
+    session runs hotter (GC/page-cache/broadcast-cleanup pressure) and
+    contaminated the r3→r4 per-query deltas."""
+    import __spark_entry__ as e
+
+    spark = get_spark("apc-bench-headline")
+    qs = e.queries()
+    spark.read.parquet(f"{SF_DIR}/part.parquet").count()
+    samples, rows_out, errors = _run_suite(spark, qs, HEADLINE_20)
+    times = {
+        n: round(statistics.median(s), 3) for n, s in samples.items() if s
+    }
+    return {"queries": times, "rows_out": rows_out, "errors": errors}
+
+
+def main() -> None:
+    import __spark_entry__ as e
+
+    if os.environ.get("SPARK_GRAFT_BENCH_MODE") == "headline":
+        print(json.dumps(_headline_isolated()))
+        return
+
+    # Phase 1 — isolated headline-20 in a FRESH JVM (subprocess):
+    # frozen composition, no suite contamination. Falls back to the
+    # in-session numbers if the subprocess fails for any reason.
+    import subprocess
+
+    isolated: dict = {}
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env={**os.environ, "SPARK_GRAFT_BENCH_MODE": "headline"},
+            capture_output=True,
+            text=True,
+            timeout=1200,
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                isolated = json.loads(line)
+                break
+    except Exception:  # noqa: BLE001 — isolation is best-effort
+        isolated = {}
+
+    spark = get_spark("apc-bench")
+    qs = e.queries()
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(f"{SF_DIR}/part.parquet").count()
+
+    # Interleave whole-suite passes (run 1 of every query, then run 2,
+    # ...) rather than back-to-back repeats of one query: back-to-back
+    # repeats share hot page cache/JIT state and understate variance,
+    # while interleaving exposes the session-order effects we're trying
+    # to measure out.
+    # A failing query must cost ONE row, not the round's whole bench
+    # (round-2 post-mortem: one loader bug crashed the entire run and
+    # left the round with zero official numbers). Errors are recorded
+    # per-query and excluded from the suite total.
+    samples, rows_out, errors = _run_suite(spark, qs, BENCH_QUERIES)
 
     ok = {name: s for name, s in samples.items() if s and name not in errors}
     times = {name: round(statistics.median(s), 3) for name, s in ok.items()}
     spread = {name: [round(min(s), 3), round(max(s), 3)] for name, s in ok.items()}
     suite_total = round(sum(times.values()), 3)
-    headline = {n: times[n] for n in HEADLINE_20 if n in times}
+    # headline numbers come from the ISOLATED fresh-JVM phase when it
+    # succeeded (frozen composition — comparable round-over-round);
+    # in-session medians are the fallback
+    iso_times = isolated.get("queries") or {}
+    headline_isolated = bool(iso_times) and not isolated.get("errors")
+    src = iso_times if headline_isolated else times
+    headline = {n: src[n] for n in HEADLINE_20 if n in src}
     headline_total = round(sum(headline.values()), 3)
 
     # full per-query detail (all queries, medians + spread) to a repo
@@ -236,6 +301,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "spread": spread,
+        "rows_out": rows_out,
+        "headline_isolated": isolated,
         "sf": sf,
         "runs_per_query": max(1, N_RUNS),
         "errors": errors,
@@ -255,6 +322,8 @@ def main() -> None:
         "value": headline_total,
         "unit": "sec",
         "queries": headline,
+        "headline_isolated": headline_isolated,
+        "rows_out": {n: rows_out[n] for n in HEADLINE_20 if n in rows_out},
         "sf": sf,
         "runs_per_query": max(1, N_RUNS),
         "suite_total": suite_total,
