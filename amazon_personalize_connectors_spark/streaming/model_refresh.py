@@ -10,18 +10,31 @@ version alongside. Old x old pairs are NEVER regenerated;
 pair-generation cost per trigger is ∝ |batch| x items-per-touched-
 user, not |history|².
 
-Storage uses the cdc_sink double-buffer discipline with ONE pointer
-committing BOTH stores: each version directory holds ``pairs/`` and
-``items/`` written together, and the ``_VERSION`` pointer flips last.
-A retried batch (foreachBatch redelivery after a crash anywhere
-before the flip) re-reads the previous version's item state, so it
-recomputes identical increments and overwrites its own version
-directory idempotently — an append-only item log would instead
-absorb the retry's items into state and silently DROP its pair
-increments (caught by the retry test). Per-trigger cost includes
-rewriting the item state (∝ accumulated distinct (u, i)); at
-warehouse scale partition both stores by a user-hash and rewrite
-only partitions touched by the batch.
+Both stores are HASH-BUCKETED and a micro-batch rewrites ONLY the
+buckets it touches: items are bucketed by ``pmod(xxhash64(u), B)``
+and pairs by ``pmod(xxhash64(item), B)``. A version directory holds
+just the touched buckets' data plus a ``_MANIFEST.json`` mapping
+EVERY bucket to the version directory currently holding it; readers
+assemble the store from the manifest. Per-trigger write cost is
+therefore ∝ the state living in buckets the batch touched — not the
+full accumulated state (the round-4 full-copy rewrite) — and at
+warehouse scale B is sized so a bucket is a few HDFS blocks.
+
+Commit discipline is unchanged from the cdc_sink double-buffer: the
+version directory (touched buckets + manifest) is written first and
+the ``_VERSION`` pointer flips LAST, committing pairs, items, and
+manifest together. A retried batch (foreachBatch redelivery after a
+crash anywhere before the flip) re-reads the previous version's
+manifest and state, recomputes identical touched buckets, and
+overwrites its own version directory idempotently — an append-only
+item log would instead absorb the retry's items into state and
+silently DROP its pair increments (caught by the retry test).
+
+Read fan-out grows with the number of distinct versions referenced by
+the manifest (each trigger adds at most the touched-bucket count);
+the operational compaction policy is to periodically rewrite ALL
+buckets into one version (equivalent to a batch with every bucket
+touched), collapsing the manifest to a single version.
 
 Serving reads the pair store and applies the same mirror + rank
 window as ``covisitation_topk`` — see ``serve_topk``.
@@ -29,6 +42,7 @@ window as ``covisitation_topk`` — see ``serve_topk``.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -42,6 +56,7 @@ from amazon_personalize_connectors_spark.streaming.cdc_sink import (
 )
 
 _PAIR_SCHEMA = "item long, rec_item long, n_common long"
+_ITEM_SCHEMA = "u long, i long"
 
 
 def _current_version(store_path: str) -> int | None:
@@ -52,50 +67,137 @@ def _current_version(store_path: str) -> int | None:
         return int(f.read().strip())
 
 
-def read_item_state(spark: SparkSession, store_path: str) -> DataFrame:
-    """Accumulated (u, i) state at the committed version; empty frame
-    before the first batch."""
-    v = _current_version(store_path)
-    if v is None:
-        return spark.createDataFrame([], "u long, i long")
-    return spark.read.parquet(os.path.join(store_path, f"v{v}", "items"))
+def _manifest_path(store_path: str, version: int) -> str:
+    return os.path.join(store_path, f"v{version}", "_MANIFEST.json")
+
+
+def _read_manifest(store_path: str, version: int | None) -> dict:
+    if version is None:
+        return {"n_buckets": None, "items": {}, "pairs": {}}
+    with open(_manifest_path(store_path, version)) as f:
+        return json.load(f)
+
+
+def _bucket_paths(
+    store_path: str, manifest: dict, kind: str, buckets=None
+) -> list[str]:
+    """Leaf parquet paths for ``kind`` ('items'|'pairs'), optionally
+    restricted to ``buckets`` — each bucket read from the version
+    directory the manifest pins it to."""
+    sel = manifest[kind]
+    if buckets is not None:
+        want = {str(b) for b in buckets}
+        sel = {b: v for b, v in sel.items() if b in want}
+    return [
+        os.path.join(store_path, f"v{v}", kind, f"bucket={b}")
+        for b, v in sel.items()
+    ]
+
+
+def _read_buckets(
+    spark: SparkSession, paths: list[str], schema: str
+) -> DataFrame:
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def read_item_state(
+    spark: SparkSession, store_path: str, buckets=None
+) -> DataFrame:
+    """Accumulated (u, i) state at the committed version (optionally
+    only the given buckets); empty frame before the first batch."""
+    man = _read_manifest(store_path, _current_version(store_path))
+    return _read_buckets(
+        spark, _bucket_paths(store_path, man, "items", buckets), _ITEM_SCHEMA
+    )
 
 
 def apply_interactions_batch(
-    batch: DataFrame, store_path: str
+    batch: DataFrame, store_path: str, n_buckets: int = 16
 ) -> None:
     """foreachBatch body: merge one interaction micro-batch into the
-    pair-count model. ``batch`` columns: (u, i)."""
+    pair-count model, rewriting ONLY the hash buckets the batch
+    touches. ``batch`` columns: (u, i). ``n_buckets`` applies to the
+    first batch; later batches inherit the store's bucketing from the
+    manifest (a store cannot change bucket count mid-life)."""
     spark = batch.sparkSession
-    state_items = read_item_state(spark, store_path)
-    # the batch is read twice (increments + item-state union) and the
-    # anti-join inside covisitation_increments must observe a stable
-    # row set — pin it
-    batch = batch.localCheckpoint(eager=True)
-    inc = covisitation_increments(state_items, batch).withColumnRenamed(
-        "n_common_delta", "n_common"
-    )
+    # the batch is read several times (bucket probe, increments,
+    # item-state union) and the anti-join inside
+    # covisitation_increments must observe a stable row set — pin it
+    batch = batch.select("u", "i").localCheckpoint(eager=True)
+    if batch.isEmpty():
+        return
     prev = _current_version(store_path)
+    man = _read_manifest(store_path, prev)
+    b_count = man["n_buckets"] if man["n_buckets"] else n_buckets
     version = 0 if prev is None else prev + 1
-    if prev is None:
-        merged = inc
-    else:
-        current = spark.read.parquet(
-            os.path.join(store_path, f"v{prev}", "pairs")
+    out = os.path.join(store_path, f"v{version}")
+
+    u_bucket = F.pmod(F.xxhash64("u"), F.lit(b_count))
+    touched_item_buckets = sorted(
+        r[0] for r in batch.select(u_bucket.alias("_b")).distinct().collect()
+    )
+    state_touched = _read_buckets(
+        spark,
+        _bucket_paths(store_path, man, "items", touched_item_buckets),
+        _ITEM_SCHEMA,
+    )
+    # increments only need the state of users present in the batch —
+    # carried-over users in the same bucket contribute no new pairs
+    state_for_inc = state_touched.join(
+        batch.select("u").distinct(), "u", "left_semi"
+    )
+    inc = (
+        covisitation_increments(state_for_inc, batch)
+        .withColumnRenamed("n_common_delta", "n_common")
+        .localCheckpoint(eager=True)  # read twice: bucket probe + merge
+    )
+    p_bucket = F.pmod(F.xxhash64("item"), F.lit(b_count))
+    touched_pair_buckets = sorted(
+        r[0] for r in inc.select(p_bucket.alias("_b")).distinct().collect()
+    )
+    if touched_pair_buckets:
+        current = _read_buckets(
+            spark,
+            _bucket_paths(store_path, man, "pairs", touched_pair_buckets),
+            _PAIR_SCHEMA,
         )
         merged = (
             current.unionByName(inc)
             .groupBy("item", "rec_item")
             .agg(F.sum("n_common").cast("bigint").alias("n_common"))
+            .withColumn("bucket", p_bucket)
         )
-    out = os.path.join(store_path, f"v{version}")
-    merged.write.mode("overwrite").parquet(os.path.join(out, "pairs"))
-    next_items = state_items.unionByName(
-        batch.select("u", "i")
-    ).distinct()
-    next_items.write.mode("overwrite").parquet(os.path.join(out, "items"))
-    # flip LAST — commits pairs and items together; a retry re-reads
-    # v{prev} for BOTH and idempotently overwrites v{version}
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(out, "pairs")
+        )
+    next_items = (
+        state_touched.unionByName(batch)
+        .distinct()
+        .withColumn("bucket", u_bucket)
+    )
+    next_items.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(out, "items")
+    )
+    new_man = {
+        "n_buckets": b_count,
+        "items": {
+            **man["items"],
+            **{str(b): version for b in touched_item_buckets},
+        },
+        "pairs": {
+            **man["pairs"],
+            **{str(b): version for b in touched_pair_buckets},
+        },
+    }
+    tmp_man = _manifest_path(store_path, version) + ".tmp"
+    with open(tmp_man, "w") as f:
+        json.dump(new_man, f)
+    os.replace(tmp_man, _manifest_path(store_path, version))
+    # flip LAST — commits pairs, items, and manifest together; a retry
+    # re-reads v{prev}'s manifest for BOTH stores and idempotently
+    # overwrites v{version}
     tmp = _version_file(store_path) + ".tmp"
     with open(tmp, "w") as f:
         f.write(str(version))
@@ -107,6 +209,7 @@ def refresh_from_stream(
     store_path: str,
     checkpoint_dir: str,
     timeout_s: float = 300.0,
+    n_buckets: int = 16,
 ) -> None:
     """Drain an interaction stream (Trigger.AvailableNow), folding
     every micro-batch into the co-visitation model at ``store_path``.
@@ -114,7 +217,9 @@ def refresh_from_stream(
     os.makedirs(store_path, exist_ok=True)
     q = (
         stream.writeStream.foreachBatch(
-            lambda b, _epoch: apply_interactions_batch(b, store_path)
+            lambda b, _epoch: apply_interactions_batch(
+                b, store_path, n_buckets
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
@@ -137,7 +242,10 @@ def serve_topk(
     v = _current_version(store_path)
     if v is None:
         return spark.createDataFrame([], _PAIR_SCHEMA + ", rank int")
-    half = spark.read.parquet(os.path.join(store_path, f"v{v}", "pairs"))
+    man = _read_manifest(store_path, v)
+    half = _read_buckets(
+        spark, _bucket_paths(store_path, man, "pairs"), _PAIR_SCHEMA
+    )
     if min_common > 1:
         half = half.where(F.col("n_common") >= min_common)
     pairs = half.unionByName(

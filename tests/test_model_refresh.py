@@ -93,3 +93,64 @@ def test_refresh_batch_retry_is_idempotent(spark, tmp_path):
                    for r in serve_topk(spark, store).collect()}
     assert after_retry == after_once
     assert before != after_once  # batch 2 did change the model
+
+
+def test_untouched_buckets_not_rewritten_across_trigger(spark, tmp_path):
+    """The warehouse-scale property: a micro-batch rewrites ONLY the
+    hash buckets it touches. After a second batch touching a different
+    user bucket, (a) every file of the first version directory is
+    byte-identical, (b) the new version directory contains ONLY the
+    second batch's buckets, and (c) readers still assemble the full
+    state across version directories via the manifest."""
+    import hashlib
+    import os
+
+    from amazon_personalize_connectors_spark.streaming.model_refresh import (
+        apply_interactions_batch,
+    )
+
+    store = str(tmp_path / "m3")
+    os.makedirs(store, exist_ok=True)
+    B = 4
+    bucket_of = {
+        r["u"]: r["b"]
+        for r in spark.createDataFrame(
+            [(u,) for u in range(1, 30)], "u long"
+        ).select("u", F.pmod(F.xxhash64("u"), F.lit(B)).alias("b")).collect()
+    }
+    u1 = 1
+    u2 = next(u for u, b in bucket_of.items() if b != bucket_of[u1])
+
+    b1 = spark.createDataFrame([(u1, 10), (u1, 11)], "u long, i long")
+    apply_interactions_batch(b1, store, n_buckets=B)
+
+    def _snapshot(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                out[p] = hashlib.sha256(open(p, "rb").read()).hexdigest()
+        return out
+
+    v0 = os.path.join(store, "v0")
+    before = _snapshot(v0)
+    assert before, "v0 should hold the first batch's buckets"
+
+    b2 = spark.createDataFrame([(u2, 20), (u2, 21)], "u long, i long")
+    apply_interactions_batch(b2, store)
+
+    after = _snapshot(v0)
+    assert after == before, "untouched v0 files were rewritten"
+    # v1 items hold ONLY u2's bucket (u1's bucket was not touched)
+    v1_items = os.path.join(store, "v1", "items")
+    item_buckets = sorted(
+        d for d in os.listdir(v1_items) if d.startswith("bucket=")
+    )
+    assert item_buckets == [f"bucket={bucket_of[u2]}"]
+    # manifest-assembled reads span both version directories
+    state = read_item_state(spark, store)
+    assert {(r["u"], r["i"]) for r in state.collect()} == {
+        (u1, 10), (u1, 11), (u2, 20), (u2, 21)
+    }
+    served = {(r["item"], r["rec_item"]) for r in serve_topk(spark, store).collect()}
+    assert served == {(10, 11), (11, 10), (20, 21), (21, 20)}
