@@ -2,10 +2,13 @@
 metadata, processed with Arrow-batched Pandas functions.
 
 ``real_decoder`` REALLY decodes the formats the Python standard
-library can handle without external codecs — PCM WAV (``wave``),
-8-bit PNG (``zlib`` inflate + scanline unfilter), uncompressed BMP,
-and binary PPM — and raises a clearly-marked NotImplementedError for
-codec-heavy containers (JPEG/MP3/MP4) with instructions to wire
+library (+ numpy) can handle without external codecs — PCM WAV
+(``wave``), 8-bit PNG (``zlib`` inflate + scanline unfilter),
+uncompressed BMP, binary PPM, and baseline/extended-sequential
+Huffman JPEG (functions/jpeg.py: full entropy decode + IDCT +
+chroma upsampling) — and raises a clearly-marked
+NotImplementedError for the remaining codec-heavy containers
+(MP3/MP4, progressive/arithmetic JPEG) with instructions to wire
 PIL/soundfile/pyav where those exist. Everything Spark-side is real
 and tested either way: the column schema, the ``mapInPandas`` plumbing
 (Arrow batch in, Arrow batch out), the deterministic fake decoder used
@@ -273,6 +276,23 @@ def _decode_ppm(content: bytes) -> dict[str, Any]:
     }
 
 
+def _decode_jpeg(content: bytes) -> dict[str, Any]:
+    """Baseline-JPEG (functions/jpeg.py): pixel decode + per-channel
+    means — same feature shape as the PNG/BMP/PPM paths."""
+    from amazon_personalize_connectors_spark.functions.jpeg import (
+        jpeg_pixels,
+    )
+
+    arr = jpeg_pixels(content)
+    height, width, nch = arr.shape
+    means = arr.reshape(-1, nch).mean(axis=0) / 255.0
+    return {
+        "checksum": zlib.crc32(content),
+        "features": [float(width), float(height), float(nch)]
+        + [float(m) for m in means],
+    }
+
+
 def real_decoder(content: bytes, kind: str) -> dict[str, Any]:
     """Pure-stdlib media decoder — REAL decode paths for the formats
     the standard library can handle (no external codecs needed):
@@ -282,10 +302,14 @@ def real_decoder(content: bytes, kind: str) -> dict[str, Any]:
     * BMP 24/32-bit uncompressed
     * PPM (P6) binary
 
-    Container formats that require external codec libraries (JPEG, MP3,
-    MP4, ...) raise NotImplementedError with the magic bytes sniffed —
-    wire PIL / soundfile / pyav here where those exist. Dispatch is by
-    content magic, not the ``kind`` tag: storage metadata lies."""
+    * baseline/extended-sequential Huffman JPEG (functions/jpeg.py —
+      full entropy decode + IDCT + chroma upsample in numpy)
+
+    Container formats that require external codec libraries (MP3,
+    MP4, progressive/arithmetic JPEG, ...) raise NotImplementedError
+    with the magic bytes sniffed — wire PIL / soundfile / pyav here
+    where those exist. Dispatch is by content magic, not the ``kind``
+    tag: storage metadata lies."""
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return _decode_wav(content)
     if content[:8] == b"\x89PNG\r\n\x1a\n":
@@ -294,8 +318,10 @@ def real_decoder(content: bytes, kind: str) -> dict[str, Any]:
         return _decode_bmp(content)
     if content[:2] == b"P6":
         return _decode_ppm(content)
+    if content[:2] == b"\xff\xd8":
+        return _decode_jpeg(content)
     raise NotImplementedError(
-        f"no stdlib codec for magic {content[:4]!r} (kind={kind}); JPEG/MP3/"
+        f"no stdlib codec for magic {content[:4]!r} (kind={kind}); MP3/"
         "MP4 etc. need external libraries — pass your own Decoder"
     )
 
@@ -428,9 +454,15 @@ def image_pixels(content: bytes):
         return _bmp_pixels(content)
     if content[:2] == b"P6":
         return _ppm_pixels(content)[0]
+    if content[:2] == b"\xff\xd8":
+        from amazon_personalize_connectors_spark.functions.jpeg import (
+            jpeg_pixels,
+        )
+
+        return jpeg_pixels(content)
     raise NotImplementedError(
-        f"no stdlib raster codec for magic {content[:4]!r} — JPEG etc. "
-        "need external libraries"
+        f"no stdlib raster codec for magic {content[:4]!r} — "
+        "progressive JPEG etc. need external libraries"
     )
 
 

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Scale-slope evidence for the heavy query family: time each query
+at sf0.001 / sf0.01 / sf0.1 (each scale a 10x data step) and report
+the per-decade log-log scaling exponent — empirical backing for the
+100x-readiness claim that otherwise rests on plan shape alone.
+
+exponent(sf_a -> sf_b) = log10(t_b / t_a); 1.0 = linear in data size,
+< 1 = sublinear (fixed overhead still amortizing), > 1 = superlinear
+(the thing to investigate). At local sizes the smallest SF is mostly
+JVM/planning overhead, so the 0.01 -> 0.1 decade is the signal.
+
+Usage: python tools/scale_slope.py [query ...]   (defaults to the
+judge-named heavy family). Writes SCALE_SLOPE.json and prints a table.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from amazon_personalize_connectors_spark.session import get_spark
+
+SF_DIRS = [
+    ("0.001", "/root/testdata/sf0.001"),
+    ("0.01", "/root/testdata/sf0.01"),
+    ("0.1", "/root/testdata/sf0.1"),
+]
+DEFAULT = [
+    "covisitation_topk",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_materialized",
+    "delta_anti_hash",
+    "dedup_canonical",
+]
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def main() -> None:
+    import __spark_entry__ as e
+
+    names = sys.argv[1:] or DEFAULT
+    spark = get_spark("apc-scale-slope")
+    qs = e.queries()
+    for _sf, d in SF_DIRS:  # warm parquet footers at every scale
+        spark.read.parquet(f"{d}/part.parquet").count()
+
+    results: dict[str, dict] = {}
+    for name in names:
+        times: dict[str, float] = {}
+        rows: dict[str, int] = {}
+        for sf, d in SF_DIRS:
+            samples = []
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                rows[sf] = qs[name](spark, d).count()
+                samples.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+            times[sf] = round(statistics.median(samples), 3)
+        slopes = {}
+        for (sf_a, _), (sf_b, _) in zip(SF_DIRS, SF_DIRS[1:]):
+            slopes[f"{sf_a}->{sf_b}"] = round(
+                math.log10(times[sf_b] / times[sf_a]), 2
+            )
+        results[name] = {"sec": times, "rows_out": rows, "exponent": slopes}
+        print(f"{name:28s} {times}  slopes={slopes}", flush=True)
+
+    out = {
+        "runs_per_point": N_RUNS,
+        "note": "exponent=log10(t_b/t_a) per 10x data decade; "
+        "0.01->0.1 is the meaningful decade locally",
+        "queries": results,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_SLOPE.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
