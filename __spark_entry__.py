@@ -3756,6 +3756,140 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking) adapted to the
+    fixture schema (no l_commitdate/l_receiptdate — "late" means a
+    lineitem shipped > 60 days after the order date): count orders
+    per priority that have AT LEAST ONE late lineitem in a quarter
+    window. The EXISTS subquery is a LEFT SEMI join — the probe side
+    never widens, duplicate late lines cost nothing, and the date
+    filter pushes to the orders scan."""
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-07-01").cast("timestamp_ntz")
+    hi = F.lit("1996-10-01").cast("timestamp_ntz")
+    win = orders.where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    late = win.join(
+        lineitem,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): single scan, every
+    predicate pushed into the parquet reader (date band, discount
+    band, quantity cap), decimal-exact revenue sum — the canonical
+    filter-pushdown probe; the plan must show PushedFilters on all
+    three columns and no shuffle beyond the 1-row final aggregate."""
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(18,6)")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount").cast("decimal(18,6)") >= F.lit("0.05").cast("decimal(18,6)"))
+            & (F.col("l_discount").cast("decimal(18,6)") <= F.lit("0.07").cast("decimal(18,6)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).alias("_rev"), F.count(F.lit(1)).alias("n_items"))
+        .select(
+            F.col("_rev").cast("double").alias("revenue"),
+            F.col("n_items").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): one month of lineitem joined to
+    part, conditional decimal-exact sums, promo share as ONE double
+    division of two exact sums. part joins broadcast (small dim);
+    the date band pushes to the lineitem scan."""
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    part = synthetic.load_table(spark, sf_dir, "part")
+    lo = F.lit("1996-09-01").cast("timestamp_ntz")
+    hi = F.lit("1996-10-01").cast("timestamp_ntz")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    zero = F.lit(0).cast("decimal(30,8)")
+    agg = (
+        lineitem.where(
+            (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev.cast("decimal(30,8)")).otherwise(zero)
+            ).alias("_promo"),
+            F.sum(rev.cast("decimal(30,8)")).alias("_total"),
+        )
+    )
+    return agg.select(
+        F.col("_promo").cast("double").alias("promo_revenue"),
+        F.col("_total").cast("double").alias("total_revenue"),
+        (
+            F.col("_promo").cast("double")
+            * F.lit(100.0)
+            / F.col("_total").cast("double")
+        ).alias("promo_pct"),
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue) for one brand:
+    lineitems below 20% of their part's average quantity. The
+    correlated scalar subquery is a per-part aggregate joined back;
+    the threshold compare is INTEGER-EXACT — ``qty * 5 * n < sum``
+    avoids the division entirely (qty < sum/(5n) ⟺ qty·5n < sum),
+    so both engines agree bit-for-bit. The per-part aggregate is
+    brand-filtered FIRST via the broadcast part dim, so only the
+    brand's lineitems shuffle."""
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    part = synthetic.load_table(spark, sf_dir, "part")
+    brand_parts = part.where(F.col("p_brand") == "Brand#12").select(
+        "p_partkey"
+    )
+    li = lineitem.join(
+        F.broadcast(brand_parts),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    stats = li.groupBy("l_partkey").agg(
+        F.sum(qty).alias("_sum_qty"),
+        F.count(F.lit(1)).alias("_n"),
+    ).select(
+        F.col("l_partkey").alias("_pk"), "_sum_qty", "_n"
+    )
+    small = li.join(
+        F.broadcast(stats), F.col("l_partkey") == F.col("_pk")
+    ).where(qty * 5 * F.col("_n") < F.col("_sum_qty"))
+    return small.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                "double"
+            )
+            / F.lit(7.0)
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).cast("bigint").alias("n_small"),
+    )
+
+
 def q_stream_model_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming co-visitation model refresh, ORACLE-CHECKED end to
     end (streaming/model_refresh.py): interactions staged as four
@@ -4090,6 +4224,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize_stateful": q_stream_sessionize_stateful,
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q17": q_tpch_q17,
         "stream_model_refresh": q_stream_model_refresh,
         "mad_outliers": q_mad_outliers,
     }
@@ -6932,6 +7070,70 @@ FROM orders JOIN big ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey
 ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
 LIMIT 100
+""",
+        # EXISTS = semi join; "late" adapted to the fixture schema
+        # (shipped > 60 days after order date)
+        "tpch_q4": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY 1
+""",
+        "tpch_q6": """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(18,6)) >= CAST('0.05' AS DECIMAL(18,6))
+  AND CAST(l_discount AS DECIMAL(18,6)) <= CAST('0.07' AS DECIMAL(18,6))
+  AND l_quantity < 24
+""",
+        "tpch_q14": """
+WITH x AS (
+  SELECT p_type,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+              AS DECIMAL(30,8)) AS rev
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+    AND l_shipdate < TIMESTAMP '1996-10-01'
+)
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                     ELSE CAST(0 AS DECIMAL(30,8)) END) AS DOUBLE)
+         AS promo_revenue,
+       CAST(sum(rev) AS DOUBLE) AS total_revenue,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                     ELSE CAST(0 AS DECIMAL(30,8)) END) AS DOUBLE)
+         * 100.0
+         / CAST(sum(rev) AS DOUBLE) AS promo_pct
+FROM x
+""",
+        # threshold compare is division-free (qty*5*n < sum_qty) so the
+        # "below 20% of the part's average" predicate is integer-exact
+        "tpch_q17": """
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12'),
+li AS (
+  SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+         l_extendedprice
+  FROM lineitem JOIN bp ON l_partkey = p_partkey
+),
+st AS (
+  SELECT l_partkey AS pk, sum(qty) AS sum_qty, count(*) AS n
+  FROM li GROUP BY 1
+)
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            / 7.0 AS DOUBLE) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_small
+FROM li JOIN st ON li.l_partkey = st.pk
+WHERE qty * 5 * n < sum_qty
 """,
         # FULL recompute — the stream-maintained store must serve
         # identical top-k no matter how files split into micro-batches

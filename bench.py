@@ -175,6 +175,10 @@ BENCH_QUERIES = [
     "stream_sessionize_stateful",
     "tpch_q10",
     "tpch_q18",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q14",
+    "tpch_q17",
     "mad_outliers",
     # stream_model_refresh is deliberately NOT benched: it drains 4
     # micro-batches each rewriting the versioned model store (~23 s at

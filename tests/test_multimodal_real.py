@@ -172,8 +172,13 @@ def test_bmp_and_ppm_agree_with_png():
 
 
 def test_unknown_codec_raises_not_implemented():
+    # MP4 ftyp box — no stdlib codec, documented boundary
     with pytest.raises(NotImplementedError, match="magic"):
-        real_decoder(b"\xff\xd8\xff\xe0JFIF....", "image")  # JPEG SOI
+        real_decoder(b"\x00\x00\x00\x18ftypisom....", "video")
+    # JPEG is now a REAL decode path (functions/jpeg.py); a truncated
+    # JPEG is a parse error, not an unimplemented codec
+    with pytest.raises(ValueError, match="SOF"):
+        real_decoder(b"\xff\xd8\xff\xe0JFIF....", "image")
 
 
 def test_real_decoder_through_spark_map_in_pandas(spark):
