@@ -3890,6 +3890,127 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-aware last-touch attribution (operators/analytics.py
+    last_touch_attribution): each purchase credited to the user's
+    latest view/click STRICTLY before it (RANGE frame to 1 PRECEDING
+    — simultaneous events excluded on value) within 24 h. Arg-max via
+    the integer-encoded ts*8+code bigint — one window shuffle, exact
+    div/mod decode, engine-portable."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        last_touch_attribution,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir)
+    out = last_touch_attribution(ev)
+    return out.select(
+        F.col("user").cast("bigint").alias("user_id"),
+        "conv_ts_us",
+        "touch_ts_us",
+        "touch_type_code",
+        F.col("attributed").cast("int").alias("attributed"),
+    )
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience Venn regions (operators/analytics.py segment_overlap):
+    distinct users per view/click/purchase segment-combination
+    bitmask — two map-side-combinable aggregates (per-user bit_or,
+    then a <=2^n-row mask count), no self-joins or grouping-set
+    explosion of the fact table."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        segment_overlap,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir)
+    return segment_overlap(ev, ["view", "click", "purchase"])
+
+
+def q_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-revenue anomaly screen (operators/analytics.py
+    residual_anomaly_days): integer residual 7*v - trailing-7-day-sum
+    against k*MAD of the residual grid — division-free, discrete
+    medians, calendar-bounded windows (the daily rollup is small at
+    ANY data scale; the fact scan is the only big input)."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        residual_anomaly_days,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("cents")
+    )
+    out = residual_anomaly_days(daily, "day", "cents", trail_days=7, k=5)
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("v").alias("cents"),
+        "residual",
+        "mad",
+        F.col("is_anomaly").cast("int").alias("is_anomaly"),
+    )
+
+
+def q_rec_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of the co-visitation model under the temporal-holdout
+    protocol (operators/recsys.py rec_ndcg_at_k): train on pre-1997,
+    truth = held-out co-interaction partners. DCG/IDCG are exact
+    decimal sums of FIXED 9-dp gain literals (float log2 and float
+    sums are engine/order-sensitive); one double division at the end.
+    Truth streams past the broadcast rec table (the mrr lesson) —
+    only the per-item relevant-count shuffles truth-sized."""
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        cap_items_per_user,
+        covisitation_topk,
+        rec_ndcg_at_k,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    inter = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+            (F.col("o_orderdate") < cut).alias("is_train"),
+        )
+        .groupBy("user_id", "item_id")
+        .agg(
+            F.max(F.col("is_train").cast("int")).alias("in_train"),
+            F.max((~F.col("is_train")).cast("int")).alias("in_test"),
+        )
+    )
+    train = inter.where(F.col("in_train") == 1).select("user_id", "item_id")
+    test = inter.where(F.col("in_test") == 1).select("user_id", "item_id")
+    recs = covisitation_topk(
+        train, k=5, max_items_per_user=1000, min_common=2,
+        assume_distinct=True,
+    )
+    capped = cap_items_per_user(
+        test.select(F.col("user_id").alias("u"), F.col("item_id").alias("i")),
+        1000,
+    )
+    truth = (
+        capped.select("u", F.col("i").alias("item"))
+        .join(capped.select("u", F.col("i").alias("partner")), "u")
+        .where(F.col("item") != F.col("partner"))
+        .select("item", "partner")
+    )
+    out = rec_ndcg_at_k(recs, truth, k=5)
+    return out.select(
+        F.col("item").cast("bigint").alias("item"),
+        "n_rel",
+        "n_hits",
+        "dcg",
+        "idcg",
+        "ndcg",
+    )
+
+
 def q_stream_model_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming co-visitation model refresh, ORACLE-CHECKED end to
     end (streaming/model_refresh.py): interactions staged as four
@@ -4228,6 +4349,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q14": q_tpch_q14,
         "tpch_q17": q_tpch_q17,
+        "last_touch_attribution": q_last_touch_attribution,
+        "audience_overlap": q_audience_overlap,
+        "revenue_anomalies": q_revenue_anomalies,
+        "rec_ndcg": q_rec_ndcg,
         "stream_model_refresh": q_stream_model_refresh,
         "mad_outliers": q_mad_outliers,
     }
@@ -7134,6 +7259,149 @@ SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
        CAST(count(*) AS BIGINT) AS n_small
 FROM li JOIN st ON li.l_partkey = st.pk
 WHERE qty * 5 * n < sum_qty
+""",
+        # arg-max by encoded ts*8+code bigint; RANGE to 1 PRECEDING =
+        # strictly-before by timestamp value
+        "last_touch_attribution": """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              ELSE NULL END AS code
+  FROM events
+),
+enc AS (
+  SELECT user_id, event_type, ts_us,
+         max(CASE WHEN code IS NOT NULL THEN ts_us * 8 + code END)
+           OVER (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_enc
+  FROM e
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       ts_us AS conv_ts_us,
+       last_enc // 8 AS touch_ts_us,
+       CAST(last_enc % 8 AS INT) AS touch_type_code,
+       CAST(CASE WHEN last_enc IS NULL THEN 0
+                 WHEN last_enc // 8 >= ts_us - 86400000000 THEN 1
+                 ELSE 0 END AS INT) AS attributed
+FROM enc WHERE event_type = 'purchase'
+""",
+        "audience_overlap": """
+WITH m AS (
+  SELECT user_id,
+         bit_or(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                     WHEN 'purchase' THEN 4 ELSE 0 END) AS mask
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY 1
+)
+SELECT CAST(mask AS INT) AS mask, CAST(count(*) AS BIGINT) AS n_users
+FROM m GROUP BY 1
+""",
+        # integer residual 7*v - trailing sum vs k*MAD of the residual
+        # grid — division-free end to end
+        "revenue_anomalies": """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+win AS (
+  SELECT day, v, sum(v) OVER w AS s, count(*) OVER w AS n
+  FROM d
+  WINDOW w AS (ORDER BY datediff('day', DATE '1970-01-01', day)
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+r AS (SELECT day, v, 7 * v - s AS residual FROM win WHERE n = 7),
+grid AS (SELECT abs(residual) AS a, count(*) AS c FROM r GROUP BY 1),
+g2 AS (
+  SELECT a, sum(c) OVER (ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum
+  FROM grid
+),
+tot AS (SELECT sum(c) AS n FROM grid),
+mad AS (
+  SELECT min(CASE WHEN cum >= (n + 1) // 2 THEN a END) AS mad
+  FROM g2, tot
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, v AS cents, residual,
+       CAST(mad.mad AS BIGINT) AS mad,
+       CAST(CASE WHEN abs(residual) > 5 * mad.mad THEN 1 ELSE 0 END
+            AS INT) AS is_anomaly
+FROM r, mad
+""",
+        # DCG/IDCG as exact decimal sums of fixed 9-dp gain literals;
+        # one double division at the end (see recsys._NDCG_GAINS)
+        "rec_ndcg": """
+WITH mtrain AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderdate < TIMESTAMP '1997-01-01'
+),
+mtest AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+),
+pairs AS (
+  SELECT a.i AS item, b.i AS rec_item, count(*) AS n_common
+  FROM mtrain a JOIN mtrain b ON a.u = b.u AND a.i <> b.i
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+ranked AS (
+  SELECT item, rec_item,
+         row_number() OVER (PARTITION BY item
+                            ORDER BY n_common DESC, rec_item) AS rank
+  FROM pairs
+),
+recs AS (SELECT * FROM ranked WHERE rank <= 5),
+truth AS (
+  SELECT a.i AS item, b.i AS partner
+  FROM mtest a JOIN mtest b ON a.u = b.u AND a.i <> b.i
+),
+hits AS (
+  SELECT DISTINCT r.item, r.rank
+  FROM recs r JOIN truth t ON r.item = t.item AND r.rec_item = t.partner
+),
+dcg AS (
+  SELECT item,
+         sum(CASE rank WHEN 1 THEN CAST('1.000000000' AS DECIMAL(12,9))
+                       WHEN 2 THEN CAST('0.630929754' AS DECIMAL(12,9))
+                       WHEN 3 THEN CAST('0.500000000' AS DECIMAL(12,9))
+                       WHEN 4 THEN CAST('0.430676558' AS DECIMAL(12,9))
+                       WHEN 5 THEN CAST('0.386852807' AS DECIMAL(12,9))
+             END) AS dcg_dec,
+         count(*) AS n_hits
+  FROM hits GROUP BY 1
+),
+nrel AS (
+  SELECT item, count(DISTINCT partner) AS n_rel FROM truth GROUP BY 1
+),
+base AS (SELECT DISTINCT item FROM recs)
+SELECT CAST(base.item AS BIGINT) AS item,
+       CAST(coalesce(n_rel, 0) AS BIGINT) AS n_rel,
+       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(dcg_dec, CAST('0' AS DECIMAL(12,9))) AS DOUBLE) AS dcg,
+       CAST(CASE least(coalesce(n_rel, 0), 5)
+                 WHEN 1 THEN CAST('1.000000000' AS DECIMAL(12,9))
+                 WHEN 2 THEN CAST('1.630929754' AS DECIMAL(12,9))
+                 WHEN 3 THEN CAST('2.130929754' AS DECIMAL(12,9))
+                 WHEN 4 THEN CAST('2.561606312' AS DECIMAL(12,9))
+                 WHEN 5 THEN CAST('2.948459119' AS DECIMAL(12,9))
+            END AS DOUBLE) AS idcg,
+       CAST(coalesce(dcg_dec, CAST('0' AS DECIMAL(12,9))) AS DOUBLE)
+         / CAST(CASE least(coalesce(n_rel, 0), 5)
+                     WHEN 1 THEN CAST('1.000000000' AS DECIMAL(12,9))
+                     WHEN 2 THEN CAST('1.630929754' AS DECIMAL(12,9))
+                     WHEN 3 THEN CAST('2.130929754' AS DECIMAL(12,9))
+                     WHEN 4 THEN CAST('2.561606312' AS DECIMAL(12,9))
+                     WHEN 5 THEN CAST('2.948459119' AS DECIMAL(12,9))
+                END AS DOUBLE) AS ndcg
+FROM base
+LEFT JOIN dcg ON dcg.item = base.item
+LEFT JOIN nrel ON nrel.item = base.item
 """,
         # FULL recompute — the stream-maintained store must serve
         # identical top-k no matter how files split into micro-batches

@@ -522,3 +522,148 @@ def key_skew_report(
         F.col("__total").alias("total_rows"),
         F.col("__n_keys").alias("n_keys"),
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    touch_types: Sequence[str] = ("view", "click"),
+    conversion_type: str = "purchase",
+    window_us: int = 86_400_000_000,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_us_col: str = "ts_us",
+) -> DataFrame:
+    """Last-touch marketing attribution: each conversion is credited
+    to the user's most recent touch event STRICTLY before it and
+    within ``window_us`` microseconds — the product-analytics sibling
+    of the reference's id-level attribution join (attribution.py:25),
+    done time-aware and join-free. ``ts_us_col`` is an exact epoch-
+    microsecond bigint (the load_events contract).
+
+    Row-local and integer-exact: ONE window shuffle on the user
+    partition. The latest-touch arg-max rides a single ``max`` over a
+    RANGE frame ending at 1 PRECEDING (strictly-before by TIMESTAMP,
+    not row position — simultaneous events are excluded on value) of
+    an ENCODED bigint ``ts_us * 8 + type_code``: max picks the latest
+    timestamp, ties break on the code, and decode is exact integer
+    div/mod — no struct comparisons, portable across engines.
+
+    Returns one row per conversion: (user, conv_ts_us, touch_ts_us,
+    touch_type_code, attributed) with NULL touch columns when no
+    touch precedes the conversion, and ``attributed`` false when the
+    last touch is outside the window."""
+    codes = {t: i + 1 for i, t in enumerate(touch_types)}
+    ts_us = F.col(ts_us_col).cast("bigint")
+    code = F.lit(None).cast("bigint")
+    for t, c in codes.items():
+        code = F.when(F.col(type_col) == t, F.lit(c)).otherwise(code)
+    enc = F.when(code.isNotNull(), ts_us * 8 + code)
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_us.asc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = events.select(
+        F.col(user_col).alias("user"),
+        F.col(type_col).alias("_t"),
+        ts_us.alias("conv_ts_us"),
+        F.max(enc).over(w).alias("_last_enc"),
+    ).where(F.col("_t") == conversion_type)
+    touch_ts = F.expr("_last_enc div 8")
+    return flagged.select(
+        "user",
+        "conv_ts_us",
+        touch_ts.alias("touch_ts_us"),
+        F.expr("_last_enc % 8").cast("int").alias("touch_type_code"),
+        F.when(
+            F.col("_last_enc").isNotNull(),
+            touch_ts >= F.col("conv_ts_us") - F.lit(window_us),
+        ).otherwise(F.lit(False)).alias("attributed"),
+    )
+
+
+def segment_overlap(
+    events: DataFrame,
+    segment_types: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Audience Venn: distinct-user counts for every combination of
+    behavior segments (all 2^n - 1 regions for n segment-defining
+    event types) — the overlap report behind "how many purchasers
+    also clicked?".
+
+    Two map-side-combinable aggregates: per-user segment BITMASK
+    (bit_or of per-event bits — one shuffle keyed on user), then a
+    count per mask value (at most 2^n rows). No self-joins, no
+    grouping-sets explosion of the fact table; integer-exact."""
+    bit = F.lit(0).cast("bigint")
+    for i, t in enumerate(segment_types):
+        bit = F.when(F.col(type_col) == t, F.lit(1 << i).cast("bigint")).otherwise(bit)
+    masks = (
+        events.select(F.col(user_col).alias("user"), bit.alias("_b"))
+        .where(F.col("_b") > 0)
+        .groupBy("user")
+        .agg(F.bit_or("_b").alias("mask"))
+    )
+    return (
+        masks.groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(F.col("mask").cast("int").alias("mask"), "n_users")
+    )
+
+
+def residual_anomaly_days(
+    df: DataFrame,
+    day_col: str,
+    value_col: str,
+    trail_days: int = 7,
+    k: int = 5,
+) -> DataFrame:
+    """Robust time-series anomaly screen over a DAILY series: each
+    day's residual is ``trail_days * v - sum(trailing trail_days
+    values)`` (integer-exact — comparing v against the trailing mean
+    without dividing), and a day is anomalous when its |residual|
+    exceeds ``k * MAD`` of all full-window residuals (discrete-median
+    MAD, same portability rule as robust_outlier_stats).
+
+    Shape: the input is already a daily rollup (one row per day —
+    bounded by the calendar, thousands of rows at any data scale), so
+    the trailing sum is a RANGE window over day index and the
+    median/MAD read off the residual value grid. All integer until
+    nothing — there is no division anywhere.
+
+    Returns full-window days: (day, value, residual, is_anomaly) plus
+    the broadcast mad/threshold columns."""
+    day_idx = F.datediff(F.col(day_col), F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy(day_idx).rangeBetween(-(trail_days - 1), 0)
+    based = df.select(
+        F.col(day_col).alias("day"),
+        F.col(value_col).cast("bigint").alias("v"),
+        F.sum(F.col(value_col).cast("bigint")).over(w).alias("_s"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+    ).where(F.col("_n") == trail_days)
+    resid = based.select(
+        "day", "v", (F.lit(trail_days) * F.col("v") - F.col("_s")).alias("residual")
+    )
+    grid = resid.groupBy(F.abs(F.col("residual")).alias("_a")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    wg = Window.orderBy("_a").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gcum = grid.select("_a", F.sum("_c").over(wg).alias("_cum"))
+    tot = grid.agg(F.sum("_c").alias("_n"))
+    mad = (
+        gcum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(F.col("_cum") >= F.expr("(_n + 1) div 2"), F.col("_a"))
+            ).alias("mad")
+        )
+    )
+    return resid.crossJoin(F.broadcast(mad)).select(
+        "day",
+        "v",
+        "residual",
+        "mad",
+        (F.abs(F.col("residual")) > F.lit(k) * F.col("mad")).alias("is_anomaly"),
+    )

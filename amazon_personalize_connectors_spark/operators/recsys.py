@@ -442,3 +442,108 @@ def profile_vector_sums(
         F.sum(scaled).alias("vsum_micro"),
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
     )
+
+
+# 1/log2(p+1) position gains and their prefix sums, as FIXED 9-dp
+# decimal literals: summing decimals is exact and associative, so DCG
+# is engine-portable bit-for-bit — a float log2 differs in the last
+# ulp across libm implementations and a float sum with accumulation
+# order, either of which flips a value-hash compare.
+_NDCG_GAINS = [
+    "1.000000000",
+    "0.630929754",
+    "0.500000000",
+    "0.430676558",
+    "0.386852807",
+]
+_NDCG_PREFIX = [
+    "1.000000000",
+    "1.630929754",
+    "2.130929754",
+    "2.561606312",
+    "2.948459119",
+]
+
+
+def rec_ndcg_at_k(
+    recs: DataFrame,
+    truth_pairs: DataFrame,
+    k: int = 5,
+    item_col: str = "item",
+    rec_col: str = "rec_item",
+    rank_col: str = "rank",
+    truth_item_col: str = "item",
+    truth_partner_col: str = "partner",
+) -> DataFrame:
+    """NDCG@k of a ranked recommendation table against a (possibly
+    huge, possibly duplicated) ground-truth pair set — the standard
+    ranking-quality metric alongside MRR/hit-rate. Per ranked item:
+    DCG = sum of the 9-dp decimal gain literals at each CONFIRMED
+    rank, IDCG = the prefix-gain literal at min(k, n_relevant), NDCG
+    = one double division at the end. Everything before that division
+    is exact decimal/integer arithmetic (see _NDCG_GAINS).
+
+    Scale shape (the covisitation_mrr lesson): the truth stream is
+    never deduped wholesale — it streams past a BROADCAST hash of the
+    small rec table and only matched (item, rank) survivors dedup
+    (at most items x k rows). The per-item relevant-count does one
+    exact count-distinct keyed on the item — the only truth-sized
+    shuffle, and the one a per-user cap on the truth build bounds.
+
+    Returns (item, n_rel, n_hits, dcg, idcg, ndcg); items with no
+    test-window relevance have idcg/ndcg NULL."""
+    if k > len(_NDCG_GAINS):
+        raise ValueError(f"k={k} beyond precomputed gain table")
+    rec_slim = recs.select(
+        F.col(item_col).alias("_it"),
+        F.col(rec_col).alias("_rec"),
+        F.col(rank_col).alias("_rk"),
+    ).where(F.col(rank_col) <= k)
+    truth = truth_pairs.select(
+        F.col(truth_item_col).alias("_ti"),
+        F.col(truth_partner_col).alias("_tp"),
+    )
+    hits = (
+        truth.join(
+            F.broadcast(rec_slim),
+            (F.col("_ti") == F.col("_it")) & (F.col("_tp") == F.col("_rec")),
+        )
+        .select("_it", "_rk")
+        .distinct()
+    )
+    gain = F.lit(None).cast("decimal(12,9)")
+    for p, g in enumerate(_NDCG_GAINS[:k], start=1):
+        gain = F.when(F.col("_rk") == p, F.lit(g).cast("decimal(12,9)")).otherwise(gain)
+    dcg = hits.groupBy("_it").agg(
+        F.sum(gain).alias("_dcg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+    )
+    n_rel = truth.groupBy("_ti").agg(
+        F.countDistinct("_tp").cast("bigint").alias("n_rel")
+    )
+    idcg = F.lit(None).cast("decimal(12,9)")
+    for n, pre in enumerate(_NDCG_PREFIX[:k], start=1):
+        idcg = F.when(
+            F.least(F.col("n_rel"), F.lit(k)) == n,
+            F.lit(pre).cast("decimal(12,9)"),
+        ).otherwise(idcg)
+    base = rec_slim.select(F.col("_it")).distinct()
+    out = (
+        base.join(dcg, "_it", "left")
+        .join(n_rel, F.col("_it") == F.col("_ti"), "left")
+        .select(
+            F.col("_it").alias(item_col),
+            F.coalesce(F.col("n_rel"), F.lit(0)).cast("bigint").alias("n_rel"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.coalesce(F.col("_dcg"), F.lit(0).cast("decimal(12,9)")).alias("_dcg2"),
+            idcg.alias("_idcg"),
+        )
+    )
+    return out.select(
+        item_col,
+        "n_rel",
+        "n_hits",
+        F.col("_dcg2").cast("double").alias("dcg"),
+        F.col("_idcg").cast("double").alias("idcg"),
+        (F.col("_dcg2").cast("double") / F.col("_idcg").cast("double")).alias("ndcg"),
+    )

@@ -179,6 +179,10 @@ BENCH_QUERIES = [
     "tpch_q6",
     "tpch_q14",
     "tpch_q17",
+    "last_touch_attribution",
+    "audience_overlap",
+    "revenue_anomalies",
+    "rec_ndcg",
     "mad_outliers",
     # stream_model_refresh is deliberately NOT benched: it drains 4
     # micro-batches each rewriting the versioned model store (~23 s at

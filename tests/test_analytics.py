@@ -201,3 +201,75 @@ def test_grouped_linear_trend_exact_line(spark):
     assert got["lin"] == (3.0, 7.0, 10)
     assert got["flat"] == (0.0, 42.0, 5)
     assert got["deg"][0] is None and got["deg"][2] == 2
+
+
+def test_last_touch_attribution_semantics(spark):
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        last_touch_attribution,
+    )
+
+    h = 3_600_000_000  # 1h in us
+    rows = [
+        # u1: view@1h, click@2h, purchase@3h -> click attributed
+        (1, "view", 1 * h), (1, "click", 2 * h), (1, "purchase", 3 * h),
+        # u2: view 30h before purchase -> outside 24h window
+        (2, "view", 0), (2, "purchase", 30 * h),
+        # u3: purchase with NO preceding touch
+        (3, "purchase", 5 * h),
+        # u4: click SIMULTANEOUS with purchase -> excluded (strictly
+        # before by value), earlier view wins
+        (4, "view", 1 * h), (4, "click", 6 * h), (4, "purchase", 6 * h),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, ts) for u, t, ts in rows], "user_id long, event_type string, ts_us long"
+    )
+    got = {
+        r["user"]: (r["touch_ts_us"], r["touch_type_code"], r["attributed"])
+        for r in last_touch_attribution(ev).collect()
+    }
+    assert got[1] == (2 * h, 2, True)
+    assert got[2] == (0, 1, False)
+    assert got[3] == (None, None, False)
+    assert got[4] == (1 * h, 1, True)
+
+
+def test_segment_overlap_masks(spark):
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        segment_overlap,
+    )
+
+    rows = [
+        (1, "view"), (1, "click"),            # mask 3
+        (2, "purchase"),                        # mask 4
+        (3, "view"), (3, "purchase"),          # mask 5
+        (4, "error"),                           # no segment -> absent
+        (5, "view"), (5, "view"),              # mask 1 (dup events once)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {
+        r["mask"]: r["n_users"]
+        for r in segment_overlap(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {3: 1, 4: 1, 5: 1, 1: 1}
+
+
+def test_residual_anomaly_days_flags_spike(spark):
+    from datetime import date
+
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        residual_anomaly_days,
+    )
+
+    # 20 flat days of 100 with one 10x spike on day 15
+    rows = [
+        (date(2024, 1, d), 1000 if d == 15 else 100) for d in range(1, 21)
+    ]
+    df = spark.createDataFrame(rows, "day date, v long")
+    out = residual_anomaly_days(df, "day", "v", trail_days=7, k=5)
+    flagged = {r["day"].isoformat() for r in out.collect() if r["is_anomaly"]}
+    assert "2024-01-15" in flagged
+    # flat days before the spike are not anomalous
+    assert "2024-01-10" not in flagged
+    # first 6 days have no full trailing window -> absent entirely
+    days = {r["day"].isoformat() for r in out.collect()}
+    assert "2024-01-03" not in days

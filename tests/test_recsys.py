@@ -271,3 +271,32 @@ def test_covisitation_incremental_state_roundtrip(spark, tmp_path):
     got = {(r["item"], r["rec_item"]): r["n"] for r in merged.collect()}
     want = {(r["item"], r["rec_item"]): r["n"] for r in full.collect()}
     assert got == want
+
+
+def test_rec_ndcg_at_k_hand_computed(spark):
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        rec_ndcg_at_k,
+    )
+
+    recs = spark.createDataFrame(
+        # item 10: recs ranked [1,2,3]; item 20: recs ranked [7,8]
+        [(10, 1, 1), (10, 2, 2), (10, 3, 3), (20, 7, 1), (20, 8, 2)],
+        "item long, rec_item long, rank int",
+    )
+    truth = spark.createDataFrame(
+        # item 10 relevant: {2, 3, 4} (hits at ranks 2,3); duplicated
+        # rows must not double-count
+        [(10, 2), (10, 2), (10, 3), (10, 4), (20, 9)],
+        "item long, partner long",
+    )
+    got = {r["item"]: r for r in rec_ndcg_at_k(recs, truth, k=5).collect()}
+    r10 = got[10]
+    assert (r10["n_rel"], r10["n_hits"]) == (3, 2)
+    # dcg = g2 + g3 = 0.630929754 + 0.500000000
+    assert abs(r10["dcg"] - 1.130929754) < 1e-12
+    # idcg = prefix(3) = 2.130929754
+    assert abs(r10["idcg"] - 2.130929754) < 1e-12
+    assert abs(r10["ndcg"] - 1.130929754 / 2.130929754) < 1e-12
+    r20 = got[20]
+    assert (r20["n_rel"], r20["n_hits"], r20["dcg"]) == (1, 0, 0.0)
+    assert abs(r20["idcg"] - 1.0) < 1e-12 and r20["ndcg"] == 0.0
