@@ -521,12 +521,15 @@ def rec_ndcg_at_k(
     n_rel = truth.groupBy("_ti").agg(
         F.countDistinct("_tp").cast("bigint").alias("n_rel")
     )
+    # coalesce BEFORE least: Spark's least() IGNORES nulls, so a
+    # missing n_rel (item with zero test relevance) would silently
+    # become least(NULL, k) = k and fabricate a full IDCG
+    n_eff = F.least(F.coalesce(F.col("n_rel"), F.lit(0)), F.lit(k))
     idcg = F.lit(None).cast("decimal(12,9)")
     for n, pre in enumerate(_NDCG_PREFIX[:k], start=1):
-        idcg = F.when(
-            F.least(F.col("n_rel"), F.lit(k)) == n,
-            F.lit(pre).cast("decimal(12,9)"),
-        ).otherwise(idcg)
+        idcg = F.when(n_eff == n, F.lit(pre).cast("decimal(12,9)")).otherwise(
+            idcg
+        )
     base = rec_slim.select(F.col("_it")).distinct()
     out = (
         base.join(dcg, "_it", "left")

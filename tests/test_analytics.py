@@ -273,3 +273,143 @@ def test_residual_anomaly_days_flags_spike(spark):
     # first 6 days have no full trailing window -> absent entirely
     days = {r["day"].isoformat() for r in out.collect()}
     assert "2024-01-03" not in days
+
+
+def test_last_touch_attribution_matches_bruteforce(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        last_touch_attribution,
+    )
+
+    W = 10  # tiny window to exercise the boundary
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=3),
+                st.sampled_from(["view", "click", "purchase", "error"]),
+                st.integers(min_value=0, max_value=40),
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def check(rows):
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts_us long"
+        )
+        got = sorted(
+            (r["user"], r["conv_ts_us"], r["touch_ts_us"],
+             r["touch_type_code"], r["attributed"])
+            for r in last_touch_attribution(ev, window_us=W).collect()
+        )
+        code = {"view": 1, "click": 2}
+        want = []
+        for u, t, ts in rows:
+            if t != "purchase":
+                continue
+            encs = [
+                ts2 * 8 + code[t2]
+                for u2, t2, ts2 in rows
+                if u2 == u and t2 in code and ts2 < ts
+            ]
+            if encs:
+                e = max(encs)
+                want.append(
+                    (u, ts, e // 8, e % 8, (e // 8) >= ts - W)
+                )
+            else:
+                want.append((u, ts, None, None, False))
+        assert got == sorted(want)
+
+    check()
+
+
+def test_segment_overlap_matches_bruteforce(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        segment_overlap,
+    )
+
+    segs = ["view", "click", "purchase"]
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=5),
+                st.sampled_from(segs + ["error", "signup"]),
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def check(rows):
+        ev = spark.createDataFrame(rows, "user_id long, event_type string")
+        got = {
+            r["mask"]: r["n_users"]
+            for r in segment_overlap(ev, segs).collect()
+        }
+        masks = {}
+        for u, t in rows:
+            if t in segs:
+                masks[u] = masks.get(u, 0) | (1 << segs.index(t))
+        want = {}
+        for m in masks.values():
+            want[m] = want.get(m, 0) + 1
+        assert got == want
+
+    check()
+
+
+def test_residual_anomaly_days_matches_bruteforce(spark):
+    from datetime import date, timedelta
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        residual_anomaly_days,
+    )
+
+    base = date(2024, 3, 1)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.dictionaries(
+            st.integers(min_value=0, max_value=25),
+            st.integers(min_value=0, max_value=1000),
+            min_size=7,
+            max_size=26,
+        )
+    )
+    def check(series):
+        rows = [(base + timedelta(days=d), v) for d, v in sorted(series.items())]
+        df = spark.createDataFrame(rows, "day date, v long")
+        out = {
+            r["day"]: (r["residual"], r["mad"], r["is_anomaly"])
+            for r in residual_anomaly_days(df, "day", "v", 7, k=5).collect()
+        }
+        # brute force: trailing 7 CALENDAR days inclusive, full windows only
+        resid = {}
+        for d, v in series.items():
+            win = [series[e] for e in range(d - 6, d + 1) if e in series]
+            if len(win) == 7:
+                resid[d] = 7 * v - sum(win)
+        if not resid:
+            assert out == {}
+            return
+        devs = sorted(abs(r) for r in resid.values())
+        mad = devs[(len(devs) + 1) // 2 - 1]
+        want = {
+            base + timedelta(days=d): (r, mad, abs(r) > 5 * mad)
+            for d, r in resid.items()
+        }
+        assert out == want
+
+    check()

@@ -300,3 +300,50 @@ def test_rec_ndcg_at_k_hand_computed(spark):
     r20 = got[20]
     assert (r20["n_rel"], r20["n_hits"], r20["dcg"]) == (1, 0, 0.0)
     assert abs(r20["idcg"] - 1.0) < 1e-12 and r20["ndcg"] == 0.0
+
+
+def test_rec_ndcg_bounds_and_hit_caps(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        rec_ndcg_at_k,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(  # (item, rec_item) pairs; ranks assigned per item
+            st.tuples(st.integers(1, 4), st.integers(10, 20)),
+            min_size=1, max_size=15, unique=True,
+        ),
+        st.lists(
+            st.tuples(st.integers(1, 4), st.integers(10, 20)),
+            min_size=0, max_size=25,
+        ),
+    )
+    def check(rec_pairs, truth_rows):
+        by_item = {}
+        recs = []
+        for it, ri in rec_pairs:
+            r = by_item.get(it, 0) + 1
+            if r > 5:
+                continue
+            by_item[it] = r
+            recs.append((it, ri, r))
+        recs_df = spark.createDataFrame(
+            recs, "item long, rec_item long, rank int"
+        )
+        truth_df = spark.createDataFrame(
+            truth_rows or [(99, 99)], "item long, partner long"
+        )
+        out = rec_ndcg_at_k(recs_df, truth_df, k=5).collect()
+        assert {r["item"] for r in out} == set(by_item)
+        for r in out:
+            assert r["n_hits"] <= min(5, r["n_rel"])
+            if r["n_rel"] == 0:
+                assert r["idcg"] is None and r["ndcg"] is None
+            else:
+                assert 0.0 <= r["ndcg"] <= 1.0 + 1e-12
+                assert r["dcg"] <= r["idcg"] + 1e-12
+
+    check()
