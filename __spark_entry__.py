@@ -4011,6 +4011,60 @@ def q_rec_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _customer_privacy_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared privacy fixture: customer quasi-identifiers (nation,
+    market segment, $1000 account-balance band in cents) with exact
+    balance cents as the sensitive attribute."""
+    from amazon_personalize_connectors_spark.operators.privacy import (
+        k_anonymity_classes,
+        numeric_band,
+    )
+
+    cust = synthetic.load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    banded = cust.select(
+        "nation", "segment", numeric_band(F.col("cents"), 100_000).alias("band"),
+        "cents",
+    )
+    return k_anonymity_classes(
+        banded, ["nation", "segment", "band"], "cents", k=5, l_threshold=2
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity class report (operators/privacy.py):
+    one row per quasi-identifier equivalence class over customer
+    (nation, segment, $1000 balance band) with exact size, distinct
+    sensitive-value count, and violation flags — ONE grouped
+    aggregate over the export, classes not records downstream."""
+    return _customer_privacy_classes(spark, sf_dir).select(
+        "nation",
+        "segment",
+        "band",
+        "class_size",
+        "n_sensitive",
+        "k_violation",
+        "l_violation",
+    )
+
+
+def q_privacy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row release gate (operators/privacy.py
+    k_anonymity_summary): class/record totals, risky classes AND
+    risky records (what actually leaks), effective k, low-diversity
+    class count."""
+    from amazon_personalize_connectors_spark.operators.privacy import (
+        k_anonymity_summary,
+    )
+
+    return k_anonymity_summary(_customer_privacy_classes(spark, sf_dir))
+
+
 def q_stream_model_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming co-visitation model refresh, ORACLE-CHECKED end to
     end (streaming/model_refresh.py): interactions staged as four
@@ -4353,6 +4407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audience_overlap": q_audience_overlap,
         "revenue_anomalies": q_revenue_anomalies,
         "rec_ndcg": q_rec_ndcg,
+        "k_anonymity": q_k_anonymity,
+        "privacy_gate": q_privacy_gate,
         "stream_model_refresh": q_stream_model_refresh,
         "mad_outliers": q_mad_outliers,
     }
@@ -7402,6 +7458,61 @@ SELECT CAST(base.item AS BIGINT) AS item,
 FROM base
 LEFT JOIN dcg ON dcg.item = base.item
 LEFT JOIN nrel ON nrel.item = base.item
+""",
+        # pmod banding: cents - ((cents % w) + w) % w = floor band,
+        # exact for negative balances too
+        "k_anonymity": """
+WITH c AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+),
+b AS (
+  SELECT nation, segment,
+         cents - ((cents % 100000) + 100000) % 100000 AS band, cents
+  FROM c
+),
+cls AS (
+  SELECT nation, segment, band,
+         CAST(count(*) AS BIGINT) AS class_size,
+         CAST(count(DISTINCT cents) AS BIGINT) AS n_sensitive
+  FROM b GROUP BY 1, 2, 3
+)
+SELECT nation, segment, CAST(band AS BIGINT) AS band, class_size,
+       n_sensitive,
+       CAST(CASE WHEN class_size < 5 THEN 1 ELSE 0 END AS INT)
+         AS k_violation,
+       CAST(CASE WHEN n_sensitive < 2 THEN 1 ELSE 0 END AS INT)
+         AS l_violation
+FROM cls
+""",
+        "privacy_gate": """
+WITH c AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+),
+b AS (
+  SELECT nation, segment,
+         cents - ((cents % 100000) + 100000) % 100000 AS band, cents
+  FROM c
+),
+cls AS (
+  SELECT nation, segment, band,
+         count(*) AS class_size,
+         count(DISTINCT cents) AS n_sensitive
+  FROM b GROUP BY 1, 2, 3
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_records,
+       CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_risky_classes,
+       CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+            AS BIGINT) AS n_risky_records,
+       CAST(min(class_size) AS BIGINT) AS min_class_size,
+       CAST(sum(CASE WHEN n_sensitive < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_diversity_classes
+FROM cls
 """,
         # FULL recompute — the stream-maintained store must serve
         # identical top-k no matter how files split into micro-batches

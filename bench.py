@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "audience_overlap",
     "revenue_anomalies",
     "rec_ndcg",
+    "k_anonymity",
+    "privacy_gate",
     "mad_outliers",
     # stream_model_refresh is deliberately NOT benched: it drains 4
     # micro-batches each rewriting the versioned model store (~23 s at
