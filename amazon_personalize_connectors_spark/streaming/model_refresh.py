@@ -261,3 +261,65 @@ def serve_topk(
     return pairs.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def compact_store(spark: SparkSession, store_path: str) -> None:
+    """Collapse the manifest to a single version: rewrite EVERY bucket
+    of both stores into one new version directory, flip the pointer,
+    then delete the superseded version directories — the operational
+    compaction policy the module docstring names (read fan-out grows
+    with the distinct versions a manifest references; this resets it
+    to 1).
+
+    Crash-safe with the same discipline as a batch: the new version
+    directory and its manifest are fully written BEFORE the pointer
+    flips (a crash before the flip leaves the old version authoritative
+    and the half-written directory inert), and directory deletion
+    happens only after the flip (a crash mid-delete leaves orphan
+    directories that the next compaction removes — readers never
+    consult them because the manifest no longer references them)."""
+    import shutil
+
+    prev = _current_version(store_path)
+    if prev is None:
+        return
+    man = _read_manifest(store_path, prev)
+    b_count = man["n_buckets"]
+    version = prev + 1
+    out = os.path.join(store_path, f"v{version}")
+    items = _read_buckets(
+        spark, _bucket_paths(store_path, man, "items"), _ITEM_SCHEMA
+    )
+    items.withColumn(
+        "bucket", F.pmod(F.xxhash64("u"), F.lit(b_count))
+    ).write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(out, "items")
+    )
+    pair_paths = _bucket_paths(store_path, man, "pairs")
+    new_pairs: dict[str, int] = {}
+    if pair_paths:
+        pairs = _read_buckets(spark, pair_paths, _PAIR_SCHEMA)
+        pairs.withColumn(
+            "bucket", F.pmod(F.xxhash64("item"), F.lit(b_count))
+        ).write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(out, "pairs")
+        )
+        new_pairs = {b: version for b in man["pairs"]}
+    new_man = {
+        "n_buckets": b_count,
+        "items": {b: version for b in man["items"]},
+        "pairs": new_pairs,
+    }
+    tmp_man = _manifest_path(store_path, version) + ".tmp"
+    with open(tmp_man, "w") as f:
+        json.dump(new_man, f)
+    os.replace(tmp_man, _manifest_path(store_path, version))
+    tmp = _version_file(store_path) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _version_file(store_path))
+    # prune superseded version directories (post-flip: readers are
+    # already on v{version}; idempotent if re-run)
+    for name in os.listdir(store_path):
+        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < version:
+            shutil.rmtree(os.path.join(store_path, name), ignore_errors=True)

@@ -154,3 +154,41 @@ def test_untouched_buckets_not_rewritten_across_trigger(spark, tmp_path):
     }
     served = {(r["item"], r["rec_item"]) for r in serve_topk(spark, store).collect()}
     assert served == {(10, 11), (11, 10), (20, 21), (21, 20)}
+
+
+def test_compact_store_collapses_versions_and_preserves_serving(spark, tmp_path):
+    import json as _json
+    import os
+
+    from amazon_personalize_connectors_spark.streaming.model_refresh import (
+        apply_interactions_batch,
+        compact_store,
+    )
+
+    store = str(tmp_path / "m4")
+    os.makedirs(store, exist_ok=True)
+    for batch in ([(1, 10), (1, 11)], [(2, 10), (2, 12)], [(3, 11), (3, 12)]):
+        apply_interactions_batch(
+            spark.createDataFrame(batch, "u long, i long"), store, n_buckets=4
+        )
+    before = {(r["item"], r["rec_item"]): (r["n_common"], r["rank"])
+              for r in serve_topk(spark, store).collect()}
+    state_before = {(r["u"], r["i"]) for r in read_item_state(spark, store).collect()}
+    assert len({d for d in os.listdir(store) if d.startswith("v")}) == 3
+
+    compact_store(spark, store)
+
+    vdirs = sorted(d for d in os.listdir(store) if d.startswith("v"))
+    assert vdirs == ["v3"], vdirs  # one surviving version
+    man = _json.load(open(os.path.join(store, "v3", "_MANIFEST.json")))
+    assert set(man["items"].values()) == {3}
+    assert set(man["pairs"].values()) <= {3}
+    after = {(r["item"], r["rec_item"]): (r["n_common"], r["rank"])
+             for r in serve_topk(spark, store).collect()}
+    assert after == before
+    assert {(r["u"], r["i"]) for r in read_item_state(spark, store).collect()} == state_before
+    # a batch after compaction keeps working
+    apply_interactions_batch(
+        spark.createDataFrame([(4, 10), (4, 11)], "u long, i long"), store
+    )
+    assert serve_topk(spark, store).count() >= len(after)
