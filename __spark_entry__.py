@@ -4036,6 +4036,47 @@ def _customer_privacy_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retractable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-aware rollup maintenance (operators/cdc.py
+    retractable_rollup_merge): rolling the one-year order-window
+    rollup forward by signed per-key deltas (updates contribute
+    new-old, deletes retract, empty groups drop out) must equal a
+    full recompute over the new window — the oracle IS that
+    recompute. All-bigint cents arithmetic so retraction is
+    lossless."""
+    from amazon_personalize_connectors_spark.operators.cdc import (
+        retractable_rollup_merge,
+    )
+
+    def facts(lo, hi):
+        orders = synthetic.load_table(spark, sf_dir, "orders")
+        return orders.where(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
+        ).select(
+            "o_orderkey",
+            F.pmod(F.col("o_custkey"), F.lit(100)).cast("bigint").alias("grp"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+
+    old = facts("1995-01-01", "1996-01-01")
+    new = facts("1995-07-01", "1996-07-01")
+    base = old.groupBy("grp").agg(
+        F.sum("cents").alias("sum_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    return retractable_rollup_merge(
+        base, old, new, ["o_orderkey"], "grp", "cents",
+        sum_name="sum_cents", count_name="n_rows",
+    ).select(
+        "grp",
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+        "n_rows",
+    )
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity / l-diversity class report (operators/privacy.py):
     one row per quasi-identifier equivalence class over customer
@@ -4409,6 +4450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_ndcg": q_rec_ndcg,
         "k_anonymity": q_k_anonymity,
         "privacy_gate": q_privacy_gate,
+        "retractable_rollup": q_retractable_rollup,
         "stream_model_refresh": q_stream_model_refresh,
         "mad_outliers": q_mad_outliers,
     }
@@ -7458,6 +7500,18 @@ SELECT CAST(base.item AS BIGINT) AS item,
 FROM base
 LEFT JOIN dcg ON dcg.item = base.item
 LEFT JOIN nrel ON nrel.item = base.item
+""",
+        # FULL recompute over the new window — the merge law is
+        # exactly that the maintained rollup equals this
+        "retractable_rollup": """
+SELECT CAST(o_custkey % 100 AS BIGINT) AS grp,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS sum_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY 1
 """,
         # pmod banding: cents - ((cents % w) + w) % w = floor band,
         # exact for negative balances too

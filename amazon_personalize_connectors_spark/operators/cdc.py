@@ -100,3 +100,73 @@ def apply_changes(
         *key_cols, *value_cols
     )
     return kept.unionByName(upserts)
+
+
+def retractable_rollup_merge(
+    base_rollup: DataFrame,
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    group_col: str,
+    value_col: str,
+    sum_name: str = "sum_v",
+    count_name: str = "n_rows",
+) -> DataFrame:
+    """Maintain a grouped (sum, count) rollup under a snapshot change
+    INCLUDING updates and deletes — the retraction-aware sibling of
+    the insert-only ``incremental_rollup_merge``: an update
+    contributes ``new - old`` to its group's sum, a delete retracts
+    ``-old`` and decrements the count, and a group whose count
+    reaches zero drops out of the rollup entirely. Law (what the
+    oracle checks end-to-end):
+
+        merge(rollup(old), deltas(old -> new)) == rollup(new)
+
+    ``group_col`` must be derivable from the key columns (a changed
+    row stays in its group); ``value_col`` should be an exact type
+    (bigint cents / decimal) so retraction is lossless — float sums
+    cannot be retracted bit-exactly.
+
+    Scale shape: the signed per-key deltas come from ONE full-outer
+    join of the two fact snapshots on the key (at warehouse scale this
+    is the CDC feed itself — no join needed); unchanged keys are
+    dropped BEFORE the group aggregate, so the delta aggregate is
+    ∝ changed keys; the merge touches rollup rows (∝ groups), never
+    the fact tables again."""
+    o = old.select(
+        *key_cols,
+        F.col(group_col).alias("_g"),
+        F.col(value_col).alias("_vo"),
+        F.lit(1).alias("_po"),
+    )
+    n = new.select(
+        *key_cols,
+        F.col(group_col).alias("_gn"),
+        F.col(value_col).alias("_vn"),
+        F.lit(1).alias("_pn"),
+    )
+    j = o.join(n, list(key_cols), "full_outer")
+    deltas = j.select(
+        F.coalesce(F.col("_gn"), F.col("_g")).alias(group_col),
+        (
+            F.coalesce(F.col("_vn"), F.lit(0))
+            - F.coalesce(F.col("_vo"), F.lit(0))
+        ).alias("_dv"),
+        (
+            F.coalesce(F.col("_pn"), F.lit(0))
+            - F.coalesce(F.col("_po"), F.lit(0))
+        ).cast("long").alias("_dn"),
+    ).where((F.col("_dv") != 0) | (F.col("_dn") != 0))
+    dagg = deltas.groupBy(group_col).agg(
+        F.sum("_dv").alias(sum_name),
+        F.sum("_dn").alias(count_name),
+    )
+    merged = (
+        base_rollup.unionByName(dagg)
+        .groupBy(group_col)
+        .agg(
+            F.sum(sum_name).alias(sum_name),
+            F.sum(count_name).cast("bigint").alias(count_name),
+        )
+    )
+    return merged.where(F.col(count_name) > 0)

@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "rec_ndcg",
     "k_anonymity",
     "privacy_gate",
+    "retractable_rollup",
     "mad_outliers",
     # stream_model_refresh is deliberately NOT benched: it drains 4
     # micro-batches each rewriting the versioned model store (~23 s at

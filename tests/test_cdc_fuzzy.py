@@ -139,3 +139,82 @@ def test_editdist2_matches_bruteforce(spark):
         if lev(a, b) <= 2
     }
     assert got == want and any(d == 2 for _, _, d in want)
+
+
+def test_retractable_rollup_merge_law_and_group_dropout(spark):
+    from amazon_personalize_connectors_spark.operators.cdc import (
+        retractable_rollup_merge,
+    )
+
+    old = spark.createDataFrame(
+        # group A: keys 1,2 ; group B: key 3 (will be fully deleted)
+        [(1, "A", 10), (2, "A", 20), (3, "B", 30)],
+        "k long, g string, v long",
+    )
+    new = spark.createDataFrame(
+        # key 1 updated, key 2 kept, key 3 deleted, key 4 inserted (C)
+        [(1, "A", 15), (2, "A", 20), (4, "C", 7)],
+        "k long, g string, v long",
+    )
+    base = old.groupBy("g").agg(
+        F.sum("v").alias("sum_v"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    got = {
+        r["g"]: (r["sum_v"], r["n_rows"])
+        for r in retractable_rollup_merge(
+            base, old, new, ["k"], "g", "v"
+        ).collect()
+    }
+    # law: equals full recompute over new
+    want = {
+        r["g"]: (r["s"], r["n"])
+        for r in new.groupBy("g")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert "B" not in got  # emptied group drops out, no zero row
+
+
+def test_retractable_rollup_merge_hypothesis_law(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazon_personalize_connectors_spark.operators.cdc import (
+        retractable_rollup_merge,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.dictionaries(  # old: key -> value
+            st.integers(1, 12), st.integers(-50, 50), max_size=12
+        ),
+        st.dictionaries(  # new
+            st.integers(1, 12), st.integers(-50, 50), max_size=12
+        ),
+    )
+    def check(old_map, new_map):
+        def frame(m):
+            rows = [(k, k % 3, v) for k, v in m.items()] or [(99, 0, 0)]
+            df = spark.createDataFrame(rows, "k long, g long, v long")
+            return df if m else df.where(F.lit(False))
+
+        old, new = frame(old_map), frame(new_map)
+        base = old.groupBy("g").agg(
+            F.sum("v").alias("sum_v"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        got = {
+            r["g"]: (r["sum_v"], r["n_rows"])
+            for r in retractable_rollup_merge(
+                base, old, new, ["k"], "g", "v"
+            ).collect()
+        }
+        want = {}
+        for k, v in new_map.items():
+            s, n = want.get(k % 3, (0, 0))
+            want[k % 3] = (s + v, n + 1)
+        assert got == want
+
+    check()
