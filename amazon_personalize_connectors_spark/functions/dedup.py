@@ -143,7 +143,15 @@ def ngram_jaccard_pairs(
 def _rare_hashed_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int, max_shingle_df: int
 ) -> DataFrame:
-    """(id, n_shingles, shingle:int64) with stop-shingles removed."""
+    """(id, n_shingles, shingle:int64) with stop-shingles removed.
+
+    Kept as an INNER join against the rare set (not a broadcast
+    anti-join against the small stop head): measured at sf0.1 the
+    anti form is ~45% SLOWER (6.5 vs 4.5 s) — the inner join's
+    shingle-hash exchange is shared with the downstream self-join
+    (ReusedExchange), while the anti form re-tokenizes per branch
+    unshuffled and then pays the full exchange anyway at the pair
+    join."""
     sh = shingle_table(df, text_col, id_col, n).withColumn(
         "shingle", F.xxhash64("shingle")
     )
