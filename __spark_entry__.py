@@ -4036,6 +4036,132 @@ def _customer_privacy_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): lineitem
+    bridges a supplier nation and a customer nation; keep both
+    directions of the (NATION_1, NATION_2) pair, bucket by ship year,
+    decimal-exact revenue. Nation and supplier dims broadcast; the
+    two-sided pair filter prunes BEFORE the revenue aggregate."""
+    li = synthetic.load_table(spark, sf_dir, "lineitem")
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    customer = synthetic.load_table(spark, sf_dir, "customer")
+    supplier = synthetic.load_table(spark, sf_dir, "supplier")
+    nation = synthetic.load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_sn"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_cn"), F.col("n_name").alias("cust_nation")
+    )
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01").cast("timestamp_ntz")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn"))
+        .where(pair_ok)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): for STANDARD-type
+    parts sold into ASIA customers over two order years, NATION_2
+    suppliers' revenue share per year — conditional decimal sums,
+    ONE double division per year. Part/supplier/nation/region dims
+    broadcast; the order-date band prunes the orders scan."""
+    li = synthetic.load_table(spark, sf_dir, "lineitem")
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    customer = synthetic.load_table(spark, sf_dir, "customer")
+    supplier = synthetic.load_table(spark, sf_dir, "supplier")
+    nation = synthetic.load_table(spark, sf_dir, "nation")
+    region = synthetic.load_table(spark, sf_dir, "region")
+    part = synthetic.load_table(spark, sf_dir, "part")
+    lo = F.lit("1995-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (
+            F.lit(1).cast("decimal(18,6)")
+            - F.col("l_discount").cast("decimal(18,6)")
+        )
+    ).cast("decimal(30,8)")
+    cust_nation = nation.select(
+        F.col("n_nationkey").alias("_cn"), F.col("n_regionkey").alias("_cr")
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("_sn"), F.col("n_name").alias("supp_nation")
+    )
+    asia = region.where(F.col("r_name") == "ASIA").select(
+        F.col("r_regionkey").alias("_r")
+    )
+    zero = F.lit(0).cast("decimal(30,8)")
+    yearly = (
+        orders.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(part.where(F.col("p_type") == "STANDARD")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("_cn"))
+        .join(F.broadcast(asia), F.col("_cr") == F.col("_r"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("_sn"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(zero)
+            ).alias("_nat"),
+            F.sum(rev).alias("_tot"),
+        )
+    )
+    return yearly.select(
+        "o_year",
+        F.col("_nat").cast("double").alias("nation_revenue"),
+        F.col("_tot").cast("double").alias("total_revenue"),
+        (F.col("_nat").cast("double") / F.col("_tot").cast("double")).alias(
+            "mkt_share"
+        ),
+    )
+
+
+def q_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive MASE floor over daily order revenue
+    (operators/analytics.py seasonal_naive_mase): |v_t - v_{t-7}|
+    vs |v_t - v_{t-1}| over CALENDAR lags, integer error sums, one
+    double division of two exact integer products."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        seasonal_naive_mase,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("cents")
+    )
+    return seasonal_naive_mase(daily, "day", "cents", season_days=7)
+
+
 def q_retractable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retraction-aware rollup maintenance (operators/cdc.py
     retractable_rollup_merge): rolling the one-year order-window
@@ -4451,6 +4577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "privacy_gate": q_privacy_gate,
         "retractable_rollup": q_retractable_rollup,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "forecast_mase": q_forecast_mase,
         "stream_model_refresh": q_stream_model_refresh,
         "mad_outliers": q_mad_outliers,
     }
@@ -7500,6 +7629,85 @@ SELECT CAST(base.item AS BIGINT) AS item,
 FROM base
 LEFT JOIN dcg ON dcg.item = base.item
 LEFT JOIN nrel ON nrel.item = base.item
+""",
+        "tpch_q7": """
+WITH rev AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+           AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue
+FROM rev GROUP BY 1, 2, 3
+""",
+        "tpch_q8": """
+WITH x AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+              AS DECIMAL(30,8)) AS volume,
+         n2.n_name AS supp_nation
+  FROM orders
+  JOIN lineitem ON o_orderkey = l_orderkey
+  JOIN part ON p_partkey = l_partkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+    AND p_type = 'STANDARD' AND r_name = 'ASIA'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                     ELSE CAST(0 AS DECIMAL(30,8)) END) AS DOUBLE)
+         AS nation_revenue,
+       CAST(sum(volume) AS DOUBLE) AS total_revenue,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                     ELSE CAST(0 AS DECIMAL(30,8)) END) AS DOUBLE)
+         / CAST(sum(volume) AS DOUBLE) AS mkt_share
+FROM x GROUP BY 1
+""",
+        # calendar lags via day-index equi-joins; one double division
+        # of two exact integer products
+        "forecast_mase": """
+WITH d AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS di,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_seasonal,
+         CAST(coalesce(sum(abs(a.v - b.v)), 0) AS BIGINT)
+           AS sum_abs_err_seasonal
+  FROM d a JOIN d b ON a.di = b.di + 7
+),
+n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_naive,
+         CAST(coalesce(sum(abs(a.v - b.v)), 0) AS BIGINT)
+           AS sum_abs_err_naive
+  FROM d a JOIN d b ON a.di = b.di + 1
+)
+SELECT n_seasonal, sum_abs_err_seasonal, n_naive, sum_abs_err_naive,
+       CASE WHEN sum_abs_err_naive > 0 AND n_seasonal > 0 THEN
+         CAST(sum_abs_err_seasonal * n_naive AS DOUBLE)
+           / CAST(n_seasonal * sum_abs_err_naive AS DOUBLE)
+       END AS mase
+FROM s, n
 """,
         # FULL recompute over the new window — the merge law is
         # exactly that the maintained rollup equals this

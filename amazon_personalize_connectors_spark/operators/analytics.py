@@ -667,3 +667,71 @@ def residual_anomaly_days(
         "mad",
         (F.abs(F.col("residual")) > F.lit(k) * F.col("mad")).alias("is_anomaly"),
     )
+
+
+def seasonal_naive_mase(
+    daily: DataFrame,
+    day_col: str,
+    value_col: str,
+    season_days: int = 7,
+) -> DataFrame:
+    """Forecast-quality floor for a daily series: the MASE of the
+    seasonal-naive forecast (predict the value from ``season_days``
+    CALENDAR days ago) scaled by the one-day-naive error — the
+    standard "is your model better than last week's number" gate
+    before any trained forecaster ships.
+
+    Integer-exact: both error sums are bigint |v_t - v_lag| over
+    CALENDAR lags (equi-joins on day-index arithmetic, so calendar
+    gaps produce no pair rather than a wrong row-offset pair), and
+    the final statistic is ONE double division of two exact integer
+    products: mase = (sum_err_s * n_naive) / (n_seasonal *
+    sum_err_naive). The daily rollup is calendar-bounded, so the two
+    self-equi-joins are trivially small at any data scale.
+
+    Returns one row: (n_seasonal, sum_abs_err_seasonal, n_naive,
+    sum_abs_err_naive, mase); mase is NULL when the naive error sum
+    is zero (constant series)."""
+    idx = F.datediff(F.col(day_col), F.lit("1970-01-01").cast("date"))
+    base = daily.select(
+        idx.alias("_d"), F.col(value_col).cast("bigint").alias("_v")
+    )
+    lag_s = base.select(
+        (F.col("_d") + season_days).alias("_d"), F.col("_v").alias("_vs")
+    )
+    lag_1 = base.select(
+        (F.col("_d") + 1).alias("_d"), F.col("_v").alias("_v1")
+    )
+    seasonal = base.join(lag_s, "_d").select(
+        F.abs(F.col("_v") - F.col("_vs")).alias("_e")
+    )
+    naive = base.join(lag_1, "_d").select(
+        F.abs(F.col("_v") - F.col("_v1")).alias("_e")
+    )
+    s = seasonal.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seasonal"),
+        F.coalesce(F.sum("_e"), F.lit(0)).cast("bigint").alias(
+            "sum_abs_err_seasonal"
+        ),
+    )
+    n = naive.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_naive"),
+        F.coalesce(F.sum("_e"), F.lit(0)).cast("bigint").alias(
+            "sum_abs_err_naive"
+        ),
+    )
+    return s.crossJoin(n).select(
+        "n_seasonal",
+        "sum_abs_err_seasonal",
+        "n_naive",
+        "sum_abs_err_naive",
+        F.when(
+            (F.col("sum_abs_err_naive") > 0) & (F.col("n_seasonal") > 0),
+            (
+                F.col("sum_abs_err_seasonal") * F.col("n_naive")
+            ).cast("double")
+            / (F.col("n_seasonal") * F.col("sum_abs_err_naive")).cast(
+                "double"
+            ),
+        ).alias("mase"),
+    )

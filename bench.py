@@ -186,6 +186,9 @@ BENCH_QUERIES = [
     "k_anonymity",
     "privacy_gate",
     "retractable_rollup",
+    "tpch_q7",
+    "tpch_q8",
+    "forecast_mase",
     "mad_outliers",
     # stream_model_refresh is deliberately NOT benched: it drains 4
     # micro-batches each rewriting the versioned model store (~23 s at
