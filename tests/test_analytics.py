@@ -413,3 +413,29 @@ def test_residual_anomaly_days_matches_bruteforce(spark):
         assert out == want
 
     check()
+
+
+def test_seasonal_naive_mase_known_values(spark):
+    from datetime import date, timedelta
+
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        seasonal_naive_mase,
+    )
+
+    base = date(2024, 5, 1)
+    rows = [
+        (base + timedelta(days=d), 200 if d == 10 else 100)
+        for d in range(14)
+    ]
+    df = spark.createDataFrame(rows, "day date, v long")
+    r = seasonal_naive_mase(df, "day", "v", season_days=7).collect()[0]
+    # seasonal errors over days 7..13: one spike of 100; naive errors
+    # over days 1..13: spike up and back down
+    assert (r["n_seasonal"], r["sum_abs_err_seasonal"]) == (7, 100)
+    assert (r["n_naive"], r["sum_abs_err_naive"]) == (13, 200)
+    assert abs(r["mase"] - (100 * 13) / (7 * 200)) < 1e-12
+    # constant series -> naive error 0 -> NULL mase
+    const = spark.createDataFrame(
+        [(base + timedelta(days=d), 5) for d in range(10)], "day date, v long"
+    )
+    assert seasonal_naive_mase(const, "day", "v").collect()[0]["mase"] is None
