@@ -4318,6 +4318,20 @@ _R5_WINDOW = [
     "tpch_q18",
     "stream_model_refresh",
     "mad_outliers",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q14",
+    "tpch_q17",
+    "last_touch_attribution",
+    "audience_overlap",
+    "revenue_anomalies",
+    "rec_ndcg",
+    "k_anonymity",
+    "privacy_gate",
+    "retractable_rollup",
+    "tpch_q7",
+    "tpch_q8",
+    "forecast_mase",
     "renest_legacy_window",
     "error_split_ok",
     "error_split_errors",
@@ -4336,20 +4350,6 @@ _R5_WINDOW = [
     "ngram_jaccard_pairs",
     "ngram_jaccard_materialized",
     "neardup_components",
-    "minhash_lsh",
-    "simhash",
-    "simhash64",
-    "state_digest_update",
-    "ann_topk",
-    "ann_topk_partial",
-    "ann_quantized",
-    "rrf_fusion",
-    "pq_adc",
-    "simhash_neardup",
-    "ivf_probe_topk",
-    "quality_filter",
-    "llm_corpus_survivors",
-    "repetition_signals",
 ]
 
 _R4_WINDOW = [
