@@ -4036,6 +4036,101 @@ def _customer_privacy_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join
+    so zero-order customers survive with count 0, join-side filter
+    (non-urgent orders — the fixture's stand-in for the comment
+    anti-pattern) applied BEFORE the join so it prunes the probe
+    side, then a second tiny aggregate over the per-customer counts.
+    Two shuffles total; the distribution table is at most
+    max-orders-per-customer rows."""
+    customer = synthetic.load_table(spark, sf_dir, "customer")
+    orders = synthetic.load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    suppliers whose revenue EQUALS the maximum. The max rides in as a
+    broadcast 1-row aggregate and the equality compares DECIMALS
+    (exact) — comparing doubles would be a tie-break lottery. Revenue
+    cast to double only at output."""
+    li = synthetic.load_table(spark, sf_dir, "lineitem")
+    supplier = synthetic.load_table(spark, sf_dir, "supplier")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1996-04-01").cast("timestamp_ntz")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (
+            F.lit(1).cast("decimal(18,6)")
+            - F.col("l_discount").cast("decimal(18,6)")
+        )
+    ).cast("decimal(30,8)")
+    per_supp = (
+        li.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(F.sum(rev).alias("total"))
+    )
+    mx = per_supp.agg(F.max("total").alias("mx"))
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .where(F.col("total") == F.col("mx"))
+        .join(F.broadcast(supplier), F.col("sk") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            F.col("total").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity) on the fixture
+    schema (nation replaces the phone country code): customers with
+    above-average positive balances and NO RECENT orders (none since
+    2000-09-01 — the fixture's lapsed-customer window; nearly every
+    customer has SOME order, so the all-time form is vacuous),
+    counted/summed per nation. The average is a broadcast 1-row aggregate computed as
+    ONE decimal division of exact sums; "no orders" is a LEFT ANTI
+    join — the big fact side never widens."""
+    customer = synthetic.load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    orders = synthetic.load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-09-01").cast("timestamp_ntz")
+    )
+    pos = customer.where(F.col("cents") > 0)
+    avg1 = pos.agg(
+        F.sum("cents").alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    rich = customer.crossJoin(F.broadcast(avg1)).where(
+        F.col("cents") * F.col("_n") > F.col("_s")
+    )
+    no_orders = rich.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return no_orders.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("numcust"),
+        F.sum("cents").cast("bigint").alias("totacctbal_cents"),
+    )
+
+
 def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape (volume shipping between two nations): lineitem
     bridges a supplier nation and a customer nation; keep both
@@ -4579,6 +4674,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retractable_rollup": q_retractable_rollup,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q22": q_tpch_q22,
         "forecast_mase": q_forecast_mase,
         "stream_model_refresh": q_stream_model_refresh,
         "mad_outliers": q_mad_outliers,
@@ -7629,6 +7727,58 @@ SELECT CAST(base.item AS BIGINT) AS item,
 FROM base
 LEFT JOIN dcg ON dcg.item = base.item
 LEFT JOIN nrel ON nrel.item = base.item
+""",
+        "tpch_q13": """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+    ON c_custkey = o_custkey
+  GROUP BY 1
+)
+GROUP BY 1
+""",
+        "tpch_q15": """
+WITH r AS (
+  SELECT l_suppkey AS sk,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+             AS DECIMAL(30,8))) AS total
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+),
+m AS (SELECT max(total) AS mx FROM r)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(total AS DOUBLE) AS total_revenue
+FROM r
+JOIN supplier ON s_suppkey = r.sk
+CROSS JOIN m
+WHERE r.total = m.mx
+""",
+        # above-average compare is division-free (cents * n > sum);
+        # the no-orders anti is LEFT JOIN ... IS NULL (no fan-out:
+        # only matchless rows survive)
+        "tpch_q22": """
+WITH c AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+),
+a AS (SELECT sum(cents) AS s, count(*) AS n FROM c WHERE cents > 0),
+rich AS (SELECT c.* FROM c, a WHERE c.cents * a.n > a.s),
+noord AS (
+  SELECT rich.* FROM rich
+  LEFT JOIN (SELECT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '2000-09-01') o
+    ON rich.c_custkey = o.o_custkey
+  WHERE o.o_custkey IS NULL
+)
+SELECT nation, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+FROM noord GROUP BY 1
 """,
         "tpch_q7": """
 WITH rev AS (

@@ -188,6 +188,9 @@ BENCH_QUERIES = [
     "retractable_rollup",
     "tpch_q7",
     "tpch_q8",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q22",
     "forecast_mase",
     "mad_outliers",
     # stream_model_refresh is deliberately NOT benched: it drains 4
