@@ -4036,6 +4036,85 @@ def _customer_privacy_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form behind ROLLUP/CUBE (both
+    already covered): per-nation totals, per-segment totals, and the
+    grand total in ONE pass (Catalyst plans an Expand over the three
+    sets feeding one aggregate — the fact table is scanned once, not
+    three times). grouping() flags disambiguate NULL-as-all from a
+    NULL group value; integer cents keep totals exact."""
+    customer = synthetic.load_table(spark, sf_dir, "customer")
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    joined = orders.join(
+        customer, F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    joined.createOrReplaceTempView("_gs_rev")
+    return spark.sql(
+        """
+        SELECT CAST(grouping(nation) AS INT) AS g_nation,
+               CAST(grouping(segment) AS INT) AS g_segment,
+               nation, segment,
+               CAST(sum(cents) AS BIGINT) AS sum_cents,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM _gs_rev
+        GROUP BY GROUPING SETS ((nation), (segment), ())
+        """
+    )
+
+
+def q_except_all_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL multiset difference (the bag-semantics sibling of
+    the delta_except set form): part keys of returned line items
+    minus, occurrence-for-occurrence, part keys of accepted ones —
+    a part returned 5x and accepted 3x survives twice. Collapsed to
+    (part, n) afterwards for a stable compare. exceptAll plans as
+    count-annotated aggregate + generate, never a join fan-out."""
+    li = synthetic.load_table(spark, sf_dir, "lineitem")
+    r = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_partkey").cast("bigint").alias("part")
+    )
+    a = li.where(F.col("l_returnflag") == "A").select(
+        F.col("l_partkey").cast("bigint").alias("part")
+    )
+    return (
+        r.exceptAll(a)
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_surplus"))
+    )
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (DataFrame ``unpivot``/melt — the inverse of
+    the pivot_events coverage): per-returnflag wide metrics (quantity
+    cents, price cents, row count — all exact bigints so the melted
+    value column has one type) into (flag, metric, value) rows.
+    Catalyst plans Expand: one pass, rows x metrics out."""
+    li = synthetic.load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.sum((F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("qty_cents"),
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("price_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ["flag"],
+        ["qty_cents", "price_cents", "n_rows"],
+        "metric",
+        "value",
+    )
+
+
 def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape (customer order-count distribution): LEFT join
     so zero-order customers survive with count 0, join-side filter
@@ -4675,6 +4754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q13": q_tpch_q13,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "except_all_returns": q_except_all_returns,
+        "unpivot_metrics": q_unpivot_metrics,
         "tpch_q15": q_tpch_q15,
         "tpch_q22": q_tpch_q22,
         "forecast_mase": q_forecast_mase,
@@ -7727,6 +7809,44 @@ SELECT CAST(base.item AS BIGINT) AS item,
 FROM base
 LEFT JOIN dcg ON dcg.item = base.item
 LEFT JOIN nrel ON nrel.item = base.item
+""",
+        "grouping_sets_revenue": """
+WITH j AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT CAST(grouping(nation) AS INT) AS g_nation,
+       CAST(grouping(segment) AS INT) AS g_segment,
+       nation, segment,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM j
+GROUP BY GROUPING SETS ((nation), (segment), ())
+""",
+        "except_all_returns": """
+WITH r AS (SELECT CAST(l_partkey AS BIGINT) AS part FROM lineitem
+           WHERE l_returnflag = 'R'),
+a AS (SELECT CAST(l_partkey AS BIGINT) AS part FROM lineitem
+      WHERE l_returnflag = 'A'),
+x AS (SELECT part FROM r EXCEPT ALL SELECT part FROM a)
+SELECT part, CAST(count(*) AS BIGINT) AS n_surplus FROM x GROUP BY 1
+""",
+        "unpivot_metrics": """
+WITH w AS (
+  SELECT l_returnflag AS flag,
+         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS qty_cents,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS price_cents,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY 1
+)
+SELECT flag, 'qty_cents' AS metric, qty_cents AS value FROM w
+UNION ALL
+SELECT flag, 'price_cents' AS metric, price_cents AS value FROM w
+UNION ALL
+SELECT flag, 'n_rows' AS metric, n_rows AS value FROM w
 """,
         "tpch_q13": """
 SELECT c_count, CAST(count(*) AS BIGINT) AS custdist

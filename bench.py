@@ -191,6 +191,9 @@ BENCH_QUERIES = [
     "tpch_q13",
     "tpch_q15",
     "tpch_q22",
+    "grouping_sets_revenue",
+    "except_all_returns",
+    "unpivot_metrics",
     "forecast_mase",
     "mad_outliers",
     # stream_model_refresh is deliberately NOT benched: it drains 4
