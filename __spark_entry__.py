@@ -4036,6 +4036,25 @@ def _customer_privacy_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-centroid drift between two corpus halves
+    (operators/drift.py embedding_centroid_drift): L1 distance between
+    label centroids in pure associative integer arithmetic —
+    |S_a*n_b - S_b*n_a| per dim is exact bigint, sums exactly across
+    dims, ONE double division at the end (the vector version of the
+    ks_drift exactness rule)."""
+    from amazon_personalize_connectors_spark.operators.drift import (
+        embedding_centroid_drift,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.col("label").cast("bigint").alias("label")
+    )
+    snap_a = emb.where(F.col("vec_id") % 2 == 0)
+    snap_b = emb.where(F.col("vec_id") % 2 == 1)
+    return embedding_centroid_drift(snap_a, snap_b, "label", "embedding")
+
+
 def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS — the general form behind ROLLUP/CUBE (both
     already covered): per-nation totals, per-segment totals, and the
@@ -4755,6 +4774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8": q_tpch_q8,
         "tpch_q13": q_tpch_q13,
         "grouping_sets_revenue": q_grouping_sets_revenue,
+        "embedding_drift": q_embedding_drift,
         "except_all_returns": q_except_all_returns,
         "unpivot_metrics": q_unpivot_metrics,
         "tpch_q15": q_tpch_q15,
@@ -7809,6 +7829,32 @@ SELECT CAST(base.item AS BIGINT) AS item,
 FROM base
 LEFT JOIN dcg ON dcg.item = base.item
 LEFT JOIN nrel ON nrel.item = base.item
+""",
+        "embedding_drift": """
+WITH x AS (
+  SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS half, d.dim,
+         CAST(round(CAST(list_extract(embedding, d.dim + 1) AS DOUBLE)
+                    * 1000000.0) AS BIGINT) AS sv
+  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS dim) d
+),
+agg AS (
+  SELECT label, half, dim,
+         CAST(sum(sv) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM x GROUP BY 1, 2, 3
+),
+j AS (
+  SELECT a.label, a.dim, a.s AS sa, a.n AS na, b.s AS sb, b.n AS nb
+  FROM (SELECT * FROM agg WHERE half = 0) a
+  JOIN (SELECT * FROM agg WHERE half = 1) b
+    ON a.label = b.label AND a.dim = b.dim
+)
+SELECT label,
+       CAST(min(na) AS BIGINT) AS n_a,
+       CAST(min(nb) AS BIGINT) AS n_b,
+       CAST(sum(abs(sa * nb - sb * na)) AS BIGINT) AS drift_num,
+       CAST(sum(abs(sa * nb - sb * na)) AS DOUBLE)
+         / CAST(min(na) * min(nb) * 1000000 AS DOUBLE) AS l1_drift
+FROM j GROUP BY 1
 """,
         "grouping_sets_revenue": """
 WITH j AS (

@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "tpch_q15",
     "tpch_q22",
     "grouping_sets_revenue",
+    "embedding_drift",
     "except_all_returns",
     "unpivot_metrics",
     "forecast_mase",

@@ -347,3 +347,26 @@ def test_rec_ndcg_bounds_and_hit_caps(spark):
                 assert r["dcg"] <= r["idcg"] + 1e-12
 
     check()
+
+
+def test_embedding_centroid_drift_hand_computed(spark):
+    from amazon_personalize_connectors_spark.operators.drift import (
+        embedding_centroid_drift,
+    )
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        "label long, v array<double>",
+    )
+    b = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (3, [0.5, 0.5])],  # label 3 only in b -> dropped
+        "label long, v array<double>",
+    )
+    got = {r["label"]: r for r in
+           embedding_centroid_drift(a, b, "label", "v").collect()}
+    assert set(got) == {1}
+    r = got[1]
+    # centroids: a=(0.5, 0.5), b=(1, 1); per-dim |Sa*nb - Sb*na| with
+    # micro scale: |1e6*1 - 1e6*2| = 1e6 per dim -> num = 2e6
+    assert (r["n_a"], r["n_b"], r["drift_num"]) == (2, 1, 2_000_000)
+    assert abs(r["l1_drift"] - 1.0) < 1e-12  # |0.5-1| + |0.5-1| = 1.0
