@@ -4055,6 +4055,43 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_centroid_drift(snap_a, snap_b, "label", "embedding")
 
 
+def q_stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor, ORACLE-CHECKED end to end
+    (streaming/drift_monitor.py): line items staged as four parquet
+    files drain ONE FILE PER MICRO-BATCH, each batch folding its
+    per-value counts into the versioned grid store; the KS statistic
+    read from the final store must equal the batch ks_drift over all
+    rows — the mergeable-grid law, regardless of batch splits."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.drift_monitor import (
+        ks_from_store,
+        monitor_from_stream,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "l_returnflag",
+    )
+    landing = tempfile.mkdtemp(prefix="apc-drift-landing-")
+    store = tempfile.mkdtemp(prefix="apc-drift-store-")
+    ckpt = tempfile.mkdtemp(prefix="apc-drift-ckpt-")
+    li.repartition(4).write.mode("append").parquet(landing)
+    stream = (
+        spark.readStream.schema("cents long, l_returnflag string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    monitor_from_stream(
+        stream, store, ckpt, "cents",
+        F.col("l_returnflag") == "R",
+        F.col("l_returnflag") != "R",
+    )
+    return ks_from_store(spark, store)
+
+
 def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS — the general form behind ROLLUP/CUBE (both
     already covered): per-nation totals, per-segment totals, and the
@@ -4775,6 +4812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "embedding_drift": q_embedding_drift,
+        "stream_ks_drift": q_stream_ks_drift,
         "except_all_returns": q_except_all_returns,
         "unpivot_metrics": q_unpivot_metrics,
         "tpch_q15": q_tpch_q15,
@@ -8161,6 +8199,8 @@ GROUP BY v.g
     # the materialized-shingle Jaccard is result-identical to the
     # recompute form — same oracle pins both physical strategies
     sqls["ngram_jaccard_materialized"] = sqls["ngram_jaccard_pairs"]
+    # the stream-maintained KS grid must reproduce the batch statistic
+    sqls["stream_ks_drift"] = sqls["ks_drift"]
     # materialized line dedup is result-identical to the recompute form
     sqls["line_dedup_materialized"] = sqls["line_dedup"]
     # the persisted-index IVF probe serves the same results as in-plan

@@ -1,0 +1,153 @@
+"""Streaming drift monitor: maintain the two-population per-value
+count GRID from a micro-batched stream and answer the exact
+two-sample KS statistic on demand — continuous "is today's
+distribution still yesterday's" monitoring without ever re-scanning
+history.
+
+Why this is exactly mergeable: the KS computation in
+``operators/features.py:ks_two_sample`` reduces the raw data to a
+(value, count_a, count_b) grid first, and grids merge by SUM — the
+one property a streaming aggregate needs. Each micro-batch folds its
+batch-local grid into the store (unionByName + sum groupBy, the
+incremental_rollup_merge shape), so per-trigger cost is ∝ the batch's
+distinct values, state size is ∝ the value domain (cents of a bounded
+price range — small at any data scale), and the KS read-side is
+identical to the batch operator: running totals over the grid, one
+integer sup, one division.
+
+Storage uses the cdc_sink pointer-flip discipline (versioned parquet,
+``_VERSION`` flips last): a retried batch re-reads the previous
+version and overwrites its own version directory idempotently —
+counts are never double-folded (test-pinned, same argument as
+model_refresh).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_personalize_connectors_spark.operators.ids import (
+    add_running_totals,
+)
+from amazon_personalize_connectors_spark.streaming.cdc_sink import (
+    _version_file,
+)
+
+_GRID_SCHEMA = "v long, a long, b long"
+
+
+def _current_version(store_path: str) -> int | None:
+    vf = _version_file(store_path)
+    if not os.path.exists(vf):
+        return None
+    with open(vf) as f:
+        return int(f.read().strip())
+
+
+def read_grid(spark: SparkSession, store_path: str) -> DataFrame:
+    """Accumulated (value, count_a, count_b) grid at the committed
+    version; empty before the first batch."""
+    ver = _current_version(store_path)
+    if ver is None:
+        return spark.createDataFrame([], _GRID_SCHEMA)
+    return spark.read.schema(_GRID_SCHEMA).parquet(
+        os.path.join(store_path, f"v{ver}")
+    )
+
+
+def apply_grid_batch(
+    batch: DataFrame, store_path: str, value_col: str, in_a, in_b
+) -> None:
+    """foreachBatch body: fold one micro-batch's per-value counts into
+    the grid store. ``in_a`` / ``in_b`` are Column predicates naming
+    the two populations (a row may match either, both, or neither)."""
+    spark = batch.sparkSession
+    delta = batch.groupBy(F.col(value_col).cast("long").alias("v")).agg(
+        F.sum(in_a.cast("long")).alias("a"),
+        F.sum(in_b.cast("long")).alias("b"),
+    )
+    prev = _current_version(store_path)
+    version = 0 if prev is None else prev + 1
+    if prev is None:
+        merged = delta
+    else:
+        current = spark.read.schema(_GRID_SCHEMA).parquet(
+            os.path.join(store_path, f"v{prev}")
+        )
+        merged = (
+            current.unionByName(delta)
+            .groupBy("v")
+            .agg(
+                F.sum("a").cast("long").alias("a"),
+                F.sum("b").cast("long").alias("b"),
+            )
+        )
+    merged.write.mode("overwrite").parquet(
+        os.path.join(store_path, f"v{version}")
+    )
+    tmp = _version_file(store_path) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _version_file(store_path))
+
+
+def monitor_from_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    value_col: str,
+    in_a,
+    in_b,
+    timeout_s: float = 300.0,
+) -> None:
+    """Drain a stream (Trigger.AvailableNow), folding every
+    micro-batch's value counts into the grid at ``store_path``."""
+    os.makedirs(store_path, exist_ok=True)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _e: apply_grid_batch(b, store_path, value_col, in_a, in_b)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(f"drift monitor still running after {timeout_s}s")
+    finally:
+        if q.isActive:
+            q.stop()
+
+
+def ks_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Exact two-sample KS from the maintained grid — identical math
+    to the batch operator (integer sup |cum_a*n_b - cum_b*n_a|, one
+    division), so the stream-maintained statistic must equal a full
+    recompute over everything drained (the law the oracle checks)."""
+    grid = read_grid(spark, store_path).localCheckpoint(eager=True)
+    cum = add_running_totals(grid, ["v"], {"a": "_ca", "b": "_cb"})
+    tot = grid.agg(
+        F.sum("a").cast("bigint").alias("n_a"),
+        F.sum("b").cast("bigint").alias("n_b"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("_ca") * F.col("n_b") - F.col("_cb") * F.col("n_a")
+            ).alias("_num"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("_num").cast("bigint").alias("ks_num"))
+        .select(
+            "n_a",
+            "n_b",
+            "ks_num",
+            (F.col("ks_num") / (F.col("n_a") * F.col("n_b"))).alias("ks_stat"),
+        )
+    )

@@ -113,3 +113,46 @@ def test_crash_before_pointer_flip_recovers_exactly_once(
     assert {(r.k, r.v) for r in read_snapshot(spark, store).collect()} == {
         (1, "a2"), (3, "c"),
     }
+
+
+def test_drift_monitor_retry_idempotent_and_mergeable(spark, tmp_path):
+    """Grid merge law + crash-retry: folding batches must equal one
+    global grid, and re-applying a batch after a pointer rollback
+    (redelivery before the flip) must not double-count."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from amazon_personalize_connectors_spark.streaming.drift_monitor import (
+        apply_grid_batch,
+        ks_from_store,
+        read_grid,
+    )
+
+    store = str(tmp_path / "grid")
+    os.makedirs(store, exist_ok=True)
+    in_a = F.col("flag") == "R"
+    in_b = F.col("flag") != "R"
+    b1 = spark.createDataFrame(
+        [(10, "R"), (10, "N"), (20, "R")], "v long, flag string"
+    )
+    b2 = spark.createDataFrame(
+        [(10, "N"), (30, "R"), (30, "N")], "v long, flag string"
+    )
+    apply_grid_batch(b1, store, "v", in_a, in_b)
+    apply_grid_batch(b2, store, "v", in_a, in_b)
+    grid = {r["v"]: (r["a"], r["b"]) for r in read_grid(spark, store).collect()}
+    assert grid == {10: (1, 2), 20: (1, 0), 30: (1, 1)}
+    ks_once = ks_from_store(spark, store).collect()[0]
+
+    # redelivery: roll pointer back one version, re-apply batch 2
+    vf = os.path.join(store, "_VERSION")
+    prev = int(open(vf).read())
+    open(vf, "w").write(str(prev - 1))
+    apply_grid_batch(b2, store, "v", in_a, in_b)
+    grid2 = {r["v"]: (r["a"], r["b"]) for r in read_grid(spark, store).collect()}
+    assert grid2 == grid
+    ks_retry = ks_from_store(spark, store).collect()[0]
+    assert (ks_retry["ks_num"], ks_retry["n_a"], ks_retry["n_b"]) == (
+        ks_once["ks_num"], ks_once["n_a"], ks_once["n_b"],
+    )

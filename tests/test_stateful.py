@@ -85,3 +85,4 @@ def test_running_user_stats_accumulates_across_batches(spark, tmp_path):
     )
     got = {(r["user_id"], r["n_events"], r["last_ts_us"]) for r in out2.collect()}
     assert (1, 3, 300) in got and (3, 1, 10) in got  # user 1 resumed at 2+1
+
