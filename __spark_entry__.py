@@ -4092,6 +4092,47 @@ def q_stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_from_store(spark, store)
 
 
+def q_survival_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-second-order survival table (operators/analytics.py
+    survival_table): per customer, days from first to second distinct
+    order date (censored at the global max date when no second order
+    exists); one row per distinct duration with exact at-risk/event/
+    censor counts — the KM probability fold is left to the consumer
+    because a running float product is order-sensitive."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        survival_table,
+    )
+
+    from pyspark.sql import Window
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    dd = orders.distinct()
+    w = Window.partitionBy("cust").orderBy("d")
+    ranked = dd.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= 2
+    )
+    t1 = ranked.where(F.col("_rn") == 1).select("cust", F.col("d").alias("t1"))
+    t2 = ranked.where(F.col("_rn") == 2).select("cust", F.col("d").alias("t2"))
+    mx = orders.agg(F.max("d").alias("_mx"))
+    obs = (
+        t1.join(t2, "cust", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("t2").isNotNull(), F.datediff("t2", "t1")
+            )
+            .otherwise(F.datediff("_mx", "t1"))
+            .cast("long")
+            .alias("dur"),
+            F.col("t2").isNotNull().cast("int").alias("event"),
+        )
+    )
+    return survival_table(obs, "dur", "event")
+
+
 def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS — the general form behind ROLLUP/CUBE (both
     already covered): per-nation totals, per-segment totals, and the
@@ -4813,6 +4854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "embedding_drift": q_embedding_drift,
         "stream_ks_drift": q_stream_ks_drift,
+        "survival_repurchase": q_survival_repurchase,
         "except_all_returns": q_except_all_returns,
         "unpivot_metrics": q_unpivot_metrics,
         "tpch_q15": q_tpch_q15,
@@ -7893,6 +7935,40 @@ SELECT label,
        CAST(sum(abs(sa * nb - sb * na)) AS DOUBLE)
          / CAST(min(na) * min(nb) * 1000000 AS DOUBLE) AS l1_drift
 FROM j GROUP BY 1
+""",
+        "survival_repurchase": """
+WITH dd AS (SELECT DISTINCT o_custkey AS cust, CAST(o_orderdate AS DATE) AS d
+            FROM orders),
+rk AS (
+  SELECT cust, d, row_number() OVER (PARTITION BY cust ORDER BY d) AS rn
+  FROM dd
+),
+mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS m FROM orders),
+obs AS (
+  SELECT CASE WHEN t2.d IS NOT NULL
+              THEN datediff('day', t1.d, t2.d)
+              ELSE datediff('day', t1.d, mx.m) END AS dur,
+         CASE WHEN t2.d IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM (SELECT cust, d FROM rk WHERE rn = 1) t1
+  LEFT JOIN (SELECT cust, d FROM rk WHERE rn = 2) t2 ON t1.cust = t2.cust
+  CROSS JOIN mx
+),
+grid AS (
+  SELECT dur AS duration, CAST(sum(event) AS BIGINT) AS n_events,
+         CAST(sum(1 - event) AS BIGINT) AS n_censored,
+         count(*) AS cnt
+  FROM obs GROUP BY 1
+),
+tot AS (SELECT sum(cnt) AS n FROM grid),
+cum AS (
+  SELECT duration, n_events, n_censored, cnt,
+         sum(cnt) OVER (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS c
+  FROM grid
+)
+SELECT duration, CAST(n - c + cnt AS BIGINT) AS n_at_risk,
+       n_events, n_censored
+FROM cum, tot
 """,
         "grouping_sets_revenue": """
 WITH j AS (

@@ -735,3 +735,48 @@ def seasonal_naive_mase(
             ),
         ).alias("mase"),
     )
+
+
+def survival_table(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier risk table from (duration, event) observations —
+    the time-to-second-purchase / churn analysis a subscription or
+    repeat-purchase team runs: one row per distinct duration with the
+    number at risk, the events, and the censorings at that time.
+    DELIBERATELY returns the integer table, not the survival
+    PROBABILITY curve: the KM estimator is a running float product
+    (order-sensitive, engine-divergent), while (n_at_risk, n_events)
+    is exact and any consumer can fold the product locally.
+
+    Scale shape: the observations collapse to the duration GRID in
+    one map-side-combinable aggregate; ``n_at_risk(d) = total -
+    cum(d) + count(d)`` rides ONE inclusive running total over the
+    grid (a window over grid rows, bounded by distinct durations —
+    the winsorize/KS grid rule) with the total as a broadcast 1-row
+    aggregate."""
+    grid = df.groupBy(F.col(duration_col).alias("duration")).agg(
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+        F.sum((~F.col(event_col).cast("boolean")).cast("long")).alias(
+            "n_censored"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("_cnt"),
+    )
+    w = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grid.withColumn("_cum", F.sum("_cnt").over(w))
+    tot = grid.agg(F.sum("_cnt").alias("_n"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "duration",
+            (F.col("_n") - F.col("_cum") + F.col("_cnt"))
+            .cast("bigint")
+            .alias("n_at_risk"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_censored").cast("bigint").alias("n_censored"),
+        )
+    )

@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "tpch_q22",
     "grouping_sets_revenue",
     "embedding_drift",
+    "survival_repurchase",
     "except_all_returns",
     "unpivot_metrics",
     "forecast_mase",

@@ -439,3 +439,18 @@ def test_seasonal_naive_mase_known_values(spark):
         [(base + timedelta(days=d), 5) for d in range(10)], "day date, v long"
     )
     assert seasonal_naive_mase(const, "day", "v").collect()[0]["mase"] is None
+
+
+def test_survival_table_hand_computed(spark):
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        survival_table,
+    )
+
+    # durations: 2 events at t=5, 1 censor at t=5, 1 event at t=10,
+    # 1 censor at t=12
+    obs = spark.createDataFrame(
+        [(5, 1), (5, 1), (5, 0), (10, 1), (12, 0)], "dur long, event int"
+    )
+    got = {r["duration"]: (r["n_at_risk"], r["n_events"], r["n_censored"])
+           for r in survival_table(obs, "dur", "event").collect()}
+    assert got == {5: (5, 2, 1), 10: (2, 1, 0), 12: (1, 0, 1)}
