@@ -198,9 +198,9 @@ BENCH_QUERIES = [
     "unpivot_metrics",
     "forecast_mase",
     "mad_outliers",
-    # stream_model_refresh is deliberately NOT benched: it drains 4
-    # micro-batches each rewriting the versioned model store (~23 s at
-    # sf0.1 by design) — a law-check query, not a throughput query.
+    # stream_model_refresh and stream_ks_drift are deliberately NOT
+    # benched: each drains 4 micro-batches rewriting a versioned
+    # store by design — law-check queries, not throughput queries.
 ]
 
 
