@@ -4611,16 +4611,16 @@ _R5_WINDOW = [
     "renest_ordered",
     "user_pers_flat",
     "payload_pivot",
-    "topk_slice",
+    "survival_repurchase",
     "stamp_literals",
-    "text_tokens",
-    "text_quality",
-    "lang_profile",
-    "doc_fingerprint",
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    "ngram_jaccard_materialized",
-    "neardup_components",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q22",
+    "grouping_sets_revenue",
+    "except_all_returns",
+    "unpivot_metrics",
+    "embedding_drift",
+    "stream_ks_drift",
 ]
 
 _R4_WINDOW = [
