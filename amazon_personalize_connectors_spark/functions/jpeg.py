@@ -113,11 +113,16 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
 
 
-def jpeg_pixels(content: bytes):
+def jpeg_pixels(content: bytes, max_pixels: int = 64_000_000):
     """Decode a baseline/extended-sequential Huffman JPEG to an
     (h, w, nch) uint8 array — nch 1 (grayscale) or 3 (RGB, converted
     from YCbCr). Raises NotImplementedError for out-of-scope coding
-    modes (progressive, arithmetic, 12-bit)."""
+    modes (progressive, arithmetic, 12-bit).
+
+    ``max_pixels`` is the decompression-bomb guard: a 200-byte file
+    can declare 65535x65535 and demand a 12 GiB decode — the header
+    is validated BEFORE any allocation or MCU work. Size the cap to
+    the batch memory budget when decoding untrusted corpora."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -176,6 +181,11 @@ def jpeg_pixels(content: bytes):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            if width * height > max_pixels:
+                raise ValueError(
+                    f"JPEG declares {width}x{height} pixels — beyond "
+                    f"max_pixels={max_pixels} (decompression-bomb guard)"
                 )
             frame = {"w": width, "h": height, "comps": comps}
         elif marker in _SOF_UNSUPPORTED:

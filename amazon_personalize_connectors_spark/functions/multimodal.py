@@ -189,6 +189,12 @@ def _png_pixels(content: bytes):
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
+    if width * height > 64_000_000:
+        # decompression-bomb guard: validate the DECLARED dims before
+        # inflating — a tiny zlib stream can expand to gigabytes
+        raise ValueError(
+            f"PNG declares {width}x{height} pixels — beyond the 64M guard"
+        )
     stride = width * nch
     pixels = _png_unfilter(zlib.decompress(bytes(idat)), height, stride, nch)
     return np.frombuffer(bytes(pixels), dtype="u1").reshape(height, width, nch)

@@ -393,3 +393,122 @@ def test_mad_outliers_bruteforce(spark):
         med, mad, n_out, mx
     )
     assert r["n_outliers"] >= 2  # the two planted spikes
+
+
+def test_winsorize_stats_matches_bruteforce(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazon_personalize_connectors_spark.operators.features import (
+        winsorize_stats,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(["a", "b"]),
+                      st.integers(min_value=-100, max_value=100)),
+            min_size=1, max_size=40,
+        )
+    )
+    def check(rows):
+        df = spark.createDataFrame(rows, "g string, v long")
+        got = {
+            r["g"]: (r["n_rows"], r["lo_bound"], r["hi_bound"],
+                     r["winsorized_mean"], r["n_clamped_lo"], r["n_clamped_hi"])
+            for r in winsorize_stats(df, ["g"], "v", 5, 95).collect()
+        }
+        groups = {}
+        for g, v in rows:
+            groups.setdefault(g, []).append(v)
+        want = {}
+        for g, vs in groups.items():
+            vs = sorted(vs)
+            n = len(vs)
+            lo = vs[max(0, (n * 5 + 99) // 100 - 1)]
+            hi = vs[max(0, (n * 95 + 99) // 100 - 1)]
+            clamped = [min(hi, max(lo, v)) for v in vs]
+            want[g] = (
+                n, lo, hi, sum(clamped) / n,
+                sum(1 for v in vs if v < lo),
+                sum(1 for v in vs if v > hi),
+            )
+        assert set(got) == set(want)
+        for g in want:
+            assert got[g][:3] == want[g][:3], (g, got[g], want[g])
+            assert abs(got[g][3] - want[g][3]) < 1e-9
+            assert got[g][4:] == want[g][4:]
+
+    check()
+
+
+def test_robust_outlier_stats_matches_bruteforce(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazon_personalize_connectors_spark.operators.features import (
+        robust_outlier_stats,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(["a", "b"]),
+                      st.integers(min_value=-100, max_value=100)),
+            min_size=1, max_size=40,
+        )
+    )
+    def check(rows):
+        df = spark.createDataFrame(rows, "g string, v long")
+        got = {
+            r["g"]: (r["n_rows"], r["median"], r["mad"],
+                     r["n_outliers"], r["max_abs_dev"])
+            for r in robust_outlier_stats(df, ["g"], "v", k=3).collect()
+        }
+        groups = {}
+        for g, v in rows:
+            groups.setdefault(g, []).append(v)
+        want = {}
+        for g, vs in groups.items():
+            vs_sorted = sorted(vs)
+            n = len(vs_sorted)
+            med = vs_sorted[(n + 1) // 2 - 1]
+            devs = sorted(abs(v - med) for v in vs)
+            mad = devs[(n + 1) // 2 - 1]
+            want[g] = (
+                n, med, mad,
+                sum(1 for v in vs if abs(v - med) > 3 * mad),
+                max(devs),
+            )
+        assert got == want
+
+    check()
+
+
+def test_profile_vector_sums_layout_independent(spark):
+    """The round-5 headline fix: the aggregate must be bit-identical
+    under ANY partitioning (the r4 red row was a double avg whose
+    rounding flipped with accumulation order)."""
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        profile_vector_sums,
+    )
+
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (i % 7, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k long, v array<double>")
+    base = {
+        (r["k"], r["dim"]): (r["vsum_micro"], r["n_vecs"])
+        for r in profile_vector_sums(df, "k", "v").collect()
+    }
+    for parts in (1, 3, 17):
+        alt = {
+            (r["k"], r["dim"]): (r["vsum_micro"], r["n_vecs"])
+            for r in profile_vector_sums(
+                df.repartition(parts), "k", "v"
+            ).collect()
+        }
+        assert alt == base, f"layout-dependent at {parts} partitions"

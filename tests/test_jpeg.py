@@ -88,3 +88,33 @@ def test_resize_image_handles_jpeg():
     img = _rng(13).integers(0, 256, size=(16, 16, 3), dtype="u1")
     out = resize_image(jpeg_encode(img), 4, 4)
     assert out["width"] == 4 and out["height"] == 4
+
+
+def test_decompression_bomb_guard():
+    import struct
+
+    img = _rng(2).integers(0, 256, size=(8, 8), dtype="u1")
+    data = bytearray(jpeg_encode(img))
+    idx = data.find(b"\xff\xc0")
+    # rewrite declared dims to 65535 x 65535 — must refuse BEFORE
+    # allocating/decoding, not hang on 67M MCUs
+    struct.pack_into(">HH", data, idx + 5, 65535, 65535)
+    with pytest.raises(ValueError, match="bomb"):
+        jpeg_pixels(bytes(data))
+
+
+def test_fuzzed_jpegs_terminate():
+    """Random corruption must raise a clean error or decode — never
+    hang or crash the worker (decode runs inside mapInPandas)."""
+    img = _rng(9).integers(0, 256, size=(8, 8), dtype="u1")
+    good = jpeg_encode(img)
+    rng = np.random.default_rng(123)
+    for _ in range(60):
+        data = bytearray(good)
+        for _ in range(rng.integers(1, 6)):
+            data[rng.integers(2, len(data))] = rng.integers(0, 256)
+        try:
+            out = jpeg_pixels(bytes(data), max_pixels=1_000_000)
+        except Exception:  # noqa: BLE001 — any CLEAN error is fine
+            continue
+        assert out.dtype == np.uint8
