@@ -4133,6 +4133,39 @@ def q_survival_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survival_table(obs, "dur", "event")
 
 
+def q_rec_diversity_ils(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommendation-list diversity (operators/recsys.py
+    rec_intra_list_similarity): mean pairwise cosine of each top-5
+    list's item embeddings (vec bridge: rec_item % n_vectors, the
+    user_profile_vectors fixture convention). Dot products and norms
+    are exact micro-unit bigints; per-pair cosine is one IEEE divide
+    + sqrt; the per-list mean sums 6-dp DECIMALS — no float
+    accumulation anywhere."""
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        covisitation_topk,
+        rec_intra_list_similarity,
+    )
+
+    mapping = synthetic.user_item_mapping(spark, sf_dir).select(
+        F.col("USER_ID").cast("bigint").alias("user_id"),
+        F.col("ITEM_ID").cast("bigint").alias("item_id"),
+    )
+    recs = covisitation_topk(mapping, k=5, max_items_per_user=1000, min_common=2)
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    nv = emb.agg(F.count(F.lit(1)).alias("_n"))
+    bridged = recs.crossJoin(F.broadcast(nv)).select(
+        "item",
+        F.pmod(F.col("rec_item"), F.col("_n")).alias("rec_vec"),
+        "rank",
+    )
+    out = rec_intra_list_similarity(
+        bridged, emb, k=5, rec_col="rec_vec"
+    )
+    return out.select(
+        F.col("item").cast("bigint").alias("item"), "n_pairs", "ils"
+    )
+
+
 def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS — the general form behind ROLLUP/CUBE (both
     already covered): per-nation totals, per-segment totals, and the
@@ -4855,6 +4888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "stream_ks_drift": q_stream_ks_drift,
         "survival_repurchase": q_survival_repurchase,
+        "rec_diversity_ils": q_rec_diversity_ils,
         "except_all_returns": q_except_all_returns,
         "unpivot_metrics": q_unpivot_metrics,
         "tpch_q15": q_tpch_q15,
@@ -7935,6 +7969,58 @@ SELECT label,
        CAST(sum(abs(sa * nb - sb * na)) AS DOUBLE)
          / CAST(min(na) * min(nb) * 1000000 AS DOUBLE) AS l1_drift
 FROM j GROUP BY 1
+""",
+        "rec_diversity_ils": """
+WITH m AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+prs AS (
+  SELECT a.i AS item, b.i AS rec_item, CAST(count(*) AS BIGINT) AS n_common
+  FROM m a JOIN m b ON a.u = b.u AND a.i <> b.i
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+recs AS (
+  SELECT item, rec_item,
+         row_number() OVER (PARTITION BY item
+                            ORDER BY n_common DESC, rec_item) AS rank
+  FROM prs QUALIFY rank <= 5
+),
+nv AS (SELECT count(*) AS n FROM embeddings),
+rv AS (
+  SELECT r.item, r.rank, d.dim,
+         CAST(round(CAST(list_extract(e.embedding, d.dim + 1) AS DOUBLE)
+                    * 1000000.0) AS BIGINT) AS sv
+  FROM recs r, nv
+  JOIN embeddings e ON e.vec_id = r.rec_item % nv.n
+  CROSS JOIN (SELECT unnest(range(64)) AS dim) d
+),
+n2 AS (
+  SELECT item, rank, CAST(sum(sv * sv) AS BIGINT) AS n2
+  FROM rv GROUP BY 1, 2
+),
+dots AS (
+  SELECT a.item, a.rank AS ri, b.rank AS rj,
+         CAST(sum(a.sv * b.sv) AS BIGINT) AS dot
+  FROM rv a JOIN rv b ON a.item = b.item AND a.dim = b.dim
+                     AND a.rank < b.rank
+  GROUP BY 1, 2, 3
+),
+cosines AS (
+  SELECT d.item,
+         CAST(round(CAST(d.dot AS DOUBLE)
+                    / (sqrt(CAST(na.n2 AS DOUBLE))
+                       * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+              AS DECIMAL(8,6)) AS c
+  FROM dots d
+  JOIN n2 na ON na.item = d.item AND na.rank = d.ri
+  JOIN n2 nb ON nb.item = d.item AND nb.rank = d.rj
+)
+SELECT CAST(item AS BIGINT) AS item,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(c) AS DOUBLE) / count(*) AS ils
+FROM cosines GROUP BY 1
 """,
         "survival_repurchase": """
 WITH dd AS (SELECT DISTINCT o_custkey AS cust, CAST(o_orderdate AS DATE) AS d

@@ -550,3 +550,96 @@ def rec_ndcg_at_k(
         F.col("_idcg").cast("double").alias("idcg"),
         (F.col("_dcg2").cast("double") / F.col("_idcg").cast("double")).alias("ndcg"),
     )
+
+
+def rec_intra_list_similarity(
+    recs: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    item_col: str = "item",
+    rec_col: str = "rec_item",
+    rank_col: str = "rank",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Recommendation diversity: per ranked list, the mean pairwise
+    cosine similarity of the recommended items' embeddings (ILS —
+    high means the list is redundant). Completes the offline-eval
+    suite next to coverage / hit-rate / MRR / NDCG.
+
+    Exactness discipline: embeddings are scaled to micro-unit bigints
+    so every dot product and squared norm is EXACT integer
+    arithmetic; the only float ops per pair are one divide and one
+    sqrt (both IEEE correctly-rounded, hence engine-identical), and
+    the per-list mean sums 6-dp-rounded DECIMALS (associative) with
+    one final division — no float accumulation anywhere.
+
+    Scale shape: the rec table is items x k rows (tiny next to the
+    corpus); the vector join is an equi-join on the item id, and the
+    pairwise step self-joins the DECORATED rec table per list —
+    fan-out bounded by k^2 per item, never corpus-sized. Returns
+    (item, n_pairs, ils)."""
+    iv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast(
+            "bigint"
+        ),
+    )
+    rv = (
+        recs.where(F.col(rank_col) <= k)
+        .join(vectors, F.col(rec_col) == F.col(id_col))
+        .select(
+            F.col(item_col).alias("_it"),
+            F.col(rank_col).alias("_rk"),
+            iv.alias("_v"),
+        )
+        .withColumn(
+            "_n2",
+            F.aggregate(
+                F.zip_with("_v", "_v", lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    a = rv.select(
+        F.col("_it"), F.col("_rk").alias("_ri"),
+        F.col("_v").alias("_va"), F.col("_n2").alias("_n2a"),
+    )
+    b = rv.select(
+        F.col("_it"), F.col("_rk").alias("_rj"),
+        F.col("_v").alias("_vb"), F.col("_n2").alias("_n2b"),
+    )
+    pairs = (
+        a.join(b, "_it")
+        .where(F.col("_ri") < F.col("_rj"))
+        .select(
+            "_it",
+            F.aggregate(
+                F.zip_with("_va", "_vb", lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("_dot"),
+            "_n2a",
+            "_n2b",
+        )
+    )
+    # sqrt(a)*sqrt(b), NOT sqrt(a*b): the bigint product of two
+    # squared norms overflows long (each ~1e14); per-factor sqrt is
+    # IEEE correctly-rounded so the form is engine-identical as long
+    # as the oracle mirrors it
+    cos = F.col("_dot").cast("double") / (
+        F.sqrt(F.col("_n2a").cast("double"))
+        * F.sqrt(F.col("_n2b").cast("double"))
+    )
+    return (
+        pairs.select(
+            "_it", F.round(cos, 6).cast("decimal(8,6)").alias("_c")
+        )
+        .groupBy(F.col("_it").alias(item_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            (F.sum("_c").cast("double") / F.count(F.lit(1))).alias("ils"),
+        )
+    )

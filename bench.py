@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "grouping_sets_revenue",
     "embedding_drift",
     "survival_repurchase",
+    "rec_diversity_ils",
     "except_all_returns",
     "unpivot_metrics",
     "forecast_mase",
