@@ -422,7 +422,12 @@ def test_robust_stats_rank_on_value_grid_not_raw_rows(spark, sf_dir):
     sits above an Aggregate (the grid build) — no Window consumes the
     relation directly."""
     qs = entry.queries()
-    for name in ["winsorize_prices", "mad_outliers"]:
+    for name in [
+        "winsorize_prices",
+        "mad_outliers",
+        "revenue_anomalies",
+        "survival_repurchase",
+    ]:
         df = qs[name](spark, sf_dir)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         lines = plan.splitlines()
