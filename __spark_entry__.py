@@ -4166,6 +4166,97 @@ def q_rec_diversity_ils(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full TPC-H Q1 (pricing summary report): the canonical
+    scan-heavy aggregate — one pass, map-side combinable, every sum
+    an exact decimal and every average ONE double division of an
+    exact sum by its count. The charge chain steps through bounded
+    decimal precisions (disc_price rounded to (18,6) before the tax
+    multiply) so neither engine hits the 38-digit clamp, where
+    rounding semantics diverge."""
+    li = synthetic.load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp_ntz")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(8,6)")
+    tax = F.col("l_tax").cast("decimal(8,6)")
+    disc_price = (price * (F.lit(1).cast("decimal(8,6)") - disc)).cast(
+        "decimal(18,6)"
+    )
+    charge = disc_price * (F.lit(1).cast("decimal(8,6)") + tax)
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("_sq"),
+            F.sum(price).alias("_sp"),
+            F.sum(disc_price).alias("_sdp"),
+            F.sum(charge).alias("_sc"),
+            F.sum(disc).alias("_sd"),
+            n.cast("bigint").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sq").cast("double").alias("sum_qty"),
+            F.col("_sp").cast("double").alias("sum_base_price"),
+            F.col("_sdp").cast("double").alias("sum_disc_price"),
+            F.col("_sc").cast("double").alias("sum_charge"),
+            (F.col("_sq").cast("double") / F.col("count_order")).alias(
+                "avg_qty"
+            ),
+            (F.col("_sp").cast("double") / F.col("count_order")).alias(
+                "avg_price"
+            ),
+            (F.col("_sd").cast("double") / F.col("count_order")).alias(
+                "avg_disc"
+            ),
+            "count_order",
+        )
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, special handling): an OR
+    of three (brand, size-band, quantity-band) conjunctions applied
+    AFTER the part equi-join — the classic disjunctive-predicate
+    probe (a naive plan turns the OR into a cross-ish join; keeping
+    the equi key primary means part still broadcasts and the OR is a
+    cheap post-join filter). Adapted to the fixture schema (no
+    p_container — p_size bands instead)."""
+    li = synthetic.load_table(spark, sf_dir, "lineitem")
+    part = synthetic.load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
 def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS — the general form behind ROLLUP/CUBE (both
     already covered): per-nation totals, per-segment totals, and the
@@ -4889,6 +4980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ks_drift": q_stream_ks_drift,
         "survival_repurchase": q_survival_repurchase,
         "rec_diversity_ils": q_rec_diversity_ils,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q19": q_tpch_q19,
         "except_all_returns": q_except_all_returns,
         "unpivot_metrics": q_unpivot_metrics,
         "tpch_q15": q_tpch_q15,
@@ -7969,6 +8062,44 @@ SELECT label,
        CAST(sum(abs(sa * nb - sb * na)) AS DOUBLE)
          / CAST(min(na) * min(nb) * 1000000 AS DOUBLE) AS l1_drift
 FROM j GROUP BY 1
+""",
+        "tpch_q1": """
+WITH x AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+         CAST(l_discount AS DECIMAL(8,6)) AS disc,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))
+              AS DECIMAL(18,6)) AS disc_price,
+         CAST(l_tax AS DECIMAL(8,6)) AS tax
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty) AS DOUBLE) AS sum_qty,
+       CAST(sum(price) AS DOUBLE) AS sum_base_price,
+       CAST(sum(disc_price) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(disc_price * (CAST(1 AS DECIMAL(8,6)) + tax)) AS DOUBLE)
+         AS sum_charge,
+       CAST(sum(qty) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(price) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(disc) AS DOUBLE) / count(*) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM x GROUP BY 1, 2
+""",
+        "tpch_q19": """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+            AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
 """,
         "rec_diversity_ils": """
 WITH m AS (

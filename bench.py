@@ -195,6 +195,8 @@ BENCH_QUERIES = [
     "embedding_drift",
     "survival_repurchase",
     "rec_diversity_ils",
+    "tpch_q1",
+    "tpch_q19",
     "except_all_returns",
     "unpivot_metrics",
     "forecast_mase",
