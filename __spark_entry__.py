@@ -4257,6 +4257,45 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_pit_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 decoration (operators/history.py pit_join):
+    line-item revenue attributed to the customer's priority AS OF THE
+    SHIP DATE — each fact joins the dimension version containing its
+    own event time (key equality + interval containment; exactly one
+    match per fact because intervals are disjoint). Joining the
+    current version instead would backfill future knowledge — the
+    leakage this operator exists to prevent."""
+    from amazon_personalize_connectors_spark.operators.history import (
+        pit_join,
+        scd2_from_changelog,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    log = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    scd = scd2_from_changelog(log, ["cust"], "d", ["prio"]).select(
+        "cust", "prio", "valid_from", "valid_to"
+    )
+    facts = orders.join(
+        lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select(
+        F.col("o_custkey").alias("cust"),
+        F.to_date("l_shipdate").alias("ship_d"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    joined = pit_join(facts, scd, ["cust"], "ship_d")
+    return joined.groupBy("prio").agg(
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
 def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS — the general form behind ROLLUP/CUBE (both
     already covered): per-nation totals, per-segment totals, and the
@@ -4981,6 +5020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_repurchase": q_survival_repurchase,
         "rec_diversity_ils": q_rec_diversity_ils,
         "tpch_q1": q_tpch_q1,
+        "scd2_pit_revenue": q_scd2_pit_revenue,
         "tpch_q19": q_tpch_q19,
         "except_all_returns": q_except_all_returns,
         "unpivot_metrics": q_unpivot_metrics,
@@ -8062,6 +8102,40 @@ SELECT label,
        CAST(sum(abs(sa * nb - sb * na)) AS DOUBLE)
          / CAST(min(na) * min(nb) * 1000000 AS DOUBLE) AS l1_drift
 FROM j GROUP BY 1
+""",
+        "scd2_pit_revenue": """
+WITH log AS (
+  SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS d,
+         o_orderpriority AS prio
+  FROM orders
+),
+w AS (
+  SELECT cust, d, prio,
+         CASE WHEN lag(prio) OVER (PARTITION BY cust ORDER BY d, prio)
+                   IS DISTINCT FROM prio
+              THEN 1 ELSE 0 END AS chg
+  FROM log
+),
+pts AS (SELECT cust, d, prio FROM w WHERE chg = 1),
+iv AS (
+  SELECT cust, prio, d AS valid_from,
+         coalesce(lead(d) OVER (PARTITION BY cust ORDER BY d, prio),
+                  DATE '9999-12-31') AS valid_to
+  FROM pts
+),
+facts AS (
+  SELECT o_custkey AS cust, CAST(l_shipdate AS DATE) AS ship_d,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT iv.prio, CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM facts
+JOIN iv ON facts.cust = iv.cust
+       AND facts.ship_d >= iv.valid_from
+       AND facts.ship_d < iv.valid_to
+GROUP BY 1
 """,
         "tpch_q1": """
 WITH x AS (

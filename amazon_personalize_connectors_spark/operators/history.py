@@ -107,3 +107,36 @@ def merge_rollup(
     if count_col:
         aggs.append(F.sum(count_col).cast("bigint").alias(count_col))
     return merged.groupBy(*key_cols).agg(*aggs)
+
+
+def pit_join(
+    facts: DataFrame,
+    scd2: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time (as-of interval) join: each fact row joins the
+    dimension VERSION valid at its own event time — ``key equality
+    AND valid_from <= t < valid_to`` — the leakage-safe way to
+    decorate facts with slowly-changing attributes (joining the
+    CURRENT version backfills future knowledge into history; the
+    classic feature-store bug).
+
+    Shape: the equi key drives the join (hash/broadcast as sizes
+    dictate) and the interval containment is a post-join filter —
+    fan-out per fact is the key's version count BEFORE the filter and
+    exactly one row after (intervals are disjoint by construction
+    from scd2_from_changelog), so no range explosion. For hot keys
+    with very long histories, pre-filter the dimension to the fact
+    window first."""
+    cond = None
+    for k in key_cols:
+        c = facts[k] == scd2[k]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (facts[ts_col] >= scd2["valid_from"])
+        & (facts[ts_col] < scd2["valid_to"])
+    )
+    return facts.join(scd2, cond, how).drop(*[scd2[k] for k in key_cols])

@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "rec_diversity_ils",
     "tpch_q1",
     "tpch_q19",
+    "scd2_pit_revenue",
     "except_all_returns",
     "unpivot_metrics",
     "forecast_mase",

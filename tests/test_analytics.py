@@ -454,3 +454,45 @@ def test_survival_table_hand_computed(spark):
     got = {r["duration"]: (r["n_at_risk"], r["n_events"], r["n_censored"])
            for r in survival_table(obs, "dur", "event").collect()}
     assert got == {5: (5, 2, 1), 10: (2, 1, 0), 12: (1, 0, 1)}
+
+
+def test_pit_join_picks_version_at_event_time(spark):
+    from datetime import date
+
+    from amazon_personalize_connectors_spark.operators.history import (
+        pit_join,
+        scd2_from_changelog,
+    )
+
+    log = spark.createDataFrame(
+        [
+            (1, date(2024, 1, 1), "A"),
+            (1, date(2024, 2, 1), "B"),
+            (1, date(2024, 3, 1), "B"),  # unchanged -> collapsed
+            (2, date(2024, 1, 15), "X"),
+        ],
+        "k long, d date, attr string",
+    )
+    scd = scd2_from_changelog(log, ["k"], "d", ["attr"]).select(
+        "k", "attr", "valid_from", "valid_to"
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, date(2024, 1, 20), 10),   # version A
+            (1, date(2024, 2, 1), 20),    # boundary day -> version B
+            (1, date(2024, 6, 1), 30),    # open current interval -> B
+            (2, date(2024, 1, 1), 40),    # BEFORE first version -> no match
+        ],
+        "k long, t date, v long",
+    )
+    got = sorted(
+        (r["k"], str(r["t"]), r["v"], r["attr"])
+        for r in pit_join(facts, scd, ["k"], "t").collect()
+    )
+    assert got == [
+        (1, "2024-01-20", 10, "A"),
+        (1, "2024-02-01", 20, "B"),
+        (1, "2024-06-01", 30, "B"),
+    ]
+    # every matched fact matches exactly once (disjoint intervals)
+    assert len(got) == len({(k, t, v) for k, t, v, _ in got})
