@@ -4296,6 +4296,20 @@ def q_scd2_pit_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus curation report (functions/text.py
+    source_quality_report): exact integer doc/token/char totals,
+    cross-corpus duplicate rate (16-byte digest counts joined back),
+    English share — every rate ONE division of exact totals. The
+    keep/drop/downsample table built before mixing sources."""
+    from amazon_personalize_connectors_spark.functions.text import (
+        source_quality_report,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    return source_quality_report(docs)
+
+
 def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS — the general form behind ROLLUP/CUBE (both
     already covered): per-nation totals, per-segment totals, and the
@@ -5021,6 +5035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_diversity_ils": q_rec_diversity_ils,
         "tpch_q1": q_tpch_q1,
         "scd2_pit_revenue": q_scd2_pit_revenue,
+        "source_quality": q_source_quality,
         "tpch_q19": q_tpch_q19,
         "except_all_returns": q_except_all_returns,
         "unpivot_metrics": q_unpivot_metrics,
@@ -8102,6 +8117,48 @@ SELECT label,
        CAST(sum(abs(sa * nb - sb * na)) AS DOUBLE)
          / CAST(min(na) * min(nb) * 1000000 AS DOUBLE) AS l1_drift
 FROM j GROUP BY 1
+""",
+        "source_quality": f"""
+WITH t AS (
+  SELECT source, md5(text) AS dig, {_TOKS} AS toks,
+         CAST(length(text) AS BIGINT) AS nc
+  FROM documents
+),
+s AS (
+  SELECT source, dig,
+         CAST(len(toks) AS BIGINT) AS nt,
+         CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+              AS BIGINT) AS tc,
+         CAST(len(list_filter(toks,
+              x -> x IN ('a','the','of','and','to','in','is')))
+              AS BIGINT) AS sh,
+         nc
+  FROM t
+),
+dc AS (SELECT dig, count(*) AS dn FROM s GROUP BY 1),
+f AS (
+  SELECT s.source, s.nt, s.tc, s.sh, s.nc,
+         CASE WHEN dc.dn > 1 THEN 1 ELSE 0 END AS dup,
+         CASE WHEN s.nt > 0 AND s.sh / s.nt > 0.05 THEN 1 ELSE 0 END AS eng
+  FROM s JOIN dc ON s.dig = dc.dig
+),
+a AS (
+  SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens,
+         sum(sh) AS n_sh, sum(nc) AS n_chars,
+         sum(dup) AS n_dup_docs, sum(eng) AS n_english_docs
+  FROM f GROUP BY 1
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
+       CAST(n_english_docs AS BIGINT) AS n_english_docs,
+       n_tokens / n_docs AS tokens_per_doc,
+       n_sh / n_tokens AS stopword_rate,
+       n_dup_docs / n_docs AS dup_rate,
+       n_english_docs / n_docs AS english_share
+FROM a
 """,
         "scd2_pit_revenue": """
 WITH log AS (

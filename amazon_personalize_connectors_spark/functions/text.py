@@ -713,3 +713,72 @@ def skipgram_pairs(
     return both.groupBy("center", "context").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+def source_quality_report(
+    df,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+):
+    """Per-source corpus curation report — the keep/drop/downsample
+    decision table a training-data pipeline builds before mixing
+    sources: exact document/token/character totals, stopword rate,
+    English share, and the cross-corpus duplicate rate (documents
+    whose exact digest appears more than once ANYWHERE — a source
+    full of copies of other sources scores high here).
+
+    Exactness: every aggregate is an integer SUM (associative); the
+    four rates are single divisions of exact totals at the very end.
+    Scale shape: one scan computes per-doc integer signals, the
+    corpus-wide digest counts are a groupBy on the 16-byte digest
+    joined back (the dedup_exact shuffle), and the report is one
+    map-side-combinable aggregate with rows ∝ sources."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks).cast("bigint")
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        F.md5(F.col(text_col)).alias("_dig"),
+        n_tok.alias("_nt"),
+        total_token_chars(toks).alias("_tc"),
+        stopword_hits(toks).cast("bigint").alias("_sh"),
+        F.length(F.col(text_col)).cast("bigint").alias("_nc"),
+    )
+    dig_counts = per_doc.groupBy("_dig").agg(
+        F.count(F.lit(1)).alias("_dn")
+    )
+    flagged = per_doc.join(dig_counts, "_dig").select(
+        "source",
+        "_nt",
+        "_tc",
+        "_sh",
+        "_nc",
+        (F.col("_dn") > 1).cast("long").alias("_dup"),
+        # ANSI guard: a zero-token doc would make the ratio a
+        # divide-by-zero error, not a NULL
+        F.when(F.col("_nt") > 0, (F.col("_sh") / F.col("_nt")) > 0.05)
+        .otherwise(F.lit(False))
+        .cast("long")
+        .alias("_eng"),
+    )
+    agg = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_nt").cast("bigint").alias("n_tokens"),
+        F.sum("_tc").cast("bigint").alias("n_token_chars"),
+        F.sum("_sh").cast("bigint").alias("n_stopword_hits"),
+        F.sum("_nc").cast("bigint").alias("n_chars"),
+        F.sum("_dup").cast("bigint").alias("n_dup_docs"),
+        F.sum("_eng").cast("bigint").alias("n_english_docs"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_dup_docs",
+        "n_english_docs",
+        (F.col("n_tokens") / F.col("n_docs")).alias("tokens_per_doc"),
+        (F.col("n_stopword_hits") / F.col("n_tokens")).alias("stopword_rate"),
+        (F.col("n_dup_docs") / F.col("n_docs")).alias("dup_rate"),
+        (F.col("n_english_docs") / F.col("n_docs")).alias("english_share"),
+    )

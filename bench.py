@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q19",
     "scd2_pit_revenue",
+    "source_quality",
     "except_all_returns",
     "unpivot_metrics",
     "forecast_mase",
