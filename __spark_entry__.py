@@ -4739,6 +4739,145 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robust_outlier_stats(li, ["l_returnflag"], "cents", k=3)
 
 
+def q_rec_auc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC per user segment (operators/evaluation.py:roc_auc)
+    grading event value as a purchase predictor: Mann–Whitney rank-sum
+    with tie correction on the integer-cents score grid — bigint until
+    the single final division, so the statistic is engine- and
+    partition-layout-independent (the user_profile_vectors lesson)."""
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        roc_auc,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir).where(F.col("value").isNotNull())
+    scored = ev.select(
+        (F.col("user_id") % 4).cast("bigint").alias("segment"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return roc_auc(scored, ["segment"], "score", "label")
+
+
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration + cumulative-gains table over fixed-width 500-cent
+    score bins (operators/evaluation.py:score_bin_report): per-bin
+    conversion rate plus top-down positive capture — every fraction one
+    bigint/bigint division, bins by integer DIV (no single-task
+    ntile)."""
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        score_bin_report,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir).where(F.col("value").isNotNull())
+    scored = ev.select(
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return score_bin_report(scored, "score", "label", bin_width=500)
+
+
+def q_wilson_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sigma Wilson click-through bounds per hour of day
+    (operators/evaluation.py:wilson_bounds): clicks / (views+clicks)
+    with the interval a dashboard should trust instead of the raw
+    rate. The bound is a fixed tree of correctly-rounded IEEE ops
+    (+,-,*,/,sqrt; z²=4 exactly) on exact counts — the oracle spells
+    the identical tree, so the doubles match bit-for-bit."""
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        wilson_bounds,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir).where(
+        F.col("event_type").isin("view", "click")
+    )
+    rows = ev.select(
+        F.hour("ts").cast("bigint").alias("hour"),
+        (F.col("event_type") == "click").cast("int").alias("label"),
+    )
+    return wilson_bounds(rows, ["hour"], "label")
+
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini concentration of customer revenue per market segment
+    (operators/analytics.py:concentration_gini): the whale-concentration
+    report — rank-sum identity in pure bigint on the per-customer cents
+    grid (closed-form tie runs, raw rows never windowed), ONE final
+    division."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        concentration_gini,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    customer = synthetic.load_table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("cust_cents")
+    )
+    joined = per_cust.join(
+        customer.select("c_custkey", "c_mktsegment"),
+        per_cust.o_custkey == customer.c_custkey,
+    ).select("c_mktsegment", "cust_cents")
+    return concentration_gini(joined, ["c_mktsegment"], "cust_cents")
+
+
+def q_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-to-user Jaccard neighborhoods from the interaction bridge
+    (operators/recsys.py:user_jaccard_topk) — top-5 neighbors per user,
+    min 2 shared items; hot-item cap inert at driver SFs so the capless
+    self-join oracle matches (cap semantics pytest-pinned)."""
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        user_jaccard_topk,
+    )
+
+    mapping = synthetic.user_item_mapping(spark, sf_dir).select(
+        F.col("USER_ID").cast("bigint").alias("user_id"),
+        F.col("ITEM_ID").cast("bigint").alias("item_id"),
+    )
+    return user_jaccard_topk(
+        mapping, k=5, max_users_per_item=1000, min_common=2
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+def q_stream_auc_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming score-quality monitor, ORACLE-CHECKED end to end
+    (streaming/score_monitor.py): events staged as four parquet files
+    drain ONE FILE PER MICRO-BATCH, each batch folding its (segment,
+    score) pos/neg counts into the versioned grid store; the per-group
+    AUC read from the final store must equal the batch rank-sum over
+    all rows — the mergeable-grid law, regardless of batch splits."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.score_monitor import (
+        auc_from_store,
+        monitor_scores_from_stream,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir).where(F.col("value").isNotNull())
+    scored = ev.select(
+        (F.col("user_id") % 4).cast("long").alias("segment"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    landing = tempfile.mkdtemp(prefix="apc-auc-landing-")
+    store = tempfile.mkdtemp(prefix="apc-auc-store-")
+    ckpt = tempfile.mkdtemp(prefix="apc-auc-ckpt-")
+    scored.repartition(4).write.mode("append").parquet(landing)
+    stream = (
+        spark.readStream.schema("segment long, score long, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    monitor_scores_from_stream(stream, store, ckpt, "segment", "score", "label")
+    return auc_from_store(spark, store).withColumnRenamed("g", "segment")
+
+
 # Driver verification window: the driver oracle-checks the FIRST 50
 # entries of queries() in dict order; queries() reorders the full
 # registry so this list comes first. Round-5 rotation (ledger:
@@ -4751,9 +4890,7 @@ _R5_WINDOW = [
     "flagship_related_flat",
     "attribution_join",
     "delta_except",
-    "hll_user_rollup",
     "user_profile_vectors",
-    "multimodal_decode",
     "target_encoding",
     "winsorize_prices",
     "next_item_examples",
@@ -4780,16 +4917,7 @@ _R5_WINDOW = [
     "tpch_q7",
     "tpch_q8",
     "forecast_mase",
-    "renest_legacy_window",
-    "error_split_ok",
-    "error_split_errors",
-    "explode_outer",
-    "decorate_flat",
-    "renest_ordered",
-    "user_pers_flat",
-    "payload_pivot",
     "survival_repurchase",
-    "stamp_literals",
     "tpch_q13",
     "tpch_q15",
     "tpch_q22",
@@ -4798,6 +4926,17 @@ _R5_WINDOW = [
     "unpivot_metrics",
     "embedding_drift",
     "stream_ks_drift",
+    "tpch_q1",
+    "tpch_q19",
+    "scd2_pit_revenue",
+    "source_quality",
+    "rec_diversity_ils",
+    "rec_auc_segments",
+    "score_calibration",
+    "wilson_ctr",
+    "revenue_gini",
+    "user_similarity",
+    "stream_auc_monitor",
 ]
 
 _R4_WINDOW = [
@@ -5044,6 +5183,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_mase": q_forecast_mase,
         "stream_model_refresh": q_stream_model_refresh,
         "mad_outliers": q_mad_outliers,
+        "rec_auc_segments": q_rec_auc_segments,
+        "score_calibration": q_score_calibration,
+        "wilson_ctr": q_wilson_ctr,
+        "revenue_gini": q_revenue_gini,
+        "user_similarity": q_user_similarity,
+        "stream_auc_monitor": q_stream_auc_monitor,
     }
     out = {name: all_q[name] for name in _R5_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
@@ -8618,8 +8763,178 @@ SELECT v.g AS l_returnflag,
        CAST(max(abs(c - median)) AS BIGINT) AS max_abs_dev
 FROM v JOIN med USING (g) JOIN mad USING (g)
 GROUP BY v.g
-"""
+""",
+        # exact Mann–Whitney AUC on the (segment, score) grid — bigint
+        # rank-sum, one final division; tie correction via neg-at-score
+        "rec_auc_segments": """
+WITH e AS (
+  SELECT CAST(user_id % 4 AS BIGINT) AS segment,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events WHERE value IS NOT NULL
+),
+grid AS (
+  SELECT segment, score,
+         CAST(sum(label) AS BIGINT) AS pos,
+         CAST(count(*) - sum(label) AS BIGINT) AS neg
+  FROM e GROUP BY 1, 2
+),
+c AS (
+  SELECT segment, pos, neg,
+         COALESCE(sum(neg) OVER (PARTITION BY segment ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+  FROM grid
+)
+SELECT segment,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(neg) AS BIGINT) AS n_neg,
+       CAST(sum(pos * (2 * cnb + neg)) AS BIGINT) AS auc_num2,
+       CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
+         CAST(sum(pos * (2 * cnb + neg)) AS DOUBLE)
+         / CAST(2 * sum(pos) * sum(neg) AS DOUBLE) END AS auc
+FROM c GROUP BY segment
+""",
+        # fixed-width 500-cent bins; every fraction one bigint division
+        "score_calibration": """
+WITH e AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events WHERE value IS NOT NULL
+),
+bins AS (
+  SELECT score // 500 AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(label) AS BIGINT) AS n_pos
+  FROM e GROUP BY 1
+),
+cum AS (
+  SELECT bin, n, n_pos,
+         sum(n) OVER (ORDER BY bin DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         sum(n_pos) OVER (ORDER BY bin DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+         sum(n_pos) OVER () AS total_pos
+  FROM bins
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(bin * 500 AS BIGINT) AS bin_lo,
+       n, n_pos,
+       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+       CAST(cum_n AS BIGINT) AS cum_n,
+       CAST(cum_pos AS BIGINT) AS cum_pos,
+       CASE WHEN total_pos > 0 THEN
+         CAST(cum_pos AS DOUBLE) / CAST(total_pos AS DOUBLE) END AS capture,
+       CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE) AS cum_precision
+FROM cum
+""",
+        # two-sigma Wilson bounds: the SAME IEEE expression tree as
+        # operators/evaluation.py:wilson_bounds (z^2 = 4 exactly; only
+        # +,-,*,/,sqrt — all correctly rounded, so doubles match
+        # bit-for-bit)
+        "wilson_ctr": """
+WITH e AS (
+  SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS label
+  FROM events WHERE event_type IN ('view', 'click')
+),
+a AS (
+  SELECT hour,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(label) AS BIGINT) AS n_pos
+  FROM e GROUP BY hour
+)
+SELECT hour, n, n_pos,
+       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+       greatest(0.0,
+         (((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+            + 2.0 / CAST(n AS DOUBLE))
+          - 2.0 * sqrt((((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (1.0 - (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))))
+                         + 1.0 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))
+         / (1.0 + 4.0 / CAST(n AS DOUBLE))) AS wilson_lo,
+       least(1.0,
+         (((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+            + 2.0 / CAST(n AS DOUBLE))
+          + 2.0 * sqrt((((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (1.0 - (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))))
+                         + 1.0 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))
+         / (1.0 + 4.0 / CAST(n AS DOUBLE))) AS wilson_hi
+FROM a
+""",
+        # exact Gini via the rank-sum identity — bigint rank-sums with
+        # closed-form tie runs on the value grid, one final division
+        "revenue_gini": """
+WITH pc AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cust_cents
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT c.c_mktsegment, pc.cust_cents
+  FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey
+),
+grid AS (
+  SELECT c_mktsegment, cust_cents AS v, CAST(count(*) AS BIGINT) AS c
+  FROM j GROUP BY 1, 2
+),
+r AS (
+  SELECT c_mktsegment, v, c,
+         COALESCE(sum(c) OVER (PARTITION BY c_mktsegment ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+  FROM grid
+)
+SELECT c_mktsegment,
+       CAST(sum(c) AS BIGINT) AS n,
+       CAST(sum(v * c) AS BIGINT) AS total,
+       CAST(sum(v * (2 * c * k + c * (c + 1)))
+            - (sum(c) + 1) * sum(v * c) AS BIGINT) AS gini_num,
+       CASE WHEN sum(v * c) > 0 THEN
+         CAST(sum(v * (2 * c * k + c * (c + 1)))
+              - (sum(c) + 1) * sum(v * c) AS DOUBLE)
+         / CAST(sum(c) * sum(v * c) AS DOUBLE) END AS gini
+FROM r GROUP BY c_mktsegment
+""",
+        # capless user-user Jaccard (the Spark cap is inert at driver
+        # SFs); jaccard is one bigint/bigint division so rank ties
+        # compare identical doubles in both engines
+        "user_similarity": f"""
+WITH {MAPPING_CTE.lstrip()},
+m AS (
+  SELECT CAST(user_id AS BIGINT) AS u, CAST(item_id AS BIGINT) AS i
+  FROM mapping
+),
+half AS (
+  SELECT a.u AS user_a, b.u AS user_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM m a JOIN m b ON a.i = b.i AND a.u < b.u
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+sizes AS (SELECT u, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY u),
+sym AS (
+  SELECT user_a, user_b, n_common FROM half
+  UNION ALL
+  SELECT user_b, user_a, n_common FROM half
+),
+jx AS (
+  SELECT s.user_a, s.user_b, s.n_common, su.n AS n_user, sv.n AS n_neighbor,
+         CAST(s.n_common AS DOUBLE)
+         / CAST(su.n + sv.n - s.n_common AS DOUBLE) AS jaccard
+  FROM sym s
+  JOIN sizes su ON s.user_a = su.u
+  JOIN sizes sv ON s.user_b = sv.u
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY user_a
+             ORDER BY jaccard DESC, user_b) AS rank
+  FROM jx
+)
+SELECT user_a AS user, user_b AS neighbor, n_common, n_user, n_neighbor,
+       jaccard, CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= 5
+""",
     }
+    # the stream-maintained score grid must reproduce the batch AUC
+    sqls["stream_auc_monitor"] = sqls["rec_auc_segments"]
     # the materialized-shingle Jaccard is result-identical to the
     # recompute form — same oracle pins both physical strategies
     sqls["ngram_jaccard_materialized"] = sqls["ngram_jaccard_pairs"]

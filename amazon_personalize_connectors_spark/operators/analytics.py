@@ -780,3 +780,62 @@ def survival_table(
             F.col("n_censored").cast("bigint").alias("n_censored"),
         )
     )
+
+
+def concentration_gini(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Exact Gini coefficient of ``value_col`` per group — the
+    revenue/token concentration report ("do 1% of the customers carry
+    40% of the revenue? is one source dominating the training mix?").
+
+    Uses the rank-sum identity on non-negative INTEGER values
+    (cents/token counts), computed entirely in bigint on the value
+    GRID with a closed-form tie run:
+
+        G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx),  i = ascending rank
+
+    A run of c equal values v occupying ranks k+1..k+c contributes
+    2·Σ i·x = v·(2·c·k + c·(c+1)) — so ties need no per-row ranks and
+    the raw rows are NEVER windowed (the winsorize/KS grid rule): one
+    map-side-combinable aggregate to the (group, value) grid, one
+    window over grid rows (bounded by distinct values, not row
+    count), one final bigint/bigint division. G = 0 for perfectly
+    equal groups; NULL when the group total is 0 (undefined).
+
+    Output: (*group_cols, n, total, gini_num, gini)."""
+    grid = df.groupBy(
+        *group_cols, F.col(value_col).cast("bigint").alias("_v")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = grid.withColumn(
+        "_k", F.coalesce(F.sum("_c").over(w), F.lit(0))
+    ).withColumn(
+        "_two_ix",
+        F.col("_v")
+        * (2 * F.col("_c") * F.col("_k") + F.col("_c") * (F.col("_c") + 1)),
+    )
+    out = contrib.groupBy(*group_cols).agg(
+        F.sum("_c").cast("bigint").alias("n"),
+        F.sum(F.col("_v") * F.col("_c")).cast("bigint").alias("total"),
+        F.sum("_two_ix").cast("bigint").alias("_s2"),
+    )
+    return out.select(
+        *group_cols,
+        "n",
+        "total",
+        (F.col("_s2") - (F.col("n") + 1) * F.col("total"))
+        .cast("bigint")
+        .alias("gini_num"),
+        F.when(
+            F.col("total") > 0,
+            (F.col("_s2") - (F.col("n") + 1) * F.col("total")).cast("double")
+            / (F.col("n") * F.col("total")).cast("double"),
+        ).alias("gini"),
+    )

@@ -1,0 +1,213 @@
+"""Offline model-evaluation statistics — the scoring-side twin of the
+recsys eval ops (hit-rate / NDCG / coverage, operators/recsys.py): once
+a team runs the reference's batch-inference connectors
+(README.md:169-194) they need to grade the SCORES the model emits, not
+just the ranked lists. This module computes the three standard
+score-quality reports — ROC-AUC, calibration / gains bins, and
+binomial-rate confidence bounds — exactly, at corpus scale.
+
+Determinism contract (the ``user_profile_vectors`` lesson): every
+statistic is integer/decimal-exact up to a SINGLE correctly-rounded
+IEEE operation chain evaluated per OUTPUT row — never a double
+aggregation whose value depends on accumulation order. AUC is a pure
+bigint rank-sum divided once; calibration fractions are one
+bigint/bigint division each; Wilson bounds are a fixed scalar
+expression tree (+,-,*,/,sqrt are all correctly rounded by IEEE 754,
+so any engine evaluating the same tree on the same exact integers
+produces the same double bit-for-bit — no transcendental functions).
+
+Scale shapes:
+
+* ``roc_auc`` collapses the scored rows to the (group, score) GRID
+  first — one map-side-combinable aggregate, grid size bounded by
+  distinct score values (cents of a bounded range), not row count —
+  then ranks with ONE window over the grid. The raw scan is never
+  windowed (the winsorize/MAD rule, features.py).
+* ``score_bin_report`` is a single groupBy over fixed-width integer
+  bins plus a window over the BIN table (rows = #bins, a constant).
+* ``wilson_bounds`` is one aggregate; the bound math is per-group
+  scalar arithmetic on the two exact counts.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def roc_auc(
+    scored: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC per group via the Mann–Whitney rank-sum with the
+    standard tie correction: AUC = P(score⁺ > score⁻) + ½P(tie).
+
+    ``score_col`` must be integral (the engine's cents convention) and
+    ``label_col`` in {0,1}. Collapse to the (group, score) grid with
+    positive/negative counts; for each grid point, its positives beat
+    every negative strictly below (``2·cum_neg_below``) and half-win
+    against ties at the same score (``+ neg_here``), all in bigint:
+
+        auc_num2 = Σ_s pos(s) · (2·cum_neg_below(s) + neg(s))
+        auc      = auc_num2 / (2 · n_pos · n_neg)   — the ONE division
+
+    The window runs over the aggregated grid (distinct scores per
+    group), never the raw rows. Groups with no positives or no
+    negatives return NULL auc (undefined). Output: (*group_cols,
+    n_pos, n_neg, auc_num2, auc)."""
+    grid = scored.groupBy(
+        *group_cols, F.col(score_col).alias("_s")
+    ).agg(
+        F.sum(F.col(label_col).cast("long")).alias("_pos"),
+        F.sum(F.lit(1) - F.col(label_col).cast("long")).alias("_neg"),
+    )
+    return auc_from_grid(grid, group_cols)
+
+
+def auc_from_grid(grid: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Rank-sum AUC from an already-aggregated (group, _s, _pos, _neg)
+    count grid — the shared core of ``roc_auc`` and the streaming
+    score monitor (streaming/score_monitor.py). Grids merge by SUM, so
+    a stream-maintained grid served through THIS function must equal
+    the batch statistic over everything drained (the mergeable-grid
+    law, same argument as the KS drift monitor)."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = grid.withColumn(
+        "_cnb", F.coalesce(F.sum("_neg").over(w), F.lit(0))
+    ).withColumn(
+        "_u2", F.col("_pos") * (2 * F.col("_cnb") + F.col("_neg"))
+    )
+    out = contrib.groupBy(*group_cols).agg(
+        F.sum("_pos").cast("bigint").alias("n_pos"),
+        F.sum("_neg").cast("bigint").alias("n_neg"),
+        F.sum("_u2").cast("bigint").alias("auc_num2"),
+    )
+    return out.withColumn(
+        "auc",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("auc_num2").cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+        ),
+    )
+
+
+def score_bin_report(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Calibration + cumulative-gains table over fixed-width integer
+    score bins: is a score of 900–999 cents actually converting more
+    often than 100–199, and how much of the total positive mass does
+    the top of the score range capture?
+
+    Equal-WIDTH bins (``bin = score div bin_width``), not ntile
+    quantile bins — a global ntile is a single-task sort, while the
+    div is embarrassingly parallel and the bin table is a constant
+    number of rows. Cumulative columns run highest-score-first over
+    the BIN table only. Every fraction is one bigint/bigint division.
+
+    Output per bin (descending-score cumulative): (bin, bin_lo, n,
+    n_pos, frac_pos, cum_n, cum_pos, capture = cum_pos/total_pos,
+    cum_precision = cum_pos/cum_n)."""
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    bins = (
+        scored.select(
+            # integer DIV, not floor(double /): double division loses
+            # exactness past 2^53; scores are non-negative so
+            # truncation == floor in both engines
+            F.expr(f"CAST({score_col} AS BIGINT) DIV {bin_width}").alias(
+                "bin"
+            ),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").cast("bigint").alias("n_pos"),
+        )
+    )
+    w = (
+        Window.orderBy(F.col("bin").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # single-task window is fine HERE: it runs over the bin table,
+    # whose row count is (score range / bin_width) — a constant
+    # independent of input rows
+    total = bins.agg(F.sum("n_pos").cast("bigint").alias("total_pos"))
+    cum = (
+        bins.withColumn("cum_n", F.sum("n").over(w).cast("bigint"))
+        .withColumn("cum_pos", F.sum("n_pos").over(w).cast("bigint"))
+        # sanctioned 1-row scalar broadcast (the PLANS.md pattern)
+        .crossJoin(F.broadcast(total))
+    )
+    return cum.select(
+        "bin",
+        (F.col("bin") * bin_width).cast("bigint").alias("bin_lo"),
+        F.col("n").cast("bigint").alias("n"),
+        "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+            "frac_pos"
+        ),
+        "cum_n",
+        "cum_pos",
+        F.when(
+            F.col("total_pos") > 0,
+            F.col("cum_pos").cast("double") / F.col("total_pos").cast("double"),
+        ).alias("capture"),
+        (F.col("cum_pos").cast("double") / F.col("cum_n").cast("double")).alias(
+            "cum_precision"
+        ),
+    )
+
+
+def wilson_bounds(
+    counts_or_rows: DataFrame,
+    group_cols: Sequence[str],
+    label_col: str,
+) -> DataFrame:
+    """Per-group binomial rate with its two-sigma Wilson score lower /
+    upper bounds — the interval a CTR dashboard should show instead of
+    the raw rate (a 2/3 segment is not 'better' than 6000/10000).
+
+    Uses z = 2 exactly (z² = 4), so every constant in the Wilson
+    expression is a small exact double and the whole bound is a fixed
+    tree of correctly-rounded IEEE ops (+,-,*,/,sqrt) on the exact
+    (n_pos, n) integers — engine-portable bit-for-bit as long as the
+    oracle spells the SAME tree:
+
+        p      = pos / n
+        denom  = 1 + 4/n
+        center = p + 2/n
+        margin = 2 · sqrt((p·(1−p) + 1/n) / n)
+        lo, hi = (center ∓ margin) / denom      (clamped to [0, 1])
+
+    Output: (*group_cols, n, n_pos, rate, wilson_lo, wilson_hi)."""
+    agg = counts_or_rows.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col(label_col).cast("long")).cast("bigint").alias("n_pos"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("n_pos").cast("double") / nd
+    denom = F.lit(1.0) + F.lit(4.0) / nd
+    center = p + F.lit(2.0) / nd
+    margin = F.lit(2.0) * F.sqrt((p * (F.lit(1.0) - p) + F.lit(1.0) / nd) / nd)
+    return agg.select(
+        *group_cols,
+        "n",
+        "n_pos",
+        p.alias("rate"),
+        F.greatest(F.lit(0.0), (center - margin) / denom).alias("wilson_lo"),
+        F.least(F.lit(1.0), (center + margin) / denom).alias("wilson_hi"),
+    )

@@ -643,3 +643,96 @@ def rec_intra_list_similarity(
             (F.sum("_c").cast("double") / F.count(F.lit(1))).alias("ils"),
         )
     )
+
+
+def user_jaccard_topk(
+    interactions: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    k: int = 10,
+    max_users_per_item: int = 50,
+    min_common: int = 1,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """User-to-user Jaccard similarity: for each user, the top-k other
+    users by |items_a ∩ items_b| / |items_a ∪ items_b| — the
+    neighborhood model behind user-based collaborative filtering and
+    the audience-expansion ("users like these") export.
+
+    The transpose of ``covisitation_topk``, riding the same bounded
+    machinery: HOT ITEMS are the blow-up here (an item bought by m
+    users generates m² pairs), so each item's user list is truncated
+    to ``max_users_per_item`` by deterministic hash priority
+    (``cap_items_per_user`` with the roles swapped) BEFORE the
+    row-local pair generation (``_half_pairs`` — no self-join). Set
+    sizes are counted on the SAME capped mapping so n_common ≤
+    n_user/n_neighbor always holds internally; at cap-inert scales
+    this equals the exact Jaccard (the capless oracle pins it, the cap
+    semantics are pytest-pinned).
+
+    Exactness: intersection/union are bigint; jaccard is ONE
+    bigint/bigint division per pair, so ranking on it compares
+    identical doubles in every engine (ties broken by neighbor id).
+
+    Output: (user, neighbor, n_common, n_user, n_neighbor, jaccard,
+    rank)."""
+    compact = interactions.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("i")
+    )
+    if not assume_distinct:
+        compact = compact.distinct()
+    # cap USERS per ITEM: partition the hash-priority window by item
+    capped = cap_items_per_user(
+        compact, max_users_per_item, user_col="i", item_col="u"
+    )
+    sizes = capped.groupBy("u").agg(F.count(F.lit(1)).alias("_n"))
+    per_item = capped.groupBy("i").agg(F.collect_list("u").alias("_items"))
+    half = (
+        _half_pairs(per_item, "user_a", "user_b")
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if min_common > 1:
+        half = half.where(F.col("n_common") >= min_common)
+    pairs = half.unionByName(
+        half.select(
+            F.col("user_b").alias("user_a"),
+            F.col("user_a").alias("user_b"),
+            "n_common",
+        )
+    )
+    joined = (
+        pairs.join(
+            sizes.select(F.col("u").alias("user_a"), F.col("_n").alias("n_user")),
+            "user_a",
+        )
+        .join(
+            sizes.select(
+                F.col("u").alias("user_b"), F.col("_n").alias("n_neighbor")
+            ),
+            "user_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_user") + F.col("n_neighbor") - F.col("n_common")).cast(
+                "double"
+            ),
+        )
+    )
+    rank_w = Window.partitionBy("user_a").orderBy(
+        F.col("jaccard").desc(), F.col("user_b")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("user_a").alias("user"),
+            F.col("user_b").alias("neighbor"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.col("n_user").cast("bigint").alias("n_user"),
+            F.col("n_neighbor").cast("bigint").alias("n_neighbor"),
+            "jaccard",
+            "rank",
+        )
+    )

@@ -1,0 +1,138 @@
+"""Streaming score-quality monitor: maintain the per-(group, score)
+positive/negative count GRID from a micro-batched stream and answer
+the exact ROC-AUC on demand — continuous "is the model's score still
+discriminating" monitoring without re-scanning history.
+
+The sibling of the KS drift monitor (streaming/drift_monitor.py), on
+the same two pillars:
+
+* **Mergeable grid.** ``operators/evaluation.py:roc_auc`` reduces the
+  scored rows to a (group, score, pos, neg) grid first, and grids
+  merge by SUM — each micro-batch folds its batch-local grid into the
+  store (unionByName + sum groupBy), so per-trigger cost is ∝ the
+  batch's distinct (group, score) pairs and state size is ∝ the score
+  domain (cents of a bounded range — small at any data scale). The
+  AUC read-side calls the SAME ``auc_from_grid`` the batch operator
+  uses, so the stream-maintained statistic must equal a full batch
+  recompute over everything drained (the law the oracle checks).
+* **Pointer-flip store** (cdc_sink discipline): versioned parquet
+  with ``_VERSION`` flipped last via atomic rename; a retried batch
+  re-reads the previous version and overwrites its own version
+  directory idempotently — counts are never double-folded.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_personalize_connectors_spark.operators.evaluation import (
+    auc_from_grid,
+)
+from amazon_personalize_connectors_spark.streaming.cdc_sink import (
+    _version_file,
+)
+
+_GRID_SCHEMA = "g long, _s long, _pos long, _neg long"
+
+
+def _current_version(store_path: str) -> int | None:
+    vf = _version_file(store_path)
+    if not os.path.exists(vf):
+        return None
+    with open(vf) as f:
+        return int(f.read().strip())
+
+
+def read_score_grid(spark: SparkSession, store_path: str) -> DataFrame:
+    """Accumulated (g, _s, _pos, _neg) grid at the committed version;
+    empty before the first batch."""
+    ver = _current_version(store_path)
+    if ver is None:
+        return spark.createDataFrame([], _GRID_SCHEMA)
+    return spark.read.schema(_GRID_SCHEMA).parquet(
+        os.path.join(store_path, f"v{ver}")
+    )
+
+
+def apply_score_batch(
+    batch: DataFrame,
+    store_path: str,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+) -> None:
+    """foreachBatch body: fold one micro-batch's (group, score) counts
+    into the grid store."""
+    spark = batch.sparkSession
+    delta = batch.groupBy(
+        F.col(group_col).cast("long").alias("g"),
+        F.col(score_col).cast("long").alias("_s"),
+    ).agg(
+        F.sum(F.col(label_col).cast("long")).alias("_pos"),
+        F.sum(F.lit(1) - F.col(label_col).cast("long")).alias("_neg"),
+    )
+    prev = _current_version(store_path)
+    version = 0 if prev is None else prev + 1
+    if prev is None:
+        merged = delta
+    else:
+        current = spark.read.schema(_GRID_SCHEMA).parquet(
+            os.path.join(store_path, f"v{prev}")
+        )
+        merged = (
+            current.unionByName(delta)
+            .groupBy("g", "_s")
+            .agg(
+                F.sum("_pos").cast("long").alias("_pos"),
+                F.sum("_neg").cast("long").alias("_neg"),
+            )
+        )
+    merged.write.mode("overwrite").parquet(
+        os.path.join(store_path, f"v{version}")
+    )
+    tmp = _version_file(store_path) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _version_file(store_path))
+
+
+def monitor_scores_from_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    timeout_s: float = 300.0,
+) -> None:
+    """Drain a stream (Trigger.AvailableNow), folding every
+    micro-batch's (group, score) counts into the grid at
+    ``store_path``."""
+    os.makedirs(store_path, exist_ok=True)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _e: apply_score_batch(
+                b, store_path, group_col, score_col, label_col
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(f"score monitor still running after {timeout_s}s")
+    finally:
+        if q.isActive:
+            q.stop()
+
+
+def auc_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Exact per-group ROC-AUC from the maintained grid — the SAME
+    ``auc_from_grid`` the batch operator uses (bigint rank-sum, one
+    division), so stream == batch bit-for-bit."""
+    grid = read_score_grid(spark, store_path).localCheckpoint(eager=True)
+    return auc_from_grid(grid, ["g"])

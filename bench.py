@@ -203,6 +203,11 @@ BENCH_QUERIES = [
     "unpivot_metrics",
     "forecast_mase",
     "mad_outliers",
+    "rec_auc_segments",
+    "score_calibration",
+    "wilson_ctr",
+    "revenue_gini",
+    "user_similarity",
     # stream_model_refresh and stream_ks_drift are deliberately NOT
     # benched: each drains 4 micro-batches rewriting a versioned
     # store by design — law-check queries, not throughput queries.

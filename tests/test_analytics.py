@@ -496,3 +496,52 @@ def test_pit_join_picks_version_at_event_time(spark):
     ]
     # every matched fact matches exactly once (disjoint intervals)
     assert len(got) == len({(k, t, v) for k, t, v, _ in got})
+
+
+# ---------------------------------------------------------------------------
+# concentration_gini
+# ---------------------------------------------------------------------------
+
+
+def _brute_gini(values):
+    xs = sorted(values)
+    n, t = len(xs), sum(xs)
+    if t == 0:
+        return None
+    s2 = 2 * sum((i + 1) * x for i, x in enumerate(xs))
+    return (s2 - (n + 1) * t) / (n * t)
+
+
+def test_gini_matches_rank_sum_brute_force(spark):
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        concentration_gini,
+    )
+
+    groups = {
+        "equal": [10, 10, 10, 10],
+        "onewhale": [0, 0, 0, 100],
+        "mixed": [1, 2, 2, 5, 40, 3, 2, 7],
+        "zeros": [0, 0, 0],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r for r in concentration_gini(df, ["g"], "v").collect()}
+    assert got["equal"]["gini"] == 0.0
+    assert got["onewhale"]["gini"] == _brute_gini(groups["onewhale"]) == 0.75
+    assert got["mixed"]["gini"] == _brute_gini(groups["mixed"])
+    assert got["zeros"]["gini"] is None and got["zeros"]["total"] == 0
+    assert got["mixed"]["n"] == 8 and got["mixed"]["total"] == 62
+
+
+def test_gini_partition_layout_independent(spark):
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        concentration_gini,
+    )
+
+    rows = [("g%d" % (i % 2), (i * 37) % 19) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    outs = []
+    for p in (1, 4, 13):
+        got = concentration_gini(df.repartition(p), ["g"], "v").collect()
+        outs.append(sorted((r["g"], r["gini_num"], r["gini"]) for r in got))
+    assert outs[0] == outs[1] == outs[2]

@@ -156,3 +156,58 @@ def test_drift_monitor_retry_idempotent_and_mergeable(spark, tmp_path):
     assert (ks_retry["ks_num"], ks_retry["n_a"], ks_retry["n_b"]) == (
         ks_once["ks_num"], ks_once["n_a"], ks_once["n_b"],
     )
+
+
+def test_score_monitor_retry_idempotent_and_matches_batch(spark, tmp_path):
+    """Score-grid merge law + crash-retry: folded micro-batches served
+    through auc_from_store must equal the batch roc_auc over the union,
+    and re-applying a batch after a pointer rollback (redelivery before
+    the flip) must not double-count."""
+    import os
+
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        roc_auc,
+    )
+    from amazon_personalize_connectors_spark.streaming.score_monitor import (
+        apply_score_batch,
+        auc_from_store,
+        read_score_grid,
+    )
+
+    store = str(tmp_path / "scores")
+    os.makedirs(store, exist_ok=True)
+    b1 = spark.createDataFrame(
+        [(0, 10, 1), (0, 10, 0), (0, 20, 1), (1, 5, 0)],
+        "g long, s long, y int",
+    )
+    b2 = spark.createDataFrame(
+        [(0, 15, 0), (0, 20, 0), (1, 5, 1), (1, 9, 1)],
+        "g long, s long, y int",
+    )
+    apply_score_batch(b1, store, "g", "s", "y")
+    apply_score_batch(b2, store, "g", "s", "y")
+    stream_auc = {
+        r["g"]: (r["n_pos"], r["n_neg"], r["auc_num2"], r["auc"])
+        for r in auc_from_store(spark, store).collect()
+    }
+    batch_auc = {
+        r["g"]: (r["n_pos"], r["n_neg"], r["auc_num2"], r["auc"])
+        for r in roc_auc(b1.unionByName(b2), ["g"], "s", "y").collect()
+    }
+    assert stream_auc == batch_auc
+
+    # redelivery: roll pointer back one version, re-apply batch 2
+    vf = os.path.join(store, "_VERSION")
+    prev = int(open(vf).read())
+    open(vf, "w").write(str(prev - 1))
+    apply_score_batch(b2, store, "g", "s", "y")
+    grid = {
+        (r["g"], r["_s"]): (r["_pos"], r["_neg"])
+        for r in read_score_grid(spark, store).collect()
+    }
+    assert grid[(0, 10)] == (1, 1) and grid[(0, 20)] == (1, 1)
+    retry_auc = {
+        r["g"]: (r["n_pos"], r["n_neg"], r["auc_num2"], r["auc"])
+        for r in auc_from_store(spark, store).collect()
+    }
+    assert retry_auc == batch_auc

@@ -1,0 +1,161 @@
+"""Score-quality evaluation operators (operators/evaluation.py):
+brute-force AUC against all-pairs comparison (incl. ties), bin-report
+arithmetic against hand counts, Wilson bounds against the same IEEE
+expression evaluated in Python, and the partition-layout-independence
+property the user_profile_vectors regression taught us to pin."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from amazon_personalize_connectors_spark.operators.evaluation import (
+    roc_auc,
+    score_bin_report,
+    wilson_bounds,
+)
+
+
+def _brute_auc(pairs):
+    """All-pairs AUC: P(score+ > score-) + 0.5 P(tie)."""
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    if not pos or not neg:
+        return None
+    wins = sum(1.0 for p in pos for n in neg if p > n)
+    ties = sum(1.0 for p in pos for n in neg if p == n)
+    return (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+
+# ---------------------------------------------------------------------------
+# roc_auc
+# ---------------------------------------------------------------------------
+
+
+def test_auc_matches_all_pairs_brute_force(spark):
+    pairs = [
+        (10, 0), (20, 0), (20, 1), (30, 1), (30, 0), (30, 1),
+        (40, 1), (5, 0), (5, 0), (40, 0), (25, 1), (25, 0),
+    ]
+    df = spark.createDataFrame(
+        [("g", s, y) for s, y in pairs], "g string, score long, label int"
+    )
+    row = roc_auc(df, ["g"], "score", "label").collect()[0]
+    expect = _brute_auc(pairs)
+    assert row["auc"] == expect
+    # the integer numerator is exactly 2 * (wins + ties/2)
+    assert row["auc_num2"] == round(
+        expect * 2 * row["n_pos"] * row["n_neg"]
+    )
+
+
+def test_auc_perfect_and_inverted_and_degenerate(spark):
+    data = (
+        [("perfect", 100 + i, 1) for i in range(3)]
+        + [("perfect", i, 0) for i in range(3)]
+        + [("inverted", i, 1) for i in range(3)]
+        + [("inverted", 100 + i, 0) for i in range(3)]
+        + [("allpos", i, 1) for i in range(3)]
+    )
+    df = spark.createDataFrame(data, "g string, score long, label int")
+    got = {r["g"]: r for r in roc_auc(df, ["g"], "score", "label").collect()}
+    assert got["perfect"]["auc"] == 1.0
+    assert got["inverted"]["auc"] == 0.0
+    assert got["allpos"]["auc"] is None  # undefined without negatives
+    assert got["allpos"]["n_neg"] == 0
+
+
+def test_auc_partition_layout_independent(spark):
+    base = [
+        ("g%d" % (i % 3), (i * 7919) % 50, (i * 31) % 2) for i in range(200)
+    ]
+    df = spark.createDataFrame(base, "g string, score long, label int")
+    results = []
+    for parts in (1, 3, 17):
+        rows = roc_auc(
+            df.repartition(parts), ["g"], "score", "label"
+        ).collect()
+        results.append(
+            sorted((r["g"], r["auc_num2"], r["auc"]) for r in rows)
+        )
+    assert results[0] == results[1] == results[2]
+
+
+# ---------------------------------------------------------------------------
+# score_bin_report
+# ---------------------------------------------------------------------------
+
+
+def test_bin_report_counts_and_cumulatives(spark):
+    rows = [(i, 1 if i >= 50 else 0) for i in range(100)]  # pos iff >= 50
+    df = spark.createDataFrame(rows, "score long, label int")
+    out = {
+        r["bin"]: r
+        for r in score_bin_report(df, "score", "label", bin_width=25).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    assert all(out[b]["n"] == 25 for b in out)
+    assert out[3]["n_pos"] == 25 and out[0]["n_pos"] == 0
+    assert out[3]["bin_lo"] == 75
+    # cumulative runs highest-score-first
+    assert out[3]["cum_n"] == 25 and out[1]["cum_n"] == 75
+    assert out[3]["capture"] == 0.5  # 25 of 50 positives in the top bin
+    assert out[2]["capture"] == 1.0
+    assert out[2]["cum_precision"] == 1.0  # top 2 bins are all positive
+    assert out[0]["cum_precision"] == 0.5
+
+
+def test_bin_report_no_positives_capture_null(spark):
+    df = spark.createDataFrame([(5, 0), (30, 0)], "score long, label int")
+    rows = score_bin_report(df, "score", "label", bin_width=10).collect()
+    assert all(r["capture"] is None for r in rows)
+    assert all(r["frac_pos"] == 0.0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# wilson_bounds
+# ---------------------------------------------------------------------------
+
+
+def _py_wilson(pos, n):
+    p = pos / n
+    denom = 1.0 + 4.0 / n
+    center = p + 2.0 / n
+    margin = 2.0 * math.sqrt((p * (1.0 - p) + 1.0 / n) / n)
+    return (
+        max(0.0, (center - margin) / denom),
+        min(1.0, (center + margin) / denom),
+    )
+
+
+def test_wilson_matches_python_ieee_tree(spark):
+    rows = (
+        [("a", 1)] * 6 + [("a", 0)] * 4
+        + [("b", 1)] * 2 + [("b", 0)] * 1
+        + [("c", 0)] * 5
+        + [("d", 1)] * 5
+    )
+    df = spark.createDataFrame(rows, "g string, label int")
+    got = {r["g"]: r for r in wilson_bounds(df, ["g"], "label").collect()}
+    for g, pos, n in (("a", 6, 10), ("b", 2, 3), ("c", 0, 5), ("d", 5, 5)):
+        lo, hi = _py_wilson(pos, n)
+        assert got[g]["n"] == n and got[g]["n_pos"] == pos
+        assert got[g]["rate"] == pos / n
+        # bit-for-bit: the op and Python evaluate the same IEEE tree
+        assert got[g]["wilson_lo"] == lo
+        assert got[g]["wilson_hi"] == hi
+    # the interval brackets the rate (to an ulp — at p=1 the hi
+    # expression rounds to 0.999...9) and stays in [0, 1]
+    for r in got.values():
+        assert 0.0 <= r["wilson_lo"] <= r["rate"] <= r["wilson_hi"] + 1e-12
+        assert r["wilson_hi"] <= 1.0
+
+
+def test_wilson_small_n_wide_interval(spark):
+    df = spark.createDataFrame(
+        [("tiny", 1), ("tiny", 0)] + [("big", 1), ("big", 0)] * 500,
+        "g string, label int",
+    )
+    got = {r["g"]: r for r in wilson_bounds(df, ["g"], "label").collect()}
+    width = lambda r: r["wilson_hi"] - r["wilson_lo"]  # noqa: E731
+    assert width(got["tiny"]) > width(got["big"])
+    assert got["big"]["rate"] == 0.5

@@ -427,6 +427,12 @@ def test_robust_stats_rank_on_value_grid_not_raw_rows(spark, sf_dir):
         "mad_outliers",
         "revenue_anomalies",
         "survival_repurchase",
+        # round-5 evaluation/concentration family: AUC rank-sum,
+        # calibration cumulatives, and Gini rank-sum all window the
+        # aggregated grid/bin table, never the scan
+        "rec_auc_segments",
+        "score_calibration",
+        "revenue_gini",
     ]:
         df = qs[name](spark, sf_dir)
         plan = df._jdf.queryExecution().optimizedPlan().toString()

@@ -370,3 +370,54 @@ def test_embedding_centroid_drift_hand_computed(spark):
     # micro scale: |1e6*1 - 1e6*2| = 1e6 per dim -> num = 2e6
     assert (r["n_a"], r["n_b"], r["drift_num"]) == (2, 1, 2_000_000)
     assert abs(r["l1_drift"] - 1.0) < 1e-12  # |0.5-1| + |0.5-1| = 1.0
+
+
+# ---------------------------------------------------------------------------
+# user_jaccard_topk
+# ---------------------------------------------------------------------------
+
+
+def test_user_jaccard_exact_small(spark):
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        user_jaccard_topk,
+    )
+
+    # u1 = {a,b,c}, u2 = {b,c,d}, u3 = {a}, u4 = {x}
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "b"), (2, "c"), (2, "d"),
+        (3, "a"),
+        (4, "x"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, item_id string")
+    out = {
+        (r["user"], r["neighbor"]): r
+        for r in user_jaccard_topk(df, k=5, max_users_per_item=10).collect()
+    }
+    # u1 vs u2 share {b,c}: 2 / (3+3-2)
+    assert out[(1, 2)]["jaccard"] == 2 / 4
+    assert out[(2, 1)]["n_common"] == 2
+    # u1 vs u3 share {a}: 1 / 3
+    assert out[(1, 3)]["jaccard"] == 1 / 3
+    assert out[(3, 1)]["n_user"] == 1 and out[(3, 1)]["n_neighbor"] == 3
+    # u4 shares nothing — appears in no pair
+    assert not any(u == 4 or v == 4 for (u, v) in out)
+    # ranks: u1's best neighbor is u2 (0.5 > 0.333)
+    assert out[(1, 2)]["rank"] == 1 and out[(1, 3)]["rank"] == 2
+
+
+def test_user_jaccard_hot_item_cap_bounds_pairs(spark):
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        user_jaccard_topk,
+    )
+
+    # one item interacted by 30 users: capless -> 435 pairs; cap=5 ->
+    # at most C(5,2)=10 half-pairs survive
+    rows = [(u, "hot") for u in range(30)]
+    df = spark.createDataFrame(rows, "user_id long, item_id string")
+    out = user_jaccard_topk(df, k=100, max_users_per_item=5)
+    half = {tuple(sorted((r["user"], r["neighbor"]))) for r in out.collect()}
+    assert len(half) == 10
+    # capped sets are still internally consistent: n_common <= sizes
+    for r in out.collect():
+        assert r["n_common"] <= min(r["n_user"], r["n_neighbor"])
