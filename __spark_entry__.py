@@ -4878,6 +4878,56 @@ def q_stream_auc_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auc_from_store(spark, store).withColumnRenamed("g", "segment")
 
 
+def q_ab_test_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test between the two user-parity arms
+    (operators/evaluation.py:two_proportion_ztest): one aggregate for
+    the four exact counts, then a fixed correctly-rounded IEEE tree
+    (+,-,*,/,sqrt) the oracle spells identically — bit-for-bit z."""
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        two_proportion_ztest,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir)
+    rows = ev.select(
+        (F.col("user_id") % 2).alias("arm"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return two_proportion_ztest(
+        rows, F.col("arm") == 0, F.col("arm") == 1, "label"
+    )
+
+
+def q_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the first-order next-event model
+    (operators/evaluation.py:top1_transition_accuracy): argmax
+    transitions fitted on pre-cutoff pairs (grid window over the
+    states-x-states table), top-1 accuracy scored on post-cutoff pairs
+    via a broadcast model join — per-state bigint hits over one
+    division."""
+    from pyspark.sql.window import Window
+
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        top1_transition_accuracy,
+    )
+
+    events = synthetic.load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        events.select(
+            "user_id", "ts_us", "event_id",
+            F.col("event_type").alias("from_type"),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .where(F.col("to_type").isNotNull())
+    )
+    # 2024-01-22T00:00:00 in the fixture's epoch-microsecond clock
+    # (ts_us == DuckDB epoch_us(ts); the events_sessionize parity)
+    cutoff_us = 1_705_881_600_000_000
+    return top1_transition_accuracy(
+        pairs, "from_type", "to_type", F.col("ts_us") < F.lit(cutoff_us)
+    )
+
+
 # Driver verification window: the driver oracle-checks the FIRST 50
 # entries of queries() in dict order; queries() reorders the full
 # registry so this list comes first. Round-5 rotation (ledger:
@@ -5189,6 +5239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_gini": q_revenue_gini,
         "user_similarity": q_user_similarity,
         "stream_auc_monitor": q_stream_auc_monitor,
+        "ab_test_purchase": q_ab_test_purchase,
+        "markov_backtest": q_markov_backtest,
     }
     out = {name: all_q[name] for name in _R5_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
@@ -8935,6 +8987,67 @@ FROM rk WHERE rank <= 5
     }
     # the stream-maintained score grid must reproduce the batch AUC
     sqls["stream_auc_monitor"] = sqls["rec_auc_segments"]
+    # pooled two-proportion z: the SAME IEEE tree as
+    # operators/evaluation.py:two_proportion_ztest
+    sqls["ab_test_purchase"] = """
+WITH e AS (
+  SELECT user_id % 2 AS arm,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+),
+a AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 0 THEN label ELSE 0 END) AS BIGINT) AS pos_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN arm = 1 THEN label ELSE 0 END) AS BIGINT) AS pos_b
+  FROM e
+)
+SELECT n_a, pos_a, n_b, pos_b,
+       CAST(pos_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+       CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+       (CAST(pos_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+         - (CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS diff,
+       CASE WHEN n_a > 0 AND n_b > 0 AND pos_a + pos_b > 0
+                 AND pos_a + pos_b < n_a + n_b THEN
+         ((CAST(pos_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+           - (CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+         / sqrt((CAST(pos_a + pos_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                * (1.0 - (CAST(pos_a + pos_b AS DOUBLE)
+                          / CAST(n_a + n_b AS DOUBLE)))
+                * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+       END AS z
+FROM a
+"""
+    # first-order Markov backtest: argmax transitions on pre-cutoff
+    # pairs, top-1 accuracy on post-cutoff pairs
+    sqls["markov_backtest"] = """
+WITH p0 AS (
+  SELECT event_type AS from_type, epoch_us(ts) AS ts_us,
+         lead(event_type) OVER (PARTITION BY user_id
+           ORDER BY epoch_us(ts), event_id) AS to_type
+  FROM events
+),
+pairs AS (SELECT * FROM p0 WHERE to_type IS NOT NULL),
+grid AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE ts_us < 1705881600000000 GROUP BY 1, 2
+),
+model AS (
+  SELECT from_type, to_type AS predicted
+  FROM (SELECT *, row_number() OVER (PARTITION BY from_type
+          ORDER BY n DESC, to_type) AS r FROM grid)
+  WHERE r = 1
+),
+test AS (SELECT * FROM pairs WHERE ts_us >= 1705881600000000)
+SELECT t.from_type, m.predicted,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(COALESCE(sum(CASE WHEN t.to_type = m.predicted THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_hits,
+       CAST(COALESCE(sum(CASE WHEN t.to_type = m.predicted THEN 1 ELSE 0 END), 0)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+FROM test t LEFT JOIN model m ON t.from_type = m.from_type
+GROUP BY t.from_type, m.predicted
+"""
     # the materialized-shingle Jaccard is result-identical to the
     # recompute form — same oracle pins both physical strategies
     sqls["ngram_jaccard_materialized"] = sqls["ngram_jaccard_pairs"]

@@ -211,3 +211,105 @@ def wilson_bounds(
         F.greatest(F.lit(0.0), (center - margin) / denom).alias("wilson_lo"),
         F.least(F.lit(1.0), (center + margin) / denom).alias("wilson_hi"),
     )
+
+
+def two_proportion_ztest(
+    rows: DataFrame,
+    in_a: Column,
+    in_b: Column,
+    label_col: str,
+) -> DataFrame:
+    """Pooled two-proportion z-test — the A/B experiment readout
+    ("is variant B's conversion actually higher?"). ``in_a`` /
+    ``in_b`` are Column predicates naming the two arms.
+
+    One map-side-combinable aggregate produces the four exact counts
+    (n_a, pos_a, n_b, pos_b); the statistic is then a fixed tree of
+    correctly-rounded IEEE ops on them (+,-,*,/,sqrt only):
+
+        p_a, p_b = pos/n per arm;  p_pool = (pos_a+pos_b)/(n_a+n_b)
+        z = (p_a - p_b) / sqrt(p_pool·(1-p_pool)·(1/n_a + 1/n_b))
+
+    z is NULL when either arm is empty or the pooled rate is 0 or 1
+    (zero variance). Output: ONE row (n_a, pos_a, n_b, pos_b, rate_a,
+    rate_b, diff, z)."""
+    y = F.col(label_col).cast("long")
+    agg = rows.agg(
+        F.sum(in_a.cast("long")).cast("bigint").alias("n_a"),
+        F.sum(y * in_a.cast("long")).cast("bigint").alias("pos_a"),
+        F.sum(in_b.cast("long")).cast("bigint").alias("n_b"),
+        F.sum(y * in_b.cast("long")).cast("bigint").alias("pos_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.col("pos_a").cast("double") / na
+    pb = F.col("pos_b").cast("double") / nb
+    pp = (F.col("pos_a") + F.col("pos_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    return agg.select(
+        "n_a",
+        "pos_a",
+        "n_b",
+        "pos_b",
+        pa.alias("rate_a"),
+        pb.alias("rate_b"),
+        (pa - pb).alias("diff"),
+        F.when(
+            (F.col("n_a") > 0)
+            & (F.col("n_b") > 0)
+            & (F.col("pos_a") + F.col("pos_b") > 0)
+            & (F.col("pos_a") + F.col("pos_b") < F.col("n_a") + F.col("n_b")),
+            (pa - pb) / se,
+        ).alias("z"),
+    )
+
+
+def top1_transition_accuracy(
+    pairs: DataFrame,
+    from_col: str,
+    to_col: str,
+    is_train: Column,
+) -> DataFrame:
+    """Backtest of a first-order Markov next-state model: fit the
+    argmax transition per source state on the TRAIN pairs (tie broken
+    by target lexicographic), then score top-1 accuracy on the TEST
+    pairs — the honesty check behind "what does the user do next"
+    models.
+
+    Scale shape: the model fit windows the aggregated transition GRID
+    (states x states — a constant), never raw pairs; the model is a
+    per-state 1-row table broadcast into the test scan; accuracy is
+    one bigint division per state. Source states seen only in test
+    get NULL prediction and 0 hits. Output per source state:
+    (from_col, predicted, n_test, n_hits, accuracy)."""
+    train_grid = (
+        pairs.where(is_train)
+        .groupBy(from_col, to_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w = Window.partitionBy(from_col).orderBy(
+        F.col("_n").desc(), F.col(to_col)
+    )
+    model = (
+        train_grid.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(F.col(from_col), F.col(to_col).alias("predicted"))
+    )
+    test = pairs.where(~is_train)
+    scored = test.join(F.broadcast(model), from_col, "left")
+    return scored.groupBy(from_col, "predicted").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum((F.col(to_col) == F.col("predicted")).cast("long"))
+        .cast("bigint")
+        .alias("n_hits"),
+    ).select(
+        from_col,
+        "predicted",
+        "n_test",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_test").cast("double")).alias(
+            "accuracy"
+        ),
+    )

@@ -208,6 +208,8 @@ BENCH_QUERIES = [
     "wilson_ctr",
     "revenue_gini",
     "user_similarity",
+    "ab_test_purchase",
+    "markov_backtest",
     # stream_model_refresh and stream_ks_drift are deliberately NOT
     # benched: each drains 4 micro-batches rewriting a versioned
     # store by design — law-check queries, not throughput queries.

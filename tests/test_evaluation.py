@@ -159,3 +159,77 @@ def test_wilson_small_n_wide_interval(spark):
     width = lambda r: r["wilson_hi"] - r["wilson_lo"]  # noqa: E731
     assert width(got["tiny"]) > width(got["big"])
     assert got["big"]["rate"] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# two_proportion_ztest
+# ---------------------------------------------------------------------------
+
+
+def test_ztest_matches_python_ieee_tree(spark):
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        two_proportion_ztest,
+    )
+
+    rows = [("a", 1)] * 30 + [("a", 0)] * 70 + [("b", 1)] * 45 + [("b", 0)] * 55
+    df = spark.createDataFrame(rows, "arm string, y int")
+    r = two_proportion_ztest(
+        df, F.col("arm") == "a", F.col("arm") == "b", "y"
+    ).collect()[0]
+    assert (r["n_a"], r["pos_a"], r["n_b"], r["pos_b"]) == (100, 30, 100, 45)
+    pa, pb = 30 / 100, 45 / 100
+    pp = 75 / 200
+    z = (pa - pb) / math.sqrt(pp * (1.0 - pp) * (1.0 / 100 + 1.0 / 100))
+    assert r["rate_a"] == pa and r["rate_b"] == pb
+    assert r["diff"] == pa - pb
+    assert r["z"] == z  # identical IEEE tree
+    assert r["z"] < -2.0  # 15-point lift on n=100 is significant
+
+
+def test_ztest_degenerate_zero_variance(spark):
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        two_proportion_ztest,
+    )
+
+    # all failures -> pooled rate 0 -> zero variance -> NULL z
+    df = spark.createDataFrame(
+        [("a", 0)] * 5 + [("b", 0)] * 5, "arm string, y int"
+    )
+    r = two_proportion_ztest(
+        df, F.col("arm") == "a", F.col("arm") == "b", "y"
+    ).collect()[0]
+    assert r["z"] is None and r["diff"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# top1_transition_accuracy
+# ---------------------------------------------------------------------------
+
+
+def test_markov_backtest_argmax_and_accuracy(spark):
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        top1_transition_accuracy,
+    )
+
+    # train: A->B x3, A->C x1 (argmax B); B->C x2, B->A x2 (tie -> A,
+    # lexicographic)
+    train = [("A", "B")] * 3 + [("A", "C")] + [("B", "C")] * 2 + [("B", "A")] * 2
+    # test: A->B, A->C, B->A, B->B, D->A (D unseen in train)
+    test = [("A", "B"), ("A", "C"), ("B", "A"), ("B", "B"), ("D", "A")]
+    rows = [(f, t, 1) for f, t in train] + [(f, t, 0) for f, t in test]
+    df = spark.createDataFrame(rows, "f string, t string, train int")
+    out = {
+        r["f"]: r
+        for r in top1_transition_accuracy(
+            df, "f", "t", F.col("train") == 1
+        ).collect()
+    }
+    assert out["A"]["predicted"] == "B"
+    assert (out["A"]["n_test"], out["A"]["n_hits"]) == (2, 1)
+    assert out["A"]["accuracy"] == 0.5
+    assert out["B"]["predicted"] == "A"  # tie broken lexicographically
+    assert (out["B"]["n_hits"], out["B"]["n_test"]) == (1, 2)
+    # unseen source state: NULL prediction, zero hits
+    assert out["D"]["predicted"] is None
+    assert (out["D"]["n_test"], out["D"]["n_hits"]) == (1, 0)
+    assert out["D"]["accuracy"] == 0.0
