@@ -233,3 +233,60 @@ def test_markov_backtest_argmax_and_accuracy(spark):
     assert out["D"]["predicted"] is None
     assert (out["D"]["n_test"], out["D"]["n_hits"]) == (1, 0)
     assert out["D"]["accuracy"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# hypothesis brute-force properties
+# ---------------------------------------------------------------------------
+
+
+def test_auc_matches_bruteforce_hypothesis(spark):
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=12),  # heavy ties
+                st.integers(min_value=0, max_value=1),
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(pairs):
+        df = spark.createDataFrame(
+            [("g", s, y) for s, y in pairs], "g string, score long, label int"
+        )
+        row = roc_auc(df, ["g"], "score", "label").collect()[0]
+        expect = _brute_auc(pairs)
+        assert row["auc"] == expect
+        n_pos = sum(y for _, y in pairs)
+        assert (row["n_pos"], row["n_neg"]) == (n_pos, len(pairs) - n_pos)
+
+    check()
+
+
+def test_gini_matches_bruteforce_hypothesis(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        concentration_gini,
+    )
+    from tests.test_analytics import _brute_gini
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=50), min_size=1, max_size=40
+        )
+    )
+    def check(values):
+        df = spark.createDataFrame(
+            [("g", v) for v in values], "g string, v long"
+        )
+        r = concentration_gini(df, ["g"], "v").collect()[0]
+        assert r["gini"] == _brute_gini(values)
+        assert r["n"] == len(values) and r["total"] == sum(values)
+
+    check()
