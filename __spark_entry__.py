@@ -4928,6 +4928,42 @@ def q_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ipw_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Popularity-debiased hit rate of the related-items payload
+    (operators/evaluation.py:ipw_weighted_ratio over the rec_hitrate
+    fold): each query item's (hits, recs) weighted by the integer
+    quantized inverse of its user-popularity — exact bigint fold, two
+    final divisions; the debiased rate exposes how much of the raw
+    hit rate rides on popular items."""
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        ipw_weighted_ratio,
+    )
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        rec_hitrate_by_cooccurrence,
+    )
+
+    recs = synthetic.related_items_batch_inference(spark, sf_dir)
+    exploded = recs.where(F.col("error").isNull()).select(
+        F.col("input.itemId").alias("query_item_id"),
+        F.explode("output.recommendedItems").alias("rec_item"),
+    )
+    mapping = synthetic.user_item_mapping(spark, sf_dir).select(
+        F.col("USER_ID").alias("user_id"), F.col("ITEM_ID").alias("item_id")
+    )
+    hits = rec_hitrate_by_cooccurrence(
+        exploded, mapping, max_items_per_user=1000
+    )
+    pop = mapping.groupBy("item_id").agg(
+        F.countDistinct("user_id").cast("bigint").alias("pop")
+    )
+    joined = hits.join(
+        pop, hits.query_item_id == pop.item_id, "left"
+    ).select(
+        F.coalesce("pop", F.lit(1)).alias("pop"), "n_hits", "n_recs"
+    )
+    return ipw_weighted_ratio(joined, "pop", "n_hits", "n_recs")
+
+
 # Driver verification window: the driver oracle-checks the FIRST 50
 # entries of queries() in dict order; queries() reorders the full
 # registry so this list comes first. Round-5 rotation (ledger:
@@ -5241,6 +5277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_auc_monitor": q_stream_auc_monitor,
         "ab_test_purchase": q_ab_test_purchase,
         "markov_backtest": q_markov_backtest,
+        "ipw_hitrate": q_ipw_hitrate,
     }
     out = {name: all_q[name] for name in _R5_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
@@ -9047,6 +9084,62 @@ SELECT t.from_type, m.predicted,
             AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
 FROM test t LEFT JOIN model m ON t.from_type = m.from_type
 GROUP BY t.from_type, m.predicted
+"""
+    # quantized-IPW debiased hit rate over the rec_hitrate fold
+    sqls["ipw_hitrate"] = """
+WITH npart AS (SELECT MAX(p_partkey) + 1 AS n FROM part),
+recs AS (
+  SELECT
+    CAST(p_partkey AS VARCHAR) AS query_item_id,
+    CASE
+      WHEN p_partkey % 10 = 0 THEN NULL
+      WHEN p_partkey % 13 = 0 THEN CAST([] AS VARCHAR[])
+      ELSE list_transform(range(1, 5 + 1),
+                          i -> CAST((p_partkey + i) % n AS VARCHAR))
+    END AS rec_items,
+    CASE WHEN p_partkey % 10 = 0 THEN 'ITEM_NOT_IN_DATASET' END AS error
+  FROM part, npart
+),
+exploded AS (
+  SELECT query_item_id, unnest(rec_items) AS rec_item
+  FROM recs WHERE error IS NULL
+),
+m AS (
+  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS u, CAST(l_partkey AS VARCHAR) AS i
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+truth AS (
+  SELECT DISTINCT a.i AS qi, b.i AS ri
+  FROM m a JOIN m b ON a.u = b.u AND a.i <> b.i
+),
+hits AS (
+  SELECT e.query_item_id,
+         CAST(count(*) AS BIGINT) AS n_recs,
+         CAST(sum(CASE WHEN t.qi IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM exploded e
+  LEFT JOIN truth t ON e.query_item_id = t.qi AND e.rec_item = t.ri
+  GROUP BY e.query_item_id
+),
+pop AS (SELECT i AS item_id, CAST(count(DISTINCT u) AS BIGINT) AS pop FROM m GROUP BY i),
+j AS (
+  SELECT COALESCE(p.pop, 1) AS pop, h.n_hits, h.n_recs
+  FROM hits h LEFT JOIN pop p ON h.query_item_id = p.item_id
+),
+w AS (
+  SELECT pop, n_hits, n_recs,
+         CAST(1000000 AS BIGINT) // greatest(pop, 1) AS wt
+  FROM j
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(wt * n_hits) AS BIGINT) AS sum_w_num,
+       CAST(sum(wt * n_recs) AS BIGINT) AS sum_w_den,
+       CASE WHEN sum(wt * n_recs) > 0 THEN
+         CAST(sum(wt * n_hits) AS DOUBLE) / CAST(sum(wt * n_recs) AS DOUBLE)
+       END AS weighted_ratio,
+       CASE WHEN sum(n_recs) > 0 THEN
+         CAST(sum(n_hits) AS DOUBLE) / CAST(sum(n_recs) AS DOUBLE)
+       END AS raw_ratio
+FROM w
 """
     # the materialized-shingle Jaccard is result-identical to the
     # recompute form — same oracle pins both physical strategies

@@ -313,3 +313,50 @@ def top1_transition_accuracy(
             "accuracy"
         ),
     )
+
+
+def ipw_weighted_ratio(
+    rows: DataFrame,
+    propensity_col: str,
+    num_col: str,
+    den_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Quantized inverse-propensity-weighted ratio — the
+    popularity-debiasing fold behind "is the recommender only hitting
+    because it recommends popular items?": each row's (num, den)
+    contribution is weighted by 1/propensity, so an item 1000 users
+    touch counts 1000x less than a one-user item.
+
+    EXACT by quantization, not by luck: the weight is the INTEGER
+    ``scale DIV max(propensity, 1)`` — a true 1/p double would make
+    the weighted sums order-sensitive, while integer weights keep the
+    whole fold bigint until the one final division. Rows with
+    propensity > scale quantize to weight 0 (the standard IPW clip of
+    ultra-popular items, stated rather than hidden). Overflow bound:
+    with the default scale, sum_w_num stays in bigint up to ~10^12
+    weighted rows.
+
+    Output: ONE row (n_rows, sum_w_num, sum_w_den, weighted_ratio,
+    raw_ratio) — both ratios one bigint/bigint division."""
+    w = F.expr(f"CAST({scale} AS BIGINT) DIV greatest({propensity_col}, 1)")
+    agg = rows.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(w * F.col(num_col)).cast("bigint").alias("sum_w_num"),
+        F.sum(w * F.col(den_col)).cast("bigint").alias("sum_w_den"),
+        F.sum(num_col).cast("bigint").alias("_sn"),
+        F.sum(den_col).cast("bigint").alias("_sd"),
+    )
+    return agg.select(
+        "n_rows",
+        "sum_w_num",
+        "sum_w_den",
+        F.when(
+            F.col("sum_w_den") > 0,
+            F.col("sum_w_num").cast("double") / F.col("sum_w_den").cast("double"),
+        ).alias("weighted_ratio"),
+        F.when(
+            F.col("_sd") > 0,
+            F.col("_sn").cast("double") / F.col("_sd").cast("double"),
+        ).alias("raw_ratio"),
+    )

@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "user_similarity",
     "ab_test_purchase",
     "markov_backtest",
+    "ipw_hitrate",
     # stream_model_refresh and stream_ks_drift are deliberately NOT
     # benched: each drains 4 micro-batches rewriting a versioned
     # store by design — law-check queries, not throughput queries.

@@ -290,3 +290,43 @@ def test_gini_matches_bruteforce_hypothesis(spark):
         assert r["n"] == len(values) and r["total"] == sum(values)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# ipw_weighted_ratio
+# ---------------------------------------------------------------------------
+
+
+def test_ipw_exact_integer_fold_and_clip(spark):
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        ipw_weighted_ratio,
+    )
+
+    rows = [
+        (1, 1, 5),        # weight 1_000_000
+        (4, 2, 5),        # weight 250_000
+        (3, 0, 5),        # weight 333_333 (DIV truncates)
+        (2_000_000, 5, 5),  # propensity > scale -> weight 0 (clipped)
+        (0, 1, 1),        # propensity 0 -> treated as 1
+    ]
+    df = spark.createDataFrame(rows, "pop long, num long, den long")
+    r = ipw_weighted_ratio(df, "pop", "num", "den").collect()[0]
+    w = [1_000_000, 250_000, 333_333, 0, 1_000_000]
+    sw_num = sum(wi * n for wi, (_, n, _) in zip(w, rows))
+    sw_den = sum(wi * d for wi, (_, _, d) in zip(w, rows))
+    assert r["n_rows"] == 5
+    assert r["sum_w_num"] == sw_num and r["sum_w_den"] == sw_den
+    assert r["weighted_ratio"] == sw_num / sw_den
+    assert r["raw_ratio"] == 9 / 21
+
+
+def test_ipw_zero_denominator_null(spark):
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        ipw_weighted_ratio,
+    )
+
+    df = spark.createDataFrame([(5_000_000, 1, 1)], "pop long, num long, den long")
+    r = ipw_weighted_ratio(df, "pop", "num", "den").collect()[0]
+    # the only row clips to weight 0 -> weighted ratio undefined
+    assert r["sum_w_den"] == 0 and r["weighted_ratio"] is None
+    assert r["raw_ratio"] == 1.0
