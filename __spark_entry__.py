@@ -4878,6 +4878,40 @@ def q_stream_auc_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auc_from_store(spark, store).withColumnRenamed("g", "segment")
 
 
+def q_stream_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second statistic off the SAME streaming score-grid state
+    (streaming/score_monitor.py:calibration_from_store): drain the
+    staged stream into the pointer-flip grid store, then serve the
+    calibration/gains table — must equal the batch score_calibration
+    over all rows (one maintained grid answers AUC and calibration)."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.score_monitor import (
+        calibration_from_store,
+        monitor_scores_from_stream,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir).where(F.col("value").isNotNull())
+    scored = ev.select(
+        (F.col("user_id") % 4).cast("long").alias("segment"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    landing = tempfile.mkdtemp(prefix="apc-cal-landing-")
+    store = tempfile.mkdtemp(prefix="apc-cal-store-")
+    ckpt = tempfile.mkdtemp(prefix="apc-cal-ckpt-")
+    scored.repartition(4).write.mode("append").parquet(landing)
+    stream = (
+        spark.readStream.schema("segment long, score long, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    monitor_scores_from_stream(stream, store, ckpt, "segment", "score", "label")
+    return calibration_from_store(spark, store, bin_width=500)
+
+
 def q_ab_test_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pooled two-proportion z-test between the two user-parity arms
     (operators/evaluation.py:two_proportion_ztest): one aggregate for
@@ -5278,6 +5312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_purchase": q_ab_test_purchase,
         "markov_backtest": q_markov_backtest,
         "ipw_hitrate": q_ipw_hitrate,
+        "stream_calibration": q_stream_calibration,
     }
     out = {name: all_q[name] for name in _R5_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
@@ -9024,6 +9059,8 @@ FROM rk WHERE rank <= 5
     }
     # the stream-maintained score grid must reproduce the batch AUC
     sqls["stream_auc_monitor"] = sqls["rec_auc_segments"]
+    # ... and, collapsed over groups, the batch calibration table
+    sqls["stream_calibration"] = sqls["score_calibration"]
     # pooled two-proportion z: the SAME IEEE tree as
     # operators/evaluation.py:two_proportion_ztest
     sqls["ab_test_purchase"] = """

@@ -138,6 +138,35 @@ def score_bin_report(
             F.sum("_y").cast("bigint").alias("n_pos"),
         )
     )
+    return _bin_cumulatives(bins, bin_width)
+
+
+def bins_from_grid(grid: DataFrame, bin_width: int) -> DataFrame:
+    """Calibration/gains table served from an already-aggregated
+    (_s, _pos, _neg) count grid — the second statistic the streaming
+    score monitor's ONE maintained grid answers (the first is AUC):
+    bin the grid rows (not raw data) with the same integer DIV,
+    n = pos+neg per grid point, then the shared cumulative fold.
+    Same output contract as ``score_bin_report``."""
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    bins = (
+        grid.select(
+            F.expr(f"CAST(_s AS BIGINT) DIV {bin_width}").alias("bin"),
+            (F.col("_pos") + F.col("_neg")).alias("_n"),
+            F.col("_pos").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("_n").alias("n"),
+            F.sum("_y").cast("bigint").alias("n_pos"),
+        )
+    )
+    return _bin_cumulatives(bins, bin_width)
+
+
+def _bin_cumulatives(bins: DataFrame, bin_width: int) -> DataFrame:
+    """Shared cumulative fold over a (bin, n, n_pos) table."""
     w = (
         Window.orderBy(F.col("bin").desc())
         .rowsBetween(Window.unboundedPreceding, 0)

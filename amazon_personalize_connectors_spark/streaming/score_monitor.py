@@ -136,3 +136,27 @@ def auc_from_store(spark: SparkSession, store_path: str) -> DataFrame:
     division), so stream == batch bit-for-bit."""
     grid = read_score_grid(spark, store_path).localCheckpoint(eager=True)
     return auc_from_grid(grid, ["g"])
+
+
+def calibration_from_store(
+    spark: SparkSession, store_path: str, bin_width: int
+) -> DataFrame:
+    """Calibration/gains table from the SAME maintained grid that
+    serves AUC — one pointer-flip state, two exact statistics
+    (operators/evaluation.py:bins_from_grid): the grid collapses over
+    its group column (grids merge by SUM) and bins with the batch
+    operator's integer DIV, so stream == batch score_bin_report over
+    everything drained."""
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        bins_from_grid,
+    )
+
+    grid = (
+        read_score_grid(spark, store_path)
+        .groupBy("_s")
+        .agg(
+            F.sum("_pos").cast("long").alias("_pos"),
+            F.sum("_neg").cast("long").alias("_neg"),
+        )
+    )
+    return bins_from_grid(grid, bin_width)

@@ -211,9 +211,10 @@ BENCH_QUERIES = [
     "ab_test_purchase",
     "markov_backtest",
     "ipw_hitrate",
-    # stream_model_refresh and stream_ks_drift are deliberately NOT
-    # benched: each drains 4 micro-batches rewriting a versioned
-    # store by design — law-check queries, not throughput queries.
+    # stream_model_refresh, stream_ks_drift, stream_auc_monitor and
+    # stream_calibration are deliberately NOT benched: each drains 4
+    # micro-batches rewriting a versioned store by design — law-check
+    # queries, not throughput queries.
 ]
 
 

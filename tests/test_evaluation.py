@@ -330,3 +330,23 @@ def test_ipw_zero_denominator_null(spark):
     # the only row clips to weight 0 -> weighted ratio undefined
     assert r["sum_w_den"] == 0 and r["weighted_ratio"] is None
     assert r["raw_ratio"] == 1.0
+
+
+def test_bins_from_grid_equals_raw_report(spark):
+    """One maintained grid, two statistics: binning the aggregated
+    (_s, _pos, _neg) grid must equal binning the raw rows."""
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        bins_from_grid,
+    )
+
+    rows = [(i % 37, (i * 13) % 2) for i in range(500)]
+    df = spark.createDataFrame(rows, "score long, label int")
+    raw = sorted(
+        tuple(r) for r in score_bin_report(df, "score", "label", 10).collect()
+    )
+    grid = df.groupBy(F.col("score").alias("_s")).agg(
+        F.sum("label").cast("long").alias("_pos"),
+        F.sum(F.lit(1) - F.col("label")).cast("long").alias("_neg"),
+    )
+    via_grid = sorted(tuple(r) for r in bins_from_grid(grid, 10).collect())
+    assert raw == via_grid
