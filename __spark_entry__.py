@@ -4878,6 +4878,26 @@ def q_stream_auc_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auc_from_store(spark, store).withColumnRenamed("g", "segment")
 
 
+def q_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation of quantity vs price cents per return
+    flag (operators/features.py:grouped_pearson): decimal-exact moment
+    sums (layout-independent), one correctly-rounded IEEE tail; the
+    oracle computes the same exact integers in int128 and performs the
+    same final conversions."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        grouped_pearson,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return grouped_pearson(li, ["l_returnflag"], "qty", "cents")
+
+
 def q_stream_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second statistic off the SAME streaming score-grid state
     (streaming/score_monitor.py:calibration_from_store): drain the
@@ -5313,6 +5333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_backtest": q_markov_backtest,
         "ipw_hitrate": q_ipw_hitrate,
         "stream_calibration": q_stream_calibration,
+        "price_qty_corr": q_price_qty_corr,
     }
     out = {name: all_q[name] for name in _R5_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
@@ -9061,6 +9082,33 @@ FROM rk WHERE rank <= 5
     sqls["stream_auc_monitor"] = sqls["rec_auc_segments"]
     # ... and, collapsed over groups, the batch calibration table
     sqls["stream_calibration"] = sqls["score_calibration"]
+    # exact Pearson: int128 moment sums, same final double conversions
+    sqls["price_qty_corr"] = """
+WITH v AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM lineitem
+),
+a AS (
+  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS syy
+  FROM v GROUP BY g
+)
+SELECT g AS l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS DOUBLE) AS r_num,
+       CAST(n * sxx - sx * sx AS DOUBLE) AS r_dx,
+       CAST(n * syy - sy * sy AS DOUBLE) AS r_dy,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) END AS r
+FROM a
+"""
     # pooled two-proportion z: the SAME IEEE tree as
     # operators/evaluation.py:two_proportion_ztest
     sqls["ab_test_purchase"] = """

@@ -336,3 +336,60 @@ def robust_outlier_stats(
         F.sum("_out").cast("bigint").alias("n_outliers"),
         F.max("_d").cast("bigint").alias("max_abs_dev"),
     )
+
+
+def grouped_pearson(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact Pearson correlation per group over two INTEGER columns
+    (the engine's cents convention) — "does quantity actually track
+    price in this segment?" without ever trusting a float
+    accumulator.
+
+    The five moment sums (n, Σx, Σy, Σxy, Σx², Σy²) are accumulated
+    as decimal(38,0) — exact and associative, so partition layout
+    cannot change them (a double Σxy drifts in the last ulp with
+    accumulation order). The correlation is then one fixed IEEE tail
+    on the exact moments:
+
+        num = n·Σxy − Σx·Σy;  dx = n·Σx² − (Σx)²;  dy likewise
+        r   = num / sqrt(dx · dy)        (NULL when either var is 0)
+
+    Bound check for 100-TB inputs: with |x|,|y| ≤ 10^7 (cents) and
+    10^12 rows, n·Σxy ≤ 10^33 — inside decimal(38,0).
+
+    Output: (*group_cols, n, r_num, r_dx, r_dy, r). The moment
+    combinations are computed EXACTLY in decimal and then emitted as
+    doubles — a correctly-rounded conversion of an exact value is
+    deterministic (layout-independent), unlike a double ACCUMULATOR;
+    the oracle computes the same exact integers (int128) and performs
+    the same final conversions."""
+    d = "decimal(38,0)"
+    x = F.col(x_col).cast(d)
+    y = F.col(y_col).cast(d)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast(d).alias("_n"),
+        F.sum(x).cast(d).alias("_sx"),
+        F.sum(y).cast(d).alias("_sy"),
+        F.sum((x * y).cast(d)).cast(d).alias("_sxy"),
+        F.sum((x * x).cast(d)).cast(d).alias("_sxx"),
+        F.sum((y * y).cast(d)).cast(d).alias("_syy"),
+    )
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(d)
+    dx = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(d)
+    dy = (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast(d)
+    return agg.select(
+        *group_cols,
+        F.col("_n").cast("bigint").alias("n"),
+        num.cast("double").alias("r_num"),
+        dx.cast("double").alias("r_dx"),
+        dy.cast("double").alias("r_dy"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            num.cast("double")
+            / F.sqrt(dx.cast("double") * dy.cast("double")),
+        ).alias("r"),
+    )

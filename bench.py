@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "ab_test_purchase",
     "markov_backtest",
     "ipw_hitrate",
+    "price_qty_corr",
     # stream_model_refresh, stream_ks_drift, stream_auc_monitor and
     # stream_calibration are deliberately NOT benched: each drains 4
     # micro-batches rewriting a versioned store by design — law-check

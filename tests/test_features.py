@@ -512,3 +512,52 @@ def test_profile_vector_sums_layout_independent(spark):
             ).collect()
         }
         assert alt == base, f"layout-dependent at {parts} partitions"
+
+
+# ---------------------------------------------------------------------------
+# grouped_pearson
+# ---------------------------------------------------------------------------
+
+
+def test_pearson_matches_python_exact(spark):
+    from amazon_personalize_connectors_spark.operators.features import (
+        grouped_pearson,
+    )
+
+    xs = [1, 2, 3, 4, 10, 7, 2, 9]
+    ys = [2, 4, 7, 8, 19, 15, 5, 17]
+    rows = [("g", x, y) for x, y in zip(xs, ys)]
+    # a constant-y group: zero variance -> NULL r
+    rows += [("const", x, 5) for x in range(4)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r["g"]: r for r in grouped_pearson(df, ["g"], "x", "y").collect()}
+    import math
+
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    num = n * sxy - sx * sy
+    dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+    r = float(num) / math.sqrt(float(dx) * float(dy))
+    assert got["g"]["n"] == n
+    assert got["g"]["r_num"] == float(num)
+    assert got["g"]["r_dx"] == float(dx) and got["g"]["r_dy"] == float(dy)
+    assert got["g"]["r"] == r  # identical IEEE tail on exact moments
+    assert 0.97 < r < 1.0
+    assert got["const"]["r"] is None and got["const"]["r_dy"] == 0.0
+
+
+def test_pearson_layout_independent(spark):
+    from amazon_personalize_connectors_spark.operators.features import (
+        grouped_pearson,
+    )
+
+    rows = [("g%d" % (i % 2), (i * 17) % 23, (i * 7) % 31) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    outs = []
+    for p in (1, 5, 19):
+        got = grouped_pearson(df.repartition(p), ["g"], "x", "y").collect()
+        outs.append(sorted((r["g"], r["r_num"], r["r_dx"], r["r_dy"], r["r"])
+                           for r in got))
+    assert outs[0] == outs[1] == outs[2]
