@@ -4898,6 +4898,25 @@ def q_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_pearson(li, ["l_returnflag"], "qty", "cents")
 
 
+def q_qty_price_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation of quantity vs price cents per
+    return flag (operators/features.py:grouped_spearman): doubled-rank
+    integers off the value grid (closed-form tie runs, no raw-row
+    window), then the decimal-exact Pearson core."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        grouped_spearman,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return grouped_spearman(li, ["l_returnflag"], "qty", "cents")
+
+
 def q_stream_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second statistic off the SAME streaming score-grid state
     (streaming/score_monitor.py:calibration_from_store): drain the
@@ -5334,6 +5353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ipw_hitrate": q_ipw_hitrate,
         "stream_calibration": q_stream_calibration,
         "price_qty_corr": q_price_qty_corr,
+        "qty_price_spearman": q_qty_price_spearman,
     }
     out = {name: all_q[name] for name in _R5_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
@@ -9107,6 +9127,53 @@ SELECT g AS l_returnflag,
          CAST(n * sxy - sx * sy AS DOUBLE)
          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
                 * CAST(n * syy - sy * sy AS DOUBLE)) END AS r
+FROM a
+"""
+    # exact Spearman: doubled average ranks off the value grid
+    # (2k + c + 1 per tie run), then the same int128 Pearson core
+    sqls["qty_price_spearman"] = """
+WITH v AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM lineitem
+),
+gx AS (
+  SELECT g, x,
+         CAST(2 * COALESCE(sum(c) OVER (PARTITION BY g ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + c + 1 AS BIGINT) AS rx2
+  FROM (SELECT g, x, count(*) AS c FROM v GROUP BY 1, 2)
+),
+gy AS (
+  SELECT g, y,
+         CAST(2 * COALESCE(sum(c) OVER (PARTITION BY g ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + c + 1 AS BIGINT) AS ry2
+  FROM (SELECT g, y, count(*) AS c FROM v GROUP BY 1, 2)
+),
+rr AS (
+  SELECT v.g, gx.rx2 AS x, gy.ry2 AS y
+  FROM v JOIN gx ON v.g = gx.g AND v.x = gx.x
+         JOIN gy ON v.g = gy.g AND v.y = gy.y
+),
+a AS (
+  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS syy
+  FROM rr GROUP BY g
+)
+SELECT g AS l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS DOUBLE) AS r_num,
+       CAST(n * sxx - sx * sx AS DOUBLE) AS r_dx,
+       CAST(n * syy - sy * sy AS DOUBLE) AS r_dy,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) END AS rho
 FROM a
 """
     # pooled two-proportion z: the SAME IEEE tree as

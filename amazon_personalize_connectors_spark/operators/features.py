@@ -393,3 +393,49 @@ def grouped_pearson(
             / F.sqrt(dx.cast("double") * dy.cast("double")),
         ).alias("r"),
     )
+
+
+def grouped_spearman(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact Spearman rank correlation per group — the monotone-trend
+    check that is robust to the outliers Pearson chases.
+
+    Ranks come from the value GRID with the closed-form tie run: a
+    value with c occurrences and k values-below occupies average rank
+    k + (c+1)/2, so DOUBLED ranks ``2k + c + 1`` are integers and
+    rank assignment needs no raw-row window (the winsorize/KS grid
+    rule) — one grid per column, ranks joined back on (group, value).
+    Spearman is then Pearson on the doubled ranks (scale-invariant),
+    reusing ``grouped_pearson``'s exact decimal moment machinery.
+
+    Output: (*group_cols, n, r_num, r_dx, r_dy, rho)."""
+    def rank2(col: str, out: str) -> DataFrame:
+        grid = df.groupBy(
+            *group_cols, F.col(col).alias("_v")
+        ).agg(F.count(F.lit(1)).alias("_c"))
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return grid.select(
+            *group_cols,
+            F.col("_v").alias(col),
+            (
+                2 * F.coalesce(F.sum("_c").over(w), F.lit(0))
+                + F.col("_c")
+                + 1
+            ).cast("bigint").alias(out),
+        )
+    keys = [*group_cols]
+    ranked = (
+        df.select(*group_cols, x_col, y_col)
+        .join(rank2(x_col, "_rx2"), [*keys, x_col])
+        .join(rank2(y_col, "_ry2"), [*keys, y_col])
+    )
+    out = grouped_pearson(ranked, group_cols, "_rx2", "_ry2")
+    return out.withColumnRenamed("r", "rho")

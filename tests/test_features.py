@@ -561,3 +561,46 @@ def test_pearson_layout_independent(spark):
         outs.append(sorted((r["g"], r["r_num"], r["r_dx"], r["r_dy"], r["r"])
                            for r in got))
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_spearman_matches_scipy_free_brute_force(spark):
+    from amazon_personalize_connectors_spark.operators.features import (
+        grouped_spearman,
+    )
+
+    # monotone but non-linear (+ ties in both columns)
+    xs = [1, 2, 2, 3, 5, 8, 9, 9]
+    ys = [1, 4, 4, 9, 25, 64, 81, 81]
+    inv_ys = [-y for y in ys]
+    rows = [("mono", x, y) for x, y in zip(xs, ys)] + [
+        ("anti", x, y) for x, y in zip(xs, inv_ys)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {
+        r["g"]: r for r in grouped_spearman(df, ["g"], "x", "y").collect()
+    }
+
+    def avg_ranks(vals):
+        order = sorted(vals)
+        return [
+            (order.index(v) + 1 + order.index(v) + order.count(v)) / 2
+            for v in vals
+        ]
+
+    import math
+
+    def brute_rho(xs, ys):
+        rx, ry = avg_ranks(xs), avg_ranks(ys)
+        n = len(xs)
+        mx, my = sum(rx) / n, sum(ry) / n
+        num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+        den = math.sqrt(
+            sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+        )
+        return num / den
+
+    # ties make |rho| slightly below 1; exact to float tolerance vs the
+    # centered-brute-force formula (different but equivalent algebra)
+    assert abs(got["mono"]["rho"] - brute_rho(xs, ys)) < 1e-12
+    assert abs(got["anti"]["rho"] - brute_rho(xs, inv_ys)) < 1e-12
+    assert got["mono"]["rho"] > 0.99 and got["anti"]["rho"] < -0.99
