@@ -4917,6 +4917,30 @@ def q_qty_price_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_spearman(li, ["l_returnflag"], "qty", "cents")
 
 
+def q_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation drift check (operators/features.py:tv_distance)
+    between returned and non-returned price distributions — the
+    total-mass-moved complement to the KS sup over the same
+    populations: per-value cross-multiplied absolute differences
+    summed in bigint, ONE division, no cumulative pass."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        tv_distance,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "l_returnflag",
+    )
+    return tv_distance(
+        li,
+        "cents",
+        F.col("l_returnflag") == "R",
+        F.col("l_returnflag") != "R",
+    )
+
+
 def q_stream_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second statistic off the SAME streaming score-grid state
     (streaming/score_monitor.py:calibration_from_store): drain the
@@ -5354,6 +5378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_calibration": q_stream_calibration,
         "price_qty_corr": q_price_qty_corr,
         "qty_price_spearman": q_qty_price_spearman,
+        "tv_drift": q_tv_drift,
     }
     out = {name: all_q[name] for name in _R5_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
@@ -9175,6 +9200,25 @@ SELECT g AS l_returnflag,
          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
                 * CAST(n * syy - sy * sy AS DOUBLE)) END AS rho
 FROM a
+"""
+    # total-variation drift: pointwise integer mass differences
+    sqls["tv_drift"] = """
+WITH v AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS fa,
+         CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END AS fb
+  FROM lineitem
+),
+per AS (SELECT c, sum(fa) AS a, sum(fb) AS b FROM v GROUP BY c),
+tot AS (
+  SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b FROM per
+)
+SELECT n_a, n_b,
+       CAST(sum(abs(a * n_b - b * n_a)) AS BIGINT) AS tv_num,
+       CAST(sum(abs(a * n_b - b * n_a)) AS DOUBLE)
+         / CAST(2 * n_a * n_b AS DOUBLE) AS tv_stat
+FROM per, tot
+GROUP BY n_a, n_b
 """
     # pooled two-proportion z: the SAME IEEE tree as
     # operators/evaluation.py:two_proportion_ztest

@@ -439,3 +439,54 @@ def grouped_spearman(
     )
     out = grouped_pearson(ranked, group_cols, "_rx2", "_ry2")
     return out.withColumnRenamed("r", "rho")
+
+
+def tv_distance(
+    df: DataFrame,
+    value_col: str,
+    in_a: Column,
+    in_b: Column,
+) -> DataFrame:
+    """Total-variation distance between the distributions of
+    ``value_col`` in subpopulations A and B — the pointwise drift
+    metric that complements the KS sup (``ks_two_sample``): KS sees
+    the worst single CDF gap, TV sees the total mass that moved.
+
+        TV = ½ Σ_v |p_A(v) − p_B(v)|
+           = Σ_v |a_v·n_b − b_v·n_a| / (2·n_a·n_b)
+
+    Integer-exact: per-value counts, cross-multiplied absolute
+    differences summed in bigint, ONE division — engine-portable
+    bit-for-bit. Even simpler than KS at scale: no cumulative pass at
+    all, just the map-side-combinable (value, count_a, count_b) grid,
+    the 1-row totals broadcast, and one aggregate. Returns ONE row
+    (n_a, n_b, tv_num, tv_stat); tv_stat ∈ [0, 1]."""
+    per_v = df.groupBy(F.col(value_col).alias("_v")).agg(
+        F.sum(in_a.cast("long")).alias("_a"),
+        F.sum(in_b.cast("long")).alias("_b"),
+    )
+    tot = per_v.agg(
+        F.sum("_a").cast("bigint").alias("n_a"),
+        F.sum("_b").cast("bigint").alias("n_b"),
+    )
+    return (
+        per_v.crossJoin(F.broadcast(tot))
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("_a") * F.col("n_b") - F.col("_b") * F.col("n_a")
+            ).alias("_d"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.sum("_d").cast("bigint").alias("tv_num"))
+        .select(
+            "n_a",
+            "n_b",
+            "tv_num",
+            (
+                F.col("tv_num").cast("double")
+                / (2 * F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("tv_stat"),
+        )
+    )

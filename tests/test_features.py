@@ -604,3 +604,34 @@ def test_spearman_matches_scipy_free_brute_force(spark):
     assert abs(got["mono"]["rho"] - brute_rho(xs, ys)) < 1e-12
     assert abs(got["anti"]["rho"] - brute_rho(xs, inv_ys)) < 1e-12
     assert got["mono"]["rho"] > 0.99 and got["anti"]["rho"] < -0.99
+
+
+def test_tv_distance_exact_and_bounds(spark):
+    from fractions import Fraction
+
+    from amazon_personalize_connectors_spark.operators.features import (
+        tv_distance,
+    )
+
+    # A: {1:2, 2:1}; B: {2:2, 3:1}  (n_a=3, n_b=3)
+    rows = [(1, "a"), (1, "a"), (2, "a"), (2, "b"), (2, "b"), (3, "b")]
+    df = spark.createDataFrame(rows, "v long, pop string")
+    r = tv_distance(
+        df, "v", F.col("pop") == "a", F.col("pop") == "b"
+    ).collect()[0]
+    # TV = 1/2 (|2/3-0| + |1/3-2/3| + |0-1/3|) = 2/3
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert Fraction(r["tv_num"], 2 * r["n_a"] * r["n_b"]) == Fraction(2, 3)
+    assert r["tv_stat"] == r["tv_num"] / (2 * 9)
+
+    # disjoint supports -> TV = 1; identical -> TV = 0
+    dis = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "v long, pop string"
+    )
+    r1 = tv_distance(dis, "v", F.col("pop") == "a", F.col("pop") == "b").collect()[0]
+    assert r1["tv_stat"] == 1.0
+    same = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b")], "v long, pop string"
+    )
+    r0 = tv_distance(same, "v", F.col("pop") == "a", F.col("pop") == "b").collect()[0]
+    assert r0["tv_stat"] == 0.0
