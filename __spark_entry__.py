@@ -4917,6 +4917,37 @@ def q_qty_price_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_spearman(li, ["l_returnflag"], "qty", "cents")
 
 
+def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (FK-discovery) profile over candidate
+    relations (operators/expectations.py:key_containment): the three
+    true TPC-H foreign keys plus a deliberate negative control —
+    distinct-key containment, never raw x raw; one division per
+    relation."""
+    from amazon_personalize_connectors_spark.operators.expectations import (
+        key_containment,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem")
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    part = synthetic.load_table(spark, sf_dir, "part")
+    customer = synthetic.load_table(spark, sf_dir, "customer")
+    rels = [
+        key_containment(li, "l_orderkey", orders, "o_orderkey",
+                        "lineitem.l_orderkey->orders.o_orderkey"),
+        key_containment(li, "l_partkey", part, "p_partkey",
+                        "lineitem.l_partkey->part.p_partkey"),
+        key_containment(orders, "o_custkey", customer, "c_custkey",
+                        "orders.o_custkey->customer.c_custkey"),
+        # negative control: part keys are NOT customer keys in general
+        key_containment(part, "p_partkey", customer, "c_custkey",
+                        "part.p_partkey->customer.c_custkey"),
+    ]
+    out = rels[0]
+    for r in rels[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def q_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Total-variation drift check (operators/features.py:tv_distance)
     between returned and non-returned price distributions — the
@@ -5379,6 +5410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_qty_corr": q_price_qty_corr,
         "qty_price_spearman": q_qty_price_spearman,
         "tv_drift": q_tv_drift,
+        "fk_discovery": q_fk_discovery,
     }
     out = {name: all_q[name] for name in _R5_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
@@ -9219,6 +9251,59 @@ SELECT n_a, n_b,
          / CAST(2 * n_a * n_b AS DOUBLE) AS tv_stat
 FROM per, tot
 GROUP BY n_a, n_b
+"""
+    # inclusion-dependency profile: distinct-key containment per
+    # candidate relation + one negative control
+    sqls["fk_discovery"] = """
+WITH rel AS (
+  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS relation,
+         (SELECT count(DISTINCT l_orderkey) FROM lineitem
+          WHERE l_orderkey IS NOT NULL) AS n_child_keys,
+         (SELECT count(DISTINCT o_orderkey) FROM orders
+          WHERE o_orderkey IS NOT NULL) AS n_parent_keys,
+         (SELECT count(*) FROM
+            (SELECT DISTINCT l_orderkey AS k FROM lineitem
+             WHERE l_orderkey IS NOT NULL) c
+          WHERE k IN (SELECT o_orderkey FROM orders)) AS n_matched
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part.p_partkey',
+         (SELECT count(DISTINCT l_partkey) FROM lineitem
+          WHERE l_partkey IS NOT NULL),
+         (SELECT count(DISTINCT p_partkey) FROM part
+          WHERE p_partkey IS NOT NULL),
+         (SELECT count(*) FROM
+            (SELECT DISTINCT l_partkey AS k FROM lineitem
+             WHERE l_partkey IS NOT NULL) c
+          WHERE k IN (SELECT p_partkey FROM part))
+  UNION ALL
+  SELECT 'orders.o_custkey->customer.c_custkey',
+         (SELECT count(DISTINCT o_custkey) FROM orders
+          WHERE o_custkey IS NOT NULL),
+         (SELECT count(DISTINCT c_custkey) FROM customer
+          WHERE c_custkey IS NOT NULL),
+         (SELECT count(*) FROM
+            (SELECT DISTINCT o_custkey AS k FROM orders
+             WHERE o_custkey IS NOT NULL) c
+          WHERE k IN (SELECT c_custkey FROM customer))
+  UNION ALL
+  SELECT 'part.p_partkey->customer.c_custkey',
+         (SELECT count(DISTINCT p_partkey) FROM part
+          WHERE p_partkey IS NOT NULL),
+         (SELECT count(DISTINCT c_custkey) FROM customer
+          WHERE c_custkey IS NOT NULL),
+         (SELECT count(*) FROM
+            (SELECT DISTINCT p_partkey AS k FROM part
+             WHERE p_partkey IS NOT NULL) c
+          WHERE k IN (SELECT c_custkey FROM customer))
+)
+SELECT relation,
+       CAST(n_child_keys AS BIGINT) AS n_child_keys,
+       CAST(n_parent_keys AS BIGINT) AS n_parent_keys,
+       CAST(n_matched AS BIGINT) AS n_matched,
+       CASE WHEN n_child_keys > 0 THEN
+         CAST(n_matched AS DOUBLE) / CAST(n_child_keys AS DOUBLE)
+       END AS containment
+FROM rel
 """
     # pooled two-proportion z: the SAME IEEE tree as
     # operators/evaluation.py:two_proportion_ztest

@@ -58,3 +58,55 @@ def valid_row(rules: list[Expectation]) -> Column:
     for r in rules:
         acc = acc & F.coalesce(r.predicate, F.lit(False))
     return acc
+
+
+def key_containment(
+    child: DataFrame,
+    child_col: str,
+    parent: DataFrame,
+    parent_col: str,
+    relation: str,
+) -> DataFrame:
+    """Referential-integrity / FK-discovery profile for one candidate
+    relation: what fraction of the child's distinct keys exist in the
+    parent? containment ≈ 1 says "this is a foreign key" (the classic
+    inclusion-dependency signal a schema-discovery pass runs over
+    every plausible column pair); containment near 0 kills the
+    candidate.
+
+    Shape: both sides collapse to distinct keys first (map-side
+    combinable), the membership probe is one equi-join on the
+    deduplicated keys — never raw x raw — and the parent's distinct
+    count rides in as a 1-row broadcast. NULL child keys are excluded
+    (SQL FK semantics). All counts bigint; containment is ONE
+    division.
+
+    Output: ONE row (relation, n_child_keys, n_parent_keys,
+    n_matched, containment)."""
+    c = (
+        child.select(F.col(child_col).alias("k"))
+        .where(F.col("k").isNotNull())
+        .distinct()
+    )
+    p = (
+        parent.select(F.col(parent_col).alias("k"))
+        .where(F.col("k").isNotNull())
+        .distinct()
+    )
+    probed = c.join(p.withColumn("_hit", F.lit(1)), "k", "left")
+    stats = probed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_child_keys"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_matched"),
+    )
+    pn = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_parent_keys"))
+    return stats.crossJoin(F.broadcast(pn)).select(
+        F.lit(relation).alias("relation"),
+        "n_child_keys",
+        "n_parent_keys",
+        "n_matched",
+        F.when(
+            F.col("n_child_keys") > 0,
+            F.col("n_matched").cast("double")
+            / F.col("n_child_keys").cast("double"),
+        ).alias("containment"),
+    )

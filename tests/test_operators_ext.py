@@ -373,3 +373,23 @@ def test_triangles_each_counted_once(spark):
         (r["a"], r["b"], r["c"]) for r in triangles(edges).collect()
     )
     assert tri == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+
+
+def test_key_containment_full_partial_and_empty(spark):
+    from amazon_personalize_connectors_spark.operators.expectations import (
+        key_containment,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (3,), (None,)], "k long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (9,)], "p long")
+    r = key_containment(child, "k", parent, "p", "c->p").collect()[0]
+    # distinct non-null child keys {1,2,3}; matched {1,2}
+    assert (r["n_child_keys"], r["n_parent_keys"], r["n_matched"]) == (3, 3, 2)
+    assert r["containment"] == 2 / 3
+    assert r["relation"] == "c->p"
+
+    empty = spark.createDataFrame([], "k long")
+    r0 = key_containment(empty, "k", parent, "p", "e->p").collect()[0]
+    assert r0["n_child_keys"] == 0 and r0["containment"] is None
