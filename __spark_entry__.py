@@ -4948,6 +4948,39 @@ def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery
+    (operators/expectations.py:functional_dependency): three
+    candidates — the composite line-item PK (holds), orderkey ->
+    linestatus (violated: multi-line orders mix statuses), and
+    custkey -> orderpriority (violated: customers reorder at
+    different priorities). Exact distincts, one rollup row each."""
+    from amazon_personalize_connectors_spark.operators.expectations import (
+        functional_dependency,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem")
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    cands = [
+        functional_dependency(
+            li, ["l_orderkey", "l_linenumber"], "l_partkey",
+            "lineitem(l_orderkey,l_linenumber)->l_partkey",
+        ),
+        functional_dependency(
+            li, ["l_orderkey"], "l_linestatus",
+            "lineitem.l_orderkey->l_linestatus",
+        ),
+        functional_dependency(
+            orders, ["o_custkey"], "o_orderpriority",
+            "orders.o_custkey->o_orderpriority",
+        ),
+    ]
+    out = cands[0]
+    for c in cands[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 def q_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Total-variation drift check (operators/features.py:tv_distance)
     between returned and non-returned price distributions — the
@@ -5411,6 +5444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qty_price_spearman": q_qty_price_spearman,
         "tv_drift": q_tv_drift,
         "fk_discovery": q_fk_discovery,
+        "fd_discovery": q_fd_discovery,
     }
     out = {name: all_q[name] for name in _R5_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
@@ -9304,6 +9338,46 @@ SELECT relation,
          CAST(n_matched AS DOUBLE) / CAST(n_child_keys AS DOUBLE)
        END AS containment
 FROM rel
+"""
+    # functional-dependency discovery: NULL-aware distinct dependents
+    sqls["fd_discovery"] = """
+WITH f1 AS (
+  SELECT count(DISTINCT l_partkey)
+           + max(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS nd
+  FROM lineitem GROUP BY l_orderkey, l_linenumber
+),
+f2 AS (
+  SELECT count(DISTINCT l_linestatus)
+           + max(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS nd
+  FROM lineitem GROUP BY l_orderkey
+),
+f3 AS (
+  SELECT count(DISTINCT o_orderpriority)
+           + max(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nd
+  FROM orders GROUP BY o_custkey
+),
+rolled AS (
+  SELECT 'lineitem(l_orderkey,l_linenumber)->l_partkey' AS relation,
+         count(*) AS n_groups,
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating,
+         max(nd) AS max_fanout
+  FROM f1
+  UNION ALL
+  SELECT 'lineitem.l_orderkey->l_linestatus', count(*),
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), max(nd) FROM f2
+  UNION ALL
+  SELECT 'orders.o_custkey->o_orderpriority', count(*),
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), max(nd) FROM f3
+)
+SELECT relation,
+       CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(n_violating AS BIGINT) AS n_violating,
+       CAST(max_fanout AS BIGINT) AS max_fanout,
+       CASE WHEN n_groups > 0 THEN
+         CAST(n_violating AS DOUBLE) / CAST(n_groups AS DOUBLE)
+       END AS violation_rate,
+       CAST(CASE WHEN n_violating = 0 THEN 1 ELSE 0 END AS INT) AS holds
+FROM rolled
 """
     # pooled two-proportion z: the SAME IEEE tree as
     # operators/evaluation.py:two_proportion_ztest

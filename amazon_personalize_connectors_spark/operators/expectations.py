@@ -14,6 +14,7 @@ aggregate, so adding a rule is free.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -109,4 +110,51 @@ def key_containment(
             F.col("n_matched").cast("double")
             / F.col("n_child_keys").cast("double"),
         ).alias("containment"),
+    )
+
+
+def functional_dependency(
+    df: DataFrame,
+    determinant_cols: Sequence[str],
+    dependent_col: str,
+    relation: str,
+) -> DataFrame:
+    """Functional-dependency discovery for one candidate ``A -> B``:
+    does each distinct determinant combination map to exactly one
+    dependent value? The other half of schema discovery next to
+    ``key_containment`` — FD violations are how you find dirty
+    denormalizations ("order_id -> status, except the 400 orders
+    where it isn't").
+
+    One aggregate to (determinant, n_distinct_dependent) — map-side
+    combinable, exact distincts — then one 1-row rollup counting
+    violating groups and the worst fan-out. NULL dependents count as
+    a value (a group mixing NULL and 'x' IS a violation). ``holds``
+    is exact, violation_rate one division.
+
+    Output: ONE row (relation, n_groups, n_violating, max_fanout,
+    violation_rate, holds)."""
+    groups = df.groupBy(*determinant_cols).agg(
+        F.countDistinct(F.col(dependent_col)).alias("_nd"),
+        F.max(F.col(dependent_col).isNull().cast("int")).alias("_has_null"),
+    )
+    # countDistinct ignores NULLs; fold the NULL "value" back in so a
+    # {NULL, 'x'} group counts 2 distinct dependents
+    nd = F.col("_nd") + F.col("_has_null")
+    return groups.agg(
+        F.lit(relation).alias("relation"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum((nd > 1).cast("long")).cast("bigint").alias("n_violating"),
+        F.max(nd).cast("bigint").alias("max_fanout"),
+    ).select(
+        "relation",
+        "n_groups",
+        "n_violating",
+        "max_fanout",
+        F.when(
+            F.col("n_groups") > 0,
+            F.col("n_violating").cast("double")
+            / F.col("n_groups").cast("double"),
+        ).alias("violation_rate"),
+        (F.col("n_violating") == 0).cast("int").alias("holds"),
     )

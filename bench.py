@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "qty_price_spearman",
     "tv_drift",
     "fk_discovery",
+    "fd_discovery",
     # stream_model_refresh, stream_ks_drift, stream_auc_monitor and
     # stream_calibration are deliberately NOT benched: each drains 4
     # micro-batches rewriting a versioned store by design — law-check

@@ -393,3 +393,24 @@ def test_key_containment_full_partial_and_empty(spark):
     empty = spark.createDataFrame([], "k long")
     r0 = key_containment(empty, "k", parent, "p", "e->p").collect()[0]
     assert r0["n_child_keys"] == 0 and r0["containment"] is None
+
+
+def test_functional_dependency_holds_violated_and_null_aware(spark):
+    from amazon_personalize_connectors_spark.operators.expectations import (
+        functional_dependency,
+    )
+
+    rows = [
+        (1, "x"), (1, "x"),       # group 1: consistent
+        (2, "x"), (2, "y"),       # group 2: violation (fanout 2)
+        (3, None), (3, "z"),      # group 3: NULL + value IS a violation
+        (4, None), (4, None),     # group 4: all-NULL is consistent
+    ]
+    df = spark.createDataFrame(rows, "a long, b string")
+    r = functional_dependency(df, ["a"], "b", "a->b").collect()[0]
+    assert (r["n_groups"], r["n_violating"], r["max_fanout"]) == (4, 2, 2)
+    assert r["violation_rate"] == 0.5 and r["holds"] == 0
+
+    clean = spark.createDataFrame([(1, "x"), (2, "y")], "a long, b string")
+    r1 = functional_dependency(clean, ["a"], "b", "pk").collect()[0]
+    assert r1["holds"] == 1 and r1["n_violating"] == 0
