@@ -6231,7 +6231,7 @@ FROM ranked WHERE rn = 1
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
        event_type,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """,
         "events_sessionize": """
@@ -6321,7 +6321,7 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS n,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM (
   SELECT unnest([
            to_timestamp(floor(epoch(ts) / 1800) * 1800),
@@ -6336,7 +6336,7 @@ GROUP BY 1, 2
 SELECT o_orderpriority, o_orderstatus,
        CAST(grouping(o_orderpriority) AS TINYINT) AS g_priority,
        CAST(grouping(o_orderstatus) AS TINYINT) AS g_status,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue,
        count(*) AS n_orders
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
@@ -6762,7 +6762,7 @@ SELECT id AS item_id FROM meta
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS n,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -6802,7 +6802,7 @@ SELECT o_orderpriority,
        order_year,
        CAST(grouping(o_orderpriority) AS TINYINT) AS g_priority,
        CAST(grouping(order_year) AS TINYINT) AS g_year,
-       CAST(sum(price) AS DOUBLE) AS revenue,
+       CAST(CAST(sum(price) AS VARCHAR) AS DOUBLE) AS revenue,
        count(*) AS n_orders
 FROM (
   SELECT o_orderpriority,
@@ -6833,9 +6833,9 @@ WHERE rank_in_group <= 3
 """,
         "lineitem_pricing": """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
        CAST(count(*) AS BIGINT) AS n
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,
@@ -7337,7 +7337,7 @@ FROM iv
 """,
         "incremental_rollup_merge": """
 SELECT o_orderpriority AS prio,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue,
        CAST(count(*) AS BIGINT) AS n
 FROM orders GROUP BY o_orderpriority
 """,
@@ -7349,7 +7349,7 @@ FROM orders GROUP BY o_orderpriority
         "bloom_prune_semi": """
 SELECT l_returnflag,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
 FROM lineitem
 WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 45)
 GROUP BY l_returnflag
@@ -7357,14 +7357,14 @@ GROUP BY l_returnflag
         "snapshot_cdc": """
 WITH o AS (
   SELECT o_custkey AS cust, CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
   FROM orders
   WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
   GROUP BY 1
 ),
 n AS (
   SELECT o_custkey AS cust, CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
   FROM orders
   WHERE o_orderdate >= TIMESTAMP '1995-07-01' AND o_orderdate < TIMESTAMP '1996-07-01'
   GROUP BY 1
@@ -7382,7 +7382,7 @@ SELECT cust, op, n, revenue FROM d WHERE op IS NOT NULL
 """,
         "cdc_roundtrip": """
 SELECT o_custkey AS cust, CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1995-07-01' AND o_orderdate < TIMESTAMP '1996-07-01'
 GROUP BY 1
@@ -7890,11 +7890,13 @@ WITH cell AS (
 ),
 tot AS (SELECT sum(revenue) AS grand FROM cell)
 SELECT prio, status,
-       CAST(revenue AS DOUBLE) AS revenue,
-       round(CAST(revenue AS DOUBLE)
-             / CAST(sum(revenue) OVER (PARTITION BY prio) AS DOUBLE), 6)
+       CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue,
+       round(CAST(CAST(revenue AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(sum(revenue) OVER (PARTITION BY prio) AS VARCHAR)
+                    AS DOUBLE), 6)
          AS share_of_prio,
-       round(CAST(revenue AS DOUBLE) / CAST(grand AS DOUBLE), 6)
+       round(CAST(CAST(revenue AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(grand AS VARCHAR) AS DOUBLE), 6)
          AS share_of_total
 FROM cell, tot
 """,
@@ -8321,14 +8323,14 @@ WITH x AS (
   WHERE l_shipdate >= TIMESTAMP '1996-09-01'
     AND l_shipdate < TIMESTAMP '1996-10-01'
 )
-SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
-                     ELSE CAST(0 AS DECIMAL(30,8)) END) AS DOUBLE)
+SELECT CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                     ELSE CAST(0 AS DECIMAL(30,8)) END) AS VARCHAR) AS DOUBLE)
          AS promo_revenue,
-       CAST(sum(rev) AS DOUBLE) AS total_revenue,
-       CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
-                     ELSE CAST(0 AS DECIMAL(30,8)) END) AS DOUBLE)
+       CAST(CAST(sum(rev) AS VARCHAR) AS DOUBLE) AS total_revenue,
+       CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                     ELSE CAST(0 AS DECIMAL(30,8)) END) AS VARCHAR) AS DOUBLE)
          * 100.0
-         / CAST(sum(rev) AS DOUBLE) AS promo_pct
+         / CAST(CAST(sum(rev) AS VARCHAR) AS DOUBLE) AS promo_pct
 FROM x
 """,
         # threshold compare is division-free (qty*5*n < sum_qty) so the
@@ -8344,7 +8346,7 @@ st AS (
   SELECT l_partkey AS pk, sum(qty) AS sum_qty, count(*) AS n
   FROM li GROUP BY 1
 )
-SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+SELECT CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
             / 7.0 AS DOUBLE) AS avg_yearly,
        CAST(count(*) AS BIGINT) AS n_small
 FROM li JOIN st ON li.l_partkey = st.pk
@@ -8609,14 +8611,19 @@ WITH x AS (
   WHERE l_shipdate <= TIMESTAMP '2001-06-01'
 )
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(qty) AS DOUBLE) AS sum_qty,
-       CAST(sum(price) AS DOUBLE) AS sum_base_price,
-       CAST(sum(disc_price) AS DOUBLE) AS sum_disc_price,
-       CAST(sum(disc_price * (CAST(1 AS DECIMAL(8,6)) + tax)) AS DOUBLE)
-         AS sum_charge,
-       CAST(sum(qty) AS DOUBLE) / count(*) AS avg_qty,
-       CAST(sum(price) AS DOUBLE) / count(*) AS avg_price,
-       CAST(sum(disc) AS DOUBLE) / count(*) AS avg_disc,
+       -- decimal -> double via VARCHAR: DuckDB's direct cast divides
+       -- the scaled int128 by 10^scale in doubles (two roundings, off
+       -- by 1 ulp at half-ulp boundaries — caught at sf0.001 on
+       -- sum_charge), while the string parse is correctly rounded,
+       -- matching Spark's BigDecimal.doubleValue
+       CAST(CAST(sum(qty) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(price) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(sum(disc_price) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(sum(disc_price * (CAST(1 AS DECIMAL(8,6)) + tax))
+                 AS VARCHAR) AS DOUBLE) AS sum_charge,
+       CAST(CAST(sum(qty) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(CAST(sum(price) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
+       CAST(CAST(sum(disc) AS VARCHAR) AS DOUBLE) / count(*) AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
 FROM x GROUP BY 1, 2
 """,
@@ -8828,7 +8835,7 @@ WITH rev AS (
       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
 )
 SELECT supp_nation, cust_nation, l_year,
-       CAST(sum(volume) AS DOUBLE) AS revenue
+       CAST(CAST(sum(volume) AS VARCHAR) AS DOUBLE) AS revenue
 FROM rev GROUP BY 1, 2, 3
 """,
         "tpch_q8": """
@@ -8851,13 +8858,13 @@ WITH x AS (
     AND p_type = 'STANDARD' AND r_name = 'ASIA'
 )
 SELECT o_year,
-       CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
-                     ELSE CAST(0 AS DECIMAL(30,8)) END) AS DOUBLE)
+       CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                     ELSE CAST(0 AS DECIMAL(30,8)) END) AS VARCHAR) AS DOUBLE)
          AS nation_revenue,
-       CAST(sum(volume) AS DOUBLE) AS total_revenue,
-       CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
-                     ELSE CAST(0 AS DECIMAL(30,8)) END) AS DOUBLE)
-         / CAST(sum(volume) AS DOUBLE) AS mkt_share
+       CAST(CAST(sum(volume) AS VARCHAR) AS DOUBLE) AS total_revenue,
+       CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                     ELSE CAST(0 AS DECIMAL(30,8)) END) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(sum(volume) AS VARCHAR) AS DOUBLE) AS mkt_share
 FROM x GROUP BY 1
 """,
         # calendar lags via day-index equi-joins; one double division
