@@ -5039,6 +5039,43 @@ def q_stream_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_from_store(spark, store, bin_width=500)
 
 
+def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles served from the SAME streaming drift
+    grid that answers KS (streaming/drift_monitor.py:
+    quantiles_from_store): stage, drain one file per micro-batch, then
+    read p25/50/75/90/99 of everything drained off the maintained
+    (value, count) state — must equal the batch inverse-CDF quantiles
+    over all rows."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.drift_monitor import (
+        monitor_from_stream,
+        quantiles_from_store,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "l_returnflag",
+    )
+    landing = tempfile.mkdtemp(prefix="apc-q-landing-")
+    store = tempfile.mkdtemp(prefix="apc-q-store-")
+    ckpt = tempfile.mkdtemp(prefix="apc-q-ckpt-")
+    li.repartition(4).write.mode("append").parquet(landing)
+    stream = (
+        spark.readStream.schema("cents long, l_returnflag string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    monitor_from_stream(
+        stream, store, ckpt, "cents",
+        F.col("l_returnflag") == "R",
+        F.col("l_returnflag") != "R",
+    )
+    return quantiles_from_store(spark, store, [25, 50, 75, 90, 99])
+
+
 def q_ab_test_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pooled two-proportion z-test between the two user-parity arms
     (operators/evaluation.py:two_proportion_ztest): one aggregate for
@@ -5445,6 +5482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tv_drift": q_tv_drift,
         "fk_discovery": q_fk_discovery,
         "fd_discovery": q_fd_discovery,
+        "stream_quantiles": q_stream_quantiles,
     }
     out = {name: all_q[name] for name in _R5_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
@@ -9385,6 +9423,23 @@ SELECT relation,
        END AS violation_rate,
        CAST(CASE WHEN n_violating = 0 THEN 1 ELSE 0 END AS INT) AS holds
 FROM rolled
+"""
+    # the drift grid's second statistic: exact inverse-CDF quantiles
+    # of everything drained (population = A union B)
+    sqls["stream_quantiles"] = """
+WITH v AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM lineitem
+),
+per AS (SELECT c, count(*) AS cnt FROM v GROUP BY c),
+cum AS (SELECT c, sum(cnt) OVER (ORDER BY c) AS cm FROM per),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+p AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct)
+SELECT CAST(pct AS INT) AS pct,
+       n,
+       (SELECT CAST(min(c) AS BIGINT) FROM cum
+        WHERE cm >= (n * pct + 99) // 100) AS value
+FROM p, tot
 """
     # pooled two-proportion z: the SAME IEEE tree as
     # operators/evaluation.py:two_proportion_ztest

@@ -151,3 +151,35 @@ def ks_from_store(spark: SparkSession, store_path: str) -> DataFrame:
             (F.col("ks_num") / (F.col("n_a") * F.col("n_b"))).alias("ks_stat"),
         )
     )
+
+
+def quantiles_from_store(
+    spark: SparkSession, store_path: str, pcts: list[int]
+) -> DataFrame:
+    """Exact discrete (inverse-CDF) quantiles of EVERYTHING drained,
+    served from the same maintained grid the KS statistic reads — a
+    second statistic off one pointer-flip state (the score monitor's
+    auc/calibration pattern). Population = A ∪ B (a + b per value).
+
+    The quantile at percentile p is the value at rank
+    ``ceil(p/100 · n)`` — integer rank math on the grid's running
+    count (the winsorize_stats pattern), engine-exact. One running
+    total over the grid, the total as a 1-row broadcast, one tiny
+    output row per requested percentile."""
+    grid = read_grid(spark, store_path).localCheckpoint(eager=True)
+    per_v = grid.select("v", (F.col("a") + F.col("b")).alias("_c"))
+    cum = add_running_totals(per_v, ["v"], {"_c": "_cum"})
+    tot = per_v.agg(F.sum("_c").cast("bigint").alias("_n"))
+    g2 = cum.crossJoin(F.broadcast(tot))
+    out = None
+    for p in pcts:
+        rank = F.expr(f"(_n * {int(p)} + 99) div 100")
+        row = g2.groupBy().agg(
+            F.lit(int(p)).cast("int").alias("pct"),
+            F.max("_n").cast("bigint").alias("n"),
+            F.min(F.when(F.col("_cum") >= rank, F.col("v")))
+            .cast("bigint")
+            .alias("value"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

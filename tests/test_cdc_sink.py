@@ -211,3 +211,37 @@ def test_score_monitor_retry_idempotent_and_matches_batch(spark, tmp_path):
         for r in auc_from_store(spark, store).collect()
     }
     assert retry_auc == batch_auc
+
+
+def test_drift_grid_quantiles_match_batch(spark, tmp_path):
+    """One drift state, two statistics: quantiles served from the
+    folded grid must equal the batch inverse-CDF quantile over the
+    union of everything applied."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from amazon_personalize_connectors_spark.streaming.drift_monitor import (
+        apply_grid_batch,
+        quantiles_from_store,
+    )
+
+    store = str(tmp_path / "qgrid")
+    os.makedirs(store, exist_ok=True)
+    in_a = F.col("flag") == "R"
+    in_b = F.col("flag") != "R"
+    vals1 = [(v, "R" if v % 2 else "N") for v in [10, 20, 20, 30, 40]]
+    vals2 = [(v, "N") for v in [5, 50, 60, 70, 80]]
+    b1 = spark.createDataFrame(vals1, "v long, flag string")
+    b2 = spark.createDataFrame(vals2, "v long, flag string")
+    apply_grid_batch(b1, store, "v", in_a, in_b)
+    apply_grid_batch(b2, store, "v", in_a, in_b)
+    got = {
+        r["pct"]: (r["n"], r["value"])
+        for r in quantiles_from_store(spark, store, [10, 50, 100]).collect()
+    }
+    allv = sorted(v for v, _ in vals1 + vals2)
+    n = len(allv)
+    for p in (10, 50, 100):
+        rank = -(-(n * p) // 100)  # ceil
+        assert got[p] == (n, allv[rank - 1]), (p, got[p])
