@@ -4590,6 +4590,303 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier) on the fixture schema
+    (no partsupp — the part-supplier relation and its cost derive
+    from lineitem: cost = cheapest shipment in integer cents, exact
+    and MIN-monotonic, where the official ps_supplycost would be):
+    for size-15 parts and EUROPE suppliers, the supplier(s) achieving
+    each part's minimum cost. The correlated MIN subquery is a
+    per-part aggregate joined back on (partkey, exact-cents cost) —
+    comparing doubles here would be a tie lottery. The part filter
+    and the region-pruned supplier dim broadcast; the big lineitem
+    scan collapses FIRST to the bounded (part, supplier) pair grid,
+    so everything after the first aggregate is dimension-sized."""
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    part = synthetic.load_table(spark, sf_dir, "part")
+    supplier = synthetic.load_table(spark, sf_dir, "supplier")
+    nation = synthetic.load_table(spark, sf_dir, "nation")
+    region = synthetic.load_table(spark, sf_dir, "region")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    ps = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(cents).alias("cost_cents")
+    )
+    eu = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = ps.join(
+        F.broadcast(part.where(F.col("p_size") == 15).select("p_partkey")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    ).join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    mn = cand.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("cost_cents").alias("_mn")
+    )
+    return (
+        cand.join(
+            mn,
+            (F.col("p_partkey") == F.col("_pk"))
+            & (F.col("cost_cents") == F.col("_mn")),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            F.col("p_partkey").cast("bigint").alias("p_partkey"),
+            F.col("cost_cents").cast("bigint").alias("cost_cents"),
+        )
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year) on the
+    fixture schema (no partsupp — unit cost stands in as
+    p_retailprice, the official ps_supplycost's obvious proxy):
+    profit = extprice*(1-disc) - retail*qty for parts named
+    ``red ...``, summed per supplier nation per order year. Both
+    terms stay decimal(30,8) (exact) until the single output cast;
+    part/supplier/nation dims broadcast so lineitem shuffles once,
+    for the final (nation, year) aggregate."""
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    part = synthetic.load_table(spark, sf_dir, "part")
+    supplier = synthetic.load_table(spark, sf_dir, "supplier")
+    nation = synthetic.load_table(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (
+            F.lit(1).cast("decimal(18,6)")
+            - F.col("l_discount").cast("decimal(18,6)")
+        )
+    ).cast("decimal(30,8)")
+    cost = (
+        F.col("p_retailprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+    ).cast("decimal(30,8)")
+    return (
+        lineitem.join(
+            F.broadcast(
+                part.where(F.col("p_name").like("red%")).select(
+                    "p_partkey", "p_retailprice"
+                )
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(rev - cost).cast("double").alias("sum_profit"))
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification) on the
+    fixture schema (no partsupp — a part's "stock value" for
+    NATION_3's suppliers is its shipped extended-price total from
+    lineitem, in exact integer cents): parts whose value exceeds
+    0.1% of the nation-wide total. The HAVING threshold's scalar
+    subquery rides in as a broadcast 1-row aggregate and the compare
+    is division-free (value*1000 > total, bigint-exact). The big
+    scan is pruned FIRST by the broadcast nation-filtered supplier
+    dim, then collapses to the per-part grid — one shuffle."""
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    supplier = synthetic.load_table(spark, sf_dir, "supplier")
+    nation = synthetic.load_table(spark, sf_dir, "nation")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    n3_supp = supplier.join(
+        F.broadcast(nation.where(F.col("n_name") == "NATION_3")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    val = (
+        lineitem.join(
+            F.broadcast(n3_supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    tot = val.agg(F.sum("value_cents").alias("_t"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .where(F.col("value_cents") * 1000 > F.col("_t"))
+        .select(
+            F.col("l_partkey").cast("bigint").alias("p_partkey"),
+            F.col("value_cents").cast("bigint").alias("value_cents"),
+        )
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority split) on the fixture
+    schema (no l_shipmode/l_receiptdate — the class is l_linestatus
+    and "late" means shipped > 90 days after the order date): for
+    lines shipped in 1996, per linestatus, how many came from
+    high-priority (URGENT/HIGH) vs lower-priority orders.
+    Conditional bigint counts in one map-side-combinable aggregate;
+    the ship-date band pushes to the lineitem scan."""
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship) on the fixture
+    schema (no partsupp — the pair relation is the DISTINCT
+    (partkey, suppkey) grid observed in lineitem; the "customer
+    complaints" exclusion stands in as negative-balance suppliers):
+    distinct supplier count per (brand, type, size) over 8 sizes,
+    excluding Brand#5 and PROMO parts. The NOT IN subquery is a
+    LEFT ANTI against the broadcast bad-supplier dim — the pair grid
+    never widens; the grid itself is bounded (dedup BEFORE any join,
+    so the big scan collapses immediately)."""
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    part = synthetic.load_table(spark, sf_dir, "part")
+    supplier = synthetic.load_table(spark, sf_dir, "supplier")
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    bad = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    keep_part = part.where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(keep_part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")
+        )
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion) on the fixture
+    schema (no ps_availqty — "excess" means a (part, supplier) pair
+    shipped MORE THAN HALF its lifetime quantity of a ``red ...``
+    part during 1996): suppliers holding at least one such
+    concentration. The nested aggregate runs on the bounded pair
+    grid (part-filtered FIRST via the broadcast red-part dim), the
+    half compare is division-free integer centiqty (q96*2 > qtot),
+    and the supplier decoration is a LEFT SEMI — each supplier
+    appears once regardless of how many parts qualify."""
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    part = synthetic.load_table(spark, sf_dir, "part")
+    supplier = synthetic.load_table(spark, sf_dir, "supplier")
+    qty_c = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")
+    in96 = (
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz")
+    ) & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    per = (
+        lineitem.join(
+            F.broadcast(
+                part.where(F.col("p_name").like("red%")).select("p_partkey")
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(in96, qty_c).otherwise(F.lit(0).cast("bigint")))
+            .alias("q96"),
+            F.sum(qty_c).alias("qtot"),
+        )
+    )
+    excess = per.where(F.col("q96") * 2 > F.col("qtot")).select("l_suppkey")
+    return (
+        supplier.join(
+            excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting) on the
+    fixture schema ("late" means shipped > 60 days after the order
+    date, per the Q4 adaptation): for finished ('F') orders with
+    lines from MORE THAN ONE supplier where EXACTLY ONE supplier was
+    late, charge the wait to that supplier and count. The official
+    EXISTS / NOT EXISTS pair collapses into one per-order aggregate
+    (distinct suppliers, distinct LATE suppliers, and — since there
+    is exactly one — MAX of the late keys IS the culprit), so the
+    fact table shuffles once on orderkey and never self-joins.
+    Supplier names decorate via broadcast; top 100 with
+    deterministic (count desc, name) order."""
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    supplier = synthetic.load_table(spark, sf_dir, "supplier")
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    per_order = (
+        lineitem.join(
+            orders.where(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("_n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("_n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("_late_supp"),
+        )
+        .where((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+    )
+    return (
+        per_order.groupBy("_late_supp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .join(
+            F.broadcast(supplier), F.col("s_suppkey") == F.col("_late_supp")
+        )
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+        .select("s_name", "numwait")
+    )
+
+
 def q_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive MASE floor over daily order revenue
     (operators/analytics.py seasonal_naive_mase): |v_t - v_{t-7}|
@@ -5483,6 +5780,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_discovery": q_fk_discovery,
         "fd_discovery": q_fd_discovery,
         "stream_quantiles": q_stream_quantiles,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
     }
     out = {name: all_q[name] for name in _R5_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
@@ -8904,6 +9208,147 @@ SELECT o_year,
                      ELSE CAST(0 AS DECIMAL(30,8)) END) AS VARCHAR) AS DOUBLE)
          / CAST(CAST(sum(volume) AS VARCHAR) AS DOUBLE) AS mkt_share
 FROM x GROUP BY 1
+""",
+        # fixture Q2: cost = cheapest shipment in exact cents (no
+        # partsupp); per-part MIN joined back on exact-cents equality
+        "tpch_q2": """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS cost_cents
+  FROM lineitem GROUP BY 1, 2
+),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cand AS (
+  SELECT p_partkey, cost_cents, s_name, s_acctbal, n_name
+  FROM ps
+  JOIN part ON p_partkey = l_partkey AND p_size = 15
+  JOIN eu ON s_suppkey = l_suppkey
+),
+mn AS (SELECT p_partkey AS pk, min(cost_cents) AS mn FROM cand GROUP BY 1)
+SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+       CAST(p_partkey AS BIGINT) AS p_partkey, cost_cents
+FROM cand JOIN mn ON p_partkey = pk AND cost_cents = mn
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+        # fixture Q9: unit cost = p_retailprice; decimal-exact
+        # profit, sum -> double via VARCHAR (correctly-rounded parse)
+        "tpch_q9": """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       CAST(CAST(sum(
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+              AS DECIMAL(30,8))
+         - CAST(CAST(p_retailprice AS DECIMAL(18,2))
+                * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,8))
+       ) AS VARCHAR) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_name LIKE 'red%'
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY 1, 2
+""",
+        # fixture Q11: stock value = shipped cents for NATION_3
+        # suppliers; division-free 0.1%% threshold (value*1000 > total)
+        "tpch_q11": """
+WITH val AS (
+  SELECT l_partkey,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS value_cents
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY 1
+),
+t AS (SELECT sum(value_cents) AS tot FROM val)
+SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+       CAST(value_cents AS BIGINT) AS value_cents
+FROM val, t
+WHERE value_cents * 1000 > tot
+""",
+        # fixture Q12: class = l_linestatus, late = shipped > 90 days
+        # after order date; conditional bigint counts
+        "tpch_q12": """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+""",
+        # fixture Q16: pair grid = DISTINCT lineitem pairs; complaint
+        # suppliers = negative balance, excluded via anti pattern
+        "tpch_q16": """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+good AS (
+  SELECT p.* FROM pairs p
+  LEFT JOIN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) b
+    ON p.l_suppkey = b.s_suppkey
+  WHERE b.s_suppkey IS NULL
+)
+SELECT p_brand, p_type, CAST(p_size AS INT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM good
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+GROUP BY 1, 2, 3
+""",
+        # fixture Q20: excess = pair shipped > half its lifetime
+        # quantity in 1996; integer centiqty, semi via IN
+        "tpch_q20": """
+WITH per AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate < TIMESTAMP '1997-01-01'
+             THEN CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END) AS q96,
+         sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS qtot
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey AND p_name LIKE 'red%'
+  GROUP BY 1, 2
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM per WHERE q96 * 2 > qtot)
+""",
+        # fixture Q21: EXISTS/NOT-EXISTS pair collapsed to one
+        # per-order aggregate (exactly-one-late => MAX is the culprit)
+        "tpch_q21": """
+WITH per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                        THEN l_suppkey END) AS n_late,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+             THEN l_suppkey END) AS late_supp
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey AND o_orderstatus = 'F'
+  GROUP BY 1
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_order
+JOIN supplier ON s_suppkey = late_supp
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 100
 """,
         # calendar lags via day-index equi-joins; one double division
         # of two exact integer products

@@ -490,3 +490,157 @@ def tv_distance(
             ).alias("tv_stat"),
         )
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact simple-linear-regression (OLS) fit per group over two
+    INTEGER columns — slope/intercept/R² for "how many cents does one
+    more unit add?" features, without a float accumulator anywhere.
+
+    Reuses ``grouped_pearson``'s decimal(38,0) moment sums (exact and
+    associative — partition layout cannot change them), then the
+    closed forms ride a FIXED IEEE expression tree over the exact
+    moments:
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n        (doubles, fixed order)
+        r2        = num² / (dx·dy)             (num/dx/dy exact)
+
+    A correctly-rounded conversion of an exact decimal is
+    deterministic, and each subsequent double op is IEEE-defined, so
+    the result is bit-stable across partitionings and engines — the
+    oracle mirrors the identical expression tree on int128 moments.
+    Degenerate groups (zero x-variance) yield NULL slope/intercept;
+    r2 is NULL when either variance is 0.
+
+    Output: (*group_cols, n, slope, intercept, r2)."""
+    d = "decimal(38,0)"
+    x = F.col(x_col).cast(d)
+    y = F.col(y_col).cast(d)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast(d).alias("_n"),
+        F.sum(x).cast(d).alias("_sx"),
+        F.sum(y).cast(d).alias("_sy"),
+        F.sum((x * y).cast(d)).cast(d).alias("_sxy"),
+        F.sum((x * x).cast(d)).cast(d).alias("_sxx"),
+        F.sum((y * y).cast(d)).cast(d).alias("_syy"),
+    )
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(d)
+    dx = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(d)
+    dy = (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast(d)
+    slope = F.when(dx > 0, num.cast("double") / dx.cast("double"))
+    intercept = F.when(
+        dx > 0,
+        (
+            F.col("_sy").cast("double")
+            - (num.cast("double") / dx.cast("double"))
+            * F.col("_sx").cast("double")
+        )
+        / F.col("_n").cast("double"),
+    )
+    r2 = F.when(
+        (dx > 0) & (dy > 0),
+        (num.cast("double") * num.cast("double"))
+        / (dx.cast("double") * dy.cast("double")),
+    )
+    return agg.select(
+        *group_cols,
+        F.col("_n").cast("bigint").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Chi-square test of independence between two categorical
+    columns, deterministic at any partitioning — the "are these two
+    labels actually related?" screen for drift and feature audits.
+
+    All counts (cells o, row totals rt, column totals ct, grand N)
+    are exact bigints; the per-cell deviation is formed EXACTLY in
+    decimal(38,0) by cross-multiplication (o·N − rt·ct — no expected
+    value is ever divided out), so the only inexact step is one fixed
+    per-cell IEEE tail:  term = dev² / (rt·ct·N).
+
+    Summing those double terms with a shuffle would be
+    order-sensitive, so each term is QUANTIZED first —
+    floor(term·scale) — and the exact bigint quanta are summed
+    (associative, layout-independent), then divided once: the
+    ipw_weighted_ratio pattern. The quantization under-states chi²
+    by < n_cells/scale (≤ 10⁻⁶ at default scale for 1000 cells) —
+    documented, deterministic, and mirrored exactly by the oracle.
+
+    Row/column marginals ride in as broadcast dims (cell grid is
+    |A|·|B|, never data-sized). Output is ONE row:
+    (n, n_cells, dof, chi2, cramers_v)."""
+    d = "decimal(38,0)"
+    a, b = F.col(a_col), F.col(b_col)
+    cells = df.groupBy(a.alias("_a"), b.alias("_b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_o")
+    )
+    rt = cells.groupBy("_a").agg(F.sum("_o").alias("_rt"))
+    ct = cells.groupBy("_b").agg(F.sum("_o").alias("_ct"))
+    tot = cells.agg(
+        F.sum("_o").cast("bigint").alias("_nn"),
+        F.countDistinct("_a").cast("bigint").alias("_ra"),
+        F.countDistinct("_b").cast("bigint").alias("_cb"),
+    )
+    dev = (
+        F.col("_o").cast(d) * F.col("_nn").cast(d)
+        - F.col("_rt").cast(d) * F.col("_ct").cast(d)
+    ).cast(d)
+    den = (
+        F.col("_rt").cast(d) * F.col("_ct").cast(d) * F.col("_nn").cast(d)
+    ).cast(d)
+    term = (
+        dev.cast("double") * dev.cast("double") / den.cast("double")
+    )
+    quanta = (
+        cells.join(F.broadcast(rt), "_a")
+        .join(F.broadcast(ct), "_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_nn",
+            "_ra",
+            "_cb",
+            F.floor(term * F.lit(float(scale))).cast("bigint").alias("_q"),
+        )
+    )
+    chi2 = F.col("_chi2_q").cast("double") / F.lit(float(scale))
+    dof = (F.col("_ra") - 1) * (F.col("_cb") - 1)
+    return (
+        quanta.groupBy("_nn", "_ra", "_cb")
+        .agg(
+            F.sum("_q").cast("bigint").alias("_chi2_q"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        )
+        .select(
+            F.col("_nn").alias("n"),
+            "n_cells",
+            dof.cast("bigint").alias("dof"),
+            chi2.alias("chi2"),
+            F.when(
+                (F.col("_nn") > 0) & (dof > 0),
+                F.sqrt(
+                    chi2
+                    / (
+                        F.col("_nn").cast("double")
+                        * F.least(F.col("_ra") - 1, F.col("_cb") - 1).cast(
+                            "double"
+                        )
+                    )
+                ),
+            ).alias("cramers_v"),
+        )
+    )

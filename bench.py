@@ -216,6 +216,13 @@ BENCH_QUERIES = [
     "tv_drift",
     "fk_discovery",
     "fd_discovery",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
     # stream_model_refresh, stream_ks_drift, stream_auc_monitor and
     # stream_calibration are deliberately NOT benched: each drains 4
     # micro-batches rewriting a versioned store by design — law-check
