@@ -5214,6 +5214,41 @@ def q_qty_price_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_spearman(li, ["l_returnflag"], "qty", "cents")
 
 
+def q_price_qty_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact OLS fit of price cents on quantity per return flag
+    (operators/features.py:grouped_ols): decimal-exact moment sums,
+    closed-form slope/intercept/R² on a FIXED IEEE expression tail —
+    bit-stable across partitionings; the oracle mirrors the identical
+    expression tree on int128 moments."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        grouped_ols,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return grouped_ols(li, ["l_returnflag"], "qty", "cents")
+
+
+def q_chi2_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of return flag vs line status
+    (operators/features.py:chi2_independence): exact bigint
+    marginals, per-cell deviations cross-multiplied in decimal (no
+    expected-value division), one IEEE tail per cell QUANTIZED to
+    nano-units so the cross-cell sum is an exact bigint — the
+    ipw_weighted_ratio pattern; Cramér's V rides on the same quanta."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        chi2_independence,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem")
+    return chi2_independence(li, "l_returnflag", "l_linestatus")
+
+
 def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inclusion-dependency (FK-discovery) profile over candidate
     relations (operators/expectations.py:key_containment): the three
@@ -5787,6 +5822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": q_tpch_q16,
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
+        "price_qty_ols": q_price_qty_ols,
+        "chi2_flag_status": q_chi2_flag_status,
     }
     out = {name: all_q[name] for name in _R5_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
@@ -9756,6 +9793,80 @@ SELECT g AS l_returnflag,
          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
                 * CAST(n * syy - sy * sy AS DOUBLE)) END AS rho
 FROM a
+"""
+    # exact OLS: int128 moments, identical fixed IEEE expression tree
+    sqls["price_qty_ols"] = """
+WITH v AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM lineitem
+),
+a AS (
+  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS syy
+  FROM v GROUP BY g
+)
+SELECT g AS l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx > 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+       CASE WHEN n * sxx - sx * sx > 0 THEN
+         (CAST(sy AS DOUBLE)
+          - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) END AS intercept,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         (CAST(n * sxy - sx * sy AS DOUBLE)
+          * CAST(n * sxy - sx * sy AS DOUBLE))
+         / (CAST(n * sxx - sx * sx AS DOUBLE)
+            * CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+FROM a
+"""
+    # chi-square independence: exact int128 cross-multiplied cell
+    # deviations, per-cell IEEE tail quantized to nano-units, exact
+    # bigint quanta sum, one final division (+ Cramér's V)
+    sqls["chi2_flag_status"] = """
+WITH cells AS (
+  SELECT l_returnflag AS a, l_linestatus AS b, CAST(count(*) AS BIGINT) AS o
+  FROM lineitem GROUP BY 1, 2
+),
+rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS rtot FROM cells GROUP BY 1),
+ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS ctot FROM cells GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS nn,
+         CAST(count(DISTINCT a) AS BIGINT) AS ra,
+         CAST(count(DISTINCT b) AS BIGINT) AS cb
+  FROM cells
+),
+q AS (
+  SELECT nn, ra, cb,
+         CAST(floor(
+           (CAST(CAST(o AS HUGEINT) * nn
+                 - CAST(rtot AS HUGEINT) * ctot AS DOUBLE)
+            * CAST(CAST(o AS HUGEINT) * nn
+                   - CAST(rtot AS HUGEINT) * ctot AS DOUBLE)
+            / CAST(CAST(rtot AS HUGEINT) * CAST(ctot AS HUGEINT) * nn
+                   AS DOUBLE))
+           * 1000000000.0) AS BIGINT) AS qq
+  FROM cells
+  JOIN rt USING (a)
+  JOIN ct USING (b)
+  CROSS JOIN tot
+)
+SELECT nn AS n,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST((ra - 1) * (cb - 1) AS BIGINT) AS dof,
+       CAST(sum(qq) AS DOUBLE) / 1000000000.0 AS chi2,
+       CASE WHEN nn > 0 AND (ra - 1) * (cb - 1) > 0 THEN
+         sqrt((CAST(sum(qq) AS DOUBLE) / 1000000000.0)
+              / (CAST(nn AS DOUBLE)
+                 * CAST(least(ra - 1, cb - 1) AS DOUBLE))) END AS cramers_v
+FROM q GROUP BY nn, ra, cb
 """
     # total-variation drift: pointwise integer mass differences
     sqls["tv_drift"] = """

@@ -635,3 +635,102 @@ def test_tv_distance_exact_and_bounds(spark):
     )
     r0 = tv_distance(same, "v", F.col("pop") == "a", F.col("pop") == "b").collect()[0]
     assert r0["tv_stat"] == 0.0
+
+
+def test_ols_matches_python_exact(spark):
+    from amazon_personalize_connectors_spark.operators.features import (
+        grouped_ols,
+    )
+
+    xs = [1, 2, 3, 4, 10, 7, 2, 9]
+    ys = [3, 5, 8, 9, 21, 16, 6, 18]
+    rows = [("g", x, y) for x, y in zip(xs, ys)]
+    # zero x-variance group -> NULL slope/intercept/r2
+    rows += [("const", 5, y) for y in range(4)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r["g"]: r for r in grouped_ols(df, ["g"], "x", "y").collect()}
+
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    num = n * sxy - sx * sy
+    dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+    slope = float(num) / float(dx)
+    intercept = (float(sy) - slope * float(sx)) / float(n)
+    r2 = (float(num) * float(num)) / (float(dx) * float(dy))
+    assert got["g"]["n"] == n
+    assert got["g"]["slope"] == slope  # identical fixed IEEE tail
+    assert got["g"]["intercept"] == intercept
+    assert got["g"]["r2"] == r2
+    # sanity: numpy's lstsq agrees to float tolerance
+    import numpy as np
+
+    fit = np.polyfit(xs, ys, 1)
+    assert abs(fit[0] - slope) < 1e-9 and abs(fit[1] - intercept) < 1e-9
+    assert got["const"]["slope"] is None
+    assert got["const"]["intercept"] is None and got["const"]["r2"] is None
+
+
+def test_ols_layout_independent(spark):
+    from amazon_personalize_connectors_spark.operators.features import (
+        grouped_ols,
+    )
+
+    rows = [("g%d" % (i % 2), (i * 13) % 29, (i * 11) % 37) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    outs = []
+    for p in (1, 5, 19):
+        got = grouped_ols(df.repartition(p), ["g"], "x", "y").collect()
+        outs.append(sorted((r["g"], r["slope"], r["intercept"], r["r2"])
+                           for r in got))
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_chi2_matches_python_bruteforce(spark):
+    from amazon_personalize_connectors_spark.operators.features import (
+        chi2_independence,
+    )
+
+    # skewed 3x2 contingency: flags x statuses with real dependence
+    data = (
+        [("R", "F")] * 30 + [("R", "O")] * 5
+        + [("A", "F")] * 10 + [("A", "O")] * 25
+        + [("N", "F")] * 8 + [("N", "O")] * 22
+    )
+    df = spark.createDataFrame(data, "a string, b string")
+    row = chi2_independence(df, "a", "b").collect()[0]
+
+    import math
+    from collections import Counter
+
+    o = Counter(data)
+    rt = Counter(a for a, _ in data)
+    ct = Counter(b for _, b in data)
+    n = len(data)
+    scale = 1_000_000_000
+    quanta = 0
+    for (a, b), cnt in o.items():
+        dev = float(cnt * n - rt[a] * ct[b])
+        term = dev * dev / float(rt[a] * ct[b] * n)
+        quanta += math.floor(term * float(scale))
+    chi2 = float(quanta) / float(scale)
+    assert row["n"] == n and row["n_cells"] == 6 and row["dof"] == 2
+    assert row["chi2"] == chi2  # exact quanta, deterministic
+    expect_v = math.sqrt(chi2 / (float(n) * 1.0))
+    assert row["cramers_v"] == expect_v
+    # dependence is real: chi2 far above the 2-dof 99.9% point (13.8)
+    assert chi2 > 13.8
+
+
+def test_chi2_independent_uniform_is_zero(spark):
+    from amazon_personalize_connectors_spark.operators.features import (
+        chi2_independence,
+    )
+
+    # perfectly independent grid: every (a, b) cell equally filled
+    data = [(f"a{i}", f"b{j}") for i in range(3) for j in range(4)] * 10
+    df = spark.createDataFrame(data, "a string, b string")
+    row = chi2_independence(df, "a", "b").collect()[0]
+    assert row["chi2"] == 0.0 and row["dof"] == 6
+    assert row["cramers_v"] == 0.0
