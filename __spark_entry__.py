@@ -5249,6 +5249,62 @@ def q_chi2_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_independence(li, "l_returnflag", "l_linestatus")
 
 
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals in cents
+    (operators/expectations.py:benford_profile): digits from the
+    bigint's STRING form (exact in every engine — never a log10
+    floor), exact counts, pinned literal reference probabilities so
+    abs_dev subtracts identical bits in both engines."""
+    from amazon_personalize_connectors_spark.operators.expectations import (
+        benford_profile,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    return benford_profile(orders, "cents")
+
+
+def q_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation of daily revenue (lags 1, 7, 28): the
+    seasonality detector behind the forecast_mase floor. Daily cents
+    totals (exact bigints) pair with themselves via day-index
+    equi-joins — the calendar-lag pattern, no window over raw rows —
+    then each lag's correlation is operators/features.py's
+    grouped_pearson on the exact pairs (decimal moment sums, one
+    IEEE tail). Days missing either end of a lag pair drop out, as
+    in the classic ACF-on-observed-days definition."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        grouped_pearson,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("di")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("v")
+    )
+    pairs = None
+    for lag in (1, 7, 28):
+        a = daily.select("di", F.col("v").alias("x"))
+        b = daily.select(
+            (F.col("di") - lag).alias("di"), F.col("v").alias("y")
+        )
+        p = a.join(b, "di").select(
+            F.lit(lag).cast("int").alias("lag"), "x", "y"
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return grouped_pearson(pairs, ["lag"], "x", "y")
+
+
 def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inclusion-dependency (FK-discovery) profile over candidate
     relations (operators/expectations.py:key_containment): the three
@@ -5824,6 +5880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "price_qty_ols": q_price_qty_ols,
         "chi2_flag_status": q_chi2_flag_status,
+        "benford_audit": q_benford_audit,
+        "revenue_acf": q_revenue_acf,
     }
     out = {name: all_q[name] for name in _R5_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
@@ -8105,11 +8163,11 @@ stats AS (
   FROM daily GROUP BY prio
 )
 SELECT prio,
-       round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
-       round((CAST(sy AS DOUBLE)
-              - (CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+       round(CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE), 6) AS slope,
+       round((CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+              - (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
              / CAST(n AS DOUBLE), 6) AS intercept,
        CAST(n AS BIGINT) AS n_points
 FROM stats
@@ -9738,13 +9796,13 @@ a AS (
 )
 SELECT g AS l_returnflag,
        CAST(n AS BIGINT) AS n,
-       CAST(n * sxy - sx * sy AS DOUBLE) AS r_num,
-       CAST(n * sxx - sx * sx AS DOUBLE) AS r_dx,
-       CAST(n * syy - sy * sy AS DOUBLE) AS r_dy,
+       CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS r_num,
+       CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS r_dx,
+       CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS r_dy,
        CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
-         CAST(n * sxy - sx * sy AS DOUBLE)
-         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                * CAST(n * syy - sy * sy AS DOUBLE)) END AS r
+         CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+         / sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)) END AS r
 FROM a
 """
     # exact Spearman: doubled average ranks off the value grid
@@ -9785,13 +9843,13 @@ a AS (
 )
 SELECT g AS l_returnflag,
        CAST(n AS BIGINT) AS n,
-       CAST(n * sxy - sx * sy AS DOUBLE) AS r_num,
-       CAST(n * sxx - sx * sx AS DOUBLE) AS r_dx,
-       CAST(n * syy - sy * sy AS DOUBLE) AS r_dy,
+       CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS r_num,
+       CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS r_dx,
+       CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS r_dy,
        CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
-         CAST(n * sxy - sx * sy AS DOUBLE)
-         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                * CAST(n * syy - sy * sy AS DOUBLE)) END AS rho
+         CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+         / sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)) END AS rho
 FROM a
 """
     # exact OLS: int128 moments, identical fixed IEEE expression tree
@@ -9813,18 +9871,18 @@ a AS (
 SELECT g AS l_returnflag,
        CAST(n AS BIGINT) AS n,
        CASE WHEN n * sxx - sx * sx > 0 THEN
-         CAST(n * sxy - sx * sy AS DOUBLE)
-         / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+         CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) END AS slope,
        CASE WHEN n * sxx - sx * sx > 0 THEN
-         (CAST(sy AS DOUBLE)
-          - (CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+          - (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
          / CAST(n AS DOUBLE) END AS intercept,
        CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
-         (CAST(n * sxy - sx * sy AS DOUBLE)
-          * CAST(n * sxy - sx * sy AS DOUBLE))
-         / (CAST(n * sxx - sx * sx AS DOUBLE)
-            * CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+         (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+          * CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE))
+         / (CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+            * CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)) END AS r2
 FROM a
 """
     # chi-square independence: exact int128 cross-multiplied cell
@@ -9846,12 +9904,12 @@ tot AS (
 q AS (
   SELECT nn, ra, cb,
          CAST(floor(
-           (CAST(CAST(o AS HUGEINT) * nn
-                 - CAST(rtot AS HUGEINT) * ctot AS DOUBLE)
-            * CAST(CAST(o AS HUGEINT) * nn
-                   - CAST(rtot AS HUGEINT) * ctot AS DOUBLE)
-            / CAST(CAST(rtot AS HUGEINT) * CAST(ctot AS HUGEINT) * nn
-                   AS DOUBLE))
+           (CAST(CAST(CAST(o AS HUGEINT) * nn
+                 - CAST(rtot AS HUGEINT) * ctot AS VARCHAR) AS DOUBLE)
+            * CAST(CAST(CAST(o AS HUGEINT) * nn
+                   - CAST(rtot AS HUGEINT) * ctot AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(CAST(rtot AS HUGEINT) * CAST(ctot AS HUGEINT) * nn
+                   AS VARCHAR) AS DOUBLE))
            * 1000000000.0) AS BIGINT) AS qq
   FROM cells
   JOIN rt USING (a)
@@ -9867,6 +9925,73 @@ SELECT nn AS n,
               / (CAST(nn AS DOUBLE)
                  * CAST(least(ra - 1, cb - 1) AS DOUBLE))) END AS cramers_v
 FROM q GROUP BY nn, ra, cb
+"""
+    # Benford audit: first digit from the bigint's string form (exact
+    # everywhere); reference probabilities as VARCHAR-parsed literals
+    # (correctly-rounded, matching Spark's pinned doubles bit-for-bit)
+    sqls["benford_audit"] = """
+WITH c AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM orders
+),
+counts AS (
+  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM c WHERE v > 0 GROUP BY 1
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM counts),
+p AS (
+  SELECT * FROM (VALUES
+    (1, CAST('0.3010299956639812' AS DOUBLE)),
+    (2, CAST('0.17609125905568124' AS DOUBLE)),
+    (3, CAST('0.12493873660829992' AS DOUBLE)),
+    (4, CAST('0.09691001300805642' AS DOUBLE)),
+    (5, CAST('0.07918124604762482' AS DOUBLE)),
+    (6, CAST('0.06694678963061322' AS DOUBLE)),
+    (7, CAST('0.05799194697768673' AS DOUBLE)),
+    (8, CAST('0.05115252244738129' AS DOUBLE)),
+    (9, CAST('0.04575749056067514' AS DOUBLE))
+  ) v(digit, benford_p)
+)
+SELECT counts.digit, n,
+       CAST(n AS DOUBLE) / CAST(tt AS DOUBLE) AS share,
+       benford_p,
+       abs(CAST(n AS DOUBLE) / CAST(tt AS DOUBLE) - benford_p) AS abs_dev
+FROM counts JOIN p USING (digit) CROSS JOIN t
+"""
+    # lag-k ACF: day-index equi-join pairs, int128 Pearson core
+    sqls["revenue_acf"] = """
+WITH d AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS di,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT l.lag, a.v AS x, b.v AS y
+  FROM (VALUES (1), (7), (28)) l(lag)
+  JOIN d a ON TRUE
+  JOIN d b ON b.di = a.di + l.lag
+),
+a AS (
+  SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INT) AS lag,
+       CAST(n AS BIGINT) AS n,
+       CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS r_num,
+       CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS r_dx,
+       CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS r_dy,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+         / sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)) END AS r
+FROM a
 """
     # total-variation drift: pointwise integer mass differences
     sqls["tv_drift"] = """

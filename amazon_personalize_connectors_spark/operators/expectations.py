@@ -158,3 +158,61 @@ def functional_dependency(
         ).alias("violation_rate"),
         (F.col("n_violating") == 0).cast("int").alias("holds"),
     )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), pinned as exact
+# repr literals so BOTH engines parse the identical correctly-rounded
+# doubles instead of each computing log10 (whose last ulp is
+# engine-specific for non-power arguments).
+BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-digit audit of a positive INTEGER column —
+    the classic fabricated-amounts / broken-ETL screen: naturally
+    occurring multiplicative amounts put ~30.1% of first digits at 1,
+    uniform or synthetic fills don't.
+
+    The first significant digit comes from the bigint's STRING form
+    (substring, exact in every engine) — never floor(v/10^floor(log10
+    v)), whose log10 is only exactness-guaranteed at powers of ten on
+    the JVM and not at all elsewhere. Counts are exact bigints; the
+    observed share is one division per digit row against a broadcast
+    1-row total, and the reference probability joins in as a pinned
+    literal (BENFORD_P), so ``abs_dev`` subtracts identical bits in
+    both engines. Non-positive values are excluded (Benford is
+    defined on positive magnitudes) but reported via ``n_total`` vs
+    the digit-row sum.
+
+    Output: 9 rows (digit, n, share, benford_p, abs_dev) — tiny at
+    any input scale; the single shuffle is the 9-key digit count."""
+    digit = F.substring(F.col(value_col).cast("string"), 1, 1).cast("int")
+    pos = df.where(F.col(value_col) > 0)
+    counts = pos.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("_t"))
+    p = F.lit(None).cast("double")
+    for d, v in reversed(sorted(BENFORD_P.items())):
+        p = F.when(F.col("digit") == d, F.lit(v)).otherwise(p)
+    share = F.col("n").cast("double") / F.col("_t").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            share.alias("share"),
+            p.alias("benford_p"),
+            F.abs(share - p).alias("abs_dev"),
+        )
+    )

@@ -225,6 +225,8 @@ BENCH_QUERIES = [
     "tpch_q21",
     "price_qty_ols",
     "chi2_flag_status",
+    "benford_audit",
+    "revenue_acf",
     # stream_model_refresh, stream_ks_drift, stream_auc_monitor and
     # stream_calibration are deliberately NOT benched: each drains 4
     # micro-batches rewriting a versioned store by design — law-check

@@ -734,3 +734,53 @@ def test_chi2_independent_uniform_is_zero(spark):
     row = chi2_independence(df, "a", "b").collect()[0]
     assert row["chi2"] == 0.0 and row["dof"] == 6
     assert row["cramers_v"] == 0.0
+
+
+def test_benford_profile_exact_counts_and_constants(spark):
+    import math
+
+    from amazon_personalize_connectors_spark.operators.expectations import (
+        BENFORD_P,
+        benford_profile,
+    )
+
+    # multiplicative growth sample: floor(1.31^k) covers decades and
+    # leans Benford; plus non-positive rows that must be excluded
+    vals = [int(1.31 ** k) for k in range(5, 60)]
+    vals += [0, -7]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = {r["digit"]: r for r in benford_profile(df, "v").collect()}
+
+    from collections import Counter
+
+    pos = [v for v in vals if v > 0]
+    want = Counter(int(str(v)[0]) for v in pos)
+    assert sum(r["n"] for r in rows.values()) == len(pos)
+    for d, r in rows.items():
+        assert r["n"] == want[d]
+        assert r["share"] == float(want[d]) / float(len(pos))
+        assert r["benford_p"] == BENFORD_P[d]
+        assert r["abs_dev"] == abs(r["share"] - r["benford_p"])
+    # the pinned constants ARE log10(1 + 1/d)
+    for d, p in BENFORD_P.items():
+        assert p == math.log10(1.0 + 1.0 / d)
+    # leading-1 dominance shows up even in a short multiplicative run
+    assert rows[1]["n"] == max(r["n"] for r in rows.values())
+
+
+def test_revenue_acf_periodic_series(spark):
+    from amazon_personalize_connectors_spark.operators.features import (
+        grouped_pearson,
+    )
+    from pyspark.sql import functions as F
+
+    # exact 7-periodic series: lag-7 pairs are identical -> r == 1
+    base = [100, 250, 90, 400, 160, 700, 30]
+    daily = spark.createDataFrame(
+        [(i, base[i % 7]) for i in range(70)], "di long, v long"
+    )
+    a = daily.select("di", F.col("v").alias("x"))
+    b = daily.select((F.col("di") - 7).alias("di"), F.col("v").alias("y"))
+    pairs = a.join(b, "di").select(F.lit(7).alias("lag"), "x", "y")
+    row = grouped_pearson(pairs, ["lag"], "x", "y").collect()[0]
+    assert row["n"] == 63 and row["r"] == 1.0

@@ -47,7 +47,12 @@ def classify(repo_root: str):
         for name, row in data.items():
             if name not in names or row is None:
                 continue
-            if row.get("err"):
+            if row.get("err") == "no_oracle":
+                # rows-only by design (e.g. hll_user_rollup,
+                # multimodal_decode): a driver row IS the weaker check
+                # passing — do not burn a red-priority slot on it
+                latest[name] = (rnum, "rows-only")
+            elif row.get("err"):
                 latest[name] = (rnum, "red")
             elif row.get("rows_match") and row.get("hash_match") in (True, None):
                 latest[name] = (rnum, "green")
@@ -60,7 +65,7 @@ def plan(names, latest, window: int):
     red = [n for n in names if latest.get(n, (0, ""))[1] == "red"]
     never = [n for n in names if n not in latest]
     greens = sorted(
-        (n for n in names if latest.get(n, (0, ""))[1] == "green"),
+        (n for n in names if latest.get(n, (0, ""))[1] in ("green", "rows-only")),
         key=lambda n: latest[n][0],  # oldest evidence first
     )
     chosen: list[str] = []
