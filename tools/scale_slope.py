@@ -71,16 +71,25 @@ def main() -> None:
         results[name] = {"sec": times, "rows_out": rows, "exponent": slopes}
         print(f"{name:28s} {times}  slopes={slopes}", flush=True)
 
-    out = {
-        "runs_per_point": N_RUNS,
-        "note": "exponent=log10(t_b/t_a) per 10x data decade; "
-        "0.01->0.1 is the meaningful decade locally",
-        "queries": results,
-    }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_SLOPE.json",
     )
+    # merge into the existing evidence file so partial runs extend it
+    # instead of discarding the rest of the family
+    merged: dict = {}
+    if os.path.exists(path):
+        try:
+            merged = json.load(open(path)).get("queries", {})
+        except Exception:  # noqa: BLE001 — a corrupt file just resets
+            merged = {}
+    merged.update(results)
+    out = {
+        "runs_per_point": N_RUNS,
+        "note": "exponent=log10(t_b/t_a) per 10x data decade; "
+        "0.01->0.1 is the meaningful decade locally",
+        "queries": merged,
+    }
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")
