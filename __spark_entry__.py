@@ -4700,11 +4700,15 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture schema (no partsupp — a part's "stock value" for
     NATION_3's suppliers is its shipped extended-price total from
     lineitem, in exact integer cents): parts whose value exceeds
-    0.1% of the nation-wide total. The HAVING threshold's scalar
-    subquery rides in as a broadcast 1-row aggregate and the compare
-    is division-free (value*1000 > total, bigint-exact). The big
-    scan is pruned FIRST by the broadcast nation-filtered supplier
-    dim, then collapses to the per-part grid — one shuffle."""
+    TWICE the average per-part value. The official query scales its
+    fraction by 1/SF because a fixed share of the total empties as
+    the part catalog grows; thresholding against the average
+    (value·n_parts > 2·total) is the same idea made scale-free, and
+    the compare stays division-free bigint-exact. The HAVING
+    threshold's scalar subquery rides in as a broadcast 1-row
+    aggregate. The big scan is pruned FIRST by the broadcast
+    nation-filtered supplier dim, then collapses to the per-part
+    grid — one shuffle."""
     lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
     supplier = synthetic.load_table(spark, sf_dir, "supplier")
     nation = synthetic.load_table(spark, sf_dir, "nation")
@@ -4722,10 +4726,13 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(cents).alias("value_cents"))
     )
-    tot = val.agg(F.sum("value_cents").alias("_t"))
+    tot = val.agg(
+        F.sum("value_cents").alias("_t"),
+        F.count(F.lit(1)).alias("_np"),
+    )
     return (
         val.crossJoin(F.broadcast(tot))
-        .where(F.col("value_cents") * 1000 > F.col("_t"))
+        .where(F.col("value_cents") * F.col("_np") > 2 * F.col("_t"))
         .select(
             F.col("l_partkey").cast("bigint").alias("p_partkey"),
             F.col("value_cents").cast("bigint").alias("value_cents"),
@@ -9353,7 +9360,8 @@ JOIN nation ON n_nationkey = s_nationkey
 GROUP BY 1, 2
 """,
         # fixture Q11: stock value = shipped cents for NATION_3
-        # suppliers; division-free 0.1%% threshold (value*1000 > total)
+        # suppliers; scale-free above-2x-average threshold,
+        # division-free (value*n_parts > 2*total)
         "tpch_q11": """
 WITH val AS (
   SELECT l_partkey,
@@ -9365,11 +9373,11 @@ WITH val AS (
   WHERE n_name = 'NATION_3'
   GROUP BY 1
 ),
-t AS (SELECT sum(value_cents) AS tot FROM val)
+t AS (SELECT sum(value_cents) AS tot, count(*) AS np FROM val)
 SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
        CAST(value_cents AS BIGINT) AS value_cents
 FROM val, t
-WHERE value_cents * 1000 > tot
+WHERE value_cents * np > 2 * tot
 """,
         # fixture Q12: class = l_linestatus, late = shipped > 90 days
         # after order date; conditional bigint counts
