@@ -5256,6 +5256,151 @@ def q_chi2_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_independence(li, "l_returnflag", "l_linestatus")
 
 
+def q_ivm_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided incremental view maintenance of a join rollup
+    (operators/cdc.py:incremental_join_rollup): orders and lineitem
+    are each split at 1999-01-01 into base + delta, the base
+    join-rollup is 'stored', and the three delta terms (ΔA⋈B, A⋈ΔB,
+    ΔA⋈ΔB) merge into it by exact bigint addition. The oracle is the
+    FULL recompute over the unsplit tables — equality IS the delta
+    rule. Revenue per order priority, exact cents."""
+    from amazon_personalize_connectors_spark.operators.cdc import (
+        incremental_join_rollup,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = synthetic.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cut = F.lit("1999-01-01").cast("timestamp_ntz")
+    base_a = orders.where(F.col("o_orderdate") < cut).drop("o_orderdate")
+    delta_a = orders.where(F.col("o_orderdate") >= cut).drop("o_orderdate")
+    base_b = li.where(F.col("l_shipdate") < cut).drop("l_shipdate")
+    delta_b = li.where(F.col("l_shipdate") >= cut).drop("l_shipdate")
+    base_rollup = (
+        base_a.join(
+            base_b, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("cents").alias("sum_v"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+    out = incremental_join_rollup(
+        base_rollup,
+        base_a,
+        delta_a,
+        base_b,
+        delta_b,
+        a_key="o_orderkey",
+        b_key="l_orderkey",
+        group_col="o_orderpriority",
+        value_col="cents",
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("sum_v").cast("bigint").alias("sum_v"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
+def q_stream_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming two-sided join-IVM, ORACLE-CHECKED end to end
+    (streaming/ivm.py): orders (dimension side) and lineitem (fact
+    side) interleave as a tagged union staged into four files that
+    drain ONE PER MICRO-BATCH — so every batch carries a mix of ΔA
+    and ΔB — and each epoch folds the three delta-rule terms into an
+    epoch-versioned rollup store. The final store must equal the
+    full batch join rollup over the unsplit tables, whatever the
+    batch interleaving: the delta-rule law, end to end."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.ivm import (
+        maintain_from_stream,
+        rollup_from_store,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    li = synthetic.load_table(spark, sf_dir, "lineitem")
+    tagged = orders.select(
+        F.lit("A").alias("side"),
+        F.col("o_orderkey").cast("long").alias("key"),
+        F.col("o_orderpriority").alias("grp"),
+        F.lit(None).cast("long").alias("val"),
+    ).unionByName(
+        li.select(
+            F.lit("B").alias("side"),
+            F.col("l_orderkey").cast("long").alias("key"),
+            F.lit(None).cast("string").alias("grp"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("val"),
+        )
+    )
+    landing = tempfile.mkdtemp(prefix="apc-ivm-landing-")
+    store = tempfile.mkdtemp(prefix="apc-ivm-store-")
+    ckpt = tempfile.mkdtemp(prefix="apc-ivm-ckpt-")
+    tagged.repartition(4).write.mode("append").parquet(landing)
+    stream = (
+        spark.readStream.schema("side string, key long, grp string, val long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    maintain_from_stream(stream, store, ckpt)
+    return rollup_from_store(spark, store).select(
+        F.col("grp").alias("o_orderpriority"),
+        F.col("sum_v").cast("bigint").alias("sum_v"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (operators/analytics.py
+    linear_attribution): each purchase's value splits evenly in
+    integer micro-units across its 24 h window touches, division
+    remainder to the latest touch (largest-remainder completion), so
+    credit conserves exactly; per-channel bigint rollup, one double
+    division at output."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        linear_attribution,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir)
+    return linear_attribution(ev)
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates
+    (functions/dedup.py:sorted_neighborhood_pairs): corpus ranked by
+    text-prefix blocking key via the scale-safe contiguous-id
+    machinery (no single-task global window), neighborhood w=5 via
+    the band-join bucket trick (≤2 bucket rows per record, pairs
+    linear in corpus size), exact distinct-token Jaccard per
+    candidate. Oracle mirrors rank, neighborhood and Jaccard with
+    row_number + a range self-join."""
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    out = sorted_neighborhood_pairs(docs, window=5)
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "rank_dist",
+        "common",
+        "union_size",
+        "jaccard",
+    )
+
+
 def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of order totals in cents
     (operators/expectations.py:benford_profile): digits from the
@@ -5889,6 +6034,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_flag_status": q_chi2_flag_status,
         "benford_audit": q_benford_audit,
         "revenue_acf": q_revenue_acf,
+        "ivm_join_rollup": q_ivm_join_rollup,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "linear_attribution": q_linear_attribution,
+        "stream_ivm_rollup": q_stream_ivm_rollup,
     }
     out = {name: all_q[name] for name in _R5_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
@@ -8798,6 +8947,42 @@ WHERE qty * 5 * n < sum_qty
 """,
         # arg-max by encoded ts*8+code bigint; RANGE to 1 PRECEDING =
         # strictly-before by timestamp value
+        # linear multi-touch: integer micro-unit shares, remainder to
+        # the latest touch — credit conserves exactly per conversion
+        "linear_attribution": """
+WITH convs AS (
+  SELECT user_id AS u, epoch_us(ts) AS cts, event_id AS cid,
+         CAST(CAST(value AS DECIMAL(18,2)) * 1000000 AS BIGINT) AS vmicro
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id AS tu, epoch_us(ts) AS tts, event_id AS tid, event_type
+  FROM events WHERE event_type IN ('view', 'click')
+),
+pairs AS (
+  SELECT event_type AS touch_type, cid, vmicro, tts, tid
+  FROM convs JOIN touches
+    ON u = tu AND tts < cts AND tts >= cts - 86400000000
+),
+ranked AS (
+  SELECT touch_type, cid, vmicro,
+         count(*) OVER (PARTITION BY cid) AS k,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY tts DESC, tid DESC) AS rn
+  FROM pairs
+),
+credited AS (
+  SELECT touch_type, cid,
+         vmicro // k + CASE WHEN rn = 1 THEN vmicro % k ELSE 0 END AS credit
+  FROM ranked
+)
+SELECT touch_type,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(count(DISTINCT cid) AS BIGINT) AS n_conversions,
+       CAST(sum(credit) AS BIGINT) AS credit_micro,
+       CAST(sum(credit) AS DOUBLE) / 1000000.0 AS credit_value
+FROM credited GROUP BY 1
+""",
         "last_touch_attribution": """
 WITH e AS (
   SELECT user_id, event_type, epoch_us(ts) AS ts_us,
@@ -9933,6 +10118,55 @@ SELECT nn AS n,
               / (CAST(nn AS DOUBLE)
                  * CAST(least(ra - 1, cb - 1) AS DOUBLE))) END AS cramers_v
 FROM q GROUP BY nn, ra, cb
+"""
+    # sorted-neighborhood: rank + range self-join + exact token
+    # Jaccard (the Spark side never builds the range join — the
+    # bucket trick keeps pairs linear)
+    sqls["sorted_neighborhood"] = """
+WITH d AS (
+  SELECT doc_id, substr(lower(text), 1, 24) AS k,
+         list_distinct(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           t -> t <> '')) AS t
+  FROM documents
+),
+r AS (
+  SELECT doc_id, t, row_number() OVER (ORDER BY k, doc_id) - 1 AS rid
+  FROM d
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(b.rid - a.rid AS INT) AS rank_dist,
+         CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS common,
+         CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))
+              AS BIGINT) AS union_size
+  FROM r a JOIN r b ON b.rid > a.rid AND b.rid - a.rid < 5
+)
+SELECT id_a, id_b, rank_dist, common, union_size,
+       CAST(common AS DOUBLE) / CAST(union_size AS DOUBLE) AS jaccard
+FROM p
+"""
+    # streaming join-IVM: same full-recompute oracle as the batch
+    # form — the delta rule must hold across any batch interleaving
+    sqls["stream_ivm_rollup"] = """
+SELECT o_orderpriority,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT)) AS BIGINT) AS sum_v,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+    # join-IVM: the oracle is the FULL recompute — equality is the
+    # two-sided delta rule holding end-to-end
+    sqls["ivm_join_rollup"] = """
+SELECT o_orderpriority,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT)) AS BIGINT) AS sum_v,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
 """
     # Benford audit: first digit from the bigint's string form (exact
     # everywhere); reference probabilities as VARCHAR-parsed literals

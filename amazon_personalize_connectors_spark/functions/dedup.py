@@ -961,3 +961,85 @@ def substring_dedup(
         ),
         F.md5(F.coalesce(F.col("cleaned"), F.lit(""))).alias("clean_md5"),
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 5,
+    key_len: int = 24,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs — the classic SNM blocking
+    strategy, complementing the shingle/MinHash/SimHash buckets: sort
+    the corpus by a cheap blocking key (default: the lowercased text
+    prefix), then compare each record ONLY with its ``window - 1``
+    successors in sort order, so candidates are linear in corpus size
+    regardless of how skewed any one blocking bucket is (SNM's
+    advantage over hash blocking: a hot bucket can't go quadratic —
+    its overflow simply falls outside the neighborhood).
+
+    Scale shape: the global sort rank comes from
+    ``operators/ids.add_contiguous_ids`` (range partition + per-
+    partition offsets — never a single-task global window), and the
+    neighborhood self-join is the band-join trick: each left row
+    duplicates into its own rank bucket ``rid // window`` and the
+    next, the join key is the bucket, and the band predicate
+    ``0 < rid_b - rid_a < window`` prunes inside bucket pairs — every
+    pair appears exactly once (buckets tile the rank axis), and the
+    join fan-out is ≤ 2 rows per record.
+
+    Each candidate is verified inline with the EXACT distinct-token
+    Jaccard (integer intersection/union sizes, ONE double division) —
+    cheap because the pair count is ∝ n·(window−1).
+
+    Returns (id_a, id_b, rank_dist, common, union_size, jaccard)
+    with id_a the earlier record in sort order.
+
+    Ref: Hernández & Stolfo's merge/purge sorted-neighborhood method;
+    reference connector has no near-dup stage (engine addition)."""
+    from amazon_personalize_connectors_spark.functions.text import tokens
+    from amazon_personalize_connectors_spark.operators.ids import (
+        add_contiguous_ids,
+    )
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.substring(F.lower(F.col(text_col)), 1, key_len).alias("_k"),
+        F.array_distinct(tokens(F.col(text_col))).alias("_t"),
+    )
+    ranked = add_contiguous_ids(base, ["_k", "_id"], id_name="_rid")
+    left = ranked.select(
+        F.col("_id").alias("id_a"),
+        F.col("_rid").alias("_ra"),
+        F.col("_t").alias("_ta"),
+        F.explode(
+            F.array(
+                F.expr(f"_rid div {int(window)}"),
+                F.expr(f"_rid div {int(window)}") + 1,
+            )
+        ).alias("_bucket"),
+    )
+    right = ranked.select(
+        F.col("_id").alias("id_b"),
+        F.col("_rid").alias("_rb"),
+        F.col("_t").alias("_tb"),
+        F.expr(f"_rid div {int(window)}").alias("_bucket"),
+    )
+    pairs = left.join(right, "_bucket").where(
+        (F.col("_rb") > F.col("_ra"))
+        & (F.col("_rb") - F.col("_ra") < window)
+    )
+    common = F.size(F.array_intersect("_ta", "_tb")).cast("bigint")
+    na = F.size("_ta").cast("bigint")
+    nb = F.size("_tb").cast("bigint")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (F.col("_rb") - F.col("_ra")).cast("int").alias("rank_dist"),
+        common.alias("common"),
+        (na + nb - common).alias("union_size"),
+        (
+            common.cast("double") / (na + nb - common).cast("double")
+        ).alias("jaccard"),
+    )

@@ -839,3 +839,92 @@ def concentration_gini(
             / (F.col("n") * F.col("total")).cast("double"),
         ).alias("gini"),
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    touch_types: Sequence[str] = ("view", "click"),
+    conversion_type: str = "purchase",
+    window_us: int = 86_400_000_000,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_us_col: str = "ts_us",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution — the
+    every-touch-counts sibling of ``last_touch_attribution``: each
+    conversion's value splits EVENLY across all its touches within
+    the lookback window, rolled up per touch channel.
+
+    Exactness: the conversion value becomes integer MICRO-UNITS of
+    the value column (1e6 per unit — micro-dollars for a dollar
+    value), the
+    per-touch share is one integer division (``div k``), and the
+    division remainder goes to the LATEST touch (largest-remainder
+    completion, latest-touch tie-break on (ts, event_id) — both
+    deterministic), so per-conversion credit sums to the conversion
+    value EXACTLY, no float leakage, and the channel rollup is an
+    associative bigint sum. Law (pytest-pinned): total credited
+    micro-cents == total value of attributed conversions.
+
+    Scale shape: the touch-conversion pair join keys on the USER with
+    the time-band predicate inside the join condition — fan-out is
+    touches-per-window, not touches x conversions; per-conversion k
+    and the latest-touch rank ride windows partitioned by the
+    conversion id (group size = touches per conversion, never a
+    global sort). At warehouse scale feed the pair join through the
+    banded interval machinery (operators/band.py) to bucket the time
+    axis; semantics are unchanged.
+
+    Returns one row per touch channel: (touch_type, n_touches,
+    n_conversions, credit_micro, credit_value)."""
+    ts = F.col(ts_us_col).cast("bigint")
+    convs = events.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("_u"),
+        ts.alias("_cts"),
+        F.col(id_col).cast("bigint").alias("_cid"),
+        (F.col(value_col).cast("decimal(18,2)") * 1_000_000)
+        .cast("bigint")
+        .alias("_vmicro"),
+    )
+    touches = events.where(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col).alias("_tu"),
+        ts.alias("_tts"),
+        F.col(id_col).cast("bigint").alias("_tid"),
+        F.col(type_col).alias("touch_type"),
+    )
+    pairs = convs.join(
+        touches,
+        (F.col("_u") == F.col("_tu"))
+        & (F.col("_tts") < F.col("_cts"))
+        & (F.col("_tts") >= F.col("_cts") - F.lit(window_us)),
+    )
+    wk = Window.partitionBy("_cid")
+    wr = Window.partitionBy("_cid").orderBy(
+        F.col("_tts").desc(), F.col("_tid").desc()
+    )
+    credited = pairs.select(
+        "touch_type",
+        "_cid",
+        "_vmicro",
+        F.count(F.lit(1)).over(wk).alias("_k"),
+        F.row_number().over(wr).alias("_rn"),
+    ).select(
+        "touch_type",
+        "_cid",
+        (
+            F.expr("_vmicro div _k")
+            + F.when(
+                F.col("_rn") == 1, F.expr("_vmicro % _k")
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("_credit"),
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.countDistinct("_cid").cast("bigint").alias("n_conversions"),
+        F.sum("_credit").cast("bigint").alias("credit_micro"),
+        (
+            F.sum("_credit").cast("double") / F.lit(1_000_000.0)
+        ).alias("credit_value"),
+    )

@@ -170,3 +170,66 @@ def retractable_rollup_merge(
         )
     )
     return merged.where(F.col(count_name) > 0)
+
+
+def incremental_join_rollup(
+    base_rollup: DataFrame,
+    base_a: DataFrame,
+    delta_a: DataFrame,
+    base_b: DataFrame,
+    delta_b: DataFrame,
+    a_key: str,
+    b_key: str,
+    group_col: str,
+    value_col: str,
+    sum_name: str = "sum_v",
+    count_name: str = "n_rows",
+) -> DataFrame:
+    """Maintain a grouped (sum, count) rollup over a JOIN under
+    inserts to BOTH sides — classic two-sided incremental view
+    maintenance. The textbook delta rule
+
+        (A ∪ ΔA) ⋈ (B ∪ ΔB)
+            = A⋈B  ∪  ΔA⋈B  ∪  A⋈ΔB  ∪  ΔA⋈ΔB
+
+    means the stored aggregate of A⋈B is never recomputed: the three
+    delta terms are each delta-sized joins (a delta side probing a
+    base side — broadcastable when the tick is small, and the base
+    scans prune to the join/group/value columns), their partial
+    rollups are merged into the stored rollup by ADDITION, and the
+    merge itself touches ∝ groups rows. Law (what the oracle checks
+    end-to-end):
+
+        merge(rollup(A⋈B), delta_terms) == rollup((A∪ΔA)⋈(B∪ΔB))
+
+    ``group_col`` lives on the A side, ``value_col`` on the B side;
+    ``value_col`` must be an exact type (bigint cents / decimal) so
+    partial sums merge associatively — float partials do not. Works
+    for any 2-way partition of each input (the split needs no
+    semantic meaning). Insert-only by design; pair with
+    ``retractable_rollup_merge``'s signed deltas when updates and
+    deletes must retract."""
+    def term(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.select(F.col(a_key).alias("_k"), group_col)
+            .join(
+                b.select(F.col(b_key).alias("_k"), value_col),
+                "_k",
+            )
+            .groupBy(group_col)
+            .agg(
+                F.sum(value_col).alias(sum_name),
+                F.count(F.lit(1)).cast("bigint").alias(count_name),
+            )
+        )
+
+    terms = (
+        term(delta_a, base_b)
+        .unionByName(term(base_a, delta_b))
+        .unionByName(term(delta_a, delta_b))
+        .unionByName(base_rollup.select(group_col, sum_name, count_name))
+    )
+    return terms.groupBy(group_col).agg(
+        F.sum(sum_name).alias(sum_name),
+        F.sum(count_name).cast("bigint").alias(count_name),
+    )

@@ -1,0 +1,154 @@
+"""Streaming two-sided incremental view maintenance: keep a grouped
+join rollup current while BOTH join sides arrive as micro-batches —
+the stream form of ``operators/cdc.py:incremental_join_rollup``.
+
+Each micro-batch may carry a mix of ΔA (dimension-side: key → group)
+and ΔB (fact-side: key → value) rows, tagged by a ``side`` column.
+The delta rule
+
+    (A ∪ ΔA) ⋈ (B ∪ ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+
+means the stored rollup is NEVER recomputed: the three delta terms
+are delta-sized joins against the accumulated opposite-side state,
+and their partial aggregates merge into the rollup by exact bigint
+addition.
+
+Storage discipline (stronger than the drift grid's prev+1 scheme):
+versions are keyed by the **foreachBatch epoch id**, which Spark
+holds stable across retries of the same micro-batch. Version dir
+``v{e}`` holds this epoch's side deltas (``a_delta``/``b_delta`` —
+append cost ∝ the batch, never a state rewrite) plus the full new
+``rollup`` (∝ groups — small by construction). A retried epoch reads
+only versions < e (all immutable) and OVERWRITES its own dir, so the
+fold is idempotent even if the previous attempt had already flipped
+the pointer — the commit order (data dirs, then ``_VERSION`` via
+rename) never exposes a half-written version. Accumulated side state
+is the union of the per-epoch delta dirs; long-running monitors
+should compact them periodically (the ``model_refresh.compact_store``
+precedent) — the LAW is unaffected by when compaction runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_personalize_connectors_spark.operators.cdc import (
+    incremental_join_rollup,
+)
+from amazon_personalize_connectors_spark.streaming.cdc_sink import (
+    _version_file,
+)
+
+_SCHEMA_A = "k long, grp string"
+_SCHEMA_B = "k long, val long"
+_SCHEMA_R = "grp string, sum_v long, n_rows long"
+
+
+def _current_version(store_path: str) -> int | None:
+    vf = _version_file(store_path)
+    if not os.path.exists(vf):
+        return None
+    with open(vf) as f:
+        return int(f.read().strip())
+
+
+def _read_many(
+    spark: SparkSession, schema: str, paths: list[str]
+) -> DataFrame:
+    existing = [p for p in paths if os.path.exists(p)]
+    if not existing:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*existing)
+
+
+def apply_ivm_batch(
+    batch: DataFrame, epoch_id: int, store_path: str
+) -> None:
+    """foreachBatch body: fold one tagged micro-batch (columns
+    ``side`` 'A'|'B', ``key``, ``grp``, ``val``) into the rollup
+    store at ``store_path`` under the delta rule."""
+    spark = batch.sparkSession
+    e = int(epoch_id)
+    vdir = os.path.join(store_path, f"v{e}")
+    da = batch.where(F.col("side") == "A").select(
+        F.col("key").cast("long").alias("k"), "grp"
+    )
+    db = batch.where(F.col("side") == "B").select(
+        F.col("key").cast("long").alias("k"),
+        F.col("val").cast("long").alias("val"),
+    )
+    prior = list(range(e))
+    a_state = _read_many(
+        spark, _SCHEMA_A,
+        [os.path.join(store_path, f"v{i}", "a_delta") for i in prior],
+    )
+    b_state = _read_many(
+        spark, _SCHEMA_B,
+        [os.path.join(store_path, f"v{i}", "b_delta") for i in prior],
+    )
+    rollup = _read_many(
+        spark, _SCHEMA_R,
+        [os.path.join(store_path, f"v{e - 1}", "rollup")] if e > 0 else [],
+    )
+    new_rollup = incremental_join_rollup(
+        rollup, a_state, da, b_state, db,
+        a_key="k", b_key="k", group_col="grp", value_col="val",
+    ).select(
+        "grp",
+        F.col("sum_v").cast("long").alias("sum_v"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+    # materialize BEFORE overwriting: every input version dir is
+    # immutable (< e), so only this epoch's own (retry-overwritable)
+    # dir is ever written
+    da.write.mode("overwrite").parquet(os.path.join(vdir, "a_delta"))
+    db.write.mode("overwrite").parquet(os.path.join(vdir, "b_delta"))
+    new_rollup.write.mode("overwrite").parquet(
+        os.path.join(vdir, "rollup")
+    )
+    cur = _current_version(store_path)
+    if cur is None or e > cur:
+        tmp = _version_file(store_path) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(e))
+        os.replace(tmp, _version_file(store_path))
+
+
+def maintain_from_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    timeout_s: float = 300.0,
+) -> None:
+    """Drain a tagged stream (Trigger.AvailableNow), maintaining the
+    join rollup store one micro-batch at a time."""
+    os.makedirs(store_path, exist_ok=True)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, e: apply_ivm_batch(b, e, store_path)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(f"ivm maintainer still running after {timeout_s}s")
+    finally:
+        if q.isActive:
+            q.stop()
+
+
+def rollup_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """The maintained rollup at the committed version; by the delta
+    rule it must equal a full batch join-rollup over everything
+    drained — the law the oracle checks."""
+    ver = _current_version(store_path)
+    if ver is None:
+        return spark.createDataFrame([], _SCHEMA_R)
+    return spark.read.schema(_SCHEMA_R).parquet(
+        os.path.join(store_path, f"v{ver}", "rollup")
+    )

@@ -227,10 +227,13 @@ BENCH_QUERIES = [
     "chi2_flag_status",
     "benford_audit",
     "revenue_acf",
-    # stream_model_refresh, stream_ks_drift, stream_auc_monitor and
-    # stream_calibration are deliberately NOT benched: each drains 4
-    # micro-batches rewriting a versioned store by design — law-check
-    # queries, not throughput queries.
+    "ivm_join_rollup",
+    "sorted_neighborhood",
+    "linear_attribution",
+    # stream_model_refresh, stream_ks_drift, stream_auc_monitor,
+    # stream_calibration and stream_ivm_rollup are deliberately NOT
+    # benched: each drains 4 micro-batches rewriting a versioned
+    # store by design — law-check queries, not throughput queries.
 ]
 
 

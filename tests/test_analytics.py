@@ -545,3 +545,45 @@ def test_gini_partition_layout_independent(spark):
         got = concentration_gini(df.repartition(p), ["g"], "v").collect()
         outs.append(sorted((r["g"], r["gini_num"], r["gini"]) for r in got))
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_linear_attribution_conserves_value(spark):
+    from pyspark.sql import functions as F
+
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        linear_attribution,
+    )
+
+    US = 1_000_000
+    H = 3600 * US
+    rows = [
+        # user 1: purchase with 3 touches in-window (value 10.01 ->
+        # 10010000 micro-units, k=3: shares 3336666 x3 + rem 2
+        # to the latest touch)
+        (1, 1, "view", 0 * H, 0.0),
+        (2, 1, "click", 1 * H, 0.0),
+        (3, 1, "view", 2 * H, 0.0),
+        (4, 1, "purchase", 3 * H, 10.01),
+        # user 2: touch outside the 24 h window -> no credit at all
+        (5, 2, "view", 0 * H, 0.0),
+        (6, 2, "purchase", 30 * H, 5.00),
+        # user 3: single click touch takes the whole value
+        (7, 3, "click", 40 * H, 0.0),
+        (8, 3, "purchase", 41 * H, 2.50),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+        "ts_us long, value double"
+    )
+    got = {r["touch_type"]: r for r in linear_attribution(ev).collect()}
+
+    # conservation: total credited micro-units == attributed values
+    total = sum(r["credit_micro"] for r in got.values())
+    assert total == 10_010_000 + 2_500_000  # 10.01 + 2.50 in micro-units
+    # user 1 split: 10010000 div 3 = 3336666 rem 2 -> latest view
+    assert got["view"]["credit_micro"] == 3336666 * 2 + 2
+    assert got["click"]["credit_micro"] == 3336666 + 2_500_000
+    assert got["view"]["n_touches"] == 2 and got["click"]["n_touches"] == 2
+    assert got["view"]["n_conversions"] == 1
+    assert got["click"]["n_conversions"] == 2
+    assert got["view"]["credit_value"] == (3336666.0 * 2 + 2) / 1e6

@@ -218,3 +218,54 @@ def test_retractable_rollup_merge_hypothesis_law(spark):
         assert got == want
 
     check()
+
+
+def test_incremental_join_rollup_law(spark):
+    from pyspark.sql import functions as F
+
+    from amazon_personalize_connectors_spark.operators.cdc import (
+        incremental_join_rollup,
+    )
+
+    # arbitrary 2-way partition of each side; groups that exist only
+    # in a delta must appear in the merged rollup
+    a_rows = [(k, f"g{k % 3}") for k in range(40)]
+    b_rows = [(k % 25, (k * 13) % 97) for k in range(200)]
+    a = spark.createDataFrame(a_rows, "ak long, grp string")
+    b = spark.createDataFrame(b_rows, "bk long, v long")
+
+    def rollup(aa, bb):
+        return (
+            aa.join(bb, F.col("ak") == F.col("bk"))
+            .groupBy("grp")
+            .agg(
+                F.sum("v").alias("sum_v"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            )
+        )
+
+    full = {r["grp"]: (r["sum_v"], r["n_rows"]) for r in rollup(a, b).collect()}
+
+    for a_pred, b_pred in [
+        (F.col("ak") < 20, F.col("bk") < 10),   # both sides split
+        (F.lit(True), F.col("bk") % 2 == 0),    # A all-base
+        (F.lit(False), F.lit(False)),           # everything in delta
+    ]:
+        base_a, delta_a = a.where(a_pred), a.where(~a_pred)
+        base_b, delta_b = b.where(b_pred), b.where(~b_pred)
+        merged = incremental_join_rollup(
+            rollup(base_a, base_b),
+            base_a, delta_a, base_b, delta_b,
+            a_key="ak", b_key="bk", group_col="grp", value_col="v",
+        )
+        got = {r["grp"]: (r["sum_v"], r["n_rows"]) for r in merged.collect()}
+        assert got == full
+
+    # empty deltas: merged == base rollup exactly
+    empty_a, empty_b = a.where(F.lit(False)), b.where(F.lit(False))
+    merged = incremental_join_rollup(
+        rollup(a, b), a, empty_a, b, empty_b,
+        a_key="ak", b_key="bk", group_col="grp", value_col="v",
+    )
+    got = {r["grp"]: (r["sum_v"], r["n_rows"]) for r in merged.collect()}
+    assert got == full

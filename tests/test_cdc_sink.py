@@ -245,3 +245,46 @@ def test_drift_grid_quantiles_match_batch(spark, tmp_path):
     for p in (10, 50, 100):
         rank = -(-(n * p) // 100)  # ceil
         assert got[p] == (n, allv[rank - 1]), (p, got[p])
+
+
+def test_stream_ivm_rollup_law_and_retry_idempotent(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from amazon_personalize_connectors_spark.streaming.ivm import (
+        apply_ivm_batch,
+        rollup_from_store,
+    )
+
+    store = str(tmp_path / "ivm-store")
+    schema = "side string, key long, grp string, val long"
+    b0 = spark.createDataFrame(
+        [("A", 1, "g1", None), ("A", 2, "g2", None), ("B", 1, None, 10)],
+        schema,
+    )
+    # epoch 1 brings facts for an EXISTING dim key and a dim row whose
+    # facts arrived EARLIER in the other order... plus a keyless fact
+    b1 = spark.createDataFrame(
+        [("B", 1, None, 5), ("B", 2, None, 7), ("A", 3, "g1", None),
+         ("B", 3, None, 100), ("B", 99, None, 1)],
+        schema,
+    )
+    apply_ivm_batch(b0, 0, store)
+    apply_ivm_batch(b1, 1, store)
+
+    def snap():
+        return {
+            r["grp"]: (r["sum_v"], r["n_rows"])
+            for r in rollup_from_store(spark, store).collect()
+        }
+
+    # law: equals the full batch join-rollup over everything
+    want = {"g1": (10 + 5 + 100, 3), "g2": (7, 1)}
+    assert snap() == want
+    # retry of the last epoch AFTER its pointer flip (the hard case:
+    # Spark replays a batch whose foreachBatch completed but whose
+    # checkpoint commit did not) — fold must not double
+    apply_ivm_batch(b1, 1, store)
+    assert snap() == want
+    # replay of an older epoch rewrites only its own immutable inputs
+    apply_ivm_batch(b0, 0, store)
+    assert snap() == want

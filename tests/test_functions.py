@@ -556,3 +556,54 @@ def test_strip_repeated_segments_removes_boilerplate(spark):
     assert 4 not in out  # fully-boilerplate doc vanishes
     assert out[5]["clean_text"] == "completely original document standing alone"
     assert out[1]["n_segs"] == 2 and out[1]["n_kept"] == 1
+
+
+def test_sorted_neighborhood_bruteforce(spark):
+    import re
+
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    texts = [
+        "alpha beta gamma delta",
+        "alpha beta gamma",
+        "zebra yak xylophone",
+        "alpha beta delta epsilon",
+        "zebra yak walrus",
+        "mango kiwi lime",
+        "mango kiwi lemon lime",
+        "aardvark badger",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    w = 3
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in sorted_neighborhood_pairs(docs, window=w).collect()
+    }
+
+    # brute force: rank by (prefix-24 key, id), neighbors within w
+    order = sorted(range(len(texts)), key=lambda i: (texts[i][:24], i))
+    rid = {doc: r for r, doc in enumerate(order)}
+    want = {}
+    for a in range(len(texts)):
+        for b in range(len(texts)):
+            d = rid[b] - rid[a]
+            if 0 < d < w:
+                ta = set(re.split(r"[^a-z0-9]+", texts[a].lower())) - {""}
+                tb = set(re.split(r"[^a-z0-9]+", texts[b].lower())) - {""}
+                inter, uni = len(ta & tb), len(ta | tb)
+                want[(a, b)] = (d, inter, uni, float(inter) / float(uni))
+    assert set(got) == set(want)
+    for k, (d, inter, uni, j) in want.items():
+        r = got[k]
+        assert (r["rank_dist"], r["common"], r["union_size"]) == (d, inter, uni)
+        assert r["jaccard"] == j
+    # pair count is linear: sum over ranks of min(w-1, n-1-rank)
+    n = len(texts)
+    assert len(got) == sum(min(w - 1, n - 1 - i) for i in range(n))
+    # the two adjacent-in-sort near-dup families actually pair up
+    # (orientation follows sort order: shorter prefix sorts first)
+    assert got[(1, 0)]["jaccard"] >= 0.5 and got[(6, 5)]["jaccard"] >= 0.5
