@@ -5702,6 +5702,61 @@ def q_ipw_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ipw_weighted_ratio(joined, "pop", "n_hits", "n_recs")
 
 
+def q_bitemporal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of report (operators/history.py
+    bitemporal_asof_join): orders double as a two-axis changelog —
+    valid time = the order date, transaction time = valid +
+    (orderkey % 7) days (assertions arrive up to a week late). Each
+    finished order asks "as KNOWN ten days after the order date, what
+    was the latest priority EFFECTIVE at the order date" — a late
+    correction (higher tx, same valid) wins; anything learned after
+    T=+10d cannot leak in. The (valid, tx) argmax is ONE exact
+    decimal(38,0) max (valid*10^19 + tx packs the lexicographic
+    order); DuckDB mirrors it in HUGEINT, so both engines pick the
+    identical record. Report: per picked priority, fact count and the
+    exact integer sum of assertion lag in days."""
+    from amazon_personalize_connectors_spark.operators.history import (
+        bitemporal_asof_join,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    # epoch DAYS, not micros: o_orderdate is TIMESTAMP_NTZ, and a
+    # timestamp cast would drag session-timezone semantics into the
+    # oracle comparison — datediff from the epoch is timezone-free
+    day = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    log = orders.select(
+        F.col("o_custkey").alias("cust"),
+        day.alias("lv"),
+        (day + (F.col("o_orderkey") % 7).cast("bigint")).alias("ltx"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    facts = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("fid"),
+        day.alias("fv"),
+        (day + F.lit(10).cast("bigint")).alias("ft"),
+    )
+    picked = bitemporal_asof_join(
+        facts,
+        log,
+        ["cust"],
+        fact_id_col="fid",
+        fact_tx_col="ft",
+        fact_valid_col="fv",
+        log_tx_col="ltx",
+        log_valid_col="lv",
+        attr_cols=["prio"],
+    )
+    return picked.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_facts"),
+        F.sum(F.col("picked_tx") - F.col("picked_valid"))
+        .cast("bigint")
+        .alias("sum_lag_days"),
+    )
+
+
 # Driver verification window: the driver oracle-checks the FIRST 50
 # entries of queries() in dict order; queries() reorders the full
 # registry so this list comes first. Round-5 rotation (ledger:
@@ -6038,6 +6093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         "linear_attribution": q_linear_attribution,
         "stream_ivm_rollup": q_stream_ivm_rollup,
+        "bitemporal_report": q_bitemporal_report,
     }
     out = {name: all_q[name] for name in _R5_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
@@ -10480,6 +10536,39 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
          CAST(sum(n_hits) AS DOUBLE) / CAST(sum(n_recs) AS DOUBLE)
        END AS raw_ratio
 FROM w
+"""
+    # bitemporal as-of: HUGEINT mirrors the decimal(38,0) (valid, tx)
+    # packing — both engines argmax the identical encoded key
+    sqls["bitemporal_report"] = """
+WITH log AS (
+  SELECT o_custkey AS cust,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS lv,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           + (o_orderkey % 7) AS ltx,
+         o_orderpriority AS prio
+  FROM orders
+),
+facts AS (
+  SELECT o_custkey AS cust, o_orderkey AS fid,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS fv,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 10 AS ft
+  FROM orders WHERE o_orderstatus = 'F'
+),
+cands AS (
+  SELECT f.fid, l.prio, l.lv, l.ltx,
+         CAST(l.lv AS HUGEINT) * CAST('10000000000000000000' AS HUGEINT)
+           + CAST(l.ltx AS HUGEINT) AS enc
+  FROM facts f JOIN log l
+    ON f.cust = l.cust AND l.ltx <= f.ft AND l.lv <= f.fv
+),
+best AS (SELECT fid, max(enc) AS b FROM cands GROUP BY fid),
+picked AS (
+  SELECT c.prio, c.lv, c.ltx
+  FROM cands c JOIN best ON c.fid = best.fid AND c.enc = best.b
+)
+SELECT prio, CAST(count(*) AS BIGINT) AS n_facts,
+       CAST(sum(ltx - lv) AS BIGINT) AS sum_lag_days
+FROM picked GROUP BY 1
 """
     # the materialized-shingle Jaccard is result-identical to the
     # recompute form — same oracle pins both physical strategies

@@ -140,3 +140,99 @@ def pit_join(
         & (facts[ts_col] < scd2["valid_to"])
     )
     return facts.join(scd2, cond, how).drop(*[scd2[k] for k in key_cols])
+
+
+def bitemporal_asof_join(
+    facts: DataFrame,
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    fact_id_col: str,
+    fact_tx_col: str,
+    fact_valid_col: str,
+    log_tx_col: str,
+    log_valid_col: str,
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """Bitemporal as-of join — "what did we KNOW at transaction time
+    T about the state EFFECTIVE at valid time V": for each fact row
+    carrying its own (T, V) pair, pick the changelog record with
+
+        tx <= T  AND  valid <= V,   maximizing (valid, tx)
+
+    i.e. the latest-effective assertion among those already learned,
+    with later corrections (same valid, higher tx) winning. This is
+    time travel that respects late-arriving corrections: a
+    restatement learned AFTER T cannot leak into a report as-of T.
+
+    The two-axis argmax is ONE exact aggregate: both timestamps are
+    non-negative epoch-microsecond bigints (< 10^19), so
+    ``enc = valid · 10^19 + tx`` packs the lexicographic (valid, tx)
+    order into a single decimal(38,0) — max(enc) is exact, decode is
+    integer div/mod, and DuckDB mirrors it in HUGEINT, so both
+    engines pick the identical record with no struct-ordering
+    semantics in play. Attributes come back via an equi-join on
+    (fact id, enc) — the candidate set is fact rows × per-key
+    changelog length, bounded by dimension churn, never fact × fact.
+
+    Facts with no qualifying record drop out (inner semantics — the
+    caller left-joins the result back if absent keys must survive).
+
+    Returns (*key_cols, fact_id, picked_valid, picked_tx,
+    *attr_cols)."""
+    d = "decimal(38,0)"
+    # 10^19 exceeds int64 — route the literal through a string cast
+    scale = F.lit("10000000000000000000").cast(d)
+    enc = (
+        F.col(log_valid_col).cast(d) * scale
+        + F.col(log_tx_col).cast(d)
+    ).cast(d)
+    cands = facts.select(
+        *key_cols,
+        F.col(fact_id_col).alias("_fid"),
+        F.col(fact_tx_col).cast("bigint").alias("_t"),
+        F.col(fact_valid_col).cast("bigint").alias("_v"),
+    ).join(
+        changelog.select(
+            *[F.col(c).alias(f"_k_{c}") for c in key_cols],
+            F.col(log_tx_col).cast("bigint").alias("_ltx"),
+            F.col(log_valid_col).cast("bigint").alias("_lv"),
+            *attr_cols,
+        ),
+        [F.col(k) == F.col(f"_k_{k}") for k in key_cols]
+        + [
+            F.col("_ltx") <= F.col("_t"),
+            F.col("_lv") <= F.col("_v"),
+        ],
+    ).select(
+        *key_cols,
+        "_fid",
+        (
+            F.col("_lv").cast(d) * scale + F.col("_ltx").cast(d)
+        ).cast(d).alias("_enc"),
+        "_ltx",
+        "_lv",
+        *attr_cols,
+    )
+    # rename the grouped key: best derives from cands, so joining on
+    # cands["_fid"] == best["_fid"] resolves both sides to the SAME
+    # attribute (Spark warns "trivially true predicate") and the join
+    # would silently degrade to enc-only matching
+    best = (
+        cands.groupBy("_fid")
+        .agg(F.max("_enc").alias("_best"))
+        .withColumnRenamed("_fid", "_best_fid")
+    )
+    return (
+        cands.join(
+            best,
+            (F.col("_fid") == F.col("_best_fid"))
+            & (F.col("_enc") == F.col("_best")),
+        )
+        .select(
+            *key_cols,
+            F.col("_fid").alias("fact_id"),
+            F.col("_lv").alias("picked_valid"),
+            F.col("_ltx").alias("picked_tx"),
+            *attr_cols,
+        )
+    )

@@ -587,3 +587,36 @@ def test_linear_attribution_conserves_value(spark):
     assert got["view"]["n_conversions"] == 1
     assert got["click"]["n_conversions"] == 2
     assert got["view"]["credit_value"] == (3336666.0 * 2 + 2) / 1e6
+
+
+def test_bitemporal_asof_late_correction_cannot_leak(spark):
+    from amazon_personalize_connectors_spark.operators.history import (
+        bitemporal_asof_join,
+    )
+
+    # changelog for key k=1: assertion 'a' effective v=1 learned tx=1,
+    # correction 'b' (same v=1) learned tx=5, new state 'c' v=3 tx=3
+    log = spark.createDataFrame(
+        [(1, 1, 1, "a"), (1, 5, 1, "b"), (1, 3, 3, "c")],
+        "k long, tx long, v long, attr string",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, 100, 2, 10),  # as known at T=2: only 'a' exists yet
+            (1, 101, 6, 10),  # knows everything; latest effective -> 'c'
+            (1, 102, 6, 2),   # effective<=2: correction 'b' beats 'a'
+            (1, 103, 0, 0),   # nothing known/effective -> dropped
+        ],
+        "k long, fid long, ft long, fv long",
+    )
+    got = {
+        r["fact_id"]: (r["attr"], r["picked_valid"], r["picked_tx"])
+        for r in bitemporal_asof_join(
+            facts, log, ["k"], "fid", "ft", "fv", "tx", "v", ["attr"]
+        ).collect()
+    }
+    assert got == {
+        100: ("a", 1, 1),
+        101: ("c", 3, 3),
+        102: ("b", 1, 5),
+    }
