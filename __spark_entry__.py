@@ -5702,6 +5702,33 @@ def q_ipw_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ipw_weighted_ratio(joined, "pop", "n_hits", "n_recs")
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift check (operators/features.py
+    psi_drift): returned vs non-returned line-item prices in
+    $1000-wide bins — the industry drift score beside the KS sup
+    (ks_drift) and total-variation (tv_drift) over the SAME
+    populations. Shared-support bins carry the quantized-bigint PSI
+    sum (chi2 pattern — layout-independent); one-sided bins come
+    back as exact integer mass numerators, not a smoothing fudge."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        psi_drift,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " DIV 100000 AS BIGINT)"
+        ).alias("bin"),
+        "l_returnflag",
+    )
+    return psi_drift(
+        li,
+        "bin",
+        F.col("l_returnflag") == "R",
+        F.col("l_returnflag") != "R",
+    )
+
+
 def q_bitemporal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitemporal as-of report (operators/history.py
     bitemporal_asof_join): orders double as a two-axis changelog —
@@ -6094,6 +6121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_attribution": q_linear_attribution,
         "stream_ivm_rollup": q_stream_ivm_rollup,
         "bitemporal_report": q_bitemporal_report,
+        "psi_drift": q_psi_drift,
     }
     out = {name: all_q[name] for name in _R5_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
@@ -10536,6 +10564,46 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
          CAST(sum(n_hits) AS DOUBLE) / CAST(sum(n_recs) AS DOUBLE)
        END AS raw_ratio
 FROM w
+"""
+    # PSI: identical fixed IEEE tree ((diff/(na*nb)) * ln * scale,
+    # floored) over exact HUGEINT cross-products — quanta sum exactly
+    sqls["psi_drift"] = """
+WITH li AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           // 100000 AS bin,
+         l_returnflag = 'R' AS ia
+  FROM lineitem
+),
+cells AS (
+  SELECT bin,
+         sum(CASE WHEN ia THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN NOT ia THEN 1 ELSE 0 END) AS b
+  FROM li GROUP BY bin
+),
+tot AS (SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b
+        FROM cells),
+g AS (
+  SELECT a, b, n_a, n_b,
+         CASE WHEN a > 0 AND b > 0 THEN
+           CAST(floor(
+             (CAST(CAST(a AS HUGEINT) * n_b - CAST(b AS HUGEINT) * n_a
+                   AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+             * ln((CAST(a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                  / (CAST(b AS DOUBLE) * CAST(n_a AS DOUBLE)))
+             * 1000000000.0) AS BIGINT)
+         ELSE 0 END AS q,
+         CASE WHEN a > 0 AND b > 0 THEN 1 ELSE 0 END AS sh,
+         CASE WHEN b = 0 THEN a ELSE 0 END AS oa,
+         CASE WHEN a = 0 THEN b ELSE 0 END AS ob
+  FROM cells, tot
+)
+SELECT n_a, n_b,
+       CAST(sum(sh) AS BIGINT) AS n_bins_shared,
+       CAST(sum(q) AS DOUBLE) / 1000000000.0 AS psi,
+       CAST(sum(oa) AS BIGINT) AS only_a_num,
+       CAST(sum(ob) AS BIGINT) AS only_b_num
+FROM g GROUP BY n_a, n_b
 """
     # bitemporal as-of: HUGEINT mirrors the decimal(38,0) (valid, tx)
     # packing — both engines argmax the identical encoded key

@@ -644,3 +644,93 @@ def chi2_independence(
             ).alias("cramers_v"),
         )
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    bin_col: str,
+    in_a: Column,
+    in_b: Column,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Population Stability Index between the distributions of a
+    PRE-BINNED column in subpopulations A and B — the industry drift
+    score that complements the KS sup (worst CDF gap) and TV (total
+    mass moved) over the same populations:
+
+        PSI = Σ_bins (p_A − p_B) · ln(p_A / p_B)
+
+    Bins with mass on only one side make the log blow up; instead of
+    an arbitrary smoothing epsilon (which would bury a determinism
+    landmine in a tunable), the shared-support bins carry the PSI sum
+    and the one-sided mass comes back as EXACT integer numerators
+    (only_a_num/n_a, only_b_num/n_b) for the caller to judge — no
+    information is lost and nothing is fudged.
+
+    Determinism: per-bin counts are exact bigints; the cross-product
+    difference a·n_b − b·n_a is formed exactly in decimal(38,0)
+    (counts can exceed 2^31 at warehouse scale, so the product needs
+    38 digits); each bin's double term rides a FIXED IEEE tree
+    ((diff/ (n_a·n_b)) · ln((a·n_b)/(b·n_a))) and is QUANTIZED —
+    floor(term·scale) — so the shuffle sums exact bigint quanta
+    (associative, layout-independent): the chi2_independence pattern.
+    Every term is ≥ 0 ((p_A−p_B) and ln(p_A/p_B) share sign), so the
+    quantization understates PSI by < n_bins/scale. One aggregate
+    over the (bin, a, b) grid; the grid is map-side combinable and
+    bounded by the bin domain, never data-sized.
+
+    Output ONE row: (n_a, n_b, n_bins_shared, psi, only_a_num,
+    only_b_num)."""
+    d = "decimal(38,0)"
+    cells = df.groupBy(F.col(bin_col).alias("_bin")).agg(
+        F.sum(in_a.cast("long")).alias("_a"),
+        F.sum(in_b.cast("long")).alias("_b"),
+    )
+    tot = cells.agg(
+        F.sum("_a").cast("bigint").alias("n_a"),
+        F.sum("_b").cast("bigint").alias("n_b"),
+    )
+    g = cells.crossJoin(F.broadcast(tot))
+    diff = (
+        F.col("_a").cast(d) * F.col("n_b").cast(d)
+        - F.col("_b").cast(d) * F.col("n_a").cast(d)
+    ).cast(d)
+    lr = F.log(
+        (F.col("_a").cast("double") * F.col("n_b").cast("double"))
+        / (F.col("_b").cast("double") * F.col("n_a").cast("double"))
+    )
+    term = (
+        diff.cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    ) * lr
+    shared = (F.col("_a") > 0) & (F.col("_b") > 0)
+    q = F.when(
+        shared, F.floor(term * F.lit(float(scale))).cast("bigint")
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        g.select(
+            "n_a",
+            "n_b",
+            q.alias("_q"),
+            shared.cast("long").alias("_sh"),
+            F.when(F.col("_b") == 0, F.col("_a")).otherwise(0).alias("_oa"),
+            F.when(F.col("_a") == 0, F.col("_b")).otherwise(0).alias("_ob"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.sum("_q").cast("bigint").alias("_psi_q"),
+            F.sum("_sh").cast("bigint").alias("n_bins_shared"),
+            F.sum("_oa").cast("bigint").alias("only_a_num"),
+            F.sum("_ob").cast("bigint").alias("only_b_num"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "n_bins_shared",
+            (F.col("_psi_q").cast("double") / F.lit(float(scale))).alias(
+                "psi"
+            ),
+            "only_a_num",
+            "only_b_num",
+        )
+    )

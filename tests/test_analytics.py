@@ -620,3 +620,29 @@ def test_bitemporal_asof_late_correction_cannot_leak(spark):
         101: ("c", 3, 3),
         102: ("b", 1, 5),
     }
+
+
+def test_psi_drift_matches_hand_computation(spark):
+    import math
+
+    from amazon_personalize_connectors_spark.operators.features import (
+        psi_drift,
+    )
+
+    # A: bin1 x3, bin2 x1; B: bin1 x1, bin2 x3; bin3 only in A
+    rows = (
+        [(1, "a")] * 3 + [(2, "a")] + [(3, "a")] * 2
+        + [(1, "b")] + [(2, "b")] * 3
+    )
+    df = spark.createDataFrame(rows, "bin long, side string")
+    got = psi_drift(
+        df, "bin", F.col("side") == "a", F.col("side") == "b"
+    ).collect()[0]
+    assert (got["n_a"], got["n_b"]) == (6, 4)
+    assert got["n_bins_shared"] == 2
+    assert (got["only_a_num"], got["only_b_num"]) == (2, 0)
+    expect = sum(
+        (pa - pb) * math.log(pa / pb)
+        for pa, pb in [(3 / 6, 1 / 4), (1 / 6, 3 / 4)]
+    )
+    assert abs(got["psi"] - expect) < 1e-8
