@@ -5702,6 +5702,34 @@ def q_ipw_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ipw_weighted_ratio(joined, "pop", "n_hits", "n_recs")
 
 
+def q_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (operators/analytics.py skyline_2d):
+    largest part size at the lowest retail price — points where size
+    cannot be raised without paying more. Raw parts collapse to the
+    (size, cents) cell grid in one map-side-combinable pass; only the
+    |size-domain| grid (50 values) rides the ordered running-min
+    window. The oracle is an INDEPENDENT formulation (NOT EXISTS
+    dominance over the per-size minima) — two different algorithms
+    must agree on the exact frontier."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        skyline_2d,
+    )
+
+    part = synthetic.load_table(spark, sf_dir, "part")
+    pts = part.select(
+        F.col("p_size").cast("bigint").alias("size"),
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return skyline_2d(pts, "size", "cents").select(
+        F.col("x").alias("size"),
+        F.col("y").alias("min_cents"),
+        "n_at_point",
+        "n_at_x",
+    )
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index drift check (operators/features.py
     psi_drift): returned vs non-returned line-item prices in
@@ -6122,6 +6150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ivm_rollup": q_stream_ivm_rollup,
         "bitemporal_report": q_bitemporal_report,
         "psi_drift": q_psi_drift,
+        "pareto_skyline": q_pareto_skyline,
     }
     out = {name: all_q[name] for name in _R5_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
@@ -10564,6 +10593,33 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
          CAST(sum(n_hits) AS DOUBLE) / CAST(sum(n_recs) AS DOUBLE)
        END AS raw_ratio
 FROM w
+"""
+    # skyline: independent NOT-EXISTS dominance formulation — must
+    # agree exactly with the running-min-window implementation
+    sqls["pareto_skyline"] = """
+WITH pts AS (
+  SELECT CAST(p_size AS BIGINT) AS size,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM part
+),
+cells AS (
+  SELECT size, cents, CAST(count(*) AS BIGINT) AS n_at_point
+  FROM pts GROUP BY size, cents
+),
+cand AS (
+  SELECT p.size, p.min_cents, c.n_at_point, p.n_at_x
+  FROM (
+    SELECT size, min(cents) AS min_cents,
+           CAST(sum(n_at_point) AS BIGINT) AS n_at_x
+    FROM cells GROUP BY size
+  ) p JOIN cells c ON p.size = c.size AND p.min_cents = c.cents
+)
+SELECT size, min_cents, n_at_point, n_at_x
+FROM cand c
+WHERE NOT EXISTS (
+  SELECT 1 FROM cand d
+  WHERE d.size > c.size AND d.min_cents <= c.min_cents
+)
 """
     # PSI: identical fixed IEEE tree ((diff/(na*nb)) * ln * scale,
     # floored) over exact HUGEINT cross-products — quanta sum exactly

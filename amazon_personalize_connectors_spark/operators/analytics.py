@@ -928,3 +928,55 @@ def linear_attribution(
             F.sum("_credit").cast("double") / F.lit(1_000_000.0)
         ).alias("credit_value"),
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    max_col: str,
+    min_col: str,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): the points where ``max_col``
+    cannot be raised without raising ``min_col`` — "biggest size at
+    the lowest price". A point (x, y) is dominated when some other
+    point has x' ≥ x and y' ≤ y with at least one strict; the
+    frontier is what survives.
+
+    Scale shape: the raw rows collapse FIRST to the per-x grid
+    (groupBy x → min y + count + tiebreak count), which is map-side
+    combinable and bounded by |distinct x| — the domain of the
+    maximize axis, never the data. Only the grid rides the one
+    ordered window (running strict-min of y over larger x), so the
+    single-task sort touches |domain| rows; for dimension-like axes
+    (size, rating, tier) that is O(100). A data-sized x would make
+    the grid data-sized — the caller buckets first (same contract as
+    histogram_quantiles).
+
+    Frontier membership off the grid: keep (x, min_y) iff
+    min_y < min over all strictly-larger x — equality loses because
+    the larger-x point dominates with x strict. Counts: n_at_point =
+    rows achieving (x, min_y); n_at_x = all rows at x.
+
+    Returns (x, y, n_at_point, n_at_x) sorted ascending by x."""
+    x, y = F.col(max_col), F.col(min_col)
+    # ONE scan: raw rows collapse to the (x, y) cell grid; both the
+    # per-x minimum and the row totals derive from grid-sized work
+    cells = df.groupBy(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_at_point")
+    )
+    grid = cells.groupBy("x").agg(
+        F.min("y").alias("y"),
+        F.sum("n_at_point").cast("bigint").alias("n_at_x"),
+    ).join(cells, ["x", "y"])
+    w = (
+        Window.orderBy(F.col("x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        grid.withColumn("_best_larger", F.min("y").over(w))
+        .where(
+            F.col("_best_larger").isNull()
+            | (F.col("y") < F.col("_best_larger"))
+        )
+        .select("x", "y", "n_at_point", "n_at_x")
+        .orderBy("x")
+    )

@@ -646,3 +646,30 @@ def test_psi_drift_matches_hand_computation(spark):
         for pa, pb in [(3 / 6, 1 / 4), (1 / 6, 3 / 4)]
     )
     assert abs(got["psi"] - expect) < 1e-8
+
+
+def test_skyline_2d_exact_frontier(spark):
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        skyline_2d,
+    )
+
+    # (x=1,y=5) dominated by (2,5)? equal y, larger x -> yes.
+    # (2,5) dominated by (3,7)? y larger -> no. Frontier: (2,5),(3,7)?
+    # (3,7) has larger x but higher y -> both survive... y is MINIMIZED:
+    # (3,7) not dominated (nothing with x>=3 and y<=7 other than itself);
+    # (2,5): x'=3 has y'=7 > 5 -> survives. (1,4): x'=2 min y 5 > 4 ->
+    # survives. (1,5)-cell absorbed into n_at_x of x=1.
+    df = spark.createDataFrame(
+        [(1, 4), (1, 5), (2, 5), (2, 5), (2, 9), (3, 7)],
+        "x long, y long",
+    )
+    got = [
+        (r["x"], r["y"], r["n_at_point"], r["n_at_x"])
+        for r in skyline_2d(df, "x", "y").collect()
+    ]
+    assert got == [(1, 4, 1, 2), (2, 5, 2, 3), (3, 7, 1, 1)]
+
+    # equality on the minimize axis loses to the larger x
+    df2 = spark.createDataFrame([(1, 5), (2, 5)], "x long, y long")
+    got2 = [(r["x"], r["y"]) for r in skyline_2d(df2, "x", "y").collect()]
+    assert got2 == [(2, 5)]
