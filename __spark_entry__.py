@@ -9147,7 +9147,7 @@ win AS (
   WINDOW w AS (ORDER BY datediff('day', DATE '1970-01-01', day)
                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 ),
-r AS (SELECT day, v, 7 * v - s AS residual FROM win WHERE n = 7),
+r AS (SELECT day, v, CAST(7 * v - s AS BIGINT) AS residual FROM win WHERE n = 7),
 grid AS (SELECT abs(residual) AS a, count(*) AS c FROM r GROUP BY 1),
 g2 AS (
   SELECT a, sum(c) OVER (ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING

@@ -16,10 +16,15 @@ identical to the batch operator: running totals over the grid, one
 integer sup, one division.
 
 Storage uses the cdc_sink pointer-flip discipline (versioned parquet,
-``_VERSION`` flips last): a retried batch re-reads the previous
-version and overwrites its own version directory idempotently —
-counts are never double-folded (test-pinned, same argument as
-model_refresh).
+``_VERSION`` flips last) with **epoch-keyed folds** (streaming/
+epoch_store.py): each version records the foreachBatch epoch that
+produced it and the version it read its prior state from, so a
+replayed epoch — including the hard case, replay AFTER the pointer
+flip when the checkpoint commit was lost — re-reads the same
+immutable prior and overwrites its own version directory. Counts are
+never double-folded (test-pinned for both the pre-flip and post-flip
+retry), and an epoch behind the last applied one (a fresh checkpoint
+pointed at an old store) is refused instead of corrupting state.
 """
 
 from __future__ import annotations
@@ -32,19 +37,13 @@ from pyspark.sql import functions as F
 from amazon_personalize_connectors_spark.operators.ids import (
     add_running_totals,
 )
-from amazon_personalize_connectors_spark.streaming.cdc_sink import (
-    _version_file,
+from amazon_personalize_connectors_spark.streaming.epoch_store import (
+    commit_version,
+    current_version as _current_version,
+    plan_fold,
 )
 
 _GRID_SCHEMA = "v long, a long, b long"
-
-
-def _current_version(store_path: str) -> int | None:
-    vf = _version_file(store_path)
-    if not os.path.exists(vf):
-        return None
-    with open(vf) as f:
-        return int(f.read().strip())
 
 
 def read_grid(spark: SparkSession, store_path: str) -> DataFrame:
@@ -59,23 +58,25 @@ def read_grid(spark: SparkSession, store_path: str) -> DataFrame:
 
 
 def apply_grid_batch(
-    batch: DataFrame, store_path: str, value_col: str, in_a, in_b
+    batch: DataFrame, epoch_id: int, store_path: str, value_col: str, in_a, in_b
 ) -> None:
     """foreachBatch body: fold one micro-batch's per-value counts into
     the grid store. ``in_a`` / ``in_b`` are Column predicates naming
-    the two populations (a row may match either, both, or neither)."""
+    the two populations (a row may match either, both, or neither).
+    ``epoch_id`` keys the fold (epoch_store.plan_fold): a replayed
+    epoch overwrites its own version from the same prior, even after
+    the pointer flip."""
     spark = batch.sparkSession
     delta = batch.groupBy(F.col(value_col).cast("long").alias("v")).agg(
         F.sum(in_a.cast("long")).alias("a"),
         F.sum(in_b.cast("long")).alias("b"),
     )
-    prev = _current_version(store_path)
-    version = 0 if prev is None else prev + 1
-    if prev is None:
+    version, prior, _meta = plan_fold(store_path, epoch_id)
+    if prior is None:
         merged = delta
     else:
         current = spark.read.schema(_GRID_SCHEMA).parquet(
-            os.path.join(store_path, f"v{prev}")
+            os.path.join(store_path, f"v{prior}")
         )
         merged = (
             current.unionByName(delta)
@@ -88,10 +89,7 @@ def apply_grid_batch(
     merged.write.mode("overwrite").parquet(
         os.path.join(store_path, f"v{version}")
     )
-    tmp = _version_file(store_path) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, _version_file(store_path))
+    commit_version(store_path, version, int(epoch_id), prior, int(epoch_id))
 
 
 def monitor_from_stream(
@@ -108,7 +106,7 @@ def monitor_from_stream(
     os.makedirs(store_path, exist_ok=True)
     q = (
         stream.writeStream.foreachBatch(
-            lambda b, _e: apply_grid_batch(b, store_path, value_col, in_a, in_b)
+            lambda b, e: apply_grid_batch(b, e, store_path, value_col, in_a, in_b)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -1,0 +1,128 @@
+"""Epoch-aware commit bookkeeping for pointer-flip stores.
+
+foreachBatch delivery is at-least-once, and the dangerous replay is
+the one AFTER the pointer flip: Spark re-runs a micro-batch whose
+``foreachBatch`` body completed (data written, ``_VERSION`` flipped)
+but whose checkpoint commit did not. A store that derives the next
+version as ``pointer + 1`` folds the replayed delta on top of
+already-folded state and double-counts.
+
+The fix (the scheme ``streaming/ivm.py`` pioneered) is to key the
+fold on the **epoch id**, which Spark holds stable across retries of
+the same micro-batch. Each version directory carries a ``_META.json``
+sidecar::
+
+    {"epoch": <epoch that produced it, or null for compaction>,
+     "prev": <version this fold read its prior state from, or null>,
+     "last_epoch": <last stream epoch applied anywhere in the chain>}
+
+``plan_fold`` classifies an incoming epoch against the committed
+meta:
+
+* ``e == last_epoch``  → **retry after flip**: overwrite the
+  committed version's own directory, re-reading prior state from its
+  recorded ``prev`` (immutable — committed by an earlier epoch), so
+  the fold is idempotent no matter how many times it replays.
+* ``e > last_epoch``   → normal advance: prior state is the committed
+  version, the fold writes ``committed + 1``. Gaps are legal (an
+  empty micro-batch may consume an epoch without folding).
+* ``e < last_epoch``   → **refused** (ValueError). Within one
+  checkpoint Spark never replays an epoch behind the committed one;
+  seeing it means a FRESH checkpoint was pointed at an existing store
+  — its epoch 0 carries different data than the original epoch 0,
+  and folding it would silently corrupt the accumulated state
+  (ADVICE r5: the ivm dense-epoch assumption). The caller must use a
+  new store (or compact + move) when restarting a stream from
+  scratch.
+
+Version numbers are a plain chain (``committed + 1``) rather than the
+epoch itself so that non-epoch writers — ``model_refresh.
+compact_store`` — can insert versions (``epoch: null``) without ever
+colliding with a future epoch's directory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from amazon_personalize_connectors_spark.streaming.cdc_sink import (
+    _version_file,
+)
+
+
+def current_version(store_path: str) -> int | None:
+    vf = _version_file(store_path)
+    if not os.path.exists(vf):
+        return None
+    with open(vf) as f:
+        return int(f.read().strip())
+
+
+def _meta_path(store_path: str, version: int) -> str:
+    return os.path.join(store_path, f"v{version}", "_META.json")
+
+
+def read_meta(store_path: str, version: int | None) -> dict:
+    """Meta of a version dir; legacy dirs without a sidecar read as an
+    unconstrained fold (``last_epoch`` None accepts any next epoch)."""
+    if version is None:
+        return {"epoch": None, "prev": None, "last_epoch": None}
+    p = _meta_path(store_path, version)
+    if not os.path.exists(p):
+        return {"epoch": None, "prev": version - 1 if version > 0 else None,
+                "last_epoch": None}
+    with open(p) as f:
+        return json.load(f)
+
+
+def plan_fold(store_path: str, epoch_id: int) -> tuple[int, int | None, dict]:
+    """Classify ``epoch_id`` against the committed state and return
+    ``(write_version, prior_version, committed_meta)``.
+
+    Raises ValueError when the epoch is behind the last applied one
+    (fresh-checkpoint-against-old-store corruption guard)."""
+    e = int(epoch_id)
+    cur = current_version(store_path)
+    meta = read_meta(store_path, cur)
+    last = meta["last_epoch"]
+    if cur is None:
+        return 0, None, meta
+    if last is None:  # legacy store — cannot distinguish retry; advance
+        return cur + 1, cur, meta
+    if e == last:
+        return cur, meta["prev"], meta
+    if e > last:
+        return cur + 1, cur, meta
+    raise ValueError(
+        f"epoch {e} is behind the store's last applied epoch {last} "
+        f"(store {store_path!r}): a fresh streaming checkpoint cannot "
+        f"be pointed at an existing store — its replayed epochs carry "
+        f"different data and would silently corrupt accumulated state. "
+        f"Use a new store path (or compact and relocate) when "
+        f"restarting the stream from scratch."
+    )
+
+
+def commit_version(
+    store_path: str,
+    version: int,
+    epoch_id: int | None,
+    prior_version: int | None,
+    last_epoch: int | None,
+) -> None:
+    """Write the version's ``_META.json`` then flip ``_VERSION`` via
+    atomic rename (meta before pointer: a crash between the two leaves
+    the old version authoritative and the new directory inert)."""
+    os.makedirs(os.path.join(store_path, f"v{version}"), exist_ok=True)
+    tmp_m = _meta_path(store_path, version) + ".tmp"
+    with open(tmp_m, "w") as f:
+        json.dump(
+            {"epoch": epoch_id, "prev": prior_version, "last_epoch": last_epoch},
+            f,
+        )
+    os.replace(tmp_m, _meta_path(store_path, version))
+    tmp = _version_file(store_path) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _version_file(store_path))

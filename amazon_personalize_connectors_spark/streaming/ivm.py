@@ -13,7 +13,8 @@ are delta-sized joins against the accumulated opposite-side state,
 and their partial aggregates merge into the rollup by exact bigint
 addition.
 
-Storage discipline (stronger than the drift grid's prev+1 scheme):
+Storage discipline (the epoch-keyed scheme the grid monitors now
+share via streaming/epoch_store.py):
 versions are keyed by the **foreachBatch epoch id**, which Spark
 holds stable across retries of the same micro-batch. Version dir
 ``v{e}`` holds this epoch's side deltas (``a_delta``/``b_delta`` —
@@ -72,6 +73,19 @@ def apply_ivm_batch(
     store at ``store_path`` under the delta rule."""
     spark = batch.sparkSession
     e = int(epoch_id)
+    cur = _current_version(store_path)
+    if cur is not None and e < cur:
+        # within one checkpoint Spark never replays an epoch behind the
+        # committed one; seeing it means a FRESH checkpoint (epochs
+        # restarting at 0) was pointed at this store — folding would
+        # overwrite v{e}'s immutable deltas with different data while
+        # leaving the rollup built from the originals (silent reset)
+        raise ValueError(
+            f"epoch {e} is behind the store's committed epoch {cur} "
+            f"(store {store_path!r}): a fresh streaming checkpoint "
+            f"cannot be pointed at an existing ivm store — use a new "
+            f"store path when restarting the stream from scratch."
+        )
     vdir = os.path.join(store_path, f"v{e}")
     da = batch.where(F.col("side") == "A").select(
         F.col("key").cast("long").alias("k"), "grp"

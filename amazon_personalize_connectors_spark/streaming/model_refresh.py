@@ -51,20 +51,15 @@ from pyspark.sql import functions as F
 from amazon_personalize_connectors_spark.operators.recsys import (
     covisitation_increments,
 )
-from amazon_personalize_connectors_spark.streaming.cdc_sink import (
-    _version_file,
+from amazon_personalize_connectors_spark.streaming.epoch_store import (
+    commit_version,
+    current_version as _current_version,
+    plan_fold,
+    read_meta,
 )
 
 _PAIR_SCHEMA = "item long, rec_item long, n_common long"
 _ITEM_SCHEMA = "u long, i long"
-
-
-def _current_version(store_path: str) -> int | None:
-    vf = _version_file(store_path)
-    if not os.path.exists(vf):
-        return None
-    with open(vf) as f:
-        return int(f.read().strip())
 
 
 def _manifest_path(store_path: str, version: int) -> str:
@@ -114,13 +109,19 @@ def read_item_state(
 
 
 def apply_interactions_batch(
-    batch: DataFrame, store_path: str, n_buckets: int = 16
+    batch: DataFrame, epoch_id: int, store_path: str, n_buckets: int = 16
 ) -> None:
     """foreachBatch body: merge one interaction micro-batch into the
     pair-count model, rewriting ONLY the hash buckets the batch
     touches. ``batch`` columns: (u, i). ``n_buckets`` applies to the
     first batch; later batches inherit the store's bucketing from the
-    manifest (a store cannot change bucket count mid-life)."""
+    manifest (a store cannot change bucket count mid-life).
+
+    ``epoch_id`` keys the fold (epoch_store.plan_fold): a replayed
+    epoch — including replay AFTER the pointer flip — re-reads the
+    prior version's manifest and state and overwrites its own version
+    directory, so increments are never double-merged; a stale epoch
+    (fresh checkpoint against an old store) is refused."""
     spark = batch.sparkSession
     # the batch is read several times (bucket probe, increments,
     # item-state union) and the anti-join inside
@@ -128,10 +129,9 @@ def apply_interactions_batch(
     batch = batch.select("u", "i").localCheckpoint(eager=True)
     if batch.isEmpty():
         return
-    prev = _current_version(store_path)
-    man = _read_manifest(store_path, prev)
+    version, prior, _meta = plan_fold(store_path, epoch_id)
+    man = _read_manifest(store_path, prior)
     b_count = man["n_buckets"] if man["n_buckets"] else n_buckets
-    version = 0 if prev is None else prev + 1
     out = os.path.join(store_path, f"v{version}")
 
     u_bucket = F.pmod(F.xxhash64("u"), F.lit(b_count))
@@ -195,13 +195,10 @@ def apply_interactions_batch(
     with open(tmp_man, "w") as f:
         json.dump(new_man, f)
     os.replace(tmp_man, _manifest_path(store_path, version))
-    # flip LAST — commits pairs, items, and manifest together; a retry
-    # re-reads v{prev}'s manifest for BOTH stores and idempotently
-    # overwrites v{version}
-    tmp = _version_file(store_path) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, _version_file(store_path))
+    # flip LAST — commits pairs, items, manifest, and epoch meta
+    # together; a retry of this epoch re-reads v{prior}'s manifest for
+    # BOTH stores and idempotently overwrites v{version}
+    commit_version(store_path, version, int(epoch_id), prior, int(epoch_id))
 
 
 def refresh_from_stream(
@@ -217,8 +214,8 @@ def refresh_from_stream(
     os.makedirs(store_path, exist_ok=True)
     q = (
         stream.writeStream.foreachBatch(
-            lambda b, _epoch: apply_interactions_batch(
-                b, store_path, n_buckets
+            lambda b, e: apply_interactions_batch(
+                b, e, store_path, n_buckets
             )
         )
         .option("checkpointLocation", checkpoint_dir)
@@ -314,10 +311,12 @@ def compact_store(spark: SparkSession, store_path: str) -> None:
     with open(tmp_man, "w") as f:
         json.dump(new_man, f)
     os.replace(tmp_man, _manifest_path(store_path, version))
-    tmp = _version_file(store_path) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, _version_file(store_path))
+    # compaction is a non-epoch writer: version chains past the epoch
+    # counter (epoch None) while carrying last_epoch forward so the
+    # stream's next fold still validates against it
+    commit_version(
+        store_path, version, None, prev, read_meta(store_path, prev)["last_epoch"]
+    )
     # prune superseded version directories (post-flip: readers are
     # already on v{version}; idempotent if re-run)
     for name in os.listdir(store_path):

@@ -15,10 +15,14 @@ the same two pillars:
   AUC read-side calls the SAME ``auc_from_grid`` the batch operator
   uses, so the stream-maintained statistic must equal a full batch
   recompute over everything drained (the law the oracle checks).
-* **Pointer-flip store** (cdc_sink discipline): versioned parquet
-  with ``_VERSION`` flipped last via atomic rename; a retried batch
-  re-reads the previous version and overwrites its own version
-  directory idempotently — counts are never double-folded.
+* **Pointer-flip store** (cdc_sink discipline) with **epoch-keyed
+  folds** (streaming/epoch_store.py): each version records the
+  foreachBatch epoch that produced it and the prior version it read,
+  so a replayed epoch — even after the pointer flip, when the
+  checkpoint commit was lost — re-reads the same immutable prior and
+  overwrites its own version directory. Counts are never
+  double-folded, and a stale epoch (fresh checkpoint against an old
+  store) is refused.
 """
 
 from __future__ import annotations
@@ -31,19 +35,13 @@ from pyspark.sql import functions as F
 from amazon_personalize_connectors_spark.operators.evaluation import (
     auc_from_grid,
 )
-from amazon_personalize_connectors_spark.streaming.cdc_sink import (
-    _version_file,
+from amazon_personalize_connectors_spark.streaming.epoch_store import (
+    commit_version,
+    current_version as _current_version,
+    plan_fold,
 )
 
 _GRID_SCHEMA = "g long, _s long, _pos long, _neg long"
-
-
-def _current_version(store_path: str) -> int | None:
-    vf = _version_file(store_path)
-    if not os.path.exists(vf):
-        return None
-    with open(vf) as f:
-        return int(f.read().strip())
 
 
 def read_score_grid(spark: SparkSession, store_path: str) -> DataFrame:
@@ -59,13 +57,16 @@ def read_score_grid(spark: SparkSession, store_path: str) -> DataFrame:
 
 def apply_score_batch(
     batch: DataFrame,
+    epoch_id: int,
     store_path: str,
     group_col: str,
     score_col: str,
     label_col: str,
 ) -> None:
     """foreachBatch body: fold one micro-batch's (group, score) counts
-    into the grid store."""
+    into the grid store. ``epoch_id`` keys the fold
+    (epoch_store.plan_fold): a replayed epoch overwrites its own
+    version from the same prior, even after the pointer flip."""
     spark = batch.sparkSession
     delta = batch.groupBy(
         F.col(group_col).cast("long").alias("g"),
@@ -74,13 +75,12 @@ def apply_score_batch(
         F.sum(F.col(label_col).cast("long")).alias("_pos"),
         F.sum(F.lit(1) - F.col(label_col).cast("long")).alias("_neg"),
     )
-    prev = _current_version(store_path)
-    version = 0 if prev is None else prev + 1
-    if prev is None:
+    version, prior, _meta = plan_fold(store_path, epoch_id)
+    if prior is None:
         merged = delta
     else:
         current = spark.read.schema(_GRID_SCHEMA).parquet(
-            os.path.join(store_path, f"v{prev}")
+            os.path.join(store_path, f"v{prior}")
         )
         merged = (
             current.unionByName(delta)
@@ -93,10 +93,7 @@ def apply_score_batch(
     merged.write.mode("overwrite").parquet(
         os.path.join(store_path, f"v{version}")
     )
-    tmp = _version_file(store_path) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, _version_file(store_path))
+    commit_version(store_path, version, int(epoch_id), prior, int(epoch_id))
 
 
 def monitor_scores_from_stream(
@@ -114,8 +111,8 @@ def monitor_scores_from_stream(
     os.makedirs(store_path, exist_ok=True)
     q = (
         stream.writeStream.foreachBatch(
-            lambda b, _e: apply_score_batch(
-                b, store_path, group_col, score_col, label_col
+            lambda b, e: apply_score_batch(
+                b, e, store_path, group_col, score_col, label_col
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -139,23 +139,34 @@ def test_drift_monitor_retry_idempotent_and_mergeable(spark, tmp_path):
     b2 = spark.createDataFrame(
         [(10, "N"), (30, "R"), (30, "N")], "v long, flag string"
     )
-    apply_grid_batch(b1, store, "v", in_a, in_b)
-    apply_grid_batch(b2, store, "v", in_a, in_b)
+    apply_grid_batch(b1, 0, store, "v", in_a, in_b)
+    apply_grid_batch(b2, 1, store, "v", in_a, in_b)
     grid = {r["v"]: (r["a"], r["b"]) for r in read_grid(spark, store).collect()}
     assert grid == {10: (1, 2), 20: (1, 0), 30: (1, 1)}
     ks_once = ks_from_store(spark, store).collect()[0]
 
-    # redelivery: roll pointer back one version, re-apply batch 2
-    vf = os.path.join(store, "_VERSION")
-    prev = int(open(vf).read())
-    open(vf, "w").write(str(prev - 1))
-    apply_grid_batch(b2, store, "v", in_a, in_b)
+    # the HARD redelivery: epoch 1's foreachBatch completed AND the
+    # pointer flipped, but the checkpoint commit was lost — Spark
+    # replays epoch 1; the epoch-keyed fold re-reads v0 and overwrites
+    # v1 idempotently
+    apply_grid_batch(b2, 1, store, "v", in_a, in_b)
     grid2 = {r["v"]: (r["a"], r["b"]) for r in read_grid(spark, store).collect()}
     assert grid2 == grid
+    # the classic redelivery: crash BEFORE the flip (pointer at v0)
+    vf = os.path.join(store, "_VERSION")
+    open(vf, "w").write("0")
+    apply_grid_batch(b2, 1, store, "v", in_a, in_b)
+    grid3 = {r["v"]: (r["a"], r["b"]) for r in read_grid(spark, store).collect()}
+    assert grid3 == grid
     ks_retry = ks_from_store(spark, store).collect()[0]
     assert (ks_retry["ks_num"], ks_retry["n_a"], ks_retry["n_b"]) == (
         ks_once["ks_num"], ks_once["n_a"], ks_once["n_b"],
     )
+    # fresh checkpoint (epochs restarting at 0) against this store is
+    # refused instead of corrupting the grid
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="behind the store"):
+        apply_grid_batch(b1, 0, store, "v", in_a, in_b)
 
 
 def test_score_monitor_retry_idempotent_and_matches_batch(spark, tmp_path):
@@ -184,8 +195,8 @@ def test_score_monitor_retry_idempotent_and_matches_batch(spark, tmp_path):
         [(0, 15, 0), (0, 20, 0), (1, 5, 1), (1, 9, 1)],
         "g long, s long, y int",
     )
-    apply_score_batch(b1, store, "g", "s", "y")
-    apply_score_batch(b2, store, "g", "s", "y")
+    apply_score_batch(b1, 0, store, "g", "s", "y")
+    apply_score_batch(b2, 1, store, "g", "s", "y")
     stream_auc = {
         r["g"]: (r["n_pos"], r["n_neg"], r["auc_num2"], r["auc"])
         for r in auc_from_store(spark, store).collect()
@@ -196,11 +207,12 @@ def test_score_monitor_retry_idempotent_and_matches_batch(spark, tmp_path):
     }
     assert stream_auc == batch_auc
 
-    # redelivery: roll pointer back one version, re-apply batch 2
+    # post-flip redelivery of epoch 1 (lost checkpoint commit), then a
+    # pre-flip one (pointer rolled back) — both must fold identically
+    apply_score_batch(b2, 1, store, "g", "s", "y")
     vf = os.path.join(store, "_VERSION")
-    prev = int(open(vf).read())
-    open(vf, "w").write(str(prev - 1))
-    apply_score_batch(b2, store, "g", "s", "y")
+    open(vf, "w").write("0")
+    apply_score_batch(b2, 1, store, "g", "s", "y")
     grid = {
         (r["g"], r["_s"]): (r["_pos"], r["_neg"])
         for r in read_score_grid(spark, store).collect()
@@ -234,8 +246,8 @@ def test_drift_grid_quantiles_match_batch(spark, tmp_path):
     vals2 = [(v, "N") for v in [5, 50, 60, 70, 80]]
     b1 = spark.createDataFrame(vals1, "v long, flag string")
     b2 = spark.createDataFrame(vals2, "v long, flag string")
-    apply_grid_batch(b1, store, "v", in_a, in_b)
-    apply_grid_batch(b2, store, "v", in_a, in_b)
+    apply_grid_batch(b1, 0, store, "v", in_a, in_b)
+    apply_grid_batch(b2, 1, store, "v", in_a, in_b)
     got = {
         r["pct"]: (r["n"], r["value"])
         for r in quantiles_from_store(spark, store, [10, 50, 100]).collect()
@@ -285,6 +297,10 @@ def test_stream_ivm_rollup_law_and_retry_idempotent(spark, tmp_path):
     # checkpoint commit did not) — fold must not double
     apply_ivm_batch(b1, 1, store)
     assert snap() == want
-    # replay of an older epoch rewrites only its own immutable inputs
-    apply_ivm_batch(b0, 0, store)
+    # an epoch BEHIND the committed one (fresh checkpoint restarting at
+    # 0 against this store) is refused — folding it would overwrite
+    # v0's deltas under a rollup built from the originals
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="behind the store"):
+        apply_ivm_batch(b0, 0, store)
     assert snap() == want

@@ -75,24 +75,32 @@ def test_refresh_batch_retry_is_idempotent(spark, tmp_path):
     import os
     os.makedirs(store, exist_ok=True)
     b1 = spark.createDataFrame([(1, 10), (1, 11), (2, 10)], "u long, i long")
-    apply_interactions_batch(b1, store)
+    apply_interactions_batch(b1, 0, store)
     before = {(r["item"], r["rec_item"]): r["n_common"]
               for r in serve_topk(spark, store).collect()}
-    # simulate foreachBatch redelivery of a LATER batch twice: apply
-    # batch 2, then roll the pointer back one version (as if the crash
-    # happened before the flip) and re-apply the same batch
     b2 = spark.createDataFrame([(1, 12), (3, 10)], "u long, i long")
-    apply_interactions_batch(b2, store)
+    apply_interactions_batch(b2, 1, store)
     after_once = {(r["item"], r["rec_item"]): r["n_common"]
                   for r in serve_topk(spark, store).collect()}
-    vf = os.path.join(store, "_VERSION")
-    v = int(open(vf).read())
-    open(vf, "w").write(str(v - 1))
-    apply_interactions_batch(b2, store)
+    # the HARD retry: foreachBatch completed AND the pointer flipped,
+    # but the checkpoint commit was lost — Spark replays epoch 1.
+    # epoch-keyed folds re-read v0 and overwrite v1 idempotently.
+    apply_interactions_batch(b2, 1, store)
     after_retry = {(r["item"], r["rec_item"]): r["n_common"]
                    for r in serve_topk(spark, store).collect()}
     assert after_retry == after_once
+    # the classic retry: crash BEFORE the flip (pointer still at v0)
+    vf = os.path.join(store, "_VERSION")
+    open(vf, "w").write("0")
+    apply_interactions_batch(b2, 1, store)
+    after_retry2 = {(r["item"], r["rec_item"]): r["n_common"]
+                    for r in serve_topk(spark, store).collect()}
+    assert after_retry2 == after_once
     assert before != after_once  # batch 2 did change the model
+    # a fresh checkpoint (epochs restarting at 0) against this store
+    # is refused instead of silently corrupting accumulated state
+    with pytest.raises(ValueError, match="behind the store"):
+        apply_interactions_batch(b1, 0, store)
 
 
 def test_untouched_buckets_not_rewritten_across_trigger(spark, tmp_path):
@@ -122,7 +130,7 @@ def test_untouched_buckets_not_rewritten_across_trigger(spark, tmp_path):
     u2 = next(u for u, b in bucket_of.items() if b != bucket_of[u1])
 
     b1 = spark.createDataFrame([(u1, 10), (u1, 11)], "u long, i long")
-    apply_interactions_batch(b1, store, n_buckets=B)
+    apply_interactions_batch(b1, 0, store, n_buckets=B)
 
     def _snapshot(root):
         out = {}
@@ -137,7 +145,7 @@ def test_untouched_buckets_not_rewritten_across_trigger(spark, tmp_path):
     assert before, "v0 should hold the first batch's buckets"
 
     b2 = spark.createDataFrame([(u2, 20), (u2, 21)], "u long, i long")
-    apply_interactions_batch(b2, store)
+    apply_interactions_batch(b2, 1, store)
 
     after = _snapshot(v0)
     assert after == before, "untouched v0 files were rewritten"
@@ -167,9 +175,11 @@ def test_compact_store_collapses_versions_and_preserves_serving(spark, tmp_path)
 
     store = str(tmp_path / "m4")
     os.makedirs(store, exist_ok=True)
-    for batch in ([(1, 10), (1, 11)], [(2, 10), (2, 12)], [(3, 11), (3, 12)]):
+    for e, batch in enumerate(
+        [[(1, 10), (1, 11)], [(2, 10), (2, 12)], [(3, 11), (3, 12)]]
+    ):
         apply_interactions_batch(
-            spark.createDataFrame(batch, "u long, i long"), store, n_buckets=4
+            spark.createDataFrame(batch, "u long, i long"), e, store, n_buckets=4
         )
     before = {(r["item"], r["rec_item"]): (r["n_common"], r["rank"])
               for r in serve_topk(spark, store).collect()}
@@ -187,8 +197,9 @@ def test_compact_store_collapses_versions_and_preserves_serving(spark, tmp_path)
              for r in serve_topk(spark, store).collect()}
     assert after == before
     assert {(r["u"], r["i"]) for r in read_item_state(spark, store).collect()} == state_before
-    # a batch after compaction keeps working
+    # a batch after compaction keeps working (epoch continues past the
+    # compaction's non-epoch version)
     apply_interactions_batch(
-        spark.createDataFrame([(4, 10), (4, 11)], "u long, i long"), store
+        spark.createDataFrame([(4, 10), (4, 11)], "u long, i long"), 3, store
     )
     assert serve_topk(spark, store).count() >= len(after)

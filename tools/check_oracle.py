@@ -48,6 +48,25 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def _dtype_family(dt) -> str:
+    """Coarse dtype family for parity checks: the driver's value hash
+    distinguishes int64 from float64 representations of the same number,
+    so an integral Spark column paired with a float oracle column (the
+    DuckDB HUGEINT->pandas float64 widening artifact) must fail locally
+    too."""
+    import numpy as np
+
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    return "other"
+
+
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(spark_df.columns) != sorted(oracle_df.columns):
@@ -55,6 +74,20 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
             f"columns differ: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}"
         )
         return problems
+    # dtype parity: an int-vs-float pair hashes differently at the driver
+    # even when values are numerically equal (e.g. DuckDB widening a
+    # window SUM to HUGEINT which pandas renders as float64). 'other'
+    # (object/decimal/list) columns are left to the value comparison.
+    for col in sorted(spark_df.columns):
+        sf, of = _dtype_family(spark_df[col].dtype), _dtype_family(oracle_df[col].dtype)
+        if sf != of and "other" not in (sf, of):
+            # empty frames surface as object dtype on the spark side;
+            # only flag when both sides actually carry rows
+            if len(spark_df) and len(oracle_df):
+                problems.append(
+                    f"dtype family differs col {col}: spark={spark_df[col].dtype}"
+                    f" oracle={oracle_df[col].dtype} (driver hash will mismatch)"
+                )
     if len(spark_df) != len(oracle_df):
         problems.append(f"row count differs: spark={len(spark_df)} oracle={len(oracle_df)}")
     s = normalize(spark_df)
