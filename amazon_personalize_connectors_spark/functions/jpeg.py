@@ -135,6 +135,13 @@ def jpeg_pixels(content: bytes, max_pixels: int = 64_000_000):
         if content[pos] != 0xFF:
             pos += 1
             continue
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — skip them so the byte after the run is read as the
+        # marker instead of being parsed as a segment length
+        while pos + 1 < len(content) and content[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(content):
+            break
         marker = content[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
@@ -271,6 +278,12 @@ def jpeg_pixels(content: bytes, max_pixels: int = 64_000_000):
                 and mcu_count % restart_interval == 0
             ):
                 seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError(
+                        f"truncated entropy stream: expected restart "
+                        f"segment {seg_idx} but only {len(segments)} "
+                        f"present"
+                    )
                 reader = _BitReader(segments[seg_idx])
                 dc_pred = {c["id"]: 0 for c in comps}
             for entry in order:

@@ -551,7 +551,17 @@ def last_touch_attribution(
     Returns one row per conversion: (user, conv_ts_us, touch_ts_us,
     touch_type_code, attributed) with NULL touch columns when no
     touch precedes the conversion, and ``attributed`` false when the
-    last touch is outside the window."""
+    last touch is outside the window.
+
+    The ``* 8`` encoding holds at most 7 touch codes (1..7); more
+    would overflow into the timestamp field and decode silently
+    wrong, so the bound is enforced."""
+    if len(touch_types) > 7:
+        raise ValueError(
+            f"last_touch_attribution encodes the touch code in 3 bits "
+            f"(ts_us * 8 + code, codes 1..7); got {len(touch_types)} "
+            f"touch_types. Split the analysis or widen the encoding."
+        )
     codes = {t: i + 1 for i, t in enumerate(touch_types)}
     ts_us = F.col(ts_us_col).cast("bigint")
     code = F.lit(None).cast("bigint")

@@ -581,6 +581,13 @@ def chi2_independence(
     by < n_cells/scale (≤ 10⁻⁶ at default scale for 1000 cells) —
     documented, deterministic, and mirrored exactly by the oracle.
 
+    Bound: a quantum must fit a bigint, i.e. per-cell term·scale
+    < 2⁶³ (term < ~9.2e9 at default scale — a single cell carrying
+    chi² past ~10¹⁰ of association). Past it the cell RAISES instead
+    of silently clamping (non-ANSI double→bigint casts saturate);
+    callers with stronger association at that magnitude should lower
+    ``scale``.
+
     Row/column marginals ride in as broadcast dims (cell grid is
     |A|·|B|, never data-sized). Output is ONE row:
     (n, n_cells, dof, chi2, cramers_v)."""
@@ -614,7 +621,19 @@ def chi2_independence(
             "_nn",
             "_ra",
             "_cb",
-            F.floor(term * F.lit(float(scale))).cast("bigint").alias("_q"),
+            F.when(
+                term * F.lit(float(scale)) < F.lit(9.0e18),
+                F.floor(term * F.lit(float(scale))).cast("bigint"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "chi2_independence: per-cell term * scale exceeds "
+                        "the bigint quantum range; lower `scale`"
+                    )
+                ).cast("bigint")
+            )
+            .alias("_q"),
         )
     )
     chi2 = F.col("_chi2_q").cast("double") / F.lit(float(scale))

@@ -673,3 +673,21 @@ def test_skyline_2d_exact_frontier(spark):
     df2 = spark.createDataFrame([(1, 5), (2, 5)], "x long, y long")
     got2 = [(r["x"], r["y"]) for r in skyline_2d(df2, "x", "y").collect()]
     assert got2 == [(2, 5)]
+
+
+def test_last_touch_attribution_rejects_too_many_touch_types(spark):
+    """The ts_us*8+code encoding holds codes 1..7; an 8th touch type
+    would overflow into the timestamp field — enforced loudly."""
+    import pytest
+
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        last_touch_attribution,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "a", 1)], "user_id long, event_type string, ts_us long"
+    )
+    with pytest.raises(ValueError, match="3 bits"):
+        last_touch_attribution(ev, touch_types=tuple("abcdefgh"))
+    # 7 types is the documented maximum and must still plan
+    last_touch_attribution(ev, touch_types=tuple("abcdefg")).collect()

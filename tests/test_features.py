@@ -784,3 +784,20 @@ def test_revenue_acf_periodic_series(spark):
     pairs = a.join(b, "di").select(F.lit(7).alias("lag"), "x", "y")
     row = grouped_pearson(pairs, ["lag"], "x", "y").collect()[0]
     assert row["n"] == 63 and row["r"] == 1.0
+
+
+def test_chi2_quantum_overflow_raises_not_clamps(spark):
+    """A per-cell term whose quantum exceeds the bigint range must
+    raise (non-ANSI double->bigint casts would silently saturate and
+    corrupt chi2)."""
+    import pytest
+
+    from amazon_personalize_connectors_spark.operators.features import (
+        chi2_independence,
+    )
+
+    df = spark.createDataFrame(
+        [("x", "p")] * 50 + [("y", "q")] * 50, "a string, b string"
+    )
+    with pytest.raises(Exception, match="bigint quantum"):
+        chi2_independence(df, "a", "b", scale=10**18).collect()

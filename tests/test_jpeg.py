@@ -118,3 +118,31 @@ def test_fuzzed_jpegs_terminate():
         except Exception:  # noqa: BLE001 — any CLEAN error is fine
             continue
         assert out.dtype == np.uint8
+
+
+def test_fill_bytes_before_marker_are_skipped():
+    """T.81 B.1.1.2: optional 0xFF fill bytes may pad any marker; the
+    scan must not parse them as a segment length."""
+    img = _rng(5).integers(0, 256, size=(16, 16, 3), dtype="u1")
+    data = jpeg_encode(img)
+    base = jpeg_pixels(data)
+    # insert a run of fill bytes before the first post-SOI marker
+    padded = data[:2] + b"\xff\xff\xff" + data[2:]
+    assert padded[2:5] == b"\xff\xff\xff"
+    got = jpeg_pixels(padded)
+    assert (got == base).all()
+
+
+def test_truncated_restart_stream_raises_valueerror():
+    """A restart-coded stream missing its later entropy segments must
+    raise the documented ValueError, not IndexError."""
+    import pytest
+
+    img = _rng(6).integers(0, 256, size=(32, 32, 3), dtype="u1")
+    data = jpeg_encode(img, restart_interval=1)
+    # cut the stream at the SECOND restart marker (keep header + the
+    # first entropy segment), then close with EOI
+    first_rst = data.index(b"\xff\xd0")
+    truncated = data[: first_rst + 2] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="restart segment"):
+        jpeg_pixels(truncated)
