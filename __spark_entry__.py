@@ -5820,57 +5820,57 @@ def q_bitemporal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 2 rows-only queries (refresh their weaker check), the 12 round-4
 # additions the driver has never seen, the deferred
 # renest_legacy_window, and the stalest r2 greens.
-_R5_WINDOW = [
+_R6_WINDOW = [
     "flagship_related_flat",
     "attribution_join",
     "delta_except",
-    "user_profile_vectors",
-    "target_encoding",
-    "winsorize_prices",
-    "next_item_examples",
-    "frequent_tokens",
-    "ks_drift",
-    "containment_pairs",
-    "covisitation_incremental",
-    "stream_sessionize_stateful",
-    "tpch_q10",
-    "tpch_q18",
-    "stream_model_refresh",
-    "mad_outliers",
-    "tpch_q4",
-    "tpch_q6",
-    "tpch_q14",
-    "tpch_q17",
-    "last_touch_attribution",
-    "audience_overlap",
     "revenue_anomalies",
-    "rec_ndcg",
-    "k_anonymity",
-    "privacy_gate",
-    "retractable_rollup",
-    "tpch_q7",
-    "tpch_q8",
-    "forecast_mase",
-    "survival_repurchase",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q22",
-    "grouping_sets_revenue",
-    "except_all_returns",
-    "unpivot_metrics",
-    "embedding_drift",
-    "stream_ks_drift",
-    "tpch_q1",
-    "tpch_q19",
-    "scd2_pit_revenue",
-    "source_quality",
-    "rec_diversity_ils",
-    "rec_auc_segments",
-    "score_calibration",
-    "wilson_ctr",
-    "revenue_gini",
-    "user_similarity",
-    "stream_auc_monitor",
+    "ab_test_purchase",
+    "markov_backtest",
+    "ipw_hitrate",
+    "stream_calibration",
+    "price_qty_corr",
+    "qty_price_spearman",
+    "tv_drift",
+    "fk_discovery",
+    "fd_discovery",
+    "stream_quantiles",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
+    "price_qty_ols",
+    "chi2_flag_status",
+    "benford_audit",
+    "revenue_acf",
+    "ivm_join_rollup",
+    "sorted_neighborhood",
+    "linear_attribution",
+    "stream_ivm_rollup",
+    "bitemporal_report",
+    "psi_drift",
+    "pareto_skyline",
+    "renest_legacy_window",
+    "error_split_ok",
+    "error_split_errors",
+    "explode_outer",
+    "decorate_flat",
+    "renest_ordered",
+    "user_pers_flat",
+    "payload_pivot",
+    "topk_slice",
+    "stamp_literals",
+    "text_tokens",
+    "text_quality",
+    "lang_profile",
+    "doc_fingerprint",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_materialized",
+    "neardup_components",
 ]
 
 _R4_WINDOW = [
@@ -5930,6 +5930,55 @@ _R4_WINDOW = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
+        "attribution_join": q_attribution_join,
+        "delta_except": q_delta_except,
+        "revenue_anomalies": q_revenue_anomalies,
+        "ab_test_purchase": q_ab_test_purchase,
+        "markov_backtest": q_markov_backtest,
+        "ipw_hitrate": q_ipw_hitrate,
+        "stream_calibration": q_stream_calibration,
+        "price_qty_corr": q_price_qty_corr,
+        "qty_price_spearman": q_qty_price_spearman,
+        "tv_drift": q_tv_drift,
+        "fk_discovery": q_fk_discovery,
+        "fd_discovery": q_fd_discovery,
+        "stream_quantiles": q_stream_quantiles,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "price_qty_ols": q_price_qty_ols,
+        "chi2_flag_status": q_chi2_flag_status,
+        "benford_audit": q_benford_audit,
+        "revenue_acf": q_revenue_acf,
+        "ivm_join_rollup": q_ivm_join_rollup,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "linear_attribution": q_linear_attribution,
+        "stream_ivm_rollup": q_stream_ivm_rollup,
+        "bitemporal_report": q_bitemporal_report,
+        "psi_drift": q_psi_drift,
+        "pareto_skyline": q_pareto_skyline,
+        "renest_legacy_window": q_renest_legacy_window,
+        "error_split_ok": q_error_split_ok,
+        "error_split_errors": q_error_split_errors,
+        "explode_outer": q_explode_outer,
+        "decorate_flat": q_decorate_flat,
+        "renest_ordered": q_renest_ordered,
+        "user_pers_flat": q_user_pers_flat,
+        "payload_pivot": q_payload_pivot,
+        "topk_slice": q_topk_slice,
+        "stamp_literals": q_stamp_literals,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "lang_profile": q_lang_profile,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ngram_jaccard_materialized": q_ngram_jaccard_materialized,
+        "neardup_components": q_neardup_components,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_props": q_events_props,
@@ -5979,28 +6028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_triangles": q_neardup_triangles,
         "leakage_safe_split": q_leakage_safe_split,
         "ivf_index_probe": q_ivf_index_probe,
-        # --- beyond the 50-query window (driver-green in a prior round;
-        # see VERIFIED.md) ---
-        "error_split_ok": q_error_split_ok,
-        "error_split_errors": q_error_split_errors,
-        "attribution_join": q_attribution_join,
-        "explode_outer": q_explode_outer,
-        "decorate_flat": q_decorate_flat,
-        "renest_ordered": q_renest_ordered,
         "renest_capped": q_renest_capped,
-        "user_pers_flat": q_user_pers_flat,
-        "delta_except": q_delta_except,
-        "payload_pivot": q_payload_pivot,
-        "topk_slice": q_topk_slice,
-        "stamp_literals": q_stamp_literals,
-        "text_tokens": q_text_tokens,
-        "text_quality": q_text_quality,
-        "lang_profile": q_lang_profile,
-        "doc_fingerprint": q_doc_fingerprint,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "ngram_jaccard_materialized": q_ngram_jaccard_materialized,
-        "neardup_components": q_neardup_components,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "simhash64": q_simhash64,
@@ -6038,9 +6066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_items": q_intersect_items,
         "approx_distinct": q_approx_distinct,
         "topk_per_group": q_topk_per_group,
-        "renest_legacy_window": q_renest_legacy_window,
         "delta_anti_hash": q_delta_anti_hash,
-        # --- round-3 additions (driver window candidates for round 4) ---
         "scd2_dimension": q_scd2_dimension,
         "incremental_rollup_merge": q_incremental_rollup_merge,
         "distinct_rollup_bitmap": q_distinct_rollup_bitmap,
@@ -6093,7 +6119,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": q_tpch_q17,
         "last_touch_attribution": q_last_touch_attribution,
         "audience_overlap": q_audience_overlap,
-        "revenue_anomalies": q_revenue_anomalies,
         "rec_ndcg": q_rec_ndcg,
         "k_anonymity": q_k_anonymity,
         "privacy_gate": q_privacy_gate,
@@ -6123,36 +6148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_gini": q_revenue_gini,
         "user_similarity": q_user_similarity,
         "stream_auc_monitor": q_stream_auc_monitor,
-        "ab_test_purchase": q_ab_test_purchase,
-        "markov_backtest": q_markov_backtest,
-        "ipw_hitrate": q_ipw_hitrate,
-        "stream_calibration": q_stream_calibration,
-        "price_qty_corr": q_price_qty_corr,
-        "qty_price_spearman": q_qty_price_spearman,
-        "tv_drift": q_tv_drift,
-        "fk_discovery": q_fk_discovery,
-        "fd_discovery": q_fd_discovery,
-        "stream_quantiles": q_stream_quantiles,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "price_qty_ols": q_price_qty_ols,
-        "chi2_flag_status": q_chi2_flag_status,
-        "benford_audit": q_benford_audit,
-        "revenue_acf": q_revenue_acf,
-        "ivm_join_rollup": q_ivm_join_rollup,
-        "sorted_neighborhood": q_sorted_neighborhood,
-        "linear_attribution": q_linear_attribution,
-        "stream_ivm_rollup": q_stream_ivm_rollup,
-        "bitemporal_report": q_bitemporal_report,
-        "psi_drift": q_psi_drift,
-        "pareto_skyline": q_pareto_skyline,
     }
-    out = {name: all_q[name] for name in _R5_WINDOW}
+    out = {name: all_q[name] for name in _R6_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
     return out
 

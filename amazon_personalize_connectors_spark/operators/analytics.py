@@ -629,6 +629,7 @@ def residual_anomaly_days(
     value_col: str,
     trail_days: int = 7,
     k: int = 5,
+    max_grid_rows: int = 200_000,
 ) -> DataFrame:
     """Robust time-series anomaly screen over a DAILY series: each
     day's residual is ``trail_days * v - sum(trailing trail_days
@@ -644,7 +645,17 @@ def residual_anomaly_days(
     nothing — there is no division anywhere.
 
     Returns full-window days: (day, value, residual, is_anomaly) plus
-    the broadcast mad/threshold columns."""
+    the broadcast mad/threshold columns.
+
+    ``max_grid_rows`` (guards.enforce_bounded_grid) makes the
+    daily-rollup contract executable: a caller passing raw events
+    instead of a day rollup fails loudly before the global window
+    sorts a data-sized input (200k rows ≈ 547 years of days)."""
+    from amazon_personalize_connectors_spark.operators.guards import (
+        enforce_bounded_grid,
+    )
+
+    df = enforce_bounded_grid(df, max_grid_rows, "residual_anomaly_days")
     day_idx = F.datediff(F.col(day_col), F.lit("1970-01-01").cast("date"))
     w = Window.orderBy(day_idx).rangeBetween(-(trail_days - 1), 0)
     based = df.select(
@@ -751,6 +762,7 @@ def survival_table(
     df: DataFrame,
     duration_col: str,
     event_col: str,
+    max_grid_rows: int = 1_000_000,
 ) -> DataFrame:
     """Kaplan–Meier risk table from (duration, event) observations —
     the time-to-second-purchase / churn analysis a subscription or
@@ -774,6 +786,14 @@ def survival_table(
         ),
         F.count(F.lit(1)).cast("bigint").alias("_cnt"),
     )
+    # executable grid contract: distinct durations must stay
+    # domain-bounded (days/weeks), or the global window would sort a
+    # data-sized table — fail loudly instead (guards module)
+    from amazon_personalize_connectors_spark.operators.guards import (
+        enforce_bounded_grid,
+    )
+
+    grid = enforce_bounded_grid(grid, max_grid_rows, "survival_table")
     w = Window.orderBy("duration").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -944,6 +964,7 @@ def skyline_2d(
     df: DataFrame,
     max_col: str,
     min_col: str,
+    max_grid_rows: int = 1_000_000,
 ) -> DataFrame:
     """2-D Pareto frontier (skyline): the points where ``max_col``
     cannot be raised without raising ``min_col`` — "biggest size at
@@ -977,6 +998,13 @@ def skyline_2d(
         F.min("y").alias("y"),
         F.sum("n_at_point").cast("bigint").alias("n_at_x"),
     ).join(cells, ["x", "y"])
+    # executable form of the "caller buckets first" contract above: a
+    # data-sized x domain fails loudly before the single-task sort
+    from amazon_personalize_connectors_spark.operators.guards import (
+        enforce_bounded_grid,
+    )
+
+    grid = enforce_bounded_grid(grid, max_grid_rows, "skyline_2d")
     w = (
         Window.orderBy(F.col("x").desc())
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -165,8 +165,18 @@ def bins_from_grid(grid: DataFrame, bin_width: int) -> DataFrame:
     return _bin_cumulatives(bins, bin_width)
 
 
-def _bin_cumulatives(bins: DataFrame, bin_width: int) -> DataFrame:
-    """Shared cumulative fold over a (bin, n, n_pos) table."""
+def _bin_cumulatives(
+    bins: DataFrame, bin_width: int, max_grid_rows: int = 1_000_000
+) -> DataFrame:
+    """Shared cumulative fold over a (bin, n, n_pos) table. The bin
+    count is (score range / bin_width) by construction; the guard
+    makes that executable — a caller binning an unbounded score
+    domain at width 1 fails loudly before the single-task window."""
+    from amazon_personalize_connectors_spark.operators.guards import (
+        enforce_bounded_grid,
+    )
+
+    bins = enforce_bounded_grid(bins, max_grid_rows, "score bins")
     w = (
         Window.orderBy(F.col("bin").desc())
         .rowsBetween(Window.unboundedPreceding, 0)

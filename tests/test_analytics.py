@@ -691,3 +691,31 @@ def test_last_touch_attribution_rejects_too_many_touch_types(spark):
         last_touch_attribution(ev, touch_types=tuple("abcdefgh"))
     # 7 types is the documented maximum and must still plan
     last_touch_attribution(ev, touch_types=tuple("abcdefg")).collect()
+
+
+def test_bounded_grid_guard_raises_on_data_sized_domain(spark):
+    """The grid contracts (skyline_2d 'caller buckets first', KM
+    durations, residual days, score bins) are executable: a domain
+    over max_grid_rows raises before the global window sorts it, and
+    a bounded domain passes through unchanged."""
+    import pytest
+
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        skyline_2d,
+        survival_table,
+    )
+
+    wide = spark.range(0, 500).select(
+        (F.col("id")).alias("x"), (F.col("id") % 7).alias("y")
+    )
+    ok = skyline_2d(wide, "x", "y", max_grid_rows=1000)
+    assert ok.count() >= 1  # bounded domain unaffected
+    with pytest.raises(Exception, match="max_grid_rows=100"):
+        skyline_2d(wide, "x", "y", max_grid_rows=100).collect()
+    with pytest.raises(Exception, match="max_grid_rows=100"):
+        survival_table(
+            wide.select(F.col("x").alias("d"), (F.col("y") > 3).alias("e")),
+            "d",
+            "e",
+            max_grid_rows=100,
+        ).collect()
