@@ -5927,6 +5927,52 @@ _R4_WINDOW = [
 ]
 
 
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as one batch operator (operators/cdc.py:
+    merge_upsert): upsert 1998 order revenue onto the customer
+    dimension — matched customers get their balance replaced by the
+    year's revenue cents, a shifted-key copy of the source exercises
+    the insert clause, and untouched customers ride through. ONE
+    full-outer shuffle join + row-local CASE; the oracle is the same
+    merge as a FULL OUTER JOIN with COALESCE clauses."""
+    from amazon_personalize_connectors_spark.operators.cdc import (
+        merge_upsert,
+    )
+
+    target = synthetic.load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("k"),
+        F.col("c_nationkey").cast("bigint").alias("nk"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("bal_cents"),
+    )
+    rev = (
+        synthetic.load_table(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1998)
+        .groupBy(F.col("o_custkey").cast("bigint").alias("k"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("bal_cents")
+        )
+        .select("k", (F.col("k") % 25).cast("bigint").alias("nk"), "bal_cents")
+    )
+    source = rev.unionByName(
+        rev.select(
+            (F.col("k") + 10_000_000).alias("k"), "nk", "bal_cents"
+        )
+    )
+    return merge_upsert(target, source, ["k"]).select(
+        "k", "nk", "bal_cents"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -5955,6 +6001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_audit": q_benford_audit,
         "revenue_acf": q_revenue_acf,
         "ivm_join_rollup": q_ivm_join_rollup,
+        "merge_upsert": q_merge_upsert,
         "sorted_neighborhood": q_sorted_neighborhood,
         "linear_attribution": q_linear_attribution,
         "stream_ivm_rollup": q_stream_ivm_rollup,
@@ -10702,4 +10749,29 @@ FROM picked GROUP BY 1
     sqls["ivf_index_probe"] = sqls["ivf_probe_topk"]
     # likewise the two-stage partial top-k vs the window form
     sqls["ann_topk_partial"] = sqls["ann_topk"]
+    # merge_upsert == FULL OUTER JOIN + clause CASEs (update when
+    # matched, insert when source-only, keep when target-only)
+    sqls["merge_upsert"] = """
+WITH t AS (
+  SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS nk,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+  FROM customer
+),
+rev AS (
+  SELECT o_custkey AS k, CAST(o_custkey % 25 AS BIGINT) AS nk,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS bal_cents
+  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998 GROUP BY 1
+),
+s AS (
+  SELECT * FROM rev
+  UNION ALL
+  SELECT k + 10000000, nk, bal_cents FROM rev
+)
+SELECT COALESCE(t.k, s.k) AS k,
+       CASE WHEN s.k IS NOT NULL THEN s.nk ELSE t.nk END AS nk,
+       CASE WHEN s.k IS NOT NULL THEN s.bal_cents ELSE t.bal_cents
+            END AS bal_cents
+FROM t FULL OUTER JOIN s ON t.k = s.k
+"""
     return sqls

@@ -233,3 +233,92 @@ def incremental_join_rollup(
         F.sum(sum_name).alias(sum_name),
         F.sum(count_name).cast("bigint").alias(count_name),
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: Sequence[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    when_not_matched_by_source: str = "keep",
+    matched_condition=None,
+) -> DataFrame:
+    """MERGE INTO as a single batch operator — the classic warehouse
+    upsert users were hand-rolling as diff + three-way union. Clause
+    surface mirrors ANSI/Delta MERGE:
+
+    * ``when_matched``: 'update' (take source values), 'delete', or
+      'keep' (ignore the source row). ``matched_condition`` (a Column
+      over the joined row) restricts the clause — non-qualifying
+      matches keep the target row, exactly like an unmatched WHEN
+      MATCHED AND <cond> in SQL MERGE.
+    * ``when_not_matched``: 'insert' or 'ignore' (source-only keys).
+    * ``when_not_matched_by_source``: 'keep' or 'delete' (target-only
+      keys) — 'delete' turns the merge into full snapshot
+      replacement, satisfying the law
+      ``merge_upsert(old, new, delete-by-source) == new`` and hence
+      ``== apply_changes(old, snapshot_diff(old, new))`` (the
+      round-trip the oracle checks; see test_cdc law tests).
+
+    Scale shape: ONE full-outer shuffle join on the key (both sides
+    co-partition; AQE broadcasts a small source), then a row-local
+    CASE per column — no second pass, no union of three scans of the
+    target. Source must carry the target's column set."""
+    for name, val, allowed in (
+        ("when_matched", when_matched, ("update", "delete", "keep")),
+        ("when_not_matched", when_not_matched, ("insert", "ignore")),
+        (
+            "when_not_matched_by_source",
+            when_not_matched_by_source,
+            ("keep", "delete"),
+        ),
+    ):
+        if val not in allowed:
+            raise ValueError(f"{name} must be one of {allowed}; got {val!r}")
+    value_cols = [c for c in target.columns if c not in key_cols]
+    if not value_cols:
+        raise ValueError(
+            "merge_upsert needs at least one non-key column on the "
+            "target (a key-only merge is a set union/difference — use "
+            "delta.except_/anti operators)"
+        )
+    t = target.select(
+        *key_cols,
+        F.struct(*[F.col(c) for c in value_cols]).alias("_tv"),
+        F.lit(True).alias("_tp"),
+    )
+    s = source.select(
+        *key_cols,
+        F.struct(*[F.col(c) for c in value_cols]).alias("_sv"),
+        F.lit(True).alias("_sp"),
+    )
+    j = t.join(s, list(key_cols), "full_outer")
+    matched = F.col("_tp").isNotNull() & F.col("_sp").isNotNull()
+    clause_hits = (
+        matched
+        if matched_condition is None
+        else matched & F.coalesce(matched_condition, F.lit(False))
+    )
+    # which side's value struct survives (NULL struct == row dropped)
+    take = F.when(
+        clause_hits,
+        F.col("_sv") if when_matched == "update" else (
+            F.lit(None) if when_matched == "delete" else F.col("_tv")
+        ),
+    ).when(
+        matched, F.col("_tv")  # matched but clause condition false
+    ).when(
+        F.col("_sp").isNotNull(),  # source-only
+        F.col("_sv") if when_not_matched == "insert" else F.lit(None),
+    ).otherwise(  # target-only
+        F.col("_tv") if when_not_matched_by_source == "keep" else F.lit(None)
+    )
+    return (
+        j.withColumn("_out", take)
+        .where(F.col("_out").isNotNull())
+        .select(
+            *key_cols,
+            *[F.col(f"_out.{c}").alias(c) for c in value_cols],
+        )
+    )

@@ -269,3 +269,54 @@ def test_incremental_join_rollup_law(spark):
     )
     got = {r["grp"]: (r["sum_v"], r["n_rows"]) for r in merged.collect()}
     assert got == full
+
+
+def test_merge_upsert_equals_diff_then_apply(spark, snapshots):
+    """The VERDICT law: merge with delete-by-source == full snapshot
+    replacement == apply_changes(old, snapshot_diff(old, new))."""
+    from amazon_personalize_connectors_spark.operators.cdc import (
+        merge_upsert,
+    )
+
+    old, new = snapshots
+    merged = merge_upsert(
+        old, new, ["k"], when_not_matched_by_source="delete"
+    )
+    via_diff = apply_changes(old, snapshot_diff(old, new, ["k"]), ["k"])
+    got = sorted(map(tuple, merged.select("k", "name", "v").collect()))
+    assert got == sorted(map(tuple, via_diff.select("k", "name", "v").collect()))
+    assert got == sorted(map(tuple, new.collect()))
+
+
+def test_merge_upsert_clauses(spark, snapshots):
+    from amazon_personalize_connectors_spark.operators.cdc import (
+        merge_upsert,
+    )
+
+    old, new = snapshots
+    # plain upsert: matched keys updated, source-only inserted,
+    # target-only kept
+    up = {
+        r["k"]: (r["name"], r["v"])
+        for r in merge_upsert(old, new, ["k"]).collect()
+    }
+    assert up[1] == ("a", 10)        # target-only kept
+    assert up[3] == ("c2", 30)       # updated from source
+    assert up[5] == ("e", 50)        # inserted
+    # delete-when-matched removes intersecting keys, keeps the rest
+    dl = merge_upsert(
+        old, new, ["k"], when_matched="delete", when_not_matched="ignore"
+    )
+    assert sorted(r["k"] for r in dl.collect()) == [1]
+    # conditional clause: only matched rows meeting the condition
+    # update; others keep target values (SQL MERGE WHEN MATCHED AND)
+    cond = merge_upsert(
+        old, new, ["k"],
+        matched_condition=F.col("_sv.name") == "c2",
+        when_not_matched="ignore",
+    )
+    got = {r["k"]: (r["name"], r["v"]) for r in cond.collect()}
+    assert got[3] == ("c2", 30) and got[2] == ("b", 20) and got[1] == ("a", 10)
+    # invalid clause names fail loudly
+    with pytest.raises(ValueError, match="when_matched"):
+        merge_upsert(old, new, ["k"], when_matched="upsert")
