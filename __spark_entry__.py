@@ -5973,6 +5973,66 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_variant_drift_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-drift (sources/readers.py:parse_batch_inference_drift):
+    schema-drift-tolerant batch-inference scan via Spark 4 VARIANT,
+    closing the Glue DynamicFrame choice-type gap (ri:99-107). The
+    fixture JSONL is built IN-PLAN from part with four per-record
+    shapes — clean strings, numeric drift (unquoted id + numeric rec
+    list, the classic choice type), an error row, and an unparseable
+    line — and the oracle reconstructs the expected typed rows
+    relationally, so equality pins absorb-and-flag semantics:
+    drifted records land CAST into the declared schema with
+    _drift=true instead of in _corrupt_record."""
+    from amazon_personalize_connectors_spark.sources.readers import (
+        parse_batch_inference_drift,
+    )
+
+    part = synthetic.load_table(spark, sf_dir, "part")
+    n = part.agg((F.max("p_partkey") + 1).alias("n"))
+    k = F.col("p_partkey").cast("bigint")
+    base = part.select(k.alias("k")).crossJoin(F.broadcast(n))
+    r1 = ((F.col("k") + 1) % F.col("n")).cast("string")
+    r2 = ((F.col("k") + 2) % F.col("n")).cast("string")
+    ks = F.col("k").cast("string")
+    line = (
+        F.when(
+            F.col("k") % 10 == 0,
+            F.concat(
+                F.lit('{"input":{"itemId":"'), ks,
+                F.lit('"},"error":"ITEM_NOT_IN_DATASET"}'),
+            ),
+        )
+        .when(
+            F.col("k") % 3 == 0,
+            F.concat(
+                F.lit('{"input":{"itemId":'), ks,
+                F.lit('},"output":{"recommendedItems":['), r1,
+                F.lit(','), r2, F.lit(']}}'),
+            ),
+        )
+        .when(F.col("k") % 17 == 0, F.concat(F.lit('{"broken '), ks))
+        .otherwise(
+            F.concat(
+                F.lit('{"input":{"itemId":"'), ks,
+                F.lit('"},"output":{"recommendedItems":["'), r1,
+                F.lit('","'), r2, F.lit('"]}}'),
+            )
+        )
+    )
+    parsed = parse_batch_inference_drift(base.select(line.alias("value")))
+    return parsed.select(
+        F.col("input.itemId").alias("item_id"),
+        F.size("output.recommendedItems").cast("bigint").alias("n_recs"),
+        F.element_at("output.recommendedItems", 1).alias("first_rec"),
+        F.col("error").alias("error"),
+        F.col("_drift").alias("drift"),
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -6002,6 +6062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_acf": q_revenue_acf,
         "ivm_join_rollup": q_ivm_join_rollup,
         "merge_upsert": q_merge_upsert,
+        "variant_drift_scan": q_variant_drift_scan,
         "sorted_neighborhood": q_sorted_neighborhood,
         "linear_attribution": q_linear_attribution,
         "stream_ivm_rollup": q_stream_ivm_rollup,
@@ -10773,5 +10834,24 @@ SELECT COALESCE(t.k, s.k) AS k,
        CASE WHEN s.k IS NOT NULL THEN s.bal_cents ELSE t.bal_cents
             END AS bal_cents
 FROM t FULL OUTER JOIN s ON t.k = s.k
+"""
+    # variant drift scan == relational reconstruction of the fixture
+    sqls["variant_drift_scan"] = """
+WITH n AS (SELECT MAX(p_partkey) + 1 AS n FROM part),
+k AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part)
+SELECT
+  CASE WHEN k % 10 = 0 OR k % 3 = 0
+            OR NOT (k % 17 = 0) THEN CAST(k AS VARCHAR) END AS item_id,
+  CASE WHEN k % 10 <> 0 AND (k % 3 = 0 OR k % 17 <> 0)
+       THEN CAST(2 AS BIGINT) END AS n_recs,
+  CASE WHEN k % 10 <> 0 AND (k % 3 = 0 OR k % 17 <> 0)
+       THEN CAST((k + 1) % n.n AS VARCHAR) END AS first_rec,
+  CASE WHEN k % 10 = 0 THEN 'ITEM_NOT_IN_DATASET' END AS error,
+  CASE WHEN k % 10 = 0 THEN FALSE
+       WHEN k % 3 = 0 THEN TRUE
+       WHEN k % 17 = 0 THEN NULL
+       ELSE FALSE END AS drift,
+  (k % 10 <> 0 AND k % 3 <> 0 AND k % 17 = 0) AS is_corrupt
+FROM k, n
 """
     return sqls

@@ -151,3 +151,86 @@ def read_last_sync_state(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+# per-field variant schemas that do NOT count as drift: the canonical
+# type, JSON null (VOID), and for the rec list an empty array
+_DRIFT_OK = {
+    "id": ("STRING", "VOID"),
+    "recs": ("ARRAY<STRING>", "ARRAY<VOID>", "VOID"),
+    "error": ("STRING", "VOID"),
+}
+
+
+def parse_batch_inference_drift(
+    lines: DataFrame, job_type: str = "related_items", value_col: str = "value"
+) -> DataFrame:
+    """S1-drift — schema-drift-tolerant parse of batch-inference JSONL
+    lines via Spark 4 VARIANT, closing the gap to Glue DynamicFrame
+    choice types (ri:99-107): a record whose ``itemId`` arrives as a
+    NUMBER (or whose rec list holds numbers) is ABSORBED — typed
+    ``try_variant_get`` casts it into the declared string schema —
+    instead of being dumped whole into ``_corrupt_record`` as the
+    PERMISSIVE path does. Emits the same fixed schema as
+    ``read_batch_inference`` plus a ``_drift`` flag marking records
+    whose variant type differed from the canonical one (the rows Glue
+    would have given a choice struct), so downstream can audit drift
+    without losing the data.
+
+    Only genuinely unparseable lines land in ``_corrupt_record``
+    (``try_parse_json`` NULL with a non-null raw line); ``_drift`` is
+    NULL for them. Pure column transform — usable on a stream or a
+    batch text scan; JVM-side end to end (variant parse + typed get
+    are codegen expressions, no Python in the path)."""
+    id_path = "$.input.itemId" if job_type == "related_items" else "$.input.userId"
+    id_field = "itemId" if job_type == "related_items" else "userId"
+    v = F.expr(f"try_parse_json({value_col})")
+    raw = {
+        "id": F.expr(f"variant_get(try_parse_json({value_col}), '{id_path}')"),
+        "recs": F.expr(
+            f"variant_get(try_parse_json({value_col}),"
+            f" '$.output.recommendedItems')"
+        ),
+        "error": F.expr(f"variant_get(try_parse_json({value_col}), '$.error')"),
+    }
+    drift = F.lit(False)
+    for name, col in raw.items():
+        sch = F.schema_of_variant(col)
+        drift = drift | (
+            col.isNotNull() & ~sch.isin(*_DRIFT_OK[name])
+        )
+    typed_id = F.expr(
+        f"try_variant_get(try_parse_json({value_col}), '{id_path}', 'string')"
+    )
+    typed_recs = F.expr(
+        f"try_variant_get(try_parse_json({value_col}),"
+        f" '$.output.recommendedItems', 'array<string>')"
+    )
+    typed_err = F.expr(
+        f"try_variant_get(try_parse_json({value_col}), '$.error', 'string')"
+    )
+    corrupt = v.isNull() & F.col(value_col).isNotNull()
+    return lines.select(
+        F.when(
+            ~corrupt, F.struct(typed_id.alias(id_field)).alias("input")
+        ).alias("input"),
+        F.when(
+            ~corrupt & typed_recs.isNotNull(),
+            F.struct(typed_recs.alias("recommendedItems")),
+        ).alias("output"),
+        F.when(~corrupt, typed_err).alias("error"),
+        F.when(corrupt, F.col(value_col)).alias("_corrupt_record"),
+        F.when(~corrupt, drift).alias("_drift"),
+    )
+
+
+def read_batch_inference_drift(
+    spark: SparkSession, path: str, job_type: str = "related_items"
+) -> DataFrame:
+    """S1-drift over a path: text scan (a folder read is an implicit
+    UNION ALL, same as the PERMISSIVE reader) + variant parse. On
+    clean input this is row-identical to ``read_batch_inference``
+    modulo the extra ``_drift=false`` column (test-pinned)."""
+    return parse_batch_inference_drift(
+        spark.read.text(path), job_type=job_type
+    )

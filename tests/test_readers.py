@@ -138,3 +138,93 @@ def test_payload_merges_other_attributes_and_shadows_reserved(spark):
     assert row.campaign == "summer"
     assert "external_id" not in [c for c in payloads.columns if c != "external_id"] or \
         payloads.columns.count("external_id") == 1
+
+
+def test_drift_reader_parity_on_clean_input(spark, tmp_path):
+    """S1-drift == S1 PERMISSIVE on clean input (modulo _drift=false):
+    the variant path changes nothing when there is nothing to absorb."""
+    import json
+
+    from amazon_personalize_connectors_spark.sources.readers import (
+        read_batch_inference,
+        read_batch_inference_drift,
+    )
+
+    p = tmp_path / "clean"
+    p.mkdir()
+    lines = [
+        {"input": {"itemId": "1"}, "output": {"recommendedItems": ["2", "3"]}},
+        {"input": {"itemId": "4"}, "output": {"recommendedItems": []}},
+        {"input": {"itemId": "5"}, "error": "ITEM_NOT_IN_DATASET"},
+    ]
+    (p / "part-0.json").write_text("\n".join(json.dumps(l) for l in lines))
+
+    def snap(df):
+        return sorted(
+            (
+                r["input"]["itemId"],
+                tuple(r["output"]["recommendedItems"]) if r["output"] else None,
+                r["error"],
+                r["_corrupt_record"],
+            )
+            for r in df.collect()
+        )
+
+    base = read_batch_inference(spark, str(p))
+    drift = read_batch_inference_drift(spark, str(p))
+    assert snap(base) == snap(drift)
+    assert [r["_drift"] for r in drift.collect()] == [False] * 3
+
+
+def test_drift_reader_absorbs_choice_types(spark, tmp_path):
+    """Per-record type drift (Glue choice types, ri:99-107): numeric
+    itemId / numeric rec lists are CAST into the declared string
+    schema and flagged, instead of landing in _corrupt_record; only
+    unparseable lines are corrupt."""
+    from amazon_personalize_connectors_spark.sources.readers import (
+        read_batch_inference,
+        read_batch_inference_drift,
+    )
+
+    p = tmp_path / "drifty"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        "\n".join(
+            [
+                '{"input":{"itemId":"1"},"output":{"recommendedItems":["2"]}}',
+                '{"input":{"itemId":34},"output":{"recommendedItems":[5,6]}}',
+                '{"input":{"itemId":{"id":7}},"output":{"recommendedItems":["8"]},"error":null}',
+                '{"input":{"itemId":"9"},"output":{"recommendedItems":"8"},"error":null}',
+                '{"broken',
+            ]
+        )
+    )
+    out = {
+        (r["input"]["itemId"] if r["input"] else None): r
+        for r in read_batch_inference_drift(spark, str(p)).collect()
+    }
+    assert out["1"]["_drift"] is False
+    assert out["34"]["_drift"] is True  # absorbed, typed, flagged
+    assert out["34"]["output"]["recommendedItems"] == ["5", "6"]
+    # structural drift (object where a scalar id was declared): the
+    # record is SALVAGED — id kept as its JSON text, rec list intact,
+    # flagged — where PERMISSIVE dumps the whole line into
+    # _corrupt_record
+    salvaged = out['{"id":7}']
+    assert salvaged["_drift"] is True
+    assert salvaged["output"]["recommendedItems"] == ["8"]
+    # scalar where the array was declared: PERMISSIVE corrupts the
+    # whole line; the drift reader keeps the id, NULLs the list, flags
+    scalar_recs = out["9"]
+    assert scalar_recs["_drift"] is True and scalar_recs["output"] is None
+    corrupt = out[None]
+    assert corrupt["_corrupt_record"] == '{"broken'
+    assert corrupt["_drift"] is None
+    # the PERMISSIVE reader would have corrupted the drifted row too
+    from amazon_personalize_connectors_spark.sources.readers import (
+        split_corrupt,
+    )
+
+    base = read_batch_inference(spark, str(p))
+    _clean, bad = split_corrupt(base)
+    assert bad.count() == 2  # the scalar-recs row AND the broken line
