@@ -6033,6 +6033,43 @@ def q_variant_drift_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (streaming/stateful.py:
+    running_user_stats_pandas — applyInPandasWithState, Arrow-batched,
+    Update mode): drain the events table as a file stream with
+    Trigger.AvailableNow; each micro-batch emits updated per-user
+    (count, first, last) running stats; the LAST emit per user must
+    equal the plain batch aggregate — which is exactly the DuckDB
+    oracle (COUNT/MIN/MAX GROUP BY user_id)."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.stateful import (
+        running_user_stats_pandas,
+    )
+    from amazon_personalize_connectors_spark.streaming.windows import (
+        run_stream_to_memory,
+    )
+
+    landing = tempfile.mkdtemp(prefix="apc-stream-stats-")
+    batch = synthetic.load_events(spark, sf_dir).select("user_id", "ts_us")
+    batch.write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", 8
+    ).parquet(landing)
+    emits = run_stream_to_memory(
+        running_user_stats_pandas(stream), output_mode="update"
+    )
+    # last emit per user == running total (n monotone, first/last
+    # monotone in their directions)
+    return emits.groupBy("user_id").agg(
+        F.max("n_events").cast("bigint").alias("n_events"),
+        F.min("first_ts_us").cast("bigint").alias("first_ts_us"),
+        F.max("last_ts_us").cast("bigint").alias("last_ts_us"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -6063,6 +6100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_join_rollup": q_ivm_join_rollup,
         "merge_upsert": q_merge_upsert,
         "variant_drift_scan": q_variant_drift_scan,
+        "stream_running_stats": q_stream_running_stats,
         "sorted_neighborhood": q_sorted_neighborhood,
         "linear_attribution": q_linear_attribution,
         "stream_ivm_rollup": q_stream_ivm_rollup,
@@ -10853,5 +10891,14 @@ SELECT
        ELSE FALSE END AS drift,
   (k % 10 <> 0 AND k % 3 <> 0 AND k % 17 = 0) AS is_corrupt
 FROM k, n
+"""
+    # stream running stats == batch aggregate (drain-and-keep-last law)
+    sqls["stream_running_stats"] = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS first_ts_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts_us
+FROM events
+GROUP BY 1
 """
     return sqls

