@@ -6070,6 +6070,83 @@ def q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record linkage (operators/linkage.py): customer
+    candidate pairs BLOCKED on (nation, market segment) — the bounded
+    pair generator — scored with integer micro log-likelihood weights
+    over three agreement fields (balance within 100.00, key residue
+    mod 97, name length), classified by a threshold pair, and rolled
+    up per decision. The oracle repeats the identical self-join +
+    CASE arithmetic in SQL — exact bigint end to end."""
+    from amazon_personalize_connectors_spark.operators.linkage import (
+        linkage_scores,
+    )
+
+    cust = synthetic.load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("k"),
+        F.col("c_nationkey").cast("bigint").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("bal"),
+        F.length("c_name").cast("bigint").alias("nlen"),
+    )
+    a = cust.alias("a")
+    b = cust.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.nk") == F.col("b.nk"))
+        & (F.col("a.seg") == F.col("b.seg"))
+        & (F.col("a.k") < F.col("b.k")),
+    ).select(
+        F.col("a.k").alias("k1"),
+        F.col("b.k").alias("k2"),
+        (F.abs(F.col("a.bal") - F.col("b.bal")) <= 10_000).alias("_balband"),
+        (F.col("a.k") % 97 == F.col("b.k") % 97).alias("_keymod"),
+        (F.col("a.nlen") == F.col("b.nlen")).alias("_namelen"),
+    )
+    scored = linkage_scores(
+        pairs,
+        {
+            "balband": (F.col("_balband"), 0.9, 0.05),
+            "keymod": (F.col("_keymod"), 0.85, 0.1),
+            "namelen": (F.col("_namelen"), 0.7, 0.3),
+        },
+        upper_micro=4_000_000,
+        lower_micro=0,
+    )
+    return scored.groupBy("decision").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("score_micro").cast("bigint").alias("score_sum"),
+    )
+
+
+def q_kfold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe stratified k-fold audit (operators/features.py:
+    stratified_kfold / kfold_report): orders grouped-split on
+    o_custkey into 5 folds via the portable Lehmer-step hash (plain
+    bigint arithmetic, so the oracle runs the SAME expression), with
+    per-(priority, fold) row and key counts. Row-local fold
+    assignment + one aggregate; zero extra shuffles."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        kfold_report,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    rep = kfold_report(orders, ["priority"], "o_custkey", 5)
+    return rep.select(
+        "priority",
+        F.col("fold").cast("int").alias("fold"),
+        "n_rows",
+        "n_keys",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -6101,6 +6178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "variant_drift_scan": q_variant_drift_scan,
         "stream_running_stats": q_stream_running_stats,
+        "linkage_fs": q_linkage_fs,
+        "kfold_report": q_kfold_report,
         "sorted_neighborhood": q_sorted_neighborhood,
         "linear_attribution": q_linear_attribution,
         "stream_ivm_rollup": q_stream_ivm_rollup,
@@ -10900,5 +10979,44 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts_us
 FROM events
 GROUP BY 1
+"""
+    # FS linkage + kfold: identical bigint arithmetic in SQL
+    sqls["linkage_fs"] = """
+WITH c AS (
+  SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS nk,
+         c_mktsegment AS seg,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal,
+         CAST(length(c_name) AS BIGINT) AS nlen
+  FROM customer
+),
+pairs AS (
+  SELECT (abs(a.bal - b.bal) <= 10000) AS agree_balband,
+         (a.k % 97 = b.k % 97) AS agree_keymod,
+         (a.nlen = b.nlen) AS agree_namelen
+  FROM c a JOIN c b
+    ON a.nk = b.nk AND a.seg = b.seg AND a.k < b.k
+),
+scored AS (
+  SELECT CAST(
+           CASE WHEN agree_balband THEN 4169925 ELSE -3247928 END
+         + CASE WHEN agree_keymod THEN 3087462 ELSE -2584963 END
+         + CASE WHEN agree_namelen THEN 1222392 ELSE -1222393 END
+         AS BIGINT) AS score_micro
+  FROM pairs
+)
+SELECT CASE WHEN score_micro >= 4000000 THEN 'match'
+            WHEN score_micro < 0 THEN 'non_match'
+            ELSE 'possible' END AS decision,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(score_micro) AS BIGINT) AS score_sum
+FROM scored GROUP BY 1
+"""
+    sqls["kfold_report"] = """
+SELECT o_orderpriority AS priority,
+       CAST(((o_custkey % 2147483647) * 48271 % 2147483647) % 5 AS INT) AS fold,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_keys
+FROM orders
+GROUP BY 1, 2
 """
     return sqls

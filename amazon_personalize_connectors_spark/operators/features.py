@@ -753,3 +753,49 @@ def psi_drift(
             "only_b_num",
         )
     )
+
+
+def stratified_kfold(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Leakage-safe k-fold assignment: every row with the same key
+    lands in the same fold (grouped split — the property that keeps a
+    user/customer/document from straddling train and validation), via
+    a PORTABLE deterministic hash written in plain bigint arithmetic:
+
+        fold = ((key mod M) * 48271 mod M) mod k,  M = 2^31 - 1
+
+    (the MINSTD Lehmer step — multiplier and modulus chosen so the
+    product stays < 2^47, exactly representable in bigint on any
+    engine, which is what lets the DuckDB oracle run the SAME
+    expression rather than trusting an engine-specific hash). Keys
+    must be non-negative integers; row-local codegen, zero shuffles.
+    """
+    if k <= 1:
+        raise ValueError(f"k must be >= 2; got {k}")
+    key = F.col(key_col).cast("bigint")
+    m = F.lit(2_147_483_647).cast("bigint")
+    fold = ((key % m) * F.lit(48271).cast("bigint") % m) % F.lit(k).cast(
+        "bigint"
+    )
+    return df.withColumn(fold_col, fold.cast("int"))
+
+
+def kfold_report(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Fold-balance audit for a stratified grouped split: per
+    (stratum, fold) the row count and distinct-key count — the table
+    a training pipeline checks before trusting its CV folds. One
+    map-side-combinable aggregate over the folded frame."""
+    folded = stratified_kfold(df, key_col, k)
+    return folded.groupBy(*strata_cols, "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct(key_col).cast("bigint").alias("n_keys"),
+    )

@@ -801,3 +801,72 @@ def test_chi2_quantum_overflow_raises_not_clamps(spark):
     )
     with pytest.raises(Exception, match="bigint quantum"):
         chi2_independence(df, "a", "b", scale=10**18).collect()
+
+
+def test_stratified_kfold_is_grouped_and_balanced(spark):
+    """Same key -> same fold (leakage-safe grouped split), folds cover
+    [0, k), and the portable-hash arithmetic matches a Python mirror."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        kfold_report,
+        stratified_kfold,
+    )
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 400).alias("key"), (F.col("id") % 3).alias("s")
+    )
+    folded = stratified_kfold(df, "key", 5)
+    per_key = folded.groupBy("key").agg(
+        F.countDistinct("fold").alias("nf"), F.first("fold").alias("f")
+    )
+    rows = per_key.collect()
+    assert all(r["nf"] == 1 for r in rows)  # grouped: one fold per key
+    M = 2_147_483_647
+    for r in rows[:50]:
+        assert r["f"] == ((r["key"] % M) * 48271 % M) % 5
+    folds = {r["f"] for r in rows}
+    assert folds <= set(range(5)) and len(folds) == 5
+    rep = kfold_report(df, ["s"], "key", 5)
+    assert rep.agg(F.sum("n_rows")).collect()[0][0] == 3000
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        stratified_kfold(df, "key", 1)
+
+
+def test_linkage_scores_fellegi_sunter(spark):
+    """FS weights: agreement adds log2(m/u) micros, disagreement adds
+    log2((1-m)/(1-u)) micros; NULL agreement counts as disagreement;
+    thresholds classify into three decisions."""
+    import math
+
+    import pytest
+
+    from amazon_personalize_connectors_spark.operators.linkage import (
+        fs_field_weights,
+        linkage_scores,
+    )
+
+    aw, dw = fs_field_weights(0.9, 0.1)
+    assert aw == int(math.floor(math.log2(9.0) * 1_000_000))
+    assert dw == int(math.floor(math.log2(1 / 9) * 1_000_000))
+    pairs = spark.createDataFrame(
+        [(1, True, True), (2, True, None), (3, False, False)],
+        "pid int, a1 boolean, a2 boolean",
+    )
+    out = linkage_scores(
+        pairs,
+        {
+            "f1": (F.col("a1"), 0.9, 0.1),
+            "f2": (F.col("a2"), 0.8, 0.2),
+        },
+        upper_micro=2_000_000,
+        lower_micro=0,
+    ).collect()
+    by = {r["pid"]: r for r in out}
+    aw2, dw2 = fs_field_weights(0.8, 0.2)
+    assert by[1]["score_micro"] == aw + aw2 and by[1]["decision"] == "match"
+    assert by[2]["score_micro"] == aw + dw2  # NULL == disagreement
+    assert by[3]["score_micro"] == dw + dw2
+    assert by[3]["decision"] == "non_match"
+    with pytest.raises(ValueError, match="m must exceed u"):
+        fs_field_weights(0.2, 0.8)
