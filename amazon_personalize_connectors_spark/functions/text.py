@@ -625,7 +625,12 @@ def bm25_topk(
     # no single-task global window); the rank window then runs over k
     # rows only
     topk = per_doc.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
-    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    # k-row window; a constant-valued NON-FOLDABLE partition key
+    # (id*0 — the optimizer strips a bare lit()) silences the
+    # global-window warning without changing the single-partition plan
+    w = Window.partitionBy(F.col("id") * 0).orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "id", "score", "n_terms_hit", F.col("rank").cast("int").alias("rank")
     )

@@ -655,22 +655,33 @@ def residual_anomaly_days(
         enforce_bounded_grid,
     )
 
-    df = enforce_bounded_grid(df, max_grid_rows, "residual_anomaly_days")
+    df = enforce_bounded_grid(
+        df, max_grid_rows, "residual_anomaly_days", keep_count_col=True
+    )
     day_idx = F.datediff(F.col(day_col), F.lit("1970-01-01").cast("date"))
-    w = Window.orderBy(day_idx).rangeBetween(-(trail_days - 1), 0)
+    # partition on the guard's constant non-foldable count column:
+    # same single-partition execution, no WindowExec warning (a lit()
+    # key would be optimizer-stripped); the guard enforces the bound
+    w = Window.partitionBy("_grid_n").orderBy(day_idx).rangeBetween(
+        -(trail_days - 1), 0
+    )
     based = df.select(
+        "_grid_n",
         F.col(day_col).alias("day"),
         F.col(value_col).cast("bigint").alias("v"),
         F.sum(F.col(value_col).cast("bigint")).over(w).alias("_s"),
         F.count(F.lit(1)).over(w).alias("_n"),
     ).where(F.col("_n") == trail_days)
     resid = based.select(
-        "day", "v", (F.lit(trail_days) * F.col("v") - F.col("_s")).alias("residual")
+        "_grid_n", "day", "v",
+        (F.lit(trail_days) * F.col("v") - F.col("_s")).alias("residual"),
     )
-    grid = resid.groupBy(F.abs(F.col("residual")).alias("_a")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("_c")
+    grid = resid.groupBy(
+        "_grid_n", F.abs(F.col("residual")).alias("_a")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    wg = Window.partitionBy("_grid_n").orderBy("_a").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    wg = Window.orderBy("_a").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     gcum = grid.select("_a", F.sum("_c").over(wg).alias("_cum"))
     tot = grid.agg(F.sum("_c").alias("_n"))
     mad = (
@@ -793,8 +804,11 @@ def survival_table(
         enforce_bounded_grid,
     )
 
-    grid = enforce_bounded_grid(grid, max_grid_rows, "survival_table")
-    w = Window.orderBy("duration").rowsBetween(
+    grid = enforce_bounded_grid(
+        grid, max_grid_rows, "survival_table", keep_count_col=True
+    )
+    # guard-column partition key: see residual_anomaly_days note
+    w = Window.partitionBy("_grid_n").orderBy("duration").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = grid.withColumn("_cum", F.sum("_cnt").over(w))
@@ -1004,9 +1018,13 @@ def skyline_2d(
         enforce_bounded_grid,
     )
 
-    grid = enforce_bounded_grid(grid, max_grid_rows, "skyline_2d")
+    grid = enforce_bounded_grid(
+        grid, max_grid_rows, "skyline_2d", keep_count_col=True
+    )
+    # guard-column partition key: see residual_anomaly_days note
     w = (
-        Window.orderBy(F.col("x").desc())
+        Window.partitionBy("_grid_n")
+        .orderBy(F.col("x").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (

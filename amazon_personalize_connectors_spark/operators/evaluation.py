@@ -176,9 +176,17 @@ def _bin_cumulatives(
         enforce_bounded_grid,
     )
 
-    bins = enforce_bounded_grid(bins, max_grid_rows, "score bins")
+    bins = enforce_bounded_grid(
+        bins, max_grid_rows, "score bins", keep_count_col=True
+    )
+    # partition on the guard's constant (non-foldable) count column:
+    # identical single-partition execution, but WindowExec stops
+    # warning about an undeclared global window — the guard is what
+    # actually enforces boundedness (a lit() key would be optimized
+    # away)
     w = (
-        Window.orderBy(F.col("bin").desc())
+        Window.partitionBy("_grid_n")
+        .orderBy(F.col("bin").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # single-task window is fine HERE: it runs over the bin table,

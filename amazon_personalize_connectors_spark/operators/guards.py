@@ -24,12 +24,21 @@ from pyspark.sql import functions as F
 
 
 def enforce_bounded_grid(
-    grid: DataFrame, max_rows: int, what: str
+    grid: DataFrame, max_rows: int, what: str, keep_count_col: bool = False
 ) -> DataFrame:
     """Return ``grid`` unchanged when it holds at most ``max_rows``
     rows; otherwise the returned plan raises at execution time with a
     message naming the operator and the observed cardinality. Lazy —
-    no job is triggered at call time."""
+    no job is triggered at call time.
+
+    ``keep_count_col=True`` retains the broadcast ``_grid_n`` column
+    so the caller can use it as the PARTITION KEY of its grid window:
+    it is constant-valued (single partition, same execution as a
+    global window) but NOT foldable (it rides in from an aggregate),
+    so the optimizer cannot strip it the way it strips a ``lit()``
+    partition key — and WindowExec stops warning about an undeclared
+    global window, which is correct here because the guard has made
+    the boundedness contract executable."""
     cnt = grid.agg(F.count(F.lit(1)).alias("_grid_n"))
     # the check must ride a FILTER, not a projected-then-dropped
     # column — Catalyst's column pruning would eliminate a dropped
@@ -50,8 +59,5 @@ def enforce_bounded_grid(
             ),
         ),
     )
-    return (
-        grid.crossJoin(F.broadcast(cnt))
-        .where(check.isNull())
-        .drop("_grid_n")
-    )
+    out = grid.crossJoin(F.broadcast(cnt)).where(check.isNull())
+    return out if keep_count_col else out.drop("_grid_n")
