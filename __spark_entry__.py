@@ -6147,6 +6147,32 @@ def q_kfold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (operators/evaluation.py:cohens_kappa) between
+    two deterministic "annotators" of order urgency — the priority
+    field vs a clerk-parity rule — the labeling-QA gate as exact
+    bigint confusion/marginal arithmetic with ONE final division.
+    The oracle repeats the identical grid algebra in SQL."""
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        cohens_kappa,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    labeled = orders.select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit("hot")
+        )
+        .otherwise(F.lit("cold"))
+        .alias("rater_a"),
+        F.when(F.col("o_custkey") % 3 == 0, F.lit("hot"))
+        .otherwise(F.lit("cold"))
+        .alias("rater_b"),
+    )
+    return cohens_kappa(labeled, "rater_a", "rater_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -6180,6 +6206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_running_stats": q_stream_running_stats,
         "linkage_fs": q_linkage_fs,
         "kfold_report": q_kfold_report,
+        "annotator_kappa": q_annotator_kappa,
         "sorted_neighborhood": q_sorted_neighborhood,
         "linear_attribution": q_linear_attribution,
         "stream_ivm_rollup": q_stream_ivm_rollup,
@@ -11018,5 +11045,32 @@ SELECT o_orderpriority AS priority,
        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_keys
 FROM orders
 GROUP BY 1, 2
+"""
+    sqls["annotator_kappa"] = """
+WITH l AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 'hot' ELSE 'cold' END AS a,
+         CASE WHEN o_custkey % 3 = 0 THEN 'hot' ELSE 'cold' END AS b
+  FROM orders
+),
+cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM l GROUP BY 1, 2),
+na AS (SELECT a, sum(c) AS na FROM cells GROUP BY 1),
+nb AS (SELECT b, sum(c) AS nb FROM cells GROUP BY 1),
+pe AS (
+  SELECT CAST(COALESCE(sum(na.na * nb.nb), 0) AS BIGINT) AS pe_num
+  FROM na JOIN nb ON na.a = nb.b
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS n_agree
+  FROM cells
+)
+SELECT n, n_agree,
+       CAST(n * n_agree - pe_num AS BIGINT) AS kappa_num,
+       CAST(n * n - pe_num AS BIGINT) AS kappa_den,
+       CASE WHEN n * n - pe_num <> 0
+            THEN CAST(n * n_agree - pe_num AS DOUBLE)
+                 / CAST(n * n - pe_num AS DOUBLE) END AS kappa
+FROM tot, pe
 """
     return sqls

@@ -407,3 +407,63 @@ def ipw_weighted_ratio(
             F.col("_sn").cast("double") / F.col("_sd").cast("double"),
         ).alias("raw_ratio"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Inter-annotator agreement (Cohen's kappa) between two label
+    columns — the QA gate a labeling pipeline runs before trusting
+    human (or model-as-judge) annotations for training data.
+
+    Exact to the last integer: with n rows, observed agreement
+    o = Σ_c n_cc and expected chance agreement from the marginal
+    products, kappa reduces to ONE division of two exact bigints:
+
+        kappa = (n·o − Σ_c na_c·nb_c) / (n² − Σ_c na_c·nb_c)
+
+    Scale shape: one map-side-combinable aggregate to the label-pair
+    confusion grid (|A|·|B| cells, never data-sized), marginals as
+    grid-side re-aggregates, one 1-row output. NULL labels count as
+    their own category (two NULLs agree) via null-safe equality.
+    Returns (n, n_agree, kappa_num, kappa_den, kappa) — kappa NULL
+    when the denominator is zero (both raters constant)."""
+    cells = df.groupBy(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    na = cells.groupBy("_a").agg(F.sum("_c").alias("_na"))
+    nb = cells.groupBy("_b").agg(F.sum("_c").alias("_nb"))
+    chance = (
+        na.join(nb, F.col("_a").eqNullSafe(F.col("_b")))
+        .agg(F.sum(F.col("_na") * F.col("_nb")).alias("_pe_num"))
+        .select(F.coalesce(F.col("_pe_num"), F.lit(0)).cast("bigint").alias("_pe_num"))
+    )
+    totals = cells.agg(
+        F.sum("_c").cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("_a").eqNullSafe(F.col("_b")), F.col("_c")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    out = totals.crossJoin(F.broadcast(chance)).select(
+        "n",
+        "n_agree",
+        (F.col("n") * F.col("n_agree") - F.col("_pe_num"))
+        .cast("bigint")
+        .alias("kappa_num"),
+        (F.col("n") * F.col("n") - F.col("_pe_num"))
+        .cast("bigint")
+        .alias("kappa_den"),
+    )
+    return out.withColumn(
+        "kappa",
+        F.when(
+            F.col("kappa_den") != 0,
+            F.col("kappa_num").cast("double") / F.col("kappa_den").cast("double"),
+        ),
+    )

@@ -235,6 +235,9 @@ BENCH_QUERIES = [
     "pareto_skyline",
     "merge_upsert",
     "variant_drift_scan",
+    "linkage_fs",
+    "kfold_report",
+    "annotator_kappa",
 ]
 
 # The streaming maintenance family drains micro-batches rewriting a

@@ -350,3 +350,33 @@ def test_bins_from_grid_equals_raw_report(spark):
     )
     via_grid = sorted(tuple(r) for r in bins_from_grid(grid, 10).collect())
     assert raw == via_grid
+
+
+def test_cohens_kappa_exact(spark):
+    """Kappa against a hand-computed confusion matrix, including the
+    NULL-as-category and constant-rater edge cases."""
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        cohens_kappa,
+    )
+
+    rows = (
+        [("x", "x")] * 20 + [("x", "y")] * 5
+        + [("y", "x")] * 10 + [("y", "y")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    n, o = 50, 35
+    pe_num = 25 * 30 + 25 * 20  # na_x*nb_x + na_y*nb_y
+    assert (r["n"], r["n_agree"]) == (n, o)
+    assert r["kappa_num"] == n * o - pe_num
+    assert r["kappa_den"] == n * n - pe_num
+    assert abs(r["kappa"] - (n * o - pe_num) / (n * n - pe_num)) < 1e-12
+    # two NULLs agree (null-safe)
+    df2 = spark.createDataFrame(
+        [("x", "x"), (None, None), (None, "x")], "a string, b string"
+    )
+    r2 = cohens_kappa(df2, "a", "b").collect()[0]
+    assert r2["n_agree"] == 2
+    # constant raters in full agreement: den == 0 -> NULL kappa
+    df3 = spark.createDataFrame([("x", "x")] * 4, "a string, b string")
+    assert cohens_kappa(df3, "a", "b").collect()[0]["kappa"] is None
