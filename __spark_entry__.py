@@ -6173,6 +6173,30 @@ def q_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohens_kappa(labeled, "rater_a", "rater_b")
 
 
+
+
+def q_score_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error (operators/evaluation.py:
+    expected_calibration_error) of the cents score against purchase
+    labels over 500-cent bins on a 0-100.00 (10000-cent) confidence
+    scale — exact bigint cross-multiplied bin gaps, ONE division.
+    Oracle: the identical integer algebra in SQL."""
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        expected_calibration_error,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir).where(F.col("value").isNotNull())
+    scored = ev.select(
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return expected_calibration_error(
+        scored, "score", "label", bin_width=500, score_scale=10_000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -6207,6 +6231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_fs": q_linkage_fs,
         "kfold_report": q_kfold_report,
         "annotator_kappa": q_annotator_kappa,
+        "score_ece": q_score_ece,
         "sorted_neighborhood": q_sorted_neighborhood,
         "linear_attribution": q_linear_attribution,
         "stream_ivm_rollup": q_stream_ivm_rollup,
@@ -11072,5 +11097,30 @@ SELECT n, n_agree,
             THEN CAST(n * n_agree - pe_num AS DOUBLE)
                  / CAST(n * n - pe_num AS DOUBLE) END AS kappa
 FROM tot, pe
+"""
+    sqls["score_ece"] = """
+WITH s AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+),
+bins AS (
+  SELECT score // 500 AS bin,
+         CAST(count(*) AS BIGINT) AS n_b,
+         CAST(sum(y) AS BIGINT) AS pos_b
+  FROM s GROUP BY 1
+),
+agg AS (
+  SELECT CAST(sum(n_b) AS BIGINT) AS n,
+         CAST(sum(abs(2 * 10000 * pos_b - n_b * (2 * 500 * bin + 500)))
+              AS BIGINT) AS ece_num
+  FROM bins
+)
+SELECT n, ece_num,
+       CAST(2 * 10000 * n AS BIGINT) AS ece_den,
+       CASE WHEN n > 0
+            THEN CAST(ece_num AS DOUBLE) / CAST(2 * 10000 * n AS DOUBLE)
+       END AS ece
+FROM agg
 """
     return sqls

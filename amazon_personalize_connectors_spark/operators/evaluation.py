@@ -467,3 +467,64 @@ def cohens_kappa(
             F.col("kappa_num").cast("double") / F.col("kappa_den").cast("double"),
         ),
     )
+
+
+def expected_calibration_error(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    bin_width: int,
+    score_scale: int,
+) -> DataFrame:
+    """Expected Calibration Error over fixed-width integer score bins:
+    the bin-weighted gap between predicted confidence (bin midpoint on
+    the ``score_scale`` denominator — e.g. cents over 10000 for a
+    0-100.00 score) and observed positive rate — the single-number
+    "can I trust the score as a probability" summary next to the full
+    calibration table (score_bin_report).
+
+    Exact until one division: per bin the weighted gap
+    ``n_b·|pos_b/n_b − mid_b/scale|`` cross-multiplies to
+    ``|2·scale·pos_b − n_b·(2·bin_lo + width)|`` — a bigint — so
+
+        ECE = Σ_b |...| / (2·scale·n)
+
+    is layout-independent with a single IEEE division at the end.
+    Same scale shape as the bin report: one integer-DIV aggregate,
+    grid-side arithmetic, 1-row output (n, ece_num, ece_den, ece)."""
+    if bin_width <= 0 or score_scale <= 0:
+        raise ValueError("bin_width and score_scale must be positive")
+    bins = (
+        scored.select(
+            F.expr(f"CAST({score_col} AS BIGINT) DIV {bin_width}").alias(
+                "bin"
+            ),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.sum("_y").cast("bigint").alias("_pos"),
+        )
+    )
+    term = F.abs(
+        F.lit(2 * score_scale).cast("bigint") * F.col("_pos")
+        - F.col("_n")
+        * (F.lit(2 * bin_width).cast("bigint") * F.col("bin") + F.lit(bin_width))
+    )
+    agg = bins.agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.sum(term).cast("bigint").alias("ece_num"),
+    )
+    return agg.select(
+        "n",
+        "ece_num",
+        (F.lit(2 * score_scale).cast("bigint") * F.col("n")).alias("ece_den"),
+        F.when(
+            F.col("n") > 0,
+            F.col("ece_num").cast("double")
+            / (F.lit(2 * score_scale).cast("bigint") * F.col("n")).cast(
+                "double"
+            ),
+        ).alias("ece"),
+    )

@@ -238,6 +238,7 @@ BENCH_QUERIES = [
     "linkage_fs",
     "kfold_report",
     "annotator_kappa",
+    "score_ece",
 ]
 
 # The streaming maintenance family drains micro-batches rewriting a

@@ -380,3 +380,24 @@ def test_cohens_kappa_exact(spark):
     # constant raters in full agreement: den == 0 -> NULL kappa
     df3 = spark.createDataFrame([("x", "x")] * 4, "a string, b string")
     assert cohens_kappa(df3, "a", "b").collect()[0]["kappa"] is None
+
+
+def test_expected_calibration_error_exact(spark):
+    """ECE against a hand computation: two bins, known rates."""
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        expected_calibration_error,
+    )
+
+    # scores on a 0-100 integer scale, bin width 50: bin 0 mid=25,
+    # bin 1 mid=75 (on scale 100)
+    rows = [(10, 1)] * 3 + [(10, 0)] * 7 + [(60, 1)] * 8 + [(60, 0)] * 2
+    df = spark.createDataFrame(rows, "s int, y int")
+    r = expected_calibration_error(df, "s", "y", bin_width=50, score_scale=100).collect()[0]
+    # bin0: |2*100*3 - 10*(0+50)| = |600-500| = 100
+    # bin1: |2*100*8 - 10*(100+50)| = |1600-1500| = 100
+    assert (r["n"], r["ece_num"], r["ece_den"]) == (20, 200, 4000)
+    assert abs(r["ece"] - 0.05) < 1e-12
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        expected_calibration_error(df, "s", "y", 0, 100)
