@@ -6197,6 +6197,37 @@ def q_score_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection on daily revenue (operators/
+    analytics.py:changepoint_single): the argmin-SSE split of the
+    calendar-bounded daily cents series, exact prefix sums (bigint /
+    decimal(38,0)) under a fixed per-candidate IEEE cost tree that
+    the oracle spells identically — so the chosen split day, the
+    integer segment sums, AND the double cost/gain match
+    bit-for-bit."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        changepoint_single,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    out = changepoint_single(daily, "day", "cents")
+    return out.select(
+        F.col("split_day").cast("string").alias("split_day"),
+        "n_left", "n_right", "sum_left", "sum_right", "cost", "gain",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -6232,6 +6263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_report": q_kfold_report,
         "annotator_kappa": q_annotator_kappa,
         "score_ece": q_score_ece,
+        "revenue_changepoint": q_revenue_changepoint,
         "sorted_neighborhood": q_sorted_neighborhood,
         "linear_attribution": q_linear_attribution,
         "stream_ivm_rollup": q_stream_ivm_rollup,
@@ -11122,5 +11154,52 @@ SELECT n, ece_num,
             THEN CAST(ece_num AS DOUBLE) / CAST(2 * 10000 * n AS DOUBLE)
        END AS ece
 FROM agg
+"""
+    sqls["revenue_changepoint"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+pre AS (
+  SELECT day, v,
+         CAST(row_number() OVER w AS BIGINT) AS i,
+         CAST(sum(v) OVER w AS BIGINT) AS s,
+         CAST(sum(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)))
+              OVER w AS DECIMAL(38,0)) AS q
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS sn,
+         CAST(sum(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS qn
+  FROM daily
+),
+cand AS (
+  SELECT day, i, s, q, n, sn, qn,
+         (CAST(q AS DOUBLE)
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(i AS DOUBLE))
+         + (CAST(qn - q AS DOUBLE)
+            - CAST(sn - s AS DOUBLE) * CAST(sn - s AS DOUBLE)
+              / CAST(n - i AS DOUBLE)) AS cost,
+         CAST(qn AS DOUBLE)
+         - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(n AS DOUBLE)
+           AS c0
+  FROM pre, tot
+  WHERE i < n
+),
+best AS (SELECT * FROM cand ORDER BY cost, day LIMIT 1)
+SELECT strftime(day, '%Y-%m-%d') AS split_day,
+       i AS n_left,
+       CAST(n - i AS BIGINT) AS n_right,
+       s AS sum_left,
+       CAST(sn - s AS BIGINT) AS sum_right,
+       cost,
+       c0 - cost AS gain
+FROM best
 """
     return sqls

@@ -1036,3 +1036,99 @@ def skyline_2d(
         .select("x", "y", "n_at_point", "n_at_x")
         .orderBy("x")
     )
+
+
+def changepoint_single(
+    df: DataFrame,
+    day_col: str,
+    value_col: str,
+    max_grid_rows: int = 200_000,
+) -> DataFrame:
+    """Single-changepoint detection on a DAILY series: the split that
+    minimizes total within-segment sum of squared error — "did the
+    level shift, and when" for a revenue/traffic line, the one-step
+    core of binary-segmentation changepoint methods.
+
+    Determinism: prefix sums S_i (bigint) and squared sums Q_i
+    (decimal(38,0) — a daily cents total squared exceeds bigint) are
+    EXACT; each candidate split's cost is a fixed IEEE expression
+    tree over casts of those exact values
+
+        cost_i = (Q_i − S_i²/i) + ((Q_n−Q_i) − (S_n−S_i)²/(n−i))
+
+    evaluated per candidate row — identical trees produce identical
+    doubles on any engine (the wilson_bounds rule), so the argmin
+    (tie-broken by day) is engine-portable. The no-split cost uses
+    the same tree shape for a comparable ``gain``.
+
+    Scale shape: the input is a calendar-bounded daily rollup
+    (guarded by ``max_grid_rows``); prefix sums ride one grid window
+    partitioned on the guard column, totals broadcast back as a 1-row
+    frame, and the argmin is a struct-min aggregate. Returns ONE row:
+    (split_day, n_left, n_right, sum_left, sum_right, cost, gain)."""
+    from amazon_personalize_connectors_spark.operators.guards import (
+        enforce_bounded_grid,
+    )
+
+    base = enforce_bounded_grid(
+        df.select(
+            F.col(day_col).alias("day"),
+            F.col(value_col).cast("bigint").alias("v"),
+        ),
+        max_grid_rows,
+        "changepoint_single",
+        keep_count_col=True,
+    )
+    w = (
+        Window.partitionBy("_grid_n")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("_grid_n").orderBy("day")
+    vsq = F.col("v").cast("decimal(19,0)") * F.col("v").cast("decimal(19,0)")
+    pre = base.select(
+        "day",
+        "v",
+        F.row_number().over(wn).alias("i"),
+        F.sum("v").over(w).cast("bigint").alias("s"),
+        F.sum(vsq.cast("decimal(38,0)")).over(w)
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("sn"),
+        F.sum(vsq.cast("decimal(38,0)")).cast("decimal(38,0)").alias("qn"),
+    )
+    cand = pre.crossJoin(F.broadcast(tot)).where(F.col("i") < F.col("n"))
+    d = lambda c: c.cast("double")  # noqa: E731 — fixed IEEE tree below
+    cost = (
+        d(F.col("q")) - d(F.col("s")) * d(F.col("s")) / d(F.col("i"))
+    ) + (
+        d(F.col("qn") - F.col("q"))
+        - d(F.col("sn") - F.col("s"))
+        * d(F.col("sn") - F.col("s"))
+        / d(F.col("n") - F.col("i"))
+    )
+    no_split = d(F.col("qn")) - d(F.col("sn")) * d(F.col("sn")) / d(F.col("n"))
+    scored = cand.select(
+        F.struct(
+            cost.alias("cost"),
+            F.col("day").alias("split_day"),
+            F.col("i").alias("n_left"),
+            (F.col("n") - F.col("i")).cast("bigint").alias("n_right"),
+            F.col("s").alias("sum_left"),
+            (F.col("sn") - F.col("s")).cast("bigint").alias("sum_right"),
+            no_split.alias("_c0"),
+        ).alias("_best")
+    )
+    best = scored.agg(F.min("_best").alias("_best"))
+    return best.select(
+        F.col("_best.split_day").alias("split_day"),
+        F.col("_best.n_left").alias("n_left"),
+        F.col("_best.n_right").alias("n_right"),
+        F.col("_best.sum_left").alias("sum_left"),
+        F.col("_best.sum_right").alias("sum_right"),
+        F.col("_best.cost").alias("cost"),
+        (F.col("_best._c0") - F.col("_best.cost")).alias("gain"),
+    )

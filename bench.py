@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "kfold_report",
     "annotator_kappa",
     "score_ece",
+    "revenue_changepoint",
 ]
 
 # The streaming maintenance family drains micro-batches rewriting a

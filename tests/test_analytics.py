@@ -719,3 +719,34 @@ def test_bounded_grid_guard_raises_on_data_sized_domain(spark):
             "e",
             max_grid_rows=100,
         ).collect()
+
+
+def test_changepoint_single_finds_level_shift(spark):
+    """Argmin-SSE split against a Python brute force on a series with
+    a known level shift."""
+    import datetime
+
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        changepoint_single,
+    )
+
+    vals = [100, 110, 90, 105, 95, 500, 510, 490, 505, 495]
+    d0 = datetime.date(2024, 1, 1)
+    rows = [(d0 + datetime.timedelta(days=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "day date, v long")
+    r = changepoint_single(df, "day", "v").collect()[0]
+
+    def sse(xs):
+        n = len(xs)
+        s, q = sum(xs), sum(x * x for x in xs)
+        return q - s * s / n
+
+    costs = {
+        i: sse(vals[:i]) + sse(vals[i:]) for i in range(1, len(vals))
+    }
+    best_i = min(costs, key=costs.get)
+    assert r["split_day"] == d0 + datetime.timedelta(days=best_i - 1)
+    assert r["n_left"] == best_i and r["n_right"] == len(vals) - best_i
+    assert r["sum_left"] == sum(vals[:best_i])
+    assert abs(r["cost"] - costs[best_i]) < 1e-6
+    assert r["gain"] > 0
