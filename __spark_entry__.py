@@ -6228,6 +6228,43 @@ def q_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_stream_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental MinHash-LSH near-dup maintenance
+    (streaming/neardup_monitor.py): the documents subset arrives as a
+    multi-file stream (AvailableNow), each micro-batch bands only its
+    own docs and joins them against the accumulated band state —
+    history is never re-banded — and the union of per-epoch candidate
+    pairs must equal the batch minhash_lsh_candidates over everything
+    drained. Same params as q:minhash_lsh, so the SAME DuckDB oracle
+    applies (sqls["stream_minhash_lsh"] = sqls["minhash_lsh"])."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.neardup_monitor import (
+        candidates_from_store,
+        maintain_from_stream,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    ).select("doc_id", "text")
+    landing = tempfile.mkdtemp(prefix="apc-neardup-landing-")
+    # several files so AvailableNow produces several micro-batches
+    docs.repartition(4).write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(landing)
+    store = tempfile.mkdtemp(prefix="apc-neardup-store-")
+    ckpt = tempfile.mkdtemp(prefix="apc-neardup-ckpt-")
+    maintain_from_stream(stream, store, ckpt, n=2)
+    return candidates_from_store(spark, store).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "n_shared_bands",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -6264,6 +6301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "annotator_kappa": q_annotator_kappa,
         "score_ece": q_score_ece,
         "revenue_changepoint": q_revenue_changepoint,
+        "stream_minhash_lsh": q_stream_minhash_lsh,
         "sorted_neighborhood": q_sorted_neighborhood,
         "linear_attribution": q_linear_attribution,
         "stream_ivm_rollup": q_stream_ivm_rollup,
@@ -11202,4 +11240,6 @@ SELECT strftime(day, '%Y-%m-%d') AS split_day,
        c0 - cost AS gain
 FROM best
 """
+    # incremental LSH maintenance == batch recompute (delta law)
+    sqls["stream_minhash_lsh"] = sqls["minhash_lsh"]
     return sqls

@@ -395,13 +395,40 @@ def minhash_lsh_candidates(
     The join key is (band_index, band_digest) — high entropy, no skew,
     and never a cross join.
     """
+    bands = minhash_band_table(
+        df, text_col, id_col, n, num_hashes, band_size
+    )
+    a = bands.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = bands.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_bands"))
+    )
+
+
+def minhash_band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 6,
+    band_size: int = 2,
+) -> DataFrame:
+    """(id, band, bucket) LSH band table — the shared core of the
+    batch candidate generator above and the STREAMING near-dup
+    monitor (streaming/neardup_monitor.py), whose law is exactly
+    "band tables are a per-doc map, so candidates over a union ==
+    union of cross-batch bucket joins".
+
+    Signature via explode + groupBy-min rather than per-row
+    array-fold expressions: the inlined higher-order tree (6 x
+    array_min(transform(distinct(transform(...))))) blows up
+    whole-stage codegen compile time, and at scale the exploded
+    shingle table is the shape you want anyway (map-side combinable
+    min aggregates, one shuffle keyed by doc id)."""
     num_bands = num_hashes // band_size
-    # Signature via explode + groupBy-min rather than per-row
-    # array-fold expressions: the inlined higher-order tree (6 x
-    # array_min(transform(distinct(transform(...))))) blows up
-    # whole-stage codegen compile time, and at scale the exploded
-    # shingle table is the shape you want anyway (map-side combinable
-    # min aggregates, one shuffle keyed by doc id).
     sh = shingle_table(df, text_col, id_col, n)
     sig = sh.groupBy("id").agg(
         *[
@@ -409,7 +436,7 @@ def minhash_lsh_candidates(
             for s in range(num_hashes)
         ]
     )
-    bands = sig.select(
+    return sig.select(
         "id",
         F.posexplode(
             F.array(
@@ -421,14 +448,6 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("band", "bucket"),
-    )
-    a = bands.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = bands.select(F.col("id").alias("id_b"), "band", "bucket")
-    return (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_bands"))
     )
 
 

@@ -255,6 +255,7 @@ STREAM_ONE_RUN = [
     "stream_model_refresh",
     "stream_ks_drift",
     "stream_auc_monitor",
+    "stream_minhash_lsh",
 ]
 
 

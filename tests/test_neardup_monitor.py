@@ -1,0 +1,81 @@
+"""Streaming incremental MinHash-LSH near-dup monitor
+(streaming/neardup_monitor.py): the union of per-epoch candidate
+pairs must equal the batch minhash_lsh_candidates over everything
+drained, replays must not double-count, and stale epochs are refused.
+"""
+
+import os
+
+import pytest
+
+from amazon_personalize_connectors_spark.functions.dedup import (
+    minhash_lsh_candidates,
+)
+from amazon_personalize_connectors_spark.streaming.neardup_monitor import (
+    apply_neardup_batch,
+    candidates_from_store,
+    maintain_from_stream,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),
+    (3, "completely different text about spark engines"),
+    (4, "the quick brown fox jumps over the lazy dog"),
+    (5, "another completely different text about ducks"),
+    (6, "completely different text about spark engines today"),
+]
+
+
+def _snap(df):
+    return {
+        (r["id_a"], r["id_b"]): r["n_shared_bands"] for r in df.collect()
+    }
+
+
+def test_stream_neardup_equals_batch(spark, tmp_path):
+    store = str(tmp_path / "nd")
+    os.makedirs(store, exist_ok=True)
+    b0 = spark.createDataFrame(DOCS[:3], "doc_id long, text string")
+    b1 = spark.createDataFrame(DOCS[3:], "doc_id long, text string")
+    apply_neardup_batch(b0, 0, store)
+    apply_neardup_batch(b1, 1, store)
+    want = _snap(
+        minhash_lsh_candidates(
+            spark.createDataFrame(DOCS, "doc_id long, text string")
+        )
+    )
+    got = _snap(candidates_from_store(spark, store))
+    assert got == want and len(want) >= 2
+    # hard retry: replay the last epoch AFTER its pointer flip
+    apply_neardup_batch(b1, 1, store)
+    assert _snap(candidates_from_store(spark, store)) == want
+    # a fresh checkpoint (epoch restarting at 0) is refused
+    with pytest.raises(ValueError, match="behind the store"):
+        apply_neardup_batch(b0, 0, store)
+
+
+def test_stream_neardup_via_real_stream(spark, tmp_path):
+    """End-to-end through Structured Streaming: file source, two
+    files, maxFilesPerTrigger=1, AvailableNow."""
+    import json
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    for i, chunk in enumerate((DOCS[:3], DOCS[3:])):
+        (landing / f"b{i}.json").write_text(
+            "\n".join(
+                json.dumps({"doc_id": d, "text": t}) for d, t in chunk
+            )
+        )
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(landing))
+    store = str(tmp_path / "nd2")
+    maintain_from_stream(stream, store, str(tmp_path / "ckpt"))
+    want = _snap(
+        minhash_lsh_candidates(
+            spark.createDataFrame(DOCS, "doc_id long, text string")
+        )
+    )
+    assert _snap(candidates_from_store(spark, store)) == want
