@@ -91,6 +91,20 @@ def plan_fold(store_path: str, epoch_id: int) -> tuple[int, int | None, dict]:
     if last is None:  # legacy store — cannot distinguish retry; advance
         return cur + 1, cur, meta
     if e == last:
+        if meta["epoch"] != e:
+            # the committed version is a COMPACTION (epoch None) that
+            # already folded epoch e's output in — replaying e on top
+            # of it would overwrite the compacted state with one
+            # batch's worth. This only happens when compaction ran
+            # against a store whose last drain never committed its
+            # checkpoint; surface the operator error instead.
+            raise ValueError(
+                f"epoch {e} is a retry, but the committed version of "
+                f"{store_path!r} is a compaction that already includes "
+                f"it — compaction must only run between SUCCESSFULLY "
+                f"committed drains. Restore a pre-compaction copy or "
+                f"start a new store."
+            )
         return cur, meta["prev"], meta
     if e > last:
         return cur + 1, cur, meta

@@ -17,16 +17,15 @@ state, the later doc's fully in the batch). Per-trigger cost is
 ∝ |batch| × bands plus the bucket-keyed join against state; history
 is NEVER re-banded or re-joined against itself.
 
-Storage follows the ivm epoch scheme (streaming/epoch_store.py
-rationale): version dir ``v{e}`` holds this epoch's ``bands`` delta
-(append cost ∝ batch — state is the union of immutable per-epoch
+Storage uses the shared epoch-keyed version chain (streaming/
+epoch_store.py): each fold's version dir holds that epoch's ``bands``
+delta (append cost ∝ batch — state is the union of immutable prior
 deltas, no rewrite) and its ``pairs`` output; a replayed epoch —
-including after the pointer flip — re-reads only versions < e and
-overwrites its own dir, and a stale epoch (fresh checkpoint against
-an old store) is refused. Document ids must be unique across the
-stream's lifetime (the dedup-scan contract); band-table compaction
-(union the deltas into one dir) is an operational policy, the law is
-unaffected.
+including after the pointer flip — re-reads the same prior versions
+and overwrites its own dir, a stale epoch (fresh checkpoint against
+an old store) is refused, and ``compact_store`` collapses the deltas
+into one non-epoch version between drains. Document ids must be
+unique across the stream's lifetime (the dedup-scan contract).
 
 Law (oracle-checked by q:stream_minhash_lsh): the union of all
 epochs' pairs equals the batch ``minhash_lsh_candidates`` over
@@ -44,10 +43,10 @@ from amazon_personalize_connectors_spark.functions.dedup import (
     minhash_band_table,
 )
 from amazon_personalize_connectors_spark.streaming.epoch_store import (
+    commit_version,
     current_version as _current_version,
-)
-from amazon_personalize_connectors_spark.streaming.cdc_sink import (
-    _version_file,
+    plan_fold,
+    read_meta,
 )
 
 _BANDS_SCHEMA = "id long, band int, bucket string"
@@ -76,22 +75,19 @@ def apply_neardup_batch(
     band delta. Same epoch discipline as streaming/ivm.py."""
     spark = batch.sparkSession
     e = int(epoch_id)
-    cur = _current_version(store_path)
-    if cur is not None and e < cur:
-        raise ValueError(
-            f"epoch {e} is behind the store's committed epoch {cur} "
-            f"(store {store_path!r}): a fresh streaming checkpoint "
-            f"cannot be pointed at an existing near-dup store — use a "
-            f"new store path when restarting from scratch."
-        )
-    vdir = os.path.join(store_path, f"v{e}")
+    version, prior, _meta = plan_fold(store_path, e)
+    vdir = os.path.join(store_path, f"v{version}")
+    state_range = 0 if prior is None else prior + 1
     new_bands = minhash_band_table(
         batch, text_col, id_col, n, num_hashes, band_size
     ).localCheckpoint(eager=True)  # read 3x: state join, self join, delta write
     state_bands = _read_many(
         spark,
         _BANDS_SCHEMA,
-        [os.path.join(store_path, f"v{i}", "bands") for i in range(e)],
+        [
+            os.path.join(store_path, f"v{i}", "bands")
+            for i in range(state_range)
+        ],
     )
     # batch-vs-state: the new doc is always the later member; order
     # the pair by id for a stable output key
@@ -115,11 +111,7 @@ def apply_neardup_batch(
     )
     pairs.write.mode("overwrite").parquet(os.path.join(vdir, "pairs"))
     new_bands.write.mode("overwrite").parquet(os.path.join(vdir, "bands"))
-    if cur is None or e > cur:
-        tmp = _version_file(store_path) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(e))
-        os.replace(tmp, _version_file(store_path))
+    commit_version(store_path, version, e, prior, e)
 
 
 def maintain_from_stream(
@@ -169,3 +161,51 @@ def candidates_from_store(
     return pairs.groupBy("id_a", "id_b").agg(
         F.sum("n_shared_bands").cast("bigint").alias("n_shared_bands")
     )
+
+
+def compact_store(spark: SparkSession, store_path: str) -> None:
+    """Collapse the per-epoch band/pair deltas into one version dir —
+    the operational policy that bounds read fan-out (state reads union
+    one path per drained epoch; after compaction, one path total).
+    The law is unaffected: bands are a per-doc map and pairs are
+    epoch-disjoint, so unioning either is content-preserving.
+
+    Crash-safe like model_refresh.compact_store: the compacted dir is
+    fully written before the pointer flips (a crash leaves the old
+    versions authoritative and the half-written dir inert); stale
+    version dirs are pruned only after the flip. The compaction is a
+    non-epoch version in the chain (epoch None, last_epoch carried
+    forward), so a resumed stream's next epoch folds cleanly on top —
+    and a RETRY of the last epoch arriving after compaction is
+    refused by plan_fold instead of overwriting the compacted state
+    (compact only between successfully committed drains)."""
+    import shutil
+
+    cur = _current_version(store_path)
+    if cur is None:
+        return
+    last_epoch = read_meta(store_path, cur)["last_epoch"]
+    version = cur + 1
+    out = os.path.join(store_path, f"v{version}")
+    bands = _read_many(
+        spark,
+        _BANDS_SCHEMA,
+        [os.path.join(store_path, f"v{i}", "bands") for i in range(cur + 1)],
+    )
+    pairs = _read_many(
+        spark,
+        _PAIRS_SCHEMA,
+        [os.path.join(store_path, f"v{i}", "pairs") for i in range(cur + 1)],
+    )
+    bands.write.mode("overwrite").parquet(os.path.join(out, "bands"))
+    pairs.groupBy("id_a", "id_b").agg(
+        F.sum("n_shared_bands").cast("bigint").alias("n_shared_bands")
+    ).write.mode("overwrite").parquet(os.path.join(out, "pairs"))
+    commit_version(store_path, version, None, cur, last_epoch)
+    for name in os.listdir(store_path):
+        if (
+            name.startswith("v")
+            and name[1:].isdigit()
+            and int(name[1:]) < version
+        ):
+            shutil.rmtree(os.path.join(store_path, name), ignore_errors=True)

@@ -79,3 +79,30 @@ def test_stream_neardup_via_real_stream(spark, tmp_path):
         )
     )
     assert _snap(candidates_from_store(spark, store)) == want
+
+
+def test_compact_store_preserves_candidates(spark, tmp_path):
+    from amazon_personalize_connectors_spark.streaming.neardup_monitor import (
+        compact_store,
+    )
+
+    store = str(tmp_path / "nd3")
+    os.makedirs(store, exist_ok=True)
+    b0 = spark.createDataFrame(DOCS[:3], "doc_id long, text string")
+    b1 = spark.createDataFrame(DOCS[3:], "doc_id long, text string")
+    apply_neardup_batch(b0, 0, store)
+    apply_neardup_batch(b1, 1, store)
+    before = _snap(candidates_from_store(spark, store))
+    compact_store(spark, store)
+    vdirs = sorted(d for d in os.listdir(store) if d.startswith("v"))
+    assert vdirs == ["v2"]
+    assert _snap(candidates_from_store(spark, store)) == before
+    # folds keep working after compaction (next epoch past the
+    # compacted version)
+    b2 = spark.createDataFrame(
+        [(7, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    apply_neardup_batch(b2, 3, store)
+    after = _snap(candidates_from_store(spark, store))
+    assert set(before).issubset(after) and len(after) > len(before)
