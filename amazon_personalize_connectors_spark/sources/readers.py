@@ -184,14 +184,13 @@ def parse_batch_inference_drift(
     are codegen expressions, no Python in the path)."""
     id_path = "$.input.itemId" if job_type == "related_items" else "$.input.userId"
     id_field = "itemId" if job_type == "related_items" else "userId"
-    v = F.expr(f"try_parse_json({value_col})")
+    # parse ONCE into a variant column; every extraction below reads
+    # the parsed binary, not the raw JSON text again
+    parsed = lines.withColumn("_v", F.expr(f"try_parse_json({value_col})"))
     raw = {
-        "id": F.expr(f"variant_get(try_parse_json({value_col}), '{id_path}')"),
-        "recs": F.expr(
-            f"variant_get(try_parse_json({value_col}),"
-            f" '$.output.recommendedItems')"
-        ),
-        "error": F.expr(f"variant_get(try_parse_json({value_col}), '$.error')"),
+        "id": F.expr(f"variant_get(_v, '{id_path}')"),
+        "recs": F.expr("variant_get(_v, '$.output.recommendedItems')"),
+        "error": F.expr("variant_get(_v, '$.error')"),
     }
     drift = F.lit(False)
     for name, col in raw.items():
@@ -199,18 +198,13 @@ def parse_batch_inference_drift(
         drift = drift | (
             col.isNotNull() & ~sch.isin(*_DRIFT_OK[name])
         )
-    typed_id = F.expr(
-        f"try_variant_get(try_parse_json({value_col}), '{id_path}', 'string')"
-    )
+    typed_id = F.expr(f"try_variant_get(_v, '{id_path}', 'string')")
     typed_recs = F.expr(
-        f"try_variant_get(try_parse_json({value_col}),"
-        f" '$.output.recommendedItems', 'array<string>')"
+        "try_variant_get(_v, '$.output.recommendedItems', 'array<string>')"
     )
-    typed_err = F.expr(
-        f"try_variant_get(try_parse_json({value_col}), '$.error', 'string')"
-    )
-    corrupt = v.isNull() & F.col(value_col).isNotNull()
-    return lines.select(
+    typed_err = F.expr("try_variant_get(_v, '$.error', 'string')")
+    corrupt = F.col("_v").isNull() & F.col(value_col).isNotNull()
+    return parsed.select(
         F.when(
             ~corrupt, F.struct(typed_id.alias(id_field)).alias("input")
         ).alias("input"),
