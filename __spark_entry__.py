@@ -6095,10 +6095,17 @@ def q_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = cust.alias("a")
     b = cust.alias("b")
+    # blocking must BOUND block size at any data scale: nation x
+    # segment alone grows with the customer table (quadratic pairs at
+    # 100 TB), so a key-range co-key (custkey DIV 5000, the
+    # sorted-neighborhood flavor) caps every block at 5000 members by
+    # construction — recall within a block is the demo's scope; the
+    # LSH/SNM generators in functions/dedup.py are the recall paths
     pairs = a.join(
         b,
         (F.col("a.nk") == F.col("b.nk"))
         & (F.col("a.seg") == F.col("b.seg"))
+        & (F.expr("a.k div 5000") == F.expr("b.k div 5000"))
         & (F.col("a.k") < F.col("b.k")),
     ).select(
         F.col("a.k").alias("k1"),
@@ -11116,7 +11123,8 @@ pairs AS (
          (a.k % 97 = b.k % 97) AS agree_keymod,
          (a.nlen = b.nlen) AS agree_namelen
   FROM c a JOIN c b
-    ON a.nk = b.nk AND a.seg = b.seg AND a.k < b.k
+    ON a.nk = b.nk AND a.seg = b.seg
+   AND a.k // 5000 = b.k // 5000 AND a.k < b.k
 ),
 scored AS (
   SELECT CAST(
