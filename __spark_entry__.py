@@ -6272,6 +6272,92 @@ def q_stream_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mannwhitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Mann-Whitney U rank-sum test on event value cents,
+    purchase vs view (operators/features.py:mannwhitney_u): exact
+    bigint/decimal(38,0) rank and tie sums over the distinct-cents
+    grid, then the tie-corrected z and rank-biserial effect as fixed
+    IEEE trees the oracle spells identically."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        mannwhitney_u,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir)
+    rows = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return mannwhitney_u(rows, "event_type", "purchase", "view", "cents")
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily order revenue
+    (operators/analytics.py:seasonal_decompose_exact): centered 7-day
+    trend, epoch-anchored day-of-week seasonal means, and residuals —
+    every component an exact integer numerator over a known
+    denominator, so the oracle matches bit-for-bit with no float
+    summation anywhere."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        seasonal_decompose_exact,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    out = seasonal_decompose_exact(daily, "day", "cents", period=7)
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        "v", "trend_num", "dow", "seasonal_num", "slot_cnt", "residual_num",
+    )
+
+
+def q_theilsen_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope of daily order revenue (operators/
+    analytics.py:theilsen_slope): the lower median of all pairwise
+    slopes, quantized to exact bigints with pure integer remainder
+    algebra — no float median, bit-identical to the oracle."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        theilsen_slope,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    return theilsen_slope(daily, "day", "cents", scale=1_000_000)
+
+
+def q_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment of a 10,000-document sampling
+    budget across (lang, source) corpus strata proportional to
+    character mass (operators/analytics.py:
+    largest_remainder_allocation): exact integer quotient/remainder
+    algebra, slots sum to the budget by construction."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        largest_remainder_allocation,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    return largest_remainder_allocation(
+        docs, ["lang", "source"], "n_chars", total_slots=10_000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -6324,6 +6410,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_pers_flat": q_user_pers_flat,
         "payload_pivot": q_payload_pivot,
         "topk_slice": q_topk_slice,
+        "mannwhitney_value": q_mannwhitney_value,
+        "seasonal_decompose": q_seasonal_decompose,
+        "theilsen_revenue": q_theilsen_revenue,
+        "quota_allocation": q_quota_allocation,
         "stamp_literals": q_stamp_literals,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -11250,4 +11340,151 @@ FROM best
 """
     # incremental LSH maintenance == batch recompute (delta law)
     sqls["stream_minhash_lsh"] = sqls["minhash_lsh"]
+    sqls["seasonal_decompose"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+win AS (
+  SELECT day, v,
+         CAST(SUM(v) OVER w AS BIGINT) AS trend_num,
+         COUNT(*) OVER w AS wn,
+         CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS dow
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detr AS (
+  SELECT day, v, trend_num, dow,
+         CAST(7 * v - trend_num AS BIGINT) AS d
+  FROM win WHERE wn = 7
+),
+slots AS (
+  SELECT dow, CAST(SUM(d) AS BIGINT) AS seasonal_num,
+         CAST(COUNT(*) AS BIGINT) AS slot_cnt
+  FROM detr GROUP BY dow
+)
+SELECT CAST(t.day AS VARCHAR) AS day, t.v, t.trend_num, t.dow,
+       s.seasonal_num, s.slot_cnt,
+       CAST(CAST(t.d AS DECIMAL(38,0)) * CAST(s.slot_cnt AS DECIMAL(38,0))
+            - CAST(s.seasonal_num AS DECIMAL(38,0)) AS DECIMAL(38,0))
+         AS residual_num
+FROM detr t JOIN slots s USING (dow)
+"""
+    sqls["quota_allocation"] = """
+WITH groups AS (
+  SELECT lang, source, CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS weight
+  FROM documents GROUP BY lang, source
+),
+tot AS (SELECT CAST(SUM(weight) AS HUGEINT) AS w_tot FROM groups),
+shared AS (
+  SELECT lang, source, weight,
+         CAST((CAST(10000 AS HUGEINT) * CAST(weight AS HUGEINT)) // t.w_tot
+              AS BIGINT) AS flr,
+         (CAST(10000 AS HUGEINT) * CAST(weight AS HUGEINT)) % t.w_tot AS rem
+  FROM groups, tot t
+),
+floors AS (SELECT CAST(SUM(flr) AS BIGINT) AS f_sum FROM shared)
+SELECT lang, source, weight,
+       CAST(flr + CASE WHEN ROW_NUMBER() OVER (
+              ORDER BY rem DESC, lang ASC, source ASC)
+            <= 10000 - f.f_sum THEN 1 ELSE 0 END AS BIGINT) AS slots
+FROM shared, floors f
+"""
+    sqls["theilsen_revenue"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+base AS (
+  SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS t, v FROM daily
+),
+pairs AS (
+  SELECT CAST((b.v - a.v) * 1000000 AS BIGINT) AS num,
+         CAST(b.t - a.t AS BIGINT) AS dt
+  FROM base a JOIN base b ON b.t > a.t
+),
+qs AS (
+  SELECT CAST((num - ((num % dt) + dt) % dt) // dt AS BIGINT) AS slope_q
+  FROM pairs
+),
+cells AS (
+  SELECT slope_q, CAST(COUNT(*) AS BIGINT) AS c FROM qs GROUP BY slope_q
+),
+ranked AS (
+  SELECT slope_q,
+         CAST(SUM(c) OVER (ORDER BY slope_q
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(SUM(c) OVER () AS BIGINT) AS np
+  FROM cells
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_days,
+       np AS n_pairs,
+       CAST(MIN(slope_q) AS BIGINT) AS slope_q,
+       CAST(1000000 AS BIGINT) AS scale
+FROM ranked WHERE 2 * cum >= np
+GROUP BY np
+"""
+    sqls["mannwhitney_value"] = """
+WITH vals AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         CASE WHEN event_type = 'purchase' THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS ga
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+cells AS (
+  SELECT v, CAST(SUM(ga) AS BIGINT) AS ca, CAST(COUNT(*) AS BIGINT) AS c
+  FROM vals GROUP BY v
+),
+ranked AS (
+  SELECT ca, c,
+         CAST(2 * COALESCE(SUM(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + c + 1 AS BIGINT) AS two_r
+  FROM cells
+),
+agg AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+         CAST(SUM(c - ca) AS BIGINT) AS n_b,
+         CAST(SUM(CAST(ca AS DECIMAL(38,0)) * CAST(two_r AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS _2ra,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))
+                  * CAST(c AS DECIMAL(38,0)) - CAST(c AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS tie_cubes
+  FROM ranked
+),
+fin AS (
+  SELECT n_a, n_b, tie_cubes,
+         CAST(n_a + n_b AS BIGINT) AS n,
+         CAST(_2ra - CAST(CAST(n_a AS DECIMAL(38,0))
+              * CAST(n_a + 1 AS DECIMAL(38,0)) AS DECIMAL(38,0))
+              AS DECIMAL(38,0)) AS two_u_a
+  FROM agg
+)
+SELECT n_a, n_b, two_u_a, tie_cubes,
+  CASE WHEN n_a > 0 AND n_b > 0 AND n > 1 THEN
+    CAST(CAST(two_u_a - CAST(CAST(n_a AS DECIMAL(38,0))
+         * CAST(n_b AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0))
+         AS DOUBLE)
+    / (2.0 * sqrt(
+        CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        * (CAST(n + 1 AS DOUBLE)
+           - CAST(tie_cubes AS DOUBLE)
+             / CAST(CAST(CAST(n AS DECIMAL(38,0))
+                    * CAST(n - 1 AS DECIMAL(38,0)) AS DECIMAL(38,0))
+                    AS DOUBLE))
+        / 12.0))
+  END AS z,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    CAST(CAST(two_u_a - CAST(CAST(n_a AS DECIMAL(38,0))
+         * CAST(n_b AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0))
+         AS DOUBLE)
+    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+  END AS r_rb
+FROM fin
+"""
     return sqls

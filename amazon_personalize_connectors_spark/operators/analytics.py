@@ -1132,3 +1132,275 @@ def changepoint_single(
         F.col("_best.cost").alias("cost"),
         (F.col("_best._c0") - F.col("_best.cost")).alias("gain"),
     )
+
+
+def seasonal_decompose_exact(
+    df: DataFrame,
+    day_col: str,
+    value_col: str,
+    period: int = 7,
+    max_grid_rows: int = 200_000,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a DAILY integer
+    series (trend + seasonal + residual — the STL-shaped read on "is
+    revenue really up, or is it just Friday"), kept EXACT end-to-end
+    by carrying every component as an integer numerator over a known
+    denominator instead of dividing:
+
+    * trend_t   = sum of the centered ``period``-day window / period
+                  → emitted as ``trend_num`` (bigint) over period;
+    * detrended D_t = period·v_t − trend_num  (bigint, the
+                  revenue_anomalies residual trick scaled to any
+                  period) — only days with a FULL window survive;
+    * seasonal  s_k for day-of-period k = mean(D_t)/period over the
+                  k-slot → ``seasonal_num`` = Σ D_t (bigint) over
+                  denominator period·cnt_k;
+    * residual  r_t = v_t − trend − seasonal
+                  → ``residual_num`` = D_t·cnt_k − seasonal_num
+                  (decimal(38,0) — D·cnt exceeds bigint at warehouse
+                  magnitudes) over the same period·cnt_k.
+
+    The day-of-period slot is epoch-anchored (days since 1970-01-01
+    mod period) so any engine derives the same k without weekday
+    locale rules. ``period`` must be odd so the moving window
+    centers. Scale shape: the input is a calendar-bounded daily
+    rollup (enforced by ``max_grid_rows``); the centered sum rides
+    one grid window partitioned on the guard column; the per-slot
+    means are a ``period``-row broadcast dim joined back. Output per
+    surviving day: (day, v, trend_num, dow, seasonal_num, slot_cnt,
+    residual_num)."""
+    from amazon_personalize_connectors_spark.operators.guards import (
+        enforce_bounded_grid,
+    )
+
+    if period % 2 != 1 or period < 3:
+        raise ValueError(f"period must be odd and >= 3; got {period}")
+    half = period // 2
+    base = enforce_bounded_grid(
+        df.select(
+            F.col(day_col).cast("date").alias("day"),
+            F.col(value_col).cast("bigint").alias("v"),
+        ),
+        max_grid_rows,
+        "seasonal_decompose_exact",
+        keep_count_col=True,
+    )
+    w_c = (
+        Window.partitionBy("_grid_n")
+        .orderBy("day")
+        .rowsBetween(-half, half)
+    )
+    full = base.select(
+        "day",
+        "v",
+        F.sum("v").over(w_c).cast("bigint").alias("trend_num"),
+        F.count(F.lit(1)).over(w_c).alias("_wn"),
+        (F.datediff(F.col("day"), F.lit("1970-01-01")) % period)
+        .cast("bigint")
+        .alias("dow"),
+    ).where(F.col("_wn") == period)
+    detr = full.select(
+        "day",
+        "v",
+        "trend_num",
+        "dow",
+        (F.lit(period).cast("bigint") * F.col("v") - F.col("trend_num"))
+        .cast("bigint")
+        .alias("_d"),
+    )
+    slots = detr.groupBy("dow").agg(
+        F.sum("_d").cast("bigint").alias("seasonal_num"),
+        F.count(F.lit(1)).cast("bigint").alias("slot_cnt"),
+    )
+    d38 = "decimal(38,0)"
+    return detr.join(F.broadcast(slots), "dow").select(
+        "day",
+        "v",
+        "trend_num",
+        "dow",
+        "seasonal_num",
+        "slot_cnt",
+        (
+            F.col("_d").cast(d38) * F.col("slot_cnt").cast(d38)
+            - F.col("seasonal_num").cast(d38)
+        )
+        .cast(d38)
+        .alias("residual_num"),
+    )
+
+
+def theilsen_slope(
+    df: DataFrame,
+    day_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+    max_grid_rows: int = 5_000,
+) -> DataFrame:
+    """Theil–Sen robust slope of a DAILY integer series — the median
+    of all pairwise slopes, the trend estimate that shrugs off the
+    outlier days that wreck the OLS line (grouped_linear_trend /
+    price_qty_ols are its parametric siblings).
+
+    Determinism without float medians: each pairwise slope is
+    QUANTIZED to an exact bigint — floor((v_j−v_i)·scale / (t_j−t_i))
+    computed with pure integer remainder algebra (pm = ((num % dt) +
+    dt) % dt; q = (num − pm) div dt — both engines' % is
+    dividend-signed remainder, so the tree ports verbatim) — and the
+    LOWER MEDIAN of bigints is selected by cumulative count over the
+    distinct-slope grid: the smallest q with 2·cum ≥ n_pairs.
+    No float enters at all; the caller divides by ``scale``.
+
+    Scale shape: the input must already be a calendar-bounded daily
+    rollup — ``max_grid_rows`` (default 5,000 days ≈ 13 years)
+    enforces it BEFORE the O(days²) pair self-join (≤ 12.5 M pairs at
+    the default, grid-sized, never data-sized); slopes collapse by
+    map-side combine onto the distinct-quantum grid and the median
+    selection is a struct-min aggregate. Returns ONE row:
+    (n_days, n_pairs, slope_q, scale)."""
+    from amazon_personalize_connectors_spark.operators.guards import (
+        enforce_bounded_grid,
+    )
+
+    base = enforce_bounded_grid(
+        df.select(
+            F.col(day_col).cast("date").alias("day"),
+            F.col(value_col).cast("bigint").alias("v"),
+        ),
+        max_grid_rows,
+        "theilsen_slope",
+        keep_count_col=True,
+    ).select(
+        "_grid_n",
+        F.datediff(F.col("day"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("t"),
+        "v",
+    )
+    a = base.select(
+        "_grid_n", F.col("t").alias("t1"), F.col("v").alias("v1")
+    )
+    b = base.select(
+        F.col("_grid_n").alias("_g2"),
+        F.col("t").alias("t2"),
+        F.col("v").alias("v2"),
+    )
+    pairs = a.join(b, a["_grid_n"] == b["_g2"]).where(
+        F.col("t2") > F.col("t1")
+    ).select(
+        "_grid_n",
+        ((F.col("v2") - F.col("v1")) * F.lit(scale).cast("bigint")).alias(
+            "_num"
+        ),
+        (F.col("t2") - F.col("t1")).cast("bigint").alias("_dt"),
+    )
+    q = pairs.select(
+        "_grid_n",
+        F.expr(
+            "(_num - ((_num % _dt) + _dt) % _dt) div _dt"
+        ).cast("bigint").alias("slope_q"),
+    )
+    cells = q.groupBy("_grid_n", "slope_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    w_cum = (
+        Window.partitionBy("_grid_n")
+        .orderBy("slope_q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("_grid_n")
+    ranked = cells.select(
+        "_grid_n",
+        "slope_q",
+        F.sum("_c").over(w_cum).cast("bigint").alias("_cum"),
+        F.sum("_c").over(w_all).cast("bigint").alias("_np"),
+    )
+    best = ranked.where(2 * F.col("_cum") >= F.col("_np")).groupBy(
+        "_grid_n", "_np"
+    ).agg(F.min("slope_q").cast("bigint").alias("slope_q"))
+    return best.select(
+        F.col("_grid_n").cast("bigint").alias("n_days"),
+        F.col("_np").alias("n_pairs"),
+        "slope_q",
+        F.lit(scale).cast("bigint").alias("scale"),
+    )
+
+
+def largest_remainder_allocation(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    weight_col: str,
+    total_slots: int,
+    max_grid_rows: int = 100_000,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer slot
+    budget across groups proportional to an integer weight — the
+    exact answer to "sample N training documents across sources in
+    proportion to quality-weighted mass" that a naive
+    round(N·w/W) gets wrong (rounded shares don't sum to N).
+
+    Pure integer arithmetic: per group, num = N·w (decimal(38,0) —
+    N·w overflows bigint at warehouse magnitudes), floor share
+    = num div W, remainder = num mod W; the leftover slots
+    (N − Σ floors, < #groups by construction) go to the groups with
+    the largest remainders, ties broken by key order — fully
+    deterministic, Σ slots == N by construction.
+
+    Scale shape: one map-side-combinable groupBy collapses the data
+    to the GROUP grid (a dimension domain, enforced by
+    ``max_grid_rows``); the total and the floor-sum ride back as
+    1-row broadcasts; the remainder rank is one grid window
+    partitioned on the guard column. Output per group:
+    (*key_cols, weight, slots)."""
+    from amazon_personalize_connectors_spark.operators.guards import (
+        enforce_bounded_grid,
+    )
+
+    d38 = "decimal(38,0)"
+    groups = df.groupBy(*[F.col(k) for k in key_cols]).agg(
+        F.sum(F.col(weight_col).cast("bigint")).cast("bigint").alias("weight")
+    )
+    grid = enforce_bounded_grid(
+        groups, max_grid_rows, "largest_remainder_allocation",
+        keep_count_col=True,
+    )
+    tot = grid.agg(F.sum("weight").cast(d38).alias("_w_tot"))
+    with_tot = grid.crossJoin(F.broadcast(tot)).select(
+        "_grid_n",
+        *key_cols,
+        "weight",
+        (F.lit(total_slots).cast(d38) * F.col("weight").cast(d38))
+        .cast(d38)
+        .alias("_num"),
+        "_w_tot",
+    )
+    # `div` / `%` on decimal(38,0) are EXACT integer quotient and
+    # remainder in Spark (and `//` / `%` on HUGEINT in the oracle) —
+    # decimal true division would round at engine-specific scales.
+    shared = with_tot.select(
+        "_grid_n",
+        *key_cols,
+        "weight",
+        F.expr("_num div _w_tot").cast("bigint").alias("_floor"),
+        (F.col("_num") % F.col("_w_tot")).cast(d38).alias("_rem"),
+    )
+    floors = shared.agg(F.sum("_floor").cast("bigint").alias("_f_sum"))
+    w_rank = Window.partitionBy("_grid_n").orderBy(
+        F.col("_rem").desc(), *[F.col(k).asc() for k in key_cols]
+    )
+    return (
+        shared.crossJoin(F.broadcast(floors))
+        .select(
+            *key_cols,
+            "weight",
+            (
+                F.col("_floor")
+                + F.when(
+                    F.row_number().over(w_rank)
+                    <= F.lit(total_slots).cast("bigint") - F.col("_f_sum"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("slots"),
+        )
+    )

@@ -799,3 +799,117 @@ def kfold_report(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.countDistinct(key_col).cast("bigint").alias("n_keys"),
     )
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    group_col: str,
+    a_label: str,
+    b_label: str,
+    value_col: str,
+    max_grid_rows: int = 1_000_000,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) test between
+    groups ``a_label`` and ``b_label`` of an integer-valued metric —
+    the nonparametric A/B answer to "did the distribution shift?"
+    that complements the mean-based test in q:ab_test_purchase and
+    the per-segment AUC (evaluation.py grouped_auc, which uses the
+    same rank-sum identity for scoring rather than testing).
+
+    Exact arithmetic end-to-end, then one fixed IEEE tail:
+
+    * per distinct value: group counts ca/cb and total c are exact
+      bigints; the midrank is carried DOUBLED so ties stay integral
+      (two_r = 2*r_lo + c + 1 where r_lo = #values strictly below);
+    * 2*R_A = sum(ca * two_r) and the tie term T = sum(c^3 - c) are
+      accumulated in decimal(38,0) — layout-independent exact sums
+      (c^3 overflows bigint at warehouse cardinalities, the
+      chi2_independence rule);
+    * 2*U_A = 2*R_A - nA*(nA+1); the z-score and rank-biserial
+      effect size are fixed per-row IEEE trees over casts of those
+      exact values (the wilson_bounds rule), mirrored verbatim by
+      the oracle:
+
+          var12 = nA*nB * ((n+1) - T/(n*(n-1))) / 12
+          z     = (2*U_A - nA*nB) / (2*sqrt(var12))
+          r_rb  = (2*U_A - nA*nB) / (nA*nB)
+
+    Scale shape: one map-side-combinable groupBy collapses the data
+    to the DISTINCT-VALUE grid (a priced/ counted metric domain —
+    bounded, and enforced by ``max_grid_rows``); the cumulative rank
+    rides one grid window partitioned on the guard column; totals
+    broadcast back as a 1-row frame. Returns ONE row:
+    (n_a, n_b, two_u_a, tie_cubes, z, r_rb)."""
+    from amazon_personalize_connectors_spark.operators.guards import (
+        enforce_bounded_grid,
+    )
+
+    d38 = "decimal(38,0)"
+    vals = df.where(F.col(group_col).isin(a_label, b_label)).select(
+        F.col(value_col).cast("bigint").alias("v"),
+        F.when(F.col(group_col) == a_label, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("_ga"),
+    )
+    cells = vals.groupBy("v").agg(
+        F.sum("_ga").cast("bigint").alias("ca"),
+        (F.count(F.lit(1)) - F.sum("_ga")).cast("bigint").alias("cb"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    grid = enforce_bounded_grid(
+        cells, max_grid_rows, "mannwhitney_u", keep_count_col=True
+    )
+    w_lo = (
+        Window.partitionBy("_grid_n")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = grid.select(
+        "ca",
+        "c",
+        (
+            2 * F.coalesce(F.sum("c").over(w_lo), F.lit(0)) + F.col("c") + 1
+        )
+        .cast("bigint")
+        .alias("two_r"),
+    )
+    agg = ranked.agg(
+        F.sum(F.col("ca")).cast("bigint").alias("n_a"),
+        F.sum(F.col("c") - F.col("ca")).cast("bigint").alias("n_b"),
+        F.sum(F.col("ca").cast(d38) * F.col("two_r").cast(d38))
+        .cast(d38)
+        .alias("_2ra"),
+        F.sum(
+            F.col("c").cast(d38) * F.col("c").cast(d38) * F.col("c").cast(d38)
+            - F.col("c").cast(d38)
+        )
+        .cast(d38)
+        .alias("tie_cubes"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = (na + nb).cast("bigint")
+    two_ua = (
+        F.col("_2ra") - (na.cast(d38) * (na + 1).cast(d38)).cast(d38)
+    ).cast(d38)
+    dd = lambda c: c.cast("double")  # noqa: E731 — fixed IEEE tree below
+    num = dd((two_ua - (na.cast(d38) * nb.cast(d38))).cast(d38))
+    var12 = (
+        dd(na)
+        * dd(nb)
+        * (
+            dd(n + 1)
+            - dd(F.col("tie_cubes"))
+            / dd((n.cast(d38) * (n - 1).cast(d38)).cast(d38))
+        )
+        / F.lit(12.0)
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        two_ua.alias("two_u_a"),
+        "tie_cubes",
+        F.when((na > 0) & (nb > 0) & (n > 1), num / (2.0 * F.sqrt(var12)))
+        .alias("z"),
+        F.when((na > 0) & (nb > 0), num / (dd(na) * dd(nb))).alias("r_rb"),
+    )

@@ -750,3 +750,88 @@ def test_changepoint_single_finds_level_shift(spark):
     assert r["sum_left"] == sum(vals[:best_i])
     assert abs(r["cost"] - costs[best_i]) < 1e-6
     assert r["gain"] > 0
+
+
+def test_seasonal_decompose_exact_identities(spark):
+    import itertools
+
+    # 21 days: v = 100*dow + noise-free ramp; full windows only
+    days = [datetime.date(2024, 1, 1) + datetime.timedelta(days=i) for i in range(21)]
+    rows = [(d, 1000 + 100 * (d.toordinal() % 7)) for d in days]
+    df = spark.createDataFrame(rows, "day date, v long")
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        seasonal_decompose_exact,
+    )
+
+    out = seasonal_decompose_exact(df, "day", "v", period=7).collect()
+    # edges trimmed: 21 - 6 = 15 surviving days
+    assert len(out) == 15
+    for r in out:
+        # trend numerator is the exact 7-day centered sum
+        lo = r.day - datetime.timedelta(days=3)
+        win = [v for d, v in rows if lo <= d <= r.day + datetime.timedelta(days=3)]
+        assert r.trend_num == sum(win)
+        # decomposition identity: v = trend + seasonal + residual,
+        # scaled by the common denominator 7*slot_cnt
+        den = 7 * r.slot_cnt
+        lhs = r.v * den
+        rhs = r.trend_num * r.slot_cnt + r.seasonal_num * 7 // 7 + 0
+        # v*7*cnt == trend_num*cnt + seasonal_num + residual_num
+        assert lhs == r.trend_num * r.slot_cnt + r.seasonal_num + int(r.residual_num)
+    # seasonal numerators sum to zero-mean detrended mass per slot;
+    # residuals within a slot sum to 0 exactly
+    by_slot = {}
+    for r in out:
+        by_slot.setdefault(r.dow, []).append(int(r.residual_num))
+    for vals in by_slot.values():
+        assert sum(vals) == 0
+
+
+def test_theilsen_slope_matches_bruteforce_median(spark):
+    pts = [(datetime.date(2024, 1, 1) + datetime.timedelta(days=t), v)
+           for t, v in [(0, 10), (1, 12), (2, 11), (3, 30), (5, 18)]]
+    df = spark.createDataFrame(pts, "day date, v long")
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        theilsen_slope,
+    )
+
+    row = theilsen_slope(df, "day", "v", scale=1000).collect()[0]
+    ts = [(d.toordinal() - datetime.date(1970, 1, 1).toordinal(), v) for d, v in pts]
+    slopes = sorted(
+        ((v2 - v1) * 1000) // (t2 - t1)
+        for (t1, v1), (t2, v2) in __import__("itertools").combinations(ts, 2)
+    )
+    assert row.n_days == 5 and row.n_pairs == len(slopes)
+    # lower median
+    assert row.slope_q == slopes[(len(slopes) + 1) // 2 - 1]
+
+
+def test_largest_remainder_allocation_sums_and_orders(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 3), ("d", 1)], "k string, w long"
+    )
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        largest_remainder_allocation,
+    )
+
+    got = {r.k: r.slots for r in
+           largest_remainder_allocation(df, ["k"], "w", 10).collect()}
+    # exact proportions: floor shares 4,2,2,0 rem 2/12,6/12,6/12,10/12
+    # leftovers 2 -> d (10/12) then tie b before c (6/12, key asc)
+    assert sum(got.values()) == 10
+    assert got == {"a": 4, "b": 3, "c": 2, "d": 1}
+
+
+def test_largest_remainder_allocation_guards_grid(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(str(i), 1) for i in range(50)], "k string, w long"
+    )
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        largest_remainder_allocation,
+    )
+
+    out = largest_remainder_allocation(df, ["k"], "w", 7, max_grid_rows=10)
+    with _pytest.raises(Exception, match="domain grid"):
+        out.collect()

@@ -870,3 +870,44 @@ def test_linkage_scores_fellegi_sunter(spark):
     assert by[3]["decision"] == "non_match"
     with pytest.raises(ValueError, match="m must exceed u"):
         fs_field_weights(0.2, 0.8)
+
+
+def test_mannwhitney_u_exact_small_sample(spark):
+    # A = [1, 2, 4], B = [2, 3]: ranks 1, 2.5, 5 / 2.5, 4
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 4), ("b", 2), ("b", 3)],
+        "g string, v long",
+    )
+    from amazon_personalize_connectors_spark.operators.features import (
+        mannwhitney_u,
+    )
+
+    r = mannwhitney_u(df, "g", "a", "b", "v").collect()[0]
+    assert (r.n_a, r.n_b) == (3, 2)
+    # R_A = 1 + 2.5 + 5 = 8.5 -> U_A = 8.5 - 6 = 2.5 -> 2U = 5
+    assert int(r.two_u_a) == 5
+    # one tie group of size 2 -> T = 8 - 2 = 6
+    assert int(r.tie_cubes) == 6
+    # rank-biserial = 2U/(nA nB) - 1 = 5/6 - 1
+    assert abs(r.r_rb - (5 / 6 - 1)) < 1e-12
+    import math
+
+    n = 5
+    var = 3 * 2 / 12 * ((n + 1) - 6 / (n * (n - 1)))
+    assert abs(r.z - (5 - 6) / (2 * math.sqrt(var))) < 1e-12
+
+
+def test_mannwhitney_u_symmetry(spark):
+    df = spark.createDataFrame(
+        [("a", v) for v in [1, 5, 7, 7]] + [("b", v) for v in [2, 7, 9]],
+        "g string, v long",
+    )
+    from amazon_personalize_connectors_spark.operators.features import (
+        mannwhitney_u,
+    )
+
+    ab = mannwhitney_u(df, "g", "a", "b", "v").collect()[0]
+    ba = mannwhitney_u(df, "g", "b", "a", "v").collect()[0]
+    # U_A + U_B = nA*nB and z flips sign
+    assert int(ab.two_u_a) + int(ba.two_u_a) == 2 * ab.n_a * ab.n_b
+    assert abs(ab.z + ba.z) < 1e-12
