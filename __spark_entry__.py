@@ -6358,6 +6358,33 @@ def q_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch accuracy audit (functions/sketches.py:
+    cms_sketch/cms_estimate): build a 4x256 CMS over lineitem part
+    keys with the engine-portable md5 cell hash, estimate the top-20
+    parts by exact count, and report est vs exact — overcount is
+    provably >= 0. The oracle computes the identical sketch cells in
+    SQL, so counts match bit-for-bit."""
+    from amazon_personalize_connectors_spark.functions.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem")
+    keys = li.select(F.col("l_partkey").cast("bigint").alias("part"))
+    sketch = cms_sketch(keys, "part", depth=4, hex_chars=2)
+    exact = keys.groupBy("part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact")
+    )
+    # orderBy+limit plans as TakeOrderedAndProject: per-partition
+    # top-20 merged at the driver — no global sort window
+    top = exact.orderBy(F.col("exact").desc(), F.col("part").asc()).limit(20)
+    est = cms_estimate(sketch, top, "part", depth=4, hex_chars=2)
+    return top.join(est, "part").select(
+        "part", "exact", "est", (F.col("est") - F.col("exact")).alias("over")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -6414,6 +6441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": q_seasonal_decompose,
         "theilsen_revenue": q_theilsen_revenue,
         "quota_allocation": q_quota_allocation,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "stamp_literals": q_stamp_literals,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -11371,6 +11399,42 @@ SELECT CAST(t.day AS VARCHAR) AS day, t.v, t.trend_num, t.dow,
             - CAST(s.seasonal_num AS DECIMAL(38,0)) AS DECIMAL(38,0))
          AS residual_num
 FROM detr t JOIN slots s USING (dow)
+"""
+    sqls["cms_heavy_hitters"] = """
+WITH keys AS (
+  SELECT CAST(l_partkey AS BIGINT) AS part FROM lineitem
+),
+cells AS (
+  SELECT d.d, substring(md5(concat(CAST(d.d AS VARCHAR), ':',
+                                   CAST(k.part AS VARCHAR))), 1, 2) AS cell
+  FROM keys k, (SELECT CAST(range AS BIGINT) AS d FROM range(4)) d
+),
+sketch AS (
+  SELECT d, cell, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY d, cell
+),
+exact AS (
+  SELECT part, CAST(COUNT(*) AS BIGINT) AS exact
+  FROM keys GROUP BY part
+),
+top AS (
+  SELECT part, exact FROM exact
+  ORDER BY exact DESC, part ASC LIMIT 20
+),
+probes AS (
+  SELECT t.part, d.d,
+         substring(md5(concat(CAST(d.d AS VARCHAR), ':',
+                              CAST(t.part AS VARCHAR))), 1, 2) AS cell
+  FROM top t, (SELECT CAST(range AS BIGINT) AS d FROM range(4)) d
+),
+est AS (
+  SELECT p.part,
+         CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est
+  FROM probes p LEFT JOIN sketch s ON p.d = s.d AND p.cell = s.cell
+  GROUP BY p.part
+)
+SELECT t.part, t.exact, e.est, CAST(e.est - t.exact AS BIGINT) AS over
+FROM top t JOIN est e ON t.part = e.part
 """
     sqls["quota_allocation"] = """
 WITH groups AS (

@@ -365,3 +365,84 @@ def frequent_values_exact(
             (F.col("n") / F.col("_total")).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable heavy-hitter frequency summary
+# ---------------------------------------------------------------------------
+
+
+def _cms_cell(d_col, key_col, hex_chars: int):
+    """Row d's bucket for a key: the first ``hex_chars`` hex digits of
+    md5("<d>:<key>"). md5 emits identical lowercase hex on every
+    engine, so the oracle computes the SAME cells with the same SQL —
+    an engine-portable hash family (xxhash64 would be faster but is
+    Spark-specific, which would make the sketch unverifiable)."""
+    return F.substring(
+        F.md5(
+            F.concat(d_col.cast("string"), F.lit(":"), key_col.cast("string"))
+        ),
+        1,
+        hex_chars,
+    )
+
+
+def cms_sketch(
+    df: DataFrame, key_col: str, depth: int = 4, hex_chars: int = 2
+) -> DataFrame:
+    """Build a Count-Min sketch of a key column: ``depth`` hash rows ×
+    16^hex_chars buckets of exact bigint counts — the bounded-size,
+    MERGEABLE frequency summary that answers "roughly how often does
+    key k occur" over a 100 TB stream without keeping per-key state.
+    Estimates only ever OVERCOUNT (min over rows of colliding-bucket
+    sums), never undercount.
+
+    Mergeability is the scale property: sketches of two partitions /
+    days / sources combine by summing matching (d, cell) counts —
+    exactly what the map-side-combinable groupBy here already does,
+    so building over a union IS merging. Output (d, cell, cnt),
+    ≤ depth·16^hex_chars rows regardless of input size."""
+    rows = df.select(F.col(key_col).alias("_k"))
+    cells = rows.select(
+        F.explode(
+            F.array(*[F.lit(i) for i in range(depth)])
+        ).alias("d"),
+        "_k",
+    ).select(
+        "d", _cms_cell(F.col("d"), F.col("_k"), hex_chars).alias("cell")
+    )
+    return cells.groupBy("d", "cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    hex_chars: int = 2,
+) -> DataFrame:
+    """Point-estimate frequencies for ``keys`` from a ``cms_sketch``
+    output: each key probes its ``depth`` cells and takes the MIN of
+    the bucket counts (absent bucket = 0 for never-seen keys).
+
+    Scale shape: the sketch is bounded (≤ depth·16^hex_chars rows) so
+    it BROADCASTS to the probe side — estimating frequencies for a
+    billion keys is a broadcast join plus a map-side-combinable min,
+    no shuffle of the sketch and one of the keys. Output
+    (key_col, est)."""
+    probes = keys.select(F.col(key_col)).distinct().select(
+        key_col,
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d"),
+    ).select(
+        key_col,
+        "d",
+        _cms_cell(F.col("d"), F.col(key_col), hex_chars).alias("cell"),
+    )
+    joined = probes.join(F.broadcast(sketch), ["d", "cell"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")))
+        .cast("bigint")
+        .alias("est")
+    )

@@ -210,3 +210,37 @@ def test_scd2_intervals_tile_the_timeline(spark, changelog):
             assert a.tier != b.tier
         # first interval starts at the key's first change point
         assert ivs[0].valid_from == min(d for d, _ in model[k])
+
+
+def test_cms_overcounts_and_merges(spark):
+    from amazon_personalize_connectors_spark.functions.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    a = spark.range(0, 300).select((F.col("id") % 7).alias("k"))
+    b = spark.range(0, 200).select((F.col("id") % 13).alias("k"))
+    both = a.union(b)
+    sk = cms_sketch(both, "k", depth=3, hex_chars=1)
+    # sketch is bounded: <= 3 * 16 cells, total mass == row count
+    cells = sk.collect()
+    assert len(cells) <= 48
+    per_d = {}
+    for r in cells:
+        per_d[r.d] = per_d.get(r.d, 0) + r.cnt
+    assert set(per_d.values()) == {500}
+    exact = {r.k: r["count"] for r in both.groupBy("k").count().collect()}
+    keys = both.select("k").distinct()
+    est = {r.k: r.est for r in
+           cms_estimate(sk, keys, "k", depth=3, hex_chars=1).collect()}
+    assert all(est[k] >= exact[k] for k in exact)
+    # merge law: building over the union == summing the two sketches
+    sa, sb = cms_sketch(a, "k", 3, 1), cms_sketch(b, "k", 3, 1)
+    merged = {(r.d, r.cell): r.cnt for r in
+              sa.union(sb).groupBy("d", "cell")
+              .agg(F.sum("cnt").alias("cnt")).collect()}
+    assert merged == {(r.d, r.cell): r.cnt for r in cells}
+    # unseen key estimates >= 0 and uses 0 for absent buckets
+    unseen = spark.createDataFrame([(999999,)], "k long")
+    e = cms_estimate(sk, unseen, "k", 3, 1).collect()[0]
+    assert e.est >= 0
