@@ -6385,6 +6385,28 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the label-blocked embedding ε-graph (functions/
+    similarity.py:dbscan_from_edges over blocked_near_duplicates
+    edges, min_cosine=0.3, min_pts=3): core/border/noise roles and
+    min-reachable-core-id cluster labels — deterministic where
+    textbook DBSCAN is scan-order-dependent."""
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        blocked_near_duplicates,
+        dbscan_from_edges,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    edges = blocked_near_duplicates(emb, min_cosine=0.3).select(
+        "id_a", "id_b"
+    )
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    out = dbscan_from_edges(nodes, edges, min_pts=3)
+    return out.select(
+        F.col("id").cast("bigint").alias("id"), "role", "cluster"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -6442,6 +6464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theilsen_revenue": q_theilsen_revenue,
         "quota_allocation": q_quota_allocation,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "dbscan_embeddings": q_dbscan_embeddings,
         "stamp_literals": q_stamp_literals,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -11399,6 +11422,54 @@ SELECT CAST(t.day AS VARCHAR) AS day, t.v, t.trend_num, t.dow,
             - CAST(s.seasonal_num AS DECIMAL(38,0)) AS DECIMAL(38,0))
          AS residual_num
 FROM detr t JOIN slots s USING (dow)
+"""
+    sqls["dbscan_embeddings"] = f"""
+WITH RECURSIVE ev AS (
+  SELECT label AS block, vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+e AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM ev a JOIN ev b ON a.block = b.block AND a.vec_id < b.vec_id
+  WHERE {_COSINE.format(a='a.v', b='b.v')} >= 0.3
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM e
+  UNION SELECT id_b, id_a FROM e
+),
+deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
+ids AS (SELECT vec_id AS id FROM ev),
+cores AS (
+  SELECT i.id FROM ids i LEFT JOIN deg ON i.id = deg.src
+  WHERE COALESCE(deg.d, 0) + 1 >= 3
+),
+ce AS (
+  SELECT s.src, s.dst FROM sym s
+  JOIN cores c1 ON s.src = c1.id JOIN cores c2 ON s.dst = c2.id
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM ce
+  UNION
+  SELECT s.src, r.lbl FROM ce s JOIN reach r ON s.dst = r.node
+),
+comp AS (SELECT node AS id, MIN(lbl) AS component FROM reach GROUP BY node),
+core_lbl AS (
+  SELECT c.id, COALESCE(p.component, c.id) AS cluster
+  FROM cores c LEFT JOIN comp p ON c.id = p.id
+),
+border AS (
+  SELECT s.src AS id, MIN(cl.cluster) AS cluster
+  FROM sym s JOIN core_lbl cl ON s.dst = cl.id
+  WHERE s.src NOT IN (SELECT id FROM cores)
+  GROUP BY s.src
+),
+lab AS (
+  SELECT id, 'core' AS role, cluster FROM core_lbl
+  UNION ALL SELECT id, 'border', cluster FROM border
+)
+SELECT CAST(i.id AS BIGINT) AS id, COALESCE(l.role, 'noise') AS role,
+       CAST(l.cluster AS BIGINT) AS cluster
+FROM ids i LEFT JOIN lab l ON i.id = l.id
 """
     sqls["cms_heavy_hitters"] = """
 WITH keys AS (

@@ -917,3 +917,93 @@ def pq_adc_topk(
         .where(F.col("rank") <= topk)
         .select("q_id", "n_id", F.col("rank").cast("bigint").alias("rank"), "adist")
     )
+
+
+def dbscan_from_edges(
+    nodes: DataFrame,
+    edges: DataFrame,
+    min_pts: int = 3,
+    id_col: str = "id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Density-based clustering (DBSCAN) over a PRE-BUILT
+    ε-neighborhood graph: ``edges`` holds each unordered neighbor
+    pair once (any exact blocked generator — blocked_near_duplicates,
+    an LSH bucket join, a band join — produces it), ``nodes`` the
+    full id universe. Splitting graph construction from clustering is
+    what makes DBSCAN scale-shaped on Spark: the quadratic part is
+    whatever blocking contract the caller already pinned, and this
+    step is plain joins + the existing component machinery.
+
+    Semantics (deterministic, label = min reachable core id):
+
+    * core   — ε-degree + 1 ≥ ``min_pts`` (the point itself counts,
+               per the original definition);
+    * cluster — connected components of the CORE-CORE subgraph
+               (dedup.neardup_components min-label propagation);
+               a core with no core neighbor keeps its own id;
+    * border — non-core with ≥ 1 core neighbor, assigned the MIN of
+               its core neighbors' cluster labels (plain DBSCAN is
+               order-dependent for shared borders; min is the
+               deterministic tie-break);
+    * noise  — everything else (cluster NULL).
+
+    Scale shape: degrees are one map-side-combinable count over the
+    symmetrized edges; the core filter broadcasts nothing and prunes
+    the component loop to core-core edges only (near-dup graphs are
+    mostly low-degree noise, so the iterative part shrinks first);
+    border assignment is one equi-join + min aggregate. Output
+    (id, role, cluster)."""
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        neardup_components,
+    )
+
+    sym = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(
+        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct()
+    deg = sym.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_deg")
+    )
+    ids = nodes.select(F.col(id_col).alias("id"))
+    cores = (
+        ids.join(deg, ids["id"] == deg["src"], "left")
+        .select("id", F.coalesce("_deg", F.lit(0)).alias("_deg"))
+        .where(F.col("_deg") + 1 >= min_pts)
+        .select("id")
+    )
+    core_edges = (
+        sym.join(cores.withColumnRenamed("id", "src"), "src")
+        .join(cores.withColumnRenamed("id", "dst"), "dst")
+        .where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias(id_a), F.col("dst").alias(id_b))
+    )
+    comp = neardup_components(core_edges, id_a=id_a, id_b=id_b)
+    core_lbl = (
+        cores.join(comp, cores["id"] == comp["id"], "left")
+        .select(cores["id"], F.coalesce("component", cores["id"]).alias("cluster"))
+    )
+    border = (
+        sym.join(
+            core_lbl.select(
+                F.col("id").alias("dst"), F.col("cluster").alias("_cl")
+            ),
+            "dst",
+        )
+        .join(cores.withColumnRenamed("id", "src"), "src", "left_anti")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.min("_cl").alias("cluster"))
+    )
+    labeled = core_lbl.select("id", F.lit("core").alias("role"), "cluster").union(
+        border.select("id", F.lit("border").alias("role"), "cluster")
+    )
+    return (
+        ids.join(labeled, "id", "left")
+        .select(
+            "id",
+            F.coalesce("role", F.lit("noise")).alias("role"),
+            F.col("cluster").cast("bigint").alias("cluster"),
+        )
+    )

@@ -607,3 +607,42 @@ def test_sorted_neighborhood_bruteforce(spark):
     # the two adjacent-in-sort near-dup families actually pair up
     # (orientation follows sort order: shorter prefix sorts first)
     assert got[(1, 0)]["jaccard"] >= 0.5 and got[(6, 5)]["jaccard"] >= 0.5
+
+
+def test_dbscan_from_edges_roles_and_clusters(spark):
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        dbscan_from_edges,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r.id: (r.role, r.cluster) for r in
+           dbscan_from_edges(nodes, edges, min_pts=3).collect()}
+    # chain 1-2-3-4: 2 and 3 are core (deg 2 + self), 1 and 4 border;
+    # the 5-6 pair and isolated 7 are noise
+    assert out[2] == ("core", 2) and out[3] == ("core", 2)
+    assert out[1] == ("border", 2) and out[4] == ("border", 2)
+    assert out[5] == ("noise", None)
+    assert out[6] == ("noise", None)
+    assert out[7] == ("noise", None)
+
+
+def test_dbscan_isolated_core_keeps_own_id(spark):
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        dbscan_from_edges,
+    )
+
+    # star: center 10 with 3 leaves — center is core, no core-core
+    # edges at min_pts=4, so it keeps its own id; leaves are border
+    nodes = spark.createDataFrame([(i,) for i in (10, 11, 12, 13)], "id long")
+    edges = spark.createDataFrame(
+        [(10, 11), (10, 12), (10, 13)], "id_a long, id_b long"
+    )
+    out = {r.id: (r.role, r.cluster) for r in
+           dbscan_from_edges(nodes, edges, min_pts=4).collect()}
+    assert out[10] == ("core", 10)
+    assert out[11] == ("border", 10)
+    assert out[12] == ("border", 10)
+    assert out[13] == ("border", 10)
