@@ -6407,6 +6407,130 @@ def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification re-rank (operators/recsys.py:mmr_rerank):
+    per query vector, greedily pick 5 of its top-8 candidates by the
+    exact integer objective 7*rel - 3*max_sim over floor(v*1e6)
+    int-dot scores (lambda = 0.7). Every quantity is an exact bigint
+    (integer dot products stay under 2^53, so even the oracle's
+    double list_dot_product is exact), and ties break on the smaller
+    item id — the greedy trace replays identically in plain SQL."""
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        mmr_rerank,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    iv = emb.select(
+        F.col("vec_id").cast("bigint").alias("id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda v: F.floor(v * 1e6).cast("bigint"),
+        ).alias("v"),
+    )
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    from pyspark.sql import Window
+
+    qs = iv.where(F.col("id") % 50 == 0).select(
+        F.col("id").alias("q"), F.col("v").alias("qv")
+    )
+    scored = iv.join(F.broadcast(qs), F.col("id") != F.col("q")).select(
+        "q",
+        F.col("id").alias("i"),
+        idot(F.col("qv"), F.col("v")).alias("rel"),
+    )
+    w = Window.partitionBy("q").orderBy(F.col("rel").desc(), F.col("i").asc())
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 8)
+        .select(F.col("q").alias("q_id"), F.col("i").alias("n_id"), "rel")
+    )
+    items = cand.select(F.col("n_id").alias("id")).distinct()
+    ivc = iv.join(items, "id")
+    a = ivc.select(F.col("id").alias("item_a"), F.col("v").alias("va"))
+    b = ivc.select(F.col("id").alias("item_b"), F.col("v").alias("vb"))
+    sims = a.join(F.broadcast(b), F.col("item_a") < F.col("item_b")).select(
+        "item_a", "item_b", idot(F.col("va"), F.col("vb")).alias("sim_q")
+    )
+    out = mmr_rerank(
+        cand, sims, k=5, lam_num=7, lam_den=10,
+        user_col="q_id", item_col="n_id", rel_col="rel", sim_col="sim_q",
+    )
+    return out.select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("n_id").cast("bigint").alias("n_id"),
+        "step",
+    )
+
+
+def _mmr_oracle_sql(k: int = 5) -> str:
+    """Replay mmr_rerank's greedy trace as k chained (non-recursive)
+    CTEs — each step anti-joins the previous selection, scores
+    remaining candidates with the same exact integer objective, and
+    picks the per-user argmax with the same (score desc, item asc)
+    tie-break."""
+    steps = []
+    for t in range(2, k + 1):
+        p = t - 1
+        steps.append(f"""
+sel{t} AS (
+  SELECT u, i, step FROM sel{p}
+  UNION ALL
+  SELECT u, i, CAST({t} AS BIGINT) AS step FROM (
+    SELECT r.u, r.i,
+      ROW_NUMBER() OVER (PARTITION BY r.u
+        ORDER BY 7 * r.rel - 3 * COALESCE(m.ms, 0) DESC, r.i ASC) AS rn
+    FROM (SELECT c.* FROM cand c LEFT JOIN sel{p} s
+            ON c.u = s.u AND c.i = s.i WHERE s.i IS NULL) r
+    LEFT JOIN (
+      SELECT s.u, sym.y AS i, MAX(sym.s) AS ms
+      FROM sel{p} s JOIN sym ON sym.x = s.i
+      GROUP BY s.u, sym.y) m ON m.u = r.u AND m.i = r.i
+  ) WHERE rn = 1
+)""")
+    return f"""
+WITH iv AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> floor(x * 1000000)) AS v
+  FROM embeddings
+),
+qs AS (SELECT vec_id AS q, v FROM iv WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.q, n.vec_id AS i,
+         CAST(list_dot_product(q.v, n.v) AS BIGINT) AS rel
+  FROM qs q JOIN iv n ON n.vec_id <> q.q
+),
+cand AS (
+  SELECT q AS u, i, rel FROM (
+    SELECT q, i, rel,
+           ROW_NUMBER() OVER (PARTITION BY q
+             ORDER BY rel DESC, i ASC) AS rn
+    FROM scored) WHERE rn <= 8
+),
+items AS (SELECT DISTINCT i FROM cand),
+pairs AS (
+  SELECT a.i AS x, b.i AS y,
+         CAST(list_dot_product(va.v, vb.v) AS BIGINT) AS s
+  FROM items a JOIN items b ON a.i < b.i
+  JOIN iv va ON va.vec_id = a.i JOIN iv vb ON vb.vec_id = b.i
+),
+sym AS (SELECT x, y, s FROM pairs UNION ALL SELECT y, x, s FROM pairs),
+sel1 AS (
+  SELECT u, i, CAST(1 AS BIGINT) AS step FROM (
+    SELECT u, i, ROW_NUMBER() OVER (PARTITION BY u
+      ORDER BY 7 * rel DESC, i ASC) AS rn FROM cand) WHERE rn = 1
+),{",".join(steps)}
+SELECT CAST(u AS BIGINT) AS q_id, CAST(i AS BIGINT) AS n_id, step
+FROM sel{k}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -6465,6 +6589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_allocation": q_quota_allocation,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "dbscan_embeddings": q_dbscan_embeddings,
+        "mmr_rerank": q_mmr_rerank,
         "stamp_literals": q_stamp_literals,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -11423,6 +11548,7 @@ SELECT CAST(t.day AS VARCHAR) AS day, t.v, t.trend_num, t.dow,
          AS residual_num
 FROM detr t JOIN slots s USING (dow)
 """
+    sqls["mmr_rerank"] = _mmr_oracle_sql(5)
     sqls["dbscan_embeddings"] = f"""
 WITH RECURSIVE ev AS (
   SELECT label AS block, vec_id, CAST(embedding AS DOUBLE[]) AS v

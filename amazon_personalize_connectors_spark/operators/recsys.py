@@ -736,3 +736,104 @@ def user_jaccard_topk(
             "rank",
         )
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    sims: DataFrame,
+    k: int = 5,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    user_col: str = "q_id",
+    item_col: str = "n_id",
+    rel_col: str = "rel_q",
+    sim_col: str = "sim_q",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank: per user, greedily select
+    ``k`` items trading relevance against redundancy —
+
+        pick argmax over remaining of
+            λ·rel − (1−λ)·max_sim(item, already-selected)
+
+    — the standard diversification pass over a top-N candidate list
+    (and the dedup-aware selection step of a RAG/training-data
+    sampler). ``candidates`` = (user, item, rel_q), ``sims`` =
+    unordered (item_a, item_b, sim_q) pairs among candidate items;
+    missing pairs mean similarity 0.
+
+    Determinism: relevance and similarity arrive QUANTIZED (exact
+    bigints, the ann_quantized rule) and λ as the rational
+    lam_num/lam_den, so the greedy objective is the exact integer
+        S = lam_num·rel_q − (lam_den − lam_num)·max_sim_q
+    with ties broken by smallest item id — textbook MMR's float
+    argmax is engine- and order-dependent; this one is reproducible
+    anywhere, and a plain (non-recursive) SQL oracle can replay the
+    same k steps.
+
+    Scale shape: a BOUNDED driver loop of k rounds (k is a product
+    knob, 5–20), each round fully distributed: anti-join to drop
+    selected items, equi-join selected×sims to score redundancy
+    (map-side-combinable max), and a struct-max argmax per user — no
+    Python touches rows, no per-user state on the driver. Selections
+    are localCheckpoint'ed per round (the neardup_components
+    pattern) so lineage stays flat. Output (user, item, step)."""
+    if not 0 < lam_num <= lam_den:
+        raise ValueError("need 0 < lam_num <= lam_den")
+    cand = candidates.select(
+        F.col(user_col).alias("u"),
+        F.col(item_col).alias("i"),
+        F.col(rel_col).cast("bigint").alias("rel"),
+    )
+    sym = sims.select(
+        F.col("item_a").alias("x"),
+        F.col("item_b").alias("y"),
+        F.col(sim_col).cast("bigint").alias("s"),
+    ).union(
+        sims.select(
+            F.col("item_b").alias("x"),
+            F.col("item_a").alias("y"),
+            F.col(sim_col).cast("bigint").alias("s"),
+        )
+    )
+    mu = F.lit(lam_den - lam_num).cast("bigint")
+    lam = F.lit(lam_num).cast("bigint")
+    selected = None
+    for step in range(1, k + 1):
+        if selected is None:
+            rem = cand
+            scored = rem.select(
+                "u", "i", (lam * F.col("rel")).alias("score")
+            )
+        else:
+            rem = cand.join(selected.select("u", "i"), ["u", "i"], "left_anti")
+            red = (
+                selected.select("u", F.col("i").alias("x"))
+                .join(sym, "x")
+                .select("u", F.col("y").alias("i"), "s")
+            )
+            ms = red.groupBy("u", "i").agg(F.max("s").alias("ms"))
+            scored = rem.join(ms, ["u", "i"], "left").select(
+                "u",
+                "i",
+                (
+                    lam * F.col("rel")
+                    - mu * F.coalesce(F.col("ms"), F.lit(0).cast("bigint"))
+                ).alias("score"),
+            )
+        pick = (
+            scored.groupBy("u")
+            .agg(F.max(F.struct(F.col("score"), (-F.col("i")).alias("ni"))).alias("b"))
+            .select(
+                "u",
+                (-F.col("b.ni")).alias("i"),
+                F.lit(step).cast("bigint").alias("step"),
+            )
+        )
+        selected = (
+            pick if selected is None else selected.unionByName(pick)
+        ).localCheckpoint(eager=True)
+    return selected.select(
+        F.col("u").alias(user_col),
+        F.col("i").alias(item_col),
+        "step",
+    )

@@ -421,3 +421,44 @@ def test_user_jaccard_hot_item_cap_bounds_pairs(spark):
     # capped sets are still internally consistent: n_common <= sizes
     for r in out.collect():
         assert r["n_common"] <= min(r["n_user"], r["n_neighbor"])
+
+
+def test_mmr_rerank_diversifies_and_breaks_ties(spark):
+    from amazon_personalize_connectors_spark.operators.recsys import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [("u1", 1, 100), ("u1", 2, 95), ("u1", 3, 50)],
+        "q_id string, n_id long, rel long",
+    )
+    sims = spark.createDataFrame(
+        [(1, 2, 200)], "item_a long, item_b long, sim_q long"
+    )
+    out = sorted(
+        (r.step, r.n_id)
+        for r in mmr_rerank(
+            cand, sims, k=3, user_col="q_id", item_col="n_id",
+            rel_col="rel", sim_col="sim_q",
+        ).collect()
+    )
+    # step 1: item 1 (rel 100). step 2: item 2 scores 7*95-3*200 = 65,
+    # item 3 scores 350 -> redundancy flips the order, 3 wins. step 3: 2.
+    assert out == [(1, 1), (2, 3), (3, 2)]
+
+
+def test_mmr_rerank_stops_when_candidates_exhausted(spark):
+    from amazon_personalize_connectors_spark.operators.recsys import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 9), ("b", 7, 5)],
+        "q_id string, n_id long, rel long",
+    )
+    sims = spark.createDataFrame([], "item_a long, item_b long, sim_q long")
+    rows = mmr_rerank(
+        cand, sims, k=4, user_col="q_id", item_col="n_id",
+        rel_col="rel", sim_col="sim_q",
+    ).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.q_id, []).append((r.step, r.n_id))
+    assert sorted(by_user["a"]) == [(1, 1), (2, 2)]
+    assert sorted(by_user["b"]) == [(1, 7)]
