@@ -6531,6 +6531,96 @@ FROM sel{k}
 """
 
 
+def q_did_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on purchase value cents (operators/
+    evaluation.py:diff_in_diff): treated = even user ids, post =
+    events on/after Jan 16 — four exact bigint cells, means and the
+    DiD estimate as fixed IEEE trees the oracle spells identically."""
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        diff_in_diff,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir)
+    rows = ev.where(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2 == 0).alias("tr"),
+        (F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")).alias(
+            "po"
+        ),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return diff_in_diff(rows, F.col("tr"), F.col("po"), "cents")
+
+
+def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks on the part co-purchase graph
+    (operators/recsys.py:graph_random_walks): 4-step hash-driven
+    walks from every part id divisible by 100 over parts that share
+    an order — md5 picks each next hop, so the SQL oracle replays
+    the identical corpus step by step."""
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        graph_random_walks,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"),
+        F.col("l_partkey").cast("bigint").alias("p"),
+    )
+    a = li.select("o", F.col("p").alias("src"))
+    b = li.select(F.col("o").alias("o2"), F.col("p").alias("dst"))
+    edges = (
+        a.join(b, (a["o"] == b["o2"]) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+    starts = edges.select(F.col("src").alias("id")).distinct().where(
+        F.col("id") % 100 == 0
+    )
+    out = graph_random_walks(edges, starts, walk_len=4, seed="w")
+    return out.select(
+        F.col("walk").cast("bigint").alias("walk"),
+        "step",
+        F.col("node").cast("bigint").alias("node"),
+    )
+
+
+def _walks_oracle_sql(walk_len: int = 4) -> str:
+    """Replay graph_random_walks' hash-argmin trace as chained CTEs:
+    step t keeps the out-neighbor with the smallest
+    md5('w|walk|t|cur|dst') per walker."""
+    steps = []
+    for t in range(1, walk_len + 1):
+        p = t - 1
+        steps.append(f"""
+s{t} AS (
+  SELECT walk, node, step FROM s{p}
+  UNION ALL
+  SELECT walk, nxt AS node, CAST({t} AS BIGINT) AS step FROM (
+    SELECT f.walk, p.dst AS nxt,
+      ROW_NUMBER() OVER (PARTITION BY f.walk ORDER BY
+        md5('w|' || CAST(f.walk AS VARCHAR) || '|{t}|'
+            || CAST(f.node AS VARCHAR) || '|'
+            || CAST(p.dst AS VARCHAR)) ASC, p.dst ASC) AS rn
+    FROM (SELECT walk, node FROM s{p} WHERE step = {p}) f
+    JOIN pairs p ON f.node = p.src
+  ) WHERE rn = 1
+)""")
+    return f"""
+WITH li AS (
+  SELECT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p FROM lineitem
+),
+pairs AS (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p
+),
+starts AS (SELECT DISTINCT src AS id FROM pairs WHERE src % 100 = 0),
+s0 AS (SELECT id AS walk, id AS node, CAST(0 AS BIGINT) AS step FROM starts),{",".join(steps)}
+SELECT CAST(walk AS BIGINT) AS walk, step, CAST(node AS BIGINT) AS node
+FROM s{walk_len}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -6590,6 +6680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "dbscan_embeddings": q_dbscan_embeddings,
         "mmr_rerank": q_mmr_rerank,
+        "did_purchase_value": q_did_purchase_value,
+        "graph_walks": q_graph_walks,
         "stamp_literals": q_stamp_literals,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -11547,6 +11639,40 @@ SELECT CAST(t.day AS VARCHAR) AS day, t.v, t.trend_num, t.dow,
             - CAST(s.seasonal_num AS DECIMAL(38,0)) AS DECIMAL(38,0))
          AS residual_num
 FROM detr t JOIN slots s USING (dow)
+"""
+    sqls["graph_walks"] = _walks_oracle_sql(4)
+    sqls["did_purchase_value"] = """
+WITH rows_ AS (
+  SELECT (user_id % 2 = 0) AS tr,
+         (ts >= TIMESTAMP '2024-01-16 00:00:00') AS po,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN tr AND NOT po THEN v ELSE 0 END) AS BIGINT) AS s_t_pre,
+    CAST(COUNT(*) FILTER (WHERE tr AND NOT po) AS BIGINT) AS n_t_pre,
+    CAST(SUM(CASE WHEN tr AND po THEN v ELSE 0 END) AS BIGINT) AS s_t_post,
+    CAST(COUNT(*) FILTER (WHERE tr AND po) AS BIGINT) AS n_t_post,
+    CAST(SUM(CASE WHEN NOT tr AND NOT po THEN v ELSE 0 END) AS BIGINT) AS s_c_pre,
+    CAST(COUNT(*) FILTER (WHERE NOT tr AND NOT po) AS BIGINT) AS n_c_pre,
+    CAST(SUM(CASE WHEN NOT tr AND po THEN v ELSE 0 END) AS BIGINT) AS s_c_post,
+    CAST(COUNT(*) FILTER (WHERE NOT tr AND po) AS BIGINT) AS n_c_post
+  FROM rows_
+)
+SELECT s_t_pre, n_t_pre, s_t_post, n_t_post,
+       s_c_pre, n_c_pre, s_c_post, n_c_post,
+  CASE WHEN n_t_pre > 0 THEN CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE) END AS mean_t_pre,
+  CASE WHEN n_t_post > 0 THEN CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE) END AS mean_t_post,
+  CASE WHEN n_c_pre > 0 THEN CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE) END AS mean_c_pre,
+  CASE WHEN n_c_post > 0 THEN CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE) END AS mean_c_post,
+  CASE WHEN n_t_pre > 0 AND n_t_post > 0 AND n_c_pre > 0 AND n_c_post > 0 THEN
+    (CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+     - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+    - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+       - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE))
+  END AS did
+FROM agg
 """
     sqls["mmr_rerank"] = _mmr_oracle_sql(5)
     sqls["dbscan_embeddings"] = f"""

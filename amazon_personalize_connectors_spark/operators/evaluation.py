@@ -528,3 +528,68 @@ def expected_calibration_error(
             ),
         ).alias("ece"),
     )
+
+
+def diff_in_diff(
+    rows: DataFrame,
+    treated: Column,
+    post: Column,
+    value_col: str,
+) -> DataFrame:
+    """Difference-in-differences estimator — the quasi-experimental
+    A/B readout when assignment wasn't randomized: the treatment
+    effect is the treated group's pre→post change MINUS the control
+    group's (which absorbs the common time trend):
+
+        DiD = (ȳ_treated,post − ȳ_treated,pre)
+            − (ȳ_control,post − ȳ_control,pre)
+
+    ``treated`` / ``post`` are Column predicates; ``value_col`` must
+    be an integer metric (cents, counts — the repo's exactness rule).
+
+    One map-side-combinable aggregate produces the four cells' exact
+    bigint sums and counts; the estimate and each cell mean are fixed
+    per-row IEEE trees over casts of those exact values (the
+    wilson_bounds rule), so any engine reproduces them bit-for-bit.
+    Output is ONE row: the 8 exact cell stats + 4 cell means + did."""
+    t = treated.cast("boolean")
+    p = post.cast("boolean")
+    v = F.col(value_col).cast("bigint")
+
+    def cell(tt: bool, pp: bool, tag: str):
+        m = (t == tt) & (p == pp)
+        return [
+            F.sum(F.when(m, v).otherwise(0)).cast("bigint").alias(f"s_{tag}"),
+            F.count_if(m).cast("bigint").alias(f"n_{tag}"),
+        ]
+
+    agg = rows.agg(
+        *cell(True, False, "t_pre"),
+        *cell(True, True, "t_post"),
+        *cell(False, False, "c_pre"),
+        *cell(False, True, "c_post"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731 — fixed IEEE tree below
+    means = {
+        tag: d(F.col(f"s_{tag}")) / d(F.col(f"n_{tag}"))
+        for tag in ("t_pre", "t_post", "c_pre", "c_post")
+    }
+    ok = (
+        (F.col("n_t_pre") > 0)
+        & (F.col("n_t_post") > 0)
+        & (F.col("n_c_pre") > 0)
+        & (F.col("n_c_post") > 0)
+    )
+    return agg.select(
+        "s_t_pre", "n_t_pre", "s_t_post", "n_t_post",
+        "s_c_pre", "n_c_pre", "s_c_post", "n_c_post",
+        *[
+            F.when(F.col(f"n_{tag}") > 0, means[tag]).alias(f"mean_{tag}")
+            for tag in ("t_pre", "t_post", "c_pre", "c_post")
+        ],
+        F.when(
+            ok,
+            (means["t_post"] - means["t_pre"])
+            - (means["c_post"] - means["c_pre"]),
+        ).alias("did"),
+    )

@@ -837,3 +837,67 @@ def mmr_rerank(
         F.col("i").alias(item_col),
         "step",
     )
+
+
+def graph_random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    walk_len: int = 4,
+    seed: str = "w",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    start_col: str = "id",
+) -> DataFrame:
+    """Deterministic random walks over a directed item graph — the
+    corpus generator for DeepWalk/node2vec-style embedding training
+    ("sentences" of graph nodes) and for session-simulation negatives.
+
+    "Random" is a HASH, not an RNG: at step t, walker w at node cur
+    moves to the out-neighbor minimizing
+        md5("<seed>|<w>|<t>|<cur>|<dst>")
+    — uniform-ish over neighbors, yet bit-reproducible on any engine
+    (md5 emits identical lowercase hex everywhere — the CMS/MinHash
+    rule), so a SQL oracle replays the exact same walks. Two walkers
+    at the same node diverge (the hash keys on the walk id), which is
+    what a corpus wants. Dead-end nodes simply end their walk early.
+
+    Scale shape: a BOUNDED driver loop of ``walk_len`` rounds (a
+    product knob, 4–80), each one equi-join frontier×adjacency on the
+    current node plus a map-side-combinable struct-min argmin per
+    walker; the frontier is localCheckpoint'ed per round (the
+    neardup_components pattern) so lineage stays flat. No Python
+    touches rows. Output (walk, step, node), step 0 = the start."""
+    adj = edges.select(
+        F.col(src_col).alias("cur"), F.col(dst_col).alias("nxt")
+    )
+    frontier = starts.select(
+        F.col(start_col).alias("walk"),
+        F.col(start_col).alias("node"),
+        F.lit(0).cast("bigint").alias("step"),
+    ).localCheckpoint(eager=True)
+    out = frontier
+    for t in range(1, walk_len + 1):
+        h = F.md5(
+            F.concat(
+                F.lit(f"{seed}|"),
+                F.col("walk").cast("string"),
+                F.lit(f"|{t}|"),
+                F.col("node").cast("string"),
+                F.lit("|"),
+                F.col("nxt").cast("string"),
+            )
+        )
+        frontier = (
+            frontier.join(adj, frontier["node"] == adj["cur"])
+            .select("walk", "nxt", h.alias("h"))
+            .groupBy("walk")
+            .agg(F.min(F.struct(F.col("h"), F.col("nxt"))).alias("b"))
+            .select(
+                "walk",
+                F.col("b.nxt").alias("node"),
+                F.lit(t).cast("bigint").alias("step"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(frontier)
+    return out

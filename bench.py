@@ -240,6 +240,21 @@ BENCH_QUERIES = [
     "annotator_kappa",
     "score_ece",
     "revenue_changepoint",
+    "mannwhitney_value",
+    "seasonal_decompose",
+    "quota_allocation",
+    "cms_heavy_hitters",
+]
+
+# Heavy-but-bounded queries whose cost is fixed by a domain contract,
+# not the scale factor (theilsen: calendar-bounded pair grid; dbscan /
+# mmr: bounded iterative rounds with localCheckpoint barriers). Benched
+# ONCE per round like the streaming family so the 3-pass suite doesn't
+# triple their fixed cost.
+HEAVY_ONE_RUN = [
+    "theilsen_revenue",
+    "dbscan_embeddings",
+    "mmr_rerank",
 ]
 
 # The streaming maintenance family drains micro-batches rewriting a
@@ -356,6 +371,20 @@ def main() -> None:
     # left the round with zero official numbers). Errors are recorded
     # per-query and excluded from the suite total.
     samples, rows_out, errors = _run_suite(spark, qs, BENCH_QUERIES)
+
+    # heavy bounded-cost family: one timed run each, merged into the
+    # main tables (see HEAVY_ONE_RUN note)
+    for name in HEAVY_ONE_RUN:
+        if name not in qs:
+            continue
+        try:
+            t0 = time.perf_counter()
+            rows_out[name] = qs[name](spark, SF_DIR).count()
+            samples[name] = [round(time.perf_counter() - t0, 3)]
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     # streaming family: one timed drain each (see STREAM_ONE_RUN note)
     stream_times: dict[str, float] = {}

@@ -401,3 +401,37 @@ def test_expected_calibration_error_exact(spark):
 
     with pytest.raises(ValueError, match="positive"):
         expected_calibration_error(df, "s", "y", 0, 100)
+
+
+def test_diff_in_diff_exact_cells(spark):
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        diff_in_diff,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            (True, False, 10), (True, False, 20),   # treated pre: mean 15
+            (True, True, 40),                       # treated post: mean 40
+            (False, False, 5),                      # control pre: mean 5
+            (False, True, 10), (False, True, 20),   # control post: mean 15
+        ],
+        "tr boolean, po boolean, v long",
+    )
+    r = diff_in_diff(rows, F.col("tr"), F.col("po"), "v").collect()[0]
+    assert (r.s_t_pre, r.n_t_pre) == (30, 2)
+    assert (r.s_c_post, r.n_c_post) == (30, 2)
+    # DiD = (40 - 15) - (15 - 5) = 15
+    assert abs(r.did - 15.0) < 1e-12
+
+
+def test_diff_in_diff_null_on_empty_cell(spark):
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        diff_in_diff,
+    )
+
+    rows = spark.createDataFrame(
+        [(True, True, 1), (False, False, 2), (False, True, 3)],
+        "tr boolean, po boolean, v long",
+    )
+    r = diff_in_diff(rows, F.col("tr"), F.col("po"), "v").collect()[0]
+    assert r.n_t_pre == 0 and r.mean_t_pre is None and r.did is None

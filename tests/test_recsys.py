@@ -462,3 +462,49 @@ def test_mmr_rerank_stops_when_candidates_exhausted(spark):
         by_user.setdefault(r.q_id, []).append((r.step, r.n_id))
     assert sorted(by_user["a"]) == [(1, 1), (2, 2)]
     assert sorted(by_user["b"]) == [(1, 7)]
+
+
+def test_graph_random_walks_deterministic_and_ends_at_deadends(spark):
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        graph_random_walks,
+    )
+
+    # 1 -> {2, 3}; 2 -> 4; 3 and 4 are dead ends
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4)], "src long, dst long"
+    )
+    starts = spark.createDataFrame([(1,)], "id long")
+    w1 = sorted((r.step, r.node) for r in
+                graph_random_walks(edges, starts, walk_len=5).collect())
+    w2 = sorted((r.step, r.node) for r in
+                graph_random_walks(edges, starts, walk_len=5).collect())
+    assert w1 == w2  # hash-driven, not RNG-driven
+    assert w1[0] == (0, 1)
+    # the walk moved somewhere legal each step and stopped at a dead end
+    assert len(w1) <= 4
+    path = [n for _, n in w1]
+    legal = {1: {2, 3}, 2: {4}, 3: set(), 4: set()}
+    for a, b in zip(path, path[1:]):
+        assert b in legal[a]
+
+
+def test_graph_random_walks_walkers_diverge(spark):
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        graph_random_walks,
+    )
+
+    # complete-ish graph: every walker has the same neighborhood, but
+    # the hash keys on the walk id so corpora differ across walkers
+    nodes = list(range(6))
+    edges = spark.createDataFrame(
+        [(a, b) for a in nodes for b in nodes if a != b], "src long, dst long"
+    )
+    starts = spark.createDataFrame([(n,) for n in nodes], "id long")
+    out = graph_random_walks(edges, starts, walk_len=3)
+    paths = {}
+    for r in out.collect():
+        paths.setdefault(r.walk, {})[r.step] = r.node
+    seqs = {w: tuple(p[s] for s in sorted(p)) for w, p in paths.items()}
+    assert len(seqs) == 6 and all(len(s) == 4 for s in seqs.values())
+    # tails (dropping the distinct starts) are not all identical
+    assert len({s[1:] for s in seqs.values()}) > 1
