@@ -6621,6 +6621,34 @@ FROM s{walk_len}
 """
 
 
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of purchase probability over 500-cent
+    value bins (operators/evaluation.py:isotonic_calibration): the
+    parallel max-min closed form of PAV regression — exact bigint
+    prefix sums, one fixed-tree division per interval, min/max
+    aggregates only, so the fitted monotone curve matches the oracle
+    bit-for-bit."""
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        isotonic_calibration,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir).where(
+        F.col("value").isNotNull()
+    )
+    binned = ev.select(
+        (
+            (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("cents"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("label"),
+    ).groupBy(
+        F.expr("cents div 500").cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    return isotonic_calibration(binned, "bin", "n", "pos")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -6682,6 +6710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "did_purchase_value": q_did_purchase_value,
         "graph_walks": q_graph_walks,
+        "isotonic_calibration": q_isotonic_calibration,
         "stamp_literals": q_stamp_literals,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -11639,6 +11668,37 @@ SELECT CAST(t.day AS VARCHAR) AS day, t.v, t.trend_num, t.dow,
             - CAST(s.seasonal_num AS DECIMAL(38,0)) AS DECIMAL(38,0))
          AS residual_num
 FROM detr t JOIN slots s USING (dow)
+"""
+    sqls["isotonic_calibration"] = """
+WITH binned AS (
+  SELECT CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 500
+              AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+pre AS (
+  SELECT bin, n, pos,
+         ROW_NUMBER() OVER w AS i,
+         CAST(SUM(n) OVER w AS BIGINT) AS cn,
+         CAST(SUM(pos) OVER w AS BIGINT) AS cp
+  FROM binned
+  WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+mins AS (
+  SELECT j.i AS j,
+         MIN(CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+             / CAST(k.cn - (j.cn - j.n) AS DOUBLE)) AS mj
+  FROM pre j JOIN pre k ON k.i >= j.i
+  GROUP BY j.i
+)
+SELECT p.bin, p.n, p.pos,
+       CAST(p.pos AS DOUBLE) / CAST(p.n AS DOUBLE) AS rate,
+       MAX(m.mj) OVER (ORDER BY p.i
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fitted
+FROM pre p JOIN mins m ON p.i = m.j
 """
     sqls["graph_walks"] = _walks_oracle_sql(4)
     sqls["did_purchase_value"] = """

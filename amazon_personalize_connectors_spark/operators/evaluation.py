@@ -593,3 +593,108 @@ def diff_in_diff(
             - (means["c_post"] - means["c_pre"]),
         ).alias("did"),
     )
+
+
+def isotonic_calibration(
+    binned: DataFrame,
+    bin_col: str,
+    n_col: str,
+    pos_col: str,
+    max_grid_rows: int = 2_000,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration over PRE-BINNED
+    scores — the PAV-regression step behind isotonic probability
+    calibration, computed NOT by the sequential pool-adjacent-
+    violators scan (driver-sequential, data-order-dependent) but by
+    its closed form over the bin grid:
+
+        fitted_i = max_{j<=i} min_{k>=j} mean(pos / n over bins j..k)
+
+    which is embarrassingly parallel: O(B²) (j,k) interval averages
+    over prefix sums, a min per j, and one running max. Equal to PAVA
+    output exactly (the max-min characterization of isotonic L2
+    regression).
+
+    Determinism: prefix sums are exact bigints; each interval average
+    is ONE bigint/bigint double division (a fixed IEEE tree); min and
+    max over doubles are order-independent aggregates, so the fitted
+    curve is bit-identical on any engine or layout — no quantization
+    needed anywhere.
+
+    Scale shape: callers bin scores first (integer DIV buckets, the
+    score_bin_report rule), so the grid is domain-bounded — enforced
+    by ``max_grid_rows`` BEFORE the O(B²) interval fan-out; prefix
+    sums and the running max ride grid windows partitioned on the
+    guard column. Output per bin: (bin, n, pos, rate, fitted),
+    fitted non-decreasing in bin order."""
+    from amazon_personalize_connectors_spark.operators.guards import (
+        enforce_bounded_grid,
+    )
+
+    grid = enforce_bounded_grid(
+        binned.select(
+            F.col(bin_col).alias("bin"),
+            F.col(n_col).cast("bigint").alias("n"),
+            F.col(pos_col).cast("bigint").alias("pos"),
+        ),
+        max_grid_rows,
+        "isotonic_calibration",
+        keep_count_col=True,
+    )
+    wn = Window.partitionBy("_grid_n").orderBy("bin")
+    w_cum = wn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = grid.select(
+        "_grid_n",
+        "bin",
+        "n",
+        "pos",
+        F.row_number().over(wn).alias("i"),
+        F.sum("n").over(w_cum).cast("bigint").alias("cn"),
+        F.sum("pos").over(w_cum).cast("bigint").alias("cp"),
+    )
+    j = pre.select(
+        F.col("_grid_n").alias("_g"),
+        F.col("i").alias("j"),
+        (F.col("cn") - F.col("n")).alias("cn0"),
+        (F.col("cp") - F.col("pos")).alias("cp0"),
+    )
+    k = pre.select(
+        F.col("_grid_n").alias("_g2"),
+        F.col("i").alias("k"),
+        F.col("cn").alias("cnk"),
+        F.col("cp").alias("cpk"),
+    )
+    avg = (
+        (F.col("cpk") - F.col("cp0")).cast("double")
+        / (F.col("cnk") - F.col("cn0")).cast("double")
+    )
+    mins = (
+        j.join(k, (j["_g"] == k["_g2"]) & (F.col("k") >= F.col("j")))
+        .select("_g", "j", avg.alias("a"))
+        .groupBy("_g", "j")
+        .agg(F.min("a").alias("mj"))
+    )
+    w_max = (
+        Window.partitionBy("_grid_n")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fitted = (
+        pre.join(
+            mins,
+            (pre["_grid_n"] == mins["_g"]) & (pre["i"] == mins["j"]),
+        )
+        .select(
+            "_grid_n", "bin", "n", "pos", "i", "mj",
+        )
+        .select(
+            "bin",
+            "n",
+            "pos",
+            (F.col("pos").cast("double") / F.col("n").cast("double")).alias(
+                "rate"
+            ),
+            F.max("mj").over(w_max).alias("fitted"),
+        )
+    )
+    return fitted

@@ -435,3 +435,40 @@ def test_diff_in_diff_null_on_empty_cell(spark):
     )
     r = diff_in_diff(rows, F.col("tr"), F.col("po"), "v").collect()[0]
     assert r.n_t_pre == 0 and r.mean_t_pre is None and r.did is None
+
+
+def _pava(ns, ps):
+    # classic sequential pool-adjacent-violators on (n, pos) bins,
+    # tracking how many bins each pool spans for the expansion
+    fitted = []
+    pools = []
+    for n, p in zip(ns, ps):
+        pools.append([n, p, 1])
+        while len(pools) > 1 and (
+            pools[-2][1] * pools[-1][0] >= pools[-1][1] * pools[-2][0]
+        ):
+            n2, p2, c2 = pools.pop()
+            pools[-1][0] += n2
+            pools[-1][1] += p2
+            pools[-1][2] += c2
+    for n, p, c in pools:
+        fitted += [p / n] * c
+    return fitted
+
+
+def test_isotonic_calibration_matches_sequential_pava(spark):
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        isotonic_calibration,
+    )
+
+    # rates 0.5, 0.2, 0.8, 0.4, 0.9 — two violator pools to merge
+    bins = [(1, 10, 5), (2, 10, 2), (3, 10, 8), (4, 10, 4), (5, 10, 9)]
+    df = spark.createDataFrame(bins, "bin long, n long, pos long")
+    got = {r.bin: r.fitted for r in
+           isotonic_calibration(df, "bin", "n", "pos").collect()}
+    want = _pava([b[1] for b in bins], [b[2] for b in bins])
+    for i, b in enumerate(bins):
+        assert abs(got[b[0]] - want[i]) < 1e-12
+    # monotone non-decreasing
+    seq = [got[b[0]] for b in bins]
+    assert all(a <= b + 1e-12 for a, b in zip(seq, seq[1:]))
