@@ -6649,6 +6649,31 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isotonic_calibration(binned, "bin", "n", "pos")
 
 
+def q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon drift (operators/features.py:js_divergence)
+    over the SAME populations and $1000 price bins as q:psi_drift /
+    q:ks_drift / q:tv_drift — the symmetric, ln2-bounded member of
+    the drift family, finite on one-sided bins with no smoothing
+    epsilon. Quantized-bigint term sums (chi2 pattern)."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        js_divergence,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " DIV 100000 AS BIGINT)"
+        ).alias("bin"),
+        "l_returnflag",
+    )
+    return js_divergence(
+        li,
+        "bin",
+        F.col("l_returnflag") == "R",
+        F.col("l_returnflag") != "R",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -6711,6 +6736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "did_purchase_value": q_did_purchase_value,
         "graph_walks": q_graph_walks,
         "isotonic_calibration": q_isotonic_calibration,
+        "js_drift": q_js_drift,
         "stamp_literals": q_stamp_literals,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -11668,6 +11694,51 @@ SELECT CAST(t.day AS VARCHAR) AS day, t.v, t.trend_num, t.dow,
             - CAST(s.seasonal_num AS DECIMAL(38,0)) AS DECIMAL(38,0))
          AS residual_num
 FROM detr t JOIN slots s USING (dow)
+"""
+    sqls["js_drift"] = """
+WITH li AS (
+  SELECT CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              // 100000 AS BIGINT) AS bin,
+         l_returnflag
+  FROM lineitem
+),
+cells AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS b
+  FROM li GROUP BY bin
+),
+tot AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b
+  FROM cells
+),
+terms AS (
+  SELECT t.n_a, t.n_b,
+    CASE WHEN c.a > 0 THEN CAST(FLOOR(
+      (CAST(c.a AS DOUBLE) / CAST(t.n_a AS DOUBLE))
+      * ln(CAST(CAST(CAST(2 AS DECIMAL(38,0))
+                * (CAST(c.a AS DECIMAL(38,0)) * CAST(t.n_b AS DECIMAL(38,0)))
+                AS DECIMAL(38,0)) AS DOUBLE)
+           / CAST(CAST(CAST(c.a AS DECIMAL(38,0)) * CAST(t.n_b AS DECIMAL(38,0))
+                  + CAST(c.b AS DECIMAL(38,0)) * CAST(t.n_a AS DECIMAL(38,0))
+                  AS DECIMAL(38,0)) AS DOUBLE))
+      * 1000000000.0) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS qa,
+    CASE WHEN c.b > 0 THEN CAST(FLOOR(
+      (CAST(c.b AS DOUBLE) / CAST(t.n_b AS DOUBLE))
+      * ln(CAST(CAST(CAST(2 AS DECIMAL(38,0))
+                * (CAST(c.b AS DECIMAL(38,0)) * CAST(t.n_a AS DECIMAL(38,0)))
+                AS DECIMAL(38,0)) AS DOUBLE)
+           / CAST(CAST(CAST(c.a AS DECIMAL(38,0)) * CAST(t.n_b AS DECIMAL(38,0))
+                  + CAST(c.b AS DECIMAL(38,0)) * CAST(t.n_a AS DECIMAL(38,0))
+                  AS DECIMAL(38,0)) AS DOUBLE))
+      * 1000000000.0) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS qb
+  FROM cells c, tot t
+)
+SELECT n_a, n_b, CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(qa + qb) AS DOUBLE) / 2000000000.0 AS jsd
+FROM terms GROUP BY n_a, n_b
 """
     sqls["isotonic_calibration"] = """
 WITH binned AS (

@@ -911,3 +911,32 @@ def test_mannwhitney_u_symmetry(spark):
     # U_A + U_B = nA*nB and z flips sign
     assert int(ab.two_u_a) + int(ba.two_u_a) == 2 * ab.n_a * ab.n_b
     assert abs(ab.z + ba.z) < 1e-12
+
+
+def test_js_divergence_bounds_and_symmetry(spark):
+    import math
+
+    from amazon_personalize_connectors_spark.operators.features import (
+        js_divergence,
+    )
+
+    # identical distributions -> 0
+    same = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b")] * 5, "bin long, g string"
+    )
+    r = js_divergence(same, "bin", F.col("g") == "a", F.col("g") == "b")
+    assert abs(r.collect()[0].jsd) < 1e-8
+    # disjoint supports -> ln 2 (within quantization error)
+    disj = spark.createDataFrame(
+        [(1, "a")] * 6 + [(2, "b")] * 4, "bin long, g string"
+    )
+    r2 = js_divergence(disj, "bin", F.col("g") == "a", F.col("g") == "b")
+    assert abs(r2.collect()[0].jsd - math.log(2)) < 1e-8
+    # symmetric in A/B
+    skew = spark.createDataFrame(
+        [(1, "a")] * 6 + [(1, "b")] * 2 + [(2, "a")] * 1 + [(2, "b")] * 5,
+        "bin long, g string",
+    )
+    ab = js_divergence(skew, "bin", F.col("g") == "a", F.col("g") == "b")
+    ba = js_divergence(skew, "bin", F.col("g") == "b", F.col("g") == "a")
+    assert abs(ab.collect()[0].jsd - ba.collect()[0].jsd) < 1e-8
