@@ -6674,6 +6674,30 @@ def q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% thresholds of event value cents per event
+    type (operators/evaluation.py:conformal_threshold): the exact
+    ceil((n+1)*9/10)-th smallest score via pure integer rank
+    arithmetic and a grouped cumulative window — no float quantile
+    semantics anywhere."""
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        conformal_threshold,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir).where(
+        F.col("value").isNotNull()
+    )
+    scored = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return conformal_threshold(
+        scored, ["event_type"], "cents", alpha_num=1, alpha_den=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -6737,6 +6761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks": q_graph_walks,
         "isotonic_calibration": q_isotonic_calibration,
         "js_drift": q_js_drift,
+        "conformal_threshold": q_conformal_threshold,
         "stamp_literals": q_stamp_literals,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -11694,6 +11719,36 @@ SELECT CAST(t.day AS VARCHAR) AS day, t.v, t.trend_num, t.dow,
             - CAST(s.seasonal_num AS DECIMAL(38,0)) AS DECIMAL(38,0))
          AS residual_num
 FROM detr t JOIN slots s USING (dow)
+"""
+    sqls["conformal_threshold"] = """
+WITH scored AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS s
+  FROM events WHERE value IS NOT NULL
+),
+cells AS (
+  SELECT event_type, s, CAST(COUNT(*) AS BIGINT) AS c
+  FROM scored GROUP BY event_type, s
+),
+ranked AS (
+  SELECT event_type, s,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM cells
+),
+with_k AS (
+  SELECT *, CAST((9 * (n + 1) + 9) // 10 AS BIGINT) AS k FROM ranked
+),
+picked AS (
+  SELECT event_type, n, k, CAST(MIN(s) AS BIGINT) AS threshold
+  FROM with_k WHERE cum >= k GROUP BY event_type, n, k
+),
+base AS (SELECT DISTINCT event_type, n, k FROM with_k)
+SELECT b.event_type, b.n, b.k, p.threshold
+FROM base b LEFT JOIN picked p
+  ON b.event_type = p.event_type AND b.n = p.n AND b.k = p.k
 """
     sqls["js_drift"] = """
 WITH li AS (

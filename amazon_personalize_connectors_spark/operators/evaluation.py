@@ -698,3 +698,65 @@ def isotonic_calibration(
         )
     )
     return fitted
+
+
+def conformal_threshold(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+) -> DataFrame:
+    """Split-conformal calibration threshold per group: the
+    ⌈(1−α)(n+1)⌉-th smallest nonconformity score — the quantile that
+    makes "predict an interval that covers with probability ≥ 1−α"
+    distribution-free. α arrives as the rational alpha_num/alpha_den
+    so the rank k = ⌈(alpha_den−alpha_num)·(n+1)/alpha_den⌉ is pure
+    integer arithmetic (no float quantile semantics to mismatch
+    across engines); scores must be integers (cents/quanta — the
+    repo's exactness rule). If k > n (tiny calibration sets cannot
+    guarantee 1−α coverage) the threshold is NULL rather than a
+    silently-weaker max.
+
+    Scale shape: scores collapse to per-group distinct-value cells
+    first (map-side combinable), the cumulative count rides a window
+    partitioned BY GROUP (parallel across groups, sorted within), and
+    the selection is a struct-min aggregate — the theilsen median
+    pattern, grouped. Output (*group_cols, n, k, threshold)."""
+    if not 0 < alpha_num < alpha_den:
+        raise ValueError("need 0 < alpha_num < alpha_den")
+    g = [F.col(c) for c in group_cols]
+    cells = df.groupBy(*g, F.col(score_col).cast("bigint").alias("_s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    ranked = cells.select(
+        *group_cols,
+        "_s",
+        F.sum("_c").over(w_cum).cast("bigint").alias("_cum"),
+        F.sum("_c").over(w_all).cast("bigint").alias("_n"),
+    ).withColumn(
+        "_k",
+        # exact integer ceil-div (double division would round past 2^53)
+        F.expr(
+            f"({alpha_den - alpha_num} * (_n + 1) + {alpha_den - 1}) "
+            f"div {alpha_den}"
+        ).cast("bigint"),
+    )
+    picked = (
+        ranked.where(F.col("_cum") >= F.col("_k"))
+        .groupBy(*group_cols, "_n", "_k")
+        .agg(F.min("_s").cast("bigint").alias("threshold"))
+    )
+    base = ranked.select(*group_cols, "_n", "_k").distinct()
+    return base.join(picked, [*group_cols, "_n", "_k"], "left").select(
+        *group_cols,
+        F.col("_n").alias("n"),
+        F.col("_k").alias("k"),
+        "threshold",
+    )

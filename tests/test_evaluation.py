@@ -472,3 +472,22 @@ def test_isotonic_calibration_matches_sequential_pava(spark):
     # monotone non-decreasing
     seq = [got[b[0]] for b in bins]
     assert all(a <= b + 1e-12 for a, b in zip(seq, seq[1:]))
+
+
+def test_conformal_threshold_exact_rank(spark):
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        conformal_threshold,
+    )
+
+    # group g: scores 1..9 -> n=9, k=ceil(0.9*10)=9 -> threshold 9
+    # group h: scores [5,5,7] -> n=3, k=ceil(0.9*4)=4 > n -> NULL
+    rows = [("g", s) for s in range(1, 10)] + [("h", 5), ("h", 5), ("h", 7)]
+    df = spark.createDataFrame(rows, "grp string, s long")
+    out = {r.grp: (r.n, r.k, r.threshold) for r in
+           conformal_threshold(df, ["grp"], "s", 1, 10).collect()}
+    assert out["g"] == (9, 9, 9)
+    assert out["h"] == (3, 4, None)
+    # alpha = 1/2 -> k = ceil(5) = 5 -> median-ish pick
+    out2 = {r.grp: r.threshold for r in
+            conformal_threshold(df, ["grp"], "s", 1, 2).collect()}
+    assert out2["g"] == 5 and out2["h"] == 5
