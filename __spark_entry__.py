@@ -6698,6 +6698,64 @@ def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eight rounds of BPE tokenizer training over the documents
+    corpus (functions/text.py:bpe_learn_merges): the learned merge
+    table, with every round's argmax pair chosen by exact counts and
+    a lexicographic tie-break and every merge applied by a literal
+    separator-delimited replace — semantics every engine shares, so
+    the oracle replays the whole training trace in SQL."""
+    from amazon_personalize_connectors_spark.functions.text import (
+        bpe_learn_merges,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    return bpe_learn_merges(docs, "text", n_merges=8)
+
+
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    """Replay bpe_learn_merges round by round: pairs from the split
+    symbol strings, argmax by (count desc, pair asc), merge by the
+    same chr(1)-delimited literal replace."""
+    rounds = []
+    for t in range(1, n_merges + 1):
+        p = t - 1
+        rounds.append(f"""
+p{t} AS (
+  SELECT x, y, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+    SELECT cnt, s[i] AS x, s[i + 1] AS y FROM (
+      SELECT cnt, s, unnest(range(1, len(s))) AS i FROM (
+        SELECT cnt, list_filter(string_split(w, chr(1)), z -> z <> '') AS s
+        FROM w{p}) WHERE len(s) >= 2
+    )
+  ) GROUP BY x, y
+),
+b{t} AS (SELECT x, y, c FROM p{t} ORDER BY c DESC, x ASC, y ASC LIMIT 1),
+w{t} AS (
+  SELECT replace(w.w, chr(1) || b.x || chr(1) || b.y || chr(1),
+                 chr(1) || b.x || b.y || chr(1)) AS w, w.cnt
+  FROM w{p} w, b{t} b
+)""")
+    finals = "\nUNION ALL ".join(
+        f"""SELECT CAST({t} AS BIGINT) AS step, x AS "left", y AS "right",
+       x || y AS merged, c AS pair_count FROM b{t}"""
+        for t in range(1, n_merges + 1)
+    )
+    return f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+wc AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks WHERE length(tok) >= 2 GROUP BY tok
+),
+w0 AS (
+  SELECT chr(1) || array_to_string(string_split(tok, ''), chr(1)) || chr(1)
+           AS w, cnt
+  FROM wc
+),{",".join(rounds)}
+{finals}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -6762,6 +6820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_calibration": q_isotonic_calibration,
         "js_drift": q_js_drift,
         "conformal_threshold": q_conformal_threshold,
+        "bpe_train": q_bpe_train,
         "stamp_literals": q_stamp_literals,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -11720,6 +11779,7 @@ SELECT CAST(t.day AS VARCHAR) AS day, t.v, t.trend_num, t.dow,
          AS residual_num
 FROM detr t JOIN slots s USING (dow)
 """
+    sqls["bpe_train"] = _bpe_oracle_sql(8)
     sqls["conformal_threshold"] = """
 WITH scored AS (
   SELECT event_type,

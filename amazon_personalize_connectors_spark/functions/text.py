@@ -787,3 +787,117 @@ def source_quality_report(
         (F.col("n_dup_docs") / F.col("n_docs")).alias("dup_rate"),
         (F.col("n_english_docs") / F.col("n_docs")).alias("english_share"),
     )
+
+
+def bpe_learn_merges(
+    df,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_word_len: int = 2,
+):
+    """Train ``n_merges`` rounds of byte-pair-encoding merges over the
+    corpus — the actual tokenizer-training loop, not just the round-1
+    statistic (bpe_pair_stats is one iteration of this). Returns the
+    learned merge TABLE (step, left, right, merged, pair_count): the
+    artifact a BPE tokenizer ships.
+
+    Representation: BPE trains on the word-frequency table, so the
+    corpus first collapses to distinct words + counts (map-side
+    combinable — the table is vocabulary-sized, orders of magnitude
+    smaller than the corpus at any scale). Each word's symbol
+    sequence is a chr(1)-separated STRING with leading/trailing
+    separators; applying merge (x, y) is one literal replace of
+    ``\\x01x\\x01y\\x01`` with ``\\x01xy\\x01`` — an operation with
+    IDENTICAL left-to-right non-overlapping semantics in every engine
+    (Spark `replace`, DuckDB `replace`, Java, C), which is what makes
+    the whole training trace oracle-replayable.
+
+    Merge semantics caveat (documented, deterministic): because a
+    match consumes its trailing separator, an ODD-length run of the
+    same symbol ("aaa" merging (a,a)) merges one pair per round
+    instead of flooring len/2 pairs; the remainder merges next round
+    if still the argmax. Real corpora are insensitive; degenerate
+    run-heavy inputs learn the same vocabulary one round later.
+
+    Per round, fully distributed: adjacent pairs explode from the
+    split symbols into ONE count aggregate; the argmax pair (count
+    desc, then lexicographically smallest — exact tie-break) comes
+    from a max-count 1-row broadcast + struct-min; the word table is
+    re-written by the replace and localCheckpoint'ed (bounded-loop
+    pattern: mmr_rerank / graph_random_walks). The ONE-ROW argmax is
+    collect()ed per round to parameterize the next round's literal
+    replace — a bounded collect (n_merges rows total over the whole
+    run), the documented-contract class of ids.py/text.py, never
+    data-sized. ``n_merges`` is the product knob (GPT-2 uses 50k;
+    tests use 5-10)."""
+    sep = "\x01"
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .where(F.length("tok") >= min_word_len)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.concat(
+                F.lit(sep),
+                F.array_join(F.split(F.col("tok"), ""), sep),
+                F.lit(sep),
+            ).alias("w"),
+            "cnt",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        syms = F.filter(
+            F.split(F.col("w"), sep), lambda s: s != F.lit("")
+        )
+        pairs = (
+            words.select("cnt", syms.alias("s"))
+            # guard: sequence(1, 0) counts DOWN in Spark, and a fully
+            # merged single-symbol word has no adjacent pairs at all
+            .where(F.size("s") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("s") - 1)
+                ).alias("i"),
+                "s",
+            )
+            .select(
+                F.element_at("s", F.col("i")).alias("x"),
+                F.element_at("s", F.col("i") + 1).alias("y"),
+                "cnt",
+            )
+            .groupBy("x", "y")
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+        )
+        mx = pairs.agg(F.max("c").alias("cmax"))
+        best = (
+            pairs.join(F.broadcast(mx), pairs["c"] == mx["cmax"])
+            .agg(F.min(F.struct("x", "y", "c")).alias("b"))
+            .select(
+                F.lit(step).cast("bigint").alias("step"),
+                F.col("b.x").alias("left"),
+                F.col("b.y").alias("right"),
+                F.concat(F.col("b.x"), F.col("b.y")).alias("merged"),
+                F.col("b.c").alias("pair_count"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        row = best.collect()
+        if not row:  # corpus exhausted (all words single-symbol)
+            break
+        merges.append(best)
+        r = row[0]
+        words = words.select(
+            F.replace(
+                F.col("w"),
+                F.lit(f"{sep}{r['left']}{sep}{r['right']}{sep}"),
+                F.lit(f"{sep}{r['merged']}{sep}"),
+            ).alias("w"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

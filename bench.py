@@ -244,6 +244,11 @@ BENCH_QUERIES = [
     "seasonal_decompose",
     "quota_allocation",
     "cms_heavy_hitters",
+    "did_purchase_value",
+    "js_drift",
+    "conformal_threshold",
+    "isotonic_calibration",
+    "graph_walks",
 ]
 
 # Heavy-but-bounded queries whose cost is fixed by a domain contract,
@@ -252,6 +257,7 @@ BENCH_QUERIES = [
 # ONCE per round like the streaming family so the 3-pass suite doesn't
 # triple their fixed cost.
 HEAVY_ONE_RUN = [
+    "bpe_train",
     "theilsen_revenue",
     "dbscan_embeddings",
     "mmr_rerank",

@@ -646,3 +646,53 @@ def test_dbscan_isolated_core_keeps_own_id(spark):
     assert out[11] == ("border", 10)
     assert out[12] == ("border", 10)
     assert out[13] == ("border", 10)
+
+
+def _ref_bpe(word_counts, n_merges):
+    # reference BPE with the SAME left-to-right separator-consuming
+    # replace semantics the operator documents
+    sep = "\x01"
+    words = {
+        sep + sep.join(w) + sep: c for w, c in word_counts.items()
+    }
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts = {}
+        for w, c in words.items():
+            syms = [s for s in w.split(sep) if s]
+            for x, y in zip(syms, syms[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + c
+        if not counts:
+            break
+        cmax = max(counts.values())
+        x, y = min(p for p, c in counts.items() if c == cmax)
+        merges.append((step, x, y, x + y, cmax))
+        pat, rep = f"{sep}{x}{sep}{y}{sep}", f"{sep}{x + y}{sep}"
+        words = {w.replace(pat, rep): c for w, c in words.items()}
+    return merges
+
+
+def test_bpe_learn_merges_matches_reference(spark):
+    from amazon_personalize_connectors_spark.functions.text import (
+        bpe_learn_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [("the cat sat on the mat the cat",),
+         ("a cat and a rat sat",),
+         ("matter chatter",)],
+        "text string",
+    )
+    got = sorted(
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_learn_merges(docs, "text", n_merges=6).collect()
+    )
+    wc = {}
+    for line in ["the cat sat on the mat the cat",
+                 "a cat and a rat sat", "matter chatter"]:
+        for w in line.split():
+            if len(w) >= 2:
+                wc[w] = wc.get(w, 0) + 1
+    assert got == _ref_bpe(wc, 6)
+    # merged symbols grow multi-character as rounds proceed
+    assert any(len(m[3]) >= 3 for m in got)
