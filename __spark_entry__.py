@@ -6756,6 +6756,40 @@ w0 AS (
 """
 
 
+def q_als_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact rank-2 ALS user half-step (operators/recsys.py:
+    als_half_step) over customer part-quantity ratings against
+    deterministic pseudo item factors: five exact decimal normal-
+    equation sums per user, closed-form 2x2 Cramer solve as one fixed
+    IEEE tree — the oracle runs the identical algebra in HUGEINT."""
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        als_half_step,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem")
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    ratings = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li["l_orderkey"] == orders["o_orderkey"],
+    ).select(
+        F.col("o_custkey").cast("bigint").alias("user_id"),
+        F.col("l_partkey").cast("bigint").alias("item_id"),
+        F.col("l_quantity").cast("bigint").alias("rating"),
+    )
+    factors = li.select(
+        F.col("l_partkey").cast("bigint").alias("item_id")
+    ).distinct().select(
+        "item_id",
+        (F.col("item_id") % 1000).cast("bigint").alias("f1_q"),
+        ((F.col("item_id") * 7 + 3) % 1000).cast("bigint").alias("f2_q"),
+    )
+    # factor_scale 1e3 keeps adj/det below 2^53: see the operator's
+    # oracle-parity envelope note
+    return als_half_step(
+        ratings, factors, reg_num=1, reg_den=10, factor_scale=1000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -6821,6 +6855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_drift": q_js_drift,
         "conformal_threshold": q_conformal_threshold,
         "bpe_train": q_bpe_train,
+        "als_user_step": q_als_user_step,
         "stamp_literals": q_stamp_literals,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -11778,6 +11813,35 @@ SELECT CAST(t.day AS VARCHAR) AS day, t.v, t.trend_num, t.dow,
             - CAST(s.seasonal_num AS DECIMAL(38,0)) AS DECIMAL(38,0))
          AS residual_num
 FROM detr t JOIN slots s USING (dow)
+"""
+    sqls["als_user_step"] = """
+WITH ratings AS (
+  SELECT CAST(o.o_custkey AS BIGINT) AS u,
+         CAST(l.l_partkey AS BIGINT) AS i,
+         CAST(l.l_quantity AS HUGEINT) AS r
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+factors AS (
+  SELECT i, CAST(i % 1000 AS HUGEINT) AS f1,
+         CAST((i * 7 + 3) % 1000 AS HUGEINT) AS f2
+  FROM (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS i FROM lineitem)
+),
+agg AS (
+  SELECT r.u, CAST(COUNT(*) AS BIGINT) AS n_items,
+         SUM(f.f1 * f.f1) AS s11, SUM(f.f1 * f.f2) AS s12,
+         SUM(f.f2 * f.f2) AS s22,
+         SUM(f.f1 * r.r) AS b1, SUM(f.f2 * r.r) AS b2
+  FROM ratings r JOIN factors f ON r.i = f.i
+  GROUP BY r.u
+)
+SELECT u AS user_id, n_items,
+  1000.0 * (CAST((s22 + 100000) * b1 - s12 * b2 AS DOUBLE)
+            / CAST((s11 + 100000) * (s22 + 100000)
+                   - s12 * s12 AS DOUBLE)) AS u1,
+  1000.0 * (CAST((s11 + 100000) * b2 - s12 * b1 AS DOUBLE)
+            / CAST((s11 + 100000) * (s22 + 100000)
+                   - s12 * s12 AS DOUBLE)) AS u2
+FROM agg
 """
     sqls["bpe_train"] = _bpe_oracle_sql(8)
     sqls["conformal_threshold"] = """

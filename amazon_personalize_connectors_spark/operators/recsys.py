@@ -901,3 +901,90 @@ def graph_random_walks(
         )
         out = out.unionByName(frontier)
     return out
+
+
+def als_half_step(
+    ratings: DataFrame,
+    item_factors: DataFrame,
+    reg_num: int = 1,
+    reg_den: int = 10,
+    factor_scale: int = 1_000_000,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    rating_col: str = "rating",
+) -> DataFrame:
+    """One exact ALS half-step for rank-2 matrix factorization: given
+    fixed item factors, solve every user's ridge normal equations
+
+        (FᵀF + λI) u = Fᵀ r
+
+    in closed form (2×2 Cramer inverse) — the alternating-least-
+    squares sweep a recommender retrains with, restricted to k=2
+    where the solve is a fixed expression instead of an iterative
+    kernel. ``item_factors`` = (item, f1_q, f2_q) QUANTIZED to
+    floor(f·factor_scale) bigints (the similarity.py rule); ratings
+    are integers; λ = reg_num/reg_den rational.
+
+    Exactness: the five normal-equation sums (S11 S12 S22 b1 b2) are
+    exact decimal(38,0) products summed per user (map-side
+    combinable, layout-independent); λ enters scaled to the same
+    quantization (λ·scale² exactly when reg divides cleanly) so the
+    regularized diagonal is still exact; only the final Cramer
+    division is IEEE, one fixed tree per user that the oracle spells
+    identically.
+
+    Scale shape: ONE broadcast join (item factor table is
+    items×2 — model-sized) and ONE groupBy(user) aggregate; no
+    iteration, no shuffle of the factor table. Output per user:
+    (user, n_items, u1, u2)."""
+    d38 = "decimal(38,0)"
+    f = F.broadcast(
+        item_factors.select(
+            F.col(item_col).alias("_i"),
+            F.col("f1_q").cast(d38).alias("_f1"),
+            F.col("f2_q").cast(d38).alias("_f2"),
+        )
+    )
+    r = ratings.select(
+        F.col(user_col).alias("_u"),
+        F.col(item_col).alias("_i"),
+        F.col(rating_col).cast(d38).alias("_r"),
+    )
+    j = r.join(f, "_i")
+    agg = j.groupBy("_u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum((F.col("_f1") * F.col("_f1")).cast(d38)).cast(d38).alias("s11"),
+        F.sum((F.col("_f1") * F.col("_f2")).cast(d38)).cast(d38).alias("s12"),
+        F.sum((F.col("_f2") * F.col("_f2")).cast(d38)).cast(d38).alias("s22"),
+        F.sum((F.col("_f1") * F.col("_r")).cast(d38)).cast(d38).alias("b1"),
+        F.sum((F.col("_f2") * F.col("_r")).cast(d38)).cast(d38).alias("b2"),
+    )
+    # λ·scale²·n? No — standard ridge adds λ·n_u or plain λ; use plain
+    # λ on the FACTOR scale: factors carry scale, so FᵀF carries
+    # scale² and λ must too: lam_q = λ·scale² (exact when reg_den
+    # divides scale² — it does for decimal reg on a 1e6 scale).
+    lam_sq = reg_num * factor_scale * factor_scale
+    if lam_sq % reg_den != 0:
+        raise ValueError("reg_den must divide reg_num * factor_scale^2")
+    lam = F.lit(lam_sq // reg_den).cast(d38)
+    a11 = (F.col("s11") + lam).cast(d38)
+    a22 = (F.col("s22") + lam).cast(d38)
+    det = (a11 * a22 - (F.col("s12") * F.col("s12")).cast(d38)).cast(d38)
+    dd = lambda c: c.cast("double")  # noqa: E731 — fixed IEEE tree below
+    # u solves on the rating scale: u_k = scale * (adj row · b) / det
+    # keeps u in natural units (factors were scaled by `scale`)
+    sc = F.lit(float(factor_scale))
+    u1 = sc * (
+        dd((a22 * F.col("b1") - F.col("s12") * F.col("b2")).cast(d38))
+        / dd(det)
+    )
+    u2 = sc * (
+        dd((a11 * F.col("b2") - F.col("s12") * F.col("b1")).cast(d38))
+        / dd(det)
+    )
+    return agg.select(
+        F.col("_u").alias(user_col),
+        "n_items",
+        u1.alias("u1"),
+        u2.alias("u2"),
+    )

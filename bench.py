@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "conformal_threshold",
     "isotonic_calibration",
     "graph_walks",
+    "als_user_step",
 ]
 
 # Heavy-but-bounded queries whose cost is fixed by a domain contract,

@@ -508,3 +508,38 @@ def test_graph_random_walks_walkers_diverge(spark):
     assert len(seqs) == 6 and all(len(s) == 4 for s in seqs.values())
     # tails (dropping the distinct starts) are not all identical
     assert len({s[1:] for s in seqs.values()}) > 1
+
+
+def test_als_half_step_solves_normal_equations(spark):
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        als_half_step,
+    )
+
+    ratings = spark.createDataFrame(
+        [(1, 10, 5), (1, 11, 3), (1, 12, 4), (2, 10, 1), (2, 12, 2)],
+        "user_id long, item_id long, rating long",
+    )
+    # quantized factors at scale 1000: item 10 -> (0.8, 0.1), etc.
+    factors = spark.createDataFrame(
+        [(10, 800, 100), (11, 200, 900), (12, 500, 500)],
+        "item_id long, f1_q long, f2_q long",
+    )
+    out = {r.user_id: (r.n_items, r.u1, r.u2) for r in als_half_step(
+        ratings, factors, reg_num=1, reg_den=10, factor_scale=1000
+    ).collect()}
+    assert out[1][0] == 3 and out[2][0] == 2
+    # verify against the true ridge solution computed in Python
+    for uid, items in ((1, [(0.8, 0.1, 5), (0.2, 0.9, 3), (0.5, 0.5, 4)]),
+                       (2, [(0.8, 0.1, 1), (0.5, 0.5, 2)])):
+        s11 = sum(f1 * f1 for f1, _, _ in items) + 0.1
+        s12 = sum(f1 * f2 for f1, f2, _ in items)
+        s22 = sum(f2 * f2 for _, f2, _ in items) + 0.1
+        b1 = sum(f1 * r for f1, _, r in items)
+        b2 = sum(f2 * r for _, f2, r in items)
+        det = s11 * s22 - s12 * s12
+        u1, u2 = (s22 * b1 - s12 * b2) / det, (s11 * b2 - s12 * b1) / det
+        assert abs(out[uid][1] - u1) < 1e-9
+        assert abs(out[uid][2] - u2) < 1e-9
+        # and the solution satisfies (F'F + lambda I) u = F'r
+        assert abs(s11 * out[uid][1] + s12 * out[uid][2] - b1) < 1e-6
+        assert abs(s12 * out[uid][1] + s22 * out[uid][2] - b2) < 1e-6
