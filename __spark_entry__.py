@@ -6790,6 +6790,44 @@ def q_als_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Jensen-Shannon drift monitor, oracle-checked end to
+    end (streaming/drift_monitor.py:js_from_store): line items drain
+    one file per micro-batch folding $1000-bin counts into the SAME
+    versioned grid store that answers KS — the JSD read from the
+    final store must equal batch q:js_drift over all rows (the
+    mergeable-grid law), so the SAME DuckDB oracle applies."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.drift_monitor import (
+        js_from_store,
+        monitor_from_stream,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " DIV 100000 AS BIGINT)"
+        ).alias("bin"),
+        "l_returnflag",
+    )
+    landing = tempfile.mkdtemp(prefix="apc-jsd-landing-")
+    store = tempfile.mkdtemp(prefix="apc-jsd-store-")
+    ckpt = tempfile.mkdtemp(prefix="apc-jsd-ckpt-")
+    li.repartition(4).write.mode("append").parquet(landing)
+    stream = (
+        spark.readStream.schema("bin long, l_returnflag string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    monitor_from_stream(
+        stream, store, ckpt, "bin",
+        F.col("l_returnflag") == "R",
+        F.col("l_returnflag") != "R",
+    )
+    return js_from_store(spark, store)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -6856,6 +6894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_threshold": q_conformal_threshold,
         "bpe_train": q_bpe_train,
         "als_user_step": q_als_user_step,
+        "stream_js_drift": q_stream_js_drift,
         "stamp_literals": q_stamp_literals,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -12184,4 +12223,5 @@ SELECT n_a, n_b, two_u_a, tie_cubes,
   END AS r_rb
 FROM fin
 """
+    sqls["stream_js_drift"] = sqls["js_drift"]
     return sqls

@@ -700,11 +700,31 @@ def psi_drift(
 
     Output ONE row: (n_a, n_b, n_bins_shared, psi, only_a_num,
     only_b_num)."""
-    d = "decimal(38,0)"
     cells = df.groupBy(F.col(bin_col).alias("_bin")).agg(
         F.sum(in_a.cast("long")).alias("_a"),
         F.sum(in_b.cast("long")).alias("_b"),
     )
+    return js_divergence_from_cells(cells, "_bin", "_a", "_b", scale)
+
+
+def js_divergence_from_cells(
+    cells: DataFrame,
+    bin_col: str,
+    a_col: str,
+    b_col: str,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """JSD from an already-aggregated (bin, count_a, count_b) grid —
+    the entry point a MERGEABLE store uses (streaming/drift_monitor's
+    versioned grid feeds this directly; grids merge by sum, so the
+    streaming answer equals the batch answer by construction). Same
+    exact-quanta contract as ``js_divergence``."""
+    cells = cells.select(
+        F.col(bin_col).alias("_bin"),
+        F.col(a_col).cast("bigint").alias("_a"),
+        F.col(b_col).cast("bigint").alias("_b"),
+    )
+    d = "decimal(38,0)"
     tot = cells.agg(
         F.sum("_a").cast("bigint").alias("n_a"),
         F.sum("_b").cast("bigint").alias("n_b"),
@@ -945,11 +965,31 @@ def js_divergence(
     grid; totals ride back as a 1-row broadcast.
 
     Output ONE row: (n_a, n_b, n_bins, jsd)."""
-    d = "decimal(38,0)"
     cells = df.groupBy(F.col(bin_col).alias("_bin")).agg(
         F.sum(in_a.cast("long")).alias("_a"),
         F.sum(in_b.cast("long")).alias("_b"),
     )
+    return js_divergence_from_cells(cells, "_bin", "_a", "_b", scale)
+
+
+def js_divergence_from_cells(
+    cells: DataFrame,
+    bin_col: str,
+    a_col: str,
+    b_col: str,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """JSD from an already-aggregated (bin, count_a, count_b) grid —
+    the entry point a MERGEABLE store uses (streaming/drift_monitor's
+    versioned grid feeds this directly; grids merge by sum, so the
+    streaming answer equals the batch answer by construction). Same
+    exact-quanta contract as ``js_divergence``."""
+    cells = cells.select(
+        F.col(bin_col).alias("_bin"),
+        F.col(a_col).cast("bigint").alias("_a"),
+        F.col(b_col).cast("bigint").alias("_b"),
+    )
+    d = "decimal(38,0)"
     tot = cells.agg(
         F.sum("_a").cast("bigint").alias("n_a"),
         F.sum("_b").cast("bigint").alias("n_b"),

@@ -181,3 +181,20 @@ def quantiles_from_store(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def js_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Jensen-Shannon divergence read from the accumulated grid — the
+    same mergeable (value, a, b) store that answers KS and quantiles
+    also answers JSD, because js_divergence reduces to a cell grid
+    first (features.py:js_divergence_from_cells). Feed the monitor a
+    BINNED value column and this is the streaming twin of the batch
+    q:js_drift; grids merge by sum, so the result equals the batch
+    computation over everything drained, regardless of batch splits."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        js_divergence_from_cells,
+    )
+
+    return js_divergence_from_cells(
+        read_grid(spark, store_path), "v", "a", "b"
+    )

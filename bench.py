@@ -278,6 +278,7 @@ STREAM_ONE_RUN = [
     "stream_ks_drift",
     "stream_auc_monitor",
     "stream_minhash_lsh",
+    "stream_js_drift",
 ]
 
 

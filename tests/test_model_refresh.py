@@ -203,3 +203,37 @@ def test_compact_store_collapses_versions_and_preserves_serving(spark, tmp_path)
         spark.createDataFrame([(4, 10), (4, 11)], "u long, i long"), 3, store
     )
     assert serve_topk(spark, store).count() >= len(after)
+
+
+def test_js_from_store_equals_batch_over_any_split(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from amazon_personalize_connectors_spark.operators.features import (
+        js_divergence,
+    )
+    from amazon_personalize_connectors_spark.streaming.drift_monitor import (
+        apply_grid_batch,
+        js_from_store,
+    )
+
+    rows = [(i % 7, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, "bin long, g string")
+    store = str(tmp_path / "jsd-store")
+    os.makedirs(store)
+    # fold in three arbitrary micro-batches
+    for epoch, frac in enumerate((df.where("bin < 2"),
+                                  df.where("bin >= 2 AND bin < 5"),
+                                  df.where("bin >= 5"))):
+        apply_grid_batch(
+            frac, epoch, store, "bin",
+            F.col("g") == "a", F.col("g") == "b",
+        )
+    stream_row = js_from_store(spark, store).collect()[0]
+    batch_row = js_divergence(
+        df, "bin", F.col("g") == "a", F.col("g") == "b"
+    ).collect()[0]
+    assert (stream_row.n_a, stream_row.n_b, stream_row.n_bins) == (
+        batch_row.n_a, batch_row.n_b, batch_row.n_bins)
+    assert stream_row.jsd == batch_row.jsd
