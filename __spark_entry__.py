@@ -6828,6 +6828,70 @@ def q_stream_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return js_from_store(spark, store)
 
 
+def q_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding of order priority (operators/
+    features.py:oof_target_encoding): customer-grouped 5-fold split
+    via the portable Lehmer hash, each order encoded by the mean
+    cents of the OTHER folds — exact bigint fold sums, one final
+    division, NULL where a category has no out-of-fold evidence."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        oof_target_encoding,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("bigint").alias("cust"),
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    out = oof_target_encoding(
+        orders, "o_orderpriority", "cents", "cust", k=5
+    )
+    return out.select(
+        "o_orderkey", "o_orderpriority",
+        F.col("fold").cast("bigint").alias("fold"), "te_oof",
+    )
+
+
+def q_cuped_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (operators/evaluation.py:
+    cuped_estimate): per-user pre/post purchase cents (split at Jan
+    16), arms by user parity — nine exact bigint sums in one
+    aggregate, theta and both diffs as fixed IEEE trees over sums
+    that stay below 2^53 (the documented oracle-parity envelope)."""
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        cuped_estimate,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    per_user = ev.groupBy(F.col("user_id").cast("bigint").alias("u")).agg(
+        F.sum(
+            F.when(
+                F.col("ts") < cut,
+                (F.col("value").cast("decimal(18,2)") * 100).cast("bigint"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("pre"),
+        F.sum(
+            F.when(
+                F.col("ts") >= cut,
+                (F.col("value").cast("decimal(18,2)") * 100).cast("bigint"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("post"),
+    )
+    return cuped_estimate(
+        per_user, F.col("u") % 2 == 0, F.col("u") % 2 == 1, "pre", "post"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -6895,6 +6959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "als_user_step": q_als_user_step,
         "stream_js_drift": q_stream_js_drift,
+        "oof_target_encoding": q_oof_target_encoding,
+        "cuped_purchase": q_cuped_purchase,
         "stamp_literals": q_stamp_literals,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -12071,6 +12137,86 @@ lab AS (
 SELECT CAST(i.id AS BIGINT) AS id, COALESCE(l.role, 'noise') AS role,
        CAST(l.cluster AS BIGINT) AS cluster
 FROM ids i LEFT JOIN lab l ON i.id = l.id
+"""
+    sqls["oof_target_encoding"] = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_custkey AS BIGINT) AS cust,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(((CAST(o_custkey AS BIGINT) % 2147483647) * 48271
+               % 2147483647) % 5 AS BIGINT) AS fold
+  FROM orders
+),
+grid AS (
+  SELECT o_orderpriority AS c, fold AS f,
+         CAST(SUM(cents) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY 1, 2
+),
+tots AS (
+  SELECT c, CAST(SUM(s) AS BIGINT) AS ts, CAST(SUM(n) AS BIGINT) AS tn
+  FROM grid GROUP BY c
+),
+oof AS (
+  SELECT g.c, g.f, t.ts - g.s AS os, t.tn - g.n AS onn
+  FROM grid g JOIN tots t ON g.c = t.c
+)
+SELECT b.o_orderkey, b.o_orderpriority, b.fold,
+       CASE WHEN o.onn > 0
+            THEN CAST(o.os AS DOUBLE) / CAST(o.onn AS DOUBLE) END AS te_oof
+FROM base b LEFT JOIN oof o ON b.o_orderpriority = o.c AND b.fold = o.f
+"""
+    sqls["cuped_purchase"] = """
+WITH per_user AS (
+  SELECT CAST(user_id AS BIGINT) AS u,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              ELSE 0 END) AS BIGINT) AS pre,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              ELSE 0 END) AS BIGINT) AS post
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pre) AS BIGINT) AS sx,
+         CAST(SUM(post) AS BIGINT) AS sy,
+         CAST(SUM(pre * post) AS BIGINT) AS sxy,
+         CAST(SUM(pre * pre) AS BIGINT) AS sxx,
+         CAST(COUNT(*) FILTER (WHERE u % 2 = 0) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN u % 2 = 0 THEN pre ELSE 0 END) AS BIGINT) AS sx_a,
+         CAST(SUM(CASE WHEN u % 2 = 0 THEN post ELSE 0 END) AS BIGINT) AS sy_a,
+         CAST(COUNT(*) FILTER (WHERE u % 2 = 1) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN u % 2 = 1 THEN pre ELSE 0 END) AS BIGINT) AS sx_b,
+         CAST(SUM(CASE WHEN u % 2 = 1 THEN post ELSE 0 END) AS BIGINT) AS sy_b
+  FROM per_user
+)
+SELECT n_a, n_b,
+  CASE WHEN n_a > 0 AND n_b > 0 AND
+       CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
+    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+  END AS theta,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+    - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+  END AS diff_raw,
+  CASE WHEN n_a > 0 AND n_b > 0 AND
+       CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
+    (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+     - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+      * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+  END AS diff_cuped
+FROM agg
 """
     sqls["cms_heavy_hitters"] = """
 WITH keys AS (

@@ -760,3 +760,73 @@ def conformal_threshold(
         F.col("_k").alias("k"),
         "threshold",
     )
+
+
+def cuped_estimate(
+    rows: DataFrame,
+    in_a: Column,
+    in_b: Column,
+    pre_col: str,
+    post_col: str,
+) -> DataFrame:
+    """CUPED variance-reduced A/B estimate: adjust each unit's
+    experiment-period metric by its PRE-period metric,
+
+        θ = cov(x, y) / var(x)   (pooled, both arms)
+        diff_cuped = (ȳ_A − ȳ_B) − θ·(x̄_A − x̄_B)
+
+    — the industry workhorse that removes pre-existing user variance
+    from an experiment readout (unbiased because assignment is
+    independent of x). ``pre_col`` / ``post_col`` must be integer
+    metrics (cents, counts).
+
+    Determinism: ONE map-side-combinable aggregate yields nine exact
+    bigint sums (pooled n, Σx, Σy, Σxy, Σx² + per-arm n, Σx, Σy);
+    θ and the two diffs are fixed IEEE trees over DOUBLE casts of
+    those sums — each sum converts exactly while it stays below 2⁵³
+    (the als_half_step oracle-parity envelope; the cross-products are
+    formed in double on purpose so no >2⁵³ integer is ever converted
+    on an engine whose int→double path double-rounds). Output ONE
+    row: (n_a, n_b, theta, diff_raw, diff_cuped)."""
+    a = in_a.cast("boolean")
+    b = in_b.cast("boolean")
+    x = F.col(pre_col).cast("bigint")
+    y = F.col(post_col).cast("bigint")
+    both = a | b
+    agg = rows.where(both).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("sx"),
+        F.sum(y).cast("bigint").alias("sy"),
+        F.sum(x * y).cast("bigint").alias("sxy"),
+        F.sum(x * x).cast("bigint").alias("sxx"),
+        F.count_if(a).cast("bigint").alias("n_a"),
+        F.sum(F.when(a, x).otherwise(0)).cast("bigint").alias("sx_a"),
+        F.sum(F.when(a, y).otherwise(0)).cast("bigint").alias("sy_a"),
+        F.count_if(b).cast("bigint").alias("n_b"),
+        F.sum(F.when(b, x).otherwise(0)).cast("bigint").alias("sx_b"),
+        F.sum(F.when(b, y).otherwise(0)).cast("bigint").alias("sy_b"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731 — fixed IEEE tree below
+    theta_num = d(F.col("n")) * d(F.col("sxy")) - d(F.col("sx")) * d(
+        F.col("sy")
+    )
+    theta_den = d(F.col("n")) * d(F.col("sxx")) - d(F.col("sx")) * d(
+        F.col("sx")
+    )
+    theta = theta_num / theta_den
+    diff_raw = d(F.col("sy_a")) / d(F.col("n_a")) - d(F.col("sy_b")) / d(
+        F.col("n_b")
+    )
+    diff_x = d(F.col("sx_a")) / d(F.col("n_a")) - d(F.col("sx_b")) / d(
+        F.col("n_b")
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (theta_den != 0.0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(ok, theta).alias("theta"),
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), diff_raw).alias(
+            "diff_raw"
+        ),
+        F.when(ok, diff_raw - theta * diff_x).alias("diff_cuped"),
+    )

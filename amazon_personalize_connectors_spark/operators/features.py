@@ -1032,3 +1032,63 @@ def js_divergence_from_cells(
             ).alias("jsd"),
         )
     )
+
+
+def oof_target_encoding(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    key_col: str,
+    k: int = 5,
+    out_col: str = "te_oof",
+) -> DataFrame:
+    """Out-of-fold target encoding: each row's categorical value is
+    encoded as the mean target over the OTHER k−1 folds of a grouped
+    stratified split — the industrial-strength leakage guard
+    (leave-one-out, target_encoding_loo, still leaks through repeated
+    keys; fold-level exclusion is what gradient-boosting pipelines
+    ship). Folds come from ``stratified_kfold``'s portable Lehmer-step
+    hash on ``key_col``, so the whole construction — hash, exclusion,
+    and encoding — replays verbatim in the oracle.
+
+    Exactness: per (category, fold) sums and counts are exact bigints
+    in ONE map-side-combinable aggregate; per-category totals derive
+    from the same tiny grid; the out-of-fold mean is one
+    bigint/bigint → double division (engine-deterministic). A
+    category seen ONLY in this row's fold has no out-of-fold evidence
+    → NULL (the caller imputes a prior; silently substituting the
+    global mean would hide the cold-start).
+
+    Scale shape: the (category, fold) grid is |cats|·k rows — it
+    broadcasts back onto the data; the data shuffles ZERO times
+    (fold is row-local arithmetic, the join is broadcast). Output =
+    input + fold + ``out_col``."""
+    folded = stratified_kfold(df, key_col, k)
+    grid = folded.groupBy(
+        F.col(cat_col).alias("_c"), F.col("fold").alias("_f")
+    ).agg(
+        F.sum(F.col(target_col).cast("bigint")).cast("bigint").alias("_s"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+    )
+    tots = grid.groupBy("_c").agg(
+        F.sum("_s").cast("bigint").alias("_ts"),
+        F.sum("_n").cast("bigint").alias("_tn"),
+    )
+    oof = grid.join(tots, "_c").select(
+        "_c",
+        "_f",
+        (F.col("_ts") - F.col("_s")).alias("_os"),
+        (F.col("_tn") - F.col("_n")).alias("_on"),
+    )
+    return folded.join(
+        F.broadcast(oof),
+        (folded[cat_col] == oof["_c"]) & (folded["fold"] == oof["_f"]),
+        "left",
+    ).select(
+        *df.columns,
+        "fold",
+        F.when(
+            F.col("_on") > 0,
+            F.col("_os").cast("double") / F.col("_on").cast("double"),
+        ).alias(out_col),
+    )

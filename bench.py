@@ -245,6 +245,8 @@ BENCH_QUERIES = [
     "quota_allocation",
     "cms_heavy_hitters",
     "did_purchase_value",
+    "cuped_purchase",
+    "oof_target_encoding",
     "js_drift",
     "conformal_threshold",
     "isotonic_calibration",

@@ -940,3 +940,63 @@ def test_js_divergence_bounds_and_symmetry(spark):
     ab = js_divergence(skew, "bin", F.col("g") == "a", F.col("g") == "b")
     ba = js_divergence(skew, "bin", F.col("g") == "b", F.col("g") == "a")
     assert abs(ab.collect()[0].jsd - ba.collect()[0].jsd) < 1e-8
+
+
+def test_oof_target_encoding_excludes_own_fold(spark):
+    from amazon_personalize_connectors_spark.operators.features import (
+        oof_target_encoding,
+        stratified_kfold,
+    )
+
+    rows = [(k, "c", 100 + k) for k in range(20)] + [(99, "rare", 7)]
+    df = spark.createDataFrame(rows, "key long, cat string, y long")
+    out = oof_target_encoding(df, "cat", "y", "key", k=3).collect()
+    folds = {r.key: r.fold for r in
+             stratified_kfold(df, "key", 3).collect()}
+    by_fold = {}
+    for k, cat, y in rows:
+        if cat == "c":
+            by_fold.setdefault(folds[k], []).append(y)
+    for r in out:
+        if r.cat == "c":
+            others = [y for f, ys in by_fold.items() if f != r.fold
+                      for y in ys]
+            assert abs(r.te_oof - sum(others) / len(others)) < 1e-12
+        else:
+            # 'rare' exists in exactly one fold -> no OOF evidence
+            assert r.te_oof is None
+
+
+def test_cuped_matches_python_ieee_tree(spark):
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        cuped_estimate,
+    )
+
+    # arms get equal-mean x (A: 3,7,1,9 / B: 4,6,2,8) so the pooled
+    # theta is not dominated by arm-x correlation
+    rows = [(u, x, 2 * x + (10 if u % 2 == 0 else 0) + (u % 3))
+            for u, x in enumerate([3, 4, 7, 6, 1, 2, 9, 8])]
+    df = spark.createDataFrame(rows, "u long, pre long, post long")
+    r = cuped_estimate(
+        df, F.col("u") % 2 == 0, F.col("u") % 2 == 1, "pre", "post"
+    ).collect()[0]
+    a = [(x, y) for u, x, y in rows if u % 2 == 0]
+    b = [(x, y) for u, x, y in rows if u % 2 == 1]
+    allr = a + b
+    n = float(len(allr))
+    sx = float(sum(x for x, _ in allr)); sy = float(sum(y for _, y in allr))
+    sxy = float(sum(x * y for x, y in allr))
+    sxx = float(sum(x * x for x, _ in allr))
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    diff_raw = (sum(y for _, y in a) / len(a)
+                - sum(y for _, y in b) / len(b))
+    diff_x = (sum(x for x, _ in a) / len(a)
+              - sum(x for x, _ in b) / len(b))
+    # same fixed IEEE tree -> bit-identical
+    assert r.theta == theta
+    assert r.diff_raw == diff_raw
+    assert r.diff_cuped == diff_raw - theta * diff_x
+    # when y = 2x + effect + noise, theta lands near 2 and the CUPED
+    # diff is closer to the true +10 effect than the raw diff
+    assert 1.5 < r.theta < 2.5
+    assert abs(r.diff_cuped - 10.0) <= abs(r.diff_raw - 10.0) + 1e-12
