@@ -6892,6 +6892,45 @@ def q_cuped_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """28-day rolling OLS trend of daily revenue (operators/
+    analytics.py:rolling_ols_slope): five exact bigint moment sums on
+    one integer RANGE window over the calendar-bounded daily rollup,
+    slope as a fixed IEEE tree over sub-2^53 double casts."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        rolling_ols_slope,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    out = rolling_ols_slope(daily, "day", "cents", window_days=28)
+    return out.select(
+        F.col("day").cast("string").alias("day"), "v", "n_window", "slope"
+    )
+
+
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting over the events stream (operators/
+    analytics.py:growth_accounting): per period, new / retained /
+    resurrected actives and churned users, gap periods included,
+    phantom post-horizon period clipped — pure integer period
+    arithmetic and exact counts."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        growth_accounting,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir)
+    return growth_accounting(ev, period_days=7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -6961,6 +7000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_js_drift": q_stream_js_drift,
         "oof_target_encoding": q_oof_target_encoding,
         "cuped_purchase": q_cuped_purchase,
+        "rolling_ols_slope": q_rolling_ols_slope,
+        "growth_accounting": q_growth_accounting,
         "stamp_literals": q_stamp_literals,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -12137,6 +12178,77 @@ lab AS (
 SELECT CAST(i.id AS BIGINT) AS id, COALESCE(l.role, 'noise') AS role,
        CAST(l.cluster AS BIGINT) AS cluster
 FROM ids i LEFT JOIN lab l ON i.id = l.id
+"""
+    sqls["rolling_ols_slope"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+base AS (
+  SELECT day, v, CAST(day - DATE '1970-01-01' AS BIGINT) AS t FROM daily
+),
+m AS (
+  SELECT day, v,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+         CAST(SUM(t) OVER w AS BIGINT) AS st,
+         CAST(SUM(v) OVER w AS BIGINT) AS sv,
+         CAST(SUM(t * v) OVER w AS BIGINT) AS stv,
+         CAST(SUM(t * t) OVER w AS BIGINT) AS stt
+  FROM base
+  WINDOW w AS (ORDER BY t RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(day AS VARCHAR) AS day, v, n_window,
+  CASE WHEN n_window >= 2 AND
+       CAST(n_window AS DOUBLE) * CAST(stt AS DOUBLE)
+       - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) <> 0.0 THEN
+    (CAST(n_window AS DOUBLE) * CAST(stv AS DOUBLE)
+     - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))
+    / (CAST(n_window AS DOUBLE) * CAST(stt AS DOUBLE)
+       - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+  END AS slope
+FROM m
+"""
+    sqls["growth_accounting"] = """
+WITH up AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(CAST(floor(epoch(ts) / 86400) AS BIGINT) // 7 AS BIGINT) AS p
+  FROM events
+),
+lab AS (
+  SELECT p,
+         CASE WHEN prev IS NULL THEN 'new'
+              WHEN prev = p - 1 THEN 'retained'
+              ELSE 'resurrected' END AS cls
+  FROM (SELECT u, p, LAG(p) OVER (PARTITION BY u ORDER BY p) AS prev FROM up)
+),
+active AS (
+  SELECT p,
+         CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retained,
+         CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_resurrected
+  FROM lab GROUP BY p
+),
+churned AS (
+  SELECT s.p, CAST(COUNT(*) AS BIGINT) AS n_churned
+  FROM (SELECT p + 1 AS p, u FROM up) s
+  LEFT JOIN up ON up.p = s.p AND up.u = s.u
+  WHERE up.u IS NULL GROUP BY s.p
+),
+maxp AS (SELECT MAX(p) AS m FROM up)
+SELECT COALESCE(a.p, c.p) AS period,
+       CAST(COALESCE(a.n_new, 0) + COALESCE(a.n_retained, 0)
+            + COALESCE(a.n_resurrected, 0) AS BIGINT) AS n_active,
+       CAST(COALESCE(a.n_new, 0) AS BIGINT) AS n_new,
+       CAST(COALESCE(a.n_retained, 0) AS BIGINT) AS n_retained,
+       CAST(COALESCE(a.n_resurrected, 0) AS BIGINT) AS n_resurrected,
+       CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned
+FROM active a FULL JOIN churned c ON a.p = c.p, maxp
+WHERE COALESCE(a.p, c.p) <= maxp.m
 """
     sqls["oof_target_encoding"] = """
 WITH base AS (

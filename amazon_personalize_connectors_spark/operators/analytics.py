@@ -1404,3 +1404,151 @@ def largest_remainder_allocation(
             .alias("slots"),
         )
     )
+
+
+def rolling_ols_slope(
+    df: DataFrame,
+    day_col: str,
+    value_col: str,
+    window_days: int = 28,
+) -> DataFrame:
+    """Per-day rolling OLS trend: for each day, the least-squares
+    slope of the daily series over the trailing ``window_days``-day
+    RANGE window — "how fast is this metric moving right now", the
+    windowed sibling of grouped_linear_trend (and the local-trend
+    complement of the global Theil-Sen line).
+
+    Determinism: the five moment sums (n, Σt, Σv, Σtv, Σt²) ride ONE
+    integer RANGE window over the daily rollup (missing days
+    contribute nothing — a ROWS frame would be wrong on sparse
+    series) with t = epoch days, all exact bigints; the slope is one
+    fixed IEEE tree per output row:
+
+        slope = (n·Σtv − Σt·Σv) / (n·Σt² − Σt·Σt)
+
+    with the cross-products formed on DOUBLE casts of the exact sums
+    (each < 2⁵³ for cents-scale dailies over calendar windows — the
+    cuped envelope). n < 2 or a degenerate window (zero variance in
+    t cannot happen with distinct days, but n = 1 makes the
+    denominator 0) yields NULL.
+
+    Scale shape: callers pass the daily ROLLUP (one row per day —
+    the gap_fill/rolling_range_sum convention), so the window
+    partition is calendar-bounded; with no partition key the frame
+    is a domain grid, and groups can be added by partitioning the
+    caller's rollup first. Output (day, v, n_window, slope)."""
+    from amazon_personalize_connectors_spark.operators.guards import (
+        enforce_bounded_grid,
+    )
+
+    base = enforce_bounded_grid(
+        df.select(
+            F.col(day_col).cast("date").alias("day"),
+            F.col(value_col).cast("bigint").alias("v"),
+        ),
+        200_000,
+        "rolling_ols_slope",
+        keep_count_col=True,
+    ).withColumn(
+        "t", F.datediff(F.col("day"), F.lit("1970-01-01")).cast("bigint")
+    )
+    w = (
+        Window.partitionBy("_grid_n")
+        .orderBy("t")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    m = base.select(
+        "day",
+        "v",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_window"),
+        F.sum("t").over(w).cast("bigint").alias("_st"),
+        F.sum("v").over(w).cast("bigint").alias("_sv"),
+        F.sum(F.col("t") * F.col("v")).over(w).cast("bigint").alias("_stv"),
+        F.sum(F.col("t") * F.col("t")).over(w).cast("bigint").alias("_stt"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731 — fixed IEEE tree below
+    den = d(F.col("n_window")) * d(F.col("_stt")) - d(F.col("_st")) * d(
+        F.col("_st")
+    )
+    num = d(F.col("n_window")) * d(F.col("_stv")) - d(F.col("_st")) * d(
+        F.col("_sv")
+    )
+    return m.select(
+        "day",
+        "v",
+        "n_window",
+        F.when((F.col("n_window") >= 2) & (den != 0.0), num / den).alias(
+            "slope"
+        ),
+    )
+
+
+def growth_accounting(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Growth accounting: per period, how many active users are NEW
+    (first period ever), RETAINED (also active the previous period),
+    or RESURRECTED (active before, but not last period) — plus the
+    CHURNED count (active last period, absent now) — the standard
+    product-growth decomposition that cohort_retention's matrix
+    doesn't directly answer.
+
+    Periods are floor(epoch_day / period_days) — pure integer
+    arithmetic (the cohort_retention rule). Raw events collapse to
+    distinct (user, period) FIRST (map-side combinable); per-user
+    lag and first-period come from one window over that frame
+    (partitioned by user — parallel across users, rows = active
+    periods per user, never raw events); churn is the same frame
+    shifted one period. Output per period: (period, n_active, n_new,
+    n_retained, n_resurrected, n_churned)."""
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400))
+    period = F.floor(day / F.lit(period_days)).cast("bigint")
+    up = (
+        events.select(F.col(user_col).alias("u"), period.alias("p"))
+        .distinct()
+    )
+    w = Window.partitionBy("u").orderBy("p")
+    lab = up.select(
+        "u",
+        "p",
+        F.lag("p").over(w).alias("_prev"),
+    ).select(
+        "p",
+        F.when(F.col("_prev").isNull(), F.lit("new"))
+        .when(F.col("_prev") == F.col("p") - 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("_cls"),
+    )
+    active = lab.groupBy("p").pivot(
+        "_cls", ["new", "retained", "resurrected"]
+    ).count().na.fill(0)
+    # churned at p: active at p-1 but not at p — shift last period's
+    # actives forward one period and anti-join the current actives
+    shifted = up.select((F.col("p") + 1).alias("p"), "u")
+    churned = (
+        shifted.join(up, ["p", "u"], "left_anti")
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
+    )
+    # keep gap periods (zero active, nonzero churn) — dropping them
+    # would hide churn — but clip the phantom period past the horizon
+    max_p = up.agg(F.max("p").alias("_max_p"))
+    return (
+        active.join(churned, "p", "full")
+        .na.fill(0)
+        .crossJoin(F.broadcast(max_p))
+        .where(F.col("p") <= F.col("_max_p"))
+        .select(
+            F.col("p").alias("period"),
+            (F.col("new") + F.col("retained") + F.col("resurrected"))
+            .cast("bigint")
+            .alias("n_active"),
+            F.col("new").cast("bigint").alias("n_new"),
+            F.col("retained").cast("bigint").alias("n_retained"),
+            F.col("resurrected").cast("bigint").alias("n_resurrected"),
+            F.col("n_churned").cast("bigint").alias("n_churned"),
+        )
+    )

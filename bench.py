@@ -247,6 +247,8 @@ BENCH_QUERIES = [
     "did_purchase_value",
     "cuped_purchase",
     "oof_target_encoding",
+    "rolling_ols_slope",
+    "growth_accounting",
     "js_drift",
     "conformal_threshold",
     "isotonic_calibration",

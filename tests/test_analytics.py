@@ -835,3 +835,69 @@ def test_largest_remainder_allocation_guards_grid(spark):
     out = largest_remainder_allocation(df, ["k"], "w", 7, max_grid_rows=10)
     with _pytest.raises(Exception, match="domain grid"):
         out.collect()
+
+
+def test_rolling_ols_slope_exact_line(spark):
+    # a perfect line v = 5*t + 3 has slope exactly 5 in every window
+    days = [datetime.date(2024, 3, 1) + datetime.timedelta(days=i)
+            for i in range(10)]
+    rows = [(d, 5 * (d.toordinal() - datetime.date(1970, 1, 1).toordinal()) + 3)
+            for d in days]
+    df = spark.createDataFrame(rows, "day date, v long")
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        rolling_ols_slope,
+    )
+
+    out = rolling_ols_slope(df, "day", "v", window_days=4).collect()
+    for r in out:
+        if r.n_window >= 2:
+            assert r.slope == 5.0
+    # first day has a single-row window -> NULL
+    first = min(out, key=lambda r: r.day)
+    assert first.n_window == 1 and first.slope is None
+
+
+def test_rolling_ols_slope_range_frame_skips_gaps(spark):
+    # days 1,2,10: at day 10 the 3-day window holds only day 10
+    days = [datetime.date(2024, 3, d) for d in (1, 2, 10)]
+    df = spark.createDataFrame(
+        [(d, 7) for d in days], "day date, v long"
+    )
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        rolling_ols_slope,
+    )
+
+    out = {r.day: r for r in
+           rolling_ols_slope(df, "day", "v", window_days=3).collect()}
+    assert out[days[2]].n_window == 1
+    assert out[days[1]].n_window == 2 and out[days[1]].slope == 0.0
+
+
+def test_growth_accounting_classes(spark):
+    import datetime as dt
+
+    def t(day):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(days=day)
+
+    # periods of 7d: u1 active p0,p1,p3 (new/retained/resurrected);
+    # u2 active p0 only (new, churns at p1); u3 active p1 (new)
+    rows = [(1, t(0)), (1, t(8)), (1, t(22)),
+            (2, t(1)), (3, t(9))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        growth_accounting,
+    )
+
+    out = {r.period: r for r in
+           growth_accounting(df, period_days=7).collect()}
+    p0 = min(out)
+    assert out[p0].n_new == 2 and out[p0].n_churned == 0
+    assert out[p0 + 1].n_new == 1 and out[p0 + 1].n_retained == 1
+    assert out[p0 + 1].n_churned == 1          # u2 left
+    assert out[p0 + 3].n_resurrected == 1      # u1 came back
+    # gap period p2: nobody active, u1 and u3 churned there
+    assert out[p0 + 2].n_active == 0 and out[p0 + 2].n_churned == 2
+    assert out[p0 + 3].n_churned == 0
+    # n_active always equals the class sum
+    for r in out.values():
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
