@@ -6931,6 +6931,22 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return growth_accounting(ev, period_days=7)
 
 
+def q_woe_iv_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WoE encoding table + information value of order priority
+    against the high-value label (operators/features.py:woe_iv):
+    exact cross-product log arguments, quantized IV terms — the
+    credit-scoring feature audit."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        woe_iv,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_totalprice") > 150000).cast("int").alias("hi"),
+    )
+    return woe_iv(orders, "o_orderpriority", "hi")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -7002,6 +7018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_purchase": q_cuped_purchase,
         "rolling_ols_slope": q_rolling_ols_slope,
         "growth_accounting": q_growth_accounting,
+        "woe_iv_priority": q_woe_iv_priority,
         "stamp_literals": q_stamp_literals,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -12178,6 +12195,41 @@ lab AS (
 SELECT CAST(i.id AS BIGINT) AS id, COALESCE(l.role, 'noise') AS role,
        CAST(l.cluster AS BIGINT) AS cluster
 FROM ids i LEFT JOIN lab l ON i.id = l.id
+"""
+    sqls["woe_iv_priority"] = """
+WITH cells AS (
+  SELECT o_orderpriority AS bin,
+         CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_neg
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_pos) AS BIGINT) AS tp, CAST(SUM(n_neg) AS BIGINT) AS tn
+  FROM cells
+),
+g AS (
+  SELECT c.bin, c.n_pos, c.n_neg, t.tp, t.tn,
+         CAST(c.n_pos AS DECIMAL(38,0)) * CAST(t.tn AS DECIMAL(38,0)) AS pn,
+         CAST(c.n_neg AS DECIMAL(38,0)) * CAST(t.tp AS DECIMAL(38,0)) AS np_
+  FROM cells c, tot t
+),
+terms AS (
+  SELECT bin, n_pos, n_neg,
+         CASE WHEN n_pos > 0 AND n_neg > 0
+              THEN ln(CAST(pn AS DOUBLE) / CAST(np_ AS DOUBLE)) END AS woe,
+         CASE WHEN n_pos > 0 AND n_neg > 0 THEN CAST(FLOOR(
+           (CAST(pn - np_ AS DOUBLE)
+            / (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)))
+           * ln(CAST(pn AS DOUBLE) / CAST(np_ AS DOUBLE))
+           * 1000000000.0) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS q
+  FROM g
+),
+iv AS (SELECT CAST(SUM(q) AS BIGINT) AS iv_q FROM terms)
+SELECT t.bin, t.n_pos, t.n_neg, t.woe,
+       CAST(i.iv_q AS DOUBLE) / 1000000000.0 AS iv
+FROM terms t, iv i
 """
     sqls["rolling_ols_slope"] = """
 WITH daily AS (

@@ -704,26 +704,15 @@ def psi_drift(
         F.sum(in_a.cast("long")).alias("_a"),
         F.sum(in_b.cast("long")).alias("_b"),
     )
-    return js_divergence_from_cells(cells, "_bin", "_a", "_b", scale)
+    return _psi_from_cells(cells, scale)
 
 
-def js_divergence_from_cells(
-    cells: DataFrame,
-    bin_col: str,
-    a_col: str,
-    b_col: str,
-    scale: int = 1_000_000_000,
+def _psi_from_cells(
+    cells: DataFrame, scale: int = 1_000_000_000
 ) -> DataFrame:
-    """JSD from an already-aggregated (bin, count_a, count_b) grid —
-    the entry point a MERGEABLE store uses (streaming/drift_monitor's
-    versioned grid feeds this directly; grids merge by sum, so the
-    streaming answer equals the batch answer by construction). Same
-    exact-quanta contract as ``js_divergence``."""
-    cells = cells.select(
-        F.col(bin_col).alias("_bin"),
-        F.col(a_col).cast("bigint").alias("_a"),
-        F.col(b_col).cast("bigint").alias("_b"),
-    )
+    """PSI core over an aggregated (_bin, _a, _b) grid — psi_drift's
+    tail, split out alongside js_divergence_from_cells so a mergeable
+    grid store can serve either statistic."""
     d = "decimal(38,0)"
     tot = cells.agg(
         F.sum("_a").cast("bigint").alias("n_a"),
@@ -1091,4 +1080,68 @@ def oof_target_encoding(
             F.col("_on") > 0,
             F.col("_os").cast("double") / F.col("_on").cast("double"),
         ).alias(out_col),
+    )
+
+
+def woe_iv(
+    df: DataFrame,
+    bin_col: str,
+    label_col: str,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Weight-of-evidence encoding table + information value for a
+    PRE-BINNED feature against a binary label — the credit-scoring /
+    feature-audit standard: WoE_b = ln((pos_b/Pos)/(neg_b/Neg)) is
+    the encoding a scorecard substitutes for the raw category, and
+    IV = Σ_b (pos_b/Pos − neg_b/Neg)·WoE_b grades the feature's
+    predictive power (the PSI formula pointed at a label instead of
+    a second population — same algebra, same exactness treatment).
+
+    Shared-support bins only carry WoE and the IV sum; one-sided
+    bins (classic WoE blows up) come back flagged with NULL woe and
+    contribute nothing — no smoothing epsilon (the psi_drift rule).
+    Counts are exact bigints; each WoE log argument is a ratio of
+    exact decimal(38,0) cross-products cast to double once; IV terms
+    are individually quantized to bigints so the total is
+    layout-independent (the chi2 pattern; terms are ≥ 0 because the
+    difference and the log share sign).
+
+    Scale shape: one map-side-combinable groupBy to the bin grid;
+    totals and the IV sum ride back as 1-row broadcasts. Output per
+    bin: (bin, n_pos, n_neg, woe, iv) — iv constant across rows, the
+    feature-level verdict alongside the per-bin encoding."""
+    d = "decimal(38,0)"
+    y = F.col(label_col).cast("long")
+    cells = df.groupBy(F.col(bin_col).alias("bin")).agg(
+        F.sum(y).cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum(y)).cast("bigint").alias("n_neg"),
+    )
+    tot = cells.agg(
+        F.sum("n_pos").cast("bigint").alias("_tp"),
+        F.sum("n_neg").cast("bigint").alias("_tn"),
+    )
+    g = cells.crossJoin(F.broadcast(tot))
+    pn = (F.col("n_pos").cast(d) * F.col("_tn").cast(d)).cast(d)
+    np_ = (F.col("n_neg").cast(d) * F.col("_tp").cast(d)).cast(d)
+    shared = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    woe = F.log(pn.cast("double") / np_.cast("double"))
+    diff = (pn - np_).cast(d)
+    term = (
+        diff.cast("double")
+        / (F.col("_tp").cast("double") * F.col("_tn").cast("double"))
+    ) * woe
+    q = F.when(
+        shared, F.floor(term * F.lit(float(scale))).cast("bigint")
+    ).otherwise(F.lit(0).cast("bigint"))
+    iv_tot = g.select(q.alias("_q")).agg(
+        F.sum("_q").cast("bigint").alias("_iv_q")
+    )
+    return (
+        g.crossJoin(F.broadcast(iv_tot)).select(
+            "bin",
+            "n_pos",
+            "n_neg",
+            F.when(shared, woe).alias("woe"),
+            (F.col("_iv_q").cast("double") / F.lit(float(scale))).alias("iv"),
+        )
     )

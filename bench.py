@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "oof_target_encoding",
     "rolling_ols_slope",
     "growth_accounting",
+    "woe_iv_priority",
     "js_drift",
     "conformal_threshold",
     "isotonic_calibration",

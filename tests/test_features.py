@@ -1000,3 +1000,31 @@ def test_cuped_matches_python_ieee_tree(spark):
     # diff is closer to the true +10 effect than the raw diff
     assert 1.5 < r.theta < 2.5
     assert abs(r.diff_cuped - 10.0) <= abs(r.diff_raw - 10.0) + 1e-12
+
+
+def test_woe_iv_hand_computed(spark):
+    import math
+
+    # bins: a (3 pos / 1 neg), b (1 pos / 3 neg) -> symmetric WoE
+    rows = ([("a", 1)] * 3 + [("a", 0)] * 1
+            + [("b", 1)] * 1 + [("b", 0)] * 3)
+    df = spark.createDataFrame(rows, "bin string, y int")
+    from amazon_personalize_connectors_spark.operators.features import woe_iv
+
+    out = {r.bin: r for r in woe_iv(df, "bin", "y").collect()}
+    # WoE_a = ln((3/4)/(1/4)) = ln 3; WoE_b = -ln 3
+    assert abs(out["a"].woe - math.log(3)) < 1e-12
+    assert abs(out["b"].woe + math.log(3)) < 1e-12
+    # IV = 2 * (3/4 - 1/4) * ln 3 = ln 3 (within quantization)
+    assert abs(out["a"].iv - math.log(3)) < 1e-8
+    assert out["a"].iv == out["b"].iv
+
+
+def test_woe_iv_one_sided_bin_flagged_not_smoothed(spark):
+    rows = [("pure", 1)] * 4 + [("mix", 1), ("mix", 0)]
+    df = spark.createDataFrame(rows, "bin string, y int")
+    from amazon_personalize_connectors_spark.operators.features import woe_iv
+
+    out = {r.bin: r for r in woe_iv(df, "bin", "y").collect()}
+    assert out["pure"].woe is None          # no epsilon fudge
+    assert out["mix"].woe is not None
