@@ -6947,6 +6947,65 @@ def q_woe_iv_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return woe_iv(orders, "o_orderpriority", "hi")
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 32-replicate CI for mean purchase cents
+    (operators/features.py:bootstrap_ci): hash-derived Poisson(1)
+    weights by lexicographic hex comparison — no RNG, no hex-to-int
+    conversion — exact replicate sums, order-statistic CI; the oracle
+    reruns the identical resampling in SQL."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        bootstrap_ci,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    cents = ev.select(
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    return bootstrap_ci(cents, "cents", n_replicates=32)
+
+
+def q_eb_shrunk_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-user purchase rates
+    (operators/features.py:eb_shrunk_rates): beta-binomial prior fit
+    by method of moments over exactly-quantized rates, posterior mean
+    per user — the 1/1=100% fix, bit-identical to the oracle."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        eb_shrunk_rates,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir).select(
+        F.col("user_id").cast("bigint").alias("u"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return eb_shrunk_rates(ev, "u", "y")
+
+
+def q_winnowing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed near-dup candidates over documents (functions/
+    text.py:winnowing_candidates): TRUE MOSS winnowing — minimum md5
+    per 4-hash window over character 8-grams, rare-fingerprint
+    inverted index, pairs sharing >= 2 fingerprints. Guarantees any
+    shared substring of >= 11 chars fingerprints identically in both
+    docs; the oracle recomputes the same sets in SQL."""
+    from amazon_personalize_connectors_spark.functions.text import (
+        winnowing_candidates,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    return winnowing_candidates(
+        docs, "doc_id", "text", gram=8, window=4,
+        max_fp_freq=5, min_shared=3,
+    ).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "n_shared",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -7019,6 +7078,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_ols_slope": q_rolling_ols_slope,
         "growth_accounting": q_growth_accounting,
         "woe_iv_priority": q_woe_iv_priority,
+        "bootstrap_ci": q_bootstrap_ci,
+        "eb_shrunk_ctr": q_eb_shrunk_ctr,
+        "winnowing_dedup": q_winnowing_dedup,
         "stamp_literals": q_stamp_literals,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -12195,6 +12257,121 @@ lab AS (
 SELECT CAST(i.id AS BIGINT) AS id, COALESCE(l.role, 'noise') AS role,
        CAST(l.cluster AS BIGINT) AS cluster
 FROM ids i LEFT JOIN lab l ON i.id = l.id
+"""
+    sqls["winnowing_dedup"] = """
+WITH hs AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(length(text) - 7, 1) + 1),
+           i -> md5(substring(text, CAST(i AS INTEGER), 8))) AS h
+  FROM documents
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             range(1, greatest(len(h) - 3, 1) + 1),
+             j -> list_aggregate(
+               list_slice(h, CAST(j AS INTEGER),
+                          CAST(j AS INTEGER) + 3), 'min')))) AS fp
+    FROM hs)
+),
+rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 5
+),
+filtered AS (SELECT f.* FROM fps f JOIN rare USING (fp))
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM filtered a JOIN filtered b
+  ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+"""
+    sqls["eb_shrunk_ctr"] = """
+WITH keys AS (
+  SELECT CAST(user_id AS BIGINT) AS key,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos
+  FROM events GROUP BY 1
+),
+wq AS (SELECT *, CAST((pos * 1000000000) // n AS BIGINT) AS pq FROM keys),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(pq) AS BIGINT) AS s1,
+         CAST(SUM(CAST(pq AS DECIMAL(38,0)) * CAST(pq AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS s2
+  FROM wq
+),
+m AS (
+  SELECT CAST(s1 AS DOUBLE) / (CAST(k AS DOUBLE) * 1000000000.0) AS m1,
+         CAST(s2 AS DOUBLE)
+           / (CAST(k AS DOUBLE) * 1000000000.0 * 1000000000.0) AS m2
+  FROM mom
+),
+f AS (
+  SELECT m1, m2 - m1 * m1 AS var,
+         (m1 * (1.0 - m1) - (m2 - m1 * m1)) / (m2 - m1 * m1) AS ab
+  FROM m
+),
+prior AS (
+  SELECT CASE WHEN var > 0.0 AND m1 * ab > 0.0
+                   AND (1.0 - m1) * ab > 0.0
+              THEN m1 * ab END AS alpha,
+         CASE WHEN var > 0.0 AND m1 * ab > 0.0
+                   AND (1.0 - m1) * ab > 0.0
+              THEN (1.0 - m1) * ab END AS beta
+  FROM f
+)
+SELECT k.key, k.n, k.pos,
+       CAST(k.pos AS DOUBLE) / CAST(k.n AS DOUBLE) AS rate,
+       p.alpha, p.beta,
+       CASE WHEN p.alpha IS NOT NULL THEN
+         (CAST(k.pos AS DOUBLE) + p.alpha)
+         / (CAST(k.n AS DOUBLE) + p.alpha + p.beta)
+       ELSE CAST(k.pos AS DOUBLE) / CAST(k.n AS DOUBLE) END AS shrunk
+FROM keys k, prior p
+"""
+    sqls["bootstrap_ci"] = """
+WITH xs AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase'
+),
+reps AS (
+  SELECT x, CAST(r.range AS BIGINT) AS r FROM xs, range(32) r
+),
+weighted AS (
+  SELECT r, x,
+    CASE
+      WHEN hx < '5e2d58d8b3bce' THEN 0
+      WHEN hx < 'bc5ab1b16779c' THEN 1
+      WHEN hx < 'eb715e1dc1583' THEN 2
+      WHEN hx < 'fb23979734a25' THEN 3
+      ELSE 4 END AS w
+  FROM (
+    SELECT r, x,
+           substring(md5(concat('b|', CAST(r AS VARCHAR), '|',
+                                CAST(x AS VARCHAR))), 1, 13) AS hx
+    FROM reps)
+),
+means AS (
+  SELECT r,
+         CASE WHEN SUM(w) > 0
+              THEN CAST(SUM(w * x) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+         END AS m
+  FROM weighted GROUP BY r
+),
+idx AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rk FROM means),
+lo AS (SELECT MIN(m) AS ci_lo FROM idx WHERE rk = 2),
+hi AS (SELECT MIN(m) AS ci_hi FROM idx WHERE rk = 31),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(x) AS BIGINT) AS sx
+  FROM xs
+)
+SELECT b.n_rows, CAST(32 AS BIGINT) AS n_replicates,
+       CAST(b.sx AS DOUBLE) / CAST(b.n_rows AS DOUBLE) AS mean,
+       l.ci_lo, h.ci_hi
+FROM base b, lo l, hi h
 """
     sqls["woe_iv_priority"] = """
 WITH cells AS (

@@ -901,3 +901,88 @@ def bpe_learn_merges(
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+def winnowing_fingerprints(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram: int = 8,
+    window: int = 4,
+):
+    """TRUE winnowing (the MOSS plagiarism-detection scheme), not
+    just the whole-document minimum that ``fingerprint_min_8gram``
+    keeps: hash every character ``gram``-gram, then keep the MINIMUM
+    hash of every ``window`` consecutive hashes. The guarantee that
+    makes it the standard: any shared substring of at least
+    gram + window − 1 characters contributes at least one IDENTICAL
+    fingerprint to both documents — no near-miss probability like
+    MinHash bands, while storing ~2/(window+1) of the grams.
+
+    All engine-portable pieces (md5 hex min, substring, sequences),
+    so the oracle computes the identical fingerprint sets. Row-local
+    codegen: grams, window minima, and the distinct-set collapse all
+    happen inside one projection per document; output explodes to
+    (id, fp) — the inverted-index input for candidate pairing.
+
+    Scale shape: fingerprints per doc ≈ 2·len/(window+1), and the
+    downstream join must block on fingerprint frequency (common
+    English 8-grams fingerprint half the corpus — the rare-shingle
+    rule from minhash_lsh_candidates applies verbatim)."""
+    hs = F.transform(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.length(F.col(text_col)) - F.lit(gram - 1), F.lit(1)),
+        ),
+        lambda i: F.md5(F.substring(F.col(text_col), i, gram)),
+    )
+    # materialize the gram-hash array as its OWN column first:
+    # Catalyst performs no common-subexpression elimination inside
+    # higher-order lambdas, so composing `fps` directly over the `hs`
+    # EXPRESSION re-hashes the whole document once per window —
+    # O(len²) md5 calls (measured 130 s where 2 s is right). A named
+    # column is a cheap bound reference inside the lambda, and
+    # CollapseProject leaves it alone (non-cheap producer used more
+    # than once).
+    with_hs = df.select(F.col(id_col).alias("id"), hs.alias("_hs"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("_hs") - F.lit(window - 1), F.lit(1)),
+            ),
+            lambda j: F.array_min(F.slice(F.col("_hs"), j, window)),
+        )
+    )
+    return with_hs.select("id", F.explode(fps).alias("fp"))
+
+
+def winnowing_candidates(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram: int = 8,
+    window: int = 4,
+    max_fp_freq: int = 50,
+    min_shared: int = 2,
+):
+    """Near-dup candidate pairs from winnowed fingerprints: inverted
+    index on the fingerprint, RARE fingerprints only (frequency ≤
+    ``max_fp_freq`` — the blocking contract that keeps the bucket
+    join linear; a fingerprint shared by half the corpus carries no
+    discriminative signal anyway), pairs sharing ≥ ``min_shared``.
+    Output (id_a, id_b, n_shared)."""
+    fps = winnowing_fingerprints(df, id_col, text_col, gram, window)
+    rare = fps.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    ).where(F.col("_c") <= max_fp_freq).select("fp")
+    filtered = fps.join(rare, "fp")
+    a = filtered.select("fp", F.col("id").alias("id_a"))
+    b = filtered.select("fp", F.col("id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

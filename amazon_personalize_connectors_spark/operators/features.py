@@ -1145,3 +1145,196 @@ def woe_iv(
             (F.col("_iv_q").cast("double") / F.lit(float(scale))).alias("iv"),
         )
     )
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    n_replicates: int = 32,
+    seed: str = "b",
+    lo_rank: int = 2,
+    hi_rank: int = 31,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the MEAN of an
+    integer metric — the scale-standard resampling scheme (per
+    replicate, each row gets an independent Poisson(1) weight, so no
+    global resample coordination is needed and the whole bootstrap is
+    one aggregate over a row×replicate fan-out).
+
+    "Random" is the md5 HASH of (seed, replicate, a per-row key
+    derived from the row's value and a salt column baked by the
+    caller — here the value itself plus monotonically_increasing_id
+    would break determinism across layouts, so the caller must
+    provide rows whose multiset, not order, defines the result):
+    weights come from inverting the Poisson(1) CDF directly on the
+    hash's first 13 HEX DIGITS by lexicographic comparison against
+    fixed hex-literal thresholds (floor(cdf·2⁵²) in hex) — no
+    hex-to-integer conversion anywhere, so the exact same comparison
+    runs on any engine, any partitioning (the graph_random_walks
+    rule). Each replicate's mean is Σw·x / Σw — exact bigint sums,
+    one division; the CI is the exact (lo_rank, hi_rank) order
+    statistics of the replicate means, selected by sort-free
+    struct-min/max over the B-row replicate table.
+
+    Caveat (documented): hashing on the VALUE means equal-valued rows
+    share a weight per replicate — a deliberate determinism/
+    independence trade the caller accepts by choosing this operator;
+    supply a unique id column via ``value_col``-adjacent salting if
+    row-level independence matters.
+
+    Output ONE row: (n_rows, n_replicates, mean, ci_lo, ci_hi)."""
+    if not 1 <= lo_rank < hi_rank <= n_replicates:
+        raise ValueError("need 1 <= lo_rank < hi_rank <= n_replicates")
+    rows = df.select(F.col(value_col).cast("bigint").alias("x"))
+    reps = rows.select(
+        "x",
+        F.explode(
+            F.array(*[F.lit(r) for r in range(n_replicates)])
+        ).alias("r"),
+    )
+    # 52 uniform bits as 13 lowercase hex chars; Poisson(1) inverse
+    # CDF by lexicographic compare against floor(cdf * 2^52) in hex
+    hx = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(f"{seed}|"),
+                F.col("r").cast("string"),
+                F.lit("|"),
+                F.col("x").cast("string"),
+            )
+        ),
+        1,
+        13,
+    )
+    w = (
+        F.when(hx < F.lit("5e2d58d8b3bce"), 0)
+        .when(hx < F.lit("bc5ab1b16779c"), 1)
+        .when(hx < F.lit("eb715e1dc1583"), 2)
+        .when(hx < F.lit("fb23979734a25"), 3)
+        .otherwise(4)
+        .cast("bigint")
+    )
+    means = (
+        reps.select("r", "x", w.alias("w"))
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("w") * F.col("x")).cast("bigint").alias("_swx"),
+            F.sum("w").cast("bigint").alias("_sw"),
+        )
+        .select(
+            F.when(
+                F.col("_sw") > 0,
+                F.col("_swx").cast("double") / F.col("_sw").cast("double"),
+            ).alias("m")
+        )
+    )
+    from amazon_personalize_connectors_spark.operators.guards import (
+        enforce_bounded_grid,
+    )
+
+    # the replicate table is a B-row constant grid; the guard makes
+    # that executable and keys the ordered window off WindowExec's
+    # global-sort warning (the repo's sanctioned-grid pattern)
+    means_g = enforce_bounded_grid(
+        means, 100_000, "bootstrap_ci replicates", keep_count_col=True
+    )
+    w_rank = (
+        Window.partitionBy("_grid_n")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    idx = means_g.select(
+        "m", F.count(F.lit(1)).over(w_rank).alias("_rk")
+    )
+    lo = idx.where(F.col("_rk") == lo_rank).agg(F.min("m").alias("ci_lo"))
+    hi = idx.where(F.col("_rk") == hi_rank).agg(F.min("m").alias("ci_hi"))
+    base = rows.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("x").cast("bigint").alias("_sx"),
+    )
+    return (
+        base.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_rows",
+            F.lit(n_replicates).cast("bigint").alias("n_replicates"),
+            (F.col("_sx").cast("double") / F.col("n_rows").cast("double"))
+            .alias("mean"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+def eb_shrunk_rates(
+    df: DataFrame,
+    key_col: str,
+    label_col: str,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial, method of moments) shrinkage
+    of per-key conversion rates — the fix for "this item has 1/1 =
+    100% CTR": fit a Beta(α, β) prior to the observed per-key rates
+    and report each key's posterior mean (pos + α)/(n + α + β), which
+    pulls small-sample keys toward the global prior and leaves
+    high-volume keys alone.
+
+    Method of moments over per-key rates: with m1 = E[p̂] and
+    var = E[p̂²] − m1²,
+
+        α+β = (m1·(1−m1) − var)/var,   α = m1·(α+β)
+
+    Determinism: each key's rate is QUANTIZED once by exact integer
+    division (pq = (pos·scale) div n — bigint, no doubles), and m1/m2
+    derive from the exact sums Σpq and Σpq² (decimal(38,0)); α and β
+    are one fixed IEEE tree over those sums, broadcast back, and each
+    key's shrunk rate is one more fixed tree — nothing order-
+    sensitive anywhere (the chi2/psi quantization family).
+    Degenerate fits (var ≤ 0 or non-positive α/β — near-constant
+    rates) return the raw rate and NULL α/β rather than a garbage
+    prior.
+
+    Scale shape: one map-side-combinable groupBy to the key grid, a
+    1-row moment broadcast, and a per-key projection. Output per key:
+    (key, n, pos, rate, alpha, beta, shrunk)."""
+    d38 = "decimal(38,0)"
+    keys = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col(label_col).cast("long")).cast("bigint").alias("pos"),
+    )
+    pq = F.expr(f"(pos * {scale}) div n").cast("bigint")
+    with_q = keys.withColumn("_pq", pq)
+    mom = with_q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_k"),
+        F.sum("_pq").cast("bigint").alias("_s1"),
+        F.sum((F.col("_pq").cast(d38) * F.col("_pq").cast(d38)).cast(d38))
+        .cast(d38)
+        .alias("_s2"),
+    )
+    dd = lambda c: c.cast("double")  # noqa: E731 — fixed IEEE tree below
+    sc = F.lit(float(scale))
+    m1 = dd(F.col("_s1")) / (dd(F.col("_k")) * sc)
+    m2 = dd(F.col("_s2")) / (dd(F.col("_k")) * sc * sc)
+    var = m2 - m1 * m1
+    # try_divide: the ok-predicate below evaluates alpha, so an ANSI
+    # divide-by-zero on a zero-variance fit would throw before the
+    # guard can suppress it
+    ab = F.try_divide(m1 * (F.lit(1.0) - m1) - var, var)
+    alpha = m1 * ab
+    beta = (F.lit(1.0) - m1) * ab
+    ok = (var > 0.0) & (alpha > 0.0) & (beta > 0.0)
+    pri = mom.select(
+        F.when(ok, alpha).alias("alpha"),
+        F.when(ok, beta).alias("beta"),
+    )
+    g = keys.crossJoin(F.broadcast(pri))
+    rate = dd(F.col("pos")) / dd(F.col("n"))
+    shrunk = F.when(
+        F.col("alpha").isNotNull(),
+        (dd(F.col("pos")) + F.col("alpha"))
+        / (dd(F.col("n")) + F.col("alpha") + F.col("beta")),
+    ).otherwise(rate)
+    return g.select(
+        "key", "n", "pos", rate.alias("rate"), "alpha", "beta",
+        shrunk.alias("shrunk"),
+    )

@@ -263,6 +263,7 @@ BENCH_QUERIES = [
 # ONCE per round like the streaming family so the 3-pass suite doesn't
 # triple their fixed cost.
 HEAVY_ONE_RUN = [
+    "winnowing_dedup",
     "bpe_train",
     "theilsen_revenue",
     "dbscan_embeddings",

@@ -1028,3 +1028,84 @@ def test_woe_iv_one_sided_bin_flagged_not_smoothed(spark):
     out = {r.bin: r for r in woe_iv(df, "bin", "y").collect()}
     assert out["pure"].woe is None          # no epsilon fudge
     assert out["mix"].woe is not None
+
+
+def test_bootstrap_ci_matches_python_hash_mirror(spark):
+    import hashlib
+
+    from amazon_personalize_connectors_spark.operators.features import (
+        bootstrap_ci,
+    )
+
+    vals = [100, 220, 310, 475, 520, 610, 740, 888, 930, 1050]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    r = bootstrap_ci(df, "x", n_replicates=8, lo_rank=2, hi_rank=7).collect()[0]
+
+    th = ["5e2d58d8b3bce", "bc5ab1b16779c", "eb715e1dc1583",
+          "fb23979734a25"]
+
+    def weight(rep, x):
+        hx = hashlib.md5(f"b|{rep}|{x}".encode()).hexdigest()[:13]
+        for w, t in enumerate(th):
+            if hx < t:
+                return w
+        return 4
+
+    means = []
+    for rep in range(8):
+        sw = sum(weight(rep, v) for v in vals)
+        swx = sum(weight(rep, v) * v for v in vals)
+        means.append(swx / sw if sw else None)
+    ms = sorted(m for m in means if m is not None)
+    assert r.n_rows == 10 and r.n_replicates == 8
+    assert r.mean == sum(vals) / 10
+    assert r.ci_lo == ms[1] and r.ci_hi == ms[6]
+
+
+def test_bootstrap_ci_layout_independent(spark):
+    from amazon_personalize_connectors_spark.operators.features import (
+        bootstrap_ci,
+    )
+
+    df = spark.createDataFrame([(v,) for v in range(1, 200)], "x long")
+    a = bootstrap_ci(df, "x").collect()[0]
+    b = bootstrap_ci(df.repartition(13), "x").collect()[0]
+    assert (a.ci_lo, a.ci_hi, a.mean) == (b.ci_lo, b.ci_hi, b.mean)
+    assert a.ci_lo <= a.mean <= a.ci_hi
+
+
+def test_eb_shrunk_rates_pulls_small_samples_to_prior(spark):
+    from amazon_personalize_connectors_spark.operators.features import (
+        eb_shrunk_rates,
+    )
+
+    # many medium-volume keys around 30% plus one 1/1=100% key
+    rows = []
+    for k in range(20):
+        pos = 2 + (k % 4)          # 2..5 of 12 -> rates .17-.42
+        rows += [(k, 1)] * pos + [(k, 0)] * (12 - pos)
+    rows += [(99, 1)]              # the 1/1 key
+    df = spark.createDataFrame(rows, "k long, y int")
+    out = {r.key: r for r in eb_shrunk_rates(df, "k", "y").collect()}
+    tiny = out[99]
+    assert tiny.rate == 1.0
+    assert tiny.alpha is not None and tiny.beta is not None
+    # posterior mean pulled well below the raw 100%, above the prior mean
+    prior_mean = tiny.alpha / (tiny.alpha + tiny.beta)
+    assert prior_mean < tiny.shrunk < 1.0
+    assert tiny.shrunk < 0.8
+    # high-volume keys barely move
+    big = out[0]
+    assert abs(big.shrunk - big.rate) < abs(tiny.shrunk - tiny.rate)
+
+
+def test_eb_shrunk_rates_degenerate_constant_rates(spark):
+    from amazon_personalize_connectors_spark.operators.features import (
+        eb_shrunk_rates,
+    )
+
+    # identical rates -> zero variance -> no prior, raw rates returned
+    rows = [(k, y) for k in range(5) for y in (1, 0)]
+    df = spark.createDataFrame(rows, "k long, y int")
+    out = eb_shrunk_rates(df, "k", "y").collect()
+    assert all(r.alpha is None and r.shrunk == r.rate for r in out)

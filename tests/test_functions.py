@@ -696,3 +696,37 @@ def test_bpe_learn_merges_matches_reference(spark):
     assert got == _ref_bpe(wc, 6)
     # merged symbols grow multi-character as rounds proceed
     assert any(len(m[3]) >= 3 for m in got)
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    from amazon_personalize_connectors_spark.functions.text import (
+        winnowing_fingerprints,
+    )
+
+    # gram=8, window=4: any shared substring of >= 8+4-1 = 11 chars
+    # must contribute at least one identical fingerprint to both docs
+    shared = "xqzjvkwpmby"  # 11 chars, unlikely elsewhere
+    docs = spark.createDataFrame(
+        [(1, f"aaa {shared} bbb ccc ddd"),
+         (2, f"eee fff {shared} ggg hhh")],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs, "doc_id", "text", 8, 4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]
+
+
+def test_winnowing_density(spark):
+    from amazon_personalize_connectors_spark.functions.text import (
+        winnowing_fingerprints,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog " * 5
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    n_fp = winnowing_fingerprints(docs, "doc_id", "text", 8, 4).count()
+    n_grams = len(text) - 7
+    # winnowing keeps roughly 2/(w+1) of grams, far fewer than all
+    assert n_fp < n_grams * 0.8
+    assert n_fp > 0
