@@ -6741,6 +6741,10 @@ w{t} AS (
        x || y AS merged, c AS pair_count FROM b{t}"""
         for t in range(1, n_merges + 1)
     )
+    return _bpe_cte_prefix(rounds) + finals + "\n"
+
+
+def _bpe_cte_prefix(rounds: list) -> str:
     return f"""
 WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
 wc AS (
@@ -6752,7 +6756,43 @@ w0 AS (
            AS w, cnt
   FROM wc
 ),{",".join(rounds)}
-{finals}
+"""
+
+
+def _bpe_rounds_sql(n_merges: int) -> list:
+    rounds = []
+    for t in range(1, n_merges + 1):
+        p = t - 1
+        rounds.append(f"""
+p{t} AS (
+  SELECT x, y, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+    SELECT cnt, s[i] AS x, s[i + 1] AS y FROM (
+      SELECT cnt, s, unnest(range(1, len(s))) AS i FROM (
+        SELECT cnt, list_filter(string_split(w, chr(1)), z -> z <> '') AS s
+        FROM w{p}) WHERE len(s) >= 2
+    )
+  ) GROUP BY x, y
+),
+b{t} AS (SELECT x, y, c FROM p{t} ORDER BY c DESC, x ASC, y ASC LIMIT 1),
+w{t} AS (
+  SELECT replace(w.w, chr(1) || b.x || chr(1) || b.y || chr(1),
+                 chr(1) || b.x || b.y || chr(1)) AS w, w.cnt
+  FROM w{p} w, b{t} b
+)""")
+    return rounds
+
+
+def _bpe_vocab_oracle_sql(n_merges: int = 8) -> str:
+    """Vocabulary histogram after replaying the same n training
+    rounds: split the final word table's symbols and count."""
+    return _bpe_cte_prefix(_bpe_rounds_sql(n_merges)) + f"""
+SELECT sym AS symbol, CAST(COUNT(*) AS BIGINT) AS n_words_with,
+       CAST(SUM(cnt) AS BIGINT) AS total_occurrences
+FROM (
+  SELECT cnt, unnest(list_filter(string_split(w, chr(1)),
+                                 z -> z <> '')) AS sym
+  FROM w{n_merges})
+GROUP BY sym
 """
 
 
@@ -7006,6 +7046,28 @@ def q_winnowing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE side (functions/text.py:bpe_encode_vocab_counts):
+    train 8 merges, apply them in order to the word table with the
+    same literal-replace semantics, and report the resulting symbol
+    vocabulary histogram — the oracle replays training AND encoding
+    in one generated SQL chain."""
+    from amazon_personalize_connectors_spark.functions.text import (
+        bpe_encode_vocab_counts,
+        bpe_learn_merges,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in sorted(
+            bpe_learn_merges(docs, "text", n_merges=8).collect(),
+            key=lambda r: r["step"],
+        )
+    ]
+    return bpe_encode_vocab_counts(docs, merges, "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -7081,6 +7143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": q_bootstrap_ci,
         "eb_shrunk_ctr": q_eb_shrunk_ctr,
         "winnowing_dedup": q_winnowing_dedup,
+        "bpe_vocab": q_bpe_vocab,
         "stamp_literals": q_stamp_literals,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -12069,6 +12132,7 @@ SELECT u AS user_id, n_items,
 FROM agg
 """
     sqls["bpe_train"] = _bpe_oracle_sql(8)
+    sqls["bpe_vocab"] = _bpe_vocab_oracle_sql(8)
     sqls["conformal_threshold"] = """
 WITH scored AS (
   SELECT event_type,

@@ -986,3 +986,57 @@ def winnowing_candidates(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def bpe_encode_vocab_counts(
+    df,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    min_word_len: int = 2,
+):
+    """ENCODE side of the BPE tokenizer: apply an ordered list of
+    learned merges (bpe_learn_merges output) to the corpus and return
+    the resulting symbol vocabulary histogram (symbol, n_words_with,
+    total_occurrences) — what a tokenizer-build pipeline inspects
+    before shipping the vocab.
+
+    Application is the same chr(1)-delimited literal replace the
+    trainer used (identical semantics on every engine), folded over
+    the merge list IN ORDER — merge order is the BPE contract, later
+    merges build on earlier ones. The merge list is a driver-side
+    product artifact (n_merges entries, bounded), so the fold is
+    plan construction, not per-row Python; the whole encode is one
+    codegen projection chain over the vocabulary-sized word table,
+    then one explode + count aggregate."""
+    sep = "\x01"
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .where(F.length("tok") >= min_word_len)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.concat(
+                F.lit(sep),
+                F.array_join(F.split(F.col("tok"), ""), sep),
+                F.lit(sep),
+            ).alias("w"),
+            "cnt",
+        )
+    )
+    col = F.col("w")
+    for left, right in merges:
+        col = F.replace(
+            col,
+            F.lit(f"{sep}{left}{sep}{right}{sep}"),
+            F.lit(f"{sep}{left}{right}{sep}"),
+        )
+    encoded = words.select(col.alias("w"), "cnt")
+    syms = F.filter(F.split(F.col("w"), sep), lambda s: s != F.lit(""))
+    return (
+        encoded.select(F.explode(syms).alias("symbol"), "cnt")
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words_with"),
+            F.sum("cnt").cast("bigint").alias("total_occurrences"),
+        )
+    )

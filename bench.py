@@ -265,6 +265,7 @@ BENCH_QUERIES = [
 HEAVY_ONE_RUN = [
     "winnowing_dedup",
     "bpe_train",
+    "bpe_vocab",
     "theilsen_revenue",
     "dbscan_embeddings",
     "mmr_rerank",

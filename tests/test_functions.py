@@ -730,3 +730,31 @@ def test_winnowing_density(spark):
     # winnowing keeps roughly 2/(w+1) of grams, far fewer than all
     assert n_fp < n_grams * 0.8
     assert n_fp > 0
+
+
+def test_bpe_encode_matches_trained_trace(spark):
+    from amazon_personalize_connectors_spark.functions.text import (
+        bpe_encode_vocab_counts,
+        bpe_learn_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [("the cat sat on the mat",), ("that cat is fat",)],
+        "text string",
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in sorted(bpe_learn_merges(docs, "text", 4).collect(),
+                        key=lambda r: r["step"])
+    ]
+    assert len(merges) == 4
+    vocab = {r.symbol: (r.n_words_with, r.total_occurrences)
+             for r in bpe_encode_vocab_counts(docs, merges).collect()}
+    # the symbols produced by the merges exist in the encoded vocab
+    final_syms = set(vocab)
+    assert any(len(s) >= 2 for s in final_syms)  # merges took effect
+    # total occurrences conserve the corpus' word mass per symbol
+    # position: every multi-char symbol came from concatenating merges
+    for left, right in merges:
+        assert left + right in final_syms or any(
+            (left + right) in s for s in final_syms)
