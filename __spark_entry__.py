@@ -7068,6 +7068,42 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_vocab_counts(docs, merges, "text")
 
 
+def q_stream_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming split-conformal threshold (streaming/drift_monitor.py:
+    conformal_from_store): purchase cents drain one file per
+    micro-batch into the versioned grid store; the 90% conformal
+    threshold read from the final store must equal the exact batch
+    order statistic over all rows (the mergeable-grid law)."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.drift_monitor import (
+        conformal_from_store,
+        monitor_from_stream,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    cents = ev.select(
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    landing = tempfile.mkdtemp(prefix="apc-conf-landing-")
+    store = tempfile.mkdtemp(prefix="apc-conf-store-")
+    ckpt = tempfile.mkdtemp(prefix="apc-conf-ckpt-")
+    cents.repartition(4).write.mode("append").parquet(landing)
+    stream = (
+        spark.readStream.schema("cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    monitor_from_stream(
+        stream, store, ckpt, "cents", F.lit(True), F.lit(False)
+    )
+    return conformal_from_store(spark, store, alpha_num=1, alpha_den=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -7144,6 +7180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eb_shrunk_ctr": q_eb_shrunk_ctr,
         "winnowing_dedup": q_winnowing_dedup,
         "bpe_vocab": q_bpe_vocab,
+        "stream_conformal": q_stream_conformal,
         "stamp_literals": q_stamp_literals,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -12130,6 +12167,25 @@ SELECT u AS user_id, n_items,
             / CAST((s11 + 100000) * (s22 + 100000)
                    - s12 * s12 AS DOUBLE)) AS u2
 FROM agg
+"""
+    sqls["stream_conformal"] = """
+WITH scored AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS s
+  FROM events WHERE event_type = 'purchase'
+),
+cells AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM scored GROUP BY s),
+ranked AS (
+  SELECT s,
+         CAST(SUM(c) OVER (ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(SUM(c) OVER () AS BIGINT) AS n
+  FROM cells
+),
+wk AS (SELECT *, CAST((9 * (n + 1) + 9) // 10 AS BIGINT) AS k FROM ranked)
+SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(k) AS BIGINT) AS k,
+       CAST(MIN(CASE WHEN cum >= k THEN s END) AS BIGINT) AS threshold
+FROM wk
 """
     sqls["bpe_train"] = _bpe_oracle_sql(8)
     sqls["bpe_vocab"] = _bpe_vocab_oracle_sql(8)

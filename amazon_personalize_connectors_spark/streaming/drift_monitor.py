@@ -198,3 +198,40 @@ def js_from_store(spark: SparkSession, store_path: str) -> DataFrame:
     return js_divergence_from_cells(
         read_grid(spark, store_path), "v", "a", "b"
     )
+
+
+def conformal_from_store(
+    spark: SparkSession,
+    store_path: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+) -> DataFrame:
+    """Split-conformal threshold of everything drained, served from
+    the maintained grid (population = A ∪ B): the
+    ⌈(alpha_den−alpha_num)·(n+1)/alpha_den⌉-th smallest value by
+    exact integer rank math over the grid's running count — the
+    STREAMING twin of operators/evaluation.py:conformal_threshold
+    (ungrouped), and the fourth statistic one pointer-flip state
+    answers (KS, quantiles, JSD, conformal). Grids merge by sum, so
+    the result equals the batch operator over all drained rows.
+    Output ONE row: (n, k, threshold) — threshold NULL when k > n."""
+    if not 0 < alpha_num < alpha_den:
+        raise ValueError("need 0 < alpha_num < alpha_den")
+    grid = read_grid(spark, store_path)
+    per_v = grid.select("v", (F.col("a") + F.col("b")).alias("_c"))
+    cum = add_running_totals(per_v, ["v"], {"_c": "_cum"})
+    tot = per_v.agg(F.sum("_c").cast("bigint").alias("_n"))
+    g2 = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "_k",
+        F.expr(
+            f"({alpha_den - alpha_num} * (_n + 1) + {alpha_den - 1}) "
+            f"div {alpha_den}"
+        ).cast("bigint"),
+    )
+    return g2.groupBy().agg(
+        F.max("_n").cast("bigint").alias("n"),
+        F.max("_k").cast("bigint").alias("k"),
+        F.min(F.when(F.col("_cum") >= F.col("_k"), F.col("v")))
+        .cast("bigint")
+        .alias("threshold"),
+    )

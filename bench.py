@@ -286,6 +286,7 @@ STREAM_ONE_RUN = [
     "stream_auc_monitor",
     "stream_minhash_lsh",
     "stream_js_drift",
+    "stream_conformal",
 ]
 
 

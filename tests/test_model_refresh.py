@@ -237,3 +237,31 @@ def test_js_from_store_equals_batch_over_any_split(spark, tmp_path):
     assert (stream_row.n_a, stream_row.n_b, stream_row.n_bins) == (
         batch_row.n_a, batch_row.n_b, batch_row.n_bins)
     assert stream_row.jsd == batch_row.jsd
+
+
+def test_conformal_from_store_equals_batch(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        conformal_threshold,
+    )
+    from amazon_personalize_connectors_spark.streaming.drift_monitor import (
+        apply_grid_batch,
+        conformal_from_store,
+    )
+
+    vals = [(v % 37,) for v in range(200)]
+    df = spark.createDataFrame(vals, "v long")
+    store = str(tmp_path / "conf-store")
+    os.makedirs(store)
+    for epoch, frac in enumerate((df.where("v < 10"),
+                                  df.where("v >= 10 AND v < 25"),
+                                  df.where("v >= 25"))):
+        apply_grid_batch(frac, epoch, store, "v", F.lit(True), F.lit(False))
+    s = conformal_from_store(spark, store, 1, 4).collect()[0]
+    b = conformal_threshold(
+        df.withColumn("g", F.lit("all")), ["g"], "v", 1, 4
+    ).collect()[0]
+    assert (s.n, s.k, s.threshold) == (b.n, b.k, b.threshold)
