@@ -7104,6 +7104,23 @@ def q_stream_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conformal_from_store(spark, store, alpha_num=1, alpha_den=10)
 
 
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value channel attribution over the four
+    engagement channels vs purchase conversions (operators/
+    attribution.py:shapley_attribution): coalition values on the
+    16-mask exposure grid, factorial weights as exact integers,
+    phi emitted as numerator/24 — efficiency law test-pinned, oracle
+    replays the identical grid algebra."""
+    from amazon_personalize_connectors_spark.operators.attribution import (
+        shapley_attribution,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir)
+    return shapley_attribution(
+        ev, ["click", "view", "signup", "error"], conversion="purchase"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -7181,6 +7198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_dedup": q_winnowing_dedup,
         "bpe_vocab": q_bpe_vocab,
         "stream_conformal": q_stream_conformal,
+        "shapley_attribution": q_shapley_attribution,
         "stamp_literals": q_stamp_literals,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -12167,6 +12185,46 @@ SELECT u AS user_id, n_items,
             / CAST((s11 + 100000) * (s22 + 100000)
                    - s12 * s12 AS DOUBLE)) AS u2
 FROM agg
+"""
+    sqls["shapley_attribution"] = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+              WHEN 'signup' THEN 4 WHEN 'error' THEN 8
+              ELSE 0 END) AS BIGINT) AS mask,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT mask, CAST(SUM(conv) AS BIGINT) AS n_conv
+  FROM per_user GROUP BY mask
+),
+s_grid AS (SELECT CAST(range AS BIGINT) AS s FROM range(16)),
+v AS (
+  SELECT s, CAST(COALESCE(SUM(g.n_conv), 0) AS BIGINT) AS v
+  FROM s_grid LEFT JOIN grid g ON (g.mask & s_grid.s) = g.mask
+  GROUP BY s
+),
+chan AS (SELECT * FROM (VALUES (0, 'click'), (1, 'view'),
+                               (2, 'signup'), (3, 'error')) t(i, channel)),
+pairs AS (
+  SELECT c.i, c.channel, v0.s AS s0, v0.v AS v0
+  FROM chan c JOIN v v0 ON (v0.s & (1 << c.i)) = 0
+),
+wu AS (
+  SELECT p.*, v1.v AS v1
+  FROM pairs p JOIN v v1 ON v1.s = p.s0 + (1 << p.i)
+)
+SELECT channel,
+  CAST(SUM((CASE bit_count(CAST(s0 AS BIGINT))
+            WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
+            WHEN 3 THEN 6 END) * (v1 - v0)) AS BIGINT) AS phi_num,
+  CAST(24 AS BIGINT) AS phi_den,
+  CAST(CAST(SUM((CASE bit_count(CAST(s0 AS BIGINT))
+            WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
+            WHEN 3 THEN 6 END) * (v1 - v0)) AS BIGINT) AS DOUBLE)
+    / 24.0 AS phi
+FROM wu GROUP BY channel
 """
     sqls["stream_conformal"] = """
 WITH scored AS (

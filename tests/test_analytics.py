@@ -901,3 +901,43 @@ def test_growth_accounting_classes(spark):
     # n_active always equals the class sum
     for r in out.values():
         assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
+
+
+def test_shapley_attribution_efficiency_and_symmetry(spark):
+    from amazon_personalize_connectors_spark.operators.attribution import (
+        shapley_attribution,
+    )
+
+    # users: exposure sets and conversions
+    # u1 {A} converts, u2 {B} converts, u3 {A,B} converts,
+    # u4 {A} no, u5 {} converts (baseline), u6 {B} no
+    rows = []
+    rows += [(1, "A"), (1, "buy")]
+    rows += [(2, "B"), (2, "buy")]
+    rows += [(3, "A"), (3, "B"), (3, "buy")]
+    rows += [(4, "A")]
+    rows += [(5, "buy")]
+    rows += [(6, "B")]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {r.channel: r for r in shapley_attribution(
+        df, ["A", "B"], conversion="buy").collect()}
+    # v({}) = 1 (u5), v({A}) = 2, v({B}) = 2, v({A,B}) = 4
+    # phi_A = 1/2[(v(A)-v({})) + (v(AB)-v(B))] = 1/2[1 + 2] = 3/2
+    # phi_B symmetric = 3/2
+    assert out["A"].phi_num == 3 and out["A"].phi_den == 2
+    assert out["B"].phi_num == 3
+    # efficiency: sum phi = v(all) - v(empty) = 3
+    assert out["A"].phi + out["B"].phi == 3.0
+
+
+def test_shapley_attribution_null_channel_gets_zero(spark):
+    from amazon_personalize_connectors_spark.operators.attribution import (
+        shapley_attribution,
+    )
+
+    # channel C never appears -> zero marginal everywhere
+    rows = [(1, "A"), (1, "buy"), (2, "A")]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {r.channel: r.phi for r in shapley_attribution(
+        df, ["A", "C"], conversion="buy").collect()}
+    assert out["C"] == 0.0 and out["A"] > 0
