@@ -5814,12 +5814,14 @@ def q_bitemporal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Driver verification window: the driver oracle-checks the FIRST 50
 # entries of queries() in dict order; queries() reorders the full
-# registry so this list comes first. Round-5 rotation (ledger:
+# registry so this list comes first. Round-6 rotation (ledger:
 # VERIFIED.md, planned by tools/rotate_window.py): the 3 sentinels,
-# the round-4 red row (user_profile_vectors — now order-independent),
-# the 2 rows-only queries (refresh their weaker check), the 12 round-4
-# additions the driver has never seen, the deferred
-# renest_legacy_window, and the stalest r2 greens.
+# the round-5 red row (revenue_anomalies — oracle residual now cast
+# to BIGINT), the 28 queries VERDICT r5 flagged as never
+# driver-checked, the 5-round-stale renest_legacy_window, and the 17
+# highest-priority round-6 additions. The remaining round-6 additions
+# (graph_walks, isotonic_calibration, ... shapley_attribution) rotate
+# in round 7.
 _R6_WINDOW = [
     "flagship_related_flat",
     "attribution_join",
@@ -5854,23 +5856,22 @@ _R6_WINDOW = [
     "psi_drift",
     "pareto_skyline",
     "renest_legacy_window",
-    "error_split_ok",
-    "error_split_errors",
-    "explode_outer",
-    "decorate_flat",
-    "renest_ordered",
-    "user_pers_flat",
-    "payload_pivot",
-    "topk_slice",
-    "stamp_literals",
-    "text_tokens",
-    "text_quality",
-    "lang_profile",
-    "doc_fingerprint",
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    "ngram_jaccard_materialized",
-    "neardup_components",
+    "merge_upsert",
+    "variant_drift_scan",
+    "stream_running_stats",
+    "linkage_fs",
+    "kfold_report",
+    "annotator_kappa",
+    "score_ece",
+    "revenue_changepoint",
+    "stream_minhash_lsh",
+    "mannwhitney_value",
+    "seasonal_decompose",
+    "theilsen_revenue",
+    "quota_allocation",
+    "cms_heavy_hitters",
+    "dbscan_embeddings",
+    "mmr_rerank",
 ]
 
 _R4_WINDOW = [
