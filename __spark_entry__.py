@@ -4984,6 +4984,33 @@ def q_privacy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_summary(_customer_privacy_classes(spark, sf_dir))
 
 
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (operators/privacy.py t_closeness_classes):
+    per (segment, $2000 balance band) class, the exact-integer EMD
+    between the class's nation distribution and the global one over
+    the 25-nation ordered domain — the skewed-class leak that
+    k-anonymity and l-diversity both miss. t_q is the exact integer
+    quotient (EMD·1e9) div 1; the category grid is the nation
+    dimension (bounded, guard-enforced) broadcast onto the class
+    table, cumsums windowed per class."""
+    from amazon_personalize_connectors_spark.operators.privacy import (
+        numeric_band,
+        t_closeness_classes,
+    )
+
+    cust = synthetic.load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        numeric_band(
+            (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint"),
+            200_000,
+        ).alias("band"),
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+    )
+    return t_closeness_classes(
+        cust, ["segment", "band"], "nation", t_threshold_q=375_000_000
+    )
+
+
 def q_stream_model_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming co-visitation model refresh, ORACLE-CHECKED end to
     end (streaming/model_refresh.py): interactions staged as four
@@ -6359,6 +6386,94 @@ def q_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse compaction planning (operators/layout.py:
+    compaction_bins): pack each (lang, source) partition's documents
+    — stand-ins for small files, sized by n_chars — into 64 KiB
+    output bins in doc_id order. One per-partition window cumsum +
+    one groupBy; bin assignment is exact integer division, so the
+    plan is engine-portable."""
+    from amazon_personalize_connectors_spark.operators.layout import (
+        compaction_bins,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    out = compaction_bins(
+        docs, ["lang", "source"], "doc_id", "n_chars", target_bytes=65_536
+    )
+    return out.select(
+        "lang",
+        "source",
+        "bin_id",
+        "n_files",
+        "bin_bytes",
+        F.col("first_key").cast("bigint").alias("first_key"),
+        F.col("last_key").cast("bigint").alias("last_key"),
+    )
+
+
+def q_open_orders_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency (operators/analytics.py:
+    open_interval_daily_counts): per change day, how many lineitems
+    were in flight (ordered, not yet shipped) — two map-side
+    aggregates collapse the intervals to the calendar grid, one
+    guarded grid window does the running sum; never a day×interval
+    band join."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        open_interval_daily_counts,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem")
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    iv = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_orderdate").alias("s"), F.col("l_shipdate").alias("e")
+    )
+    out = open_interval_daily_counts(iv, "s", "e")
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "net_delta",
+        "open_cnt",
+    )
+
+
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war F2 sketch audit (functions/sketches.py:
+    ams_f2_sketch/ams_f2_estimate): 17 signed sums over lineitem part
+    keys in ONE map-side-combinable aggregate, median of squares as
+    the self-join-size estimate, reported next to the exact
+    F2 = Σ c_k² with the error in ppm. The md5 sign hash is
+    engine-portable, so the oracle reproduces the estimator
+    bit-for-bit."""
+    from amazon_personalize_connectors_spark.functions.sketches import (
+        ams_f2_estimate,
+        ams_f2_sketch,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem")
+    keys = li.select(F.col("l_partkey").cast("bigint").alias("key"))
+    est = ams_f2_estimate(ams_f2_sketch(keys, "key", reps=17), reps=17)
+    d38 = "decimal(38,0)"
+    exact = (
+        keys.groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(
+            F.sum((F.col("c").cast(d38) * F.col("c")).cast(d38))
+            .cast("bigint")
+            .alias("f2_exact"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_rows",
+        "f2_exact",
+        "f2_est",
+        F.expr(
+            "CAST((abs(CAST(f2_est AS decimal(38,0)) - f2_exact) * 1000000)"
+            " div f2_exact AS BIGINT)"
+        ).alias("abs_err_ppm"),
+    )
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch accuracy audit (functions/sketches.py:
     cms_sketch/cms_estimate): build a 4x256 CMS over lineitem part
@@ -7179,6 +7294,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theilsen_revenue": q_theilsen_revenue,
         "quota_allocation": q_quota_allocation,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "ams_f2": q_ams_f2,
+        "open_orders_sweep": q_open_orders_sweep,
+        "compaction_plan": q_compaction_plan,
         "dbscan_embeddings": q_dbscan_embeddings,
         "mmr_rerank": q_mmr_rerank,
         "did_purchase_value": q_did_purchase_value,
@@ -7352,6 +7470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_ndcg": q_rec_ndcg,
         "k_anonymity": q_k_anonymity,
         "privacy_gate": q_privacy_gate,
+        "t_closeness": q_t_closeness,
         "retractable_rollup": q_retractable_rollup,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
@@ -11073,6 +11192,70 @@ SELECT CAST(count(*) AS BIGINT) AS n_classes,
          AS n_low_diversity_classes
 FROM cls
 """,
+        # exact-integer EMD: |N·cumc - n·cumg| summed over the ordered
+        # nation domain, then ONE integer quotient — HUGEINT on the
+        # DuckDB side, decimal(38,0) `div` on the Spark side
+        "t_closeness": """
+WITH c AS (
+  SELECT c_mktsegment AS segment,
+         cents - ((cents % 200000) + 200000) % 200000 AS band,
+         CAST(c_nationkey AS BIGINT) AS nation
+  FROM (SELECT c_mktsegment,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents,
+               c_nationkey
+        FROM customer)
+),
+g AS (
+  SELECT nation AS cat, CAST(count(*) AS HUGEINT) AS gcnt
+  FROM c GROUP BY 1
+),
+gg AS (
+  SELECT cat, SUM(gcnt) OVER (ORDER BY cat) AS cumg,
+         (SELECT count(*) FROM g) AS m
+  FROM g
+),
+tot AS (SELECT CAST(count(*) AS HUGEINT) AS n_tot FROM c),
+cls AS (
+  SELECT segment, band, CAST(count(*) AS BIGINT) AS class_size
+  FROM c GROUP BY 1, 2
+),
+cc AS (
+  SELECT segment, band, nation AS cat, CAST(count(*) AS HUGEINT) AS ccnt
+  FROM c GROUP BY 1, 2, 3
+),
+fan AS (
+  SELECT cls.segment, cls.band, cls.class_size, gg.cat, gg.cumg, gg.m,
+         COALESCE(cc.ccnt, 0) AS ccnt
+  FROM cls CROSS JOIN gg
+  LEFT JOIN cc ON cc.segment = cls.segment AND cc.band = cls.band
+              AND cc.cat = gg.cat
+),
+terms AS (
+  SELECT segment, band, class_size, m,
+         ABS((SELECT n_tot FROM tot)
+               * SUM(ccnt) OVER (PARTITION BY segment, band ORDER BY cat)
+             - CAST(class_size AS HUGEINT) * cumg) AS term
+  FROM fan
+),
+per AS (
+  SELECT segment, band, class_size, m, SUM(term) AS t_num
+  FROM terms GROUP BY 1, 2, 3, 4
+),
+q AS (
+  SELECT segment, band, class_size,
+         CAST(CASE WHEN m > 1
+              THEN (t_num * 1000000000)
+                   // (CAST(m - 1 AS HUGEINT) * class_size
+                       * (SELECT n_tot FROM tot))
+              ELSE 0 END AS BIGINT) AS t_q
+  FROM per
+)
+SELECT segment, CAST(band AS BIGINT) AS band, class_size, t_q,
+       CAST(CASE WHEN t_q > 375000000 THEN 1 ELSE 0 END AS INT)
+         AS t_violation
+FROM q
+""",
         # FULL recompute — the stream-maintained store must serve
         # identical top-k no matter how files split into micro-batches
         "stream_model_refresh": """
@@ -12737,6 +12920,75 @@ SELECT n_a, n_b,
          - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))
   END AS diff_cuped
 FROM agg
+"""
+    # sequential packing: bin = cum-before div target, per partition
+    sqls["compaction_plan"] = """
+WITH s AS (
+  SELECT lang, source, doc_id AS _key,
+         CAST(n_chars AS HUGEINT) AS _sz,
+         SUM(CAST(n_chars AS HUGEINT))
+           OVER (PARTITION BY lang, source ORDER BY doc_id)
+           - CAST(n_chars AS HUGEINT) AS _cum_before
+  FROM documents
+),
+b AS (
+  SELECT lang, source, _key, _sz,
+         CAST(_cum_before // 65536 AS BIGINT) AS bin_id
+  FROM s
+)
+SELECT lang, source, bin_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(SUM(_sz) AS BIGINT) AS bin_bytes,
+       CAST(min(_key) AS BIGINT) AS first_key,
+       CAST(max(_key) AS BIGINT) AS last_key
+FROM b GROUP BY 1, 2, 3
+"""
+    # sweep-line: intervals collapse to calendar change days, running
+    # sum over the bounded day grid
+    sqls["open_orders_sweep"] = """
+WITH iv AS (
+  SELECT CAST(o_orderdate AS DATE) AS s, CAST(l_shipdate AS DATE) AS e
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+d AS (
+  SELECT day, CAST(SUM(d) AS BIGINT) AS net_delta FROM (
+    SELECT s AS day, CAST(count(*) AS BIGINT) AS d FROM iv GROUP BY 1
+    UNION ALL
+    SELECT e + 1 AS day, -CAST(count(*) AS BIGINT) AS d FROM iv GROUP BY 1
+  ) GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, net_delta,
+       CAST(SUM(net_delta) OVER (ORDER BY day) AS BIGINT) AS open_cnt
+FROM d
+"""
+    # AMS sketch: same md5 sign hash, same single-element median —
+    # the estimator reproduces bit-for-bit in SQL
+    sqls["ams_f2"] = """
+WITH k AS (
+  SELECT CAST(l_partkey AS BIGINT) AS key FROM lineitem
+),
+s AS (
+  SELECT j,
+         CAST(SUM(CASE WHEN substring(
+                md5(CAST(j AS VARCHAR) || ':' || CAST(key AS VARCHAR)),
+                1, 1) < '8' THEN 1 ELSE -1 END) AS BIGINT) AS s
+  FROM k CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS j) js
+  GROUP BY j
+),
+est AS (
+  SELECT CAST(s * s AS BIGINT) AS f2_est,
+         row_number() OVER (ORDER BY s * s, j) AS rn
+  FROM s
+),
+ex AS (
+  SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS f2_exact,
+         CAST(SUM(c) AS BIGINT) AS n_rows
+  FROM (SELECT count(*) AS c FROM k GROUP BY key)
+)
+SELECT n_rows, f2_exact, f2_est,
+       CAST((ABS(CAST(f2_est AS HUGEINT) - f2_exact) * 1000000)
+            // f2_exact AS BIGINT) AS abs_err_ppm
+FROM ex, est WHERE rn = 9
 """
     sqls["cms_heavy_hitters"] = """
 WITH keys AS (

@@ -446,3 +446,75 @@ def cms_estimate(
         .cast("bigint")
         .alias("est")
     )
+
+
+def _ams_sign(j_lit: int, key_col: Column) -> Column:
+    """Row's ±1 for estimator j: +1 when the first hex digit of
+    md5("<j>:<key>") is 0-7, else -1 — the same engine-portable md5
+    family as ``_cms_cell`` (identical lowercase hex everywhere), an
+    unbiased 4-wise-enough stand-in for the AMS sign hash."""
+    return F.when(
+        F.substring(
+            F.md5(F.concat(F.lit(str(j_lit)), F.lit(":"), key_col.cast("string"))),
+            1,
+            1,
+        )
+        < "8",
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+
+
+def ams_f2_sketch(df: DataFrame, key_col: str, reps: int = 17) -> DataFrame:
+    """AMS "tug-of-war" sketch of a key column (Alon, Matias &
+    Szegedy, STOC'96): ``reps`` independent signed sums
+    S_j = Σ_rows sign_j(key). Each S_j² is an unbiased estimate of
+    F2 = Σ_k c_k² — the SELF-JOIN SIZE, the statistic a cost
+    optimizer needs to size a join on this key and a skew detector
+    needs to spot a heavy hitter, in O(reps) integers instead of a
+    per-key frequency table.
+
+    Scale shape: ONE aggregate computes all ``reps`` sums in a single
+    pass (map-side combinable — the sketch of a union IS the merged
+    sketch, so partitions/days/sources combine by adding matching
+    S_j), then a ``stack`` unpivots the 1-row result into the
+    (j, s) long form. No fan-out of the data, no shuffle beyond the
+    1-row final aggregate. Output: ``reps`` rows (j int, s bigint)."""
+    key = F.col(key_col)
+    sums = df.agg(
+        *[
+            F.sum(_ams_sign(j, key)).cast("bigint").alias(f"_s{j}")
+            for j in range(reps)
+        ]
+    )
+    pairs = ", ".join(f"{j}, _s{j}" for j in range(reps))
+    return sums.select(
+        F.expr(f"stack({reps}, {pairs})").alias("j", "s")
+    ).select(F.col("j").cast("int").alias("j"), F.col("s").cast("bigint").alias("s"))
+
+
+def ams_f2_estimate(sketch: DataFrame, reps: int = 17) -> DataFrame:
+    """Collapse an ``ams_f2_sketch`` long form to the classic
+    median-of-squares F2 estimate. ``reps`` must be ODD so the median
+    is an ELEMENT of the squares (exact integer, engine-portable) —
+    an even count would average the middle pair and leave integer
+    arithmetic. S_j² is exact bigint up to |S_j| ≤ 3e9 (past that,
+    pre-aggregate or widen to decimal); the sketch side is ``reps``
+    rows, so the rank window runs on a literally-bounded grid.
+    Output: 1 row (f2_est bigint)."""
+    if reps % 2 == 0:
+        raise ValueError(f"reps must be odd for an exact median element: {reps}")
+    from pyspark.sql import Window
+
+    from amazon_personalize_connectors_spark.operators.guards import (
+        enforce_bounded_grid,
+    )
+
+    sq = sketch.select(
+        "j", (F.col("s") * F.col("s")).cast("bigint").alias("_s2")
+    )
+    sq = enforce_bounded_grid(sq, reps, "ams_f2_estimate", keep_count_col=True)
+    w = Window.partitionBy("_grid_n").orderBy(F.col("_s2").asc(), F.col("j").asc())
+    ranked = sq.select("_s2", F.row_number().over(w).alias("_rn"))
+    return ranked.filter(F.col("_rn") == (reps + 1) // 2).select(
+        F.col("_s2").alias("f2_est")
+    )

@@ -1552,3 +1552,58 @@ def growth_accounting(
             F.col("n_churned").cast("bigint").alias("n_churned"),
         )
     )
+
+
+def open_interval_daily_counts(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    max_grid_rows: int = 100_000,
+) -> DataFrame:
+    """Sweep-line interval concurrency: for every day on which the
+    number of OPEN intervals changes, the net change and the exact
+    count of intervals open that day ([start_day, end_day] inclusive).
+    This is the "how many orders were in flight / sessions concurrent
+    / jobs running on day d" question — the naive day×interval
+    band join is O(days·rows); the sweep is two aggregates and a
+    calendar-bounded running sum.
+
+    Scale shape: +1 events collapse via groupBy(start day), -1 events
+    via groupBy(end day + 1) — both map-side combinable, output rows
+    ∝ DISTINCT DAYS (a calendar domain, ``enforce_bounded_grid``),
+    never ∝ intervals. The running sum is one ordered window over the
+    guarded grid (partitioned on the non-foldable guard count column,
+    the sanctioned bounded-grid window pattern). Pure date/bigint
+    arithmetic, engine-portable.
+
+    Returns (day date, net_delta bigint, open_cnt bigint) ordered by
+    construction of the cumsum (emit order unspecified; rows cover
+    exactly the change days)."""
+    from amazon_personalize_connectors_spark.operators.guards import (
+        enforce_bounded_grid,
+    )
+
+    starts = df.groupBy(
+        F.to_date(F.col(start_col)).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    ends = df.groupBy(
+        F.date_add(F.to_date(F.col(end_col)), 1).alias("day")
+    ).agg((-F.count(F.lit(1))).cast("bigint").alias("d"))
+    deltas = (
+        starts.unionByName(ends)
+        .groupBy("day")
+        .agg(F.sum("d").cast("bigint").alias("net_delta"))
+    )
+    grid = enforce_bounded_grid(
+        deltas, max_grid_rows, "open_interval_daily_counts", keep_count_col=True
+    )
+    w = (
+        Window.partitionBy("_grid_n")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        "day",
+        "net_delta",
+        F.sum("net_delta").over(w).cast("bigint").alias("open_cnt"),
+    )

@@ -83,3 +83,65 @@ def write_zordered(
     parts.sortWithinPartitions("__z").drop("__z").write.mode(
         "overwrite"
     ).parquet(path)
+
+
+def compaction_bins(
+    df: DataFrame,
+    part_cols: list[str],
+    order_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction plan: walk each partition's file list in
+    ``order_col`` order and pack files into target-sized output bins —
+    the OPTIMIZE/rewrite planning step of a lakehouse table
+    maintenance pass ("these 4,000 tiny files become 12 files of
+    ~128 MB each"). Sequential packing (not best-fit) deliberately:
+    it preserves the existing sort order, so a compacted run stays
+    range-prunable.
+
+    bin_id = (running size BEFORE the file) div target — pure integer
+    arithmetic, so the plan is deterministic and engine-portable; a
+    file straddling a boundary joins the bin it started filling, so a
+    bin never exceeds target + one file.
+
+    Scale shape: ONE window partitioned by the table partition key
+    (cumsum per partition — parallel across partitions, no global
+    sort) and one groupBy to the bin grain; rows out ∝ bins. Sizes
+    accumulate in decimal(38,0) (a 100 TB partition overflows int64
+    cents-level units long before it overflows decimal).
+
+    Returns one row per planned output file:
+    (*part_cols, bin_id, n_files, bin_bytes, first_key, last_key)."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(F.col("_key").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = df.select(
+        *part_cols,
+        F.col(order_col).alias("_key"),
+        F.col(size_col).cast(d38).alias("_sz"),
+    ).select(
+        *part_cols,
+        "_key",
+        "_sz",
+        (F.sum("_sz").over(w) - F.col("_sz")).cast(d38).alias("_cum_before"),
+    )
+    binned = sized.select(
+        *part_cols,
+        "_key",
+        "_sz",
+        F.expr(f"_cum_before div CAST({target_bytes} AS decimal(38,0))")
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+    return binned.groupBy(*part_cols, "bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("_sz").cast("bigint").alias("bin_bytes"),
+        F.min("_key").alias("first_key"),
+        F.max("_key").alias("last_key"),
+    )

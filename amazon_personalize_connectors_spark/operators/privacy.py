@@ -91,3 +91,115 @@ def k_anonymity_summary(classes: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("n_low_diversity_classes"),
     )
+
+
+def t_closeness_classes(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    t_threshold_q: int = 375_000_000,
+    scale: int = 10**9,
+    max_categories: int = 10_000,
+) -> DataFrame:
+    """t-closeness audit for an ORDERED sensitive attribute: per
+    quasi-identifier equivalence class, the Earth Mover's Distance
+    between the class's sensitive-value distribution and the global
+    one. k-anonymity/l-diversity miss the "skewed class" leak — a
+    class whose members all sit in the top salary decile discloses
+    plenty even with k large and l diverse; t-closeness is the
+    standard fix (Li, Li & Venkatasubramanian, ICDE 2007).
+
+    For m equal-spaced ordered categories, EMD(P, Q) =
+    (1/(m-1)) * Σ_i |cumP_i - cumQ_i|. Everything stays in exact
+    integer arithmetic: with class counts c_i (size n) and global
+    counts g_i (total N), |cumP_i - cumQ_i| = |N·cumc_i - n·cumg_i| /
+    (n·N), so the reported statistic is the exact integer quotient
+    ``t_q = (Σ_i |N·cumc_i - n·cumg_i| · scale) div ((m-1)·n·N)`` —
+    engine-portable, no float accumulation. t_q/scale ∈ [0, 1].
+
+    Scale shape: ONE record-level groupBy collapses to the
+    (class × present-category) table; the category grid is a
+    dimension domain (``enforce_bounded_grid``) that BROADCASTS onto
+    the class table (fan-out m rows per class — rows ∝ classes·m,
+    never ∝ records); cumulative sums run in windows PARTITIONED BY
+    the class key (m rows per partition, no global sort). The global
+    total rides back as a 1-row broadcast.
+
+    Returns (quasi..., class_size, t_q, t_violation) — one row per
+    class; ``t_violation = t_q > t_threshold_q`` (default 0.375,
+    the ICDE paper's running example threshold)."""
+    from pyspark.sql import Window
+
+    from amazon_personalize_connectors_spark.operators.guards import (
+        enforce_bounded_grid,
+    )
+
+    d38 = "decimal(38,0)"
+    s = F.col(sensitive_col)
+
+    cats = df.groupBy(s.alias("_cat")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_g")
+    )
+    cats = enforce_bounded_grid(
+        cats, max_categories, "t_closeness_classes", keep_count_col=True
+    )
+    w_cat = (
+        Window.partitionBy("_grid_n")
+        .orderBy(F.col("_cat").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cat_grid = cats.select(
+        "_grid_n",
+        "_cat",
+        F.sum("_g").over(w_cat).cast(d38).alias("_cumg"),
+    )
+    tot = df.agg(F.count(F.lit(1)).cast(d38).alias("_N"))
+
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size")
+    )
+    cc = df.groupBy(*quasi_cols, s.alias("_cat")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    # class × full category grid (missing categories still move mass:
+    # their cumulative term is nonzero), then the per-class cumsum
+    fan = (
+        classes.join(F.broadcast(cat_grid), how="cross")
+        .join(cc, [*quasi_cols, "_cat"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    w_cls = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy(F.col("_cat").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    terms = fan.select(
+        *quasi_cols,
+        "class_size",
+        "_grid_n",
+        "_N",
+        F.abs(
+            F.col("_N")
+            * F.sum(F.coalesce(F.col("_c"), F.lit(0)).cast(d38)).over(w_cls)
+            - F.col("class_size").cast(d38) * F.col("_cumg")
+        )
+        .cast(d38)
+        .alias("_term"),
+    )
+    per_class = terms.groupBy(*quasi_cols, "class_size", "_grid_n", "_N").agg(
+        F.sum("_term").cast(d38).alias("_t_num")
+    )
+    # `div` on decimal(38,0) is EXACT integer quotient (oracle: HUGEINT //)
+    t_q = F.when(
+        F.col("_grid_n") > 1,
+        F.expr(
+            f"(_t_num * CAST({scale} AS decimal(38,0))) div "
+            "((_grid_n - 1) * class_size * _N)"
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return per_class.select(
+        *quasi_cols,
+        "class_size",
+        t_q.alias("t_q"),
+        (t_q > F.lit(t_threshold_q)).cast("int").alias("t_violation"),
+    )

@@ -941,3 +941,43 @@ def test_shapley_attribution_null_channel_gets_zero(spark):
     out = {r.channel: r.phi for r in shapley_attribution(
         df, ["A", "C"], conversion="buy").collect()}
     assert out["C"] == 0.0 and out["A"] > 0
+
+
+def test_open_interval_daily_counts_hand_example(spark):
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        open_interval_daily_counts,
+    )
+
+    rows = [
+        ("2024-01-01", "2024-01-03"),
+        ("2024-01-02", "2024-01-02"),
+        ("2024-01-02", "2024-01-05"),
+    ]
+    df = spark.createDataFrame(rows, "s string, e string").select(
+        F.to_date("s").alias("s"), F.to_date("e").alias("e")
+    )
+    got = {str(r["day"]): (r["net_delta"], r["open_cnt"])
+           for r in open_interval_daily_counts(df, "s", "e").collect()}
+    # day1: +1 open=1; day2: +2 open=3; day3: -1 (iv2 closed) open=2;
+    # day4: -1 (iv1 closed) open=1; day6: -1 open=0
+    assert got == {
+        "2024-01-01": (1, 1),
+        "2024-01-02": (2, 3),
+        "2024-01-03": (-1, 2),
+        "2024-01-04": (-1, 1),
+        "2024-01-06": (-1, 0),
+    }
+
+
+def test_open_interval_counts_end_at_zero(spark):
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        open_interval_daily_counts,
+    )
+
+    df = spark.range(40).select(
+        F.to_date(F.lit("2024-03-01")).alias("s"),
+        F.date_add(F.to_date(F.lit("2024-03-01")), (F.col("id") % 7).cast("int")).alias("e"),
+    )
+    rows = open_interval_daily_counts(df, "s", "e").orderBy("day").collect()
+    assert rows[-1]["open_cnt"] == 0
+    assert rows[0]["open_cnt"] == 40  # all 40 open on the start day

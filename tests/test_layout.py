@@ -115,3 +115,45 @@ def test_compact_dataset_reduces_files_and_keeps_ranges(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2
+
+
+def test_compaction_bins_packs_in_order(spark):
+    from amazon_personalize_connectors_spark.operators.layout import (
+        compaction_bins,
+    )
+
+    rows = [("p", i, sz) for i, sz in enumerate([60, 60, 60, 10, 200, 5])]
+    df = spark.createDataFrame(rows, "part string, k long, sz long")
+    out = {r["bin_id"]: (r["n_files"], r["bin_bytes"], r["first_key"], r["last_key"])
+           for r in compaction_bins(df, ["part"], "k", "sz", 100).collect()}
+    # cum_before: 0,60,120,180,190,390 -> bins 0,0,1,1,1,3
+    assert out == {0: (2, 120, 0, 1), 1: (3, 270, 2, 4), 3: (1, 5, 5, 5)}
+
+
+def test_compaction_bins_partitions_independent(spark):
+    from amazon_personalize_connectors_spark.operators.layout import (
+        compaction_bins,
+    )
+
+    rows = [("a", 1, 50), ("a", 2, 60), ("b", 1, 50), ("b", 2, 60)]
+    df = spark.createDataFrame(rows, "part string, k long, sz long")
+    out = compaction_bins(df, ["part"], "k", "sz", 100).collect()
+    # identical layout per partition: both get bins {0: both files}
+    per = {(r["part"], r["bin_id"]): r["n_files"] for r in out}
+    assert per == {("a", 0): 2, ("b", 0): 2}
+
+
+def test_compaction_bins_total_bytes_conserved(spark):
+    from amazon_personalize_connectors_spark.operators.layout import (
+        compaction_bins,
+    )
+
+    df = spark.range(200).select(
+        (F.col("id") % 3).cast("string").alias("part"),
+        F.col("id").alias("k"),
+        (F.col("id") % 97 + 1).alias("sz"),
+    )
+    out = compaction_bins(df, ["part"], "k", "sz", 500)
+    total = out.agg(F.sum("bin_bytes")).collect()[0][0]
+    want = df.agg(F.sum("sz")).collect()[0][0]
+    assert total == want

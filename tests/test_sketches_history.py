@@ -244,3 +244,45 @@ def test_cms_overcounts_and_merges(spark):
     unseen = spark.createDataFrame([(999999,)], "k long")
     e = cms_estimate(sk, unseen, "k", 3, 1).collect()[0]
     assert e.est >= 0
+
+
+def test_ams_f2_sketch_merges_and_estimates(spark):
+    from amazon_personalize_connectors_spark.functions.sketches import (
+        ams_f2_estimate,
+        ams_f2_sketch,
+    )
+
+    rows = [(k,) for k in [1] * 10 + [2] * 5 + [3] * 1]
+    df = spark.createDataFrame(rows, "key long")
+    sk = ams_f2_sketch(df, "key", reps=17)
+    assert sk.count() == 17
+    # mergeability: sketch(union) == elementwise sum of part sketches
+    a, b = df.filter("key = 1"), df.filter("key <> 1")
+    merged = (
+        ams_f2_sketch(a, "key", reps=17)
+        .unionByName(ams_f2_sketch(b, "key", reps=17))
+        .groupBy("j")
+        .sum("s")
+    )
+    whole = {r["j"]: r["s"] for r in sk.collect()}
+    got = {r["j"]: r["sum(s)"] for r in merged.collect()}
+    assert got == whole
+    # the estimate is an exact element of the squares
+    est = ams_f2_estimate(sk, reps=17).collect()[0]["f2_est"]
+    squares = sorted(r["s"] * r["s"] for r in sk.collect())
+    assert est == squares[8]
+    # unbiasedness sanity: the median lands within 3x of true F2=126
+    assert 0 <= est <= 126 * 9
+
+
+def test_ams_f2_estimate_rejects_even_reps(spark):
+    import pytest as _pytest
+
+    from amazon_personalize_connectors_spark.functions.sketches import (
+        ams_f2_estimate,
+        ams_f2_sketch,
+    )
+
+    df = spark.createDataFrame([(1,)], "key long")
+    with _pytest.raises(ValueError, match="odd"):
+        ams_f2_estimate(ams_f2_sketch(df, "key", reps=16), reps=16)
