@@ -6386,6 +6386,116 @@ def q_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_caliper_match_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caliper nearest-neighbor matching ATT (operators/evaluation.py
+    caliper_matched_att): BUILDING-segment customers matched to
+    non-BUILDING controls on account balance within $10, outcome =
+    lifetime spend cents — band join on caliper buckets (never
+    treated × controls), deterministic tie-broken argmin, exact
+    bigint diff sum with one fixed-order float division."""
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        caliper_matched_att,
+    )
+
+    cust = synthetic.load_table(spark, sf_dir, "customer")
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("spend")
+    )
+    units = (
+        cust.join(spend, cust.c_custkey == spend.ck, "left")
+        .select(
+            F.col("c_custkey").cast("bigint").alias("key"),
+            (F.col("c_mktsegment") == "BUILDING").cast("int").alias("treat"),
+            (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("score"),
+            F.coalesce(F.col("spend"), F.lit(0).cast("bigint")).alias("y"),
+        )
+    )
+    return caliper_matched_att(units, "key", "treat", "score", "y", caliper=1000)
+
+
+def q_anova_price_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of lineitem price cents across return flags
+    (operators/features.py:anova_oneway): per-group quadratic terms
+    quantized to exact integers before the cross-group sum (the chi²
+    pattern), one fixed IEEE tail for F — deterministic at any
+    partitioning, oracle-mirrored bit for bit."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        anova_oneway,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return anova_oneway(li, "l_returnflag", "cents")
+
+
+def q_priority_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact truncated exponential smoothing (operators/analytics.py
+    dyadic_ewma, alpha=1/2, 8 lags): per order priority, the
+    smoothed daily-revenue-cents trend as an exact integer quotient —
+    one window pass partitioned by priority, no float recursion."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        dyadic_ewma,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    out = dyadic_ewma(daily, ["priority"], "day", "cents", k_lags=8)
+    return out.select(
+        "priority",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "value",
+        "ewma_q",
+    )
+
+
+def q_revenue_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile over the daily-revenue series (operators/
+    analytics.py matrix_profile_ssd, m=7, exclusion=3): per week-long
+    subsequence, the exact integer SSD to its nearest non-trivial
+    neighbor — motifs (repeated weekly shapes) score low, discords
+    (anomalous weeks) high. The all-pairs stage is calendar², a
+    guarded domain contract, never data²."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        matrix_profile_ssd,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("v")
+    )
+    out = matrix_profile_ssd(daily, "day", "v", m=7, exclusion=3)
+    return out.select(
+        F.col("idx").cast("bigint").alias("idx"),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "ssd_min",
+        F.col("match_idx").cast("bigint").alias("match_idx"),
+    )
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lakehouse compaction planning (operators/layout.py:
     compaction_bins): pack each (lang, source) partition's documents
@@ -7297,6 +7407,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_f2": q_ams_f2,
         "open_orders_sweep": q_open_orders_sweep,
         "compaction_plan": q_compaction_plan,
+        "revenue_matrix_profile": q_revenue_matrix_profile,
+        "priority_revenue_ewma": q_priority_revenue_ewma,
+        "anova_price_flag": q_anova_price_flag,
+        "caliper_match_att": q_caliper_match_att,
         "dbscan_embeddings": q_dbscan_embeddings,
         "mmr_rerank": q_mmr_rerank,
         "did_purchase_value": q_did_purchase_value,
@@ -12920,6 +13034,143 @@ SELECT n_a, n_b,
          - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))
   END AS diff_cuped
 FROM agg
+"""
+    # caliper matching: bucket band join, argmin per treated,
+    # exact diff sum, one fixed-order float division
+    sqls["caliper_match_att"] = """
+WITH units AS (
+  SELECT CAST(c_custkey AS BIGINT) AS key,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS treat,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS score,
+         COALESCE(sp.spend, 0) AS y
+  FROM customer
+  LEFT JOIN (
+    SELECT o_custkey AS ck,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS spend
+    FROM orders GROUP BY 1
+  ) sp ON c_custkey = sp.ck
+),
+t AS (SELECT key AS tk, score AS ts, y AS ty FROM units WHERE treat = 1),
+c AS (
+  SELECT key AS ck, score AS cs, y AS cy,
+         (score - ((score % 1000 + 1000) % 1000)) // 1000 AS b
+  FROM units WHERE treat = 0
+),
+probes AS (
+  SELECT tk, ts, ty,
+         (ts - ((ts % 1000 + 1000) % 1000)) // 1000 + d.o AS b
+  FROM t, (SELECT unnest([-1, 0, 1]) AS o) d
+),
+cands AS (
+  SELECT tk, ts, ty, ck, cs, cy
+  FROM probes JOIN c USING (b)
+  WHERE ABS(ts - cs) <= 1000
+),
+best AS (
+  SELECT tk, ty, cy,
+         row_number() OVER (PARTITION BY tk
+                            ORDER BY ABS(ts - cs), ck) AS rn
+  FROM cands
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_matched,
+         SUM(CAST(ty AS HUGEINT) - cy) AS diff_sum
+  FROM best WHERE rn = 1
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_treated,
+       n_matched,
+       CASE WHEN n_matched > 0
+            THEN CAST(diff_sum AS DOUBLE) / CAST(n_matched AS DOUBLE)
+       END AS att
+FROM m
+"""
+    # ANOVA: exact quantized per-group quadratic terms, fixed IEEE tail
+    sqls["anova_price_flag"] = """
+WITH v AS (
+  SELECT l_returnflag AS g,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+           AS cents
+  FROM lineitem
+),
+pg AS (
+  SELECT g, CAST(count(*) AS HUGEINT) AS ng, SUM(cents) AS sg
+  FROM v GROUP BY 1
+),
+col AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         SUM((sg * sg * 1000000) // ng) AS aq
+  FROM pg
+),
+tot AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, SUM(cents) AS s,
+         SUM(cents * cents) AS t2
+  FROM v
+)
+SELECT k, CAST(n AS BIGINT) AS n,
+       (CAST(aq AS DOUBLE) - CAST((s * s * 1000000) // n AS DOUBLE))
+         / 1000000.0 AS ssb,
+       CAST(t2 AS DOUBLE) - CAST(aq AS DOUBLE) / 1000000.0 AS ssw,
+       CASE WHEN k > 1 AND n > k THEN
+         (((CAST(aq AS DOUBLE) - CAST((s * s * 1000000) // n AS DOUBLE))
+           / 1000000.0) / CAST(k - 1 AS DOUBLE))
+         / ((CAST(t2 AS DOUBLE) - CAST(aq AS DOUBLE) / 1000000.0)
+            / CAST(n - k AS DOUBLE))
+       END AS f_stat
+FROM tot, col
+"""
+    # dyadic EWMA: power-of-two weights, exact integer quotient
+    sqls["priority_revenue_ewma"] = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+),
+sm AS (
+  SELECT priority, day, cents AS value,
+         (COALESCE(CAST(lag(cents, 0) OVER w AS HUGEINT), 0) * 128 + COALESCE(CAST(lag(cents, 1) OVER w AS HUGEINT), 0) * 64 + COALESCE(CAST(lag(cents, 2) OVER w AS HUGEINT), 0) * 32 + COALESCE(CAST(lag(cents, 3) OVER w AS HUGEINT), 0) * 16 + COALESCE(CAST(lag(cents, 4) OVER w AS HUGEINT), 0) * 8 + COALESCE(CAST(lag(cents, 5) OVER w AS HUGEINT), 0) * 4 + COALESCE(CAST(lag(cents, 6) OVER w AS HUGEINT), 0) * 2 + COALESCE(CAST(lag(cents, 7) OVER w AS HUGEINT), 0) * 1) AS _num,
+         CAST((CASE WHEN lag(cents, 0) OVER w IS NOT NULL THEN 128 ELSE 0 END + CASE WHEN lag(cents, 1) OVER w IS NOT NULL THEN 64 ELSE 0 END + CASE WHEN lag(cents, 2) OVER w IS NOT NULL THEN 32 ELSE 0 END + CASE WHEN lag(cents, 3) OVER w IS NOT NULL THEN 16 ELSE 0 END + CASE WHEN lag(cents, 4) OVER w IS NOT NULL THEN 8 ELSE 0 END + CASE WHEN lag(cents, 5) OVER w IS NOT NULL THEN 4 ELSE 0 END + CASE WHEN lag(cents, 6) OVER w IS NOT NULL THEN 2 ELSE 0 END + CASE WHEN lag(cents, 7) OVER w IS NOT NULL THEN 1 ELSE 0 END) AS HUGEINT) AS _den
+  FROM daily WINDOW w AS (PARTITION BY priority ORDER BY day)
+)
+SELECT priority, strftime(day, '%Y-%m-%d') AS day, value,
+       CAST((_num * 1000000) // _den AS BIGINT) AS ewma_q
+FROM sm
+"""
+    # all-pairs over the calendar-bounded window grid; exact bigint
+    # cents SSD; argmin rank per subsequence with idx ties
+    sqls["revenue_matrix_profile"] = """
+WITH s AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+g AS (SELECT day, v, row_number() OVER (ORDER BY day) AS idx FROM s),
+wins AS (
+  SELECT idx, day, v AS v0,
+         lead(v, 1) OVER w AS v1,
+         lead(v, 2) OVER w AS v2,
+         lead(v, 3) OVER w AS v3,
+         lead(v, 4) OVER w AS v4,
+         lead(v, 5) OVER w AS v5,
+         lead(v, 6) OVER w AS v6
+  FROM g WINDOW w AS (ORDER BY idx)
+),
+ww AS (SELECT * FROM wins WHERE v6 IS NOT NULL),
+pairs AS (
+  SELECT a.idx AS ia, a.day AS day_a, b.idx AS ib,
+         CAST(a.v0 - b.v0 AS HUGEINT) * CAST(a.v0 - b.v0 AS HUGEINT) + CAST(a.v1 - b.v1 AS HUGEINT) * CAST(a.v1 - b.v1 AS HUGEINT) + CAST(a.v2 - b.v2 AS HUGEINT) * CAST(a.v2 - b.v2 AS HUGEINT) + CAST(a.v3 - b.v3 AS HUGEINT) * CAST(a.v3 - b.v3 AS HUGEINT) + CAST(a.v4 - b.v4 AS HUGEINT) * CAST(a.v4 - b.v4 AS HUGEINT) + CAST(a.v5 - b.v5 AS HUGEINT) * CAST(a.v5 - b.v5 AS HUGEINT) + CAST(a.v6 - b.v6 AS HUGEINT) * CAST(a.v6 - b.v6 AS HUGEINT) AS ssd
+  FROM ww a JOIN ww b ON ABS(a.idx - b.idx) > 3
+),
+best AS (
+  SELECT ia, day_a, ib, ssd,
+         row_number() OVER (PARTITION BY ia ORDER BY ssd, ib) AS rn
+  FROM pairs
+)
+SELECT CAST(ia AS BIGINT) AS idx, strftime(day_a, '%Y-%m-%d') AS day,
+       CAST(ssd AS BIGINT) AS ssd_min, CAST(ib AS BIGINT) AS match_idx
+FROM best WHERE rn = 1
 """
     # sequential packing: bin = cum-before div target, per partition
     sqls["compaction_plan"] = """

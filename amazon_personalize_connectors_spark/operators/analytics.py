@@ -1607,3 +1607,157 @@ def open_interval_daily_counts(
         "net_delta",
         F.sum("net_delta").over(w).cast("bigint").alias("open_cnt"),
     )
+
+
+def matrix_profile_ssd(
+    series: DataFrame,
+    order_col: str,
+    value_col: str,
+    m: int = 7,
+    exclusion: int = 3,
+    max_grid_rows: int = 10_000,
+) -> DataFrame:
+    """Matrix profile over an ordered series (Yeh et al., ICDM 2016,
+    simplified to the exact SSD distance): for every length-``m``
+    subsequence, the minimum sum-of-squared-differences to any OTHER
+    subsequence at least ``exclusion`` positions away, and where that
+    nearest neighbor sits. Low profile values = motifs (repeated
+    shapes, e.g. weekly seasonality); high values = discords
+    (anomalous weeks). SSD instead of the z-normalized distance keeps
+    every term in exact integer arithmetic (pass integer units, e.g.
+    cents) — engine-portable, no sqrt/mean floats.
+
+    Subsequences index the OBSERVED sequence (row order), not the
+    calendar — gaps are the caller's contract (gap-fill first if
+    missing periods should count as zeros).
+
+    Scale shape: the series must already be aggregated to a bounded
+    grid (a calendar/domain contract, ``enforce_bounded_grid``) —
+    the all-pairs comparison is grid², sanctioned ONLY because the
+    grid is data-size-independent. Lags materialize via ``m`` lead()
+    columns in one pass; the pair join is a broadcast of the bounded
+    window table against itself; the argmin is a window rank
+    partitioned per subsequence. Squares accumulate in decimal(38,0);
+    the output casts to bigint (callers at cents scale: |Δ| up to
+    ~1.1e9 per term is safe — past that, requantize first).
+
+    Returns (idx, <order_col>, ssd_min, match_idx): one row per
+    subsequence start, idx 1-based over the observed sequence."""
+    from amazon_personalize_connectors_spark.operators.guards import (
+        enforce_bounded_grid,
+    )
+
+    d38 = "decimal(38,0)"
+    grid = enforce_bounded_grid(
+        series.select(
+            F.col(order_col).alias("_ord"),
+            F.col(value_col).cast("bigint").alias("_v"),
+        ),
+        max_grid_rows,
+        "matrix_profile_ssd",
+        keep_count_col=True,
+    )
+    w_seq = Window.partitionBy("_grid_n").orderBy(F.col("_ord").asc())
+    lagged = grid.select(
+        "_ord",
+        F.row_number().over(w_seq).alias("idx"),
+        *[F.lead("_v", k).over(w_seq).alias(f"_v{k}") for k in range(m)],
+    )
+    windows = lagged.where(F.col(f"_v{m - 1}").isNotNull())
+    left = windows.select(
+        F.col("idx").alias("ia"),
+        F.col("_ord").alias("_ord_a"),
+        *[F.col(f"_v{k}").alias(f"_a{k}") for k in range(m)],
+    )
+    right = windows.select(
+        F.col("idx").alias("ib"),
+        *[F.col(f"_v{k}").alias(f"_b{k}") for k in range(m)],
+    )
+    ssd = sum(
+        (
+            (F.col(f"_a{k}") - F.col(f"_b{k}")).cast(d38)
+            * (F.col(f"_a{k}") - F.col(f"_b{k}")).cast(d38)
+        ).cast(d38)
+        for k in range(m)
+    )
+    pairs = (
+        left.join(
+            F.broadcast(right),
+            F.abs(F.col("ia") - F.col("ib")) > exclusion,
+        )
+        .select("ia", "_ord_a", "ib", ssd.cast(d38).alias("_ssd"))
+    )
+    w_best = Window.partitionBy("ia").orderBy(
+        F.col("_ssd").asc(), F.col("ib").asc()
+    )
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w_best))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("ia").alias("idx"),
+            F.col("_ord_a").alias(order_col),
+            F.col("_ssd").cast("bigint").alias("ssd_min"),
+            F.col("ib").alias("match_idx"),
+        )
+    )
+
+
+def dyadic_ewma(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    k_lags: int = 8,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Exponentially weighted moving average with decay 1/2,
+    truncated at ``k_lags`` terms — the smoothing pass of a trend
+    monitor, in EXACT integer arithmetic. True EWMA is an infinite
+    recursion (float state, order-dependent); with alpha = 1/2 the
+    weights are powers of two, and truncating at k lags bounds the
+    dropped tail mass at 2^-k (< 0.4% for k=8), so
+    ``ewma_q = (Σ v_{t-j}·2^(k-1-j) · scale) div (Σ 2^(k-1-j))``
+    is exact, deterministic, and engine-portable. Missing leading
+    lags (series head) drop out of BOTH sums — the estimate
+    renormalizes instead of zero-padding.
+
+    Scale shape: ``k_lags`` lag() columns in ONE window pass
+    partitioned by the group key (no global sort; each group's
+    series is one partition of domain-bounded length), no joins, no
+    state. Pass integer units (cents).
+
+    Returns (*group_cols, <order_col>, value, ewma_q) where
+    ewma_q ≈ EWMA · scale (exact integer quotient)."""
+    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(
+        F.col(order_col).asc()
+    )
+    d38 = "decimal(38,0)"
+    lags = [
+        F.lag(F.col(value_col).cast("bigint"), j).over(w) for j in range(k_lags)
+    ]
+    num = sum(
+        F.coalesce(lags[j].cast(d38), F.lit(0).cast(d38))
+        * F.lit(2 ** (k_lags - 1 - j)).cast(d38)
+        for j in range(k_lags)
+    )
+    den = sum(
+        F.when(lags[j].isNotNull(), F.lit(2 ** (k_lags - 1 - j)))
+        .otherwise(F.lit(0))
+        .cast(d38)
+        for j in range(k_lags)
+    )
+    staged = df.select(
+        *group_cols,
+        order_col,
+        F.col(value_col).cast("bigint").alias("value"),
+        num.cast(d38).alias("_num"),
+        den.cast(d38).alias("_den"),
+    )
+    return staged.select(
+        *group_cols,
+        order_col,
+        "value",
+        F.expr(f"(_num * CAST({scale} AS decimal(38,0))) div _den")
+        .cast("bigint")
+        .alias("ewma_q"),
+    )

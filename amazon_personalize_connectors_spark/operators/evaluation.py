@@ -830,3 +830,89 @@ def cuped_estimate(
         ),
         F.when(ok, diff_raw - theta * diff_x).alias("diff_cuped"),
     )
+
+
+def caliper_matched_att(
+    units: DataFrame,
+    key_col: str,
+    treat_col: str,
+    score_col: str,
+    outcome_col: str,
+    caliper: int,
+) -> DataFrame:
+    """Nearest-neighbor caliper matching (with replacement) and the
+    matched average-treatment-effect-on-the-treated — the
+    observational-causal workhorse when experiments aren't available:
+    every treated unit is paired to the control whose score
+    (propensity proxy) is closest, discarded if none sits within
+    ``caliper``, ties broken by the smaller control key. Matching
+    with replacement keeps the estimator deterministic and
+    embarrassingly parallel (greedy without-replacement matching is
+    inherently sequential — a different algorithm, not a different
+    plan).
+
+    Scale shape: a BAND join on caliper-width score buckets — each
+    treated unit probes its own bucket ±1 (any control within
+    caliper lies in those three), so candidate pairs are bounded by
+    per-bucket density × 3, never treated × controls. Bucketing is
+    exact integer floor division ((s − pmod(s, c)) div c, exact for
+    negative scores too); the per-treated argmin is one window rank
+    on (|Δscore|, control key). ATT's only float op is the final
+    fixed-order division of an exact bigint sum.
+
+    Output 1 row: (n_treated, n_matched, att) — att NULL when
+    nothing matched."""
+    c_lit = F.lit(caliper).cast("bigint")
+    bucket = lambda col: F.expr(  # noqa: E731 — local shorthand
+        f"({col} - pmod({col}, {caliper})) div {caliper}"
+    ).cast("bigint")
+    treated = units.filter(F.col(treat_col).cast("int") == 1).select(
+        F.col(key_col).alias("_tk"),
+        F.col(score_col).cast("bigint").alias("_ts"),
+        F.col(outcome_col).cast("bigint").alias("_ty"),
+    )
+    controls = units.filter(F.col(treat_col).cast("int") == 0).select(
+        F.col(key_col).alias("_ck"),
+        F.col(score_col).cast("bigint").alias("_cs"),
+        F.col(outcome_col).cast("bigint").alias("_cy"),
+    )
+    probes = treated.select(
+        "_tk",
+        "_ts",
+        "_ty",
+        F.explode(
+            F.array(
+                bucket("_ts") - 1, bucket("_ts"), bucket("_ts") + 1
+            )
+        ).alias("_b"),
+    )
+    cands = probes.join(
+        controls.withColumn("_b", bucket("_cs")), "_b"
+    ).where(F.abs(F.col("_ts") - F.col("_cs")) <= c_lit)
+    w = Window.partitionBy("_tk").orderBy(
+        F.abs(F.col("_ts") - F.col("_cs")).asc(), F.col("_ck").asc()
+    )
+    matched = (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            F.sum(
+                (F.col("_ty") - F.col("_cy")).cast("decimal(38,0)")
+            ).alias("_diff_sum"),
+        )
+    )
+    n_treated = treated.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_treated")
+    )
+    return n_treated.crossJoin(F.broadcast(matched)).select(
+        "n_treated",
+        F.coalesce(F.col("n_matched"), F.lit(0).cast("bigint")).alias(
+            "n_matched"
+        ),
+        F.when(
+            F.col("n_matched") > 0,
+            F.col("_diff_sum").cast("double")
+            / F.col("n_matched").cast("double"),
+        ).alias("att"),
+    )

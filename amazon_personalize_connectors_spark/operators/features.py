@@ -1338,3 +1338,85 @@ def eb_shrunk_rates(
         "key", "n", "pos", rate.alias("rate"), "alpha", "beta",
         shrunk.alias("shrunk"),
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """One-way ANOVA F statistic across the groups of a categorical
+    column — "does mean order value actually differ by segment?" as a
+    single deterministic number, at any partitioning.
+
+    The float hazard in ANOVA is Σ_g S_g²/n_g: summing per-group
+    double terms shuffles, and shuffle order changes the sum. Here
+    each group's term is quantized EXACTLY first —
+    ``floor(S_g²·scale / n_g)`` in decimal(38,0) integer division —
+    and the exact quanta are summed (associative), the
+    ``chi2_independence`` pattern. The between/within sums of squares
+    then ride one FIXED IEEE tail over exact integers:
+
+        ssb = (A_q − floor(S²·scale/N)) / scale
+        ssw = ΣvV² − A_q/scale
+        F   = (ssb/(k−1)) / (ssw/(N−k))
+
+    so the doubles are bit-stable and oracle-mirrorable. Quantization
+    understates each term by < 1/scale — documented, deterministic.
+    Bound: S_g²·scale must fit decimal(38,0) (|S_g| < ~10¹⁶ at the
+    default scale — pre-scale the units down past that).
+
+    Scale shape: two map-side-combinable aggregates (one per-group,
+    one global) and a 1-row broadcast join; nothing else. Output one
+    row: (k, n, ssb, ssw, f_stat)."""
+    d38 = "decimal(38,0)"
+    v = F.col(value_col).cast(d38)
+    per_group = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast(d38).alias("_ng"),
+        F.sum(v).cast(d38).alias("_sg"),
+    )
+    # NOT `div`: Spark's integral divide returns LONG, and these
+    # quotients pass 2^63. pmod-subtract makes the numerator exactly
+    # divisible, so the decimal(38,6) division result is EXACT for
+    # quotients < 10^32 (documented bound above).
+    aq_term = (
+        f"((_sg * _sg * CAST({scale} AS decimal(38,0)))"
+        f" - pmod(_sg * _sg * CAST({scale} AS decimal(38,0)), _ng)) / _ng"
+    )
+    collapsed = per_group.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.expr(aq_term).cast(d38)).cast(d38).alias("_aq"),
+    )
+    total = df.agg(
+        F.count(F.lit(1)).cast(d38).alias("_n"),
+        F.sum(v).cast(d38).alias("_s"),
+        F.sum((v * v).cast(d38)).cast(d38).alias("_t2"),
+    )
+    joined = total.crossJoin(F.broadcast(collapsed)).select(
+        "k",
+        F.col("_n").cast("bigint").alias("n"),
+        "_aq",
+        F.expr(
+            f"((_s * _s * CAST({scale} AS decimal(38,0)))"
+            f" - pmod(_s * _s * CAST({scale} AS decimal(38,0)), _n)) / _n"
+        )
+        .cast(d38)
+        .alias("_s2q"),
+        "_t2",
+        "_n",
+    )
+    ssb = (
+        F.col("_aq").cast("double") - F.col("_s2q").cast("double")
+    ) / F.lit(float(scale))
+    ssw = F.col("_t2").cast("double") - F.col("_aq").cast("double") / F.lit(
+        float(scale)
+    )
+    f_stat = F.when(
+        (F.col("k") > 1) & (F.col("n") > F.col("k")),
+        (ssb / (F.col("k") - 1).cast("double"))
+        / (ssw / (F.col("n") - F.col("k")).cast("double")),
+    )
+    return joined.select(
+        "k", "n", ssb.alias("ssb"), ssw.alias("ssw"), f_stat.alias("f_stat")
+    )

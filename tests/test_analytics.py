@@ -981,3 +981,67 @@ def test_open_interval_counts_end_at_zero(spark):
     rows = open_interval_daily_counts(df, "s", "e").orderBy("day").collect()
     assert rows[-1]["open_cnt"] == 0
     assert rows[0]["open_cnt"] == 40  # all 40 open on the start day
+
+
+def test_matrix_profile_finds_exact_motif(spark):
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        matrix_profile_ssd,
+    )
+
+    # series: pattern [1,2,3] repeats at idx 1 and idx 7; noise between
+    vals = [1, 2, 3, 90, 50, 70, 1, 2, 3]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "t int, v long"
+    )
+    out = {r["idx"]: (r["ssd_min"], r["match_idx"])
+           for r in matrix_profile_ssd(df, "t", "v", m=3, exclusion=2).collect()}
+    # window@1 == window@7 exactly -> ssd 0, and vice versa
+    assert out[1] == (0, 7) and out[7] == (0, 1)
+    # every pair respects the exclusion zone
+    assert all(abs(i - j) > 2 for i, (_, j) in out.items())
+
+
+def test_matrix_profile_ssd_is_symmetric_minimum(spark):
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        matrix_profile_ssd,
+    )
+
+    vals = [5, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "t int, v long"
+    )
+    rows = matrix_profile_ssd(df, "t", "v", m=2, exclusion=1).collect()
+    # brute-force check in python
+    wins = {i + 1: (vals[i], vals[i + 1]) for i in range(len(vals) - 1)}
+    for r in rows:
+        best = min(
+            (sum((a - b) ** 2 for a, b in zip(wins[r["idx"]], wins[j])), j)
+            for j in wins if abs(j - r["idx"]) > 1
+        )
+        assert (r["ssd_min"], r["match_idx"]) == best
+
+
+def test_dyadic_ewma_exact_quotients(spark):
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        dyadic_ewma,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, 100 * (i + 1)) for i in range(4)], "g string, t int, v long"
+    )
+    got = {r["t"]: r["ewma_q"] for r in
+           dyadic_ewma(df, ["g"], "t", "v", k_lags=3, scale=1000).collect()}
+    # t0: 100; t1: (200*4+100*2)/6; t2: (300*4+200*2+100)/7; t3: same shape
+    assert got == {0: 100_000, 1: 166_666, 2: 242_857, 3: 342_857}
+
+
+def test_dyadic_ewma_groups_independent(spark):
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        dyadic_ewma,
+    )
+
+    rows = [("a", 0, 10), ("a", 1, 20), ("b", 0, 10), ("b", 1, 20)]
+    df = spark.createDataFrame(rows, "g string, t int, v long")
+    out = dyadic_ewma(df, ["g"], "t", "v", k_lags=4).collect()
+    per = {(r["g"], r["t"]): r["ewma_q"] for r in out}
+    assert per[("a", 0)] == per[("b", 0)] and per[("a", 1)] == per[("b", 1)]

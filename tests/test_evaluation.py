@@ -491,3 +491,57 @@ def test_conformal_threshold_exact_rank(spark):
     out2 = {r.grp: r.threshold for r in
             conformal_threshold(df, ["grp"], "s", 1, 2).collect()}
     assert out2["g"] == 5 and out2["h"] == 5
+
+
+def test_caliper_matched_att_hand_example(spark):
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        caliper_matched_att,
+    )
+
+    # treated t1 score 10 -> nearest control c2 (score 12, |d|=2);
+    # treated t2 score 100 -> no control within caliper 5 -> unmatched
+    rows = [
+        (1, 1, 10, 50),
+        (2, 1, 100, 99),
+        (3, 0, 12, 30),
+        (4, 0, 4, 10),
+    ]
+    df = spark.createDataFrame(rows, "key long, treat int, score long, y long")
+    r = caliper_matched_att(df, "key", "treat", "score", "y", caliper=5).collect()[0]
+    assert (r["n_treated"], r["n_matched"]) == (2, 1)
+    assert r["att"] == 20.0  # 50 - 30
+
+
+def test_caliper_matched_att_tie_breaks_on_key(spark):
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        caliper_matched_att,
+    )
+
+    # two controls equidistant (scores 8 and 12 from 10): key 3 wins
+    rows = [(1, 1, 10, 100), (3, 0, 8, 70), (4, 0, 12, 10)]
+    df = spark.createDataFrame(rows, "key long, treat int, score long, y long")
+    r = caliper_matched_att(df, "key", "treat", "score", "y", caliper=5).collect()[0]
+    assert r["att"] == 30.0  # matched to key 3 (y=70)
+
+
+def test_caliper_matched_att_no_matches(spark):
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        caliper_matched_att,
+    )
+
+    rows = [(1, 1, 0, 5), (2, 0, 1000, 7)]
+    df = spark.createDataFrame(rows, "key long, treat int, score long, y long")
+    r = caliper_matched_att(df, "key", "treat", "score", "y", caliper=5).collect()[0]
+    assert (r["n_treated"], r["n_matched"], r["att"]) == (1, 0, None)
+
+
+def test_caliper_matched_att_negative_scores(spark):
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        caliper_matched_att,
+    )
+
+    # negative scores exercise the floor-division bucketing
+    rows = [(1, 1, -7, 40), (2, 0, -9, 15), (3, 0, 50, 0)]
+    df = spark.createDataFrame(rows, "key long, treat int, score long, y long")
+    r = caliper_matched_att(df, "key", "treat", "score", "y", caliper=5).collect()[0]
+    assert (r["n_matched"], r["att"]) == (1, 25.0)

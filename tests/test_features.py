@@ -1109,3 +1109,30 @@ def test_eb_shrunk_rates_degenerate_constant_rates(spark):
     df = spark.createDataFrame(rows, "k long, y int")
     out = eb_shrunk_rates(df, "k", "y").collect()
     assert all(r.alpha is None and r.shrunk == r.rate for r in out)
+
+
+def test_anova_oneway_matches_scipy_formula(spark):
+    from amazon_personalize_connectors_spark.operators.features import (
+        anova_oneway,
+    )
+
+    groups = {"a": [10, 12, 14], "b": [20, 22, 24], "c": [30, 32, 34]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = anova_oneway(df, "g", "v").collect()[0]
+    # hand ANOVA: group means 12/22/32, grand 22 -> ssb = 3*(100+0+100)=600
+    # ssw = 3 groups * ((2)^2+0+2^2) = 24 -> F = (600/2)/(24/6) = 75
+    assert (r["k"], r["n"]) == (3, 9)
+    assert abs(r["ssb"] - 600.0) < 1e-3
+    assert abs(r["ssw"] - 24.0) < 1e-3
+    assert abs(r["f_stat"] - 75.0) < 1e-3
+
+
+def test_anova_oneway_single_group_null_f(spark):
+    from amazon_personalize_connectors_spark.operators.features import (
+        anova_oneway,
+    )
+
+    df = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v long")
+    r = anova_oneway(df, "g", "v").collect()[0]
+    assert r["k"] == 1 and r["f_stat"] is None
