@@ -6386,6 +6386,68 @@ def q_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy, ORACLE-CHECKED through a REAL codec
+    (functions/multimodal.py attach_synth_wav + frame_energies):
+    deterministic 8-bit PCM WAVs are genuinely encoded and re-decoded
+    with the stdlib RIFF codec Spark-side (Arrow-batched mapInPandas,
+    the sanctioned multimodal boundary), split into 16 ms frames, and
+    each frame's EXACT integer energy Σs² reported — while the oracle
+    reproduces the sample arithmetic ((id·31 + i·7) mod 256 − 128)
+    with generate_series, no codec needed. The hash match therefore
+    pins the whole WAV write→read→frame path, not just the math."""
+    from amazon_personalize_connectors_spark.functions.multimodal import (
+        attach_synth_wav,
+        frame_energies,
+    )
+
+    part = synthetic.load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("media_id")
+    )
+    media = attach_synth_wav(
+        part.where(F.col("media_id") % 20 == 0), "media_id"
+    )
+    return frame_energies(media, frame_ms=16)
+
+
+def q_stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CMS maintenance, ORACLE-CHECKED end to end
+    (streaming/cms_monitor.py): lineitem part keys staged as four
+    parquet files drain ONE FILE PER MICRO-BATCH, each batch folding
+    its CMS cells into the versioned epoch-keyed store; estimates
+    served from the final store for the exact top-20 parts must equal
+    the batch-built sketch bit for bit (cells merge by SUM — the
+    mergeable-sketch law, regardless of batch splits). Same output
+    shape and oracle as cms_heavy_hitters."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.cms_monitor import (
+        estimate_from_store,
+        maintain_from_stream,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem")
+    keys = li.select(F.col("l_partkey").cast("bigint").alias("part"))
+    landing = tempfile.mkdtemp(prefix="apc-cms-landing-")
+    store = tempfile.mkdtemp(prefix="apc-cms-store-")
+    ckpt = tempfile.mkdtemp(prefix="apc-cms-ckpt-")
+    keys.repartition(4).write.mode("append").parquet(landing)
+    stream = (
+        spark.readStream.schema("part long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    maintain_from_stream(stream, store, ckpt, "part")
+    exact = keys.groupBy("part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact")
+    )
+    top = exact.orderBy(F.col("exact").desc(), F.col("part").asc()).limit(20)
+    est = estimate_from_store(spark, store, top, "part")
+    return top.join(est, "part").select(
+        "part", "exact", "est", (F.col("est") - F.col("exact")).alias("over")
+    )
+
+
 def q_caliper_match_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Caliper nearest-neighbor matching ATT (operators/evaluation.py
     caliper_matched_att): BUILDING-segment customers matched to
@@ -7411,6 +7473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_revenue_ewma": q_priority_revenue_ewma,
         "anova_price_flag": q_anova_price_flag,
         "caliper_match_att": q_caliper_match_att,
+        "stream_cms_topk": q_stream_cms_topk,
+        "audio_frame_energy": q_audio_frame_energy,
         "dbscan_embeddings": q_dbscan_embeddings,
         "mmr_rerank": q_mmr_rerank,
         "did_purchase_value": q_did_purchase_value,
@@ -13240,6 +13304,63 @@ SELECT n_rows, f2_exact, f2_est,
        CAST((ABS(CAST(f2_est AS HUGEINT) - f2_exact) * 1000000)
             // f2_exact AS BIGINT) AS abs_err_ppm
 FROM ex, est WHERE rn = 9
+"""
+    # the oracle reproduces the synthetic PCM samples arithmetically;
+    # the Spark side goes through a real WAV encode+decode roundtrip
+    sqls["audio_frame_energy"] = """
+WITH ids AS (
+  SELECT CAST(p_partkey AS BIGINT) AS media_id
+  FROM part WHERE p_partkey % 20 = 0
+),
+s AS (
+  SELECT media_id, u.i,
+         ((media_id * 31 + u.i * 7) % 256) - 128 AS v
+  FROM ids,
+       LATERAL (SELECT unnest(generate_series(
+                0, CAST(media_id % 50 + 9 AS BIGINT))) AS i) u
+)
+SELECT media_id, CAST(i // 16 AS BIGINT) AS frame_idx,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(SUM(v * v) AS BIGINT) AS energy
+FROM s GROUP BY 1, 2
+"""
+    # stream-maintained sketch == batch sketch (mergeable cells):
+    # the oracle is the identical batch recompute
+    sqls["stream_cms_topk"] = """
+WITH keys AS (
+  SELECT CAST(l_partkey AS BIGINT) AS part FROM lineitem
+),
+cells AS (
+  SELECT d.d, substring(md5(concat(CAST(d.d AS VARCHAR), ':',
+                                   CAST(k.part AS VARCHAR))), 1, 2) AS cell
+  FROM keys k, (SELECT CAST(range AS BIGINT) AS d FROM range(4)) d
+),
+sketch AS (
+  SELECT d, cell, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY d, cell
+),
+exact AS (
+  SELECT part, CAST(COUNT(*) AS BIGINT) AS exact
+  FROM keys GROUP BY part
+),
+top AS (
+  SELECT part, exact FROM exact
+  ORDER BY exact DESC, part ASC LIMIT 20
+),
+probes AS (
+  SELECT t.part, d.d,
+         substring(md5(concat(CAST(d.d AS VARCHAR), ':',
+                              CAST(t.part AS VARCHAR))), 1, 2) AS cell
+  FROM top t, (SELECT CAST(range AS BIGINT) AS d FROM range(4)) d
+),
+est AS (
+  SELECT p.part,
+         CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est
+  FROM probes p LEFT JOIN sketch s ON p.d = s.d AND p.cell = s.cell
+  GROUP BY p.part
+)
+SELECT t.part, t.exact, e.est, CAST(e.est - t.exact AS BIGINT) AS over
+FROM top t JOIN est e ON t.part = e.part
 """
     sqls["cms_heavy_hitters"] = """
 WITH keys AS (

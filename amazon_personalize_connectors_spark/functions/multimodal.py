@@ -547,3 +547,132 @@ def resize_images(
                 yield pd.DataFrame(rows)
 
     return df.mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
+def wav_frame_energy(content: bytes, frame_ms: int = 1000) -> list[dict[str, Any]]:
+    """Per-frame energy of a PCM WAV: split the sample stream into
+    ``frame_ms`` windows and report each frame's EXACT integer energy
+    Σ s² over the raw (un-normalized) samples — the VAD/segmentation
+    primitive of a speech-data pipeline, with no float accumulation
+    so results are stable across engines and batch shapes. Interleaved
+    channels contribute to the same frame (frame boundaries index
+    FRAMES, not samples). 16-bit energy fits int64 up to ~10⁹ samples
+    per frame — far past any real frame length.
+
+    Returns [{frame_idx, n_samples, energy}] (trailing partial frame
+    included)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        nch, sw, rate, nframes = (
+            w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+        )
+        raw = w.readframes(nframes)
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    elif sw == 1:
+        x = np.frombuffer(raw, dtype="u1").astype(np.int64) - 128
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.int64)
+    else:
+        raise NotImplementedError(f"WAV sample width {sw} not supported")
+    samples_per_frame = max(1, (rate * frame_ms) // 1000) * nch
+    out = []
+    for idx in range(0, max(len(x), 1), samples_per_frame):
+        seg = x[idx : idx + samples_per_frame]
+        if seg.size == 0 and idx > 0:
+            break
+        out.append(
+            {
+                "frame_idx": idx // samples_per_frame,
+                "n_samples": int(seg.size),
+                "energy": int(np.dot(seg, seg)),
+            }
+        )
+    return out
+
+
+FRAME_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def frame_energies(df: DataFrame, frame_ms: int = 1000) -> DataFrame:
+    """Arrow-batched per-frame audio energy over a MEDIA_SCHEMA
+    DataFrame (audio rows only — others are skipped, not errored):
+    one mapInPandas pass, each input row fanning out to its frames —
+    the generator shape of ``decode_media`` with a 1→N explode, so a
+    billion clips parallelize by input partition and no frame list
+    ever materializes driver-side. Wrap the action in
+    ``arrow_batch_rows`` for large payloads (see decode_media)."""
+
+    def explode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "n_samples": [], "energy": []
+            }
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                if kind != "audio":
+                    continue
+                for fr in wav_frame_energy(bytes(content), frame_ms):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(fr["frame_idx"])
+                    rows["n_samples"].append(fr["n_samples"])
+                    rows["energy"].append(fr["energy"])
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
+            )
+
+    return df.mapInPandas(explode_batches, FRAME_ENERGY_SCHEMA)
+
+
+def attach_synth_wav(df: DataFrame, id_col: str, rate: int = 1000) -> DataFrame:
+    """Deterministic REAL WAV audio per id: 8-bit mono PCM at
+    ``rate`` Hz, ``(id % 50) + 10`` samples of
+    ``s_i = (id·31 + i·7) mod 256`` — a genuine RIFF container built
+    with the stdlib ``wave`` writer, so downstream decode paths
+    exercise the actual codec, while the SAMPLE VALUES stay pure
+    integer arithmetic an external oracle can reproduce without any
+    codec at all. MEDIA_SCHEMA output; Arrow-batched."""
+    import io
+    import wave
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            contents = []
+            for mid in ids:
+                n = int(mid % 50) + 10
+                data = bytes(((int(mid) * 31 + i * 7) % 256) for i in range(n))
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(1)
+                    w.setframerate(rate)
+                    w.writeframes(data)
+                contents.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "audio",
+                    "content": contents,
+                    "meta": [
+                        {"mime": "audio/wav", "n_bytes": len(c)}
+                        for c in contents
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        synth, MEDIA_SCHEMA
+    )

@@ -68,3 +68,56 @@ def test_legacy_store_without_meta_advances(tmp_path):
     (tmp_path / "store" / "_VERSION").write_text("0")
     v, prior, meta = plan_fold(s, 7)
     assert (v, prior) == (1, 0) and meta["last_epoch"] is None
+
+
+def test_cms_monitor_replay_idempotent(spark, tmp_path):
+    from amazon_personalize_connectors_spark.streaming.cms_monitor import (
+        apply_cms_batch,
+        read_cms,
+    )
+
+    store = str(tmp_path / "cms")
+    batch1 = spark.createDataFrame([(1,), (1,), (2,)], "part long")
+    batch2 = spark.createDataFrame([(2,), (3,)], "part long")
+
+    apply_cms_batch(batch1, 0, store, "part")
+    apply_cms_batch(batch2, 1, store, "part")
+    once = {(r["d"], r["cell"]): r["cnt"] for r in read_cms(spark, store).collect()}
+
+    # post-flip replay of epoch 1: must overwrite, not double-fold
+    apply_cms_batch(batch2, 1, store, "part")
+    replayed = {(r["d"], r["cell"]): r["cnt"] for r in read_cms(spark, store).collect()}
+    assert replayed == once
+    # total mass = depth * n_rows
+    assert sum(replayed.values()) == 4 * 5
+
+    # a stale epoch (fresh checkpoint on an old store) is refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        apply_cms_batch(batch1, 0, store, "part")
+
+
+def test_cms_monitor_stream_equals_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from amazon_personalize_connectors_spark.functions.sketches import cms_sketch
+    from amazon_personalize_connectors_spark.streaming.cms_monitor import (
+        apply_cms_batch,
+        read_cms,
+    )
+
+    df = spark.range(100).select((F.col("id") % 13).alias("part"))
+    # arbitrary 3-way split
+    parts = [
+        spark.range(0, 33).select((F.col("id") % 13).alias("part")),
+        spark.range(33, 70).select((F.col("id") % 13).alias("part")),
+        spark.range(70, 100).select((F.col("id") % 13).alias("part")),
+    ]
+    store = str(tmp_path / "cms2")
+    for e, p in enumerate(parts):
+        apply_cms_batch(p, e, store, "part")
+    streamed = {(r["d"], r["cell"]): r["cnt"] for r in read_cms(spark, store).collect()}
+    whole = {(r["d"], r["cell"]): r["cnt"]
+             for r in cms_sketch(df, "part").collect()}
+    assert streamed == whole

@@ -295,3 +295,64 @@ def test_resize_images_spark_skips_undecodable(spark):
     out = resize_images(df, 2, 2).collect()
     assert [r["media_id"] for r in out] == [1]
     assert out[0]["nch"] == 3 and len(out[0]["pixels"]) == 2 * 2 * 3
+
+
+def test_wav_frame_energy_exact_hand_values():
+    from amazon_personalize_connectors_spark.functions.multimodal import (
+        wav_frame_energy,
+    )
+
+    # 8-bit mono, 1000 Hz, 5 known samples; frame_ms=3 -> 3 samples/frame
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(1000)
+        w.writeframes(bytes([128, 130, 126, 128, 255]))
+    frames = wav_frame_energy(buf.getvalue(), frame_ms=3)
+    # centered samples: 0, 2, -2, 0, 127
+    assert frames == [
+        {"frame_idx": 0, "n_samples": 3, "energy": 8},
+        {"frame_idx": 1, "n_samples": 2, "energy": 127 * 127},
+    ]
+
+
+def test_wav_frame_energy_sums_to_total():
+    import numpy as np
+
+    from amazon_personalize_connectors_spark.functions.multimodal import (
+        wav_frame_energy,
+    )
+
+    wav = make_wav(rate=8000, seconds=0.25, amp=0.5)
+    frames = wav_frame_energy(wav, frame_ms=50)
+    with wave.open(io.BytesIO(wav), "rb") as w:
+        raw = w.readframes(w.getnframes())
+    x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    assert sum(f["energy"] for f in frames) == int(np.dot(x, x))
+    assert sum(f["n_samples"] for f in frames) == x.size
+
+
+def test_frame_energies_spark_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from amazon_personalize_connectors_spark.functions.multimodal import (
+        attach_synth_wav,
+        frame_energies,
+        wav_frame_energy,
+    )
+
+    ids = spark.createDataFrame([(20,), (40,)], "media_id long")
+    media = attach_synth_wav(ids, "media_id")
+    got = {
+        (r["media_id"], r["frame_idx"]): (r["n_samples"], r["energy"])
+        for r in frame_energies(media, frame_ms=16).collect()
+    }
+    # python-side reference through the same synthesizer
+    want = {}
+    for mid_row in media.collect():
+        for fr in wav_frame_energy(bytes(mid_row["content"]), frame_ms=16):
+            want[(mid_row["media_id"], fr["frame_idx"])] = (
+                fr["n_samples"], fr["energy"]
+            )
+    assert got == want and len(got) >= 4
