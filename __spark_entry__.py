@@ -6386,6 +6386,58 @@ def q_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph (functions/dedup.py
+    kcore_peel, 6 fixed peeling rounds): distinct co-ordered part
+    pairs form the edges; vertices of residual degree < 3 peel away
+    round by round, leaving the tightly co-purchased nucleus with its
+    residual degree. Fixed-round semantics keep the iterative
+    operator engine-reproducible; the oracle unrolls the same six
+    rounds as chained CTEs."""
+    from amazon_personalize_connectors_spark.functions.dedup import kcore_peel
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 4 == 0
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .select(
+            F.col("pa").cast("bigint").alias("id_a"),
+            F.col("pb").cast("bigint").alias("id_b"),
+        )
+        .distinct()
+    )
+    return kcore_peel(edges, k=3, n_rounds=6).select(
+        F.col("node").cast("bigint").alias("node"), "deg"
+    )
+
+
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing, ORACLE-CHECKED through a REAL codec
+    (functions/multimodal.py attach_synth_png + image_ahash):
+    deterministic grayscale PNGs are genuinely zlib-encoded and
+    re-decoded Spark-side (Arrow-batched mapInPandas), NN-resized to
+    8×8 with the exact integer index map, and average-hashed — while
+    the oracle reproduces the pixel arithmetic
+    ((id·7 + 3x + 11y) mod 256) with generate_series, no codec. The
+    hash match pins the full PNG encode→decode→resize→hash path."""
+    from amazon_personalize_connectors_spark.functions.multimodal import (
+        attach_synth_png,
+        image_ahash,
+    )
+
+    part = synthetic.load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("media_id")
+    )
+    media = attach_synth_png(
+        part.where(F.col("media_id") % 20 == 0), "media_id"
+    )
+    return image_ahash(media)
+
+
 def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed audio energy, ORACLE-CHECKED through a REAL codec
     (functions/multimodal.py attach_synth_wav + frame_energies):
@@ -7475,6 +7527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caliper_match_att": q_caliper_match_att,
         "stream_cms_topk": q_stream_cms_topk,
         "audio_frame_energy": q_audio_frame_energy,
+        "image_ahash": q_image_ahash,
+        "kcore_parts": q_kcore_parts,
         "dbscan_embeddings": q_dbscan_embeddings,
         "mmr_rerank": q_mmr_rerank,
         "did_purchase_value": q_did_purchase_value,
@@ -13304,6 +13358,102 @@ SELECT n_rows, f2_exact, f2_est,
        CAST((ABS(CAST(f2_est AS HUGEINT) - f2_exact) * 1000000)
             // f2_exact AS BIGINT) AS abs_err_ppm
 FROM ex, est WHERE rn = 9
+"""
+    # six unrolled peeling rounds, mirroring the fixed-round contract
+    sqls["kcore_parts"] = """
+WITH li AS MATERIALIZED (
+  SELECT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+  FROM lineitem WHERE l_orderkey % 4 = 0
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT a.p AS id_a, b.p AS id_b
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+),
+e0 AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM edges
+),
+k0 AS MATERIALIZED (
+  SELECT src FROM e0 GROUP BY src HAVING count(*) >= 3
+),
+e1 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e0 e
+  JOIN k0 a ON e.src = a.src
+  JOIN k0 b ON e.dst = b.src
+),
+k1 AS MATERIALIZED (
+  SELECT src FROM e1 GROUP BY src HAVING count(*) >= 3
+),
+e2 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e1 e
+  JOIN k1 a ON e.src = a.src
+  JOIN k1 b ON e.dst = b.src
+),
+k2 AS MATERIALIZED (
+  SELECT src FROM e2 GROUP BY src HAVING count(*) >= 3
+),
+e3 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e2 e
+  JOIN k2 a ON e.src = a.src
+  JOIN k2 b ON e.dst = b.src
+),
+k3 AS MATERIALIZED (
+  SELECT src FROM e3 GROUP BY src HAVING count(*) >= 3
+),
+e4 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e3 e
+  JOIN k3 a ON e.src = a.src
+  JOIN k3 b ON e.dst = b.src
+),
+k4 AS MATERIALIZED (
+  SELECT src FROM e4 GROUP BY src HAVING count(*) >= 3
+),
+e5 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e4 e
+  JOIN k4 a ON e.src = a.src
+  JOIN k4 b ON e.dst = b.src
+),
+k5 AS MATERIALIZED (
+  SELECT src FROM e5 GROUP BY src HAVING count(*) >= 3
+),
+e6 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e5 e
+  JOIN k5 a ON e.src = a.src
+  JOIN k5 b ON e.dst = b.src
+)
+SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+FROM e6 GROUP BY 1
+"""
+    # the oracle reproduces the synthetic pixels and the exact integer
+    # NN-resize index map; the Spark side runs the real PNG roundtrip
+    sqls["image_ahash"] = """
+WITH ids AS (
+  SELECT CAST(p_partkey AS BIGINT) AS media_id,
+         CAST(p_partkey % 9 + 4 AS BIGINT) AS w,
+         CAST(p_partkey % 7 + 4 AS BIGINT) AS h
+  FROM part WHERE p_partkey % 20 = 0
+),
+cells AS (
+  SELECT media_id, w, h, gx.x, gy.y,
+         (media_id * 7 + 3 * ((gx.x * w) // 8)
+          + 11 * ((gy.y * h) // 8)) % 256 AS p
+  FROM ids,
+       (SELECT unnest(generate_series(0, 7)) AS x) gx,
+       (SELECT unnest(generate_series(0, 7)) AS y) gy
+),
+means AS (
+  SELECT media_id, SUM(p) // 64 AS m FROM cells GROUP BY 1
+)
+SELECT c.media_id, MIN(c.w) AS width, MIN(c.h) AS height,
+       CAST(SUM(CASE WHEN c.p >= ms.m AND c.y * 8 + c.x >= 32
+                THEN 1::BIGINT << (c.y * 8 + c.x - 32) ELSE 0 END)
+            AS BIGINT) AS ahash_hi,
+       CAST(SUM(CASE WHEN c.p >= ms.m AND c.y * 8 + c.x < 32
+                THEN 1::BIGINT << (c.y * 8 + c.x) ELSE 0 END)
+            AS BIGINT) AS ahash_lo
+FROM cells c JOIN means ms USING (media_id)
+GROUP BY 1
 """
     # the oracle reproduces the synthetic PCM samples arithmetically;
     # the Spark side goes through a real WAV encode+decode roundtrip

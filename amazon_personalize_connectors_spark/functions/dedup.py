@@ -1062,3 +1062,59 @@ def sorted_neighborhood_pairs(
             common.cast("double") / (na + nb - common).cast("double")
         ).alias("jaccard"),
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    n_rounds: int = 6,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """k-core peeling over an undirected pair list: repeatedly drop
+    vertices with degree < k (and their edges) for ``n_rounds``
+    rounds — the graph-density screen that finds the tightly
+    co-purchased (or tightly near-duplicate) nucleus a clustering or
+    curriculum step should treat differently from the long tail.
+
+    FIXED-ROUND semantics, deliberately: the true k-core is the fixed
+    point of this peel, and extra rounds past convergence are no-ops,
+    so the result after ``n_rounds`` is a deterministic UPPER BOUND
+    of the k-core that equals it whenever the peel converges within
+    the budget — reproducible on any engine without a data-dependent
+    loop (the pagerank_fixed_point / kmeans_refine driver-unrolled
+    pattern; each round is one map-side-combinable degree aggregate
+    plus two semi-joins keyed on the vertex, all lazy).
+
+    Returns the surviving vertices with their residual degree:
+    (node, deg)."""
+    # localCheckpoint per round (the neardup_components discipline):
+    # each round references the previous edge set THREE times (degree
+    # aggregate + two semi-joins), so without lineage truncation the
+    # unrolled plan recomputes the base graph 3^rounds times.
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(
+            edges.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = sym
+    for _ in range(n_rounds):
+        keep = (
+            alive.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .where(F.col("_deg") >= k)
+            .select("src")
+        )
+        alive = (
+            alive.join(keep, "src", "leftsemi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+    return alive.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )

@@ -676,3 +676,121 @@ def attach_synth_wav(df: DataFrame, id_col: str, rate: int = 1000) -> DataFrame:
     return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
         synth, MEDIA_SCHEMA
     )
+
+
+def attach_synth_png(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL PNG image per id: grayscale 8-bit,
+    ``(id mod 9)+4 × (id mod 7)+4`` pixels of
+    ``v(x, y) = (id·7 + 3x + 11y) mod 256`` — a genuine PNG container
+    (IHDR/IDAT/IEND, zlib-deflated filter-0 scanlines) so downstream
+    paths exercise the actual codec, while the PIXEL VALUES stay pure
+    integer arithmetic an external oracle can reproduce with no codec.
+    MEDIA_SCHEMA output; Arrow-batched."""
+    import struct
+
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        raw = ctype + data
+        return struct.pack(">I", len(data)) + raw + struct.pack(
+            ">I", zlib.crc32(raw)
+        )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            contents = []
+            for mid in ids:
+                mid = int(mid)
+                w, h = mid % 9 + 4, mid % 7 + 4
+                scan = b"".join(
+                    b"\x00"
+                    + bytes(
+                        ((mid * 7 + 3 * x + 11 * y) % 256) for x in range(w)
+                    )
+                    for y in range(h)
+                )
+                png = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + _chunk(
+                        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+                    )
+                    + _chunk(b"IDAT", zlib.compress(scan))
+                    + _chunk(b"IEND", b"")
+                )
+                contents.append(png)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "content": contents,
+                    "meta": [
+                        {"mime": "image/png", "n_bytes": len(c)}
+                        for c in contents
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        synth, MEDIA_SCHEMA
+    )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("ahash_hi", T.LongType()),
+        T.StructField("ahash_lo", T.LongType()),
+    ]
+)
+
+
+def image_ahash(df: DataFrame, grid: int = 8, on_error: str = "skip") -> DataFrame:
+    """Average-hash perceptual fingerprint over a MEDIA_SCHEMA frame —
+    the image near-duplicate primitive (two visually-identical images
+    hash equal; small crops/rescales land within a few Hamming bits):
+    nearest-neighbor resize to ``grid``² (the exact integer
+    ``src = (dst·src_dim) // dst_dim`` mapping of ``resize_image``),
+    channel 0 as intensity, threshold at the FLOOR of the mean —
+    every step integer arithmetic, so the 64-bit hash is
+    deterministic and engine-reproducible. Emitted as two int64
+    halves (hi = bits 32..63) to stay in portable signed-long range.
+
+    Same Arrow-batched mapInPandas plumbing and error contract as
+    ``resize_images``. Returns (media_id, width, height, ahash_hi,
+    ahash_lo)."""
+    import numpy as np
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    arr = image_pixels(bytes(content))
+                except (NotImplementedError, ValueError):
+                    if on_error == "raise":
+                        raise
+                    continue
+                h, w, _nch = arr.shape
+                ys = (np.arange(grid) * h) // grid
+                xs = (np.arange(grid) * w) // grid
+                small = arr[ys][:, xs, 0].astype(np.int64)
+                mean_floor = int(small.sum()) // (grid * grid)
+                bits = (small >= mean_floor).flatten()  # row-major: i = y*grid + x
+                val = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        val |= 1 << i
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "ahash_hi": (val >> 32) & 0xFFFFFFFF,
+                        "ahash_lo": val & 0xFFFFFFFF,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(hash_batches, AHASH_SCHEMA)

@@ -758,3 +758,35 @@ def test_bpe_encode_matches_trained_trace(spark):
     for left, right in merges:
         assert left + right in final_syms or any(
             (left + right) in s for s in final_syms)
+
+
+def test_kcore_peel_keeps_clique_drops_tail(spark):
+    from amazon_personalize_connectors_spark.functions.dedup import kcore_peel
+
+    # K4 clique (1,2,3,4) + a pendant chain 4-5-6: 3-core = the clique
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (5, 6)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["deg"] for r in kcore_peel(edges, k=3, n_rounds=4).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_peel_cascade_needs_multiple_rounds(spark):
+    from amazon_personalize_connectors_spark.functions.dedup import kcore_peel
+
+    # path 1-2-3-4-5: 2-core empty, but only after cascading peels
+    path = [(i, i + 1) for i in range(1, 5)]
+    edges = spark.createDataFrame(path, "id_a long, id_b long")
+    assert kcore_peel(edges, k=2, n_rounds=4).count() == 0
+    # one round is NOT enough (ends only) — fixed-round upper bound
+    assert kcore_peel(edges, k=2, n_rounds=1).count() > 0
+
+
+def test_kcore_peel_cycle_is_its_own_2core(spark):
+    from amazon_personalize_connectors_spark.functions.dedup import kcore_peel
+
+    cyc = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    edges = spark.createDataFrame(cyc, "id_a long, id_b long")
+    got = {r["node"]: r["deg"] for r in kcore_peel(edges, k=2, n_rounds=3).collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 2}

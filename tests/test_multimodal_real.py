@@ -356,3 +356,65 @@ def test_frame_energies_spark_roundtrip(spark):
                 fr["n_samples"], fr["energy"]
             )
     assert got == want and len(got) >= 4
+
+
+def test_image_ahash_identical_images_hash_equal(spark):
+    from amazon_personalize_connectors_spark.functions.multimodal import (
+        attach_synth_png,
+        image_ahash,
+    )
+
+    # ids congruent mod lcm(9,7,256-ish pattern): same id twice via union
+    ids = spark.createDataFrame([(20,), (20,), (40,)], "media_id long")
+    rows = image_ahash(attach_synth_png(ids, "media_id")).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], set()).add(
+            (r["ahash_hi"], r["ahash_lo"])
+        )
+    assert len(by_id[20]) == 1  # identical content -> identical hash
+    assert by_id[20] != by_id[40]
+    assert all(
+        0 <= h < 2**32 and 0 <= l < 2**32
+        for s in by_id.values() for h, l in s
+    )
+
+
+def test_image_ahash_matches_reference_python():
+    import numpy as np
+
+    from amazon_personalize_connectors_spark.functions.multimodal import (
+        image_pixels,
+    )
+
+    # build the synthetic PNG for id=60 out-of-band and hash by hand
+    mid = 60
+    w, h = mid % 9 + 4, mid % 7 + 4
+    arr = np.array(
+        [[(mid * 7 + 3 * x + 11 * y) % 256 for x in range(w)] for y in range(h)],
+        dtype="u1",
+    )
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    small = arr[ys][:, xs].astype(np.int64)
+    mean_floor = int(small.sum()) // 64
+    bits = (small >= mean_floor).flatten()
+    val = sum(1 << i for i, b in enumerate(bits) if b)
+    # ... and the same hash through the real PNG encode+decode path
+    import struct
+    import zlib as _z
+
+    def chunk(ctype, data):
+        raw = ctype + data
+        return struct.pack(">I", len(data)) + raw + struct.pack(">I", _z.crc32(raw))
+
+    scan = b"".join(b"\x00" + bytes(int(v) for v in arr[y]) for y in range(h))
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", _z.compress(scan)) + chunk(b"IEND", b""))
+    dec = image_pixels(png)
+    assert dec.shape == (h, w, 1)
+    assert (dec[:, :, 0] == arr).all()
+    small2 = dec[ys][:, xs, 0].astype(np.int64)
+    val2 = sum(1 << i for i, b in enumerate((small2 >= int(small2.sum()) // 64).flatten()) if b)
+    assert val2 == val
