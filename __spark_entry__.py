@@ -6386,6 +6386,57 @@ def q_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of order value cents per priority
+    (operators/features.py:trimmed_mean): rank-count trimming (the
+    kept multiset is tie-stable), decimal-exact kept sum, exact
+    integer mean quotient — one window pass per group, no joins."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        trimmed_mean,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return trimmed_mean(orders, ["priority"], "cents", trim_pct=10)
+
+
+def q_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT distinct maintenance, ORACLE-CHECKED end to end
+    (streaming/distinct_monitor.py): orders staged as four parquet
+    files drain ONE FILE PER MICRO-BATCH, each batch OR-folding its
+    per-(priority, id-bucket) bitmaps into the versioned epoch-keyed
+    store; exact distinct customers served from the final store must
+    equal batch COUNT(DISTINCT) — bitmaps merge by OR, so any batch
+    split yields the same state. Bounded state: one ≤4 KiB bitmap per
+    touched 32768-id bucket, never per row."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.distinct_monitor import (
+        distinct_from_store,
+        maintain_from_stream,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_custkey").cast("bigint").alias("cust"),
+    )
+    landing = tempfile.mkdtemp(prefix="apc-dst-landing-")
+    store = tempfile.mkdtemp(prefix="apc-dst-store-")
+    ckpt = tempfile.mkdtemp(prefix="apc-dst-ckpt-")
+    orders.repartition(4).write.mode("append").parquet(landing)
+    stream = (
+        spark.readStream.schema("prio string, cust long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    maintain_from_stream(stream, store, ckpt, ["prio"], "cust")
+    return distinct_from_store(spark, store, ["prio"])
+
+
 def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the co-purchase graph (functions/dedup.py
     kcore_peel, 6 fixed peeling rounds): distinct co-ordered part
@@ -7529,6 +7580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_frame_energy": q_audio_frame_energy,
         "image_ahash": q_image_ahash,
         "kcore_parts": q_kcore_parts,
+        "stream_distinct_users": q_stream_distinct_users,
+        "trimmed_mean_price": q_trimmed_mean_price,
         "dbscan_embeddings": q_dbscan_embeddings,
         "mmr_rerank": q_mmr_rerank,
         "did_purchase_value": q_did_purchase_value,
@@ -13358,6 +13411,35 @@ SELECT n_rows, f2_exact, f2_est,
        CAST((ABS(CAST(f2_est AS HUGEINT) - f2_exact) * 1000000)
             // f2_exact AS BIGINT) AS abs_err_ppm
 FROM ex, est WHERE rn = 9
+"""
+    # trimmed mean: rank-count trim, exact integer quotient
+    sqls["trimmed_mean_price"] = """
+WITH v AS (
+  SELECT o_orderpriority AS priority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+r AS (
+  SELECT priority, cents,
+         row_number() OVER (PARTITION BY priority ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY priority) AS n
+  FROM v
+),
+kept AS (
+  SELECT priority, cents, n
+  FROM r WHERE rn > (n * 10) // 100 AND rn <= n - (n * 10) // 100
+)
+SELECT priority, CAST(max(n) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST((SUM(CAST(cents AS HUGEINT)) * 1000000)
+            // count(*) AS BIGINT) AS tmean_q
+FROM kept GROUP BY 1
+"""
+    # stream-maintained bitmaps == batch COUNT(DISTINCT)
+    sqls["stream_distinct_users"] = """
+SELECT o_orderpriority AS prio,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+FROM orders GROUP BY 1
 """
     # six unrolled peeling rounds, mirroring the fixed-round contract
     sqls["kcore_parts"] = """

@@ -1420,3 +1420,57 @@ def anova_oneway(
     return joined.select(
         "k", "n", ssb.alias("ssb"), ssw.alias("ssw"), f_stat.alias("f_stat")
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    trim_pct: int = 10,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Robust per-group location: the mean after dropping the lowest
+    and highest ``trim_pct`` percent of values (by count,
+    ``t = floor(n·pct/100)`` from each side) — the outlier-resistant
+    alternative to the mean that, unlike the median, still uses most
+    of the data. Winsorizing clamps instead; trimming excludes.
+
+    Exact arithmetic end to end: which values drop is a pure rank
+    count (ties share a value, so the kept MULTISET is well-defined
+    no matter how ranks break ties), the kept sum accumulates in
+    decimal(38,0), and the mean is the exact integer quotient
+    ``(sum·scale) div cnt`` (pmod-subtract form, exact at any
+    magnitude). Returns (*group_cols, n, n_kept, tmean_q).
+
+    Scale shape: ONE window pass partitioned by the group (rank +
+    group count in the same window frame — one sort) and one grouped
+    aggregate. No joins."""
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col).asc())
+    w_all = Window.partitionBy(*group_cols)
+    d38 = "decimal(38,0)"
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).cast("bigint").alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    ).withColumn("_t", F.expr(f"(_n * {trim_pct}) div 100"))
+    kept = ranked.where(
+        (F.col("_rn") > F.col("_t")) & (F.col("_rn") <= F.col("_n") - F.col("_t"))
+    )
+    agg = kept.groupBy(*group_cols).agg(
+        F.max("_n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum(F.col("_v").cast(d38)).cast(d38).alias("_sum"),
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        "n_kept",
+        F.expr(
+            f"((_sum * CAST({scale} AS decimal(38,0)))"
+            f" - pmod(_sum * CAST({scale} AS decimal(38,0)), n_kept))"
+            " / n_kept"
+        )
+        .cast("bigint")
+        .alias("tmean_q"),
+    )

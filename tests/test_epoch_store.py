@@ -121,3 +121,28 @@ def test_cms_monitor_stream_equals_batch(spark, tmp_path):
     whole = {(r["d"], r["cell"]): r["cnt"]
              for r in cms_sketch(df, "part").collect()}
     assert streamed == whole
+
+
+def test_distinct_monitor_or_folds_exactly(spark, tmp_path):
+    from amazon_personalize_connectors_spark.streaming.distinct_monitor import (
+        apply_bitmap_batch,
+        distinct_from_store,
+    )
+
+    store = str(tmp_path / "dst")
+    b1 = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1)], "prio string, cust long"
+    )
+    b2 = spark.createDataFrame(
+        [("a", 2), ("a", 3), ("b", 99999)], "prio string, cust long"
+    )
+    apply_bitmap_batch(b1, 0, store, ["prio"], "cust")
+    apply_bitmap_batch(b2, 1, store, ["prio"], "cust")
+    got = {r["prio"]: r["n_distinct"]
+           for r in distinct_from_store(spark, store, ["prio"]).collect()}
+    assert got == {"a": 3, "b": 2}
+    # replay of epoch 1 changes nothing (OR idempotent + epoch-keyed)
+    apply_bitmap_batch(b2, 1, store, ["prio"], "cust")
+    again = {r["prio"]: r["n_distinct"]
+             for r in distinct_from_store(spark, store, ["prio"]).collect()}
+    assert again == got

@@ -1136,3 +1136,42 @@ def test_anova_oneway_single_group_null_f(spark):
     df = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v long")
     r = anova_oneway(df, "g", "v").collect()[0]
     assert r["k"] == 1 and r["f_stat"] is None
+
+
+def test_trimmed_mean_hand_example(spark):
+    from amazon_personalize_connectors_spark.operators.features import (
+        trimmed_mean,
+    )
+
+    # 10 values, trim 10% -> drop 1 low (0) and 1 high (1000)
+    vals = [0, 10, 20, 30, 40, 50, 60, 70, 80, 1000]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    r = trimmed_mean(df, ["g"], "v", trim_pct=10, scale=100).collect()[0]
+    assert (r["n"], r["n_kept"]) == (10, 8)
+    assert r["tmean_q"] == (sum(vals[1:-1]) * 100) // 8  # 4500
+
+
+def test_trimmed_mean_resists_outlier(spark):
+    from amazon_personalize_connectors_spark.operators.features import (
+        trimmed_mean,
+    )
+
+    base = list(range(1, 20))
+    df = spark.createDataFrame(
+        [("a", v) for v in base + [10**9]], "g string, v long"
+    )
+    r = trimmed_mean(df, ["g"], "v", trim_pct=10).collect()[0]
+    # the 1e9 outlier is trimmed: mean stays near 10
+    assert r["tmean_q"] < 20 * 10**6
+
+
+def test_trimmed_mean_negative_values_floor(spark):
+    from amazon_personalize_connectors_spark.operators.features import (
+        trimmed_mean,
+    )
+
+    df = spark.createDataFrame(
+        [("g", v) for v in (-7, -7, -7)], "g string, v long"
+    )
+    r = trimmed_mean(df, ["g"], "v", trim_pct=0, scale=10).collect()[0]
+    assert r["tmean_q"] == -70
