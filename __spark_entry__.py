@@ -6386,6 +6386,30 @@ def q_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson matrix over four lineitem measures in ONE
+    aggregate scan (operators/features.py:corr_matrix): exact decimal
+    moments for all 14 sums at once, literal-bounded pair inline —
+    never a self-join; same fixed IEEE tail as grouped_pearson."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        corr_matrix,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+        (F.col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("disc_c"),
+        (F.col("l_tax").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("tax_c"),
+    )
+    return corr_matrix(li, ["qty", "price_c", "disc_c", "tax_c"])
+
+
 def q_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10%-trimmed mean of order value cents per priority
     (operators/features.py:trimmed_mean): rank-count trimming (the
@@ -7582,6 +7606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_parts": q_kcore_parts,
         "stream_distinct_users": q_stream_distinct_users,
         "trimmed_mean_price": q_trimmed_mean_price,
+        "lineitem_corr_matrix": q_lineitem_corr_matrix,
         "dbscan_embeddings": q_dbscan_embeddings,
         "mmr_rerank": q_mmr_rerank,
         "did_purchase_value": q_did_purchase_value,
@@ -13411,6 +13436,76 @@ SELECT n_rows, f2_exact, f2_est,
        CAST((ABS(CAST(f2_est AS HUGEINT) - f2_exact) * 1000000)
             // f2_exact AS BIGINT) AS abs_err_ppm
 FROM ex, est WHERE rn = 9
+"""
+    # all pairwise moments in one pass; same IEEE tail as pearson
+    sqls["lineitem_corr_matrix"] = """
+WITH v AS (
+  SELECT CAST(l_quantity AS HUGEINT) AS qty,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+           AS price_c,
+         CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS HUGEINT) AS disc_c,
+         CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS HUGEINT) AS tax_c
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         SUM(qty) AS s0,
+         SUM(qty * qty) AS p0_0,
+         SUM(qty * price_c) AS p0_1,
+         SUM(qty * disc_c) AS p0_2,
+         SUM(qty * tax_c) AS p0_3,
+         SUM(price_c) AS s1,
+         SUM(price_c * price_c) AS p1_1,
+         SUM(price_c * disc_c) AS p1_2,
+         SUM(price_c * tax_c) AS p1_3,
+         SUM(disc_c) AS s2,
+         SUM(disc_c * disc_c) AS p2_2,
+         SUM(disc_c * tax_c) AS p2_3,
+         SUM(tax_c) AS s3,
+         SUM(tax_c * tax_c) AS p3_3
+  FROM v
+)
+SELECT 'qty' AS m_a, 'price_c' AS m_b, CAST(n AS BIGINT) AS n,
+       CASE WHEN (n * p0_0 - s0 * s0) > 0 AND (n * p1_1 - s1 * s1) > 0 THEN
+         CAST((n * p0_1 - s0 * s1) AS DOUBLE)
+         / sqrt(CAST((n * p0_0 - s0 * s0) AS DOUBLE) * CAST((n * p1_1 - s1 * s1) AS DOUBLE))
+       END AS r
+FROM m
+UNION ALL
+SELECT 'qty' AS m_a, 'disc_c' AS m_b, CAST(n AS BIGINT) AS n,
+       CASE WHEN (n * p0_0 - s0 * s0) > 0 AND (n * p2_2 - s2 * s2) > 0 THEN
+         CAST((n * p0_2 - s0 * s2) AS DOUBLE)
+         / sqrt(CAST((n * p0_0 - s0 * s0) AS DOUBLE) * CAST((n * p2_2 - s2 * s2) AS DOUBLE))
+       END AS r
+FROM m
+UNION ALL
+SELECT 'qty' AS m_a, 'tax_c' AS m_b, CAST(n AS BIGINT) AS n,
+       CASE WHEN (n * p0_0 - s0 * s0) > 0 AND (n * p3_3 - s3 * s3) > 0 THEN
+         CAST((n * p0_3 - s0 * s3) AS DOUBLE)
+         / sqrt(CAST((n * p0_0 - s0 * s0) AS DOUBLE) * CAST((n * p3_3 - s3 * s3) AS DOUBLE))
+       END AS r
+FROM m
+UNION ALL
+SELECT 'price_c' AS m_a, 'disc_c' AS m_b, CAST(n AS BIGINT) AS n,
+       CASE WHEN (n * p1_1 - s1 * s1) > 0 AND (n * p2_2 - s2 * s2) > 0 THEN
+         CAST((n * p1_2 - s1 * s2) AS DOUBLE)
+         / sqrt(CAST((n * p1_1 - s1 * s1) AS DOUBLE) * CAST((n * p2_2 - s2 * s2) AS DOUBLE))
+       END AS r
+FROM m
+UNION ALL
+SELECT 'price_c' AS m_a, 'tax_c' AS m_b, CAST(n AS BIGINT) AS n,
+       CASE WHEN (n * p1_1 - s1 * s1) > 0 AND (n * p3_3 - s3 * s3) > 0 THEN
+         CAST((n * p1_3 - s1 * s3) AS DOUBLE)
+         / sqrt(CAST((n * p1_1 - s1 * s1) AS DOUBLE) * CAST((n * p3_3 - s3 * s3) AS DOUBLE))
+       END AS r
+FROM m
+UNION ALL
+SELECT 'disc_c' AS m_a, 'tax_c' AS m_b, CAST(n AS BIGINT) AS n,
+       CASE WHEN (n * p2_2 - s2 * s2) > 0 AND (n * p3_3 - s3 * s3) > 0 THEN
+         CAST((n * p2_3 - s2 * s3) AS DOUBLE)
+         / sqrt(CAST((n * p2_2 - s2 * s2) AS DOUBLE) * CAST((n * p3_3 - s3 * s3) AS DOUBLE))
+       END AS r
+FROM m
 """
     # trimmed mean: rank-count trim, exact integer quotient
     sqls["trimmed_mean_price"] = """

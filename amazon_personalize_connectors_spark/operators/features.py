@@ -1474,3 +1474,60 @@ def trimmed_mean(
         .cast("bigint")
         .alias("tmean_q"),
     )
+
+
+def corr_matrix(df: DataFrame, measure_cols: Sequence[str]) -> DataFrame:
+    """Full pairwise Pearson correlation matrix over a measure list —
+    the feature-audit pass that finds redundant/collinear measures
+    before they poison a model — in ONE aggregate scan: every
+    Σm_i, Σm_i², Σm_i·m_j moment accumulates exactly in
+    decimal(38,0) in a single map-side-combinable pass (k measures →
+    k(k+3)/2 + 1 sums), then each of the k(k-1)/2 pairs rides the
+    same fixed IEEE tail as ``grouped_pearson`` (exact decimals →
+    correctly-rounded doubles → IEEE sqrt — bit-stable on any
+    engine/partitioning).
+
+    The pair fan-out is an ``inline`` of a literal-bounded struct
+    array on a 1-ROW frame — never a self-join of the data. Output:
+    one row per unordered pair (m_a, m_b, n, r), r NULL when either
+    variance is 0."""
+    d = "decimal(38,0)"
+    ms = list(measure_cols)
+    aggs = [F.count(F.lit(1)).cast(d).alias("_n")]
+    for i, a in enumerate(ms):
+        aggs.append(F.sum(F.col(a).cast(d)).cast(d).alias(f"_s{i}"))
+        for j in range(i, len(ms)):
+            aggs.append(
+                F.sum((F.col(a).cast(d) * F.col(ms[j]).cast(d)).cast(d))
+                .cast(d)
+                .alias(f"_p{i}_{j}")
+            )
+    agg = df.agg(*aggs)
+    pairs = []
+    for i, a in enumerate(ms):
+        for j in range(i + 1, len(ms)):
+            num = (
+                F.col("_n") * F.col(f"_p{i}_{j}")
+                - F.col(f"_s{i}") * F.col(f"_s{j}")
+            ).cast(d)
+            dx = (
+                F.col("_n") * F.col(f"_p{i}_{i}")
+                - F.col(f"_s{i}") * F.col(f"_s{i}")
+            ).cast(d)
+            dy = (
+                F.col("_n") * F.col(f"_p{j}_{j}")
+                - F.col(f"_s{j}") * F.col(f"_s{j}")
+            ).cast(d)
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("m_a"),
+                    F.lit(ms[j]).alias("m_b"),
+                    F.col("_n").cast("bigint").alias("n"),
+                    F.when(
+                        (dx > 0) & (dy > 0),
+                        num.cast("double")
+                        / F.sqrt(dx.cast("double") * dy.cast("double")),
+                    ).alias("r"),
+                )
+            )
+    return agg.select(F.inline(F.array(*pairs)))

@@ -1175,3 +1175,33 @@ def test_trimmed_mean_negative_values_floor(spark):
     )
     r = trimmed_mean(df, ["g"], "v", trim_pct=0, scale=10).collect()[0]
     assert r["tmean_q"] == -70
+
+
+def test_corr_matrix_perfect_and_anti(spark):
+    from amazon_personalize_connectors_spark.operators.features import (
+        corr_matrix,
+    )
+
+    rows = [(i, 2 * i, -3 * i, 7) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "a long, b long, c long, d long")
+    got = {(r["m_a"], r["m_b"]): r["r"]
+           for r in corr_matrix(df, ["a", "b", "c", "d"]).collect()}
+    assert abs(got[("a", "b")] - 1.0) < 1e-12
+    assert abs(got[("a", "c")] + 1.0) < 1e-12
+    assert got[("a", "d")] is None  # zero variance -> NULL
+    assert len(got) == 6
+
+
+def test_corr_matrix_matches_grouped_pearson(spark):
+    from amazon_personalize_connectors_spark.operators.features import (
+        corr_matrix,
+        grouped_pearson,
+    )
+
+    rows = [(i, (i * 7) % 5, (i * 3) % 11) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    mat = {(r["m_a"], r["m_b"]): r["r"]
+           for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    single = grouped_pearson(df.withColumn("g", F.lit(1)), ["g"], "x", "y")
+    r_xy = single.collect()[0]["r"]
+    assert mat[("x", "y")] == r_xy  # identical IEEE tails, bit-equal
