@@ -6386,6 +6386,26 @@ def q_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag
+    (operators/features.py:weighted_quantile, q=1/2): the price below
+    which half the UNITS sell — weights collapse to one row per
+    distinct value (tie-proof by construction), cumulative decimal
+    sum, cross-multiplied rational crossing test. No floats."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        weighted_quantile,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    return weighted_quantile(li, ["l_returnflag"], "cents", "qty", 1, 2)
+
+
 def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson matrix over four lineitem measures in ONE
     aggregate scan (operators/features.py:corr_matrix): exact decimal
@@ -7607,6 +7627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_distinct_users": q_stream_distinct_users,
         "trimmed_mean_price": q_trimmed_mean_price,
         "lineitem_corr_matrix": q_lineitem_corr_matrix,
+        "weighted_median_price": q_weighted_median_price,
         "dbscan_embeddings": q_dbscan_embeddings,
         "mmr_rerank": q_mmr_rerank,
         "did_purchase_value": q_did_purchase_value,
@@ -13436,6 +13457,30 @@ SELECT n_rows, f2_exact, f2_est,
        CAST((ABS(CAST(f2_est AS HUGEINT) - f2_exact) * 1000000)
             // f2_exact AS BIGINT) AS abs_err_ppm
 FROM ex, est WHERE rn = 9
+"""
+    # weighted quantile: per-distinct-value collapse, rational crossing
+    sqls["weighted_median_price"] = """
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents,
+         CAST(l_quantity AS HUGEINT) AS qty
+  FROM lineitem
+),
+pv AS (
+  SELECT l_returnflag, cents, SUM(qty) AS w
+  FROM v GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, cents,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cumw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM pv
+)
+SELECT l_returnflag, CAST(min(cents) AS BIGINT) AS wq_value,
+       CAST(max(tot) AS BIGINT) AS total_w
+FROM cum WHERE cumw * 2 >= tot
+GROUP BY 1
 """
     # all pairwise moments in one pass; same IEEE tail as pearson
     sqls["lineitem_corr_matrix"] = """

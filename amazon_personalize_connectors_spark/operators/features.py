@@ -1531,3 +1531,52 @@ def corr_matrix(df: DataFrame, measure_cols: Sequence[str]) -> DataFrame:
                 )
             )
     return agg.select(F.inline(F.array(*pairs)))
+
+
+def weighted_quantile(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    q_num: int = 1,
+    q_den: int = 2,
+) -> DataFrame:
+    """Exact weighted quantile per group — "the price point below
+    which half the UNITS (not half the rows) sell": the smallest
+    value v with cumulative weight ≥ W·q_num/q_den. The quantile is
+    a rational (q_num/q_den), and the crossing test cross-multiplies
+    (cumw·q_den ≥ W·q_num), so there is no float anywhere and ties
+    need no ordering contract: weights collapse to one row PER
+    DISTINCT VALUE before the scan, making the cumulative sum
+    well-defined by construction.
+
+    Scale shape: one map-side-combinable groupBy to the (group,
+    value) grain, one window cumsum per group over distinct values
+    (partition = group), one filter + min aggregate. Weights
+    accumulate in decimal(38,0).
+
+    Returns (*group_cols, wq_value, total_w)."""
+    d38 = "decimal(38,0)"
+    per_value = df.groupBy(
+        *group_cols, F.col(value_col).cast("bigint").alias("_v")
+    ).agg(F.sum(F.col(weight_col).cast(d38)).cast(d38).alias("_w"))
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    cum = per_value.select(
+        *group_cols,
+        "_v",
+        F.sum("_w").over(w_cum).cast(d38).alias("_cumw"),
+        F.sum("_w").over(w_all).cast(d38).alias("_tot"),
+    )
+    crossed = cum.where(
+        F.col("_cumw") * F.lit(q_den).cast(d38)
+        >= F.col("_tot") * F.lit(q_num).cast(d38)
+    )
+    return crossed.groupBy(*group_cols).agg(
+        F.min("_v").cast("bigint").alias("wq_value"),
+        F.max("_tot").cast("bigint").alias("total_w"),
+    )

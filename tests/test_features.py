@@ -1205,3 +1205,41 @@ def test_corr_matrix_matches_grouped_pearson(spark):
     single = grouped_pearson(df.withColumn("g", F.lit(1)), ["g"], "x", "y")
     r_xy = single.collect()[0]["r"]
     assert mat[("x", "y")] == r_xy  # identical IEEE tails, bit-equal
+
+
+def test_weighted_quantile_hand_example(spark):
+    from amazon_personalize_connectors_spark.operators.features import (
+        weighted_quantile,
+    )
+
+    # values 1..4 with weights 1,1,6,2 (W=10): median crossing at v=3
+    rows = [("g", 1, 1), ("g", 2, 1), ("g", 3, 6), ("g", 4, 2)]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    r = weighted_quantile(df, ["g"], "v", "w", 1, 2).collect()[0]
+    assert (r["wq_value"], r["total_w"]) == (3, 10)
+    # p90: cumw>=9 first at v=4
+    r = weighted_quantile(df, ["g"], "v", "w", 9, 10).collect()[0]
+    assert r["wq_value"] == 4
+
+
+def test_weighted_quantile_equal_weights_is_lower_median(spark):
+    from amazon_personalize_connectors_spark.operators.features import (
+        weighted_quantile,
+    )
+
+    rows = [("g", v, 1) for v in (10, 20, 30, 40)]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    r = weighted_quantile(df, ["g"], "v", "w", 1, 2).collect()[0]
+    assert r["wq_value"] == 20  # cumw 2/4 crosses at the 2nd value
+
+
+def test_weighted_quantile_duplicate_values_collapse(spark):
+    from amazon_personalize_connectors_spark.operators.features import (
+        weighted_quantile,
+    )
+
+    # same value appearing in many rows must act as ONE mass point
+    rows = [("g", 5, 1)] * 10 + [("g", 1, 3)]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    r = weighted_quantile(df, ["g"], "v", "w", 1, 2).collect()[0]
+    assert r["wq_value"] == 5 and r["total_w"] == 13
