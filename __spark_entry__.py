@@ -6386,6 +6386,53 @@ def q_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets via the Apriori pruning step
+    (operators/analytics.py:frequent_triples): candidates come from
+    closing triangles over the support-filtered PAIR list (domain-
+    sized), then one verify aggregate against the baskets — never a
+    3-way fact self-join. The ORACLE is the independent brute-force
+    3-way join, so the pruning must be lossless."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        frequent_triples,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("bigint").alias("basket"),
+        F.col("l_partkey").cast("bigint").alias("item"),
+    )
+    return frequent_triples(li, "basket", "item", min_support=2)
+
+
+def q_revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region→nation revenue drill-down shares
+    (operators/analytics.py:ratio_to_parent): each nation's exact
+    integer share of its region and each region's share of total —
+    one groupBy, one parent window, one 1-row broadcast; quotients
+    via the pmod-subtract-divide idiom."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        ratio_to_parent,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    cust = synthetic.load_table(spark, sf_dir, "customer")
+    nation = synthetic.load_table(spark, sf_dir, "nation")
+    region = synthetic.load_table(spark, sf_dir, "region")
+    facts = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    return ratio_to_parent(facts, ["region"], ["nation"], "cents")
+
+
 def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted median price per return flag
     (operators/features.py:weighted_quantile, q=1/2): the price below
@@ -7628,6 +7675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean_price": q_trimmed_mean_price,
         "lineitem_corr_matrix": q_lineitem_corr_matrix,
         "weighted_median_price": q_weighted_median_price,
+        "basket_triples": q_basket_triples,
+        "revenue_share_hierarchy": q_revenue_share_hierarchy,
         "dbscan_embeddings": q_dbscan_embeddings,
         "mmr_rerank": q_mmr_rerank,
         "did_purchase_value": q_did_purchase_value,
@@ -13457,6 +13506,47 @@ SELECT n_rows, f2_exact, f2_est,
        CAST((ABS(CAST(f2_est AS HUGEINT) - f2_exact) * 1000000)
             // f2_exact AS BIGINT) AS abs_err_ppm
 FROM ex, est WHERE rn = 9
+"""
+    # independent brute-force 3-way join oracle: the Apriori pruning
+    # must be lossless
+    sqls["basket_triples"] = """
+WITH f AS (
+  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS b,
+                  CAST(l_partkey AS BIGINT) AS i
+  FROM lineitem
+)
+SELECT a.i AS item_a, x.i AS item_b, c.i AS item_c,
+       CAST(count(*) AS BIGINT) AS n_abc
+FROM f a
+JOIN f x ON a.b = x.b AND a.i < x.i
+JOIN f c ON x.b = c.b AND x.i < c.i
+GROUP BY 1, 2, 3 HAVING count(*) >= 2
+"""
+    # exact hierarchy shares: pmod-floor quotients on HUGEINT
+    sqls["revenue_share_hierarchy"] = """
+WITH facts AS (
+  SELECT r_name AS region, n_name AS nation,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+           AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+leaf AS (
+  SELECT region, nation, SUM(cents) AS v
+  FROM facts GROUP BY 1, 2
+),
+lv AS (
+  SELECT region, nation, v,
+         SUM(v) OVER (PARTITION BY region) AS pv,
+         SUM(v) OVER () AS tot
+  FROM leaf
+)
+SELECT region, nation, CAST(v AS BIGINT) AS value,
+       CAST((v * 1000000) // pv AS BIGINT) AS share_of_parent_q,
+       CAST((pv * 1000000) // tot AS BIGINT) AS parent_share_q
+FROM lv
 """
     # weighted quantile: per-distinct-value collapse, rational crossing
     sqls["weighted_median_price"] = """

@@ -1761,3 +1761,135 @@ def dyadic_ewma(
         .cast("bigint")
         .alias("ewma_q"),
     )
+
+
+def frequent_triples(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Frequent 3-itemsets by the Apriori candidate-pruning step: a
+    triple can only be frequent if all three of its pairs are, so
+    candidates come from joining the FREQUENT-PAIR list with itself
+    on the shared first item and closing the third edge against the
+    same list — never from a 3-way self-join of the facts. This is
+    the level-3 step of market-basket mining ("what three products
+    sell together"), and the pruning is what keeps it alive at scale:
+    the pair list is already support-filtered and collapsed to the
+    item domain, so the triangle join is domain-sized, not
+    fact-sized.
+
+    Support counting then verifies each surviving candidate against
+    the baskets with one aggregate over the candidate×basket
+    semi-structure: facts self-join only through the (basket, item)
+    grain already grouped — fan-out bounded by basket width, the
+    cooccurrence_lift shape extended one level.
+
+    Returns (item_a < item_b < item_c, n_abc) with n_abc ≥
+    ``min_support``."""
+    facts = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    pairs = (
+        facts.alias("x")
+        .join(facts.alias("y"), F.col("x._b") == F.col("y._b"))
+        .where(F.col("x._i") < F.col("y._i"))
+        .groupBy(
+            F.col("x._i").alias("_pa"), F.col("y._i").alias("_pb")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+        .where(F.col("_n") >= min_support)
+        .select("_pa", "_pb")
+    )
+    # Apriori closure: (a,b) ⋈ (a,c) with b<c, then require (b,c)
+    cand = (
+        pairs.alias("p")
+        .join(
+            pairs.alias("q"), F.col("p._pa") == F.col("q._pa")
+        )
+        .where(F.col("p._pb") < F.col("q._pb"))
+        .select(
+            F.col("p._pa").alias("_a"),
+            F.col("p._pb").alias("_b2"),
+            F.col("q._pb").alias("_c"),
+        )
+        .join(
+            pairs.select(
+                F.col("_pa").alias("_b2"), F.col("_pb").alias("_c")
+            ),
+            ["_b2", "_c"],
+            "leftsemi",
+        )
+    )
+    # verify support: count baskets containing all three
+    t = (
+        cand.join(facts.select(F.col("_b"), F.col("_i").alias("_a")), "_a")
+        .join(
+            facts.select(
+                F.col("_b"), F.col("_i").alias("_b2")
+            ),
+            ["_b", "_b2"],
+            "leftsemi",
+        )
+        .join(
+            facts.select(F.col("_b"), F.col("_i").alias("_c")),
+            ["_b", "_c"],
+            "leftsemi",
+        )
+        .groupBy("_a", "_b2", "_c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_abc"))
+        .where(F.col("n_abc") >= min_support)
+    )
+    return t.select(
+        F.col("_a").alias("item_a"),
+        F.col("_b2").alias("item_b"),
+        F.col("_c").alias("item_c"),
+        "n_abc",
+    )
+
+
+def ratio_to_parent(
+    df: DataFrame,
+    parent_cols: Sequence[str],
+    child_cols: Sequence[str],
+    value_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Two-level hierarchy shares — each child's fraction of its
+    parent and each parent's fraction of the grand total (the
+    drill-down "% of parent" column every BI rollup needs), as EXACT
+    integer quotients: ``share_q = (v·scale) div parent_total`` via
+    the pmod-subtract-divide idiom (exact at any magnitude, no float
+    division drift between engines).
+
+    Scale shape: one map-side-combinable groupBy to the child grain,
+    one window sum per parent (partition = parent key), one 1-row
+    broadcast for the grand total. Returns
+    (*parent_cols, *child_cols, value, share_of_parent_q,
+    parent_share_q)."""
+    d38 = "decimal(38,0)"
+    leaf = df.groupBy(*parent_cols, *child_cols).agg(
+        F.sum(F.col(value_col).cast(d38)).cast(d38).alias("_v")
+    )
+    w_parent = Window.partitionBy(*parent_cols)
+    tot = leaf.agg(F.sum("_v").cast(d38).alias("_tot"))
+    staged = (
+        leaf.withColumn("_pv", F.sum("_v").over(w_parent).cast(d38))
+        .crossJoin(F.broadcast(tot))
+    )
+
+    def _exact_div(num: str, den: str) -> F.Column:
+        return (
+            F.expr(f"(({num}) - pmod(({num}), {den})) / {den}")
+            .cast("bigint")
+        )
+
+    s = f"CAST({scale} AS decimal(38,0))"
+    return staged.select(
+        *parent_cols,
+        *child_cols,
+        F.col("_v").cast("bigint").alias("value"),
+        _exact_div(f"_v * {s}", "_pv").alias("share_of_parent_q"),
+        _exact_div(f"_pv * {s}", "_tot").alias("parent_share_q"),
+    )

@@ -1045,3 +1045,56 @@ def test_dyadic_ewma_groups_independent(spark):
     out = dyadic_ewma(df, ["g"], "t", "v", k_lags=4).collect()
     per = {(r["g"], r["t"]): r["ewma_q"] for r in out}
     assert per[("a", 0)] == per[("b", 0)] and per[("a", 1)] == per[("b", 1)]
+
+
+def test_frequent_triples_matches_bruteforce(spark):
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        frequent_triples,
+    )
+
+    baskets = {
+        1: [1, 2, 3, 4],
+        2: [1, 2, 3],
+        3: [2, 3, 4],
+        4: [1, 2, 3],
+        5: [5, 6],
+    }
+    rows = [(b, i) for b, items in baskets.items() for i in items]
+    df = spark.createDataFrame(rows, "basket long, item long")
+    got = {(r["item_a"], r["item_b"], r["item_c"]): r["n_abc"]
+           for r in frequent_triples(df, "basket", "item", 2).collect()}
+    from itertools import combinations
+    want = {}
+    for items in baskets.values():
+        for t in combinations(sorted(items), 3):
+            want[t] = want.get(t, 0) + 1
+    want = {t: n for t, n in want.items() if n >= 2}
+    assert got == want and (1, 2, 3) in got and got[(1, 2, 3)] == 3
+
+
+def test_frequent_triples_dedupes_basket_items(spark):
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        frequent_triples,
+    )
+
+    # duplicate (basket,item) rows must count once
+    rows = [(1, 1), (1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (2, 3)]
+    df = spark.createDataFrame(rows, "basket long, item long")
+    got = frequent_triples(df, "basket", "item", 2).collect()
+    assert len(got) == 1 and got[0]["n_abc"] == 2
+
+
+def test_ratio_to_parent_shares_sum(spark):
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        ratio_to_parent,
+    )
+
+    rows = [("r1", "a", 30), ("r1", "b", 70), ("r2", "c", 100)]
+    df = spark.createDataFrame(rows, "p string, c string, v long")
+    got = {(r["p"], r["c"]): (r["value"], r["share_of_parent_q"], r["parent_share_q"])
+           for r in ratio_to_parent(df, ["p"], ["c"], "v", scale=100).collect()}
+    assert got == {
+        ("r1", "a"): (30, 30, 50),
+        ("r1", "b"): (70, 70, 50),
+        ("r2", "c"): (100, 100, 50),
+    }

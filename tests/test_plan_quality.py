@@ -358,7 +358,15 @@ def test_all_queries_plan_invariants(spark, sf_dir):
     across EVERY queries() entry — zero row-Python evals, zero
     CartesianProducts, Arrow boundaries only in the sanctioned
     operators. Plans are built (not executed) at the small SF."""
-    sanctioned_arrow = {"multimodal_decode", "ann_topk_partial", "frequent_tokens"}
+    sanctioned_arrow = {
+        "multimodal_decode",
+        "ann_topk_partial",
+        "frequent_tokens",
+        # real-codec multimodal paths: WAV/PNG encode+decode is the
+        # documented mapInPandas boundary (oracle-checked end to end)
+        "audio_frame_energy",
+        "image_ahash",
+    }
     failures = []
     for name, fn in entry.queries().items():
         try:
