@@ -7603,6 +7603,189 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SIDED clamped running balance as a stateful stream
+    (streaming/stateful.py:capped_running_balance_pandas): unlike the
+    floor-only form (q:stock_balance_floor — window-expressible via
+    the Lindley reflection identity), ``b_t = min(cap, max(0,
+    b_{t-1} + x_t))`` has no prefix-sum closed form, so it NEEDS
+    per-key sequential state. The stream lands as FOUR time-sliced
+    files with strictly increasing mtimes, drained with
+    maxFilesPerTrigger=1, so the balance genuinely hops micro-batch
+    boundaries through the state store; the oracle replays the whole
+    recursion with a DuckDB WITH RECURSIVE. The 1-row bounds lookup
+    slicing the landing is a documented bounded collect (query
+    set-up, not operator dataflow)."""
+    import glob
+    import os
+    import tempfile
+    import time as _time
+
+    from amazon_personalize_connectors_spark.streaming.stateful import (
+        capped_running_balance_pandas,
+    )
+    from amazon_personalize_connectors_spark.streaming.windows import (
+        run_stream_to_memory,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts_us").cast("long").alias("ts_us"),
+        F.col("event_id").cast("long").alias("event_id"),
+        (
+            F.when(
+                F.col("event_type").isin("purchase", "signup"), F.lit(1)
+            )
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+            * (
+                F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,2)")
+                * 100
+            ).cast("bigint")
+        ).alias("delta"),
+    )
+    bounds = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    span = max(1, (bounds[1] - bounds[0]) // 4 + 1)
+    landing = tempfile.mkdtemp(prefix="apc-stream-bal-")
+    seen: set = set()
+    t_base = _time.time() - 3600
+    for i in range(4):
+        lo = bounds[0] + i * span
+        sl = ev.where(F.col("ts_us") >= lo)
+        if i < 3:
+            sl = sl.where(F.col("ts_us") < lo + span)
+        sl.coalesce(1).write.mode("append").parquet(landing)
+        for f in glob.glob(landing + "/*.parquet"):
+            if f not in seen:
+                os.utime(f, (t_base + i * 10, t_base + i * 10))
+                seen.add(f)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    emits = run_stream_to_memory(
+        capped_running_balance_pandas(stream, floor_v=0, cap_v=25_000),
+        output_mode="update",
+    )
+    # n_seen strictly increases per user across emits, so max_by is
+    # deterministic: the final emit is the drained balance
+    return emits.groupBy("user_id").agg(
+        F.max("n_seen").cast("bigint").alias("n_events"),
+        F.expr("max_by(balance, n_seen)").cast("bigint").alias("balance"),
+    )
+
+
+def q_stock_balance_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-at-zero running stock balance per supplier (operators/
+    analytics.py:floor_running_balance): returns restock (+qty),
+    shipments issue (−qty), stock cannot go negative. The engine form
+    is the Lindley reflection identity — ONE window pass, closed-form
+    ``S_t - min(0, min prefix S)`` — while the ORACLE replays the
+    recursion ``b_t = max(0, b_{t-1} + x_t)`` literally with a DuckDB
+    WITH RECURSIVE over row numbers, so the window-expressible claim
+    is checked against the sequential definition, not against
+    itself."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        floor_running_balance,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").cast("bigint").alias("supp"),
+        F.col("l_orderkey").cast("bigint").alias("okey"),
+        F.col("l_linenumber").cast("bigint").alias("lno"),
+        F.col("l_shipdate").cast("date").alias("_ship"),
+        F.when(F.col("l_returnflag") == "R", F.col("l_quantity"))
+        .otherwise(-F.col("l_quantity"))
+        .cast("bigint")
+        .alias("delta"),
+    )
+    out = floor_running_balance(
+        li, ["supp"], ["_ship", "okey", "lno"], "delta"
+    )
+    return out.select("supp", "okey", "lno", "delta", "balance")
+
+
+def q_part_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS neighborhoods over the co-purchase graph
+    (functions/dedup.py:bfs_min_hops): edges = part pairs sharing ≥2
+    orders (support-filtered, domain-sized), seeds = every part with
+    ``p_partkey % 97 == 0``, radius 3. The reachability shape SQL
+    engines write as WITH RECURSIVE and Spark lacks — here a
+    driver-unrolled fixed-depth frontier loop with per-round
+    localCheckpoint; the oracle IS the recursive CTE (UNION-dedup +
+    MIN(hop)), derived independently."""
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        bfs_min_hops,
+    )
+
+    facts = (
+        synthetic.load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").cast("bigint").alias("_b"),
+            F.col("l_partkey").cast("bigint").alias("_i"),
+        )
+        .distinct()
+    )
+    edges = (
+        facts.alias("x")
+        .join(facts.alias("y"), F.col("x._b") == F.col("y._b"))
+        .where(F.col("x._i") < F.col("y._i"))
+        .groupBy(F.col("x._i").alias("id_a"), F.col("y._i").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("id_a", "id_b")
+    )
+    seeds = (
+        synthetic.load_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 97 == 0)
+        .select(F.col("p_partkey").cast("bigint").alias("node"))
+    )
+    return bfs_min_hops(edges, seeds, max_hops=3)
+
+
+def q_price_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill over the daily revenue series
+    per order priority (operators/analytics.py:interpolate_fill after
+    gap_fill_days densification): days with no orders get the exact
+    integer floor-div interpolation between the bracketing known
+    days; leading/trailing gaps stay null (no extrapolation). Both
+    engines compute the same pmod-floor quotient, but from
+    independently-built calendars and windows."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        gap_fill_days,
+        interpolate_fill,
+    )
+
+    daily = (
+        synthetic.load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    dense = gap_fill_days(
+        daily, ["priority"], "day", "cents", fill_value=None
+    ).select(
+        "priority",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_i"),
+        F.col("cents").cast("bigint").alias("cents"),
+    )
+    out = interpolate_fill(dense, ["priority"], "day_i", "cents", scale=100)
+    return out.select("priority", "day_i", "value_q", "is_interpolated")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "flagship_related_flat": q_flagship_related_flat,
@@ -7698,6 +7881,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": q_bpe_vocab,
         "stream_conformal": q_stream_conformal,
         "shapley_attribution": q_shapley_attribution,
+        "stock_balance_floor": q_stock_balance_floor,
+        "stream_capped_balance": q_stream_capped_balance,
+        "part_reach_bfs": q_part_reach_bfs,
+        "price_interpolate_daily": q_price_interpolate_daily,
         "stamp_literals": q_stamp_literals,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -13976,4 +14163,146 @@ SELECT n_a, n_b, two_u_a, tie_cubes,
 FROM fin
 """
     sqls["stream_js_drift"] = sqls["js_drift"]
+    # Lindley recursion replayed literally (the engine uses the
+    # closed-form reflection identity — independent derivations)
+    sqls["stock_balance_floor"] = """
+WITH RECURSIVE base AS (
+  SELECT CAST(l_suppkey AS BIGINT) AS supp,
+         CAST(l_orderkey AS BIGINT) AS okey,
+         CAST(l_linenumber AS BIGINT) AS lno,
+         CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity
+                   ELSE -l_quantity END AS BIGINT) AS delta,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_suppkey
+           ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber
+         ) AS rn
+  FROM lineitem
+),
+rec AS (
+  SELECT supp, okey, lno, delta, rn,
+         GREATEST(CAST(0 AS BIGINT), delta) AS bal
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.supp, b.okey, b.lno, b.delta, b.rn,
+         GREATEST(CAST(0 AS BIGINT), r.bal + b.delta)
+  FROM rec r
+  JOIN base b ON b.supp = r.supp AND b.rn = r.rn + 1
+)
+SELECT supp, okey, lno, delta, CAST(bal AS BIGINT) AS balance FROM rec
+"""
+    # two-sided clamp: no closed form exists (the clamp erases
+    # history), so the stream's per-key state fold is checked against
+    # the literal recursion over the full ordered history
+    sqls["stream_capped_balance"] = """
+WITH RECURSIVE base AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(CASE WHEN event_type IN ('purchase', 'signup')
+                   THEN 1 ELSE -1 END AS BIGINT)
+           * CAST(CAST(COALESCE(value, 0.0) AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS delta,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS rn
+  FROM events
+),
+rec AS (
+  SELECT user_id, rn,
+         LEAST(CAST(25000 AS BIGINT),
+               GREATEST(CAST(0 AS BIGINT), delta)) AS bal
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.rn,
+         LEAST(CAST(25000 AS BIGINT),
+               GREATEST(CAST(0 AS BIGINT), r.bal + b.delta))
+  FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT r.user_id, CAST(r.rn AS BIGINT) AS n_events,
+       CAST(r.bal AS BIGINT) AS balance
+FROM rec r
+JOIN (SELECT user_id, MAX(rn) AS m FROM rec GROUP BY 1) t
+  ON t.user_id = r.user_id AND t.m = r.rn
+"""
+    # reachability: the engine's fixed-depth frontier loop vs the
+    # recursive CTE SQL engines use for the same question
+    sqls["part_reach_bfs"] = """
+WITH RECURSIVE f AS (
+  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS b,
+                  CAST(l_partkey AS BIGINT) AS i
+  FROM lineitem
+),
+e AS (
+  SELECT a.i AS u, x.i AS v
+  FROM f a JOIN f x ON a.b = x.b AND a.i < x.i
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+r AS (
+  SELECT CAST(p_partkey AS BIGINT) AS node, 0 AS hop
+  FROM part WHERE p_partkey % 97 = 0
+  UNION
+  SELECT s.v, r.hop + 1
+  FROM r JOIN sym s ON s.u = r.node
+  WHERE r.hop < 3
+)
+SELECT node, CAST(MIN(hop) AS INT) AS hops FROM r GROUP BY node
+"""
+    # exact floor-div interpolation: DuckDB's // and % TRUNCATE for
+    # negative numerators, so the pmod-floor is spelled out
+    sqls["price_interpolate_daily"] = """
+WITH agg AS (
+  SELECT o_orderpriority AS priority,
+         CAST(DATE_DIFF('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS day_i,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS cents
+  FROM orders GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(day_i) AS d0, MAX(day_i) AS d1 FROM agg),
+cal AS (
+  SELECT p.priority, c.day_i
+  FROM (SELECT DISTINCT priority FROM agg) p
+  CROSS JOIN (
+    SELECT UNNEST(generate_series(d0, d1)) AS day_i FROM bounds
+  ) c
+),
+dense AS (
+  SELECT cal.priority, cal.day_i, agg.cents
+  FROM cal LEFT JOIN agg
+    ON agg.priority = cal.priority AND agg.day_i = cal.day_i
+),
+win AS (
+  SELECT priority, day_i, cents,
+    LAST_VALUE(CASE WHEN cents IS NOT NULL THEN day_i END IGNORE NULLS)
+      OVER wb AS p0,
+    LAST_VALUE(CASE WHEN cents IS NOT NULL THEN cents END IGNORE NULLS)
+      OVER wb AS v0,
+    FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN day_i END IGNORE NULLS)
+      OVER wf AS p1,
+    FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN cents END IGNORE NULLS)
+      OVER wf AS v1
+  FROM dense
+  WINDOW
+    wb AS (PARTITION BY priority ORDER BY day_i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY priority ORDER BY day_i
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+calc AS (
+  SELECT priority, day_i, cents, p0, p1, v0,
+         CAST(v1 - v0 AS HUGEINT) * 100
+           * CAST(day_i - p0 AS HUGEINT) AS num,
+         CAST(p1 - p0 AS HUGEINT) AS den
+  FROM win
+)
+SELECT priority, day_i,
+  CAST(CASE
+    WHEN cents IS NOT NULL THEN CAST(cents AS HUGEINT) * 100
+    WHEN p0 IS NOT NULL AND p1 IS NOT NULL THEN
+      CAST(v0 AS HUGEINT) * 100
+      + (num - (((num % den) + den) % den)) / den
+  END AS BIGINT) AS value_q,
+  CAST((cents IS NULL AND p0 IS NOT NULL AND p1 IS NOT NULL) AS INT)
+    AS is_interpolated
+FROM calc
+"""
     return sqls

@@ -1118,3 +1118,70 @@ def kcore_peel(
     return alive.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     )
+
+
+def bfs_min_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Multi-source BFS over an undirected pair list: minimum hop
+    count from any seed, capped at ``max_hops`` — the reachability /
+    transitive-closure shape SQL engines express as a recursive CTE
+    and Spark SQL cannot (no WITH RECURSIVE): the engine form is a
+    driver-unrolled FIXED-DEPTH frontier loop, which is also the form
+    that scales — each round touches only frontier×edges, never the
+    closure so far, and unreached nodes are never materialized.
+
+    Round discipline (the kcore_peel / neardup_components pattern):
+    one frontier⋈edges join + one anti-join against the settled set
+    per round, localCheckpoint per round so the unrolled lineage
+    stays flat. Hop semantics are exact, not fixed-point-approximate:
+    a node's hop count is final the round it is first reached (BFS
+    frontier invariant), so ``max_hops`` bounds the RADIUS reported,
+    not the accuracy of what is reported.
+
+    Uses: recommendation neighborhoods ("items within 3 co-purchase
+    hops of the promoted set"), blast-radius audits over lineage
+    graphs, label propagation seeding.
+
+    100-TB shape: edges hash-partition on ``src``; every round's join
+    keys on that same column so the shuffle is frontier-sized, and
+    the settled set only ever grows by frontier rows. Skewed hub
+    vertices fan one round out, the ``distinct`` collapses it back.
+
+    ``seeds``' FIRST column is the node id. Returns (node, hops) with
+    hops in [0, max_hops], one row per reached node."""
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(
+            edges.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        neighbors = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = (
+            neighbors.join(dist, "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(fresh)
+        frontier = fresh.select("node")
+    return dist

@@ -1893,3 +1893,136 @@ def ratio_to_parent(
         _exact_div(f"_v * {s}", "_pv").alias("share_of_parent_q"),
         _exact_div(f"_pv * {s}", "_tot").alias("parent_share_q"),
     )
+
+
+def floor_running_balance(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    delta_col: str,
+    out_col: str = "balance",
+) -> DataFrame:
+    """Floor-at-zero running balance — the Lindley recursion
+    ``b_t = max(0, b_{t-1} + x_t)`` (warehouse stock that cannot go
+    negative, a prepaid wallet, a queue length) — WITHOUT the
+    sequential scan the recursion seems to demand. The reflection
+    identity solves it in closed form over prefix sums::
+
+        b_t = S_t - min(0, min_{j<=t} S_j)      (S = running sum of x)
+
+    so the whole thing is ONE window shuffle (partition = group, order
+    = ``order_cols``): a running sum, then a running min OVER THE SAME
+    window spec — Catalyst plans both in a single sort, no self-join,
+    no recursion, no per-group Python. This is the canonical example
+    of a "needs a recursive CTE" op that is actually
+    window-expressible; the oracle deliberately replays the recursion
+    row-by-row with a DuckDB ``WITH RECURSIVE`` so the two forms are
+    derived independently.
+
+    Exact bigint arithmetic throughout (pass integer deltas, e.g.
+    units or cents). ``order_cols`` must be a deterministic total
+    order within each group or the balance is not well defined.
+
+    100-TB shape: one hash shuffle on the group key + one sort per
+    partition; group skew is the only hazard (one giant group = one
+    long sorted chain), same contract as any running aggregate.
+
+    Returns the input plus ``out_col`` (bigint, ≥ 0)."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn(
+        "_lindley_s", F.sum(F.col(delta_col).cast("bigint")).over(w)
+    )
+    return out.withColumn(
+        out_col,
+        (
+            F.col("_lindley_s")
+            - F.least(
+                F.lit(0).cast("bigint"), F.min("_lindley_s").over(w)
+            )
+        ).cast("bigint"),
+    ).drop("_lindley_s")
+
+
+def interpolate_fill(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    pos_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Linear-interpolation gap fill — the numeric sibling of
+    ``locf_fill``: a null ``value_col`` at integer position ``p``
+    bracketed by known points (p0, v0) and (p1, v1) becomes the exact
+    integer quotient::
+
+        fill_q = v0*scale + floor((v1-v0)*scale*(p-p0) / (p1-p0))
+
+    (floor division via the pmod-subtract-divide idiom in
+    decimal(38,0), so the filled series is bit-identical on any
+    engine — no float slope drift). Leading/trailing nulls with no
+    bracketing point on one side stay null: extrapolation is a lie,
+    compose with ``locf_fill`` if the caller wants it.
+
+    Scale shape: two window passes over the SAME (group, order) spec
+    — backward ``last(ignorenulls)`` for (p0, v0), forward
+    ``first(ignorenulls)`` for (p1, v1) — one shuffle, one sort (the
+    forward frame reuses the sort reversed). ``pos_col`` must be an
+    integer grid position (epoch day, week index); run a calendar
+    densifier (``gap_fill_days``) first to materialize the gaps.
+
+    Returns the input plus ``value_q`` (known value × scale, or the
+    interpolation, or null) and ``is_interpolated`` (int 0/1, null
+    rows that stay null get 0)."""
+    wb = (
+        Window.partitionBy(*group_cols)
+        .orderBy(pos_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*group_cols)
+        .orderBy(pos_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_p = F.when(
+        F.col(value_col).isNotNull(), F.col(pos_col).cast("bigint")
+    )
+    known_v = F.when(
+        F.col(value_col).isNotNull(), F.col(value_col).cast("bigint")
+    )
+    d38 = "decimal(38,0)"
+    staged = (
+        df.withColumn("_p0", F.last(known_p, ignorenulls=True).over(wb))
+        .withColumn("_v0", F.last(known_v, ignorenulls=True).over(wb))
+        .withColumn("_p1", F.first(known_p, ignorenulls=True).over(wf))
+        .withColumn("_v1", F.first(known_v, ignorenulls=True).over(wf))
+    )
+    num = (
+        f"(CAST(_v1 AS {d38}) - CAST(_v0 AS {d38}))"
+        f" * CAST({scale} AS {d38})"
+        f" * (CAST({pos_col} AS {d38}) - CAST(_p0 AS {d38}))"
+    )
+    den = f"(CAST(_p1 AS {d38}) - CAST(_p0 AS {d38}))"
+    interp = F.expr(
+        f"CAST(_v0 AS {d38}) * CAST({scale} AS {d38})"
+        f" + (({num}) - pmod(({num}), {den})) / {den}"
+    ).cast("bigint")
+    return staged.select(
+        *df.columns,
+        F.when(
+            F.col(value_col).isNotNull(),
+            F.col(value_col).cast("bigint") * F.lit(scale).cast("bigint"),
+        )
+        .when(F.col("_p0").isNotNull() & F.col("_p1").isNotNull(), interp)
+        .alias("value_q"),
+        (
+            F.col(value_col).isNull()
+            & F.col("_p0").isNotNull()
+            & F.col("_p1").isNotNull()
+        )
+        .cast("int")
+        .alias("is_interpolated"),
+    )

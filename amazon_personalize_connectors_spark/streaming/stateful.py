@@ -161,3 +161,95 @@ def running_user_stats_pandas(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sided clamped running balance — the op that PROVES the stateful
+# surface is necessary: floor-only clamping is window-expressible via
+# the Lindley reflection identity (operators/analytics.py:
+# floor_running_balance), but the two-sided recursion
+# ``b_t = min(cap, max(floor, b_{t-1} + x_t))`` has NO prefix-sum
+# closed form (the clamp at either wall erases history), so it is
+# genuinely sequential per key. That makes it exactly the shape
+# applyInPandasWithState exists for: per-key state carries the
+# balance across micro-batches; within a batch the fold sorts by
+# event time and replays the recursion (a bounded per-group Python
+# loop — the same sanctioned boundary as the sessionizer's state
+# machine; batch size ≤ the key's per-batch event count).
+#
+# ORDERING CONTRACT: the fold is correct iff micro-batch boundaries
+# respect event-time order per key (batch k's events precede batch
+# k+1's). q:stream_capped_balance establishes that by landing the
+# stream as time-sliced files with strictly increasing mtimes and
+# maxFilesPerTrigger=1; production streams get it from ordered
+# ingestion (e.g. Kafka per-key order within a partition).
+# ---------------------------------------------------------------------------
+
+CAPPED_BALANCE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_seen", LongType()),
+        StructField("balance", LongType()),
+    ]
+)
+
+_BALANCE_STATE_SCHEMA = "n BIGINT, bal BIGINT"
+
+
+def _capped_balance_group(key, pdfs, state, floor_v: int, cap_v: int):
+    (user_id,) = key
+    if state.exists:
+        n, bal = state.get
+    else:
+        n, bal = 0, 0
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
+        # mergesort = stable; (ts_us, event_id) is a total order
+        pdf = pdf.sort_values(
+            ["ts_us", "event_id"], kind="mergesort", ignore_index=True
+        )
+        for d in pdf["delta"].astype("int64").tolist():
+            bal = bal + int(d)
+            if bal < floor_v:
+                bal = floor_v
+            elif bal > cap_v:
+                bal = cap_v
+        n += len(pdf)
+    state.update((int(n), int(bal)))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_seen": [n], "balance": [bal]}
+    )
+
+
+def capped_running_balance_pandas(
+    events: DataFrame,
+    floor_v: int = 0,
+    cap_v: int = 25_000,
+    delta_col: str = "delta",
+) -> DataFrame:
+    """Per-user two-sided clamped running balance over a stream
+    (prepaid wallet with a credit ceiling, inventory with shelf
+    capacity): Update-mode emits of (user_id, n_seen, balance) after
+    each micro-batch; the LAST emit per user (max ``n_seen``) is the
+    final balance, which q:stream_capped_balance checks against a
+    DuckDB WITH RECURSIVE replay of the recursion over the whole
+    history — the stream==batch law, with the state hop across
+    micro-batch boundaries doing the real work."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.selectExpr(
+            "user_id", "ts_us", "event_id", f"{delta_col} as delta"
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            lambda key, pdfs, state: _capped_balance_group(
+                key, pdfs, state, floor_v, cap_v
+            ),
+            outputStructType=CAPPED_BALANCE_SCHEMA,
+            stateStructType=_BALANCE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

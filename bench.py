@@ -255,6 +255,25 @@ BENCH_QUERIES = [
     "isotonic_calibration",
     "graph_walks",
     "als_user_step",
+    "t_closeness",
+    "ams_f2",
+    "open_orders_sweep",
+    "compaction_plan",
+    "priority_revenue_ewma",
+    "anova_price_flag",
+    "caliper_match_att",
+    "audio_frame_energy",
+    "image_ahash",
+    "trimmed_mean_price",
+    "lineitem_corr_matrix",
+    "weighted_median_price",
+    "basket_triples",
+    "revenue_share_hierarchy",
+    "bootstrap_ci",
+    "eb_shrunk_ctr",
+    "shapley_attribution",
+    "stock_balance_floor",
+    "price_interpolate_daily",
 ]
 
 # Heavy-but-bounded queries whose cost is fixed by a domain contract,
@@ -269,6 +288,9 @@ HEAVY_ONE_RUN = [
     "theilsen_revenue",
     "dbscan_embeddings",
     "mmr_rerank",
+    "kcore_parts",
+    "revenue_matrix_profile",
+    "part_reach_bfs",
 ]
 
 # The streaming maintenance family drains micro-batches rewriting a
@@ -287,6 +309,9 @@ STREAM_ONE_RUN = [
     "stream_minhash_lsh",
     "stream_js_drift",
     "stream_conformal",
+    "stream_cms_topk",
+    "stream_distinct_users",
+    "stream_capped_balance",
 ]
 
 

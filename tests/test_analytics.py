@@ -1098,3 +1098,108 @@ def test_ratio_to_parent_shares_sum(spark):
         ("r1", "b"): (70, 70, 50),
         ("r2", "c"): (100, 100, 50),
     }
+
+
+def test_floor_running_balance_matches_python_recursion(spark):
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        floor_running_balance,
+    )
+
+    # mixed-sign deltas engineered to clamp several times
+    deltas = {
+        "g1": [5, -10, 3, -1, -9, 20, -4],
+        "g2": [-3, 2, 2, -100, 7],
+        "g3": [1, 1, 1],
+    }
+    rows = [
+        (g, i, x) for g, xs in deltas.items() for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, "g string, i long, x long")
+    got = {
+        (r["g"], r["i"]): r["balance"]
+        for r in floor_running_balance(df, ["g"], ["i"], "x").collect()
+    }
+    want = {}
+    for g, xs in deltas.items():
+        b = 0
+        for i, x in enumerate(xs):
+            b = max(0, b + x)
+            want[(g, i)] = b
+    assert got == want
+
+
+def test_floor_running_balance_hypothesis_reflection_identity(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        floor_running_balance,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(st.integers(-50, 50), min_size=1, max_size=30))
+    def prop(xs):
+        df = spark.createDataFrame(
+            [(0, i, x) for i, x in enumerate(xs)], "g long, i long, x long"
+        )
+        got = [
+            r["balance"]
+            for r in floor_running_balance(df, ["g"], ["i"], "x")
+            .orderBy("i")
+            .collect()
+        ]
+        b, want = 0, []
+        for x in xs:
+            b = max(0, b + x)
+            want.append(b)
+        assert got == want
+
+    prop()
+
+
+def test_interpolate_fill_exact_segments(spark):
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        interpolate_fill,
+    )
+
+    # known at pos 0 (v=10) and pos 4 (v=2): slope -2/unit, floor-div
+    rows = [
+        ("a", 0, 10),
+        ("a", 1, None),
+        ("a", 2, None),
+        ("a", 3, None),
+        ("a", 4, 2),
+        ("a", 5, None),  # trailing: stays null
+        ("b", 0, None),  # leading: stays null
+        ("b", 1, 7),
+    ]
+    df = spark.createDataFrame(rows, "g string, p long, v long")
+    got = {
+        (r["g"], r["p"]): (r["value_q"], r["is_interpolated"])
+        for r in interpolate_fill(df, ["g"], "p", "v", scale=100).collect()
+    }
+    assert got == {
+        ("a", 0): (1000, 0),
+        ("a", 1): (800, 1),
+        ("a", 2): (600, 1),
+        ("a", 3): (400, 1),
+        ("a", 4): (200, 0),
+        ("a", 5): (None, 0),
+        ("b", 0): (None, 0),
+        ("b", 1): (700, 0),
+    }
+
+
+def test_interpolate_fill_floor_division_negative_slope(spark):
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        interpolate_fill,
+    )
+
+    # v0=0, v1=-1 over 3 steps with scale=1: exact thirds floor to
+    # -1 at both interior points (floor(-1/3) = -1, floor(-2/3) = -1)
+    rows = [("a", 0, 0), ("a", 1, None), ("a", 2, None), ("a", 3, -1)]
+    df = spark.createDataFrame(rows, "g string, p long, v long")
+    got = {
+        r["p"]: r["value_q"]
+        for r in interpolate_fill(df, ["g"], "p", "v", scale=1).collect()
+    }
+    assert got == {0: 0, 1: -1, 2: -1, 3: -1}

@@ -790,3 +790,37 @@ def test_kcore_peel_cycle_is_its_own_2core(spark):
     edges = spark.createDataFrame(cyc, "id_a long, id_b long")
     got = {r["node"]: r["deg"] for r in kcore_peel(edges, k=2, n_rounds=3).collect()}
     assert got == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_bfs_min_hops_layers_and_cap(spark):
+    from amazon_personalize_connectors_spark.functions.dedup import bfs_min_hops
+
+    # path 1-2-3-4-5-6 plus a branch 2-10; seed = 1, radius 3
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (2, 10)],
+        "id_a long, id_b long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["hops"] for r in bfs_min_hops(edges, seeds, 3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 10: 2, 4: 3}  # 5,6 beyond radius
+
+
+def test_bfs_min_hops_multi_source_min(spark):
+    from amazon_personalize_connectors_spark.functions.dedup import bfs_min_hops
+
+    # two seeds; node 3 is 1 hop from seed 4 even though 2 hops from 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    seeds = spark.createDataFrame([(1,), (4,)], "node long")
+    got = {r["node"]: r["hops"] for r in bfs_min_hops(edges, seeds, 2).collect()}
+    assert got == {1: 0, 4: 0, 2: 1, 3: 1}
+
+
+def test_bfs_min_hops_isolated_seed_kept(spark):
+    from amazon_personalize_connectors_spark.functions.dedup import bfs_min_hops
+
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    seeds = spark.createDataFrame([(99,)], "node long")
+    got = {r["node"]: r["hops"] for r in bfs_min_hops(edges, seeds, 2).collect()}
+    assert got == {99: 0}

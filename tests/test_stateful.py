@@ -182,3 +182,76 @@ def test_running_user_stats_pandas_state_carries_across_runs(spark, tmp_path):
     }
     assert got[1] == (3, 100, 300)  # state carried: 2 + 1 events
     assert got[3] == (1, 10, 10)
+
+
+def test_capped_balance_clamps_both_walls_across_batches(spark, tmp_path):
+    """The two-sided clamp MUST be replayed sequentially: this
+    fixture is engineered so any order-insensitive fold (sum then
+    clamp) gets a different answer, and the second drain proves the
+    balance hops the micro-batch boundary through state."""
+    import os
+
+    from amazon_personalize_connectors_spark.streaming.stateful import (
+        CAPPED_BALANCE_SCHEMA,
+        capped_running_balance_pandas,
+    )
+    from amazon_personalize_connectors_spark.streaming.windows import (
+        run_stream_to_memory,
+    )
+
+    schema = "user_id long, ts_us long, event_id long, delta long"
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # user 1: +30 (cap to 20) -25 (floor to 0) +5 => 5; plain
+    # sum = +10 => clamp(10) = 10 ≠ 5, so order/sequence matters
+    batch1 = [(1, 100, 1, 30), (1, 200, 2, -25)]
+    batch2 = [(1, 300, 3, 5), (2, 100, 4, -7)]
+    f1 = str(landing / "b1")
+    f2 = str(landing / "b2")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(f1)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(f2)
+    # strictly increasing mtimes => deterministic file order
+    for i, d in enumerate((f1, f2)):
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (1_000_000 + i, 1_000_000 + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing) + "/*")
+    )
+    emits = run_stream_to_memory(
+        capped_running_balance_pandas(stream, floor_v=0, cap_v=20),
+        output_mode="update",
+    )
+    rows = {(r["user_id"], r["n_seen"]): r["balance"] for r in emits.collect()}
+    # state carried: user 1 emitted after each batch it appears in
+    assert rows[(1, 2)] == 0  # clamp to cap 20, then floor at 0
+    assert rows[(1, 3)] == 5  # +5 on top of the CARRIED 0, not a resum
+    assert rows[(2, 1)] == 0  # floor clamp on first delta
+
+
+def test_capped_balance_fold_sorts_within_batch(spark, tmp_path):
+    """Rows inside one micro-batch arrive unsorted; the fold must
+    order by (ts_us, event_id) before replaying the recursion."""
+    from amazon_personalize_connectors_spark.streaming.stateful import (
+        capped_running_balance_pandas,
+    )
+    from amazon_personalize_connectors_spark.streaming.windows import (
+        run_stream_to_memory,
+    )
+
+    schema = "user_id long, ts_us long, event_id long, delta long"
+    # written shuffled: correct ts order is +30(cap 20), -25(floor 0), +5
+    rows = [(1, 300, 3, 5), (1, 100, 1, 30), (1, 200, 2, -25)]
+    landing = tmp_path / "landing"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(landing)
+    )
+    stream = spark.readStream.schema(schema).parquet(str(landing))
+    emits = run_stream_to_memory(
+        capped_running_balance_pandas(stream, floor_v=0, cap_v=20),
+        output_mode="update",
+    )
+    got = [(r["n_seen"], r["balance"]) for r in emits.collect()]
+    assert got == [(3, 5)]
