@@ -1580,3 +1580,101 @@ def weighted_quantile(
         F.min("_v").cast("bigint").alias("wq_value"),
         F.max("_tot").cast("bigint").alias("total_w"),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Mutual information between two categorical columns, plus both
+    marginal entropies and the min-entropy-normalized MI — the
+    feature-audit number that, unlike chi² (``chi2_independence``),
+    is directly comparable across tables of different size, and,
+    unlike WoE/IV (``woe_iv``), needs no binary target:
+
+        MI   = Σ_xy (n_xy/N) · ln(n_xy·N / (n_x·n_y))
+        H(X) = Σ_x  (n_x/N) · ln(N/n_x)
+        NMI  = MI / min(H(X), H(Y))            (∈ [0, 1])
+
+    Exactness contract (the chi2/psi/jsd quantization pattern): all
+    counts are exact bigints; every log ARGUMENT is a ratio of exact
+    decimal(38,0) cross-products cast to double once (n_xy·N vs
+    n_x·n_y — no probability is ever materialized); each per-cell
+    term is quantized to ``floor(term·scale)`` so the shuffle sums
+    exact bigint quanta and NMI is a ratio of two bigints
+    (|error| < cells/scale). Empty-cell convention 0·ln0 = 0 holds
+    by construction — absent (x, y) cells simply never appear.
+
+    Scale shape: ONE map-side-combinable groupBy to the (x, y) cell
+    grid (rows = |X|·|Y| domain, not facts); marginals are window
+    sums OVER THE GRID (partitioned by x / by y — domain-sized, never
+    a second fact pass); the grand total rides back as a 1-row
+    broadcast. Entropies aggregate the distinct marginal rows of the
+    same grid.
+
+    Output ONE row: (n, classes_x, classes_y, mi, h_x, h_y, nmi);
+    nmi is null when either marginal entropy is 0 (a constant
+    column carries no information to normalize by)."""
+    d = "decimal(38,0)"
+    cells = df.groupBy(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_nxy"))
+    wx = Window.partitionBy("_x")
+    wy = Window.partitionBy("_y")
+    g = (
+        cells.withColumn("_nx", F.sum("_nxy").over(wx).cast("bigint"))
+        .withColumn("_ny", F.sum("_nxy").over(wy).cast("bigint"))
+        .crossJoin(
+            F.broadcast(
+                cells.agg(F.sum("_nxy").cast("bigint").alias("_n"))
+            )
+        )
+    )
+    num = (F.col("_nxy").cast(d) * F.col("_n").cast(d)).cast(d)
+    den = (F.col("_nx").cast(d) * F.col("_ny").cast(d)).cast(d)
+    term_mi = (
+        F.col("_nxy").cast("double") / F.col("_n").cast("double")
+    ) * F.log(num.cast("double") / den.cast("double"))
+    mi_row = g.select(
+        F.floor(term_mi * F.lit(float(scale))).cast("bigint").alias("_q"),
+        "_n",
+    ).groupBy("_n").agg(
+        F.sum("_q").cast("bigint").alias("_q_mi"),
+    )
+
+    def _entropy(col_key: str, col_marg: str, out: str) -> DataFrame:
+        marg = g.select(col_key, col_marg, "_n").distinct()
+        term = (
+            F.col(col_marg).cast("double") / F.col("_n").cast("double")
+        ) * F.log(
+            F.col("_n").cast("double") / F.col(col_marg).cast("double")
+        )
+        return marg.select(
+            F.floor(term * F.lit(float(scale))).cast("bigint").alias("_q")
+        ).agg(
+            F.sum("_q").cast("bigint").alias(f"_q_{out}"),
+            F.count(F.lit(1)).cast("bigint").alias(f"classes_{out}"),
+        )
+
+    hx = _entropy("_x", "_nx", "x")
+    hy = _entropy("_y", "_ny", "y")
+    s = float(scale)
+    return (
+        mi_row.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.col("_n").cast("bigint").alias("n"),
+            "classes_x",
+            "classes_y",
+            (F.col("_q_mi").cast("double") / F.lit(s)).alias("mi"),
+            (F.col("_q_x").cast("double") / F.lit(s)).alias("h_x"),
+            (F.col("_q_y").cast("double") / F.lit(s)).alias("h_y"),
+            F.when(
+                F.least("_q_x", "_q_y") > 0,
+                F.col("_q_mi").cast("double")
+                / F.least("_q_x", "_q_y").cast("double"),
+            ).alias("nmi"),
+        )
+    )
