@@ -5283,6 +5283,23 @@ def q_chi2_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_independence(li, "l_returnflag", "l_linestatus")
 
 
+def q_mi_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information + normalized MI between order priority and
+    order status (operators/features.py:mutual_information): one
+    map-side-combinable groupBy to the 15-cell grid, window marginals
+    OVER THE GRID, every log argument a ratio of exact decimal
+    cross-products cast to double once, per-cell terms quantized to
+    nano-units so the cross-cell sum is an exact bigint (the
+    chi2_flag_status pattern); mi/nmi clamp at 0 to absorb the
+    floor() quantization bias on near-independent pairs."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        mutual_information,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    return mutual_information(orders, "o_orderpriority", "o_orderstatus")
+
+
 def q_ivm_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided incremental view maintenance of a join rollup
     (operators/cdc.py:incremental_join_rollup): orders and lineitem
@@ -5841,117 +5858,63 @@ def q_bitemporal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Driver verification window: the driver oracle-checks the FIRST 50
 # entries of queries() in dict order; queries() reorders the full
-# registry so this list comes first. Round-6 rotation (ledger:
+# registry so this list comes first. Round-7 rotation (ledger:
 # VERIFIED.md, planned by tools/rotate_window.py): the 3 sentinels,
-# the round-5 red row (revenue_anomalies — oracle residual now cast
-# to BIGINT), the 28 queries VERDICT r5 flagged as never
-# driver-checked, the 5-round-stale renest_legacy_window, and the 17
-# highest-priority round-6 additions. The remaining round-6 additions
-# (graph_walks, isotonic_calibration, ... shapley_attribution) rotate
-# in round 7.
-_R6_WINDOW = [
+# the two round-6 red rows (mannwhitney_value / seasonal_decompose —
+# exact final columns now BIGINT on both sides per VERDICT r6 item 1),
+# ALL 41 never-driver-checked queries (draining the backlog per
+# VERDICT r6 item 2), and 4 of the oldest r2-green rotations.
+_R7_WINDOW = [
     "flagship_related_flat",
     "attribution_join",
     "delta_except",
-    "revenue_anomalies",
-    "ab_test_purchase",
-    "markov_backtest",
-    "ipw_hitrate",
-    "stream_calibration",
-    "price_qty_corr",
-    "qty_price_spearman",
-    "tv_drift",
-    "fk_discovery",
-    "fd_discovery",
-    "stream_quantiles",
-    "tpch_q2",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q16",
-    "tpch_q20",
-    "tpch_q21",
-    "price_qty_ols",
-    "chi2_flag_status",
-    "benford_audit",
-    "revenue_acf",
-    "ivm_join_rollup",
-    "sorted_neighborhood",
-    "linear_attribution",
-    "stream_ivm_rollup",
-    "bitemporal_report",
-    "psi_drift",
-    "pareto_skyline",
-    "renest_legacy_window",
-    "merge_upsert",
-    "variant_drift_scan",
-    "stream_running_stats",
-    "linkage_fs",
-    "kfold_report",
-    "annotator_kappa",
-    "score_ece",
-    "revenue_changepoint",
-    "stream_minhash_lsh",
     "mannwhitney_value",
     "seasonal_decompose",
-    "theilsen_revenue",
-    "quota_allocation",
-    "cms_heavy_hitters",
-    "dbscan_embeddings",
-    "mmr_rerank",
-]
-
-_R4_WINDOW = [
-    "scd2_dimension",
-    "incremental_rollup_merge",
-    "distinct_rollup_bitmap",
-    "bloom_prune_semi",
-    "hll_user_rollup",
-    "snapshot_cdc",
-    "cdc_roundtrip",
-    "editdist_join",
-    "interval_overlap",
-    "histogram_quantiles",
-    "er_clusters",
-    "tpch_q3",
-    "tpch_q5",
-    "covisitation_topk",
-    "rec_coverage",
-    "rec_hitrate",
-    "negative_sampling",
-    "user_profile_vectors",
-    "funnel_windows",
-    "gap_fill_locf",
-    "price_outliers",
-    "revenue_trend",
-    "bm25_search",
-    "scd2_durations",
-    "hashed_features",
-    "price_percentile_rank",
-    "skew_report",
-    "session_paths",
-    "revenue_contribution",
-    "skipgram_pairs",
-    "vocab_coverage",
-    "trending_items",
-    "cohort_revenue",
-    "covisitation_mrr",
-    "decayed_popularity",
-    "asof_nearest",
-    "renest_capped",
-    "sliding_windows",
-    "semi_anti_join",
-    "pivot_events",
-    "percentiles",
-    "stream_windowed_counts",
-    "salted_attribution",
-    "tfidf_top_terms",
-    "contiguous_ids",
-    "hash_split",
-    "intersect_items",
-    "approx_distinct",
-    "topk_per_group",
-    "delta_anti_hash",
+    "ams_f2",
+    "open_orders_sweep",
+    "compaction_plan",
+    "revenue_matrix_profile",
+    "priority_revenue_ewma",
+    "anova_price_flag",
+    "caliper_match_att",
+    "stream_cms_topk",
+    "audio_frame_energy",
+    "image_ahash",
+    "kcore_parts",
+    "stream_distinct_users",
+    "trimmed_mean_price",
+    "lineitem_corr_matrix",
+    "weighted_median_price",
+    "basket_triples",
+    "revenue_share_hierarchy",
+    "did_purchase_value",
+    "graph_walks",
+    "isotonic_calibration",
+    "js_drift",
+    "conformal_threshold",
+    "bpe_train",
+    "als_user_step",
+    "stream_js_drift",
+    "oof_target_encoding",
+    "cuped_purchase",
+    "rolling_ols_slope",
+    "growth_accounting",
+    "woe_iv_priority",
+    "bootstrap_ci",
+    "eb_shrunk_ctr",
+    "winnowing_dedup",
+    "bpe_vocab",
+    "stream_conformal",
+    "shapley_attribution",
+    "stock_balance_floor",
+    "stream_capped_balance",
+    "part_reach_bfs",
+    "price_interpolate_daily",
+    "t_closeness",
+    "error_split_errors",
+    "explode_outer",
+    "decorate_flat",
+    "renest_ordered",
 ]
 
 
@@ -7811,6 +7774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "price_qty_ols": q_price_qty_ols,
         "chi2_flag_status": q_chi2_flag_status,
+        "mi_priority_status": q_mi_priority_status,
         "benford_audit": q_benford_audit,
         "revenue_acf": q_revenue_acf,
         "ivm_join_rollup": q_ivm_join_rollup,
@@ -8065,7 +8029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_similarity": q_user_similarity,
         "stream_auc_monitor": q_stream_auc_monitor,
     }
-    out = {name: all_q[name] for name in _R6_WINDOW}
+    out = {name: all_q[name] for name in _R7_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
     return out
 
@@ -12209,6 +12173,57 @@ SELECT nn AS n,
                  * CAST(least(ra - 1, cb - 1) AS DOUBLE))) END AS cramers_v
 FROM q GROUP BY nn, ra, cb
 """
+    # mutual information: same cell grid + marginals as chi2 above;
+    # every log argument is a HUGEINT cross-product routed through
+    # VARCHAR before DOUBLE (correctly-rounded parse, matching
+    # Spark's BigDecimal->double); per-cell/per-class terms quantized
+    # floor(term*1e9) so sums are exact bigints; GREATEST(.,0) clamps
+    # the floor bias exactly as the engine does
+    sqls["mi_priority_status"] = """
+WITH cells AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b,
+         CAST(count(*) AS BIGINT) AS o
+  FROM orders GROUP BY 1, 2
+),
+rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS rtot FROM cells GROUP BY 1),
+ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS ctot FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells),
+q_mi AS (
+  SELECT CAST(sum(CAST(floor(
+           (CAST(o AS DOUBLE) / CAST(nn AS DOUBLE))
+           * ln(CAST(CAST(CAST(o AS HUGEINT) * nn AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(CAST(rtot AS HUGEINT) * ctot AS VARCHAR)
+                       AS DOUBLE))
+           * 1000000000.0) AS BIGINT)) AS BIGINT) AS qm,
+         nn
+  FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
+  GROUP BY nn
+),
+q_x AS (
+  SELECT CAST(sum(CAST(floor(
+           (CAST(rtot AS DOUBLE) / CAST(nn AS DOUBLE))
+           * ln(CAST(nn AS DOUBLE) / CAST(rtot AS DOUBLE))
+           * 1000000000.0) AS BIGINT)) AS BIGINT) AS qx,
+         CAST(count(*) AS BIGINT) AS classes_x
+  FROM rt CROSS JOIN tot
+),
+q_y AS (
+  SELECT CAST(sum(CAST(floor(
+           (CAST(ctot AS DOUBLE) / CAST(nn AS DOUBLE))
+           * ln(CAST(nn AS DOUBLE) / CAST(ctot AS DOUBLE))
+           * 1000000000.0) AS BIGINT)) AS BIGINT) AS qy,
+         CAST(count(*) AS BIGINT) AS classes_y
+  FROM ct CROSS JOIN tot
+)
+SELECT nn AS n, classes_x, classes_y,
+       CAST(GREATEST(qm, 0) AS DOUBLE) / 1000000000.0 AS mi,
+       CAST(qx AS DOUBLE) / 1000000000.0 AS h_x,
+       CAST(qy AS DOUBLE) / 1000000000.0 AS h_y,
+       CASE WHEN LEAST(qx, qy) > 0 THEN
+         CAST(GREATEST(qm, 0) AS DOUBLE) / CAST(LEAST(qx, qy) AS DOUBLE)
+       END AS nmi
+FROM q_mi CROSS JOIN q_x CROSS JOIN q_y
+"""
     # sorted-neighborhood: rank + range self-join + exact token
     # Jaccard (the Spark side never builds the range join — the
     # bucket trick keeps pairs linear)
@@ -12903,9 +12918,11 @@ slots AS (
 )
 SELECT CAST(t.day AS VARCHAR) AS day, t.v, t.trend_num, t.dow,
        s.seasonal_num, s.slot_cnt,
-       CAST(CAST(t.d AS DECIMAL(38,0)) * CAST(s.slot_cnt AS DECIMAL(38,0))
+       -- decimal internal, BIGINT emitted: a DECIMAL in a final SELECT
+       -- converts engine-dependently across DuckDB/pandas versions
+       CAST(CAST(CAST(t.d AS DECIMAL(38,0)) * CAST(s.slot_cnt AS DECIMAL(38,0))
             - CAST(s.seasonal_num AS DECIMAL(38,0)) AS DECIMAL(38,0))
-         AS residual_num
+         AS BIGINT) AS residual_num
 FROM detr t JOIN slots s USING (dow)
 """
     sqls["als_user_step"] = """
@@ -14133,31 +14150,29 @@ agg AS (
   FROM ranked
 ),
 fin AS (
-  SELECT n_a, n_b, tie_cubes,
+  -- exact columns land as BIGINT: a DECIMAL in a final SELECT converts
+  -- engine-dependently across DuckDB/pandas versions (r6 parity
+  -- incident); every double below is one bigint->double conversion
+  SELECT n_a, n_b,
+         CAST(tie_cubes AS BIGINT) AS tie_cubes,
          CAST(n_a + n_b AS BIGINT) AS n,
          CAST(_2ra - CAST(CAST(n_a AS DECIMAL(38,0))
               * CAST(n_a + 1 AS DECIMAL(38,0)) AS DECIMAL(38,0))
-              AS DECIMAL(38,0)) AS two_u_a
+              AS BIGINT) AS two_u_a
   FROM agg
 )
 SELECT n_a, n_b, two_u_a, tie_cubes,
   CASE WHEN n_a > 0 AND n_b > 0 AND n > 1 THEN
-    CAST(CAST(two_u_a - CAST(CAST(n_a AS DECIMAL(38,0))
-         * CAST(n_b AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0))
-         AS DOUBLE)
+    CAST(two_u_a - n_a * n_b AS DOUBLE)
     / (2.0 * sqrt(
         CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
         * (CAST(n + 1 AS DOUBLE)
            - CAST(tie_cubes AS DOUBLE)
-             / CAST(CAST(CAST(n AS DECIMAL(38,0))
-                    * CAST(n - 1 AS DECIMAL(38,0)) AS DECIMAL(38,0))
-                    AS DOUBLE))
+             / CAST(CAST(n AS BIGINT) * CAST(n - 1 AS BIGINT) AS DOUBLE))
         / 12.0))
   END AS z,
   CASE WHEN n_a > 0 AND n_b > 0 THEN
-    CAST(CAST(two_u_a - CAST(CAST(n_a AS DECIMAL(38,0))
-         * CAST(n_b AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0))
-         AS DOUBLE)
+    CAST(two_u_a - n_a * n_b AS DOUBLE)
     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
   END AS r_rb
 FROM fin

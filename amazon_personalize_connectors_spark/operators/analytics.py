@@ -1156,9 +1156,15 @@ def seasonal_decompose_exact(
                   k-slot → ``seasonal_num`` = Σ D_t (bigint) over
                   denominator period·cnt_k;
     * residual  r_t = v_t − trend − seasonal
-                  → ``residual_num`` = D_t·cnt_k − seasonal_num
-                  (decimal(38,0) — D·cnt exceeds bigint at warehouse
-                  magnitudes) over the same period·cnt_k.
+                  → ``residual_num`` = D_t·cnt_k − seasonal_num over
+                  the same period·cnt_k. The product is carried in
+                  decimal(38,0) internally (overflow safety) but
+                  EMITTED as bigint: a DECIMAL in a final SELECT
+                  converts engine-dependently across DuckDB/pandas
+                  versions (the r6 oracle-parity incident), and
+                  |D·cnt| <= period·max|v|·(grid/period) fits bigint
+                  far beyond the enforced ``max_grid_rows`` calendar
+                  (~2·10^14 at sf0.1 vs the 9.2·10^18 bigint bound).
 
     The day-of-period slot is epoch-anchored (days since 1970-01-01
     mod period) so any engine derives the same k without weekday
@@ -1225,6 +1231,7 @@ def seasonal_decompose_exact(
             - F.col("seasonal_num").cast(d38)
         )
         .cast(d38)
+        .cast("bigint")
         .alias("residual_num"),
     )
 
@@ -1616,6 +1623,7 @@ def matrix_profile_ssd(
     m: int = 7,
     exclusion: int = 3,
     max_grid_rows: int = 10_000,
+    max_pair_rows: int = 25_000_000,
 ) -> DataFrame:
     """Matrix profile over an ordered series (Yeh et al., ICDM 2016,
     simplified to the exact SSD distance): for every length-``m``
@@ -1634,7 +1642,14 @@ def matrix_profile_ssd(
     Scale shape: the series must already be aggregated to a bounded
     grid (a calendar/domain contract, ``enforce_bounded_grid``) —
     the all-pairs comparison is grid², sanctioned ONLY because the
-    grid is data-size-independent. Lags materialize via ``m`` lead()
+    grid is data-size-independent. Because the JOIN is quadratic in
+    the grid, the grid-row cap alone leaves an uncomfortable worst
+    case (10k days ≈ 10⁸ pairs × m columns broadcast), so a second
+    executable contract bounds the PAIR count: ``max_pair_rows``
+    (default 25M ≈ a 13-year daily calendar) fails loudly at
+    execution before the self-join materializes — raise BOTH caps
+    deliberately for longer series, or requantize (weekly grid)
+    first. Lags materialize via ``m`` lead()
     columns in one pass; the pair join is a broadcast of the bounded
     window table against itself; the argmin is a window rank
     partitioned per subsequence. The SSD accumulates in int64 — exact
@@ -1662,10 +1677,29 @@ def matrix_profile_ssd(
     w_seq = Window.partitionBy("_grid_n").orderBy(F.col("_ord").asc())
     lagged = grid.select(
         "_ord",
+        "_grid_n",
         F.row_number().over(w_seq).alias("idx"),
         *[F.lead("_v", k).over(w_seq).alias(f"_v{k}") for k in range(m)],
     )
-    windows = lagged.where(F.col(f"_v{m - 1}").isNotNull())
+    # second executable contract: the self-join below is grid², so the
+    # row cap alone is not enough — fail before materializing pairs
+    # (same assert_true-on-a-filter shape as enforce_bounded_grid,
+    # reusing its broadcast _grid_n so no extra job or exchange).
+    pair_check = F.assert_true(
+        F.col("_grid_n").cast("bigint") * F.col("_grid_n") <= max_pair_rows,
+        F.concat(
+            F.lit("matrix_profile_ssd: grid of "),
+            F.col("_grid_n").cast("string"),
+            F.lit(
+                f" rows implies up to grid^2 pairs, over "
+                f"max_pair_rows={max_pair_rows}. Requantize the series "
+                f"(e.g. weekly) or raise max_pair_rows deliberately."
+            ),
+        ),
+    )
+    windows = lagged.where(
+        F.col(f"_v{m - 1}").isNotNull() & pair_check.isNull()
+    )
     left = windows.select(
         F.col("idx").alias("ia"),
         F.col("_ord").alias("_ord_a"),

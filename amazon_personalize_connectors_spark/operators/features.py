@@ -833,11 +833,19 @@ def mannwhitney_u(
     * 2*R_A = sum(ca * two_r) and the tie term T = sum(c^3 - c) are
       accumulated in decimal(38,0) — layout-independent exact sums
       (c^3 overflows bigint at warehouse cardinalities, the
-      chi2_independence rule);
+      chi2_independence rule) — but EMITTED as bigint: a DECIMAL in
+      a final SELECT converts differently across DuckDB/pandas
+      versions (float64 vs Decimal object — the r6 oracle-parity
+      incident), while bigint -> double is one correctly-rounded
+      IEEE conversion every engine agrees on. The emitted values
+      (2*U_A <= n(2n+1), T <= n^3 over the tie multiset) fit bigint
+      up to n ~ 2*10^9 rows in the two groups combined; beyond that
+      the final cast nulls out and callers should re-emit decimal
+      via a VARCHAR bridge;
     * 2*U_A = 2*R_A - nA*(nA+1); the z-score and rank-biserial
-      effect size are fixed per-row IEEE trees over casts of those
-      exact values (the wilson_bounds rule), mirrored verbatim by
-      the oracle:
+      effect size are fixed per-row IEEE trees over bigint->double
+      casts of those exact values (the wilson_bounds rule), mirrored
+      verbatim by the oracle:
 
           var12 = nA*nB * ((n+1) - T/(n*(n-1))) / 12
           z     = (2*U_A - nA*nB) / (2*sqrt(var12))
@@ -897,26 +905,38 @@ def mannwhitney_u(
         .alias("tie_cubes"),
     )
     na, nb = F.col("n_a"), F.col("n_b")
+    # exact columns land as BIGINT (decimal is internal-only: a final
+    # DECIMAL converts engine-dependently; see docstring)
+    exact = agg.select(
+        "n_a",
+        "n_b",
+        (F.col("_2ra") - (na.cast(d38) * (na + 1).cast(d38)).cast(d38))
+        .cast(d38)
+        .cast("bigint")
+        .alias("two_u_a"),
+        F.col("tie_cubes").cast("bigint").alias("tie_cubes"),
+    )
     n = (na + nb).cast("bigint")
-    two_ua = (
-        F.col("_2ra") - (na.cast(d38) * (na + 1).cast(d38)).cast(d38)
-    ).cast(d38)
     dd = lambda c: c.cast("double")  # noqa: E731 — fixed IEEE tree below
-    num = dd((two_ua - (na.cast(d38) * nb.cast(d38))).cast(d38))
+    num = dd(
+        (F.col("two_u_a").cast(d38) - na.cast(d38) * nb.cast(d38))
+        .cast(d38)
+        .cast("bigint")
+    )
     var12 = (
         dd(na)
         * dd(nb)
         * (
             dd(n + 1)
             - dd(F.col("tie_cubes"))
-            / dd((n.cast(d38) * (n - 1).cast(d38)).cast(d38))
+            / dd((n.cast(d38) * (n - 1).cast(d38)).cast(d38).cast("bigint"))
         )
         / F.lit(12.0)
     )
-    return agg.select(
+    return exact.select(
         "n_a",
         "n_b",
-        two_ua.alias("two_u_a"),
+        "two_u_a",
         "tie_cubes",
         F.when((na > 0) & (nb > 0) & (n > 1), num / (2.0 * F.sqrt(var12)))
         .alias("z"),
@@ -1606,6 +1626,12 @@ def mutual_information(
     exact bigint quanta and NMI is a ratio of two bigints
     (|error| < cells/scale). Empty-cell convention 0·ln0 = 0 holds
     by construction — absent (x, y) cells simply never appear.
+    Per-cell MI terms CAN be negative (independent-ish cells), and
+    floor() biases each term downward, so the quantized MI sum of a
+    near-independent pair can land a few quanta below zero — the
+    emitted ``mi``/``nmi`` are clamped at 0 after summation so the
+    [0, 1] NMI contract survives quantization (true MI is >= 0; the
+    clamp absorbs only the < cells/scale quantization bias).
 
     Scale shape: ONE map-side-combinable groupBy to the (x, y) cell
     grid (rows = |X|·|Y| domain, not facts); marginals are window
@@ -1661,6 +1687,9 @@ def mutual_information(
     hx = _entropy("_x", "_nx", "x")
     hy = _entropy("_y", "_ny", "y")
     s = float(scale)
+    # clamp (docstring): floor() bias can leave the exact quantized MI
+    # sum a few quanta negative for near-independent columns
+    q_mi = F.greatest(F.col("_q_mi"), F.lit(0).cast("bigint"))
     return (
         mi_row.crossJoin(F.broadcast(hx))
         .crossJoin(F.broadcast(hy))
@@ -1668,12 +1697,12 @@ def mutual_information(
             F.col("_n").cast("bigint").alias("n"),
             "classes_x",
             "classes_y",
-            (F.col("_q_mi").cast("double") / F.lit(s)).alias("mi"),
+            (q_mi.cast("double") / F.lit(s)).alias("mi"),
             (F.col("_q_x").cast("double") / F.lit(s)).alias("h_x"),
             (F.col("_q_y").cast("double") / F.lit(s)).alias("h_y"),
             F.when(
                 F.least("_q_x", "_q_y") > 0,
-                F.col("_q_mi").cast("double")
+                q_mi.cast("double")
                 / F.least("_q_x", "_q_y").cast("double"),
             ).alias("nmi"),
         )

@@ -274,6 +274,7 @@ BENCH_QUERIES = [
     "shapley_attribution",
     "stock_balance_floor",
     "price_interpolate_daily",
+    "mi_priority_status",
 ]
 
 # Heavy-but-bounded queries whose cost is fixed by a domain contract,

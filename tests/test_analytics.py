@@ -1021,6 +1021,27 @@ def test_matrix_profile_ssd_is_symmetric_minimum(spark):
         assert (r["ssd_min"], r["match_idx"]) == best
 
 
+def test_matrix_profile_pair_count_guard_fires(spark):
+    # VERDICT r6 item 5: the grid-row cap alone allows ~10^8 pairs at
+    # its 10k default; the pair-count contract must fail loudly BEFORE
+    # the quadratic self-join materializes.
+    import pytest
+
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        matrix_profile_ssd,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 17) for i in range(60)], "t int, v long"
+    )
+    out = matrix_profile_ssd(df, "t", "v", m=3, exclusion=2, max_pair_rows=1000)
+    with pytest.raises(Exception, match="max_pair_rows=1000"):
+        out.collect()
+    # same series under a sufficient cap still computes (60^2 <= 4000)
+    ok = matrix_profile_ssd(df, "t", "v", m=3, exclusion=2, max_pair_rows=4000)
+    assert ok.count() == 58
+
+
 def test_dyadic_ewma_exact_quotients(spark):
     from amazon_personalize_connectors_spark.operators.analytics import (
         dyadic_ewma,

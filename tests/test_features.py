@@ -1243,3 +1243,47 @@ def test_weighted_quantile_duplicate_values_collapse(spark):
     df = spark.createDataFrame(rows, "g string, v long, w long")
     r = weighted_quantile(df, ["g"], "v", "w", 1, 2).collect()[0]
     assert r["wq_value"] == 5 and r["total_w"] == 13
+
+
+def test_mutual_information_known_values(spark):
+    import math
+
+    from amazon_personalize_connectors_spark.operators.features import (
+        mutual_information,
+    )
+
+    # perfectly dependent: y == x -> MI = H(X) = H(Y), NMI = 1
+    rows = [("a", "a")] * 2 + [("b", "b")] * 2
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = mutual_information(df, "x", "y").collect()[0]
+    assert (r["n"], r["classes_x"], r["classes_y"]) == (4, 2, 2)
+    assert abs(r["mi"] - math.log(2)) < 1e-6
+    assert abs(r["h_x"] - math.log(2)) < 1e-6
+    assert abs(r["nmi"] - 1.0) < 1e-6
+
+
+def test_mutual_information_independent_clamps_at_zero(spark):
+    from amazon_personalize_connectors_spark.operators.features import (
+        mutual_information,
+    )
+
+    # exactly independent product distribution: true MI = 0; each of
+    # the 4 cell terms floor()s downward, so the unclamped quantized
+    # sum would land a few quanta NEGATIVE (ADVICE r6) — the clamp
+    # must hold the [0, 1] contract
+    rows = [(x, y) for x in ("a", "b") for y in ("c", "d") for _ in range(3)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = mutual_information(df, "x", "y").collect()[0]
+    assert r["mi"] >= 0.0 and r["mi"] < 1e-6
+    assert r["nmi"] is not None and 0.0 <= r["nmi"] <= 1.0
+
+
+def test_mutual_information_constant_column_nmi_null(spark):
+    from amazon_personalize_connectors_spark.operators.features import (
+        mutual_information,
+    )
+
+    rows = [("k", y) for y in ("a", "b", "a", "b")]
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = mutual_information(df, "x", "y").collect()[0]
+    assert r["h_x"] == 0.0 and r["mi"] == 0.0 and r["nmi"] is None

@@ -5,6 +5,19 @@ the same parquet tables, then compare row count, column names, and
 (sorted) values. Usage:
 
     python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py --lint [sf_dir] [query ...]
+
+``--lint`` runs only the final-schema lint (below) without executing.
+
+Final-schema lint: no DECIMAL (either side) and no HUGEINT (oracle
+side) may reach a final SELECT. Rationale: the driver's DuckDB/pandas
+versions are not pinned to local's, and DECIMAL -> pandas conversion
+is version-dependent (float64 vs Decimal object), as is HUGEINT
+(float64 widening). Three driver-vs-local parity incidents (r5
+revenue_anomalies, r6 mannwhitney_value + seasonal_decompose) all
+came from this class. Keep exact arithmetic DECIMAL *internally*;
+emit BIGINT, or route through a VARCHAR bridge when the magnitude
+genuinely exceeds int64.
 """
 
 from __future__ import annotations
@@ -67,6 +80,46 @@ def _dtype_family(dt) -> str:
     return "other"
 
 
+def versions_line() -> str:
+    """One-line environment stamp: the oracle compare is only as
+    portable as these conversion layers, so every VERIFIED.md window
+    placement records them (VERDICT r6 item 4)."""
+    import numpy as np
+    import pyarrow
+    import pyspark
+
+    return (
+        f"oracle-env: duckdb={duckdb.__version__} pandas={pd.__version__} "
+        f"pyarrow={pyarrow.__version__} numpy={np.__version__} "
+        f"pyspark={pyspark.__version__}"
+    )
+
+
+def lint_final_types(spark_schema, con, sql: str | None) -> list[str]:
+    """Flag engine/oracle final-SELECT types that convert
+    engine-dependently (see module docstring). ``spark_schema`` is a
+    pyspark StructType; ``sql`` may be None for rows-only queries."""
+    from pyspark.sql.types import DecimalType
+
+    problems = []
+    for f in spark_schema.fields:
+        if isinstance(f.dataType, DecimalType):
+            problems.append(
+                f"lint: engine final column {f.name} is {f.dataType.simpleString()}"
+                " (DECIMAL converts engine-dependently; emit BIGINT or VARCHAR)"
+            )
+    if sql is not None:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        for row in desc:
+            col, typ = row[0], str(row[1]).upper()
+            if typ.startswith("DECIMAL") or typ == "HUGEINT":
+                problems.append(
+                    f"lint: oracle final column {col} is {typ}"
+                    " (converts engine-dependently; CAST AS BIGINT or VARCHAR)"
+                )
+    return problems
+
+
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(spark_df.columns) != sorted(oracle_df.columns):
@@ -110,12 +163,16 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    lint_only = "--lint" in argv
+    argv = [a for a in argv if a != "--lint"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as e
     from amazon_personalize_connectors_spark.session import get_spark
 
+    print(versions_line())
     spark = get_spark("oracle-check")
     con = duck_connection(sf_dir)
     qs, oracles = e.queries(), e.oracle_sql()
@@ -126,7 +183,23 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            df = fn(spark, sf_dir)
+            lint = lint_final_types(df.schema, con, oracles.get(name))
+        except Exception as ex:
+            print(f"[FAIL] {name}: spark/lint error: {ex}")
+            failed.append(name)
+            continue
+        if lint:
+            print(f"[FAIL] {name} ({time.time()-t0:.1f}s)")
+            for p in lint:
+                print(f"       {p}")
+            failed.append(name)
+            continue
+        if lint_only:
+            print(f"[lint ok] {name} ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            sdf = df.toPandas()
             spark.catalog.clearCache()
         except Exception as ex:
             print(f"[FAIL] {name}: spark error: {ex}")
