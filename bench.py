@@ -275,6 +275,7 @@ BENCH_QUERIES = [
     "stock_balance_floor",
     "price_interpolate_daily",
     "mi_priority_status",
+    "image_resize_pixels",
 ]
 
 # Heavy-but-bounded queries whose cost is fixed by a domain contract,
