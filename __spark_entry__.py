@@ -2442,6 +2442,32 @@ def q_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW-style graph ANN against a PERSISTED navigable-graph index
+    (functions/similarity.py:hnsw_index_build/hnsw_probe_topk —
+    Malkov & Yashunin, TPAMI 2018, flattened to a deterministic
+    two-layer batch build): per-block top-4 exact-int kNN edges plus
+    2 cross-block hub links per node; the probe is a 2-round beam
+    search (ef=6) that starts at the hub layer and expands along the
+    stored edges, corpus never shuffling (candidate scoring joins the
+    node table against a broadcast of the bounded beam). Every score
+    is an exact int64 inner product of floor(v·10⁶) quantizations and
+    every prune tie-breaks by ascending id, so the DuckDB oracle
+    replays the entire search — build AND probe — bit for bit."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        hnsw_index_build,
+        hnsw_probe_topk,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    index = tempfile.mkdtemp(prefix="apcs_hnsw_index_")
+    hnsw_index_build(spark, emb, index, m=4, long_links=2)
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    return hnsw_probe_topk(spark, index, queries_df, k=5, ef=6, rounds=2)
+
+
 def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 build from the orders change log: per-customer priority
     history with maximal [valid_from, valid_to) intervals (consecutive
@@ -7963,6 +7989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": q_simhash64,
         "state_digest_update": q_state_digest_update,
         "ann_topk": q_ann_topk,
+        "hnsw_topk": q_hnsw_topk,
         "ann_topk_partial": q_ann_topk_partial,
         "ann_quantized": q_ann_quantized,
         "rrf_fusion": q_rrf_fusion,
@@ -12745,6 +12772,96 @@ FROM picked GROUP BY 1
     sqls["line_dedup_materialized"] = sqls["line_dedup"]
     # the persisted-index IVF probe serves the same results as in-plan
     sqls["ivf_index_probe"] = sqls["ivf_probe_topk"]
+    # HNSW-style graph ANN: the oracle replays BOTH the deterministic
+    # two-layer build (per-block top-4 exact-int kNN edges + 2
+    # cross-block hub links) and the 2-round ef=6 beam search, each
+    # sum CAST to BIGINT immediately (DuckDB widens sums to HUGEINT)
+    sqls["hnsw_topk"] = """
+WITH e AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS blk,
+                  CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+qd AS (
+  SELECT id, blk, u.i AS dim,
+         CAST(floor(v[u.i] * 1000000.0) AS BIGINT) AS iv
+  FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+),
+loc AS (
+  SELECT a.id AS src, b.id AS dst, CAST(sum(a.iv * b.iv) AS BIGINT) AS qdot
+  FROM qd a JOIN qd b ON b.blk = a.blk AND b.dim = a.dim AND b.id <> a.id
+  GROUP BY 1, 2
+),
+loc_e AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY qdot DESC, dst) AS rn
+    FROM loc) WHERE rn <= 4
+),
+hubs AS (SELECT blk, min(id) AS hub FROM e GROUP BY 1),
+crossd AS (
+  SELECT a.id AS src, h.hub AS dst, CAST(sum(a.iv * b.iv) AS BIGINT) AS qdot
+  FROM qd a JOIN hubs h ON h.blk <> a.blk
+  JOIN qd b ON b.id = h.hub AND b.dim = a.dim
+  GROUP BY 1, 2
+),
+cross_e AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY qdot DESC, dst) AS rn
+    FROM crossd) WHERE rn <= 2
+),
+edges AS (SELECT * FROM loc_e UNION ALL SELECT * FROM cross_e),
+qs AS (SELECT id, dim, iv FROM qd WHERE id % 50 = 0),
+b0s AS (
+  SELECT q.id AS q_id, h.hub AS n_id, CAST(sum(q.iv * n.iv) AS BIGINT) AS qdot
+  FROM qs q JOIN hubs h ON TRUE
+  JOIN qd n ON n.id = h.hub AND n.dim = q.dim
+  GROUP BY 1, 2
+),
+beam0 AS (
+  SELECT q_id, n_id, qdot FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY qdot DESC, n_id) AS rn FROM b0s) WHERE rn <= 6
+),
+exp1 AS (SELECT DISTINCT b.q_id, ed.dst AS n_id
+         FROM beam0 b JOIN edges ed ON ed.src = b.n_id),
+sc1 AS (
+  SELECT x.q_id, x.n_id, CAST(sum(q.iv * n.iv) AS BIGINT) AS qdot
+  FROM exp1 x JOIN qs q ON q.id = x.q_id
+  JOIN qd n ON n.id = x.n_id AND n.dim = q.dim
+  GROUP BY 1, 2
+),
+m1 AS (SELECT q_id, n_id, CAST(max(qdot) AS BIGINT) AS qdot
+       FROM (SELECT * FROM beam0 UNION ALL SELECT * FROM sc1)
+       GROUP BY 1, 2),
+beam1 AS (
+  SELECT q_id, n_id, qdot FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY qdot DESC, n_id) AS rn FROM m1) WHERE rn <= 6
+),
+exp2 AS (SELECT DISTINCT b.q_id, ed.dst AS n_id
+         FROM beam1 b JOIN edges ed ON ed.src = b.n_id),
+sc2 AS (
+  SELECT x.q_id, x.n_id, CAST(sum(q.iv * n.iv) AS BIGINT) AS qdot
+  FROM exp2 x JOIN qs q ON q.id = x.q_id
+  JOIN qd n ON n.id = x.n_id AND n.dim = q.dim
+  GROUP BY 1, 2
+),
+m2 AS (SELECT q_id, n_id, CAST(max(qdot) AS BIGINT) AS qdot
+       FROM (SELECT * FROM beam1 UNION ALL SELECT * FROM sc2)
+       GROUP BY 1, 2),
+beam2 AS (
+  SELECT q_id, n_id, qdot FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY qdot DESC, n_id) AS rn FROM m2) WHERE rn <= 6
+)
+SELECT q_id, n_id, rank, qdot FROM (
+  SELECT q_id, n_id,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY qdot DESC, n_id) AS BIGINT) AS rank,
+         qdot
+  FROM beam2 WHERE n_id <> q_id
+) WHERE rank <= 5
+"""
     # likewise the two-stage partial top-k vs the window form
     sqls["ann_topk_partial"] = sqls["ann_topk"]
     # merge_upsert == FULL OUTER JOIN + clause CASEs (update when

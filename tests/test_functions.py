@@ -824,3 +824,92 @@ def test_bfs_min_hops_isolated_seed_kept(spark):
     seeds = spark.createDataFrame([(99,)], "node long")
     got = {r["node"]: r["hops"] for r in bfs_min_hops(edges, seeds, 2).collect()}
     assert got == {99: 0}
+
+
+def _hnsw_fixture(spark):
+    # two well-separated blocks in 4-d; ids chosen so each block's hub
+    # (min id) is NOT the best answer for the cross-block query
+    rows = [
+        # block 0: near e1
+        (10, [1.00, 0.00, 0.00, 0.00], 0),
+        (11, [0.99, 0.10, 0.00, 0.00], 0),
+        (12, [0.98, 0.15, 0.05, 0.00], 0),
+        (13, [0.97, 0.20, 0.05, 0.05], 0),
+        # block 1: near e2
+        (20, [0.00, 1.00, 0.00, 0.00], 1),
+        (21, [0.10, 0.99, 0.00, 0.00], 1),
+        (22, [0.15, 0.98, 0.05, 0.00], 1),
+        (23, [0.20, 0.97, 0.05, 0.05], 1),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_hnsw_probe_finds_same_block_neighbors(spark, tmp_path):
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        hnsw_index_build,
+        hnsw_probe_topk,
+    )
+
+    emb = _hnsw_fixture(spark)
+    idx = str(tmp_path / "hnsw")
+    hnsw_index_build(spark, emb, idx, m=2, long_links=1)
+    out = hnsw_probe_topk(
+        spark, idx, emb.where(F.col("vec_id") == 11), k=3, ef=4, rounds=2
+    ).collect()
+    got = [r["n_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # 11's true top-3 by inner product are its block mates
+    assert set(got) == {10, 12, 13}
+    assert all(r["q_id"] == 11 for r in out)
+
+
+def test_hnsw_beam_escapes_wrong_block_via_hubs(spark, tmp_path):
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        hnsw_index_build,
+        hnsw_probe_topk,
+    )
+
+    emb = _hnsw_fixture(spark)
+    # a query vector that LIVES in block 0 (by its label) but points
+    # at block 1 — nprobe=1 IVF on its own block would miss; the hub
+    # round scores BOTH hubs so the beam descends into block 1
+    q = spark.createDataFrame(
+        [(99, [0.05, 0.99, 0.02, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    idx = str(tmp_path / "hnsw")
+    hnsw_index_build(spark, emb, idx, m=2, long_links=1)
+    out = hnsw_probe_topk(spark, idx, q, k=3, ef=4, rounds=2).collect()
+    got = {r["n_id"] for r in out}
+    # all results from block 1, reached through hub 20's edges
+    assert got <= {20, 21, 22, 23} and len(got) == 3
+
+
+def test_hnsw_probe_is_deterministic(spark, tmp_path):
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        hnsw_index_build,
+        hnsw_probe_topk,
+    )
+
+    emb = _hnsw_fixture(spark)
+    idx = str(tmp_path / "hnsw")
+    hnsw_index_build(spark, emb, idx, m=2, long_links=1)
+    qs = emb.where(F.col("vec_id").isin(11, 22))
+    a = sorted(
+        hnsw_probe_topk(spark, idx, qs, k=3, ef=4, rounds=2).collect(),
+        key=lambda r: (r["q_id"], r["rank"]),
+    )
+    b = sorted(
+        hnsw_probe_topk(spark, idx, qs, k=3, ef=4, rounds=2).collect(),
+        key=lambda r: (r["q_id"], r["rank"]),
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # exact int scores, ranks contiguous from 1, qdot non-increasing
+    for q_id in (11, 22):
+        rows = [r for r in a if r["q_id"] == q_id]
+        assert [r["rank"] for r in rows] == [1, 2, 3]
+        assert all(isinstance(r["qdot"], int) for r in rows)
+        assert all(
+            rows[i]["qdot"] >= rows[i + 1]["qdot"] for i in range(len(rows) - 1)
+        )

@@ -456,3 +456,15 @@ def test_robust_stats_rank_on_value_grid_not_raw_rows(spark, sf_dir):
                 if "Relation" in nxt or "FileScan" in nxt:
                     break
             assert seen_agg, f"{name}: Window over raw rows\n{plan}"
+
+
+def test_hnsw_probe_corpus_never_shuffle_joins(spark, sf_dir):
+    # graph-ANN serve discipline: every join in the probe broadcasts a
+    # query-batch-bounded side (beam, expansion, hub table) against the
+    # stationary corpus — a SortMergeJoin or CartesianProduct would mean
+    # corpus-scale data crossed a shuffle or an unbounded pair blowup
+    df = entry.q_hnsw_topk(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
