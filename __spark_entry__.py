@@ -2446,9 +2446,13 @@ def q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HNSW-style graph ANN against a PERSISTED navigable-graph index
     (functions/similarity.py:hnsw_index_build/hnsw_probe_topk —
     Malkov & Yashunin, TPAMI 2018, flattened to a deterministic
-    two-layer batch build): per-block top-4 exact-int kNN edges plus
-    2 cross-block hub links per node; the probe is a 2-round beam
-    search (ef=6) that starts at the hub layer and expands along the
+    two-layer batch build): a symmetrized top-12 exact-int kNN graph
+    whose candidate pairs come from 4 independent 4-bit
+    random-hyperplane LSH tables (geometry-aware blocking — one
+    table's bucket boundary cuts real neighborhoods, the union
+    recovers them), plus 2 cross-bucket hub links per node; the probe
+    is a 3-round beam search (ef=16) that starts at the hub layer
+    (one entry per table-0 bucket) and expands along the
     stored edges, corpus never shuffling (candidate scoring joins the
     node table against a broadcast of the bounded beam). Every score
     is an exact int64 inner product of floor(v·10⁶) quantizations and
@@ -2463,9 +2467,50 @@ def q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = synthetic.load_table(spark, sf_dir, "embeddings")
     index = tempfile.mkdtemp(prefix="apcs_hnsw_index_")
-    hnsw_index_build(spark, emb, index, m=4, long_links=2)
+    hnsw_index_build(spark, emb, index, m=12)
     queries_df = emb.where(F.col("vec_id") % 50 == 0)
-    return hnsw_probe_topk(spark, index, queries_df, k=5, ef=6, rounds=2)
+    return hnsw_probe_topk(spark, index, queries_df, k=5, ef=16, rounds=3)
+
+
+def q_hnsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN quality evaluation: recall@5 of the HNSW-style beam
+    search against the EXACT top-5 in the SAME quantized-int metric
+    (similarity.py:quantized_topk — sharing the metric keeps
+    quantization error out of the graph measurement; q:ann_recall is
+    the SQ8 sibling). Both rankings are deterministic, so the
+    per-query intersection count and the single constant division are
+    bit-stable; the oracle replays build, search, AND ground truth."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        hnsw_index_build,
+        hnsw_probe_topk,
+        quantized_topk,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    index = tempfile.mkdtemp(prefix="apcs_hnsw_recall_")
+    hnsw_index_build(spark, emb, index, m=12)
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    approx = hnsw_probe_topk(
+        spark, index, queries_df, k=5, ef=16, rounds=3
+    ).select("q_id", "n_id")
+    exact = quantized_topk(emb, queries_df, k=5).select("q_id", "n_id")
+    hits = (
+        exact.join(approx, ["q_id", "n_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            F.col("q_id").cast("bigint").alias("q_id"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / F.lit(5.0)).alias("recall_at_5"),
+        )
+    )
 
 
 def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7990,6 +8035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_digest_update": q_state_digest_update,
         "ann_topk": q_ann_topk,
         "hnsw_topk": q_hnsw_topk,
+        "hnsw_recall": q_hnsw_recall,
         "ann_topk_partial": q_ann_topk_partial,
         "ann_quantized": q_ann_quantized,
         "rrf_fusion": q_rrf_fusion,
@@ -12777,30 +12823,78 @@ FROM picked GROUP BY 1
     # cross-block hub links) and the 2-round ef=6 beam search, each
     # sum CAST to BIGINT immediately (DuckDB widens sums to HUGEINT)
     sqls["hnsw_topk"] = """
-WITH e AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS blk,
-                  CAST(embedding AS DOUBLE[]) AS v
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
 qd AS (
-  SELECT id, blk, u.i AS dim,
+  SELECT id, CAST(u.i - 1 AS BIGINT) AS dim,
          CAST(floor(v[u.i] * 1000000.0) AS BIGINT) AS iv
   FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
 ),
-loc AS (
-  SELECT a.id AS src, b.id AS dst, CAST(sum(a.iv * b.iv) AS BIGINT) AS qdot
-  FROM qd a JOIN qd b ON b.blk = a.blk AND b.dim = a.dim AND b.id <> a.id
+dots AS (
+  SELECT id,
+         sum(iv * ((dim * 1009 + 12345) % 2001 - 1000)) AS d0,
+         sum(iv * ((dim * 1009 + 21521) % 2001 - 1000)) AS d1,
+         sum(iv * ((dim * 1009 + 30697) % 2001 - 1000)) AS d2,
+         sum(iv * ((dim * 1009 + 39873) % 2001 - 1000)) AS d3,
+         sum(iv * ((dim * 1009 + 49049) % 2001 - 1000)) AS d4,
+         sum(iv * ((dim * 1009 + 58225) % 2001 - 1000)) AS d5,
+         sum(iv * ((dim * 1009 + 67401) % 2001 - 1000)) AS d6,
+         sum(iv * ((dim * 1009 + 76577) % 2001 - 1000)) AS d7,
+         sum(iv * ((dim * 1009 + 85753) % 2001 - 1000)) AS d8,
+         sum(iv * ((dim * 1009 + 94929) % 2001 - 1000)) AS d9,
+         sum(iv * ((dim * 1009 + 104105) % 2001 - 1000)) AS d10,
+         sum(iv * ((dim * 1009 + 113281) % 2001 - 1000)) AS d11,
+         sum(iv * ((dim * 1009 + 122457) % 2001 - 1000)) AS d12,
+         sum(iv * ((dim * 1009 + 131633) % 2001 - 1000)) AS d13,
+         sum(iv * ((dim * 1009 + 140809) % 2001 - 1000)) AS d14,
+         sum(iv * ((dim * 1009 + 149985) % 2001 - 1000)) AS d15
+  FROM qd GROUP BY id
+),
+bk AS (
+  SELECT id,
+       CAST((CASE WHEN d0 >= 0 THEN 1 ELSE 0 END) + (CASE WHEN d1 >= 0 THEN 2 ELSE 0 END) + (CASE WHEN d2 >= 0 THEN 4 ELSE 0 END) + (CASE WHEN d3 >= 0 THEN 8 ELSE 0 END) AS BIGINT) AS t0,
+       CAST((CASE WHEN d4 >= 0 THEN 1 ELSE 0 END) + (CASE WHEN d5 >= 0 THEN 2 ELSE 0 END) + (CASE WHEN d6 >= 0 THEN 4 ELSE 0 END) + (CASE WHEN d7 >= 0 THEN 8 ELSE 0 END) AS BIGINT) AS t1,
+       CAST((CASE WHEN d8 >= 0 THEN 1 ELSE 0 END) + (CASE WHEN d9 >= 0 THEN 2 ELSE 0 END) + (CASE WHEN d10 >= 0 THEN 4 ELSE 0 END) + (CASE WHEN d11 >= 0 THEN 8 ELSE 0 END) AS BIGINT) AS t2,
+       CAST((CASE WHEN d12 >= 0 THEN 1 ELSE 0 END) + (CASE WHEN d13 >= 0 THEN 2 ELSE 0 END) + (CASE WHEN d14 >= 0 THEN 4 ELSE 0 END) + (CASE WHEN d15 >= 0 THEN 8 ELSE 0 END) AS BIGINT) AS t3
+  FROM dots
+),
+cand AS (
+  SELECT a.id AS src, b.id AS dst
+  FROM bk a JOIN bk b ON b.t0 = a.t0 AND b.id <> a.id
+  UNION
+  SELECT a.id AS src, b.id AS dst
+  FROM bk a JOIN bk b ON b.t1 = a.t1 AND b.id <> a.id
+  UNION
+  SELECT a.id AS src, b.id AS dst
+  FROM bk a JOIN bk b ON b.t2 = a.t2 AND b.id <> a.id
+  UNION
+  SELECT a.id AS src, b.id AS dst
+  FROM bk a JOIN bk b ON b.t3 = a.t3 AND b.id <> a.id
+),
+cd AS (
+  SELECT c.src, c.dst, CAST(sum(qa.iv * qb.iv) AS BIGINT) AS qdot
+  FROM cand c JOIN qd qa ON qa.id = c.src
+  JOIN qd qb ON qb.id = c.dst AND qb.dim = qa.dim
   GROUP BY 1, 2
 ),
+out_m AS (
+  SELECT src, dst, qdot FROM (
+    SELECT *, row_number() OVER (PARTITION BY src ORDER BY qdot DESC, dst) AS rn
+    FROM cd) WHERE rn <= 12
+),
+sym AS (SELECT src, dst, qdot FROM out_m
+        UNION SELECT dst, src, qdot FROM out_m),
 loc_e AS (
   SELECT src, dst FROM (
-    SELECT src, dst,
-           row_number() OVER (PARTITION BY src ORDER BY qdot DESC, dst) AS rn
-    FROM loc) WHERE rn <= 4
+    SELECT *, row_number() OVER (PARTITION BY src ORDER BY qdot DESC, dst) AS rn
+    FROM sym) WHERE rn <= 24
 ),
-hubs AS (SELECT blk, min(id) AS hub FROM e GROUP BY 1),
+hubs AS (SELECT t0 AS hblk, min(id) AS hub FROM bk GROUP BY 1),
 crossd AS (
-  SELECT a.id AS src, h.hub AS dst, CAST(sum(a.iv * b.iv) AS BIGINT) AS qdot
-  FROM qd a JOIN hubs h ON h.blk <> a.blk
-  JOIN qd b ON b.id = h.hub AND b.dim = a.dim
+  SELECT a.id AS src, h.hub AS dst, CAST(sum(qa.iv * qb.iv) AS BIGINT) AS qdot
+  FROM bk a JOIN hubs h ON h.hblk <> a.t0
+  JOIN qd qa ON qa.id = a.id
+  JOIN qd qb ON qb.id = h.hub AND qb.dim = qa.dim
   GROUP BY 1, 2
 ),
 cross_e AS (
@@ -12809,7 +12903,7 @@ cross_e AS (
            row_number() OVER (PARTITION BY src ORDER BY qdot DESC, dst) AS rn
     FROM crossd) WHERE rn <= 2
 ),
-edges AS (SELECT * FROM loc_e UNION ALL SELECT * FROM cross_e),
+edges AS (SELECT src, dst FROM loc_e UNION SELECT src, dst FROM cross_e),
 qs AS (SELECT id, dim, iv FROM qd WHERE id % 50 = 0),
 b0s AS (
   SELECT q.id AS q_id, h.hub AS n_id, CAST(sum(q.iv * n.iv) AS BIGINT) AS qdot
@@ -12820,7 +12914,7 @@ b0s AS (
 beam0 AS (
   SELECT q_id, n_id, qdot FROM (
     SELECT *, row_number() OVER (PARTITION BY q_id
-             ORDER BY qdot DESC, n_id) AS rn FROM b0s) WHERE rn <= 6
+             ORDER BY qdot DESC, n_id) AS rn FROM b0s) WHERE rn <= 16
 ),
 exp1 AS (SELECT DISTINCT b.q_id, ed.dst AS n_id
          FROM beam0 b JOIN edges ed ON ed.src = b.n_id),
@@ -12836,7 +12930,7 @@ m1 AS (SELECT q_id, n_id, CAST(max(qdot) AS BIGINT) AS qdot
 beam1 AS (
   SELECT q_id, n_id, qdot FROM (
     SELECT *, row_number() OVER (PARTITION BY q_id
-             ORDER BY qdot DESC, n_id) AS rn FROM m1) WHERE rn <= 6
+             ORDER BY qdot DESC, n_id) AS rn FROM m1) WHERE rn <= 16
 ),
 exp2 AS (SELECT DISTINCT b.q_id, ed.dst AS n_id
          FROM beam1 b JOIN edges ed ON ed.src = b.n_id),
@@ -12852,15 +12946,62 @@ m2 AS (SELECT q_id, n_id, CAST(max(qdot) AS BIGINT) AS qdot
 beam2 AS (
   SELECT q_id, n_id, qdot FROM (
     SELECT *, row_number() OVER (PARTITION BY q_id
-             ORDER BY qdot DESC, n_id) AS rn FROM m2) WHERE rn <= 6
+             ORDER BY qdot DESC, n_id) AS rn FROM m2) WHERE rn <= 16
+),
+exp3 AS (SELECT DISTINCT b.q_id, ed.dst AS n_id
+         FROM beam2 b JOIN edges ed ON ed.src = b.n_id),
+sc3 AS (
+  SELECT x.q_id, x.n_id, CAST(sum(q.iv * n.iv) AS BIGINT) AS qdot
+  FROM exp3 x JOIN qs q ON q.id = x.q_id
+  JOIN qd n ON n.id = x.n_id AND n.dim = q.dim
+  GROUP BY 1, 2
+),
+m3 AS (SELECT q_id, n_id, CAST(max(qdot) AS BIGINT) AS qdot
+       FROM (SELECT * FROM beam2 UNION ALL SELECT * FROM sc3)
+       GROUP BY 1, 2),
+beam3 AS (
+  SELECT q_id, n_id, qdot FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY qdot DESC, n_id) AS rn FROM m3) WHERE rn <= 16
 )
 SELECT q_id, n_id, rank, qdot FROM (
   SELECT q_id, n_id,
          CAST(row_number() OVER (PARTITION BY q_id
               ORDER BY qdot DESC, n_id) AS BIGINT) AS rank,
          qdot
-  FROM beam2 WHERE n_id <> q_id
+  FROM beam3 WHERE n_id <> q_id
 ) WHERE rank <= 5
+"""
+    # recall@5 of the beam search vs the EXACT quantized-int top-5 —
+    # shares the whole build+search pyramid above, adds the exact
+    # ground truth and the per-query intersection count
+    _hnsw_prefix = sqls["hnsw_topk"].split(
+        "SELECT q_id, n_id, rank, qdot FROM ("
+    )[0]
+    sqls["hnsw_recall"] = _hnsw_prefix + """, hn AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY qdot DESC, n_id) AS rn
+    FROM beam3 WHERE n_id <> q_id) WHERE rn <= 5
+),
+exact_s AS (
+  SELECT q.id AS q_id, n.id AS n_id, CAST(sum(q.iv * n.iv) AS BIGINT) AS qdot
+  FROM qs q JOIN qd n ON n.dim = q.dim AND n.id <> q.id
+  GROUP BY 1, 2
+),
+exact5 AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY qdot DESC, n_id) AS rn
+    FROM exact_s) WHERE rn <= 5
+)
+SELECT e.q_id,
+       CAST(count(h.n_id) AS BIGINT) AS n_hits,
+       CAST(count(h.n_id) AS BIGINT) / 5.0 AS recall_at_5
+FROM exact5 e LEFT JOIN hn h ON h.q_id = e.q_id AND h.n_id = e.n_id
+GROUP BY 1
 """
     # likewise the two-stage partial top-k vs the window form
     sqls["ann_topk_partial"] = sqls["ann_topk"]

@@ -1044,67 +1044,124 @@ def hnsw_index_build(
     spark,
     embeddings: DataFrame,
     index_path: str,
-    m: int = 4,
+    m: int = 8,
     long_links: int = 2,
-    block_col: str = "label",
+    block_col: str | None = None,
+    n_bits: int = 4,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
     """Persist an HNSW-STYLE navigable graph ANN index (Malkov &
-    Yashunin, TPAMI 2018), flattened to the two layers that matter
-    for a deterministic distributed build:
+    Yashunin, TPAMI 2018), flattened to the layers that matter for a
+    deterministic distributed build:
 
-    * layer 0 — each node's top-``m`` neighbors by exact quantized
-      inner product WITHIN its coarse block (the same bounded-block
-      contract as the IVF inverted lists: the quadratic part is
-      per-block, data-size-independent per the block design);
-    * hub layer — one entry node per block (min id: deterministic);
-      every node also keeps ``long_links`` edges to its nearest
-      OTHER-block hubs, the long-range links that make the graph
-      navigable ACROSS blocks (the property IVF nprobe=1 lacks: a
-      probe can leave a wrong initial block by hopping hubs).
+    * layer 0 — a symmetrized kNN graph: candidate pairs come from
+      ``n_tables`` independent random-hyperplane LSH tables of
+      ``n_bits`` each (the GEOMETRY-aware blocking of rp_lsh_buckets
+      — multi-table because one table's bucket boundary cuts real
+      neighborhoods; the union recovers them), each node keeps its
+      top-``m`` candidates by exact quantized inner product, edges
+      are symmetrized (HNSW links are bidirectional — navigation
+      needs to enter a popular node AND leave it) and re-pruned to
+      out-degree ≤ 2·``m``;
+    * hub layer — one entry node per table-0 bucket (min id —
+      deterministic, ≤ 2^n_bits entries), plus ``long_links``
+      cross-bucket hub edges per node: the long-range links that let
+      a probe leave a wrong entry region.
 
-    Sequential insert-order graph construction (the paper's build)
-    is inherently order-dependent; this build replaces it with a
-    deterministic batch equivalent — same navigable-small-world
-    shape, engine-reproducible edges, embarrassingly parallel.
+    Pass ``block_col`` to block on a trusted precomputed key instead
+    of LSH (e.g. a k-means cluster id) — same edge discipline.
 
-    Writes ``nodes`` (id, qv), ``edges`` (src, dst — out-degree
-    m + long_links), and ``hubs`` (hub, hub_qv) parquet under
-    ``index_path``. Build never broadcasts the corpus: the local
-    kNN is a per-block self-join (block-bounded), the hub links a
-    broadcast of the tiny hub table."""
-    nodes = _q6_nodes(embeddings, id_col, vec_col, block_col)
-    a = nodes.select(
-        F.col("id").alias("src"), F.col("qv").alias("_aqv"), "blk"
-    )
-    b = nodes.select(
-        F.col("id").alias("dst"), F.col("qv").alias("_bqv"), "blk"
-    )
-    w_src = Window.partitionBy("src").orderBy(
-        F.desc("qdot"), F.asc("dst")
-    )
-    local = (
-        a.join(b, "blk")
-        .where(F.col("src") != F.col("dst"))
+    Sequential insert-order construction (the paper's build) is
+    order-dependent; this batch equivalent is deterministic and
+    embarrassingly parallel: signatures are ONE map-side-combinable
+    aggregate over exploded dims (exact int sums — a sign bit can
+    never flip across engines), candidate generation is ``n_tables``
+    bucket equi-joins (per-bucket quadratic cost, 2^n_bits is the
+    scale dial exactly as in rp_lsh_pairs), ranking is one window
+    per node. The corpus is never broadcast.
+
+    Writes ``nodes`` (id, qv), ``edges`` (src, dst — bounded
+    out-degree), and ``hubs`` (hub, hub_qv) parquet under
+    ``index_path``."""
+    if block_col is not None:
+        nodes = _q6_nodes(embeddings, id_col, vec_col, block_col)
+        keys = ["blk"]
+        blocked = nodes.select("id", "qv", F.col("blk").alias("t0"))
+        tables = ["t0"]
+    else:
+        base = _q6_nodes(embeddings, id_col, vec_col, None)
+        d = base.select("id", F.posexplode("qv").alias("dim", "iv"))
+        aggs = []
+        for t in range(n_tables):
+            for b in range(n_bits):
+                bit = t * n_bits + b
+                aggs.append(
+                    F.sum(F.col("iv") * _rp_weight(bit, F.col("dim"))).alias(
+                        f"_d{bit}"
+                    )
+                )
+        dots = d.groupBy("id").agg(*aggs)
+        sig_cols = []
+        for t in range(n_tables):
+            bucket = F.lit(0)
+            for b in range(n_bits):
+                bit = t * n_bits + b
+                bucket = bucket + F.when(
+                    F.col(f"_d{bit}") >= 0, F.lit(1 << b)
+                ).otherwise(F.lit(0))
+            sig_cols.append(bucket.cast("bigint").alias(f"t{t}"))
+        sigs = dots.select("id", *sig_cols)
+        nodes = base.join(sigs, "id")
+        tables = [f"t{t}" for t in range(n_tables)]
+        blocked = nodes
+    # candidate pairs: union of same-bucket pairs over every table
+    cand = None
+    for tcol in tables:
+        a = blocked.select(F.col("id").alias("src"), F.col(tcol).alias("_k"))
+        b = blocked.select(F.col("id").alias("dst"), F.col(tcol).alias("_k"))
+        p = a.join(b, "_k").where(F.col("src") != F.col("dst")).select(
+            "src", "dst"
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    qv_src = blocked.select(F.col("id").alias("src"), F.col("qv").alias("_aqv"))
+    qv_dst = blocked.select(F.col("id").alias("dst"), F.col("qv").alias("_bqv"))
+    w_src = Window.partitionBy("src").orderBy(F.desc("qdot"), F.asc("dst"))
+    out_m = (
+        cand.join(qv_src, "src")
+        .join(qv_dst, "dst")
         .select("src", "dst", _iqdot(F.col("_aqv"), F.col("_bqv")).alias("qdot"))
         .withColumn("_rn", F.row_number().over(w_src))
         .where(F.col("_rn") <= m)
+        .select("src", "dst", "qdot")
+    )
+    sym = out_m.unionByName(
+        out_m.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "qdot"
+        )
+    ).distinct()
+    local = (
+        sym.withColumn("_rn", F.row_number().over(w_src))
+        .where(F.col("_rn") <= 2 * m)
         .select("src", "dst")
     )
-    hubs = nodes.groupBy("blk").agg(F.min("id").alias("hub"))
+    hubs = blocked.groupBy(F.col("t0").alias("hblk")).agg(
+        F.min("id").alias("hub")
+    )
     hub_nodes = hubs.alias("hb").join(
-        nodes.alias("hn"), F.col("hb.hub") == F.col("hn.id")
+        blocked.alias("hn"), F.col("hb.hub") == F.col("hn.id")
     ).select(
         F.col("hb.hub").alias("hub"),
         F.col("hn.qv").alias("hub_qv"),
-        F.col("hb.blk").alias("hub_blk"),
+        F.col("hb.hblk").alias("hub_blk"),
     )
     cross = (
-        nodes.alias("nd")
+        blocked.alias("nd")
         .join(
             F.broadcast(hub_nodes.alias("hh")),
-            F.col("nd.blk") != F.col("hh.hub_blk"),
+            F.col("nd.t0") != F.col("hh.hub_blk"),
         )
         .select(
             F.col("nd.id").alias("src"),
@@ -1115,8 +1172,7 @@ def hnsw_index_build(
         .where(F.col("_rn") <= long_links)
         .select("src", "dst")
     )
-    # local edges stay in-block, cross edges leave it — disjoint sets
-    local.unionByName(cross).write.mode("overwrite").parquet(
+    local.unionByName(cross).distinct().write.mode("overwrite").parquet(
         f"{index_path}/edges"
     )
     nodes.select("id", "qv").write.mode("overwrite").parquet(
@@ -1201,6 +1257,38 @@ def hnsw_probe_topk(
     return (
         beam.where(F.col("n_id") != F.col("q_id"))
         .withColumn("rank", F.row_number().over(w_beam))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("rank").cast("bigint").alias("rank"), "qdot")
+    )
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT top-k by the quantized int64 inner product — the ground
+    truth an HNSW/IVF/SQ8 probe is measured against (recall@k is only
+    meaningful when the approximate and exact rankings share a
+    metric; cosine-vs-intdot mixes quantization error into the graph
+    evaluation). Same corpus-stationary broadcast shape as
+    ``brute_force_topk``. Returns (q_id, n_id, rank, qdot)."""
+    corpus = _q6_nodes(embeddings, id_col, vec_col, None).select(
+        F.col("id").alias("n_id"), F.col("qv").alias("n_qv")
+    )
+    q = _q6_nodes(queries, id_col, vec_col, None).select(
+        F.col("id").alias("q_id"), F.col("qv").alias("q_qv")
+    )
+    scored = corpus.join(
+        F.broadcast(q), F.col("n_id") != F.col("q_id")
+    ).select(
+        "q_id", "n_id", _iqdot(F.col("q_qv"), F.col("n_qv")).alias("qdot")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("qdot"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", F.col("rank").cast("bigint").alias("rank"), "qdot")
     )

@@ -854,7 +854,7 @@ def test_hnsw_probe_finds_same_block_neighbors(spark, tmp_path):
 
     emb = _hnsw_fixture(spark)
     idx = str(tmp_path / "hnsw")
-    hnsw_index_build(spark, emb, idx, m=2, long_links=1)
+    hnsw_index_build(spark, emb, idx, m=2, long_links=1, block_col="label")
     out = hnsw_probe_topk(
         spark, idx, emb.where(F.col("vec_id") == 11), k=3, ef=4, rounds=2
     ).collect()
@@ -879,7 +879,7 @@ def test_hnsw_beam_escapes_wrong_block_via_hubs(spark, tmp_path):
         "vec_id long, embedding array<float>, label int",
     )
     idx = str(tmp_path / "hnsw")
-    hnsw_index_build(spark, emb, idx, m=2, long_links=1)
+    hnsw_index_build(spark, emb, idx, m=2, long_links=1, block_col="label")
     out = hnsw_probe_topk(spark, idx, q, k=3, ef=4, rounds=2).collect()
     got = {r["n_id"] for r in out}
     # all results from block 1, reached through hub 20's edges
@@ -894,7 +894,7 @@ def test_hnsw_probe_is_deterministic(spark, tmp_path):
 
     emb = _hnsw_fixture(spark)
     idx = str(tmp_path / "hnsw")
-    hnsw_index_build(spark, emb, idx, m=2, long_links=1)
+    hnsw_index_build(spark, emb, idx, m=2, long_links=1, block_col="label")
     qs = emb.where(F.col("vec_id").isin(11, 22))
     a = sorted(
         hnsw_probe_topk(spark, idx, qs, k=3, ef=4, rounds=2).collect(),
@@ -913,3 +913,24 @@ def test_hnsw_probe_is_deterministic(spark, tmp_path):
         assert all(
             rows[i]["qdot"] >= rows[i + 1]["qdot"] for i in range(len(rows) - 1)
         )
+
+
+def test_hnsw_lsh_mode_finds_true_neighbors(spark, tmp_path):
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        hnsw_index_build,
+        hnsw_probe_topk,
+        quantized_topk,
+    )
+
+    # default (no block_col) mode: geometry comes from the multi-table
+    # RP-LSH candidates, no precomputed block key at all
+    emb = _hnsw_fixture(spark).drop("label")
+    idx = str(tmp_path / "hnsw_lsh")
+    hnsw_index_build(spark, emb, idx, m=3, n_bits=2, n_tables=2)
+    qs = emb.where(F.col("vec_id").isin(11, 22))
+    approx = hnsw_probe_topk(spark, idx, qs, k=3, ef=6, rounds=2)
+    exact = quantized_topk(emb, qs, k=3)
+    a = {(r["q_id"], r["n_id"]) for r in approx.select("q_id", "n_id").collect()}
+    e = {(r["q_id"], r["n_id"]) for r in exact.select("q_id", "n_id").collect()}
+    # on this tiny well-separated fixture the graph search is exact
+    assert a == e

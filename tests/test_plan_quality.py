@@ -366,6 +366,7 @@ def test_all_queries_plan_invariants(spark, sf_dir):
         # documented mapInPandas boundary (oracle-checked end to end)
         "audio_frame_energy",
         "image_ahash",
+        "image_resize_pixels",
     }
     failures = []
     for name, fn in entry.queries().items():
