@@ -276,8 +276,6 @@ BENCH_QUERIES = [
     "price_interpolate_daily",
     "mi_priority_status",
     "image_resize_pixels",
-    "hnsw_topk",
-    "hnsw_recall",
 ]
 
 # Heavy-but-bounded queries whose cost is fixed by a domain contract,
@@ -286,6 +284,8 @@ BENCH_QUERIES = [
 # ONCE per round like the streaming family so the 3-pass suite doesn't
 # triple their fixed cost.
 HEAVY_ONE_RUN = [
+    "hnsw_topk",        # index BUILD + probe e2e; corpus fixed-size
+    "hnsw_recall",      # build + probe + exact ground truth, same shape
     "winnowing_dedup",
     "bpe_train",
     "bpe_vocab",
