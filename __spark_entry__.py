@@ -2442,6 +2442,36 @@ def q_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF search against the persisted index
+    (functions/similarity.py:ivf_probe_topk_indexed, nprobe=2): each
+    query probes its TWO nearest inverted lists — the standard recall
+    dial for vectors near a Voronoi boundary, whose true neighbors
+    sit in the runner-up cell that nprobe=1 structurally misses
+    (q:ivf_index_probe is the single-probe baseline; the graph-ANN
+    answer to the same problem is q:hnsw_topk's hub hops). The
+    oracle re-derives centroids, ranks each query's top-2 cells, and
+    brute-forces within them."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        ivf_index_build,
+        ivf_probe_topk_indexed,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    index = tempfile.mkdtemp(prefix="apcs_ivf_mp_")
+    ivf_index_build(spark, emb, index)
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    return ivf_probe_topk_indexed(
+        spark, index, queries_df, k=5, nprobe=2
+    ).select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("n_id").cast("bigint").alias("n_id"),
+        "rank", "score",
+    )
+
+
 def q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HNSW-style graph ANN against a PERSISTED navigable-graph index
     (functions/similarity.py:hnsw_index_build/hnsw_probe_topk —
@@ -8034,6 +8064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": q_simhash64,
         "state_digest_update": q_state_digest_update,
         "ann_topk": q_ann_topk,
+        "ivf_multiprobe": q_ivf_multiprobe,
         "hnsw_topk": q_hnsw_topk,
         "hnsw_recall": q_hnsw_recall,
         "ann_topk_partial": q_ann_topk_partial,
@@ -12818,6 +12849,23 @@ FROM picked GROUP BY 1
     sqls["line_dedup_materialized"] = sqls["line_dedup"]
     # the persisted-index IVF probe serves the same results as in-plan
     sqls["ivf_index_probe"] = sqls["ivf_probe_topk"]
+    # multi-probe: identical derivation, but each QUERY keeps its top-2
+    # cells (corpus assignment stays rn = 1 — a vector lives in one list)
+    sqls["ivf_multiprobe"] = sqls["ivf_probe_topk"].replace(
+        """q AS (SELECT * FROM assigned WHERE id % 50 = 0),""",
+        """qp AS (
+  SELECT id, v, block AS assigned_block FROM (
+    SELECT ev.vec_id AS id, ev.v, c.block,
+           row_number() OVER (
+             PARTITION BY ev.vec_id
+             ORDER BY """ + _COSINE.format(a='ev.v', b='c.centroid')
+        + """ DESC, c.block
+           ) AS rn
+    FROM ev, centroids c
+  ) WHERE rn <= 2
+),
+q AS (SELECT * FROM qp WHERE id % 50 = 0),""",
+    )
     # HNSW-style graph ANN: the oracle replays BOTH the deterministic
     # two-layer build (per-block top-4 exact-int kNN edges + 2
     # cross-block hub links) and the 2-round ef=6 beam search, each

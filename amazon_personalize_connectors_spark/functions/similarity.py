@@ -743,22 +743,51 @@ def ivf_probe_topk_indexed(
     index_path: str,
     queries: DataFrame,
     k: int = 5,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
 ) -> DataFrame:
-    """IVF search (nprobe=1) against a PERSISTED index: quantize the
-    queries with the stored centroid table, equi-join the stored
-    inverted lists. Result-identical to ``ivf_probe_topk`` when the
-    index was built from the same corpus — the same oracle pins both
-    the in-plan and the index-serving strategy."""
+    """IVF search against a PERSISTED index: quantize the queries with
+    the stored centroid table, equi-join the stored inverted lists.
+    At ``nprobe=1`` (default) this is result-identical to
+    ``ivf_probe_topk`` — the same oracle pins both the in-plan and
+    the index-serving strategy. ``nprobe>1`` probes each query's
+    ``nprobe`` nearest lists — the standard recall dial for vectors
+    that land near a Voronoi boundary (their true neighbors sit in
+    the runner-up cell; single-probe structurally misses them). Cost
+    scales linearly in nprobe and the lists stay partition-pruned:
+    the probe join's key set is nprobe blocks per query, never a
+    scan of the other lists."""
     centroids = spark.read.parquet(f"{index_path}/centroids")
     qry = _as_double(queries, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
-    query_lists = _assign_to_centroids(qry, centroids, round_digits).select(
-        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), "assigned_block"
-    )
+    if nprobe <= 1:
+        query_lists = _assign_to_centroids(qry, centroids, round_digits).select(
+            F.col("id").alias("q_id"),
+            F.col("vec").alias("q_vec"),
+            "assigned_block",
+        )
+    else:
+        scored_c = qry.join(F.broadcast(centroids)).select(
+            "id",
+            "vec",
+            F.col("block"),
+            F.round(
+                cosine(F.col("vec"), F.col("centroid")), round_digits
+            ).alias("score"),
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("block"))
+        query_lists = (
+            scored_c.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= nprobe)
+            .select(
+                F.col("id").alias("q_id"),
+                F.col("vec").alias("q_vec"),
+                F.col("block").alias("assigned_block"),
+            )
+        )
     corpus_lists = spark.read.parquet(f"{index_path}/lists")
     scored = (
         corpus_lists.join(F.broadcast(query_lists), "assigned_block")

@@ -276,6 +276,7 @@ BENCH_QUERIES = [
     "price_interpolate_daily",
     "mi_priority_status",
     "image_resize_pixels",
+    "ivf_multiprobe",
 ]
 
 # Heavy-but-bounded queries whose cost is fixed by a domain contract,

@@ -934,3 +934,27 @@ def test_hnsw_lsh_mode_finds_true_neighbors(spark, tmp_path):
     e = {(r["q_id"], r["n_id"]) for r in exact.select("q_id", "n_id").collect()}
     # on this tiny well-separated fixture the graph search is exact
     assert a == e
+
+
+def test_ivf_multiprobe_reaches_second_cell(spark, tmp_path):
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_index_build,
+        ivf_probe_topk_indexed,
+    )
+
+    emb = _hnsw_fixture(spark)  # 2 well-separated blocks of 4
+    idx = str(tmp_path / "ivf_mp")
+    ivf_index_build(spark, emb, idx)
+    q = emb.where(F.col("vec_id") == 11)
+    # k=6 > block size: single-probe is STRUCTURALLY capped at the 3
+    # other members of its own list; nprobe=2 reaches the second cell
+    one = ivf_probe_topk_indexed(spark, idx, q, k=6, nprobe=1).collect()
+    two = ivf_probe_topk_indexed(spark, idx, q, k=6, nprobe=2).collect()
+    assert len(one) == 3 and {r["n_id"] for r in one} == {10, 12, 13}
+    assert len(two) == 6
+    # and with both cells probed the result IS the exact top-6
+    exact = brute_force_topk(emb, q, k=6).collect()
+    assert [(r["n_id"], r["rank"]) for r in sorted(two, key=lambda r: r["rank"])] == [
+        (r["n_id"], r["rank"]) for r in sorted(exact, key=lambda r: r["rank"])
+    ]
