@@ -14543,7 +14543,12 @@ fin AS (
   FROM agg
 )
 SELECT n_a, n_b, two_u_a, tie_cubes,
-  CASE WHEN n_a > 0 AND n_b > 0 AND n > 1 THEN
+  CASE WHEN n_a > 0 AND n_b > 0 AND n > 1
+        AND CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+            * (CAST(n + 1 AS DOUBLE)
+               - CAST(tie_cubes AS DOUBLE)
+                 / CAST(CAST(n AS BIGINT) * CAST(n - 1 AS BIGINT) AS DOUBLE))
+            / 12.0 > 0 THEN
     CAST(two_u_a - n_a * n_b AS DOUBLE)
     / (2.0 * sqrt(
         CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)

@@ -938,8 +938,14 @@ def mannwhitney_u(
         "n_b",
         "two_u_a",
         "tie_cubes",
-        F.when((na > 0) & (nb > 0) & (n > 1), num / (2.0 * F.sqrt(var12)))
-        .alias("z"),
+        # var12 == 0 when every pooled value ties (the tie term absorbs
+        # the whole (n+1) factor): z is undefined, NOT 0/0 — found by
+        # the hypothesis reference test, guarded identically in the
+        # oracle
+        F.when(
+            (na > 0) & (nb > 0) & (n > 1) & (var12 > 0),
+            num / (2.0 * F.sqrt(var12)),
+        ).alias("z"),
         F.when((na > 0) & (nb > 0), num / (dd(na) * dd(nb))).alias("r_rb"),
     )
 

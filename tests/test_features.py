@@ -1287,3 +1287,61 @@ def test_mutual_information_constant_column_nmi_null(spark):
     df = spark.createDataFrame(rows, "x string, y string")
     r = mutual_information(df, "x", "y").collect()[0]
     assert r["h_x"] == 0.0 and r["mi"] == 0.0 and r["nmi"] is None
+
+
+def test_mannwhitney_u_matches_python_reference_and_emits_bigint(spark):
+    """Property guard for the r7 BIGINT re-emission (the r6 red row):
+    exact columns must match a pure-Python rank-sum reference AND the
+    output schema must carry NO decimal — a DECIMAL in a final SELECT
+    converts engine-dependently at the driver (BASELINE.md §H)."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazon_personalize_connectors_spark.operators.features import (
+        mannwhitney_u,
+    )
+
+    @given(
+        st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=12),
+        st.lists(st.integers(min_value=-50, max_value=50), min_size=2, max_size=12),
+    )
+    @settings(max_examples=8, deadline=None)
+    def check(a_vals, b_vals):
+        rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+        df = spark.createDataFrame(rows, "g string, v long")
+        out = mannwhitney_u(df, "g", "a", "b", "v")
+        from pyspark.sql.types import DecimalType, LongType
+
+        by_name = {f.name: f.dataType for f in out.schema.fields}
+        assert not any(isinstance(t, DecimalType) for t in by_name.values())
+        assert isinstance(by_name["two_u_a"], LongType)
+        assert isinstance(by_name["tie_cubes"], LongType)
+        r = out.collect()[0]
+        # pure-python reference: midranks over the pooled sample
+        pooled = sorted(a_vals + b_vals)
+        rank_of = {}
+        i = 0
+        while i < len(pooled):
+            j = i
+            while j < len(pooled) and pooled[j] == pooled[i]:
+                j += 1
+            rank_of[pooled[i]] = (i + 1 + j) / 2  # average of ranks i+1..j
+            i = j
+        two_ra = round(2 * sum(rank_of[v] for v in a_vals))
+        na, nb = len(a_vals), len(b_vals)
+        assert r["two_u_a"] == two_ra - na * (na + 1)
+        from collections import Counter
+
+        t = sum(c**3 - c for c in Counter(pooled).values())
+        assert r["tie_cubes"] == t
+        n = na + nb
+        num = (two_ra - na * (na + 1)) - na * nb
+        var = na * nb * ((n + 1) - t / (n * (n - 1))) / 12
+        if var > 0:
+            assert abs(r["z"] - num / (2 * math.sqrt(var))) < 1e-9
+        else:
+            assert r["z"] is None  # all-tied pool: z undefined, never 0/0
+
+    check()
