@@ -10899,7 +10899,9 @@ tot AS (
 )
 SELECT n_a, n_b,
        CAST(max(abs(ca * n_b - cb * n_a)) AS BIGINT) AS ks_num,
-       CAST(max(abs(ca * n_b - cb * n_a)) AS BIGINT) / (n_a * n_b) AS ks_stat
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         CAST(max(abs(ca * n_b - cb * n_a)) AS BIGINT) / (n_a * n_b)
+       END AS ks_stat
 FROM cum, tot
 GROUP BY n_a, n_b
 """,

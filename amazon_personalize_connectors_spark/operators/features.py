@@ -249,7 +249,12 @@ def ks_two_sample(
             "n_a",
             "n_b",
             "ks_num",
-            (F.col("ks_num") / (F.col("n_a") * F.col("n_b"))).alias("ks_stat"),
+            # an empty subpopulation has no distribution to compare —
+            # ks_stat is NULL, not an ANSI 0/0 (degenerate-input guard)
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.col("ks_num") / (F.col("n_a") * F.col("n_b")),
+            ).alias("ks_stat"),
         )
     )
 

@@ -1345,3 +1345,18 @@ def test_mannwhitney_u_matches_python_reference_and_emits_bigint(spark):
             assert r["z"] is None  # all-tied pool: z undefined, never 0/0
 
     check()
+
+
+def test_ks_two_sample_empty_side_is_null_not_zero_division(spark):
+    # degenerate-input guard: an empty subpopulation has no
+    # distribution — ks_stat must be NULL, never an ANSI 0/0
+    from amazon_personalize_connectors_spark.operators.features import (
+        ks_two_sample,
+    )
+
+    df = spark.createDataFrame([("g", 5)] * 4, "g string, x long")
+    r = ks_two_sample(
+        df, "x", F.col("x") >= 0, F.col("x") < 0
+    ).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (4, 0)
+    assert r["ks_stat"] is None
