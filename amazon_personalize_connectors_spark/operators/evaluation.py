@@ -300,9 +300,13 @@ def two_proportion_ztest(
         "pos_a",
         "n_b",
         "pos_b",
-        pa.alias("rate_a"),
-        pb.alias("rate_b"),
-        (pa - pb).alias("diff"),
+        # an empty arm has no rate — NULL, never an ANSI 0/0
+        # (degenerate-input guard; z below was already gated)
+        F.when(F.col("n_a") > 0, pa).alias("rate_a"),
+        F.when(F.col("n_b") > 0, pb).alias("rate_b"),
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), pa - pb).alias(
+            "diff"
+        ),
         F.when(
             (F.col("n_a") > 0)
             & (F.col("n_b") > 0)

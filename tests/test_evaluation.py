@@ -545,3 +545,21 @@ def test_caliper_matched_att_negative_scores(spark):
     df = spark.createDataFrame(rows, "key long, treat int, score long, y long")
     r = caliper_matched_att(df, "key", "treat", "score", "y", caliper=5).collect()[0]
     assert (r["n_matched"], r["att"]) == (1, 25.0)
+
+
+def test_ztest_empty_arm_yields_nulls_not_zero_division(spark):
+    # degenerate-input guard (same class as the Mann-Whitney variance
+    # bug): an empty arm has no rate — NULL rate/diff/z, never ANSI 0/0
+    from pyspark.sql import functions as F
+
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        two_proportion_ztest,
+    )
+
+    df = spark.createDataFrame([("g", 1)] * 4, "g string, label int")
+    r = two_proportion_ztest(
+        df, F.col("g") == "g", F.col("g") == "never", "label"
+    ).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (4, 0)
+    assert r["rate_a"] == 1.0
+    assert r["rate_b"] is None and r["diff"] is None and r["z"] is None
