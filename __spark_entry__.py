@@ -12511,7 +12511,8 @@ tot AS (
 SELECT n_a, n_b,
        CAST(sum(abs(a * n_b - b * n_a)) AS BIGINT) AS tv_num,
        CAST(sum(abs(a * n_b - b * n_a)) AS DOUBLE)
-         / CAST(2 * n_a * n_b AS DOUBLE) AS tv_stat
+         / CASE WHEN n_a > 0 AND n_b > 0
+             THEN CAST(2 * n_a * n_b AS DOUBLE) END AS tv_stat
 FROM per, tot
 GROUP BY n_a, n_b
 """
@@ -13445,7 +13446,8 @@ terms AS (
   FROM cells c, tot t
 )
 SELECT n_a, n_b, CAST(COUNT(*) AS BIGINT) AS n_bins,
-       CAST(SUM(qa + qb) AS DOUBLE) / 2000000000.0 AS jsd
+       CASE WHEN n_a > 0 AND n_b > 0
+         THEN CAST(SUM(qa + qb) AS DOUBLE) / 2000000000.0 END AS jsd
 FROM terms GROUP BY n_a, n_b
 """
     sqls["isotonic_calibration"] = """
@@ -14106,8 +14108,10 @@ lv AS (
   FROM leaf
 )
 SELECT region, nation, CAST(v AS BIGINT) AS value,
-       CAST((v * 1000000) // pv AS BIGINT) AS share_of_parent_q,
-       CAST((pv * 1000000) // tot AS BIGINT) AS parent_share_q
+       CAST(CASE WHEN pv <> 0 THEN (v * 1000000) // pv END
+            AS BIGINT) AS share_of_parent_q,
+       CAST(CASE WHEN tot <> 0 THEN (pv * 1000000) // tot END
+            AS BIGINT) AS parent_share_q
 FROM lv
 """
     # weighted quantile: per-distinct-value collapse, rational crossing

@@ -1914,10 +1914,12 @@ def ratio_to_parent(
     )
 
     def _exact_div(num: str, den: str) -> F.Column:
-        return (
-            F.expr(f"(({num}) - pmod(({num}), {den})) / {den}")
-            .cast("bigint")
-        )
+        # a zero denominator (all-zero parent/grand total) has no
+        # share to compute — NULL, never an ANSI pmod/div-by-zero
+        return F.when(
+            F.expr(f"{den} <> 0"),
+            F.expr(f"(({num}) - pmod(({num}), {den})) / {den}"),
+        ).cast("bigint")
 
     s = f"CAST({scale} AS decimal(38,0))"
     return staged.select(

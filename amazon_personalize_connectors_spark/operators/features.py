@@ -489,9 +489,12 @@ def tv_distance(
             "n_a",
             "n_b",
             "tv_num",
-            (
+            # empty subpopulation: no distribution — NULL, never an
+            # ANSI 0/0 (Spark 4 ANSI raises even on double division)
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
                 F.col("tv_num").cast("double")
-                / (2 * F.col("n_a") * F.col("n_b")).cast("double")
+                / (2 * F.col("n_a") * F.col("n_b")).cast("double"),
             ).alias("tv_stat"),
         )
     )
@@ -1030,11 +1033,18 @@ def js_divergence_from_cells(
         (F.lit(2).cast(d) * bna).cast(d).cast("double")
         / mix.cast("double")
     )
+    # the n_b / n_a guards keep the mix denominator positive inside the
+    # evaluated branch: against an EMPTY other population every
+    # cross-product is 0 and the log argument would be an ANSI 0/0
+    # (Spark 4 ANSI raises even on double division); JSD vs an empty
+    # distribution is undefined — the final select emits NULL
     qa = F.when(
-        F.col("_a") > 0, F.floor(term_a * F.lit(float(scale))).cast("bigint")
+        (F.col("_a") > 0) & (F.col("n_b") > 0),
+        F.floor(term_a * F.lit(float(scale))).cast("bigint"),
     ).otherwise(F.lit(0).cast("bigint"))
     qb = F.when(
-        F.col("_b") > 0, F.floor(term_b * F.lit(float(scale))).cast("bigint")
+        (F.col("_b") > 0) & (F.col("n_a") > 0),
+        F.floor(term_b * F.lit(float(scale))).cast("bigint"),
     ).otherwise(F.lit(0).cast("bigint"))
     return (
         g.select("n_a", "n_b", qa.alias("_qa"), qb.alias("_qb"))
@@ -1047,8 +1057,9 @@ def js_divergence_from_cells(
             "n_a",
             "n_b",
             "n_bins",
-            (
-                F.col("_q").cast("double") / F.lit(float(2 * scale))
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.col("_q").cast("double") / F.lit(float(2 * scale)),
             ).alias("jsd"),
         )
     )

@@ -1224,3 +1224,20 @@ def test_interpolate_fill_floor_division_negative_slope(spark):
         for r in interpolate_fill(df, ["g"], "p", "v", scale=1).collect()
     }
     assert got == {0: 0, 1: -1, 2: -1, 3: -1}
+
+
+def test_ratio_to_parent_zero_totals_yield_null_shares(spark):
+    # all-zero parent/grand totals have no share to compute — NULL,
+    # never an ANSI pmod/div-by-zero (degenerate-input guard)
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        ratio_to_parent,
+    )
+
+    df = spark.createDataFrame(
+        [("p", "c1", 0), ("p", "c2", 0)], "p string, c string, v long"
+    )
+    rows = ratio_to_parent(df, ["p"], ["c"], "v").collect()
+    assert all(
+        r["share_of_parent_q"] is None and r["parent_share_q"] is None
+        for r in rows
+    )

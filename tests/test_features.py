@@ -1360,3 +1360,20 @@ def test_ks_two_sample_empty_side_is_null_not_zero_division(spark):
     ).collect()[0]
     assert (r["n_a"], r["n_b"]) == (4, 0)
     assert r["ks_stat"] is None
+
+
+def test_drift_metrics_null_against_empty_population(spark):
+    # degenerate-input guards (Spark 4 ANSI raises DIVIDE_BY_ZERO even
+    # on double division): drift vs an EMPTY subpopulation is
+    # undefined — NULL stat, no crash
+    from amazon_personalize_connectors_spark.operators.features import (
+        js_divergence,
+        tv_distance,
+    )
+
+    d = spark.createDataFrame([("g", 5)] * 4, "g string, x long")
+    in_a, in_b = F.col("g") == "g", F.col("g") == "never"
+    jr = js_divergence(d, "x", in_a, in_b).collect()[0]
+    assert jr["n_b"] == 0 and jr["jsd"] is None
+    tr = tv_distance(d, "x", in_a, in_b).collect()[0]
+    assert tr["n_b"] == 0 and tr["tv_stat"] is None
