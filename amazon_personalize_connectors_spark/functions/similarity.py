@@ -35,7 +35,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL for a zero vector (no direction — and Spark 4 ANSI raises
+    DIVIDE_BY_ZERO even on double division); oracles share the
+    convention implicitly because gate embeddings are nonzero."""
+    den = norm(a) * norm(b)
+    return F.when(den > 0, dot(a, b) / den)
 
 
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
@@ -215,8 +219,11 @@ def blocked_near_duplicates(
         "id_a",
         "id_b",
         F.round(
-            dot(F.col("vec_a"), F.col("vec_b"))
-            / (F.col("norm_a") * F.col("norm_b")),
+            F.when(
+                F.col("norm_a") * F.col("norm_b") > 0,
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+            ),
             round_digits,
         ).alias("score"),
     )
@@ -547,8 +554,11 @@ def rp_lsh_pairs(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("vec_a"), F.col("vec_b"))
-                / (F.col("norm_a") * F.col("norm_b")),
+                F.when(
+                    F.col("norm_a") * F.col("norm_b") > 0,
+                    dot(F.col("vec_a"), F.col("vec_b"))
+                    / (F.col("norm_a") * F.col("norm_b")),
+                ),
                 round_digits,
             ).alias("score"),
         )

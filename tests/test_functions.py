@@ -958,3 +958,20 @@ def test_ivf_multiprobe_reaches_second_cell(spark, tmp_path):
     assert [(r["n_id"], r["rank"]) for r in sorted(two, key=lambda r: r["rank"])] == [
         (r["n_id"], r["rank"]) for r in sorted(exact, key=lambda r: r["rank"])
     ]
+
+
+def test_cosine_zero_vector_yields_null_not_zero_division(spark):
+    # Spark 4 ANSI raises DIVIDE_BY_ZERO even on double division: a
+    # zero vector has no direction — cosine NULL, ranked last, no crash
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        brute_force_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = brute_force_topk(emb, emb.where("vec_id = 2"), k=2).collect()
+    by_rank = {r["rank"]: (r["n_id"], r["score"]) for r in rows}
+    assert by_rank[1][0] == 3 and by_rank[1][1] is not None
+    assert by_rank[2] == (1, None)  # zero vector: NULL score, last
