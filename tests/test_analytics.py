@@ -1241,3 +1241,45 @@ def test_ratio_to_parent_zero_totals_yield_null_shares(spark):
         r["share_of_parent_q"] is None and r["parent_share_q"] is None
         for r in rows
     )
+
+
+def test_theilsen_matches_python_reference(spark):
+    """The quantized pairwise-slope lower median must match a direct
+    Python computation of floor((vj-vi)*scale/(tj-ti)) medians."""
+    import datetime
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        theilsen_slope,
+    )
+
+    @given(
+        st.lists(
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=2,
+            max_size=9,
+            unique=False,
+        )
+    )
+    @settings(max_examples=8, deadline=None)
+    def check(vals):
+        base = datetime.date(2024, 1, 1)
+        rows = [
+            (base + datetime.timedelta(days=i), v) for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(rows, "day date, v long")
+        r = theilsen_slope(df, "day", "v").collect()[0]
+        scale = r["scale"]
+        slopes = sorted(
+            ((vals[j] - vals[i]) * scale) // (j - i)
+            for i in range(len(vals))
+            for j in range(i + 1, len(vals))
+        )
+        n_pairs = len(slopes)
+        lower_median = slopes[(n_pairs - 1) // 2]
+        assert r["n_pairs"] == n_pairs
+        assert r["slope_q"] == lower_median, (vals, r, slopes)
+
+    check()

@@ -563,3 +563,63 @@ def test_ztest_empty_arm_yields_nulls_not_zero_division(spark):
     assert (r["n_a"], r["n_b"]) == (4, 0)
     assert r["rate_a"] == 1.0
     assert r["rate_b"] is None and r["diff"] is None and r["z"] is None
+
+
+def test_isotonic_matches_sequential_pava_reference(spark):
+    """The closed form (max-min over interval averages) must equal
+    classic sequential pool-adjacent-violators on weighted bins —
+    property-checked against a pure-Python PAVA."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazon_personalize_connectors_spark.operators.evaluation import (
+        isotonic_calibration,
+    )
+
+    def pava_per_bin(ns, ps):
+        pools = []  # [n, pos, n_bins]
+        for n, p in zip(ns, ps):
+            pools.append([n, p, 1])
+            while len(pools) > 1 and (
+                pools[-2][1] * pools[-1][0] >= pools[-1][1] * pools[-2][0]
+            ):
+                b = pools.pop()
+                pools[-1][0] += b[0]
+                pools[-1][1] += b[1]
+                pools[-1][2] += b[2]
+        out = []
+        for n, p, c in pools:
+            out.extend([p / n] * c)
+        return out
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=20),  # n per bin
+                st.integers(min_value=0, max_value=20),  # pos <= n enforced
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    @settings(max_examples=8, deadline=None)
+    def check(bins):
+        ns = [n for n, _ in bins]
+        ps = [min(p, n) for n, p in bins]
+        df = spark.createDataFrame(
+            [(i, ns[i], ps[i]) for i in range(len(bins))],
+            "bin int, n long, pos long",
+        )
+        got = {
+            r["bin"]: r["fitted"]
+            for r in isotonic_calibration(df, "bin", "n", "pos").collect()
+        }
+        want = pava_per_bin(ns, ps)
+        assert len(got) == len(want)
+        for i, w in enumerate(want):
+            assert abs(got[i] - w) < 1e-9, (ns, ps, got, want)
+        # monotone non-decreasing
+        vals = [got[i] for i in range(len(want))]
+        assert all(vals[i] <= vals[i + 1] + 1e-12 for i in range(len(vals) - 1))
+
+    check()
