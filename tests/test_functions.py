@@ -975,3 +975,42 @@ def test_cosine_zero_vector_yields_null_not_zero_division(spark):
     by_rank = {r["rank"]: (r["n_id"], r["score"]) for r in rows}
     assert by_rank[1][0] == 3 and by_rank[1][1] is not None
     assert by_rank[2] == (1, None)  # zero vector: NULL score, last
+
+
+def test_minhash_signature_equals_band_table_mins(spark):
+    """Law connecting the two public MinHash forms: the per-row
+    array-fold signature (minhash_signature) must equal the exploded
+    groupBy-min the band table uses (minhash_band_table's perf form) —
+    same seeds, same md5 domain, same mins."""
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        minhash_band_table,
+        minhash_signature,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "pack my box with five dozen liquor jugs right now please"),
+        ],
+        "doc_id long, text string",
+    )
+    per_row = docs.select(
+        F.col("doc_id").alias("id"),
+        *minhash_signature(word_shingles(F.col("text"), 3), num_hashes=6),
+    )
+    sig_rows = {
+        r["id"]: tuple(r[f"mh{s}"] for s in range(6))
+        for r in per_row.collect()
+    }
+    # reconstruct signatures from the band table's buckets (band_size=2
+    # concatenates consecutive mins with '|')
+    bands = minhash_band_table(docs, num_hashes=6, band_size=2).collect()
+    rebuilt = {}
+    for r in bands:
+        rebuilt.setdefault(r["id"], {})[r["band"]] = tuple(
+            r["bucket"].split("|")
+        )
+    for doc, sig in sig_rows.items():
+        flat = tuple(v for b in range(3) for v in rebuilt[doc][b])
+        assert flat == sig
