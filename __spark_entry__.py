@@ -2472,6 +2472,28 @@ def q_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-similarity decontamination (functions/similarity.py:
+    embedding_decontaminate): the SEMANTIC leakage check next to the
+    n-gram q:decontaminate — every corpus vector is flagged when its
+    cosine against ANY held-out vector (vec_id % 50 == 0, the eval
+    proxy) reaches 0.8. One broadcast of the small held-out side, one
+    map-side max/count — the corpus never shuffles. Held-out members
+    of the corpus flag themselves at cosine 1."""
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        embedding_decontaminate,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    heldout = emb.where(F.col("vec_id") % 50 == 0)
+    return embedding_decontaminate(emb, heldout, min_cosine=0.8).select(
+        F.col("id").cast("bigint").alias("id"),
+        "n_hits",
+        "max_cosine",
+        "keep",
+    )
+
+
 def q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HNSW-style graph ANN against a PERSISTED navigable-graph index
     (functions/similarity.py:hnsw_index_build/hnsw_probe_topk —
@@ -8065,6 +8087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_digest_update": q_state_digest_update,
         "ann_topk": q_ann_topk,
         "ivf_multiprobe": q_ivf_multiprobe,
+        "embedding_decontaminate": q_embedding_decontaminate,
         "hnsw_topk": q_hnsw_topk,
         "hnsw_recall": q_hnsw_recall,
         "ann_topk_partial": q_ann_topk_partial,
@@ -12851,6 +12874,25 @@ FROM picked GROUP BY 1
     # materialized line dedup is result-identical to the recompute form
     sqls["line_dedup_materialized"] = sqls["line_dedup"]
     # the persisted-index IVF probe serves the same results as in-plan
+    sqls["embedding_decontaminate"] = f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+ho AS (SELECT v AS hv FROM e WHERE id % 50 = 0),
+scored AS (
+  SELECT e.id, {_COSINE.format(a='e.v', b='ho.hv')} AS s
+  FROM e, ho
+),
+hits AS (
+  SELECT id,
+         CAST(sum(CASE WHEN s >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits,
+         max(s) AS max_cosine
+  FROM scored GROUP BY id
+)
+SELECT e.id, COALESCE(h.n_hits, 0) AS n_hits, h.max_cosine,
+       COALESCE(h.n_hits, 0) = 0 AS keep
+FROM e LEFT JOIN hits h USING (id)
+"""
     sqls["ivf_index_probe"] = sqls["ivf_probe_topk"]
     # multi-probe: identical derivation, but each QUERY keeps its top-2
     # cells (corpus assignment stays rn = 1 — a vector lives in one list)

@@ -1331,3 +1331,60 @@ def quantized_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", F.col("rank").cast("bigint").alias("rank"), "qdot")
     )
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    min_cosine: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-similarity decontamination — the SEMANTIC member of
+    the leakage family (functions/dedup.py:decontaminate_ngrams
+    catches verbatim/near-verbatim overlap; paraphrased eval items
+    only surface in embedding space): flag every corpus vector whose
+    cosine against ANY held-out vector reaches ``min_cosine``.
+
+    Scale shape: the held-out set (an eval benchmark — thousands of
+    rows, not corpus-scale) broadcasts; the corpus streams through
+    ONE broadcast join and a map-side-combinable max/count aggregate,
+    so the corpus never shuffles and nothing quadratic exists. Same
+    rounded-cosine determinism contract as brute_force_topk. A
+    corpus id present in the held-out set flags itself (cosine 1).
+
+    Returns one row per corpus vector:
+    (id, n_hits, max_cosine, keep) — ``keep`` is the training-set
+    admission verdict; max_cosine is NULL when no held-out pair
+    scored (zero vector or empty held-out set)."""
+    emb = _as_double(corpus, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    ho = _as_double(heldout, vec_col).select(
+        F.col(vec_col).alias("h_vec")
+    )
+    scored = emb.join(F.broadcast(ho)).select(
+        "id",
+        F.round(cosine(F.col("vec"), F.col("h_vec")), round_digits).alias(
+            "_s"
+        ),
+    )
+    hits = scored.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("_s") >= min_cosine, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_hits"),
+        F.max("_s").alias("max_cosine"),
+    )
+    return (
+        emb.select("id")
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            "max_cosine",
+            (F.coalesce("n_hits", F.lit(0)) == 0).alias("keep"),
+        )
+    )

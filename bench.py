@@ -277,6 +277,7 @@ BENCH_QUERIES = [
     "mi_priority_status",
     "image_resize_pixels",
     "ivf_multiprobe",
+    "embedding_decontaminate",
 ]
 
 # Heavy-but-bounded queries whose cost is fixed by a domain contract,

@@ -1014,3 +1014,32 @@ def test_minhash_signature_equals_band_table_mins(spark):
     for doc, sig in sig_rows.items():
         flat = tuple(v for b in range(3) for v in rebuilt[doc][b])
         assert flat == sig
+
+
+def test_embedding_decontaminate_flags_and_keeps(spark):
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        embedding_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),      # identical to held-out -> flagged
+            (2, [0.97, 0.24]),    # cosine ~0.97 -> flagged
+            (3, [0.0, 1.0]),      # orthogonal -> kept
+            (4, [-1.0, 0.0]),     # opposite -> kept
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    heldout = spark.createDataFrame(
+        [(99, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["id"]: (r["n_hits"], r["keep"])
+        for r in embedding_decontaminate(corpus, heldout, 0.8).collect()
+    }
+    assert got[1] == (1, False) and got[2] == (1, False)
+    assert got[3] == (0, True) and got[4] == (0, True)
+    # empty held-out set: everything keeps, max_cosine NULL
+    empty = heldout.where("vec_id < 0")
+    rows = embedding_decontaminate(corpus, empty, 0.8).collect()
+    assert all(r["keep"] and r["max_cosine"] is None for r in rows)
