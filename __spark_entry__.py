@@ -2494,6 +2494,41 @@ def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_hnsw_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming kNN-graph maintenance (streaming/ann_monitor.py): the
+    embeddings arrive as a multi-file stream (AvailableNow); each
+    micro-batch recomputes top-m edges ONLY for nodes sharing an LSH
+    bucket with it (the quadratic work is incremental — history is
+    never re-scored) and rewrites only the t0 partitions holding
+    them. LAW: the drained edge store equals the batch layer-0 kNN
+    (similarity.py:knn_out_edges) — same buckets, same exact int
+    scores, same tie-breaks; the oracle replays that batch build
+    (the hnsw_topk pyramid through its out_m stage)."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.ann_monitor import (
+        edges_from_store,
+        maintain_from_stream,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    landing = tempfile.mkdtemp(prefix="apc-ann-landing-")
+    emb.repartition(4).write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(emb.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(landing)
+    store = tempfile.mkdtemp(prefix="apc-ann-store-")
+    ckpt = tempfile.mkdtemp(prefix="apc-ann-ckpt-")
+    maintain_from_stream(stream, store, ckpt, m=12, n_bits=4, n_tables=4)
+    return edges_from_store(spark, store).select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+        "qdot",
+    )
+
+
 def q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HNSW-style graph ANN against a PERSISTED navigable-graph index
     (functions/similarity.py:hnsw_index_build/hnsw_probe_topk —
@@ -8088,6 +8123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ivf_multiprobe": q_ivf_multiprobe,
         "embedding_decontaminate": q_embedding_decontaminate,
+        "stream_hnsw_edges": q_stream_hnsw_edges,
         "hnsw_topk": q_hnsw_topk,
         "hnsw_recall": q_hnsw_recall,
         "ann_topk_partial": q_ann_topk_partial,
@@ -13065,6 +13101,14 @@ SELECT q_id, n_id, rank, qdot FROM (
   FROM beam3 WHERE n_id <> q_id
 ) WHERE rank <= 5
 """
+    # streaming law: maintained edges == the batch out_m stage of the
+    # hnsw pyramid above (prefix reuse, new final select)
+    _hnsw_outm_prefix = sqls["hnsw_topk"].split(
+        "\nsym AS (SELECT src, dst, qdot FROM out_m"
+    )[0].rstrip().rstrip(",")
+    sqls["stream_hnsw_edges"] = (
+        _hnsw_outm_prefix + "\nSELECT src, dst, qdot FROM out_m\n"
+    )
     # recall@5 of the beam search vs the EXACT quantized-int top-5 —
     # shares the whole build+search pyramid above, adds the exact
     # ground truth and the per-query intersection count

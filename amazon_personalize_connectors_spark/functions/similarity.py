@@ -1079,6 +1079,92 @@ def _iqdot(a, b):
     )
 
 
+def lsh_signed_nodes(
+    embeddings: DataFrame,
+    n_bits: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantized nodes with their multi-table RP-LSH signatures:
+    (id, qv, t0..t{n_tables-1}) — the shared geometry layer of the
+    batch graph build (``hnsw_index_build``) and the STREAMING graph
+    maintenance (streaming/ann_monitor.py), whose incremental law
+    depends on both sides deriving identical buckets. Signatures are
+    exact int sign sums over fixed integer hyperplanes (the
+    rp_lsh_buckets discipline): one posexplode + ONE map-side-
+    combinable aggregate computes every bit."""
+    base = _q6_nodes(embeddings, id_col, vec_col, None)
+    d = base.select("id", F.posexplode("qv").alias("dim", "iv"))
+    aggs = []
+    for t in range(n_tables):
+        for b in range(n_bits):
+            bit = t * n_bits + b
+            aggs.append(
+                F.sum(F.col("iv") * _rp_weight(bit, F.col("dim"))).alias(
+                    f"_d{bit}"
+                )
+            )
+    dots = d.groupBy("id").agg(*aggs)
+    sig_cols = []
+    for t in range(n_tables):
+        bucket = F.lit(0)
+        for b in range(n_bits):
+            bit = t * n_bits + b
+            bucket = bucket + F.when(
+                F.col(f"_d{bit}") >= 0, F.lit(1 << b)
+            ).otherwise(F.lit(0))
+        sig_cols.append(bucket.cast("bigint").alias(f"t{t}"))
+    sigs = dots.select("id", *sig_cols)
+    return base.join(sigs, "id")
+
+
+def _knn_out_edges_from_signed(
+    blocked: DataFrame, tables: list, m: int
+) -> DataFrame:
+    """Per-node top-``m`` out-edges by exact quantized inner product
+    over multi-table bucket candidates — the layer-0 kNN stage shared
+    by the batch graph build and the streaming maintenance law."""
+    cand = None
+    for tcol in tables:
+        a = blocked.select(F.col("id").alias("src"), F.col(tcol).alias("_k"))
+        b = blocked.select(F.col("id").alias("dst"), F.col(tcol).alias("_k"))
+        p = a.join(b, "_k").where(F.col("src") != F.col("dst")).select(
+            "src", "dst"
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    qv_src = blocked.select(F.col("id").alias("src"), F.col("qv").alias("_aqv"))
+    qv_dst = blocked.select(F.col("id").alias("dst"), F.col("qv").alias("_bqv"))
+    w_src = Window.partitionBy("src").orderBy(F.desc("qdot"), F.asc("dst"))
+    return (
+        cand.join(qv_src, "src")
+        .join(qv_dst, "dst")
+        .select("src", "dst", _iqdot(F.col("_aqv"), F.col("_bqv")).alias("qdot"))
+        .withColumn("_rn", F.row_number().over(w_src))
+        .where(F.col("_rn") <= m)
+        .select("src", "dst", "qdot")
+    )
+
+
+def knn_out_edges(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_bits: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch form of the layer-0 kNN edge set (src, dst, qdot) — what
+    ``hnsw_index_build`` symmetrizes, and the ground truth the
+    STREAMING maintenance (streaming/ann_monitor.py) must reproduce
+    exactly after draining."""
+    blocked = lsh_signed_nodes(embeddings, n_bits, n_tables, id_col, vec_col)
+    return _knn_out_edges_from_signed(
+        blocked, [f"t{t}" for t in range(n_tables)], m
+    )
+
+
 def hnsw_index_build(
     spark,
     embeddings: DataFrame,
@@ -1126,56 +1212,15 @@ def hnsw_index_build(
     ``index_path``."""
     if block_col is not None:
         nodes = _q6_nodes(embeddings, id_col, vec_col, block_col)
-        keys = ["blk"]
         blocked = nodes.select("id", "qv", F.col("blk").alias("t0"))
         tables = ["t0"]
     else:
-        base = _q6_nodes(embeddings, id_col, vec_col, None)
-        d = base.select("id", F.posexplode("qv").alias("dim", "iv"))
-        aggs = []
-        for t in range(n_tables):
-            for b in range(n_bits):
-                bit = t * n_bits + b
-                aggs.append(
-                    F.sum(F.col("iv") * _rp_weight(bit, F.col("dim"))).alias(
-                        f"_d{bit}"
-                    )
-                )
-        dots = d.groupBy("id").agg(*aggs)
-        sig_cols = []
-        for t in range(n_tables):
-            bucket = F.lit(0)
-            for b in range(n_bits):
-                bit = t * n_bits + b
-                bucket = bucket + F.when(
-                    F.col(f"_d{bit}") >= 0, F.lit(1 << b)
-                ).otherwise(F.lit(0))
-            sig_cols.append(bucket.cast("bigint").alias(f"t{t}"))
-        sigs = dots.select("id", *sig_cols)
-        nodes = base.join(sigs, "id")
-        tables = [f"t{t}" for t in range(n_tables)]
-        blocked = nodes
-    # candidate pairs: union of same-bucket pairs over every table
-    cand = None
-    for tcol in tables:
-        a = blocked.select(F.col("id").alias("src"), F.col(tcol).alias("_k"))
-        b = blocked.select(F.col("id").alias("dst"), F.col(tcol).alias("_k"))
-        p = a.join(b, "_k").where(F.col("src") != F.col("dst")).select(
-            "src", "dst"
+        blocked = lsh_signed_nodes(
+            embeddings, n_bits, n_tables, id_col, vec_col
         )
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.distinct()
-    qv_src = blocked.select(F.col("id").alias("src"), F.col("qv").alias("_aqv"))
-    qv_dst = blocked.select(F.col("id").alias("dst"), F.col("qv").alias("_bqv"))
+        tables = [f"t{t}" for t in range(n_tables)]
+    out_m = _knn_out_edges_from_signed(blocked, tables, m)
     w_src = Window.partitionBy("src").orderBy(F.desc("qdot"), F.asc("dst"))
-    out_m = (
-        cand.join(qv_src, "src")
-        .join(qv_dst, "dst")
-        .select("src", "dst", _iqdot(F.col("_aqv"), F.col("_bqv")).alias("qdot"))
-        .withColumn("_rn", F.row_number().over(w_src))
-        .where(F.col("_rn") <= m)
-        .select("src", "dst", "qdot")
-    )
     sym = out_m.unionByName(
         out_m.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "qdot"
@@ -1214,7 +1259,7 @@ def hnsw_index_build(
     local.unionByName(cross).distinct().write.mode("overwrite").parquet(
         f"{index_path}/edges"
     )
-    nodes.select("id", "qv").write.mode("overwrite").parquet(
+    blocked.select("id", "qv").write.mode("overwrite").parquet(
         f"{index_path}/nodes"
     )
     hub_nodes.select("hub", "hub_qv").write.mode("overwrite").parquet(

@@ -1,0 +1,310 @@
+"""Streaming incremental kNN-graph maintenance: keep the HNSW layer-0
+edge set (functions/similarity.py:hnsw_index_build's ``out_m`` stage —
+each node's top-``m`` neighbors by exact quantized inner product over
+its multi-table RP-LSH candidate set) current while vectors arrive as
+micro-batches — the "rebuild the ANN index nightly" job replaced by
+continuous maintenance.
+
+Why the delta rule is exact: a node's candidate set is determined by
+its LSH buckets, so a batch ΔN can only change the top-``m`` of nodes
+that SHARE at least one bucket with some new vector (their candidate
+set gained members; scores of existing candidates never change). The
+per-trigger recompute is therefore
+
+    affected = { x in N ∪ ΔN : ∃ table t, bucket_t(x) ∈ bucket_t(ΔN) }
+
+and edges of every other node are carried over byte-identically. The
+quadratic work (candidate generation + scoring) is ∝ the affected
+buckets' populations — never |history|². Two linear-but-narrow terms
+remain per trigger, both documented: the 4-int signature table is
+scanned to discover affected nodes (16 bytes/row — at 10⁹ vectors
+~16 GB across the cluster, vs re-scoring's terabytes), and vector
+payloads are read ONLY for partitions holding candidates.
+
+Storage mirrors model_refresh's manifest-bucketed pointer-flip store:
+``sigs`` (id, t0..t{T-1}), ``vecs`` (id, qv), and ``edges``
+(src, dst, qdot) are each partitioned by the TABLE-0 LSH bucket
+(≤ 2^n_bits directories), a version directory holds only the buckets
+its batch touched plus a ``_MANIFEST.json`` pinning every bucket to
+the version currently owning it, and the ``_VERSION`` pointer flips
+last. Epoch discipline comes from streaming/epoch_store.plan_fold: a
+replayed epoch — including after the flip — re-reads the PRIOR
+version's manifest and overwrites its own directory idempotently; a
+stale epoch (fresh checkpoint on an old store) is refused. Vector ids
+must be unique across the stream's lifetime.
+
+Law (oracle-checked by q:stream_hnsw_edges): after draining, the
+assembled edge store equals the batch ``out_m`` — per-node top-``m``
+over the full accumulated corpus with identical buckets, scores, and
+(qdot desc, dst asc) tie-breaks. The batch stages downstream of
+``out_m`` (symmetrize + prune, hubs, cross links) are linear
+one-pass serving steps and run unchanged over the maintained store.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amazon_personalize_connectors_spark.functions.similarity import (
+    _iqdot,
+    lsh_signed_nodes,
+)
+from amazon_personalize_connectors_spark.streaming.epoch_store import (
+    commit_version,
+    current_version as _current_version,
+    plan_fold,
+)
+
+_EDGE_SCHEMA = "src long, dst long, qdot long"
+
+
+def _sig_schema(n_tables: int) -> str:
+    return "id long, " + ", ".join(f"t{t} long" for t in range(n_tables))
+
+
+_VEC_SCHEMA = "id long, qv array<bigint>"
+
+
+def _manifest_path(store_path: str, version: int) -> str:
+    return os.path.join(store_path, f"v{version}", "_MANIFEST.json")
+
+
+def _read_manifest(store_path: str, version: int | None) -> dict:
+    if version is None:
+        return {"n_bits": None, "n_tables": None, "m": None,
+                "sigs": {}, "vecs": {}, "edges": {}}
+    with open(_manifest_path(store_path, version)) as f:
+        return json.load(f)
+
+
+def _bucket_paths(
+    store_path: str, manifest: dict, kind: str, buckets=None
+) -> list[str]:
+    sel = manifest[kind]
+    if buckets is not None:
+        want = {str(b) for b in buckets}
+        sel = {b: v for b, v in sel.items() if b in want}
+    return [
+        os.path.join(store_path, f"v{v}", kind, f"bucket={b}")
+        for b, v in sel.items()
+    ]
+
+
+def _read_buckets(
+    spark: SparkSession, paths: list[str], schema: str
+) -> DataFrame:
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def apply_vectors_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    store_path: str,
+    m: int = 8,
+    n_bits: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """foreachBatch body: fold one vector micro-batch into the kNN
+    edge store, recomputing edges ONLY for nodes sharing an LSH bucket
+    with the batch and rewriting only the t0 partitions that hold
+    them. Graph parameters apply to the first batch; later batches
+    inherit the store's (a graph cannot change geometry mid-life)."""
+    spark = batch.sparkSession
+    if batch.isEmpty():
+        return
+    version, prior, _meta = plan_fold(store_path, epoch_id)
+    man = _read_manifest(store_path, prior)
+    n_bits = man["n_bits"] or n_bits
+    n_tables = man["n_tables"] or n_tables
+    m = man["m"] or m
+    tables = [f"t{t}" for t in range(n_tables)]
+    out = os.path.join(store_path, f"v{version}")
+    sig_schema = _sig_schema(n_tables)
+
+    new_nodes = lsh_signed_nodes(
+        batch, n_bits, n_tables, id_col, vec_col
+    ).localCheckpoint(eager=True)
+    new_sigs = new_nodes.select("id", *tables)
+
+    # affected discovery: the narrow signature scan (see module doc)
+    state_sigs = _read_buckets(
+        spark, _bucket_paths(store_path, man, "sigs"), sig_schema
+    )
+    touched = {
+        t: [r[0] for r in new_sigs.select(t).distinct().collect()]
+        for t in tables
+    }
+    affected_pred = None
+    for t in tables:
+        p = F.col(t).isin(touched[t])
+        affected_pred = p if affected_pred is None else (affected_pred | p)
+    affected_state = state_sigs.where(affected_pred)
+    a_sigs = affected_state.unionByName(new_sigs).localCheckpoint(eager=True)
+
+    # candidate generation: per-table bucket equi-joins of the
+    # affected side against the full accumulated signature set
+    all_sigs = state_sigs.unionByName(new_sigs)
+    cand = None
+    for t in tables:
+        a = a_sigs.select(F.col("id").alias("src"), F.col(t).alias("_k"))
+        b = all_sigs.select(F.col("id").alias("dst"), F.col(t).alias("_k"))
+        p = a.join(b, "_k").where(F.col("src") != F.col("dst")).select(
+            "src", "dst"
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct().localCheckpoint(eager=True)
+
+    # vector payloads: only partitions that can hold a candidate id
+    need_t0 = sorted(
+        {r[0] for r in a_sigs.select("t0").distinct().collect()}
+        | {
+            r[0]
+            for r in cand.join(
+                all_sigs.select(F.col("id").alias("dst"), "t0"), "dst"
+            )
+            .select("t0")
+            .distinct()
+            .collect()
+        }
+    )
+    state_vecs = _read_buckets(
+        spark, _bucket_paths(store_path, man, "vecs", need_t0), _VEC_SCHEMA
+    )
+    vecs = state_vecs.unionByName(new_nodes.select("id", "qv"))
+    w_src = Window.partitionBy("src").orderBy(F.desc("qdot"), F.asc("dst"))
+    out_m_new = (
+        cand.join(
+            vecs.select(F.col("id").alias("src"), F.col("qv").alias("_aqv")),
+            "src",
+        )
+        .join(
+            vecs.select(F.col("id").alias("dst"), F.col("qv").alias("_bqv")),
+            "dst",
+        )
+        .select("src", "dst", _iqdot(F.col("_aqv"), F.col("_bqv")).alias("qdot"))
+        .withColumn("_rn", F.row_number().over(w_src))
+        .where(F.col("_rn") <= m)
+        .select("src", "dst", "qdot")
+    )
+
+    # rewrite ONLY the t0 partitions holding affected nodes: their
+    # non-affected residents carry over untouched
+    a_parts = sorted({r[0] for r in a_sigs.select("t0").distinct().collect()})
+    stored_edges = _read_buckets(
+        spark, _bucket_paths(store_path, man, "edges", a_parts), _EDGE_SCHEMA
+    )
+    carry = stored_edges.join(
+        a_sigs.select(F.col("id").alias("src")), "src", "left_anti"
+    )
+    src_t0 = a_sigs.select(F.col("id").alias("src"), F.col("t0").alias("bucket"))
+    carry_t0 = (
+        state_sigs.select(F.col("id").alias("src"), F.col("t0").alias("bucket"))
+    )
+    next_edges = (
+        carry.join(carry_t0, "src")
+        .unionByName(out_m_new.join(src_t0, "src"))
+        .localCheckpoint(eager=True)  # read twice: write + written-part probe
+    )
+    next_edges.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(out, "edges")
+    )
+    # an affected bucket can end the fold EMPTY (its only resident has
+    # no candidates) — a manifest entry would then point at a missing
+    # partition dir; record only buckets that actually wrote rows and
+    # drop the rest
+    written_edge_parts = {
+        r[0] for r in next_edges.select("bucket").distinct().collect()
+    }
+
+    # sig/vec partitions touched by NEW nodes: carried residents + new
+    new_parts = sorted(
+        {r[0] for r in new_sigs.select("t0").distinct().collect()}
+    )
+    sig_part = state_sigs.where(F.col("t0").isin(new_parts)).unionByName(
+        new_sigs
+    )
+    sig_part.withColumn("bucket", F.col("t0")).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(os.path.join(out, "sigs"))
+    vec_part = (
+        _read_buckets(
+            spark, _bucket_paths(store_path, man, "vecs", new_parts), _VEC_SCHEMA
+        )
+        .unionByName(new_nodes.select("id", "qv"))
+        .join(
+            sig_part.select(F.col("id").alias("_i"), "t0"),
+            F.col("id") == F.col("_i"),
+        )
+        .select("id", "qv", F.col("t0").alias("bucket"))
+    )
+    vec_part.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(out, "vecs")
+    )
+
+    edge_entries = {
+        b: v for b, v in man["edges"].items() if int(b) not in set(a_parts)
+    }
+    edge_entries.update(
+        {str(b): version for b in a_parts if b in written_edge_parts}
+    )
+    new_man = {
+        "n_bits": n_bits,
+        "n_tables": n_tables,
+        "m": m,
+        "sigs": {**man["sigs"], **{str(b): version for b in new_parts}},
+        "vecs": {**man["vecs"], **{str(b): version for b in new_parts}},
+        "edges": edge_entries,
+    }
+    tmp_man = _manifest_path(store_path, version) + ".tmp"
+    os.makedirs(out, exist_ok=True)
+    with open(tmp_man, "w") as f:
+        json.dump(new_man, f)
+    os.replace(tmp_man, _manifest_path(store_path, version))
+    commit_version(store_path, version, int(epoch_id), prior, int(epoch_id))
+
+
+def maintain_from_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    timeout_s: float = 300.0,
+    **graph_kwargs,
+) -> None:
+    """Drain a vector stream (Trigger.AvailableNow), maintaining the
+    kNN edge store one micro-batch at a time."""
+    os.makedirs(store_path, exist_ok=True)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, e: apply_vectors_batch(b, e, store_path, **graph_kwargs)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(f"ann monitor still running after {timeout_s}s")
+    finally:
+        if q.isActive:
+            q.stop()
+
+
+def edges_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """The maintained kNN edge set (src, dst, qdot) at the committed
+    version — by the incremental law, equal to the batch ``out_m``
+    over everything drained."""
+    ver = _current_version(store_path)
+    if ver is None:
+        return spark.createDataFrame([], _EDGE_SCHEMA)
+    man = _read_manifest(store_path, ver)
+    return _read_buckets(
+        spark, _bucket_paths(store_path, man, "edges"), _EDGE_SCHEMA
+    )

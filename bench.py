@@ -305,6 +305,7 @@ HEAVY_ONE_RUN = [
 # per round (not N_RUNS medians) so BENCH_r{N} still records a time +
 # rows_out row for each without tripling the suite cost.
 STREAM_ONE_RUN = [
+    "stream_hnsw_edges",
     "stream_calibration",
     "stream_quantiles",
     "stream_ivm_rollup",

@@ -1,0 +1,111 @@
+"""Streaming kNN-graph maintenance law (streaming/ann_monitor.py):
+after draining a vector stream, the maintained edge store must equal
+the batch knn_out_edges over everything drained — identical buckets,
+exact int scores, identical (qdot desc, dst asc) tie-breaks — while
+each micro-batch only recomputes nodes sharing an LSH bucket with it."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from amazon_personalize_connectors_spark.functions.similarity import (
+    knn_out_edges,
+)
+from amazon_personalize_connectors_spark.streaming.ann_monitor import (
+    apply_vectors_batch,
+    edges_from_store,
+    maintain_from_stream,
+)
+
+
+def _vectors(spark, n=40, dim=8):
+    rows = [
+        (
+            i,
+            [
+                float(((i * 31 + d * 7) % 17) - 8) / 8.0
+                for d in range(dim)
+            ],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _edge_set(df):
+    return {(r["src"], r["dst"], r["qdot"]) for r in df.collect()}
+
+
+def test_stream_edges_equal_batch_knn(spark, tmp_path):
+    emb = _vectors(spark)
+    landing = str(tmp_path / "landing")
+    emb.repartition(4).write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(emb.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(landing)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    maintain_from_stream(stream, store, ckpt, m=3, n_bits=2, n_tables=2)
+    got = _edge_set(edges_from_store(spark, store))
+    want = _edge_set(knn_out_edges(emb, m=3, n_bits=2, n_tables=2))
+    assert got == want and len(got) > 0
+
+
+def test_stream_edges_replayed_epoch_is_idempotent(spark, tmp_path):
+    emb = _vectors(spark, n=24)
+    half_a = emb.where("vec_id < 12")
+    half_b = emb.where("vec_id >= 12")
+    store = str(tmp_path / "store2")
+    os.makedirs(store, exist_ok=True)
+    apply_vectors_batch(half_a, 0, store, m=3, n_bits=2, n_tables=2)
+    apply_vectors_batch(half_b, 1, store, m=3, n_bits=2, n_tables=2)
+    once = _edge_set(edges_from_store(spark, store))
+    # replay the LAST epoch (post-pointer-flip redelivery): the fold
+    # must re-read epoch 0's state and overwrite itself byte-for-byte
+    apply_vectors_batch(half_b, 1, store, m=3, n_bits=2, n_tables=2)
+    again = _edge_set(edges_from_store(spark, store))
+    assert again == once
+    want = _edge_set(knn_out_edges(emb, m=3, n_bits=2, n_tables=2))
+    assert once == want
+
+
+def test_stream_edges_stale_epoch_refused(spark, tmp_path):
+    import pytest
+
+    emb = _vectors(spark, n=16)
+    store = str(tmp_path / "store3")
+    os.makedirs(store, exist_ok=True)
+    apply_vectors_batch(emb.where("vec_id < 8"), 0, store, m=2, n_bits=2, n_tables=2)
+    apply_vectors_batch(emb.where("vec_id >= 8"), 1, store, m=2, n_bits=2, n_tables=2)
+    with pytest.raises(ValueError, match="behind the store"):
+        apply_vectors_batch(emb.where("vec_id < 4"), 0, store, m=2, n_bits=2, n_tables=2)
+
+
+def test_stream_untouched_buckets_not_rewritten(spark, tmp_path):
+    """The incremental contract itself: a batch whose buckets miss a
+    node's every table leaves that node's edge partition untouched
+    (manifest still points at the OLD version directory)."""
+    import json
+
+    emb = _vectors(spark, n=40)
+    store = str(tmp_path / "store4")
+    os.makedirs(store, exist_ok=True)
+    apply_vectors_batch(emb.where("vec_id < 36"), 0, store, m=3, n_bits=2, n_tables=2)
+    man0 = json.load(open(os.path.join(store, "v0", "_MANIFEST.json")))
+    apply_vectors_batch(emb.where("vec_id >= 36"), 1, store, m=3, n_bits=2, n_tables=2)
+    man1 = json.load(open(os.path.join(store, "v1", "_MANIFEST.json")))
+    # correctness first: final state == batch build
+    got = _edge_set(edges_from_store(spark, store))
+    want = _edge_set(knn_out_edges(emb, m=3, n_bits=2, n_tables=2))
+    assert got == want
+    # and SOME bucket must have been carried over from v0 whenever the
+    # second batch did not touch every bucket (2-bit tables -> 4
+    # buckets; a 4-vector batch rarely spans all of them in BOTH
+    # tables). If it did span everything, the carried set is empty and
+    # the assertion below is vacuous -- guard against that by checking
+    # the manifest shape instead of skipping silently.
+    carried = [b for b, v in man1["edges"].items() if v == 0]
+    touched = [b for b, v in man1["edges"].items() if v == 1]
+    assert touched, "second batch rewrote nothing?"
+    assert set(man0["edges"]) <= set(man1["edges"]) | set(carried)
