@@ -1283,3 +1283,55 @@ def test_theilsen_matches_python_reference(spark):
         assert r["slope_q"] == lower_median, (vals, r, slopes)
 
     check()
+
+
+def test_changepoint_matches_python_reference(spark):
+    """The argmin-by-struct over fixed IEEE cost trees must equal a
+    direct Python scan minimizing within-segment SSE (same float tree:
+    q - s*s/i per side, ties to the earliest day)."""
+    import datetime
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        changepoint_single,
+    )
+
+    @given(
+        st.lists(
+            st.integers(min_value=-100, max_value=100), min_size=2, max_size=10
+        )
+    )
+    @settings(max_examples=8, deadline=None)
+    def check(vals):
+        base = datetime.date(2024, 3, 1)
+        rows = [
+            (base + datetime.timedelta(days=i), v) for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(rows, "day date, v long")
+        r = changepoint_single(df, "day", "v").collect()[0]
+        n = len(vals)
+        s = [0]
+        q = [0]
+        for v in vals:
+            s.append(s[-1] + v)
+            q.append(q[-1] + v * v)
+        best = None
+        for i in range(1, n):
+            cost = (
+                float(q[i]) - float(s[i]) * float(s[i]) / float(i)
+            ) + (
+                float(q[n] - q[i])
+                - float(s[n] - s[i]) * float(s[n] - s[i]) / float(n - i)
+            )
+            if best is None or cost < best[0]:
+                best = (cost, i)
+        cost, i = best
+        assert r["n_left"] == i and r["sum_left"] == s[i]
+        assert r["split_day"] == base + datetime.timedelta(days=i - 1)
+        assert abs(r["cost"] - cost) < 1e-9
+        no_split = float(q[n]) - float(s[n]) * float(s[n]) / float(n)
+        assert abs(r["gain"] - (no_split - cost)) < 1e-9
+
+    check()
