@@ -6016,64 +6016,77 @@ def q_bitemporal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Driver verification window: the driver oracle-checks the FIRST 50
 # entries of queries() in dict order; queries() reorders the full
-# registry so this list comes first. Round-7 rotation (ledger:
-# VERIFIED.md, planned by tools/rotate_window.py): the 3 sentinels,
-# the two round-6 red rows (mannwhitney_value / seasonal_decompose —
-# exact final columns now BIGINT on both sides per VERDICT r6 item 1),
-# ALL 41 never-driver-checked queries (draining the backlog per
-# VERDICT r6 item 2), and 4 of the oldest r2-green rotations.
-_R7_WINDOW = [
+# registry so this list comes first. Round-8 rotation (ledger:
+# VERIFIED.md; generated AND applied by `tools/rotate_window.py
+# --apply`, which rewrites this block — VERDICT r7 item 6): the 3
+# sentinels, ALL 7 round-7 staged queries that have never earned a
+# driver row (hnsw_topk, hnsw_recall, stream_hnsw_edges,
+# ivf_multiprobe, embedding_decontaminate, image_resize_pixels,
+# mi_priority_status — VERDICT r7 item 1), and 40 oldest-evidence
+# rotations (the r2-green ann/text tail, then r3 greens).
+# tests/test_window_rotation.py pins the staleness invariant: no
+# registry query's driver evidence may be older than ceil(Q/50)
+# rounds once staged queries are excluded.
+_R8_WINDOW = [
     "flagship_related_flat",
     "attribution_join",
     "delta_except",
-    "mannwhitney_value",
-    "seasonal_decompose",
-    "ams_f2",
-    "open_orders_sweep",
-    "compaction_plan",
-    "revenue_matrix_profile",
-    "priority_revenue_ewma",
-    "anova_price_flag",
-    "caliper_match_att",
-    "stream_cms_topk",
-    "audio_frame_energy",
-    "image_ahash",
-    "kcore_parts",
-    "stream_distinct_users",
-    "trimmed_mean_price",
-    "lineitem_corr_matrix",
-    "weighted_median_price",
-    "basket_triples",
-    "revenue_share_hierarchy",
-    "did_purchase_value",
-    "graph_walks",
-    "isotonic_calibration",
-    "js_drift",
-    "conformal_threshold",
-    "bpe_train",
-    "als_user_step",
-    "stream_js_drift",
-    "oof_target_encoding",
-    "cuped_purchase",
-    "rolling_ols_slope",
-    "growth_accounting",
-    "woe_iv_priority",
-    "bootstrap_ci",
-    "eb_shrunk_ctr",
-    "winnowing_dedup",
-    "bpe_vocab",
-    "stream_conformal",
-    "shapley_attribution",
-    "stock_balance_floor",
-    "stream_capped_balance",
-    "part_reach_bfs",
-    "price_interpolate_daily",
-    "t_closeness",
-    "error_split_errors",
-    "explode_outer",
-    "decorate_flat",
-    "renest_ordered",
+    "mi_priority_status",
+    "image_resize_pixels",
+    "ivf_multiprobe",
+    "embedding_decontaminate",
+    "stream_hnsw_edges",
+    "hnsw_topk",
+    "hnsw_recall",
+    "user_pers_flat",
+    "payload_pivot",
+    "topk_slice",
+    "stamp_literals",
+    "text_tokens",
+    "text_quality",
+    "lang_profile",
+    "doc_fingerprint",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_materialized",
+    "neardup_components",
+    "minhash_lsh",
+    "simhash",
+    "simhash64",
+    "state_digest_update",
+    "ann_topk",
+    "ann_topk_partial",
+    "ann_quantized",
+    "rrf_fusion",
+    "pq_adc",
+    "simhash_neardup",
+    "ivf_probe_topk",
+    "quality_filter",
+    "llm_corpus_survivors",
+    "repetition_signals",
+    "kmeans_refine",
+    "hybrid_filtered_ann",
+    "chunk_documents",
+    "embedding_neardup",
+    "ivf_centroids",
+    "ivf_assign",
+    "lineitem_pricing",
+    "band_join_features",
+    "window_analytics",
+    "rollup_revenue",
+    "cube_revenue",
+    "events_hourly",
+    "events_sessionize",
+    "events_props",
 ]
+
+# Staging discipline (VERDICT r6 item 3 / r7 item 6): queries added
+# DURING the current round are listed here instead of competing for
+# window slots; tools/rotate_window.py drains them (never-verified
+# priority) into the NEXT round's window, and
+# tests/test_window_rotation.py exempts exactly this list from the
+# staleness invariant.
+_STAGED: list = []
 
 
 
@@ -8242,7 +8255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_similarity": q_user_similarity,
         "stream_auc_monitor": q_stream_auc_monitor,
     }
-    out = {name: all_q[name] for name in _R7_WINDOW}
+    out = {name: all_q[name] for name in _R8_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
     return out
 
@@ -13018,12 +13031,29 @@ loc_e AS (
     SELECT *, row_number() OVER (PARTITION BY src ORDER BY qdot DESC, dst) AS rn
     FROM sym) WHERE rn <= 24
 ),
-hubs AS (SELECT t0 AS hblk, min(id) AS hub FROM bk GROUP BY 1),
+hubs AS (
+  SELECT 0 AS htab, t0 AS hblk, min(id) AS hub FROM bk GROUP BY 2
+  UNION ALL SELECT 1, t1, min(id) FROM bk GROUP BY 2
+  UNION ALL SELECT 2, t2, min(id) FROM bk GROUP BY 2
+  UNION ALL SELECT 3, t3, min(id) FROM bk GROUP BY 2
+),
+uhubs AS (SELECT DISTINCT hub FROM hubs),
+crossp AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT a.id AS src, h.hub AS dst
+    FROM bk a JOIN hubs h ON h.htab = 0 AND h.hblk <> a.t0
+    UNION ALL SELECT a.id, h.hub
+    FROM bk a JOIN hubs h ON h.htab = 1 AND h.hblk <> a.t1
+    UNION ALL SELECT a.id, h.hub
+    FROM bk a JOIN hubs h ON h.htab = 2 AND h.hblk <> a.t2
+    UNION ALL SELECT a.id, h.hub
+    FROM bk a JOIN hubs h ON h.htab = 3 AND h.hblk <> a.t3
+  )
+),
 crossd AS (
-  SELECT a.id AS src, h.hub AS dst, CAST(sum(qa.iv * qb.iv) AS BIGINT) AS qdot
-  FROM bk a JOIN hubs h ON h.hblk <> a.t0
-  JOIN qd qa ON qa.id = a.id
-  JOIN qd qb ON qb.id = h.hub AND qb.dim = qa.dim
+  SELECT c.src, c.dst, CAST(sum(qa.iv * qb.iv) AS BIGINT) AS qdot
+  FROM crossp c JOIN qd qa ON qa.id = c.src
+  JOIN qd qb ON qb.id = c.dst AND qb.dim = qa.dim
   GROUP BY 1, 2
 ),
 cross_e AS (
@@ -13036,7 +13066,7 @@ edges AS (SELECT src, dst FROM loc_e UNION SELECT src, dst FROM cross_e),
 qs AS (SELECT id, dim, iv FROM qd WHERE id % 50 = 0),
 b0s AS (
   SELECT q.id AS q_id, h.hub AS n_id, CAST(sum(q.iv * n.iv) AS BIGINT) AS qdot
-  FROM qs q JOIN hubs h ON TRUE
+  FROM qs q JOIN uhubs h ON TRUE
   JOIN qd n ON n.id = h.hub AND n.dim = q.dim
   GROUP BY 1, 2
 ),

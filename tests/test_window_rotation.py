@@ -1,0 +1,120 @@
+"""Driver-window rotation invariants (VERDICT r7 item 6).
+
+The driver oracle-checks only the FIRST 50 entries of
+``__spark_entry__.queries()``; ``tools/rotate_window.py --apply``
+regenerates the ``_R{N}_WINDOW`` block from the CORRECTNESS_r*.json
+ledger. These tests make the rotation discipline executable:
+
+* the active window is exactly the tool's plan for the upcoming
+  round (never-verified first, then oldest evidence) — a manual edit
+  that drops a stale query fails here, not in a judge review;
+* the staleness bound holds: with Q registry queries and 50 slots,
+  oldest-first rotation keeps every query's driver evidence within
+  ceil(Q/50) rounds — no query outside the window (and outside the
+  explicit ``_STAGED`` list for this round's additions) may be older
+  than that;
+* every never-driver-verified query is either in the window or
+  staged — the round-7 "6 queries silently missed the window" gap
+  class cannot recur.
+
+No SparkSession needed: queries() builds a dict of callables.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entry  # noqa: E402
+
+
+def _rw():
+    spec = importlib.util.spec_from_file_location(
+        "rotate_window", os.path.join(REPO, "tools", "rotate_window.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ledger():
+    rw = _rw()
+    names, latest = rw.classify(REPO)
+    return rw, names, latest
+
+
+def _active_window():
+    rnd = max(
+        int(k[2:-7]) for k in vars(entry) if k.startswith("_R") and k.endswith("_WINDOW")
+    )
+    return rnd, list(getattr(entry, f"_R{rnd}_WINDOW"))
+
+
+def test_window_shape(ledger):
+    rw, names, latest = ledger
+    rnd, window = _active_window()
+    assert len(window) == 50
+    assert len(set(window)) == 50, "window has duplicate entries"
+    missing = [n for n in window if n not in names]
+    assert not missing, f"window names not in registry: {missing}"
+    for s in rw.SENTINELS:
+        assert s in window, f"sentinel {s} missing from window"
+
+
+def test_window_matches_plan(ledger):
+    """The applied window must be byte-identical to the tool's plan —
+    the rotation is generated, not hand-curated. Staged queries are
+    the one sanctioned divergence: they are new this round, so the
+    planner (which sees them as never-verified) would pull them in,
+    but the staging discipline defers them to the NEXT round."""
+    rw, names, latest = ledger
+    rnd, window = _active_window()
+    staged = set(entry._STAGED)
+    plannable = [n for n in names if n not in staged]
+    expected = rw.plan(plannable, latest, 50)
+    assert window == expected, (
+        "active window diverges from tools/rotate_window.py plan; "
+        "re-run `python tools/rotate_window.py --apply`"
+    )
+
+
+def test_staleness_bound(ledger):
+    """No registry query's driver evidence may be older than
+    ceil(Q/50) rounds, once the active window (about to refresh) and
+    the explicitly staged additions are excluded."""
+    rw, names, latest = ledger
+    rnd, window = _active_window()
+    bound = rw.max_staleness(len(names), 50)
+    cur = rw.current_round(REPO)
+    staged = set(entry._STAGED) | set(window)
+    too_old = {
+        n: latest[n][0]
+        for n in names
+        if n not in staged and n in latest and cur - latest[n][0] > bound
+    }
+    assert not too_old, (
+        f"driver evidence older than {bound} rounds (current={cur}): {too_old}"
+    )
+
+
+def test_never_verified_all_covered(ledger):
+    """Every query with NO driver row ever is in the window or in
+    _STAGED — the r7 'silently unstaged additions' gap class."""
+    rw, names, latest = ledger
+    rnd, window = _active_window()
+    staged = set(entry._STAGED) | set(window)
+    orphans = [n for n in names if n not in latest and n not in staged]
+    assert not orphans, f"never-driver-verified queries unplaced: {orphans}"
+
+
+def test_staged_names_resolve(ledger):
+    rw, names, latest = ledger
+    bad = [n for n in entry._STAGED if n not in names]
+    assert not bad, f"_STAGED names not in registry: {bad}"

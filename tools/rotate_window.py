@@ -76,9 +76,51 @@ def plan(names, latest, window: int):
     return chosen
 
 
+def current_round(repo_root: str) -> int:
+    """Rounds are numbered by driver output: the next round is
+    1 + the highest CORRECTNESS_r{N}.json present."""
+    rounds = [
+        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        for p in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def max_staleness(n_queries: int, window: int) -> int:
+    """The rotation bound the ledger promises: with W slots per round
+    over Q queries, oldest-evidence-first rotation keeps every
+    query's driver evidence within ceil(Q/W) rounds."""
+    return -(-n_queries // window)
+
+
+def apply_window(repo_root: str, chosen: list[str], rnd: int) -> str:
+    """Rewrite the ``_R{N}_WINDOW`` block in __spark_entry__.py in
+    place (list literal only — the explanatory comment above it is
+    the builder's job to update) and retarget the queries() reorder
+    line. Returns the new variable name."""
+    path = os.path.join(repo_root, "__spark_entry__.py")
+    src = open(path).read()
+    m = re.search(r"_R(\d+)_WINDOW = \[[^\]]*\]", src, re.S)
+    if not m:
+        raise SystemExit("no _R{N}_WINDOW block found")
+    new_name = f"_R{rnd}_WINDOW"
+    body = "\n".join(f'    "{n}",' for n in chosen)
+    src = src[: m.start()] + f"{new_name} = [\n{body}\n]" + src[m.end():]
+    src = re.sub(r"_R\d+_WINDOW\)", f"{new_name})", src)
+    src = re.sub(r"for name in _R\d+_WINDOW", f"for name in {new_name}", src)
+    open(path, "w").write(src)
+    return new_name
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--window", type=int, default=50)
+    ap.add_argument(
+        "--apply",
+        action="store_true",
+        help="rewrite the _R{N}_WINDOW list in __spark_entry__.py "
+        "with the planned window for the upcoming round",
+    )
     args = ap.parse_args()
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     names, latest = classify(repo_root)
@@ -94,6 +136,10 @@ def main():
         print(f"\n# WARNING: {len(stale)} never-verified queries did NOT fit:")
         for n in stale:
             print(f"  {n}")
+    if args.apply:
+        rnd = current_round(repo_root)
+        name = apply_window(repo_root, chosen, rnd)
+        print(f"\n# applied: {name} rewritten in __spark_entry__.py")
 
 
 if __name__ == "__main__":
