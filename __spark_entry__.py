@@ -2494,6 +2494,33 @@ def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-prefiltered embedding decontamination (functions/
+    similarity.py:embedding_decontaminate_lsh — VERDICT r7 item 3):
+    the same verdict as q:embedding_decontaminate, but only corpus
+    vectors sharing >=1 RP-LSH bucket (4 tables x 4 bits, the
+    lsh_signed_nodes signatures) with a held-out vector are scored —
+    the held-out BUCKET SETS ride one 1-row broadcast and the
+    candidate test is a codegen array_contains OR-chain, so the
+    corpus never shuffles and the exhaustive 10^4x per-row cosine
+    multiplier collapses to the candidate fraction. The oracle
+    replays signatures, prefilter, and scoring bit-for-bit."""
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        embedding_decontaminate_lsh,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    heldout = emb.where(F.col("vec_id") % 50 == 0)
+    return embedding_decontaminate_lsh(
+        emb, heldout, min_cosine=0.8, n_bits=4, n_tables=4
+    ).select(
+        F.col("id").cast("bigint").alias("id"),
+        "n_hits",
+        "max_cosine",
+        "keep",
+    )
+
+
 def q_stream_hnsw_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming kNN-graph maintenance (streaming/ann_monitor.py): the
     embeddings arrive as a multi-file stream (AvailableNow); each
@@ -6086,7 +6113,9 @@ _R8_WINDOW = [
 # priority) into the NEXT round's window, and
 # tests/test_window_rotation.py exempts exactly this list from the
 # staleness invariant.
-_STAGED: list = []
+_STAGED = [
+    "embedding_decontaminate_lsh",
+]
 
 
 
@@ -8136,6 +8165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ivf_multiprobe": q_ivf_multiprobe,
         "embedding_decontaminate": q_embedding_decontaminate,
+        "embedding_decontaminate_lsh": q_embedding_decontaminate_lsh,
         "stream_hnsw_edges": q_stream_hnsw_edges,
         "hnsw_topk": q_hnsw_topk,
         "hnsw_recall": q_hnsw_recall,
@@ -13172,6 +13202,37 @@ GROUP BY 1
 """
     # likewise the two-stage partial top-k vs the window form
     sqls["ann_topk_partial"] = sqls["ann_topk"]
+    # LSH-prefiltered variant (VERDICT r7 item 3): same verdict, but
+    # only corpus rows sharing >=1 of the 4 RP-LSH table buckets with
+    # a held-out row are scored. The oracle REPLAYS the prefilter
+    # (the hnsw signature CTEs, identical hyperplane constants) so
+    # Spark and DuckDB agree bit-for-bit even where the prefilter
+    # trades away a non-candidate's sub-threshold max_cosine.
+    _bk_prefix = (
+        sqls["hnsw_topk"].split("\ncand AS (")[0].rstrip().rstrip(",")
+    )
+    sqls["embedding_decontaminate_lsh"] = _bk_prefix + f""",
+ho AS (SELECT v AS hv FROM e WHERE id % 50 = 0),
+cands AS (
+  SELECT a.id FROM bk a
+  WHERE EXISTS (SELECT 1 FROM bk h WHERE h.id % 50 = 0 AND
+        (h.t0 = a.t0 OR h.t1 = a.t1 OR h.t2 = a.t2 OR h.t3 = a.t3))
+),
+scored AS (
+  SELECT c.id, {_COSINE.format(a='ev.v', b='ho.hv')} AS s
+  FROM cands c JOIN e ev ON ev.id = c.id, ho
+),
+hits AS (
+  SELECT id,
+         CAST(sum(CASE WHEN s >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits,
+         max(s) AS max_cosine
+  FROM scored GROUP BY id
+)
+SELECT e.id, COALESCE(h.n_hits, 0) AS n_hits, h.max_cosine,
+       COALESCE(h.n_hits, 0) = 0 AS keep
+FROM e LEFT JOIN hits h USING (id)
+"""
     # merge_upsert == FULL OUTER JOIN + clause CASEs (update when
     # matched, insert when source-only, keep when target-only)
     sqls["merge_upsert"] = """

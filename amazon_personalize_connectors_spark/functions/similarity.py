@@ -1589,3 +1589,88 @@ def embedding_decontaminate(
             (F.coalesce("n_hits", F.lit(0)) == 0).alias("keep"),
         )
     )
+
+
+def embedding_decontaminate_lsh(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    min_cosine: float = 0.8,
+    n_bits: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """LSH-prefiltered embedding decontamination (VERDICT r7 item 3):
+    same verdict contract as ``embedding_decontaminate``, but only
+    corpus vectors sharing at least one RP-LSH bucket (any of
+    ``n_tables`` tables, ``lsh_signed_nodes`` signatures) with at
+    least one held-out vector are scored — at 100 TB × 10⁴ held-out
+    rows the exhaustive form is a 10⁴× compute multiplier per corpus
+    row; the prefilter cuts the scored set to the bucket-sharing
+    candidates at a bounded recall cost (a cosine ≥ 0.8 pair agrees
+    with a random hyperplane w.p. ~1 − acos(0.8)/π ≈ 0.79, so one
+    4-bit table keeps it w.p. ~0.39 and four tables keep it w.p.
+    ~1 − (1 − 0.39)⁴ ≈ 0.86; raise n_tables for tighter recall —
+    tests/test_decontaminate_lsh.py measures both recall and the
+    candidate-reduction ratio on the driver fixture).
+
+    Scale shape: the held-out BUCKET SETS (≤ n_tables·2^n_bits
+    values) ride ONE 1-row broadcast back onto the corpus signature
+    table — the enforce_bounded_grid scalar pattern — so the
+    candidate test is a pure codegen ``array_contains`` OR-chain: no
+    join, no shuffle, the corpus never moves. Scoring then broadcasts
+    the held-out vectors against candidates only, identical
+    arithmetic to the exhaustive form.
+
+    Output contract: (id, n_hits, max_cosine, keep) — flags match
+    the exhaustive form whenever the flagged pair shares a bucket;
+    non-candidates report n_hits=0 / keep=true / max_cosine NULL
+    (the exhaustive form reports their true sub-threshold max —
+    that's the information the prefilter trades away)."""
+    csig = lsh_signed_nodes(corpus, n_bits, n_tables, id_col, vec_col)
+    hsig = lsh_signed_nodes(heldout, n_bits, n_tables, id_col, vec_col)
+    hb = hsig.agg(
+        *[F.collect_set(f"t{t}").alias(f"_hb{t}") for t in range(n_tables)]
+    )
+    is_cand = None
+    for t in range(n_tables):
+        hit = F.array_contains(F.col(f"_hb{t}"), F.col(f"t{t}"))
+        is_cand = hit if is_cand is None else (is_cand | hit)
+    cand_ids = (
+        csig.crossJoin(F.broadcast(hb))
+        .where(F.coalesce(is_cand, F.lit(False)))
+        .select("id")
+    )
+    emb = _as_double(corpus, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    ho = _as_double(heldout, vec_col).select(F.col(vec_col).alias("h_vec"))
+    scored = (
+        emb.join(cand_ids, "id", "leftsemi")
+        .join(F.broadcast(ho))
+        .select(
+            "id",
+            F.round(
+                cosine(F.col("vec"), F.col("h_vec")), round_digits
+            ).alias("_s"),
+        )
+    )
+    hits = scored.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("_s") >= min_cosine, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_hits"),
+        F.max("_s").alias("max_cosine"),
+    )
+    return (
+        emb.select("id")
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            "max_cosine",
+            (F.coalesce("n_hits", F.lit(0)) == 0).alias("keep"),
+        )
+    )

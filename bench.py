@@ -278,6 +278,7 @@ BENCH_QUERIES = [
     "image_resize_pixels",
     "ivf_multiprobe",
     "embedding_decontaminate",
+    "embedding_decontaminate_lsh",
 ]
 
 # Heavy-but-bounded queries whose cost is fixed by a domain contract,
