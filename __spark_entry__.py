@@ -6115,6 +6115,7 @@ _R8_WINDOW = [
 # staleness invariant.
 _STAGED = [
     "embedding_decontaminate_lsh",
+    "image_palette_resize",
 ]
 
 
@@ -6787,6 +6788,52 @@ def q_image_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("aggregate(_v, 0L, (a, v) -> a + v)").alias("px_sum"),
         F.expr(
             "aggregate(zip_with(_v, sequence(0, 11), (v, i) -> v * i),"
+            " 0L, (a, v) -> a + v)"
+        ).alias("px_possum"),
+    )
+
+
+def q_image_palette_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PALETTE PNG decode path, ORACLE-CHECKED through the REAL codec
+    (functions/multimodal.py attach_synth_png_palette + resize_images
+    — VERDICT r7 item 5, the PNG subtype real web corpora hit first):
+    genuine PLTE/tRNS containers are decoded (indices -> RGB through
+    the palette, alpha through the short tRNS table with the §11.3.2
+    opaque default), NN-resized to 4x3 RGBA, and the raw 48-byte
+    buffer aggregated JVM-side into exact sum + position-weighted sum
+    — while the oracle reproduces every channel byte arithmetically
+    with generate_series, no codec. Pins PLTE mapping, tRNS
+    expansion, AND the RGBA byte interleave order."""
+    from amazon_personalize_connectors_spark.functions.multimodal import (
+        attach_synth_png_palette,
+        resize_images,
+    )
+
+    part = synthetic.load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("media_id")
+    )
+    media = attach_synth_png_palette(
+        part.where(F.col("media_id") % 20 == 3), "media_id"
+    )
+    rs = resize_images(media, out_w=4, out_h=3)
+    vals = F.expr(
+        "transform(sequence(0, 47), i -> "
+        "cast(conv(substring(hex(pixels), i*2+1, 2), 16, 10) as bigint))"
+    )
+    return rs.select(
+        "media_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("nch").cast("bigint").alias("nch"),
+        vals.alias("_v"),
+    ).select(
+        "media_id",
+        "width",
+        "height",
+        "nch",
+        F.expr("aggregate(_v, 0L, (a, v) -> a + v)").alias("px_sum"),
+        F.expr(
+            "aggregate(zip_with(_v, sequence(0, 47), (v, i) -> v * i),"
             " 0L, (a, v) -> a + v)"
         ).alias("px_possum"),
     )
@@ -8067,6 +8114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_frame_energy": q_audio_frame_energy,
         "image_ahash": q_image_ahash,
         "image_resize_pixels": q_image_resize_pixels,
+        "image_palette_resize": q_image_palette_resize,
         "kcore_parts": q_kcore_parts,
         "stream_distinct_users": q_stream_distinct_users,
         "trimmed_mean_price": q_trimmed_mean_price,
@@ -14513,6 +14561,40 @@ GROUP BY 1
     # resize path: the oracle reproduces the resized pixels with the
     # same integer index map, no codec; the Spark side round-trips a
     # real PNG and aggregates the resized buffer JVM-side
+    sqls["image_palette_resize"] = """
+WITH ids AS (
+  SELECT CAST(p_partkey AS BIGINT) AS media_id,
+         CAST(p_partkey % 9 + 4 AS BIGINT) AS w,
+         CAST(p_partkey % 7 + 4 AS BIGINT) AS h
+  FROM part WHERE p_partkey % 20 = 3
+),
+cells AS (
+  SELECT media_id, gx.x, gy.y,
+         (media_id + 3 * ((gx.x * w) // 4)
+          + 5 * ((gy.y * h) // 3)) % 16 AS j
+  FROM ids,
+       (SELECT unnest(generate_series(0, 3)) AS x) gx,
+       (SELECT unnest(generate_series(0, 2)) AS y) gy
+),
+chans AS (
+  SELECT media_id, x, y, 0 AS ch, (media_id * 13 + 17 * j) % 256 AS v
+  FROM cells
+  UNION ALL
+  SELECT media_id, x, y, 1, (media_id * 7 + 29 * j) % 256 FROM cells
+  UNION ALL
+  SELECT media_id, x, y, 2, (media_id * 11 + 43 * j) % 256 FROM cells
+  UNION ALL
+  SELECT media_id, x, y, 3,
+         CASE WHEN j < 8 THEN (media_id * 5 + 31 * j) % 256 ELSE 255 END
+  FROM cells
+)
+SELECT media_id,
+       CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
+       CAST(4 AS BIGINT) AS nch,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(SUM(v * ((y * 4 + x) * 4 + ch)) AS BIGINT) AS px_possum
+FROM chans GROUP BY 1
+"""
     sqls["image_resize_pixels"] = """
 WITH ids AS (
   SELECT CAST(p_partkey AS BIGINT) AS media_id,

@@ -160,14 +160,20 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytearray:
 
 
 def _png_pixels(content: bytes):
-    """8-bit non-interlaced PNG (gray / RGB / gray+A / RGBA) via stdlib
-    ``zlib``: IDAT inflate + scanline unfilter -> (h, w, nch) uint8."""
+    """8-bit non-interlaced PNG (gray / RGB / gray+A / RGBA / PALETTE)
+    via stdlib ``zlib``: IDAT inflate + scanline unfilter -> (h, w,
+    nch) uint8. Palette images (color type 3, the most common PNG
+    subtype in real web corpora — VERDICT r7 item 5) decode their
+    1-byte indices through the PLTE table to RGB, and through tRNS to
+    RGBA when present (entries past the tRNS length are opaque, PNG
+    §11.3.2)."""
     import struct
 
     import numpy as np
 
     pos, width = 8, None
     idat = bytearray()
+    plte = trns = None
     while pos < len(content):
         (clen,), ctype = struct.unpack(">I", content[pos: pos + 4]), content[pos + 4: pos + 8]
         data = content[pos + 8: pos + 8 + clen]
@@ -180,9 +186,17 @@ def _png_pixels(content: bytes):
                 raise NotImplementedError(
                     f"PNG depth={depth} interlace={interlace} not supported"
                 )
-            nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            # color type 3 carries ONE palette-index byte per pixel;
+            # channel expansion happens after unfiltering
+            nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
             if nch is None:
-                raise NotImplementedError(f"PNG color type {color} (palette?)")
+                raise NotImplementedError(f"PNG color type {color}")
+        elif ctype == b"PLTE":
+            if len(data) % 3 != 0:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -197,7 +211,24 @@ def _png_pixels(content: bytes):
         )
     stride = width * nch
     pixels = _png_unfilter(zlib.decompress(bytes(idat)), height, stride, nch)
-    return np.frombuffer(bytes(pixels), dtype="u1").reshape(height, width, nch)
+    arr = np.frombuffer(bytes(pixels), dtype="u1").reshape(height, width, nch)
+    if color != 3:
+        return arr
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    pal = np.frombuffer(plte, dtype="u1").reshape(-1, 3)
+    idx = arr[:, :, 0]
+    if int(idx.max()) >= pal.shape[0]:
+        raise ValueError(
+            f"palette index {int(idx.max())} out of range "
+            f"(PLTE has {pal.shape[0]} entries)"
+        )
+    rgb = pal[idx]
+    if trns is None:
+        return rgb
+    alpha = np.full(pal.shape[0], 255, dtype="u1")
+    alpha[: len(trns)] = np.frombuffer(trns, dtype="u1")
+    return np.concatenate([rgb, alpha[idx][..., None]], axis=2)
 
 
 def _decode_png(content: bytes) -> dict[str, Any]:
@@ -713,6 +744,79 @@ def attach_synth_png(df: DataFrame, id_col: str) -> DataFrame:
                     + _chunk(
                         b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
                     )
+                    + _chunk(b"IDAT", zlib.compress(scan))
+                    + _chunk(b"IEND", b"")
+                )
+                contents.append(png)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "content": contents,
+                    "meta": [
+                        {"mime": "image/png", "n_bytes": len(c)}
+                        for c in contents
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        synth, MEDIA_SCHEMA
+    )
+
+
+def attach_synth_png_palette(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL PALETTE PNG per id (color type 3 + tRNS —
+    the palette decode path, VERDICT r7 item 5): a genuine
+    PLTE/tRNS/IDAT container, while every DECODED RGBA byte stays
+    pure integer arithmetic an external oracle reproduces with no
+    codec:
+
+      w = id%9+4, h = id%7+4, 16 palette entries,
+      idx(x, y)  = (id + 3x + 5y) mod 16
+      pal[j]     = ((id·13 + 17j)%256, (id·7 + 29j)%256, (id·11 + 43j)%256)
+      alpha[j]   = (id·5 + 31j)%256 for j < 8, else 255 (tRNS len 8 —
+                   the PNG §11.3.2 short-table default is exercised)
+
+    MEDIA_SCHEMA output; Arrow-batched."""
+    import struct
+
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        raw = ctype + data
+        return struct.pack(">I", len(data)) + raw + struct.pack(
+            ">I", zlib.crc32(raw)
+        )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            contents = []
+            for mid in ids:
+                mid = int(mid)
+                w, h = mid % 9 + 4, mid % 7 + 4
+                plte = b"".join(
+                    bytes(
+                        (
+                            (mid * 13 + 17 * j) % 256,
+                            (mid * 7 + 29 * j) % 256,
+                            (mid * 11 + 43 * j) % 256,
+                        )
+                    )
+                    for j in range(16)
+                )
+                trns = bytes((mid * 5 + 31 * j) % 256 for j in range(8))
+                scan = b"".join(
+                    b"\x00"
+                    + bytes((mid + 3 * x + 5 * y) % 16 for x in range(w))
+                    for y in range(h)
+                )
+                png = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + _chunk(
+                        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+                    )
+                    + _chunk(b"PLTE", plte)
+                    + _chunk(b"tRNS", trns)
                     + _chunk(b"IDAT", zlib.compress(scan))
                     + _chunk(b"IEND", b"")
                 )

@@ -276,6 +276,7 @@ BENCH_QUERIES = [
     "price_interpolate_daily",
     "mi_priority_status",
     "image_resize_pixels",
+    "image_palette_resize",
     "ivf_multiprobe",
     "embedding_decontaminate",
     "embedding_decontaminate_lsh",
