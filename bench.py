@@ -382,6 +382,22 @@ def main() -> None:
         print(json.dumps(_headline_isolated()))
         return
 
+    if os.environ.get("SPARK_GRAFT_BENCH_MODE") == "ann":
+        # ANN family head-to-head (BASELINE.md §I): build/probe/recall
+        # for brute, partial, IVF nprobe 1-2, SQ8, PQ-ADC, HNSW
+        import importlib.util as _ilu
+
+        spec = _ilu.spec_from_file_location(
+            "ann_bench",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "ann_bench.py"),
+        )
+        mod = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        sys.argv = [sys.argv[0]]
+        mod.main()
+        return
+
     # Phase 1 — isolated headline-20 in a FRESH JVM (subprocess):
     # frozen composition, no suite contamination. Falls back to the
     # in-session numbers if the subprocess fails for any reason.
