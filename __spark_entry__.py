@@ -888,8 +888,16 @@ def q_delta_anti_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: binary media column + Arrow-batched decode
-    (deterministic fake decoder; no SQL oracle for crc32)."""
+    """Binary media column + Arrow-batched decode, ORACLE-CHECKED
+    since r8 (closing the VERDICT r7 item 7 rows-only tail): the
+    deterministic fake decoder's byte-histogram features are emitted
+    as EXACT integer counts (feature_k x n_bytes is integral by
+    construction), which DuckDB replays by re-deriving the md5-
+    repeated content bytes from hex digits — the decode boundary
+    (mapInPandas, MEDIA/FEATURE schemas, batch shape) is unchanged,
+    but every byte now lands in a hash-checked bucket instead of a
+    rows-only count. crc32 (no DuckDB equivalent) stays pytest-pinned
+    in tests/test_multimodal.py."""
     from amazon_personalize_connectors_spark.functions.multimodal import (
         attach_fake_media,
         decode_media,
@@ -900,9 +908,14 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("media_id")
     )
     media = attach_fake_media(part.where(F.col("media_id") % 20 == 0), "media_id")
-    return decode_media(media, decoder=fake_decoder).select(
-        "media_id", "n_bytes", "checksum"
-    )
+    dec = decode_media(media, decoder=fake_decoder)
+    hist = [
+        F.round(F.try_element_at("features", F.lit(k + 1)) * F.col("n_bytes"))
+        .cast("bigint")
+        .alias(f"hist{k}")
+        for k in range(8)
+    ]
+    return dec.select("media_id", "n_bytes", *hist)
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2715,11 +2728,19 @@ def q_bloom_prune_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable HLL sketch rollup (rows-only check: the Datasketches
-    estimate has no DuckDB equivalent; the merge==direct equivalence
-    and ±5% accuracy are pytest-pinned in test_sketches_history.py):
-    daily (event_type, day) sketches union-merged to per-type
-    approximate distinct users."""
+    """Mergeable HLL sketch rollup, ORACLE-CHECKED since r8 via an
+    EXECUTABLE ACCURACY CONTRACT (closing the VERDICT r7 item 7
+    rows-only tail — the raw Datasketches estimate has no DuckDB
+    equivalent, and its serialized bytes are insertion-order-
+    dependent, so the suggested byte-hash law is unsound; measured in
+    tests/test_sketches_history.py): daily (event_type, day) sketches
+    are union-merged to per-type estimates, then emitted as the EXACT
+    distinct-user count (pins the grouping pipeline cross-engine)
+    plus ``within_5pct`` — the estimate's documented ±5% accuracy
+    bound evaluated Spark-side, which the oracle asserts as literal
+    TRUE. An estimate drifting past its bound, or a broken merge,
+    flips the flag and the driver row goes red. merge==direct and
+    repartition-stability of the ESTIMATE stay pytest-pinned."""
     from amazon_personalize_connectors_spark.functions.sketches import (
         hll_partials,
         hll_rollup,
@@ -2729,8 +2750,20 @@ def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.to_date("ts").alias("day"), "user_id"
     )
     daily = hll_partials(ev, ["event_type", "day"], "user_id")
-    return hll_rollup(daily, ["event_type"]).select(
-        "event_type", F.col("approx_distinct").cast("bigint").alias("approx_distinct")
+    approx = hll_rollup(daily, ["event_type"]).select(
+        "event_type",
+        F.col("approx_distinct").cast("bigint").alias("_approx"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return approx.join(exact, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("_approx") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_5pct"),
     )
 
 
@@ -14561,6 +14594,48 @@ GROUP BY 1
     # resize path: the oracle reproduces the resized pixels with the
     # same integer index map, no codec; the Spark side round-trips a
     # real PNG and aggregates the resized buffer JVM-side
+    # fake-decoder byte histogram, replayed from md5 hex digits —
+    # (strpos into '0123456789abcdef') - 1 is the nibble value; the
+    # content is md5(id-as-string) repeated id%8+1 times (VERDICT r7
+    # item 7: multimodal_decode leaves the rows-only tier)
+    sqls["multimodal_decode"] = """
+WITH ids AS (
+  SELECT CAST(p_partkey AS BIGINT) AS media_id,
+         CAST(p_partkey % 8 + 1 AS BIGINT) AS reps
+  FROM part WHERE p_partkey % 20 = 0
+),
+hx AS (
+  SELECT media_id, reps, md5(CAST(media_id AS VARCHAR)) AS h FROM ids
+),
+bytes AS (
+  SELECT media_id, reps,
+         (strpos('0123456789abcdef',
+                 substr(h, CAST((u.i % 16) * 2 + 1 AS BIGINT), 1)) - 1) * 16
+       + (strpos('0123456789abcdef',
+                 substr(h, CAST((u.i % 16) * 2 + 2 AS BIGINT), 1)) - 1) AS b
+  FROM hx, LATERAL (SELECT unnest(range(0, reps * 16)) AS i) u
+)
+SELECT media_id,
+       CAST(count(*) AS BIGINT) AS n_bytes,
+       CAST(SUM(CASE WHEN b // 32 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS hist0,
+       CAST(SUM(CASE WHEN b // 32 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hist1,
+       CAST(SUM(CASE WHEN b // 32 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS hist2,
+       CAST(SUM(CASE WHEN b // 32 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS hist3,
+       CAST(SUM(CASE WHEN b // 32 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS hist4,
+       CAST(SUM(CASE WHEN b // 32 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS hist5,
+       CAST(SUM(CASE WHEN b // 32 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS hist6,
+       CAST(SUM(CASE WHEN b // 32 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS hist7
+FROM bytes GROUP BY 1
+"""
+    # HLL rollup accuracy contract: the oracle pins the exact distinct
+    # count AND asserts the Spark-side estimate sat within its
+    # documented +/-5% bound (within_5pct must come back TRUE)
+    sqls["hll_user_rollup"] = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       TRUE AS within_5pct
+FROM events GROUP BY 1
+"""
     sqls["image_palette_resize"] = """
 WITH ids AS (
   SELECT CAST(p_partkey AS BIGINT) AS media_id,

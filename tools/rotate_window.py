@@ -48,9 +48,11 @@ def classify(repo_root: str):
             if name not in names or row is None:
                 continue
             if row.get("err") == "no_oracle":
-                # rows-only by design (e.g. hll_user_rollup,
-                # multimodal_decode): a driver row IS the weaker check
-                # passing — do not burn a red-priority slot on it
+                # rows-only row from an older round (the registry has
+                # had zero rows-only queries since r8: hll_user_rollup
+                # gained an executable accuracy contract and
+                # multimodal_decode a byte-histogram oracle): treat the
+                # historical weaker pass as green-tier evidence
                 latest[name] = (rnum, "rows-only")
             elif row.get("err"):
                 latest[name] = (rnum, "red")
