@@ -2569,6 +2569,48 @@ def q_stream_hnsw_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hnsw_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN store COMPACTION (streaming/ann_monitor.py:
+    compact_store — VERDICT r7 item 8): two batch folds leave a
+    manifest referencing two version directories (read fan-out grows
+    ~1 version per micro-batch on a live stream); compaction rewrites
+    every sigs/vecs/edges bucket into ONE new version, flips the
+    pointer, prunes the superseded directories — and must leave the
+    assembled edge set BYTE-IDENTICAL. LAW (oracle-checked): the
+    compacted store's edges equal the batch layer-0 kNN over
+    everything folded — the exact out_m pyramid of
+    q:stream_hnsw_edges, reused verbatim as this query's oracle.
+    Crash-safety, stale-epoch refusal on the compacted base, and
+    fold-after-compaction are pytest-pinned (test_ann_monitor.py)."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.ann_monitor import (
+        apply_vectors_batch,
+        compact_store,
+        edges_from_store,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    store = tempfile.mkdtemp(prefix="apc-ann-compact-")
+    apply_vectors_batch(
+        emb.where(F.col("vec_id") % 2 == 0), 0, store,
+        m=12, n_bits=4, n_tables=4,
+    )
+    apply_vectors_batch(
+        emb.where(F.col("vec_id") % 2 == 1), 1, store,
+        m=12, n_bits=4, n_tables=4,
+    )
+    compact_store(spark, store)
+    return edges_from_store(spark, store).select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+        "qdot",
+    )
+
+
+
 def q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HNSW-style graph ANN against a PERSISTED navigable-graph index
     (functions/similarity.py:hnsw_index_build/hnsw_probe_topk —
@@ -6149,6 +6191,7 @@ _R8_WINDOW = [
 _STAGED = [
     "embedding_decontaminate_lsh",
     "image_palette_resize",
+    "hnsw_compact",
 ]
 
 
@@ -8248,6 +8291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_decontaminate": q_embedding_decontaminate,
         "embedding_decontaminate_lsh": q_embedding_decontaminate_lsh,
         "stream_hnsw_edges": q_stream_hnsw_edges,
+        "hnsw_compact": q_hnsw_compact,
         "hnsw_topk": q_hnsw_topk,
         "hnsw_recall": q_hnsw_recall,
         "ann_topk_partial": q_ann_topk_partial,
@@ -13250,6 +13294,9 @@ SELECT q_id, n_id, rank, qdot FROM (
     sqls["stream_hnsw_edges"] = (
         _hnsw_outm_prefix + "\nSELECT src, dst, qdot FROM out_m\n"
     )
+    # compaction must be invisible to the assembled edge set: same law,
+    # same oracle (build via two folds + compact instead of a stream)
+    sqls["hnsw_compact"] = sqls["stream_hnsw_edges"]
     # recall@5 of the beam search vs the EXACT quantized-int top-5 —
     # shares the whole build+search pyramid above, adds the exact
     # ground truth and the per-query intersection count

@@ -57,6 +57,7 @@ from amazon_personalize_connectors_spark.streaming.epoch_store import (
     commit_version,
     current_version as _current_version,
     plan_fold,
+    read_meta,
 )
 
 _EDGE_SCHEMA = "src long, dst long, qdot long"
@@ -295,6 +296,86 @@ def maintain_from_stream(
     finally:
         if q.isActive:
             q.stop()
+
+
+def compact_store(spark: SparkSession, store_path: str) -> None:
+    """Collapse the manifest to a single version (VERDICT r7 item 8 —
+    the graph-ANN twin of model_refresh.compact_store): a long-lived
+    stream accretes roughly one version directory per micro-batch,
+    and every probe's read fan-out grows with the distinct versions
+    the manifest references; compaction rewrites EVERY sigs/vecs/
+    edges bucket into one new version directory, flips the pointer,
+    then prunes the superseded directories — read fan-out resets to 1
+    while the assembled edge set stays BYTE-IDENTICAL (the law
+    q:hnsw_compact oracle-checks and tests/test_ann_monitor.py pins).
+
+    Crash-safe with the fold's own discipline: the new version
+    directory and manifest are fully written BEFORE the pointer flips
+    (a crash before the flip leaves the old version authoritative and
+    the half-written directory inert); deletion happens only after
+    the flip (a crash mid-delete leaves orphans no manifest
+    references — the next compaction removes them). A non-epoch
+    writer: the version chains past the epoch counter (epoch None)
+    while carrying ``last_epoch`` forward, so the stream's next fold
+    still validates replay/stale-epoch against the compacted base."""
+    import shutil
+
+    prev = _current_version(store_path)
+    if prev is None:
+        return
+    man = _read_manifest(store_path, prev)
+    n_tables = man["n_tables"]
+    version = prev + 1
+    out = os.path.join(store_path, f"v{version}")
+    sig_schema = _sig_schema(n_tables)
+    sigs = _read_buckets(
+        spark, _bucket_paths(store_path, man, "sigs"), sig_schema
+    ).localCheckpoint(eager=True)  # read 3x: write + 2 bucket joins
+    sigs.withColumn("bucket", F.col("t0")).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(os.path.join(out, "sigs"))
+    vecs = _read_buckets(
+        spark, _bucket_paths(store_path, man, "vecs"), _VEC_SCHEMA
+    )
+    vecs.join(
+        sigs.select(F.col("id").alias("_i"), "t0"), F.col("id") == F.col("_i")
+    ).select("id", "qv", F.col("t0").alias("bucket")).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(os.path.join(out, "vecs"))
+    edges = _read_buckets(
+        spark, _bucket_paths(store_path, man, "edges"), _EDGE_SCHEMA
+    )
+    # bucket rides back in via the owning node's t0 — the same
+    # re-derivation the fold's carry path uses
+    edges.join(
+        sigs.select(F.col("id").alias("src"), F.col("t0").alias("bucket")),
+        "src",
+    ).write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(out, "edges")
+    )
+    new_man = {
+        "n_bits": man["n_bits"],
+        "n_tables": n_tables,
+        "m": man["m"],
+        "sigs": {b: version for b in man["sigs"]},
+        "vecs": {b: version for b in man["vecs"]},
+        "edges": {b: version for b in man["edges"]},
+    }
+    tmp_man = _manifest_path(store_path, version) + ".tmp"
+    os.makedirs(out, exist_ok=True)
+    with open(tmp_man, "w") as f:
+        json.dump(new_man, f)
+    os.replace(tmp_man, _manifest_path(store_path, version))
+    commit_version(
+        store_path,
+        version,
+        None,
+        prev,
+        read_meta(store_path, prev)["last_epoch"],
+    )
+    for name in os.listdir(store_path):
+        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < version:
+            shutil.rmtree(os.path.join(store_path, name), ignore_errors=True)
 
 
 def edges_from_store(spark: SparkSession, store_path: str) -> DataFrame:

@@ -289,6 +289,7 @@ BENCH_QUERIES = [
 # triple their fixed cost.
 HEAVY_ONE_RUN = [
     "hnsw_topk",        # index BUILD + probe e2e; corpus fixed-size
+    "hnsw_compact",     # two folds + full-store compaction, fixed-size
     "hnsw_recall",      # build + probe + exact ground truth, same shape
     "winnowing_dedup",
     "bpe_train",

@@ -125,3 +125,89 @@ def test_stream_untouched_buckets_not_rewritten(spark, tmp_path):
     # every v0 bucket is accounted for: either rewritten this batch
     # or carried with its old pointer
     assert set(man0["edges"]) <= touched | set(carried)
+
+
+# --- store compaction (VERDICT r7 item 8) -------------------------------
+
+
+def test_compact_preserves_edges_collapses_versions_and_prunes(spark, tmp_path):
+    import json
+
+    from amazon_personalize_connectors_spark.streaming.ann_monitor import (
+        compact_store,
+    )
+    from amazon_personalize_connectors_spark.streaming.epoch_store import (
+        current_version,
+    )
+
+    emb = _vectors(spark, n=32)
+    store = str(tmp_path / "storec")
+    os.makedirs(store, exist_ok=True)
+    # single-node second batch: it can touch at most one bucket per
+    # table, so with >2 occupied buckets some edge partition stays at
+    # v0 and the manifest genuinely references two versions
+    apply_vectors_batch(emb.where("vec_id < 31"), 0, store, m=3, n_bits=2, n_tables=2)
+    apply_vectors_batch(emb.where("vec_id >= 31"), 1, store, m=3, n_bits=2, n_tables=2)
+    before = _edge_set(edges_from_store(spark, store))
+    man_before = json.load(
+        open(os.path.join(store, f"v{current_version(store)}", "_MANIFEST.json"))
+    )
+    # the pre-compaction manifest references >1 version (else the
+    # fan-out premise is vacuous on this draw)
+    assert len({v for v in man_before["edges"].values()}) > 1
+    compact_store(spark, store)
+    ver = current_version(store)
+    after = _edge_set(edges_from_store(spark, store))
+    assert after == before and len(after) > 0
+    man = json.load(open(os.path.join(store, f"v{ver}", "_MANIFEST.json")))
+    refs = {
+        v for kind in ("sigs", "vecs", "edges") for v in man[kind].values()
+    }
+    assert refs == {ver}, f"manifest still references {refs}"
+    dirs = {
+        d for d in os.listdir(store)
+        if d.startswith("v") and d[1:].isdigit()
+    }
+    assert dirs == {f"v{ver}"}, f"superseded dirs not pruned: {dirs}"
+
+
+def test_fold_after_compaction_continues_the_law(spark, tmp_path):
+    from amazon_personalize_connectors_spark.streaming.ann_monitor import (
+        compact_store,
+    )
+
+    emb = _vectors(spark, n=36)
+    store = str(tmp_path / "storec2")
+    os.makedirs(store, exist_ok=True)
+    apply_vectors_batch(emb.where("vec_id < 12"), 0, store, m=3, n_bits=2, n_tables=2)
+    apply_vectors_batch(
+        emb.where("vec_id >= 12 and vec_id < 24"), 1, store,
+        m=3, n_bits=2, n_tables=2,
+    )
+    compact_store(spark, store)
+    # a stale epoch is STILL refused on the compacted base (last_epoch
+    # carried through the non-epoch compaction version)
+    with pytest.raises(ValueError, match="behind the store"):
+        apply_vectors_batch(emb.where("vec_id < 4"), 0, store, m=3, n_bits=2, n_tables=2)
+    # and the next live epoch folds on top, landing exactly on the
+    # batch law over everything drained
+    apply_vectors_batch(emb.where("vec_id >= 24"), 2, store, m=3, n_bits=2, n_tables=2)
+    got = _edge_set(edges_from_store(spark, store))
+    want = _edge_set(knn_out_edges(emb, m=3, n_bits=2, n_tables=2))
+    assert got == want
+
+
+def test_compact_empty_store_is_noop_and_rerun_safe(spark, tmp_path):
+    from amazon_personalize_connectors_spark.streaming.ann_monitor import (
+        compact_store,
+    )
+
+    store = str(tmp_path / "storec3")
+    os.makedirs(store, exist_ok=True)
+    compact_store(spark, store)  # no version yet: returns silently
+    emb = _vectors(spark, n=16)
+    apply_vectors_batch(emb, 0, store, m=3, n_bits=2, n_tables=2)
+    compact_store(spark, store)
+    once = _edge_set(edges_from_store(spark, store))
+    compact_store(spark, store)  # re-run: chains another version, same set
+    assert _edge_set(edges_from_store(spark, store)) == once
