@@ -722,6 +722,28 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sq8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalized SQ8 ANN top-5 (functions/similarity.py:
+    sq8_cosine_topk — the BASELINE.md SI finding made executable,
+    round 8): floor(127*v_d/||v||) codes make the symmetric int dot a
+    1-byte-per-dim COSINE estimate — recall@5 0.985 at sf0.1 where
+    min-max SQ8's offset-dominated dot measures 0.03. Exact int64
+    scores, (qdot desc, n_id asc) ties; the oracle replays codes and
+    ranking bit-for-bit (norm/scale/floor are row-local IEEE
+    expressions both engines compute identically)."""
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        sq8_cosine_topk,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    return sq8_cosine_topk(emb, queries_df, k=5).select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("n_id").cast("bigint").alias("n_id"),
+        "rank", "qdot",
+    )
+
+
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid-retrieval fusion: reciprocal-rank fusion (k=60) of the
     exact cosine top-10 and the SQ8-quantized top-10, per query —
@@ -6192,6 +6214,7 @@ _STAGED = [
     "embedding_decontaminate_lsh",
     "image_palette_resize",
     "hnsw_compact",
+    "sq8_cosine_topk",
 ]
 
 
@@ -8296,6 +8319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_recall": q_hnsw_recall,
         "ann_topk_partial": q_ann_topk_partial,
         "ann_quantized": q_ann_quantized,
+        "sq8_cosine_topk": q_sq8_cosine_topk,
         "rrf_fusion": q_rrf_fusion,
         "pq_adc": q_pq_adc,
         "simhash_neardup": q_simhash_neardup,
@@ -13096,6 +13120,31 @@ hits AS (
 SELECT e.id, COALESCE(h.n_hits, 0) AS n_hits, h.max_cosine,
        COALESCE(h.n_hits, 0) = 0 AS keep
 FROM e LEFT JOIN hits h USING (id)
+"""
+    sqls["sq8_cosine_topk"] = """
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+nr AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+cd AS (
+  SELECT id,
+         CASE WHEN nrm > 0
+              THEN list_transform(v, x -> CAST(floor(127.0 * x / nrm) AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+  FROM nr
+),
+q AS (SELECT id AS q_id, codes AS qc FROM cd WHERE id % 50 = 0),
+s AS (
+  SELECT q.q_id, c.id AS n_id,
+         CAST(list_dot_product(c.codes, q.qc) AS BIGINT) AS qdot
+  FROM cd c, q WHERE c.id <> q.q_id
+)
+SELECT q_id, n_id, rank, qdot FROM (
+  SELECT q_id, n_id,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY qdot DESC, n_id) AS BIGINT) AS rank,
+         qdot
+  FROM s
+) WHERE rank <= 5
 """
     sqls["ivf_index_probe"] = sqls["ivf_probe_topk"]
     # multi-probe: identical derivation, but each QUERY keeps its top-2

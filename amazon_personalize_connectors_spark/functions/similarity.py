@@ -1674,3 +1674,72 @@ def embedding_decontaminate_lsh(
             (F.coalesce("n_hits", F.lit(0)) == 0).alias("keep"),
         )
     )
+
+
+def sq8_unit_codes(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Unit-normalized SQ8 codes: ``floor(127 · v_d / ||v||)`` per
+    dimension — 1 signed byte of information per dim, so the SYMMETRIC
+    integer dot of two code vectors is a direct cosine estimate (the
+    min-max codes of ``sq8_codes`` carry a per-dim offset that
+    dominates their symmetric dot on isotropic data — measured
+    recall@5 = 0.03 at sf0.1, BASELINE.md §I; unit codes measure
+    0.985 on the same fixture). Deterministic at any partitioning:
+    the norm and each code are row-local IEEE expressions (sqrt, one
+    multiply, one divide, floor) every engine computes identically.
+    A zero vector gets all-zero codes (ranks last everywhere,
+    NULL-free — mirrored by the oracle's CASE)."""
+    e = _as_double(embeddings, vec_col)
+    nrm = norm(F.col(vec_col))
+    codes = F.when(
+        nrm > 0,
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(F.lit(127.0) * v / nrm).cast("bigint"),
+        ),
+    ).otherwise(
+        F.transform(F.col(vec_col), lambda v: F.lit(0).cast("bigint"))
+    )
+    return e.select(F.col(id_col).alias("id"), codes.alias("codes"))
+
+
+def sq8_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over unit-normalized SQ8 codes — the BASELINE.md §I
+    finding made executable (round 8): symmetric int dot of
+    ``sq8_unit_codes`` ranks by a 1-byte-per-dim cosine estimate with
+    near-exact recall where min-max SQ8 was structurally blind. Same
+    corpus-stationary broadcast shape as ``brute_force_topk`` (the
+    corpus never shuffles; ~k rows per query cross the final window);
+    exact int64 scores, (qdot desc, n_id asc) tie-break — a DuckDB
+    oracle replays codes and ranking bit-for-bit. Returns
+    (q_id, n_id, rank, qdot)."""
+    corpus = sq8_unit_codes(embeddings, id_col, vec_col).select(
+        F.col("id").alias("n_id"), F.col("codes").alias("n_codes")
+    )
+    qry = sq8_unit_codes(queries, id_col, vec_col).select(
+        F.col("id").alias("q_id"), F.col("codes").alias("q_codes")
+    )
+    scored = corpus.join(
+        F.broadcast(qry), F.col("n_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "n_id",
+        _iqdot(F.col("n_codes"), F.col("q_codes")).alias("qdot"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("qdot"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "q_id", "n_id", F.col("rank").cast("bigint").alias("rank"), "qdot"
+        )
+    )

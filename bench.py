@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "bigram_stats",
     "ivf_index_probe",
     "ann_quantized",
+    "sq8_cosine_topk",
     "pq_adc",
     "rrf_fusion",
     "lm_coverage",

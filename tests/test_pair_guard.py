@@ -131,3 +131,37 @@ def test_recall_holds_across_signature_widths(spark, tmp_path):
     r_fine = _recall_at(spark, tmp_path, emb, n_bits=4, tag="b4")
     assert r_coarse >= 0.85, f"recall@3 at n_bits=2 = {r_coarse}"
     assert r_fine >= 0.85, f"recall@3 at n_bits=4 = {r_fine}"
+
+
+def test_sq8_cosine_codes_beat_minmax_on_isotropic(spark):
+    """The BASELINE.md §I finding as a law: on the driver embeddings
+    (isotropic — worst case), unit-normalized SQ8 recall@5 vs exact
+    cosine must be high while min-max SQ8's symmetric dot is
+    structurally blind there. Guards the regression where someone
+    'simplifies' sq8_cosine_topk back onto the min-max codes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        brute_force_topk,
+        sq8_cosine_topk,
+        sq8_topk,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    path = os.path.join(sf, "embeddings.parquet")
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    emb = spark.read.parquet(path)
+    qs = emb.where(F.col("vec_id") % 50 == 0)
+    exact = {(r["q_id"], r["n_id"])
+             for r in brute_force_topk(emb, qs, 5).select("q_id", "n_id").collect()}
+    unit = {(r["q_id"], r["n_id"])
+            for r in sq8_cosine_topk(emb, qs, 5).select("q_id", "n_id").collect()}
+    mm = {(r["q_id"], r["n_id"])
+          for r in sq8_topk(emb, qs, 5).select("q_id", "n_id").collect()}
+    r_unit = len(unit & exact) / len(exact)
+    r_mm = len(mm & exact) / len(exact)
+    assert r_unit >= 0.9, f"unit-SQ8 recall {r_unit}"
+    assert r_unit > r_mm + 0.3, f"unit {r_unit} vs min-max {r_mm}"

@@ -99,6 +99,13 @@ def main() -> None:
             "note": "symmetric int8 codes in-plan (stats+encode inside probe)",
         }
 
+        got, t_sq8c = timed(lambda: _pairs(S.sq8_cosine_topk(emb, qs, K)))
+        results["sq8_cosine"] = {
+            "build_s": 0.0, "probe_s": t_sq8c,
+            "recall_at_5": _recall(got, exact),
+            "note": "unit-normalized int8 codes (r8): symmetric dot = cosine estimate",
+        }
+
         got, t_pq = timed(lambda: _pairs(S.pq_adc_topk(emb, qs, K)))
         results["pq_adc"] = {
             "build_s": 0.0, "probe_s": t_pq, "recall_at_5": _recall(got, exact),
