@@ -165,3 +165,44 @@ def test_sq8_cosine_codes_beat_minmax_on_isotropic(spark):
     r_mm = len(mm & exact) / len(exact)
     assert r_unit >= 0.9, f"unit-SQ8 recall {r_unit}"
     assert r_unit > r_mm + 0.3, f"unit {r_unit} vs min-max {r_mm}"
+
+
+def test_hnsw_bulk_probe_equals_serve_probe(spark, tmp_path):
+    """broadcast_beam=False (bulk/offline mode) must change ONLY the
+    physical join strategy: identical (q_id, n_id, rank, qdot) rows,
+    and no BroadcastHashJoin in the static bulk plan (the hub entry's
+    tiny nested-loop broadcast is the one sanctioned exception)."""
+    emb = _cluster_fixture(spark)
+    idx = str(tmp_path / "hnsw_modes")
+    hnsw_index_build(spark, emb, idx, m=6, n_bits=2, n_tables=4)
+    qs = emb.where(F.col("vec_id") % 7 == 0)
+    serve = hnsw_probe_topk(spark, idx, qs, k=3, ef=12, rounds=3)
+    bulk = hnsw_probe_topk(
+        spark, idx, qs, k=3, ef=12, rounds=3, broadcast_beam=False
+    )
+    assert sorted(map(tuple, serve.collect())) == sorted(
+        map(tuple, bulk.collect())
+    )
+    # plan-shape law, isolated from SIZE-based auto-broadcast (the
+    # toy fixture sits under the 10MB threshold, and AQE may also
+    # elect broadcast at runtime — both fine and wanted): with
+    # auto-broadcast disabled, serve mode still FORCES the beam
+    # broadcast via its hint, while bulk mode declares none and falls
+    # to shuffle joins — the worst-case-safe strategy for
+    # corpus-scale query sets.
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bulk_plan = (
+            hnsw_probe_topk(spark, idx, qs, k=3, ef=12, rounds=3,
+                            broadcast_beam=False)
+            ._jdf.queryExecution().sparkPlan().toString()
+        )
+        serve_plan = (
+            hnsw_probe_topk(spark, idx, qs, k=3, ef=12, rounds=3)
+            ._jdf.queryExecution().sparkPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert "BroadcastHashJoin" not in bulk_plan
+    assert "BroadcastHashJoin" in serve_plan
