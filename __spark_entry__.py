@@ -726,7 +726,7 @@ def q_sq8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-normalized SQ8 ANN top-5 (functions/similarity.py:
     sq8_cosine_topk — the BASELINE.md SI finding made executable,
     round 8): floor(127*v_d/||v||) codes make the symmetric int dot a
-    1-byte-per-dim COSINE estimate — recall@5 0.985 at sf0.1 where
+    1-byte-per-dim COSINE estimate — recall@5 0.930 at sf0.1 where
     min-max SQ8's offset-dominated dot measures 0.03. Exact int64
     scores, (qdot desc, n_id asc) ties; the oracle replays codes and
     ranking bit-for-bit (norm/scale/floor are row-local IEEE
@@ -9896,12 +9896,12 @@ edim AS (
 ),
 dots AS (
   SELECT vec_id,
-         sum(iv * ((dim * 1009 + 12345) % 2001 - 1000)) AS d0,
-         sum(iv * ((dim * 1009 + 21521) % 2001 - 1000)) AS d1,
-         sum(iv * ((dim * 1009 + 30697) % 2001 - 1000)) AS d2,
-         sum(iv * ((dim * 1009 + 39873) % 2001 - 1000)) AS d3,
-         sum(iv * ((dim * 1009 + 49049) % 2001 - 1000)) AS d4,
-         sum(iv * ((dim * 1009 + 58225) % 2001 - 1000)) AS d5
+         sum(iv * (((dim + 1) * 12345) % 2001 - 1000)) AS d0,
+         sum(iv * (((dim + 1) * 21521) % 2001 - 1000)) AS d1,
+         sum(iv * (((dim + 1) * 30697) % 2001 - 1000)) AS d2,
+         sum(iv * (((dim + 1) * 39873) % 2001 - 1000)) AS d3,
+         sum(iv * (((dim + 1) * 49049) % 2001 - 1000)) AS d4,
+         sum(iv * (((dim + 1) * 58225) % 2001 - 1000)) AS d5
   FROM edim GROUP BY vec_id
 ),
 bk AS (SELECT vec_id, (CASE WHEN d0 >= 0 THEN 1 ELSE 0 END) + (CASE WHEN d1 >= 0 THEN 2 ELSE 0 END) + (CASE WHEN d2 >= 0 THEN 4 ELSE 0 END) + (CASE WHEN d3 >= 0 THEN 8 ELSE 0 END) + (CASE WHEN d4 >= 0 THEN 16 ELSE 0 END) + (CASE WHEN d5 >= 0 THEN 32 ELSE 0 END) AS bucket FROM dots),
@@ -13178,22 +13178,22 @@ qd AS (
 ),
 dots AS (
   SELECT id,
-         sum(iv * ((dim * 1009 + 12345) % 2001 - 1000)) AS d0,
-         sum(iv * ((dim * 1009 + 21521) % 2001 - 1000)) AS d1,
-         sum(iv * ((dim * 1009 + 30697) % 2001 - 1000)) AS d2,
-         sum(iv * ((dim * 1009 + 39873) % 2001 - 1000)) AS d3,
-         sum(iv * ((dim * 1009 + 49049) % 2001 - 1000)) AS d4,
-         sum(iv * ((dim * 1009 + 58225) % 2001 - 1000)) AS d5,
-         sum(iv * ((dim * 1009 + 67401) % 2001 - 1000)) AS d6,
-         sum(iv * ((dim * 1009 + 76577) % 2001 - 1000)) AS d7,
-         sum(iv * ((dim * 1009 + 85753) % 2001 - 1000)) AS d8,
-         sum(iv * ((dim * 1009 + 94929) % 2001 - 1000)) AS d9,
-         sum(iv * ((dim * 1009 + 104105) % 2001 - 1000)) AS d10,
-         sum(iv * ((dim * 1009 + 113281) % 2001 - 1000)) AS d11,
-         sum(iv * ((dim * 1009 + 122457) % 2001 - 1000)) AS d12,
-         sum(iv * ((dim * 1009 + 131633) % 2001 - 1000)) AS d13,
-         sum(iv * ((dim * 1009 + 140809) % 2001 - 1000)) AS d14,
-         sum(iv * ((dim * 1009 + 149985) % 2001 - 1000)) AS d15
+         sum(iv * (((dim + 1) * 12345) % 2001 - 1000)) AS d0,
+         sum(iv * (((dim + 1) * 21521) % 2001 - 1000)) AS d1,
+         sum(iv * (((dim + 1) * 30697) % 2001 - 1000)) AS d2,
+         sum(iv * (((dim + 1) * 39873) % 2001 - 1000)) AS d3,
+         sum(iv * (((dim + 1) * 49049) % 2001 - 1000)) AS d4,
+         sum(iv * (((dim + 1) * 58225) % 2001 - 1000)) AS d5,
+         sum(iv * (((dim + 1) * 67401) % 2001 - 1000)) AS d6,
+         sum(iv * (((dim + 1) * 76577) % 2001 - 1000)) AS d7,
+         sum(iv * (((dim + 1) * 85753) % 2001 - 1000)) AS d8,
+         sum(iv * (((dim + 1) * 94929) % 2001 - 1000)) AS d9,
+         sum(iv * (((dim + 1) * 104105) % 2001 - 1000)) AS d10,
+         sum(iv * (((dim + 1) * 113281) % 2001 - 1000)) AS d11,
+         sum(iv * (((dim + 1) * 122457) % 2001 - 1000)) AS d12,
+         sum(iv * (((dim + 1) * 131633) % 2001 - 1000)) AS d13,
+         sum(iv * (((dim + 1) * 140809) % 2001 - 1000)) AS d14,
+         sum(iv * (((dim + 1) * 149985) % 2001 - 1000)) AS d15
   FROM qd GROUP BY id
 ),
 bk AS (

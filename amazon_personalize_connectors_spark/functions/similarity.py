@@ -488,8 +488,20 @@ def ivf_probe_topk(
 
 def _rp_weight(bit: int, dim: Column) -> Column:
     """Engine-portable pseudo-random hyperplane weight in [-1000, 1000]:
-    pure integer arithmetic on (bit, dim), identical in any SQL engine."""
-    return (dim * 1009 + F.lit(bit * 9176 + 12345)) % 2001 - 1000
+    pure integer arithmetic on (bit, dim), identical in any SQL engine.
+
+    The stride MULTIPLIES per bit — ``(dim+1) · K_bit mod 2001`` with
+    ``K_bit = bit·9176 + 12345`` — instead of the r2–r7 affine form
+    ``dim·1009 + K_bit``, whose FIXED dim-stride made weights of dims
+    d and d+2 differ by 2·1009 ≡ 17 (mod 2001) in EVERY bit: signs
+    almost never flipped between even (or odd) dims, so data clustered
+    on such axes collided in every table at once (measured r8: dims 0
+    vs 2 agreed on 16/16 bits; a 4-axis-cluster fixture recalled 0.5
+    because two clusters shared every bucket with two lower-id ones).
+    A per-bit stride decorrelates the dims bit-by-bit (10/16 agreement
+    on the same pair, ~0.5 overall) while staying a single mul/mod
+    any engine computes identically."""
+    return ((dim + 1) * F.lit(bit * 9176 + 12345)) % 2001 - 1000
 
 
 def rp_lsh_buckets(
@@ -1283,6 +1295,7 @@ def hnsw_index_build(
     vec_col: str = "embedding",
     max_pair_rows: int = 50_000_000,
     target_bucket: int = 1024,
+    entry_sample: int = 0,
 ) -> None:
     """Persist an HNSW-STYLE navigable graph ANN index (Malkov &
     Yashunin, TPAMI 2018), flattened to the layers that matter for a
@@ -1299,11 +1312,25 @@ def hnsw_index_build(
       out-degree ≤ 2·``m``;
     * hub layer — one entry node per bucket per EVERY table (min id —
       deterministic, ≤ n_tables·2^n_bits entries; multi-table since
-      r8 — one table's hubs alone left disconnected intra-bucket
-      components unreachable when a coarse signature merged two far
-      clusters), plus ``long_links`` cross-bucket hub edges per node:
-      the long-range links that let a probe leave a wrong entry
-      region.
+      r8), plus ``long_links`` cross-bucket hub edges per node: the
+      long-range links that let a probe leave a wrong entry region.
+
+    Known navigability limit of bucket hubs (measured r8 on a
+    4-cluster fixture at n_bits=2: recall@3 = 0.5): when a coarse
+    signature merges two far clusters into one bucket in EVERY
+    table, that bucket's kNN subgraph is disconnected and its single
+    min-id hub sits in one component — min-id systematically favors
+    the low-id cluster, so the other stays entry-starved. The
+    paper's answer is entry points assigned INDEPENDENTLY of
+    geometry (random level promotion); the deterministic analogue
+    here is ``entry_sample``: when > 0, every node whose portable
+    integer hash ((id mod 2147483647)·1103515245 + 12345 mod 2^31)
+    falls in stratum 0 of ``entry_sample`` strata is ALSO written to
+    the hub table (expected N/entry_sample extra entries — size it
+    ~N/4096 so round-0 scoring stays a bounded broadcast; a cluster
+    of ≥ entry_sample nodes then gets an entry w.h.p. regardless of
+    bucket geometry — the recall law at both widths is pinned in
+    tests/test_pair_guard.py). Default 0 keeps the hub-only shape.
 
     Pass ``block_col`` to block on a trusted precomputed key instead
     of LSH (e.g. a k-means cluster id) — same edge discipline.
@@ -1418,9 +1445,23 @@ def hnsw_index_build(
     blocked.select("id", "qv").write.mode("overwrite").parquet(
         f"{index_path}/nodes"
     )
-    hub_nodes.select("hub", "hub_qv").distinct().write.mode(
-        "overwrite"
-    ).parquet(f"{index_path}/hubs")
+    entries = hub_nodes.select("hub", "hub_qv")
+    if entry_sample > 0:
+        # geometry-independent entry promotion (see docstring): pure
+        # int arithmetic both engines compute identically, no count
+        # job — expected N/entry_sample promoted nodes
+        h = (
+            F.pmod(F.col("id"), F.lit(2147483647)) * F.lit(1103515245)
+            + F.lit(12345)
+        ) % F.lit(2147483648)
+        entries = entries.unionByName(
+            blocked.where(F.pmod(h, F.lit(entry_sample)) == 0).select(
+                F.col("id").alias("hub"), F.col("qv").alias("hub_qv")
+            )
+        )
+    entries.distinct().write.mode("overwrite").parquet(
+        f"{index_path}/hubs"
+    )
 
 
 def hnsw_probe_topk(
@@ -1701,8 +1742,10 @@ def sq8_unit_codes(
     integer dot of two code vectors is a direct cosine estimate (the
     min-max codes of ``sq8_codes`` carry a per-dim offset that
     dominates their symmetric dot on isotropic data — measured
-    recall@5 = 0.03 at sf0.1, BASELINE.md §I; unit codes measure
-    0.985 on the same fixture). Deterministic at any partitioning:
+    recall@5 = 0.03 at sf0.1, BASELINE.md §I; these floor-quantized
+    unit codes measure 0.930 on the same fixture — the np.round
+    prototype measured 0.985, and floor is kept for the engine-
+    portable quantization discipline). Deterministic at any partitioning:
     the norm and each code are row-local IEEE expressions (sqrt, one
     multiply, one divide, floor) every engine computes identically.
     A zero vector gets all-zero codes (ranks last everywhere,

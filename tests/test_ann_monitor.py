@@ -93,16 +93,18 @@ def test_stream_untouched_buckets_not_rewritten(spark, tmp_path):
     emb = _vectors(spark, n=40)
     store = str(tmp_path / "store4")
     os.makedirs(store, exist_ok=True)
-    apply_vectors_batch(emb.where("vec_id < 39"), 0, store, m=3, n_bits=2, n_tables=2)
+    # SINGLE table + single-node second batch: the affected set is
+    # exactly the new node's one t0 bucket, so with >1 occupied bucket
+    # the carried set is non-empty and the property below is actually
+    # exercised (with 2 tables the cross-table coupling can legally
+    # touch every bucket and force the vacuity skip)
+    apply_vectors_batch(emb.where("vec_id < 39"), 0, store, m=3, n_bits=2, n_tables=1)
     man0 = json.load(open(os.path.join(store, "v0", "_MANIFEST.json")))
-    # a SINGLE-node second batch: it can touch at most one bucket per
-    # table, so on any fixture with >2 occupied buckets the carried
-    # set is non-empty and the property below is actually exercised
-    apply_vectors_batch(emb.where("vec_id >= 39"), 1, store, m=3, n_bits=2, n_tables=2)
+    apply_vectors_batch(emb.where("vec_id >= 39"), 1, store, m=3, n_bits=2, n_tables=1)
     man1 = json.load(open(os.path.join(store, "v1", "_MANIFEST.json")))
     # correctness first: final state == batch build
     got = _edge_set(edges_from_store(spark, store))
-    want = _edge_set(knn_out_edges(emb, m=3, n_bits=2, n_tables=2))
+    want = _edge_set(knn_out_edges(emb, m=3, n_bits=2, n_tables=1))
     assert got == want
     # and SOME bucket must have been carried over from v0 whenever the
     # second batch did not touch every bucket (2-bit tables -> 4

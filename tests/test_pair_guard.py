@@ -110,9 +110,13 @@ def test_lsh_signed_nodes_rejects_degenerate_vectors(spark):
         lsh_signed_nodes(bad_empty, n_bits=2, n_tables=1).collect()
 
 
-def _recall_at(spark, tmp_path, emb, n_bits: int, tag: str, k: int = 3):
+def _recall_at(spark, tmp_path, emb, n_bits: int, tag: str, k: int = 3,
+               entry_sample: int = 0):
     idx = str(tmp_path / f"hnsw_{tag}")
-    hnsw_index_build(spark, emb, idx, m=6, n_bits=n_bits, n_tables=4)
+    hnsw_index_build(
+        spark, emb, idx, m=6, n_bits=n_bits, n_tables=4,
+        entry_sample=entry_sample,
+    )
     qs = emb.where(F.col("vec_id") % 7 == 0)
     approx = hnsw_probe_topk(spark, idx, qs, k=k, ef=12, rounds=3)
     exact = quantized_topk(emb, qs, k=k)
@@ -122,14 +126,26 @@ def _recall_at(spark, tmp_path, emb, n_bits: int, tag: str, k: int = 3):
 
 
 def test_recall_holds_across_signature_widths(spark, tmp_path):
-    """The auto_n_bits sizing rule's premise: moving to finer buckets
-    (more bits) does not collapse recall, because multi-table union +
-    hub links recover boundary-cut neighborhoods. Pin recall@3 at two
-    widths on the clustered fixture."""
+    """The auto_n_bits sizing rule's premise, with the failure mode it
+    protects against made visible (measured r8): at a too-coarse
+    width (n_bits=2, 4 buckets for 4 clusters) every table merges the
+    high-id clusters under a low-id min-id hub and their disconnected
+    bucket components are entry-starved — recall@3 collapses to 0.5.
+    Geometry-independent entry promotion (entry_sample, the
+    deterministic analogue of HNSW's random level assignment)
+    restores it; at the properly-sized width (n_bits=4) the hub-only
+    default already holds."""
     emb = _cluster_fixture(spark)
-    r_coarse = _recall_at(spark, tmp_path, emb, n_bits=2, tag="b2")
+    r_coarse_bare = _recall_at(spark, tmp_path, emb, n_bits=2, tag="b2")
+    assert r_coarse_bare < 0.85, (
+        f"coarse-width hub-only recall {r_coarse_bare} — the documented"
+        " entry-starvation hole closed by itself; update the docstring"
+    )
+    r_coarse = _recall_at(
+        spark, tmp_path, emb, n_bits=2, tag="b2e", entry_sample=8
+    )
     r_fine = _recall_at(spark, tmp_path, emb, n_bits=4, tag="b4")
-    assert r_coarse >= 0.85, f"recall@3 at n_bits=2 = {r_coarse}"
+    assert r_coarse >= 0.85, f"recall@3 at n_bits=2+entries = {r_coarse}"
     assert r_fine >= 0.85, f"recall@3 at n_bits=4 = {r_fine}"
 
 
