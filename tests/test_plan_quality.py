@@ -367,6 +367,7 @@ def test_all_queries_plan_invariants(spark, sf_dir):
         "audio_frame_energy",
         "image_ahash",
         "image_resize_pixels",
+        "image_palette_resize",  # real PLTE/tRNS PNG decode (r8)
     }
     failures = []
     for name, fn in entry.queries().items():
