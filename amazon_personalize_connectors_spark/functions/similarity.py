@@ -1368,7 +1368,19 @@ def hnsw_index_build(
             embeddings, n_bits, n_tables, id_col, vec_col
         )
         tables = [f"t{t}" for t in range(n_tables)]
+    # the signed node table feeds ~10 downstream consumers (pair-cap
+    # counts, per-table candidate joins, qv lookups, hub groupBys,
+    # cross-link joins, the node write) — persist the one narrow
+    # corpus-wide table (id, qv, n_tables bigints) instead of
+    # recomputing the explode+16-way aggregate per consumer; spills
+    # to disk at cluster scale (MEMORY_AND_DISK is the default
+    # StorageLevel for DataFrame.persist on the JVM side)
+    blocked = blocked.persist()
     out_m = _knn_out_edges_from_signed(blocked, tables, m, max_pair_rows)
+    # symmetrization reads out_m twice (forward + swapped) — persist
+    # the m-per-node edge list (bounded: N·m rows) so the candidate
+    # scoring join runs once
+    out_m = out_m.persist()
     w_src = Window.partitionBy("src").orderBy(F.desc("qdot"), F.asc("dst"))
     sym = out_m.unionByName(
         out_m.select(
@@ -1462,6 +1474,8 @@ def hnsw_index_build(
     entries.distinct().write.mode("overwrite").parquet(
         f"{index_path}/hubs"
     )
+    out_m.unpersist()
+    blocked.unpersist()
 
 
 def hnsw_probe_topk(
