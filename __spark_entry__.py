@@ -744,6 +744,101 @@ def q_sq8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction multi-vector retrieval (functions/similarity.py:
+    maxsim_topk — the MaxSim operator of ColBERT, Khattab & Zaharia,
+    SIGIR 2020; round 8): the embeddings table regroups into 8-token
+    documents (doc_id = vec_id DIV 8, tok = vec_id % 8), every 10th
+    document is a query bag, and score(q, d) = Σ over q's tokens of
+    the max exact-int dot against d's tokens — term-level matching
+    the single-vector ANN family cannot express (pooling erases it).
+    Corpus tokens never shuffle for scoring (query bags broadcast);
+    exact int64 dots/maxima/sums on the shared floor(v·10⁶) grid,
+    (score desc, doc asc) ties, self-match excluded — the oracle
+    replays scoring bit-for-bit. Top-5 docs per query."""
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        maxsim_topk,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    toks = emb.select(
+        F.expr("CAST(vec_id DIV 8 AS BIGINT)").alias("doc_id"),
+        (F.col("vec_id") % 8).cast("bigint").alias("tok"),
+        "embedding",
+    )
+    q_toks = toks.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("q_id"), "tok", "embedding"
+    )
+    return maxsim_topk(toks, q_toks, k=5, exclude_self=True)
+
+
+def q_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-stage late-interaction serving architecture
+    (functions/similarity.py:maxsim_rescore — ColBERT's retrieve-then-
+    rerank, round 8): stage 1 retrieves each query's top-20 documents
+    by exact POOLED dot product (pooling = per-dim SUM of the bag's
+    floor(v·10⁶) int tokens — associative, so partition-order-proof
+    where a float mean is not); stage 2 re-scores exactly those
+    (q, doc) pairs with exact MaxSim and re-ranks. Stage 2's joins are
+    all equi-keyed (candidates ⋈ doc tokens on doc_id, ⋈ query tokens
+    on q_id) — the corpus-scale-query-set shape maxsim_topk's
+    broadcast cannot serve. Emits rescored rank + score per surviving
+    pair; the oracle replays pooling, retrieval, and rescoring
+    bit-for-bit."""
+    from pyspark.sql import Window
+
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        maxsim_rescore,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    toks = emb.select(
+        F.expr("CAST(vec_id DIV 8 AS BIGINT)").alias("doc_id"),
+        (F.col("vec_id") % 8).cast("bigint").alias("tok"),
+        "embedding",
+    )
+    pooled = toks.select(
+        "doc_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda v: F.floor(v * F.lit(1000000.0)).cast("bigint"),
+        ).alias("qv"),
+    ).select("doc_id", F.posexplode("qv").alias("dim", "iv")).groupBy(
+        "doc_id", "dim"
+    ).agg(
+        F.sum("iv").alias("s")
+    ).groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("dim"), F.col("s")))
+        ).alias("_ds")
+    ).select(
+        "doc_id", F.transform(F.col("_ds"), lambda x: x["s"]).alias("pv")
+    )
+    q_pooled = pooled.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("q_id"), F.col("pv").alias("q_pv")
+    )
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        _iqdot,
+    )
+
+    w20 = Window.partitionBy("q_id").orderBy(F.desc("pdot"), F.asc("doc_id"))
+    cand = (
+        pooled.join(F.broadcast(q_pooled), F.col("doc_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "doc_id",
+            _iqdot(F.col("pv"), F.col("q_pv")).alias("pdot"),
+        )
+        .withColumn("_rn", F.row_number().over(w20))
+        .where(F.col("_rn") <= 20)
+        .select("q_id", "doc_id")
+    )
+    q_toks = toks.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("q_id"), "tok", "embedding"
+    )
+    return maxsim_rescore(cand, toks, q_toks)
+
+
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid-retrieval fusion: reciprocal-rank fusion (k=60) of the
     exact cosine top-10 and the SQ8-quantized top-10, per query —
@@ -6215,6 +6310,8 @@ _STAGED = [
     "image_palette_resize",
     "hnsw_compact",
     "sq8_cosine_topk",
+    "maxsim_multivector",
+    "maxsim_rerank",
 ]
 
 
@@ -8320,6 +8417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_partial": q_ann_topk_partial,
         "ann_quantized": q_ann_quantized,
         "sq8_cosine_topk": q_sq8_cosine_topk,
+        "maxsim_multivector": q_maxsim_multivector,
+        "maxsim_rerank": q_maxsim_rerank,
         "rrf_fusion": q_rrf_fusion,
         "pq_adc": q_pq_adc,
         "simhash_neardup": q_simhash_neardup,
@@ -13145,6 +13244,93 @@ SELECT q_id, n_id, rank, qdot FROM (
          qdot
   FROM s
 ) WHERE rank <= 5
+"""
+    # MaxSim late interaction: exact int dots on the floor(v*1e6) grid
+    # are <= 64 * (6e5)^2 ~ 2.3e13 and 8-token sums <= 1.9e14 — both
+    # exactly representable integers in DuckDB's DOUBLE accumulation
+    # (< 2^53), so list_dot_product replays Spark's int64 dot bit-for-bit
+    sqls["maxsim_multivector"] = """
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+tok AS (
+  SELECT CAST(id // 8 AS BIGINT) AS doc_id, CAST(id % 8 AS BIGINT) AS tok,
+         list_transform(v, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
+  FROM e
+),
+q AS (SELECT doc_id AS q_id, tok AS q_tok, qv AS q_qv
+      FROM tok WHERE doc_id % 10 = 0),
+pairs AS (
+  SELECT t.doc_id, q.q_id, q.q_tok,
+         CAST(list_dot_product(t.qv, q.q_qv) AS BIGINT) AS dot
+  FROM tok t, q
+),
+per_tok AS (
+  SELECT doc_id, q_id, q_tok, max(dot) AS best
+  FROM pairs GROUP BY doc_id, q_id, q_tok
+),
+scores AS (
+  SELECT q_id, doc_id, CAST(sum(best) AS BIGINT) AS score
+  FROM per_tok GROUP BY q_id, doc_id
+)
+SELECT q_id, doc_id, rank, score FROM (
+  SELECT q_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+         score
+  FROM scores WHERE doc_id <> q_id
+) WHERE rank <= 5
+"""
+    # two-stage retrieve-then-rerank: pooled per-dim int sums (<= 8·6e5
+    # per dim; pooled dots <= 1.5e15 — still exact-integer DOUBLEs),
+    # top-20 by pooled dot, exact MaxSim over exactly those pairs
+    sqls["maxsim_rerank"] = """
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+tokq AS (
+  SELECT CAST(id // 8 AS BIGINT) AS doc_id, CAST(id % 8 AS BIGINT) AS tok,
+         list_transform(v, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
+  FROM e
+),
+dimsum AS (
+  SELECT doc_id, u.i AS dim, CAST(sum(qv[u.i]) AS BIGINT) AS s
+  FROM tokq, LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS i) u
+  GROUP BY doc_id, u.i
+),
+pooled AS (
+  SELECT doc_id, list(s ORDER BY dim) AS pv FROM dimsum GROUP BY doc_id
+),
+qp AS (SELECT doc_id AS q_id, pv AS q_pv FROM pooled WHERE doc_id % 10 = 0),
+cand AS (
+  SELECT q_id, doc_id FROM (
+    SELECT p.doc_id, qp.q_id,
+           row_number() OVER (PARTITION BY qp.q_id
+             ORDER BY CAST(list_dot_product(p.pv, qp.q_pv) AS BIGINT) DESC,
+                      p.doc_id) AS rn
+    FROM pooled p, qp WHERE p.doc_id <> qp.q_id
+  ) WHERE rn <= 20
+),
+qt AS (SELECT doc_id AS q_id, tok AS q_tok, qv AS q_qv
+       FROM tokq WHERE doc_id % 10 = 0),
+pairs AS (
+  SELECT c.doc_id, c.q_id, qt.q_tok,
+         CAST(list_dot_product(t.qv, qt.q_qv) AS BIGINT) AS dot
+  FROM cand c
+  JOIN tokq t ON t.doc_id = c.doc_id
+  JOIN qt ON qt.q_id = c.q_id
+),
+per_tok AS (
+  SELECT doc_id, q_id, q_tok, max(dot) AS best
+  FROM pairs GROUP BY doc_id, q_id, q_tok
+),
+scores AS (
+  SELECT q_id, doc_id, CAST(sum(best) AS BIGINT) AS score
+  FROM per_tok GROUP BY q_id, doc_id
+)
+SELECT q_id, doc_id,
+       CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       score
+FROM scores
 """
     sqls["ivf_index_probe"] = sqls["ivf_probe_topk"]
     # multi-probe: identical derivation, but each QUERY keeps its top-2

@@ -1815,3 +1815,160 @@ def sq8_cosine_topk(
             "q_id", "n_id", F.col("rank").cast("bigint").alias("rank"), "qdot"
         )
     )
+
+
+def maxsim_topk(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 5,
+    doc_col: str = "doc_id",
+    q_col: str = "q_id",
+    tok_col: str = "tok",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Late-interaction multi-vector retrieval (the MaxSim operator of
+    Khattab & Zaharia, ColBERT, SIGIR 2020): a document is a BAG of
+    token vectors, a query likewise, and
+
+        score(q, d) = Σ_{t ∈ q}  max_{u ∈ d}  <t, u>
+
+    — each query token finds its best-matching document token and the
+    per-token maxima add up. This is the retrieval family the
+    single-vector ANN stack (brute force / IVF / SQ8 / PQ / HNSW)
+    cannot express: pooling tokens into one vector before the dot
+    product erases term-level matching.
+
+    Inputs are token tables — ``doc_tokens`` (doc_col, tok_col,
+    vec_col) and ``query_tokens`` (q_col, tok_col, vec_col) — one row
+    per token vector; ``tok_col`` is the within-bag token index (its
+    only role is reproducible lineage — MaxSim itself is bag-order
+    invariant).
+
+    Scale shape (SERVE mode — this operator's only mode): the corpus
+    token table NEVER shuffles for scoring — query tokens broadcast
+    (bounded by queries·tokens_per_query rows), the big join is
+    map-side, and the inner ``max`` pre-aggregates partially before
+    the one shuffle on (doc, query, query-token); the outer Σ groups
+    on a subset of those keys. For CORPUS-SCALE query sets this
+    exhaustive form is the wrong tool by construction (it scores
+    |doc_tokens|·|query_tokens| pairs and its only non-equi join
+    would plan a CartesianProduct) — use the two-stage architecture
+    the paper serves with: single-vector ANN retrieval
+    (``hnsw_probe_topk`` / ``ivf_probe_topk_indexed`` over pooled or
+    per-token vectors) to produce a bounded candidate list, then
+    ``maxsim_rescore`` — equi-keyed on (q_id, doc_id), shuffle-safe —
+    for the exact late-interaction scores.
+
+    Exact and portable end to end: vectors quantize to the shared
+    ``floor(v·10⁶)`` int64 grid (``_q6_nodes`` discipline), dots /
+    maxima / sums are int64, ranking tie-breaks (score desc, doc asc)
+    — a DuckDB oracle replays scoring bit-for-bit. Returns
+    (q_id, doc_id, rank, score)."""
+    # quantize both token tables on the shared int grid
+    dq = doc_tokens.select(
+        F.col(doc_col).cast("long").alias("doc_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda v: F.floor(v * F.lit(1000000.0)).cast("bigint"),
+        ).alias("d_qv"),
+    )
+    qq = query_tokens.select(
+        F.col(q_col).cast("long").alias("q_id"),
+        F.col(tok_col).cast("long").alias("q_tok"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda v: F.floor(v * F.lit(1000000.0)).cast("bigint"),
+        ).alias("q_qv"),
+    )
+    pairs = dq.crossJoin(F.broadcast(qq)).select(
+        "doc_id",
+        "q_id",
+        "q_tok",
+        _iqdot(F.col("d_qv"), F.col("q_qv")).alias("dot"),
+    )
+    per_tok = pairs.groupBy("doc_id", "q_id", "q_tok").agg(
+        F.max("dot").alias("best")
+    )
+    scores = per_tok.groupBy("q_id", "doc_id").agg(
+        F.sum("best").cast("bigint").alias("score")
+    )
+    if exclude_self:
+        # ids share a namespace (queries drawn from the corpus): drop
+        # the trivial self-match BEFORE ranking, the ANN-family rule
+        scores = scores.where(F.col("doc_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "doc_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "score",
+        )
+    )
+
+
+def maxsim_rescore(
+    candidates: DataFrame,
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    doc_col: str = "doc_id",
+    q_col: str = "q_id",
+    tok_col: str = "tok",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact MaxSim re-scoring of a bounded candidate list — the bulk
+    half of the late-interaction stack (``maxsim_topk`` documents the
+    architecture): a cheap first stage (single-vector ANN over pooled
+    or per-token vectors) retrieves ``candidates`` (q_id, doc_id);
+    this stage computes the exact late-interaction score for exactly
+    those pairs and re-ranks.
+
+    Scale shape: every join is EQUI-KEYED — candidates ⋈ doc_tokens on
+    doc_id, then ⋈ query_tokens on q_id — so the plan is shuffle hash
+    joins end to end (no broadcast requirement, no cartesian): disk
+    spill, not driver memory, bounds corpus-scale query sets. Work is
+    |candidates| · tokens_per_doc · tokens_per_query scoring rows —
+    linear in the candidate list, never |docs|·|queries|.
+
+    Same exact-int discipline as ``maxsim_topk`` (shared floor(v·10⁶)
+    grid, int64 dots/maxima/sums, (score desc, doc asc) rank ties).
+    Returns (q_id, doc_id, rank, score) — rank within each query's
+    candidate set."""
+    cand = candidates.select(
+        F.col(q_col).cast("long").alias("q_id"),
+        F.col(doc_col).cast("long").alias("doc_id"),
+    ).distinct()
+    dq = doc_tokens.select(
+        F.col(doc_col).cast("long").alias("doc_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda v: F.floor(v * F.lit(1000000.0)).cast("bigint"),
+        ).alias("d_qv"),
+    )
+    qq = query_tokens.select(
+        F.col(q_col).cast("long").alias("q_id"),
+        F.col(tok_col).cast("long").alias("q_tok"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda v: F.floor(v * F.lit(1000000.0)).cast("bigint"),
+        ).alias("q_qv"),
+    )
+    pairs = cand.join(dq, "doc_id").join(qq, "q_id").select(
+        "doc_id",
+        "q_id",
+        "q_tok",
+        _iqdot(F.col("d_qv"), F.col("q_qv")).alias("dot"),
+    )
+    per_tok = pairs.groupBy("doc_id", "q_id", "q_tok").agg(
+        F.max("dot").alias("best")
+    )
+    scores = per_tok.groupBy("q_id", "doc_id").agg(
+        F.sum("best").cast("bigint").alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return scores.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).select("q_id", "doc_id", "rank", "score")

@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "ivf_index_probe",
     "ann_quantized",
     "sq8_cosine_topk",
+    "maxsim_multivector",
+    "maxsim_rerank",
     "pq_adc",
     "rrf_fusion",
     "lm_coverage",

@@ -1043,3 +1043,115 @@ def test_embedding_decontaminate_flags_and_keeps(spark):
     empty = heldout.where("vec_id < 0")
     rows = embedding_decontaminate(corpus, empty, 0.8).collect()
     assert all(r["keep"] and r["max_cosine"] is None for r in rows)
+
+
+# --- MaxSim late-interaction retrieval (r8) --------------------------------
+
+
+def _maxsim_fixture(spark):
+    # doc 1: two orthogonal "topic" tokens; doc 2: two identical
+    # mid-point tokens. Their POOLED vectors are equal by construction
+    # — only term-level matching can tell them apart.
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (1, 1, [0.0, 1.0]),
+        (2, 0, [0.5, 0.5]),
+        (2, 1, [0.5, 0.5]),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, tok long, embedding array<float>"
+    )
+
+
+def test_maxsim_term_matching_beats_pooling(spark):
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        maxsim_topk,
+    )
+
+    docs = _maxsim_fixture(spark)
+    q = spark.createDataFrame(
+        [(100, 0, [1.0, 0.0])], "q_id long, tok long, embedding array<float>"
+    )
+    out = sorted(
+        maxsim_topk(docs, q, k=2).collect(), key=lambda r: r["rank"]
+    )
+    # query token e1 matches doc 1's first token exactly (dot 1e12);
+    # doc 2's best token only half-matches (dot 5e11). A pooled dot
+    # could not order them: both docs pool to [1e6, 1e6].
+    assert [r["doc_id"] for r in out] == [1, 2]
+    assert out[0]["score"] == 10**12
+    assert out[1]["score"] == 5 * 10**11
+
+
+def test_maxsim_single_token_bags_degenerate_to_dot_ranking(spark):
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        maxsim_topk,
+    )
+
+    # 1 token per bag -> MaxSim == plain quantized dot ranking,
+    # checked against an exact Python reference
+    import math
+
+    vecs = {
+        1: [0.9, 0.1, 0.0],
+        2: [0.3, 0.8, 0.2],
+        3: [0.0, 0.2, 0.9],
+        4: [0.6, 0.6, 0.1],
+    }
+    qvec = {7: [0.8, 0.2, 0.1]}
+    docs = spark.createDataFrame(
+        [(d, 0, v) for d, v in vecs.items()],
+        "doc_id long, tok long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(7, 0, qvec[7])], "q_id long, tok long, embedding array<float>"
+    )
+
+    def qz(v):
+        # match the operator exactly: float32 -> double -> floor(v*1e6)
+        import struct
+
+        return [
+            math.floor(struct.unpack("f", struct.pack("f", x))[0] * 1e6)
+            for x in v
+        ]
+
+    ref = sorted(
+        (
+            (sum(a * b for a, b in zip(qz(v), qz(qvec[7]))), -d)
+            for d, v in vecs.items()
+        ),
+        reverse=True,
+    )
+    want = [(-d, s) for s, d in ref]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in sorted(
+            maxsim_topk(docs, q, k=4).collect(), key=lambda r: r["rank"]
+        )
+    ]
+    assert got == want
+
+
+def test_maxsim_rescore_on_full_candidates_equals_topk(spark):
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        maxsim_rescore,
+        maxsim_topk,
+    )
+
+    docs = _maxsim_fixture(spark)
+    # queries drawn from the corpus: doc 1's own tokens
+    q = docs.where(F.col("doc_id") == 1).select(
+        F.col("doc_id").alias("q_id"), "tok", "embedding"
+    )
+    full = maxsim_topk(docs, q, k=10, exclude_self=True)
+    cand = spark.createDataFrame([(1, 2)], "q_id long, doc_id long")
+    rescored = maxsim_rescore(cand, docs, q)
+    a = {(r["q_id"], r["doc_id"]): (r["rank"], r["score"]) for r in full.collect()}
+    b = {
+        (r["q_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in rescored.collect()
+    }
+    # the candidate list IS the full non-self pair set here, so the
+    # two forms must agree exactly (rank and exact int score)
+    assert a == b
