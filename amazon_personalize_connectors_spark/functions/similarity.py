@@ -1021,11 +1021,20 @@ def dbscan_from_edges(
         neardup_components,
     )
 
-    sym = edges.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).union(
-        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    ).distinct()
+    # the symmetrized ε-graph feeds three consumers (degrees, the
+    # core-core subgraph, border assignment) and its lineage is the
+    # caller's pair generator — usually the expensive blocked scoring
+    # pass. Materialize it once (eager localCheckpoint, the house
+    # iterative-graph pattern) instead of re-running the generator
+    # per consumer.
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(
+            edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = sym.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("_deg")
     )

@@ -867,9 +867,15 @@ def graph_random_walks(
     walker; the frontier is localCheckpoint'ed per round (the
     neardup_components pattern) so lineage stays flat. No Python
     touches rows. Output (walk, step, node), step 0 = the start."""
+    # the adjacency joins once per round, and the caller's edge list
+    # is often an expensive lineage (a co-occurrence self-join +
+    # distinct) — persist it for the loop's duration instead of
+    # re-deriving it walk_len times (the PageRank iterative-graph
+    # pattern; each frontier is already eagerly checkpointed, so the
+    # cache is released the moment the loop ends)
     adj = edges.select(
         F.col(src_col).alias("cur"), F.col(dst_col).alias("nxt")
-    )
+    ).persist()
     frontier = starts.select(
         F.col(start_col).alias("walk"),
         F.col(start_col).alias("node"),
@@ -900,6 +906,7 @@ def graph_random_walks(
             .localCheckpoint(eager=True)
         )
         out = out.unionByName(frontier)
+    adj.unpersist()
     return out
 
 
