@@ -779,21 +779,30 @@ def mmr_rerank(
     pattern) so lineage stays flat. Output (user, item, step)."""
     if not 0 < lam_num <= lam_den:
         raise ValueError("need 0 < lam_num <= lam_den")
+    # both inputs re-enter the loop every round (cand k times, sym
+    # k-1 times) and their caller-side lineage is typically the
+    # expensive part (top-n scoring, pairwise sims) — materialize the
+    # two BOUNDED tables once (users·n and users·n² rows; the same
+    # once-not-per-round rule as graph_random_walks' adjacency)
     cand = candidates.select(
         F.col(user_col).alias("u"),
         F.col(item_col).alias("i"),
         F.col(rel_col).cast("bigint").alias("rel"),
-    )
-    sym = sims.select(
-        F.col("item_a").alias("x"),
-        F.col("item_b").alias("y"),
-        F.col(sim_col).cast("bigint").alias("s"),
-    ).union(
+    ).localCheckpoint(eager=True)
+    sym = (
         sims.select(
-            F.col("item_b").alias("x"),
-            F.col("item_a").alias("y"),
+            F.col("item_a").alias("x"),
+            F.col("item_b").alias("y"),
             F.col(sim_col).cast("bigint").alias("s"),
         )
+        .union(
+            sims.select(
+                F.col("item_b").alias("x"),
+                F.col("item_a").alias("y"),
+                F.col(sim_col).cast("bigint").alias("s"),
+            )
+        )
+        .localCheckpoint(eager=True)
     )
     mu = F.lit(lam_den - lam_num).cast("bigint")
     lam = F.lit(lam_num).cast("bigint")
