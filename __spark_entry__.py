@@ -839,6 +839,33 @@ def q_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_rescore(cand, toks, q_toks)
 
 
+def q_ivf_refined_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over Lloyd-REFINED cells (functions/similarity.py:
+    refined_centroid_table + ivf_refined_probe_topk, round 8): two
+    k-means rounds from the label seeds — whose cells are
+    geometrically random (BASELINE.md §I: same-label mean cosine ≈
+    the global mean), the measured cause of plain IVF's recall
+    collapse — then the standard one-list corpus assignment and an
+    nprobe=2 probe. Every intermediate centroid coordinate is
+    CAST(sum_e6 AS DOUBLE)/n (one IEEE division of exact ints), so
+    the oracle replays seed means, both refine rounds, assignment,
+    probe, and ranking bit-for-bit."""
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        ivf_refined_probe_topk,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    return ivf_refined_probe_topk(
+        emb, queries_df, rounds=2, nprobe=2, k=5
+    ).select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("n_id").cast("bigint").alias("n_id"),
+        "rank",
+        "score",
+    )
+
+
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid-retrieval fusion: reciprocal-rank fusion (k=60) of the
     exact cosine top-10 and the SQ8-quantized top-10, per query —
@@ -6312,6 +6339,7 @@ _STAGED = [
     "sq8_cosine_topk",
     "maxsim_multivector",
     "maxsim_rerank",
+    "ivf_refined_probe",
 ]
 
 
@@ -8419,6 +8447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_cosine_topk": q_sq8_cosine_topk,
         "maxsim_multivector": q_maxsim_multivector,
         "maxsim_rerank": q_maxsim_rerank,
+        "ivf_refined_probe": q_ivf_refined_probe,
         "rrf_fusion": q_rrf_fusion,
         "pq_adc": q_pq_adc,
         "simhash_neardup": q_simhash_neardup,
@@ -13331,6 +13360,91 @@ SELECT q_id, doc_id,
             ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
        score
 FROM scores
+"""
+    # refined IVF: every centroid coordinate (seed and both Lloyd
+    # rounds) is CAST(sum_e6 AS DOUBLE)/n — one IEEE division of two
+    # exact integers, identical cross-engine; assignments replay the
+    # canonical (score desc, block asc) tie-break
+    sqls["ivf_refined_probe"] = f"""
+WITH {_CENTROID_CTE.lstrip()},
+c0 AS (
+  SELECT block, list(CAST(sum_e6 AS DOUBLE) / n ORDER BY dim) AS centroid
+  FROM centroid_sums GROUP BY block
+),
+a1 AS (
+  SELECT id, v, block FROM (
+    SELECT ev.vec_id AS id, ev.v, c.block,
+           row_number() OVER (PARTITION BY ev.vec_id
+             ORDER BY {_COSINE.format(a='ev.v', b='c.centroid')} DESC,
+                      c.block) AS rn
+    FROM ev, c0 c
+  ) WHERE rn = 1
+),
+s1 AS (
+  SELECT block, CAST(u.i - 1 AS BIGINT) AS dim,
+         CAST(sum(CAST(floor(v[u.i] * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS sum_e6,
+         count(*) AS n
+  FROM a1, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+  GROUP BY block, u.i
+),
+c1 AS (
+  SELECT block, list(CAST(sum_e6 AS DOUBLE) / n ORDER BY dim) AS centroid
+  FROM s1 GROUP BY block
+),
+a2 AS (
+  SELECT id, v, block FROM (
+    SELECT ev.vec_id AS id, ev.v, c.block,
+           row_number() OVER (PARTITION BY ev.vec_id
+             ORDER BY {_COSINE.format(a='ev.v', b='c.centroid')} DESC,
+                      c.block) AS rn
+    FROM ev, c1 c
+  ) WHERE rn = 1
+),
+s2 AS (
+  SELECT block, CAST(u.i - 1 AS BIGINT) AS dim,
+         CAST(sum(CAST(floor(v[u.i] * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS sum_e6,
+         count(*) AS n
+  FROM a2, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+  GROUP BY block, u.i
+),
+c2 AS (
+  SELECT block, list(CAST(sum_e6 AS DOUBLE) / n ORDER BY dim) AS centroid
+  FROM s2 GROUP BY block
+),
+corpus AS (
+  SELECT id, v, block AS cell FROM (
+    SELECT ev.vec_id AS id, ev.v, c.block,
+           row_number() OVER (PARTITION BY ev.vec_id
+             ORDER BY {_COSINE.format(a='ev.v', b='c.centroid')} DESC,
+                      c.block) AS rn
+    FROM ev, c2 c
+  ) WHERE rn = 1
+),
+qp AS (
+  SELECT id, v, block AS cell FROM (
+    SELECT ev.vec_id AS id, ev.v, c.block,
+           row_number() OVER (PARTITION BY ev.vec_id
+             ORDER BY {_COSINE.format(a='ev.v', b='c.centroid')} DESC,
+                      c.block) AS rn
+    FROM ev, c2 c
+  ) WHERE rn <= 2
+),
+q AS (SELECT * FROM qp WHERE id % 50 = 0),
+scored AS (
+  SELECT q.id AS q_id, a.id AS n_id,
+         {_COSINE.format(a='q.v', b='a.v')} AS score
+  FROM q JOIN corpus a ON a.cell = q.cell AND a.id <> q.id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY score DESC, n_id) AS rank
+  FROM scored
+)
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(n_id AS BIGINT) AS n_id,
+       CAST(rank AS BIGINT) AS rank, score
+FROM ranked WHERE rank <= 5
 """
     sqls["ivf_index_probe"] = sqls["ivf_probe_topk"]
     # multi-probe: identical derivation, but each QUERY keeps its top-2

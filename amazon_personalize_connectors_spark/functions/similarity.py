@@ -1981,3 +1981,148 @@ def maxsim_rescore(
     return scores.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
     ).select("q_id", "doc_id", "rank", "score")
+
+
+def refined_centroid_table(
+    embeddings: DataFrame,
+    rounds: int = 2,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Lloyd-refined, broadcastable (block, centroid) table with an
+    ENGINE-PORTABLE mean at every round: each coordinate is
+    ``CAST(sum_e6 AS DOUBLE) / n`` — a single IEEE division of two
+    exact integers (the ``ivf_centroids`` sum_e6 discipline), so a
+    SQL oracle replays every intermediate centroid bit-for-bit.
+    (``kmeans_refine_sums`` keeps the decimal-sum path for its
+    sum-output contract; THIS path exists because refined IVF needs
+    the centroids themselves to cross engines exactly, including the
+    intermediate rounds.)
+
+    Why refinement matters for IVF: seeding from a partition key with
+    no geometric meaning (the fixture's ``label`` measures same-label
+    mean cosine ≈ the global mean — BASELINE.md §I) makes the Voronoi
+    cells random and nprobe=1 recall collapse; a couple of Lloyd
+    rounds move the centroids onto the data's actual structure while
+    keeping build cost at ``rounds`` corpus passes.
+
+    Scale shape: per round, the corpus streams through one broadcast
+    assignment (``_assign_to_centroids`` — map-side max_by) and one
+    map-side-combinable integer aggregate; only the nlist×dim
+    centroid table crosses rounds via the driver (the k-means shape,
+    as in ``kmeans_refine_sums``). Empty cells drop (standard Lloyd;
+    deterministic, both engines replay the same assignment)."""
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    spark = embeddings.sparkSession
+    emb = _as_double(embeddings, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    seed_sums = ivf_centroids(embeddings, block_col, vec_col)
+    centroids = (
+        seed_sums.withColumn(
+            "mean", F.col("sum_e6").cast("double") / F.col("n")
+        )
+        .groupBy("block")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("mean")))
+                ),
+                lambda s: s["mean"],
+            ).alias("centroid")
+        )
+        .select(F.col("block").cast("bigint").alias("block"), "centroid")
+    )
+    for _ in range(rounds):
+        assigned = _assign_to_centroids(emb, centroids, round_digits).select(
+            F.col("assigned_block").alias("block"), "vec"
+        )
+        means = (
+            assigned.select("block", F.posexplode("vec").alias("dim", "val"))
+            .groupBy("block", "dim")
+            .agg(
+                F.sum(
+                    F.floor(F.col("val") * F.lit(1000000.0)).cast("bigint")
+                ).alias("sum_e6"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "block",
+                "dim",
+                (F.col("sum_e6").cast("double") / F.col("n")).alias("mean"),
+            )
+        )
+        rows = means.collect()
+        by_block: dict = {}
+        for r in rows:
+            by_block.setdefault(r["block"], []).append((r["dim"], r["mean"]))
+        centroids = spark.createDataFrame(
+            [
+                (int(b), [m for _, m in sorted(dims)])
+                for b, dims in sorted(by_block.items())
+            ],
+            "block bigint, centroid array<double>",
+        )
+    return centroids
+
+
+def ivf_refined_probe_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    rounds: int = 2,
+    nprobe: int = 2,
+    k: int = 5,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF probe over Lloyd-REFINED cells (``refined_centroid_table``)
+    — the recall repair for geometry-blind seed partitions: the corpus
+    assigns once to the refined centroids (rn = 1 — a vector lives in
+    one inverted list), each query keeps its top-``nprobe`` cells, and
+    the exact rounded cosine ranks candidates inside the probed cells.
+    Same probe discipline as ``ivf_probe_topk`` (broadcast centroid
+    table, equi-join on the cell key, corpus never broadcast); the
+    entire chain — every refine round included — replays in plain SQL.
+    Returns (q_id, n_id, rank, score)."""
+    cents = refined_centroid_table(
+        embeddings, rounds, block_col, id_col, vec_col, round_digits
+    )
+    emb = _as_double(embeddings, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    qry = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    corpus = _assign_to_centroids(emb, cents, round_digits).select(
+        F.col("id").alias("n_id"),
+        F.col("vec").alias("n_vec"),
+        F.col("assigned_block").alias("cell"),
+    )
+    probes = _top_centroids(qry, cents, nprobe, round_digits).select(
+        F.col("id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("assigned_block").alias("cell"),
+    )
+    scored = corpus.join(F.broadcast(probes), "cell").where(
+        F.col("n_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "n_id",
+        F.round(cosine(F.col("q_vec"), F.col("n_vec")), round_digits).alias(
+            "score"
+        ),
+    )
+    # no (q, n) pair can repeat: the corpus row carries exactly one
+    # cell (rn = 1) and a query's nprobe cells are distinct, so the
+    # cell equi-join emits each candidate at most once — rank directly
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "score")
+    )

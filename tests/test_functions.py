@@ -1155,3 +1155,57 @@ def test_maxsim_rescore_on_full_candidates_equals_topk(spark):
     # the candidate list IS the full non-self pair set here, so the
     # two forms must agree exactly (rank and exact int score)
     assert a == b
+
+
+def test_refined_ivf_recovers_clusters_from_garbage_seeds(spark):
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        ivf_refined_probe_topk,
+    )
+
+    # two tight, well-separated clusters in 4-d — but the label column
+    # (the IVF seed partition) is nearly geometry-blind: each label
+    # mixes both clusters (3:1 / 1:3), so the label-mean centroids sit
+    # most of the way toward the midpoint and plain label-blocked IVF
+    # mixes the clusters; the residual 3:1 tilt is what lets Lloyd
+    # break the symmetry and snap the cells onto the true clusters.
+    # (An EXACTLY 2:2 mix is a k-means saddle point — symmetric seeds
+    # stay symmetric forever; that degenerate init needs multi-start,
+    # not more rounds.)
+    rows = [
+        (0, [1.00, 0.01, 0.0, 0.0], 0),
+        (1, [0.99, 0.02, 0.0, 0.0], 0),
+        (2, [0.98, 0.00, 0.02, 0.0], 0),
+        (3, [0.97, 0.03, 0.01, 0.0], 1),
+        (10, [0.01, 1.00, 0.0, 0.0], 0),
+        (11, [0.02, 0.99, 0.0, 0.0], 1),
+        (12, [0.00, 0.98, 0.02, 0.0], 1),
+        (13, [0.03, 0.97, 0.01, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    q = emb.where(F.col("vec_id") == 0)
+    # ground truth for vec 0: its cluster mates 1, 2, 3
+    refined = ivf_refined_probe_topk(emb, q, rounds=2, nprobe=1, k=3)
+    got = {r["n_id"] for r in refined.collect()}
+    assert got == {1, 2, 3}, got
+    # and the refined cells themselves are exactly the two clusters
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        _as_double,
+        _assign_to_centroids,
+        refined_centroid_table,
+    )
+
+    cents = refined_centroid_table(emb, rounds=2)
+    assigned = _assign_to_centroids(
+        _as_double(emb, "embedding").select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        ),
+        cents,
+    )
+    cells = {
+        r["id"]: r["assigned_block"] for r in assigned.collect()
+    }
+    assert len({cells[i] for i in (0, 1, 2, 3)}) == 1
+    assert len({cells[i] for i in (10, 11, 12, 13)}) == 1
+    assert cells[0] != cells[10]

@@ -93,6 +93,21 @@ def main() -> None:
                 if nprobe == 1 else "same index, 2 cells per query",
             }
 
+        # refined IVF (r8): 2 Lloyd rounds repair the geometry-blind
+        # label seeding, then the same one-list assignment + nprobe=2.
+        # Build cost = the refine rounds (in-plan, not persisted here);
+        # probe timing includes the final assignment joins.
+        got, t_riv = timed(
+            lambda: _pairs(
+                S.ivf_refined_probe_topk(emb, qs, rounds=2, nprobe=2, k=K)
+            )
+        )
+        results["ivf_refined_nprobe2"] = {
+            "build_s": 0.0, "probe_s": t_riv,
+            "recall_at_5": _recall(got, exact),
+            "note": "2 Lloyd rounds from label seeds, nprobe=2 (r8)",
+        }
+
         got, t_sq8 = timed(lambda: _pairs(S.sq8_topk(emb, qs, K)))
         results["sq8"] = {
             "build_s": 0.0, "probe_s": t_sq8, "recall_at_5": _recall(got, exact),
