@@ -142,6 +142,19 @@ def main() -> None:
             "note": "multi-table LSH kNN graph + hubs; 3-round ef=16 beam",
         }
 
+        # same index, wider/deeper beam — the serve-time recall dial
+        # (measured r8: ef is the binding constraint, not the graph)
+        got, t_probe_h2 = timed(
+            lambda: _pairs(
+                S.hnsw_probe_topk(spark, hnsw_path, qs, K, ef=48, rounds=4)
+            )
+        )
+        results["hnsw_graph_ef48"] = {
+            "build_s": 0.0, "probe_s": t_probe_h2,
+            "recall_at_5": _recall(got, exact),
+            "note": "same graph, 4-round ef=48 beam (serve-time dial)",
+        }
+
     line = {
         "metric": "ann_family", "sf": SF_DIR, "k": K, "n_queries": n_q,
         "methods": results,
