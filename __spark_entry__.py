@@ -839,6 +839,48 @@ def q_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_rescore(cand, toks, q_toks)
 
 
+def q_maxsim_ann_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full late-interaction SERVING stack (round 8): token-level ANN
+    retrieval feeding exact MaxSim re-scoring — the production shape
+    of the maxsim family (maxsim_topk documents why the exhaustive
+    form cannot take corpus-scale query sets). Stage 1: every query
+    TOKEN probes the corpus token table through sq8_cosine_topk (the
+    §I recall winner at 1 byte/dim) for its top-10 token matches;
+    matches map to their parent documents (vec DIV 8) and union into
+    a bounded candidate list per query. Stage 2: maxsim_rescore
+    computes the exact late-interaction score for exactly those
+    (q, doc) pairs — equi-keyed joins end to end. The oracle replays
+    unit codes, the token probe, the doc mapping, and the rescore
+    bit-for-bit."""
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        maxsim_rescore,
+        sq8_cosine_topk,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    toks = emb.select(
+        F.expr("CAST(vec_id DIV 8 AS BIGINT)").alias("doc_id"),
+        (F.col("vec_id") % 8).cast("bigint").alias("tok"),
+        "embedding",
+    )
+    q_tok_vecs = emb.where(
+        F.expr("CAST(vec_id DIV 8 AS BIGINT)") % 10 == 0
+    )
+    token_hits = sq8_cosine_topk(emb, q_tok_vecs, k=10)
+    cand = (
+        token_hits.select(
+            F.expr("CAST(q_id DIV 8 AS BIGINT)").alias("q_id"),
+            F.expr("CAST(n_id DIV 8 AS BIGINT)").alias("doc_id"),
+        )
+        .where(F.col("q_id") != F.col("doc_id"))
+        .distinct()
+    )
+    q_toks = toks.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("q_id"), "tok", "embedding"
+    )
+    return maxsim_rescore(cand, toks, q_toks)
+
+
 def q_ivf_refined_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF over Lloyd-REFINED cells (functions/similarity.py:
     refined_centroid_table + ivf_refined_probe_topk, round 8): two
@@ -6340,6 +6382,7 @@ _STAGED = [
     "maxsim_multivector",
     "maxsim_rerank",
     "ivf_refined_probe",
+    "maxsim_ann_pipeline",
 ]
 
 
@@ -8448,6 +8491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_multivector": q_maxsim_multivector,
         "maxsim_rerank": q_maxsim_rerank,
         "ivf_refined_probe": q_ivf_refined_probe,
+        "maxsim_ann_pipeline": q_maxsim_ann_pipeline,
         "rrf_fusion": q_rrf_fusion,
         "pq_adc": q_pq_adc,
         "simhash_neardup": q_simhash_neardup,
@@ -13308,6 +13352,68 @@ SELECT q_id, doc_id, rank, score FROM (
          score
   FROM scores WHERE doc_id <> q_id
 ) WHERE rank <= 5
+"""
+    # full serving stack: token-level SQ8-cosine probe (unit codes,
+    # k=10 per query token) -> parent-doc candidates -> exact MaxSim
+    sqls["maxsim_ann_pipeline"] = """
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+nr AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+cd AS (
+  SELECT id,
+         CASE WHEN nrm > 0
+              THEN list_transform(v, x -> CAST(floor(127.0 * x / nrm) AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+  FROM nr
+),
+qc AS (SELECT id AS q_tok_id, codes AS qcodes FROM cd
+       WHERE CAST(id // 8 AS BIGINT) % 10 = 0),
+tokscore AS (
+  SELECT q.q_tok_id, c.id AS n_tok_id,
+         CAST(list_dot_product(c.codes, q.qcodes) AS BIGINT) AS qdot
+  FROM cd c, qc q WHERE c.id <> q.q_tok_id
+),
+tokhits AS (
+  SELECT q_tok_id, n_tok_id FROM (
+    SELECT q_tok_id, n_tok_id,
+           row_number() OVER (PARTITION BY q_tok_id
+             ORDER BY qdot DESC, n_tok_id) AS rn
+    FROM tokscore
+  ) WHERE rn <= 10
+),
+cand AS (
+  SELECT DISTINCT CAST(q_tok_id // 8 AS BIGINT) AS q_id,
+                  CAST(n_tok_id // 8 AS BIGINT) AS doc_id
+  FROM tokhits
+  WHERE CAST(q_tok_id // 8 AS BIGINT) <> CAST(n_tok_id // 8 AS BIGINT)
+),
+tokq AS (
+  SELECT CAST(id // 8 AS BIGINT) AS doc_id, CAST(id % 8 AS BIGINT) AS tok,
+         list_transform(v, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
+  FROM e
+),
+qt AS (SELECT doc_id AS q_id, tok AS q_tok, qv AS q_qv
+       FROM tokq WHERE doc_id % 10 = 0),
+pairs AS (
+  SELECT c.doc_id, c.q_id, qt.q_tok,
+         CAST(list_dot_product(t.qv, qt.q_qv) AS BIGINT) AS dot
+  FROM cand c
+  JOIN tokq t ON t.doc_id = c.doc_id
+  JOIN qt ON qt.q_id = c.q_id
+),
+per_tok AS (
+  SELECT doc_id, q_id, q_tok, max(dot) AS best
+  FROM pairs GROUP BY doc_id, q_id, q_tok
+),
+scores AS (
+  SELECT q_id, doc_id, CAST(sum(best) AS BIGINT) AS score
+  FROM per_tok GROUP BY q_id, doc_id
+)
+SELECT q_id, doc_id,
+       CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       score
+FROM scores
 """
     # two-stage retrieve-then-rerank: pooled per-dim int sums (<= 8·6e5
     # per dim; pooled dots <= 1.5e15 — still exact-integer DOUBLEs),

@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "sq8_cosine_topk",
     "maxsim_multivector",
     "maxsim_rerank",
+    "maxsim_ann_pipeline",
     "ivf_refined_probe",
     "pq_adc",
     "rrf_fusion",
