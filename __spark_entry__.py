@@ -881,6 +881,90 @@ def q_maxsim_ann_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_rescore(cand, toks, q_toks)
 
 
+def q_maxsim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector SEMANTIC near-dup detection (round 8) — the
+    late-interaction closing of the dedup family: two documents are
+    near-dups when every token of one has a strong match in the other,
+    i.e. the SYMMETRIZED MaxSim (min of the two directed scores, each
+    normalized by its query-side token count) clears a threshold.
+    Token-level candidates are LSH-BLOCKED, never all-pairs (the house
+    near-dup discipline — rp_lsh_pairs' 6-bit cosine signature over
+    exact int dots): two documents become a candidate pair when ANY
+    token of one shares a bucket with ANY token of the other, a
+    construction that is symmetric by definition, so both directed
+    MaxSims always exist. On a real corpus a threshold flags dup
+    pairs; the fixture is isotropic (no true dups), so the query emits
+    the TOP-20 pairs by the symmetrized score — deterministic and
+    nonempty at every SF (a fixed threshold would pass vacuously on
+    both engines with zero rows). Emits (id_a, id_b, score_ab,
+    score_ba, sym_rank) — exact int64 scores; the oracle replays
+    signatures, blocking, rescore, symmetrization, and ranking."""
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        maxsim_rescore,
+        rp_lsh_buckets,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    toks = emb.select(
+        F.expr("CAST(vec_id DIV 8 AS BIGINT)").alias("doc_id"),
+        (F.col("vec_id") % 8).cast("bigint").alias("tok"),
+        "embedding",
+    )
+    bk = rp_lsh_buckets(emb, n_bits=6)
+    ta = bk.select(
+        "bucket", F.expr("CAST(id DIV 8 AS BIGINT)").alias("q_id")
+    )
+    tb = bk.select(
+        "bucket", F.expr("CAST(id DIV 8 AS BIGINT)").alias("doc_id")
+    )
+    cand = (
+        ta.join(tb, "bucket")
+        .where(F.col("q_id") != F.col("doc_id"))
+        .select("q_id", "doc_id")
+        .distinct()
+    )
+    all_q_toks = toks.select(
+        F.col("doc_id").alias("q_id"), "tok", "embedding"
+    )
+    directed = maxsim_rescore(cand, toks, all_q_toks).select(
+        "q_id", "doc_id", "score"
+    )
+    # ONE pass over the expensive rescore: fold both directions of a
+    # pair onto the unordered key and keep pairs that surfaced in BOTH
+    # probe directions (n_dir = 2); pair score = the MIN of the two
+    # directed MaxSims (conservative symmetrization). Two filtered
+    # branches + a self-join would re-run the whole probe+rescore
+    # lineage per branch.
+    from pyspark.sql import Window
+
+    sym = (
+        directed.groupBy(
+            F.least(F.col("q_id"), F.col("doc_id")).alias("id_a"),
+            F.greatest(F.col("q_id"), F.col("doc_id")).alias("id_b"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("q_id") < F.col("doc_id"), F.col("score"))
+            ).alias("score_ab"),
+            F.max(
+                F.when(F.col("q_id") > F.col("doc_id"), F.col("score"))
+            ).alias("score_ba"),
+            F.count(F.lit(1)).alias("n_dir"),
+        )
+        .where(F.col("n_dir") == 2)
+    )
+    w = Window.orderBy(
+        F.desc(F.least(F.col("score_ab"), F.col("score_ba"))),
+        F.asc("id_a"),
+        F.asc("id_b"),
+    )
+    return (
+        sym.withColumn("sym_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("sym_rank") <= 20)
+        .select("id_a", "id_b", "score_ab", "score_ba", "sym_rank")
+    )
+
+
 def q_ivf_refined_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF over Lloyd-REFINED cells (functions/similarity.py:
     refined_centroid_table + ivf_refined_probe_topk, round 8): two
@@ -6383,6 +6467,7 @@ _STAGED = [
     "maxsim_rerank",
     "ivf_refined_probe",
     "maxsim_ann_pipeline",
+    "maxsim_neardup",
 ]
 
 
@@ -8492,6 +8577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_rerank": q_maxsim_rerank,
         "ivf_refined_probe": q_ivf_refined_probe,
         "maxsim_ann_pipeline": q_maxsim_ann_pipeline,
+        "maxsim_neardup": q_maxsim_neardup,
         "rrf_fusion": q_rrf_fusion,
         "pq_adc": q_pq_adc,
         "simhash_neardup": q_simhash_neardup,
@@ -13414,6 +13500,75 @@ SELECT q_id, doc_id,
             ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
        score
 FROM scores
+"""
+    # multi-vector near-dup: 6-bit RP-LSH token blocking (symmetric by
+    # construction), directed MaxSim over candidate (q, doc) pairs,
+    # conservative min-symmetrization, global top-20
+    sqls["maxsim_neardup"] = """
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+edim AS (
+  SELECT id, CAST(u.i - 1 AS BIGINT) AS dim,
+         CAST(floor(v[u.i] * 1000000.0) AS BIGINT) AS iv
+  FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+),
+dots AS (
+  SELECT id,
+         sum(iv * (((dim + 1) * 12345) % 2001 - 1000)) AS d0,
+         sum(iv * (((dim + 1) * 21521) % 2001 - 1000)) AS d1,
+         sum(iv * (((dim + 1) * 30697) % 2001 - 1000)) AS d2,
+         sum(iv * (((dim + 1) * 39873) % 2001 - 1000)) AS d3,
+         sum(iv * (((dim + 1) * 49049) % 2001 - 1000)) AS d4,
+         sum(iv * (((dim + 1) * 58225) % 2001 - 1000)) AS d5
+  FROM edim GROUP BY id
+),
+bk AS (SELECT id,
+         (CASE WHEN d0 >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN d1 >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN d2 >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN d3 >= 0 THEN 8 ELSE 0 END)
+       + (CASE WHEN d4 >= 0 THEN 16 ELSE 0 END)
+       + (CASE WHEN d5 >= 0 THEN 32 ELSE 0 END) AS bucket
+       FROM dots),
+cand AS (
+  SELECT DISTINCT CAST(a.id // 8 AS BIGINT) AS q_id,
+                  CAST(b.id // 8 AS BIGINT) AS doc_id
+  FROM bk a JOIN bk b ON a.bucket = b.bucket
+  WHERE CAST(a.id // 8 AS BIGINT) <> CAST(b.id // 8 AS BIGINT)
+),
+tokq AS (
+  SELECT CAST(id // 8 AS BIGINT) AS doc_id, CAST(id % 8 AS BIGINT) AS tok,
+         list_transform(v, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
+  FROM e
+),
+pairs AS (
+  SELECT c.doc_id, c.q_id, qt.tok AS q_tok,
+         CAST(list_dot_product(t.qv, qt.qv) AS BIGINT) AS dot
+  FROM cand c
+  JOIN tokq t ON t.doc_id = c.doc_id
+  JOIN tokq qt ON qt.doc_id = c.q_id
+),
+per_tok AS (
+  SELECT doc_id, q_id, q_tok, max(dot) AS best
+  FROM pairs GROUP BY doc_id, q_id, q_tok
+),
+directed AS (
+  SELECT q_id, doc_id, CAST(sum(best) AS BIGINT) AS score
+  FROM per_tok GROUP BY q_id, doc_id
+),
+ab AS (SELECT q_id AS id_a, doc_id AS id_b, score AS score_ab
+       FROM directed WHERE q_id < doc_id),
+ba AS (SELECT doc_id AS id_a, q_id AS id_b, score AS score_ba
+       FROM directed WHERE q_id > doc_id),
+sym AS (
+  SELECT ab.id_a, ab.id_b, ab.score_ab, ba.score_ba,
+         CAST(row_number() OVER (
+           ORDER BY least(ab.score_ab, ba.score_ba) DESC,
+                    ab.id_a, ab.id_b) AS BIGINT) AS sym_rank
+  FROM ab JOIN ba ON ab.id_a = ba.id_a AND ab.id_b = ba.id_b
+)
+SELECT id_a, id_b, score_ab, score_ba, sym_rank
+FROM sym WHERE sym_rank <= 20
 """
     # two-stage retrieve-then-rerank: pooled per-dim int sums (<= 8·6e5
     # per dim; pooled dots <= 1.5e15 — still exact-integer DOUBLEs),

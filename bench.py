@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "maxsim_multivector",
     "maxsim_rerank",
     "maxsim_ann_pipeline",
+    "maxsim_neardup",
     "ivf_refined_probe",
     "pq_adc",
     "rrf_fusion",

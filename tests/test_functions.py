@@ -1209,3 +1209,37 @@ def test_refined_ivf_recovers_clusters_from_garbage_seeds(spark):
     assert len({cells[i] for i in (0, 1, 2, 3)}) == 1
     assert len({cells[i] for i in (10, 11, 12, 13)}) == 1
     assert cells[0] != cells[10]
+
+
+def test_maxsim_is_token_order_invariant_and_tops_planted_dup(spark):
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        maxsim_topk,
+    )
+
+    # doc 20 is doc 10's bag with the token order REVERSED — MaxSim is
+    # bag semantics, so the pair must score exactly the self-score and
+    # outrank every other doc for query=doc 10's tokens
+    base = [[1.0, 0.0, 0.1], [0.0, 1.0, 0.2]]
+    rows = (
+        [(10, t, v) for t, v in enumerate(base)]
+        + [(20, t, v) for t, v in enumerate(reversed(base))]
+        + [(30, 0, [0.4, 0.3, 0.9]), (30, 1, [0.2, 0.8, 0.5])]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, tok long, embedding array<float>"
+    )
+    q = docs.where(F.col("doc_id") == 10).select(
+        F.col("doc_id").alias("q_id"), "tok", "embedding"
+    )
+    out = sorted(
+        maxsim_topk(docs, q, k=3, exclude_self=True).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert out[0]["doc_id"] == 20
+    # identical bag -> score equals the sum of per-token self dots
+    self_score = sorted(
+        maxsim_topk(docs, q, k=3, exclude_self=False).collect(),
+        key=lambda r: r["rank"],
+    )[0]
+    assert self_score["doc_id"] == 10
+    assert out[0]["score"] == self_score["score"]
