@@ -900,6 +900,7 @@ def q_maxsim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     score_ba, sym_rank) — exact int64 scores; the oracle replays
     signatures, blocking, rescore, symmetrization, and ranking."""
     from amazon_personalize_connectors_spark.functions.similarity import (
+        _pair_cap_filter,
         maxsim_rescore,
         rp_lsh_buckets,
     )
@@ -911,6 +912,11 @@ def q_maxsim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
     )
     bk = rp_lsh_buckets(emb, n_bits=6)
+    # executable pair cap on the token-bucket self-join (ADVICE r8):
+    # the same LSH-self-join shape _pair_cap_filter guards in
+    # rp_lsh_pairs/hnsw — fail loudly before the candidate blowup
+    # materializes instead of melting silently at larger SFs
+    bk = _pair_cap_filter(bk, ["bucket"], 50_000_000, "maxsim_neardup")
     ta = bk.select(
         "bucket", F.expr("CAST(id DIV 8 AS BIGINT)").alias("q_id")
     )
@@ -953,13 +959,26 @@ def q_maxsim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_dir") == 2)
     )
-    w = Window.orderBy(
+    # partial top-20 per id_a-hash stratum BEFORE the global merge
+    # (ADVICE r8): the previous single global Window.orderBy funneled
+    # every candidate pair through one partition; each stratum's
+    # global winners are inside its own top-20, so pruning first is
+    # lossless and the final ordered window sees ≤ 32·20 rows
+    ordering = [
         F.desc(F.least(F.col("score_ab"), F.col("score_ba"))),
         F.asc("id_a"),
         F.asc("id_b"),
+    ]
+    w_part = Window.partitionBy("_g").orderBy(*ordering)
+    pruned = (
+        sym.withColumn("_g", F.pmod(F.col("id_a"), F.lit(32)))
+        .withColumn("_pr", F.row_number().over(w_part))
+        .where(F.col("_pr") <= 20)
+        .drop("_g", "_pr")
     )
+    w = Window.orderBy(*ordering)
     return (
-        sym.withColumn("sym_rank", F.row_number().over(w).cast("bigint"))
+        pruned.withColumn("sym_rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("sym_rank") <= 20)
         .select("id_a", "id_b", "score_ab", "score_ba", "sym_rank")
     )
@@ -6388,68 +6407,69 @@ def q_bitemporal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Driver verification window: the driver oracle-checks the FIRST 50
 # entries of queries() in dict order; queries() reorders the full
-# registry so this list comes first. Round-8 rotation (ledger:
+# registry so this list comes first. Round-9 rotation (ledger:
 # VERIFIED.md; generated AND applied by `tools/rotate_window.py
-# --apply`, which rewrites this block — VERDICT r7 item 6): the 3
-# sentinels, ALL 7 round-7 staged queries that have never earned a
-# driver row (hnsw_topk, hnsw_recall, stream_hnsw_edges,
-# ivf_multiprobe, embedding_decontaminate, image_resize_pixels,
-# mi_priority_status — VERDICT r7 item 1), and 40 oldest-evidence
-# rotations (the r2-green ann/text tail, then r3 greens).
-# tests/test_window_rotation.py pins the staleness invariant: no
-# registry query's driver evidence may be older than ceil(Q/50)
-# rounds once staged queries are excluded.
-_R8_WINDOW = [
+# --apply`, which rewrites this block): the 3 sentinels, ALL 9
+# round-8 staged queries that have never earned a driver row (the
+# maxsim family, sq8_cosine_topk, ivf_refined_probe, hnsw_compact,
+# image_palette_resize, embedding_decontaminate_lsh — VERDICT r8
+# item 1), the 2 converted rows-only queries that gained real
+# oracles in r8 (multimodal_decode, hll_user_rollup), and 36
+# oldest-evidence rotations (r3 greens — VERDICT r8 item 3).
+# tests/test_window_rotation.py pins the invariants AS OF THIS
+# WINDOW'S ROUND (evidence < r9), so landing CORRECTNESS_r09.json
+# does not re-redden the suite (ADVICE r8 item 4).
+_R9_WINDOW = [
     "flagship_related_flat",
     "attribution_join",
     "delta_except",
-    "mi_priority_status",
-    "image_resize_pixels",
-    "ivf_multiprobe",
-    "embedding_decontaminate",
-    "stream_hnsw_edges",
-    "hnsw_topk",
-    "hnsw_recall",
-    "user_pers_flat",
-    "payload_pivot",
-    "topk_slice",
-    "stamp_literals",
-    "text_tokens",
-    "text_quality",
-    "lang_profile",
-    "doc_fingerprint",
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    "ngram_jaccard_materialized",
-    "neardup_components",
-    "minhash_lsh",
-    "simhash",
-    "simhash64",
-    "state_digest_update",
-    "ann_topk",
-    "ann_topk_partial",
-    "ann_quantized",
-    "rrf_fusion",
-    "pq_adc",
-    "simhash_neardup",
-    "ivf_probe_topk",
-    "quality_filter",
-    "llm_corpus_survivors",
-    "repetition_signals",
-    "kmeans_refine",
-    "hybrid_filtered_ann",
-    "chunk_documents",
-    "embedding_neardup",
-    "ivf_centroids",
-    "ivf_assign",
-    "lineitem_pricing",
-    "band_join_features",
-    "window_analytics",
-    "rollup_revenue",
-    "cube_revenue",
-    "events_hourly",
-    "events_sessionize",
-    "events_props",
+    "image_palette_resize",
+    "embedding_decontaminate_lsh",
+    "hnsw_compact",
+    "sq8_cosine_topk",
+    "maxsim_multivector",
+    "maxsim_rerank",
+    "ivf_refined_probe",
+    "maxsim_ann_pipeline",
+    "maxsim_neardup",
+    "multimodal_decode",
+    "hll_user_rollup",
+    "asof_join",
+    "band_join_bucketed",
+    "stream_interval_join",
+    "running_revenue",
+    "stratified_sample",
+    "event_funnel",
+    "decontaminate",
+    "pack_sequences",
+    "pii_scrub",
+    "rp_lsh_pairs",
+    "lang_mixture",
+    "stream_dedup",
+    "ntile_quartiles",
+    "sample_k_per_group",
+    "approx_median_check",
+    "corpus_prep_pipeline",
+    "session_window_native",
+    "variant_props",
+    "line_dedup",
+    "line_dedup_materialized",
+    "neardup_pagerank",
+    "bigram_stats",
+    "lm_coverage",
+    "bpe_pair_stats",
+    "zorder_layout",
+    "substring_dedup",
+    "cumulative_uniques",
+    "ann_recall",
+    "dedup_canonical",
+    "temporal_split",
+    "rolling_distinct_users",
+    "markov_transitions",
+    "rfm_features",
+    "rolling_revenue_28d",
+    "gap_fill_daily",
+    "cohort_retention",
 ]
 
 # Staging discipline (VERDICT r6 item 3 / r7 item 6): queries added
@@ -6458,17 +6478,7 @@ _R8_WINDOW = [
 # priority) into the NEXT round's window, and
 # tests/test_window_rotation.py exempts exactly this list from the
 # staleness invariant.
-_STAGED = [
-    "embedding_decontaminate_lsh",
-    "image_palette_resize",
-    "hnsw_compact",
-    "sq8_cosine_topk",
-    "maxsim_multivector",
-    "maxsim_rerank",
-    "ivf_refined_probe",
-    "maxsim_ann_pipeline",
-    "maxsim_neardup",
-]
+_STAGED: list = []
 
 
 
@@ -8692,7 +8702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_similarity": q_user_similarity,
         "stream_auc_monitor": q_stream_auc_monitor,
     }
-    out = {name: all_q[name] for name in _R8_WINDOW}
+    out = {name: all_q[name] for name in _R9_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
     return out
 

@@ -16,6 +16,9 @@ rounded value is deterministic while raw last-bit noise is not.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -484,6 +487,18 @@ def ivf_probe_topk(
 
 
 # --- random-hyperplane (cosine) LSH ---------------------------------------
+
+# Version stamp of the RP-LSH hash family defined by _rp_weight (plus
+# the floor(v·1e6) quantization grid every signature is computed on).
+# Persisted ANN artifacts — the hnsw_index_build _META.json and the
+# streaming ann_monitor store _MANIFEST.json — record the family that
+# produced their signatures; folding new vectors into (or probing) an
+# artifact built under a DIFFERENT family silently mixes incompatible
+# bucket spaces and degrades recall with no error (ADVICE r8: the r8
+# (dim+1)·K_bit stride change redefined every signature, and a
+# pre-change store folded post-change would have corrupted quietly).
+# Bump this string whenever _rp_weight / the quantization changes.
+RP_HASH_FAMILY = "rp-mulstride-q6-v2"
 
 
 def _rp_weight(bit: int, dim: Column) -> Column:
@@ -1483,8 +1498,53 @@ def hnsw_index_build(
     entries.distinct().write.mode("overwrite").parquet(
         f"{index_path}/hubs"
     )
+    # version stamp: which hash family produced the signatures/qv grid
+    # (block_col builds record the trusted key instead of the LSH
+    # family — their candidate geometry never touched _rp_weight)
+    meta = {
+        "hash_family": (
+            f"block:{block_col}" if block_col is not None else RP_HASH_FAMILY
+        ),
+        "m": m,
+        "long_links": long_links,
+        "n_bits": n_bits,
+        "n_tables": n_tables,
+        "entry_sample": entry_sample,
+    }
+    tmp = os.path.join(index_path, "_META.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_path, "_META.json"))
     out_m.unpersist()
     blocked.unpersist()
+
+
+def _check_index_family(index_path: str) -> None:
+    """Refuse to probe an index whose persisted hash family doesn't
+    match the code's current one (ADVICE r8): a family change (like
+    r8's per-bit stride fix) redefines every signature and qv grid,
+    so probing a pre-change index silently degrades recall. An index
+    with no ``_META.json`` predates version stamping — equally
+    unknowable, equally refused. ``block:*`` families are accepted as
+    long as the quantization grid version suffix matches the current
+    family's (the trusted block key never touched _rp_weight)."""
+    meta_path = os.path.join(index_path, "_META.json")
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"ANN index at {index_path} has no _META.json hash-family "
+            f"stamp (built before version stamping); rebuild with "
+            f"hnsw_index_build (current family: {RP_HASH_FAMILY})"
+        )
+    with open(meta_path) as f:
+        fam = json.load(f).get("hash_family")
+    ok = fam == RP_HASH_FAMILY or (isinstance(fam, str) and fam.startswith("block:"))
+    if not ok:
+        raise ValueError(
+            f"ANN index at {index_path} was built with hash family "
+            f"{fam!r}; the current code computes {RP_HASH_FAMILY!r} — "
+            f"probing would mix incompatible bucket spaces. Rebuild "
+            f"the index."
+        )
 
 
 def hnsw_probe_topk(
@@ -1531,6 +1591,7 @@ def hnsw_probe_topk(
     Deterministic end to end: exact int64 scores, every window and
     prune tie-broken by ascending id — a DuckDB oracle replays the
     whole search bit-for-bit. Returns (q_id, n_id, rank, qdot)."""
+    _check_index_family(index_path)
     maybe_bcast = F.broadcast if broadcast_beam else (lambda df: df)
     nodes = spark.read.parquet(f"{index_path}/nodes")
     edges = spark.read.parquet(f"{index_path}/edges")

@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from amazon_personalize_connectors_spark.functions.similarity import (
+    RP_HASH_FAMILY,
     _iqdot,
     lsh_signed_nodes,
 )
@@ -77,9 +78,31 @@ def _manifest_path(store_path: str, version: int) -> str:
 def _read_manifest(store_path: str, version: int | None) -> dict:
     if version is None:
         return {"n_bits": None, "n_tables": None, "m": None,
+                "hash_family": None,
                 "sigs": {}, "vecs": {}, "edges": {}}
     with open(_manifest_path(store_path, version)) as f:
         return json.load(f)
+
+
+def _check_store_family(store_path: str, man: dict, fresh: bool) -> None:
+    """Refuse to fold into (or serve from) a store whose persisted
+    RP-LSH hash family differs from the code's current one (ADVICE
+    r8): apply_vectors_batch reuses the stored n_bits/n_tables but
+    recomputes NEW-node signatures with the current ``_rp_weight`` —
+    against a store built under a different family that silently
+    mixes incompatible bucket spaces and degrades candidate recall
+    with no error. A non-fresh store whose manifest predates the
+    stamp (no ``hash_family`` key) is equally unknowable: refused."""
+    if fresh:
+        return
+    fam = man.get("hash_family")
+    if fam != RP_HASH_FAMILY:
+        raise ValueError(
+            f"ANN store at {store_path} was built with hash family "
+            f"{fam!r}; the current code computes {RP_HASH_FAMILY!r} — "
+            f"folding or probing would mix incompatible bucket "
+            f"spaces. Rebuild the store from the vector stream."
+        )
 
 
 def _bucket_paths(
@@ -123,6 +146,7 @@ def apply_vectors_batch(
         return
     version, prior, _meta = plan_fold(store_path, epoch_id)
     man = _read_manifest(store_path, prior)
+    _check_store_family(store_path, man, fresh=prior is None)
     n_bits = man["n_bits"] or n_bits
     n_tables = man["n_tables"] or n_tables
     m = man["m"] or m
@@ -260,6 +284,7 @@ def apply_vectors_batch(
         "n_bits": n_bits,
         "n_tables": n_tables,
         "m": m,
+        "hash_family": RP_HASH_FAMILY,
         "sigs": {**man["sigs"], **{str(b): version for b in new_parts}},
         "vecs": {**man["vecs"], **{str(b): version for b in new_parts}},
         "edges": edge_entries,
@@ -309,17 +334,19 @@ def compact_store(spark: SparkSession, store_path: str) -> None:
     while the assembled edge set stays BYTE-IDENTICAL (the law
     q:hnsw_compact oracle-checks and tests/test_ann_monitor.py pins).
 
-    Crash-safe with the fold's own discipline: the new version
-    directory and manifest are fully written BEFORE the pointer flips
-    (a crash before the flip leaves the old version authoritative and
-    the half-written directory inert); deletion happens only after
-    the flip (a crash mid-delete leaves orphans no manifest
-    references — the next compaction removes them). A non-epoch
-    writer: the version chains past the epoch counter (epoch None)
-    while carrying ``last_epoch`` forward, so the stream's next fold
-    still validates replay/stale-epoch against the compacted base."""
-    import shutil
-
+    Crash-safe AND reader-safe: the new version directory and
+    manifest are fully written BEFORE the pointer flips (a crash
+    before the flip leaves the old version authoritative and the
+    half-written directory inert); pruning after the flip keeps a
+    GRACE WINDOW — the immediately superseded version survives so a
+    concurrent reader that resolved the old manifest just before the
+    flip still finds its bucket paths (ADVICE r8); only versions
+    older than that are removed (a crash mid-delete leaves orphans no
+    manifest references — the next compaction, or an explicit
+    ``gc_store``, removes them). A non-epoch writer: the version
+    chains past the epoch counter (epoch None) while carrying
+    ``last_epoch`` forward, so the stream's next fold still validates
+    replay/stale-epoch against the compacted base."""
     prev = _current_version(store_path)
     if prev is None:
         return
@@ -357,6 +384,10 @@ def compact_store(spark: SparkSession, store_path: str) -> None:
         "n_bits": man["n_bits"],
         "n_tables": n_tables,
         "m": man["m"],
+        # carried forward, never re-stamped: compaction rewrites bytes,
+        # it does not recompute signatures — the family is whatever
+        # built them (the next fold validates it against the code)
+        "hash_family": man.get("hash_family"),
         "sigs": {b: version for b in man["sigs"]},
         "vecs": {b: version for b in man["vecs"]},
         "edges": {b: version for b in man["edges"]},
@@ -373,8 +404,47 @@ def compact_store(spark: SparkSession, store_path: str) -> None:
         prev,
         read_meta(store_path, prev)["last_epoch"],
     )
+    # GRACE-WINDOW pruning (ADVICE r8): a concurrent reader that
+    # resolved version ``prev`` just before the pointer flip is still
+    # reading the bucket paths PREV'S MANIFEST references (which, for
+    # an uncompacted store, span many older version dirs) — deleting
+    # any of them here would yank files mid-scan. Keep prev's whole
+    # reachable set; it survives until the next compaction or an
+    # explicit gc_store().
+    grace_live = {prev, version} | {
+        int(v) for kind in ("sigs", "vecs", "edges") for v in man[kind].values()
+    }
+    _prune_versions(store_path, keep_at_least=None, live=grace_live)
+
+
+def gc_store(store_path: str) -> None:
+    """Explicit GC: delete every version directory the CURRENT
+    manifest doesn't reference. Safe to run when no reader holds a
+    pre-flip manifest (e.g. from a maintenance window); compact_store
+    itself only prunes past the grace version (see there)."""
+    ver = _current_version(store_path)
+    if ver is None:
+        return
+    man = _read_manifest(store_path, ver)
+    live = {int(v) for kind in ("sigs", "vecs", "edges") for v in man[kind].values()}
+    live.add(ver)
+    _prune_versions(store_path, keep_at_least=None, live=live)
+
+
+def _prune_versions(
+    store_path: str, keep_at_least: int | None, live: set | None = None
+) -> None:
+    import shutil
+
     for name in os.listdir(store_path):
-        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < version:
+        if not (name.startswith("v") and name[1:].isdigit()):
+            continue
+        v = int(name[1:])
+        if live is not None:
+            doomed = v not in live
+        else:
+            doomed = v < keep_at_least
+        if doomed:
             shutil.rmtree(os.path.join(store_path, name), ignore_errors=True)
 
 

@@ -157,6 +157,7 @@ def test_compact_preserves_edges_collapses_versions_and_prunes(spark, tmp_path):
     # the pre-compaction manifest references >1 version (else the
     # fan-out premise is vacuous on this draw)
     assert len({v for v in man_before["edges"].values()}) > 1
+    prev = current_version(store)
     compact_store(spark, store)
     ver = current_version(store)
     after = _edge_set(edges_from_store(spark, store))
@@ -166,11 +167,35 @@ def test_compact_preserves_edges_collapses_versions_and_prunes(spark, tmp_path):
         v for kind in ("sigs", "vecs", "edges") for v in man[kind].values()
     }
     assert refs == {ver}, f"manifest still references {refs}"
+    # grace-window pruning (ADVICE r8): the superseded version AND
+    # every older version its manifest references SURVIVE the
+    # compaction (a reader that resolved the old manifest just before
+    # the flip still finds every bucket path it can reach)
     dirs = {
         d for d in os.listdir(store)
         if d.startswith("v") and d[1:].isdigit()
     }
-    assert dirs == {f"v{ver}"}, f"superseded dirs not pruned: {dirs}"
+    assert {f"v{ver}", f"v{prev}"} <= dirs, f"grace window violated: {dirs}"
+    # a pre-flip reader's manifest still resolves: every bucket path it
+    # references exists on disk
+    from amazon_personalize_connectors_spark.streaming.ann_monitor import (
+        _bucket_paths,
+        _read_manifest,
+    )
+    for kind in ("sigs", "vecs", "edges"):
+        for p in _bucket_paths(store, _read_manifest(store, prev), kind):
+            assert os.path.exists(p), f"pre-flip reader path yanked: {p}"
+    # explicit GC removes everything the current manifest doesn't own
+    from amazon_personalize_connectors_spark.streaming.ann_monitor import (
+        gc_store,
+    )
+    gc_store(store)
+    dirs = {
+        d for d in os.listdir(store)
+        if d.startswith("v") and d[1:].isdigit()
+    }
+    assert dirs == {f"v{ver}"}, f"gc_store left orphans: {dirs}"
+    assert _edge_set(edges_from_store(spark, store)) == before
 
 
 def test_fold_after_compaction_continues_the_law(spark, tmp_path):
@@ -213,3 +238,100 @@ def test_compact_empty_store_is_noop_and_rerun_safe(spark, tmp_path):
     once = _edge_set(edges_from_store(spark, store))
     compact_store(spark, store)  # re-run: chains another version, same set
     assert _edge_set(edges_from_store(spark, store)) == once
+
+
+# --- hash-family version stamping (ADVICE r8, medium) --------------------
+
+
+def test_store_refuses_foreign_hash_family(spark, tmp_path):
+    """A store built under a different RP-LSH family (or before the
+    stamp existed) must be REFUSED by the next fold — silently mixing
+    bucket spaces was the ADVICE r8 failure mode."""
+    import json
+
+    from amazon_personalize_connectors_spark.streaming.epoch_store import (
+        current_version,
+    )
+
+    emb = _vectors(spark, n=20)
+    store = str(tmp_path / "storef")
+    os.makedirs(store, exist_ok=True)
+    apply_vectors_batch(emb.where("vec_id < 10"), 0, store, m=3, n_bits=2, n_tables=2)
+    ver = current_version(store)
+    man_path = os.path.join(store, f"v{ver}", "_MANIFEST.json")
+    man = json.load(open(man_path))
+    assert man["hash_family"], "manifest missing the hash-family stamp"
+
+    # doctor the manifest to an older family: the fold fails loudly
+    man["hash_family"] = "rp-affine-v1"
+    json.dump(man, open(man_path, "w"))
+    with pytest.raises(ValueError, match="hash family"):
+        apply_vectors_batch(
+            emb.where("vec_id >= 10"), 1, store, m=3, n_bits=2, n_tables=2
+        )
+
+    # an UNVERSIONED store (manifest predating the stamp) is equally
+    # refused — its family is unknowable
+    del man["hash_family"]
+    json.dump(man, open(man_path, "w"))
+    with pytest.raises(ValueError, match="hash family"):
+        apply_vectors_batch(
+            emb.where("vec_id >= 10"), 1, store, m=3, n_bits=2, n_tables=2
+        )
+
+
+def test_compaction_carries_family_and_fold_still_validates(spark, tmp_path):
+    import json
+
+    from amazon_personalize_connectors_spark.streaming.ann_monitor import (
+        compact_store,
+    )
+    from amazon_personalize_connectors_spark.streaming.epoch_store import (
+        current_version,
+    )
+
+    emb = _vectors(spark, n=20)
+    store = str(tmp_path / "storef2")
+    os.makedirs(store, exist_ok=True)
+    apply_vectors_batch(emb.where("vec_id < 10"), 0, store, m=3, n_bits=2, n_tables=2)
+    compact_store(spark, store)
+    ver = current_version(store)
+    man = json.load(open(os.path.join(store, f"v{ver}", "_MANIFEST.json")))
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        RP_HASH_FAMILY,
+    )
+
+    assert man["hash_family"] == RP_HASH_FAMILY
+    # and the next fold on the compacted base passes the check
+    apply_vectors_batch(emb.where("vec_id >= 10"), 1, store, m=3, n_bits=2, n_tables=2)
+    got = _edge_set(edges_from_store(spark, store))
+    want = _edge_set(knn_out_edges(emb, m=3, n_bits=2, n_tables=2))
+    assert got == want
+
+
+def test_hnsw_index_refuses_foreign_or_missing_meta(spark, tmp_path):
+    import json
+
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        RP_HASH_FAMILY,
+        hnsw_index_build,
+        hnsw_probe_topk,
+    )
+
+    emb = _vectors(spark, n=24)
+    idx = str(tmp_path / "idxf")
+    hnsw_index_build(spark, emb, idx, m=3, n_bits=2, n_tables=2)
+    meta_path = os.path.join(idx, "_META.json")
+    meta = json.load(open(meta_path))
+    assert meta["hash_family"] == RP_HASH_FAMILY
+    qs = _vectors(spark, n=4)
+    assert hnsw_probe_topk(spark, idx, qs, k=2, ef=4, rounds=1).count() > 0
+
+    meta["hash_family"] = "rp-affine-v1"
+    json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="hash family"):
+        hnsw_probe_topk(spark, idx, qs, k=2, ef=4, rounds=1)
+
+    os.remove(meta_path)
+    with pytest.raises(ValueError, match="_META.json"):
+        hnsw_probe_topk(spark, idx, qs, k=2, ef=4, rounds=1)

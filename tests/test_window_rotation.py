@@ -45,8 +45,15 @@ def _rw():
 
 @pytest.fixture(scope="module")
 def ledger():
+    """Ledger AS OF the active window's round: only CORRECTNESS
+    rounds strictly below the window round count. This keeps the
+    invariants stable when the current round's results file lands in
+    the working tree (ADVICE r8 item 4 — previously the suite went
+    red the moment CORRECTNESS_r{N}.json for the window's own round
+    appeared, because the plan input advanced under the test)."""
     rw = _rw()
-    names, latest = rw.classify(REPO)
+    rnd, _ = _active_window()
+    names, latest = rw.classify(REPO, upto=rnd)
     return rw, names, latest
 
 
@@ -92,7 +99,7 @@ def test_staleness_bound(ledger):
     rw, names, latest = ledger
     rnd, window = _active_window()
     bound = rw.max_staleness(len(names), 50)
-    cur = rw.current_round(REPO)
+    cur = rnd  # evaluate as of the window's round, not the live ledger
     staged = set(entry._STAGED) | set(window)
     too_old = {
         n: latest[n][0]

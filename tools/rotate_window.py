@@ -32,7 +32,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SENTINELS = ["flagship_related_flat", "attribution_join", "delta_except"]
 
 
-def classify(repo_root: str):
+def classify(repo_root: str, upto: int | None = None):
+    """Classify every registry query by its latest driver evidence.
+
+    ``upto``: only consider CORRECTNESS rounds strictly BELOW this
+    number. The window for round N is planned from evidence through
+    round N-1, so passing ``upto=N`` reproduces that plan even after
+    CORRECTNESS_r{N}.json itself lands (ADVICE r8: the invariant test
+    must not go red the moment the current round's results file
+    appears in the working tree).
+    """
     import __spark_entry__ as e
 
     names = list(e.queries().keys())
@@ -43,6 +52,8 @@ def classify(repo_root: str):
     latest: dict[str, tuple[int, str]] = {}  # name -> (round, 'green'|'red')
     for path in rounds:
         rnum = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        if upto is not None and rnum >= upto:
+            continue
         data = json.load(open(path))
         for name, row in data.items():
             if name not in names or row is None:
@@ -66,12 +77,20 @@ def classify(repo_root: str):
 def plan(names, latest, window: int):
     red = [n for n in names if latest.get(n, (0, ""))[1] == "red"]
     never = [n for n in names if n not in latest]
+    # rows-only evidence (historical `err=no_oracle` rows that have
+    # since gained a real oracle) is weaker than hash-green: drain it
+    # right after never-verified so converted queries earn a full
+    # hash row in the very next window (VERDICT r8 item 1).
+    rows_only = sorted(
+        (n for n in names if latest.get(n, (0, ""))[1] == "rows-only"),
+        key=lambda n: latest[n][0],
+    )
     greens = sorted(
-        (n for n in names if latest.get(n, (0, ""))[1] in ("green", "rows-only")),
+        (n for n in names if latest.get(n, (0, ""))[1] == "green"),
         key=lambda n: latest[n][0],  # oldest evidence first
     )
     chosen: list[str] = []
-    for pool in ([s for s in SENTINELS if s in names], red, never, greens):
+    for pool in ([s for s in SENTINELS if s in names], red, never, rows_only, greens):
         for n in pool:
             if n not in chosen and len(chosen) < window:
                 chosen.append(n)
@@ -125,7 +144,8 @@ def main():
     )
     args = ap.parse_args()
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    names, latest = classify(repo_root)
+    rnd = current_round(repo_root)
+    names, latest = classify(repo_root, upto=rnd)
     chosen = plan(names, latest, args.window)
     print(f"# proposed window ({len(chosen)} of {len(names)} queries)")
     for n in chosen:
@@ -139,7 +159,6 @@ def main():
         for n in stale:
             print(f"  {n}")
     if args.apply:
-        rnd = current_round(repo_root)
         name = apply_window(repo_root, chosen, rnd)
         print(f"\n# applied: {name} rewritten in __spark_entry__.py")
 
