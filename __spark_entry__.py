@@ -899,19 +899,28 @@ def q_maxsim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines with zero rows). Emits (id_a, id_b, score_ab,
     score_ba, sym_rank) — exact int64 scores; the oracle replays
     signatures, blocking, rescore, symmetrization, and ranking."""
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    return _maxsim_neardup_pipeline(emb, n_bits=6)
+
+
+def _maxsim_neardup_pipeline(emb: DataFrame, n_bits: int) -> DataFrame:
+    """Shared multi-vector near-dup pipeline: token RP-LSH blocking →
+    pair-capped bucket self-join → exact MaxSim rescore → min-
+    symmetrized, stratified top-20 (see q_maxsim_neardup for the full
+    story; q_maxsim_neardup_clustered runs the same pipeline on the
+    anisotropic fixture with auto-sized signature width)."""
     from amazon_personalize_connectors_spark.functions.similarity import (
         _pair_cap_filter,
         maxsim_rescore,
         rp_lsh_buckets,
     )
 
-    emb = synthetic.load_table(spark, sf_dir, "embeddings")
     toks = emb.select(
         F.expr("CAST(vec_id DIV 8 AS BIGINT)").alias("doc_id"),
         (F.col("vec_id") % 8).cast("bigint").alias("tok"),
         "embedding",
     )
-    bk = rp_lsh_buckets(emb, n_bits=6)
+    bk = rp_lsh_buckets(emb, n_bits=n_bits)
     # executable pair cap on the token-bucket self-join (ADVICE r8):
     # the same LSH-self-join shape _pair_cap_filter guards in
     # rp_lsh_pairs/hnsw — fail loudly before the candidate blowup
@@ -981,6 +990,36 @@ def q_maxsim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pruned.withColumn("sym_rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("sym_rank") <= 20)
         .select("id_a", "id_b", "score_ab", "score_ba", "sym_rank")
+    )
+
+
+def q_maxsim_neardup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector near-dup on the ANISOTROPIC fixture with
+    auto-sized LSH width (VERDICT r8 item 2): the isotropic
+    embeddings table is the worst case for LSH blocking — no
+    structure, so fixed-width buckets grow linearly with the corpus
+    and the candidate stage measured 0.85/decade. This query runs the
+    SAME pipeline (``_maxsim_neardup_pipeline``) on
+    ``synthetic.clustered_embeddings`` — tight 4-document families
+    whose COUNT grows with the corpus, the realistic near-dup shape —
+    with ``n_bits = auto_n_bits(count, target_bucket=8)``, so the
+    signature width grows ~log2(N) and cross-family candidates stay
+    ~linear while every family's tokens still collide (its true
+    near-dup pairs dominate the top-20 by construction).
+
+    Oracle note: both driver gate SFs (0.001/0.01) hold 500 vectors,
+    where auto_n_bits(500, 8) = 6 — the static SQL unrolls 6 bits. At
+    sf0.1 (2000 vectors) the Spark side auto-sizes to 8 bits; that SF
+    is a SCALE measurement (SCALE_SLOPE.json), not an oracle gate."""
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        auto_n_bits,
+    )
+
+    emb = synthetic.clustered_embeddings(
+        synthetic.load_table(spark, sf_dir, "embeddings")
+    )
+    return _maxsim_neardup_pipeline(
+        emb, n_bits=auto_n_bits(emb.count(), target_bucket=8)
     )
 
 
@@ -6478,7 +6517,9 @@ _R9_WINDOW = [
 # priority) into the NEXT round's window, and
 # tests/test_window_rotation.py exempts exactly this list from the
 # staleness invariant.
-_STAGED: list = []
+_STAGED = [
+    "maxsim_neardup_clustered",
+]
 
 
 
@@ -8588,6 +8629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_refined_probe": q_ivf_refined_probe,
         "maxsim_ann_pipeline": q_maxsim_ann_pipeline,
         "maxsim_neardup": q_maxsim_neardup,
+        "maxsim_neardup_clustered": q_maxsim_neardup_clustered,
         "rrf_fusion": q_rrf_fusion,
         "pq_adc": q_pq_adc,
         "simhash_neardup": q_simhash_neardup,
@@ -13550,6 +13592,82 @@ tokq AS (
   SELECT CAST(id // 8 AS BIGINT) AS doc_id, CAST(id % 8 AS BIGINT) AS tok,
          list_transform(v, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
   FROM e
+),
+pairs AS (
+  SELECT c.doc_id, c.q_id, qt.tok AS q_tok,
+         CAST(list_dot_product(t.qv, qt.qv) AS BIGINT) AS dot
+  FROM cand c
+  JOIN tokq t ON t.doc_id = c.doc_id
+  JOIN tokq qt ON qt.doc_id = c.q_id
+),
+per_tok AS (
+  SELECT doc_id, q_id, q_tok, max(dot) AS best
+  FROM pairs GROUP BY doc_id, q_id, q_tok
+),
+directed AS (
+  SELECT q_id, doc_id, CAST(sum(best) AS BIGINT) AS score
+  FROM per_tok GROUP BY q_id, doc_id
+),
+ab AS (SELECT q_id AS id_a, doc_id AS id_b, score AS score_ab
+       FROM directed WHERE q_id < doc_id),
+ba AS (SELECT doc_id AS id_a, q_id AS id_b, score AS score_ba
+       FROM directed WHERE q_id > doc_id),
+sym AS (
+  SELECT ab.id_a, ab.id_b, ab.score_ab, ba.score_ba,
+         CAST(row_number() OVER (
+           ORDER BY least(ab.score_ab, ba.score_ba) DESC,
+                    ab.id_a, ab.id_b) AS BIGINT) AS sym_rank
+  FROM ab JOIN ba ON ab.id_a = ba.id_a AND ab.id_b = ba.id_b
+)
+SELECT id_a, id_b, score_ab, score_ba, sym_rank
+FROM sym WHERE sym_rank <= 20
+"""
+    # anisotropic-fixture variant: the clustered transform is exact
+    # int64 centroid arithmetic + two IEEE double mul-adds, replayed
+    # per-dim; auto_n_bits(500, 8) = 6 at both gate SFs, so the
+    # static SQL unrolls 6 signature bits (sf0.1 is a scale
+    # measurement, not an oracle gate — the Spark side auto-sizes)
+    sqls["maxsim_neardup_clustered"] = """
+WITH e0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+ed AS (
+  SELECT id, CAST(u.i - 1 AS BIGINT) AS dim,
+         (CAST((((id // 32) + 1) * ((u.i - 1) + 7) * 1103515245) % 2001
+               - 1000 AS DOUBLE) / 1000.0) * 0.75
+         + v[u.i] * 0.25 AS cv
+  FROM e0, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+),
+edim AS (
+  SELECT id, dim, CAST(floor(cv * 1000000.0) AS BIGINT) AS iv FROM ed
+),
+dots AS (
+  SELECT id,
+         sum(iv * (((dim + 1) * 12345) % 2001 - 1000)) AS d0,
+         sum(iv * (((dim + 1) * 21521) % 2001 - 1000)) AS d1,
+         sum(iv * (((dim + 1) * 30697) % 2001 - 1000)) AS d2,
+         sum(iv * (((dim + 1) * 39873) % 2001 - 1000)) AS d3,
+         sum(iv * (((dim + 1) * 49049) % 2001 - 1000)) AS d4,
+         sum(iv * (((dim + 1) * 58225) % 2001 - 1000)) AS d5
+  FROM edim GROUP BY id
+),
+bk AS (SELECT id,
+         (CASE WHEN d0 >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN d1 >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN d2 >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN d3 >= 0 THEN 8 ELSE 0 END)
+       + (CASE WHEN d4 >= 0 THEN 16 ELSE 0 END)
+       + (CASE WHEN d5 >= 0 THEN 32 ELSE 0 END) AS bucket
+       FROM dots),
+cand AS (
+  SELECT DISTINCT CAST(a.id // 8 AS BIGINT) AS q_id,
+                  CAST(b.id // 8 AS BIGINT) AS doc_id
+  FROM bk a JOIN bk b ON a.bucket = b.bucket
+  WHERE CAST(a.id // 8 AS BIGINT) <> CAST(b.id // 8 AS BIGINT)
+),
+tokq AS (
+  SELECT CAST(id // 8 AS BIGINT) AS doc_id, CAST(id % 8 AS BIGINT) AS tok,
+         list(CAST(floor(cv * 1000000.0) AS BIGINT) ORDER BY dim) AS qv
+  FROM ed GROUP BY 1, 2
 ),
 pairs AS (
   SELECT c.doc_id, c.q_id, qt.tok AS q_tok,

@@ -1896,6 +1896,7 @@ def maxsim_topk(
     tok_col: str = "tok",
     vec_col: str = "embedding",
     exclude_self: bool = False,
+    max_score_rows: int = 1_000_000_000,
 ) -> DataFrame:
     """Late-interaction multi-vector retrieval (the MaxSim operator of
     Khattab & Zaharia, ColBERT, SIGIR 2020): a document is a BAG of
@@ -1930,6 +1931,14 @@ def maxsim_topk(
     ``maxsim_rescore`` — equi-keyed on (q_id, doc_id), shuffle-safe —
     for the exact late-interaction scores.
 
+    ``max_score_rows`` makes that serve-mode contract EXECUTABLE
+    (VERDICT r8 item 2, the ``_pair_cap_filter`` discipline): the job
+    fails loudly — via an ``assert_true`` filter Catalyst cannot
+    prune — before materializing more than ``max_score_rows`` =
+    |doc_tokens|·|query_tokens| scoring rows, instead of melting
+    silently when a caller feeds a corpus-scale query set. Raise it
+    deliberately; corpus-scale callers belong on ``maxsim_rescore``.
+
     Exact and portable end to end: vectors quantize to the shared
     ``floor(v·10⁶)`` int64 grid (``_q6_nodes`` discipline), dots /
     maxima / sums are int64, ranking tie-breaks (score desc, doc asc)
@@ -1951,6 +1960,30 @@ def maxsim_topk(
             lambda v: F.floor(v * F.lit(1000000.0)).cast("bigint"),
         ).alias("q_qv"),
     )
+    # executable scoring-row cap (see docstring): one 2-count scalar
+    # rides onto the doc side as a 1-row broadcast; assert_true on a
+    # filter fails the job BEFORE the exhaustive cross join runs
+    nd = dq.agg(F.count(F.lit(1)).cast("bigint").alias("_nd"))
+    nq = qq.agg(F.count(F.lit(1)).cast("bigint").alias("_nq"))
+    tot = nd.crossJoin(nq).select(
+        (F.col("_nd") * F.col("_nq")).alias("_pairs")
+    )
+    check = F.assert_true(
+        F.col("_pairs") <= max_score_rows,
+        F.concat(
+            F.lit("maxsim_topk: exhaustive serve-mode scoring would "),
+            F.lit("materialize "),
+            F.col("_pairs").cast("string"),
+            F.lit(
+                f" doc-token x query-token rows, over max_score_rows="
+                f"{max_score_rows}. This operator is for BOUNDED serve"
+                f" query sets; corpus-scale query sets belong on the"
+                f" two-stage path (ANN retrieval + maxsim_rescore), or"
+                f" raise max_score_rows deliberately."
+            ),
+        ),
+    )
+    dq = dq.crossJoin(F.broadcast(tot)).where(check.isNull()).drop("_pairs")
     pairs = dq.crossJoin(F.broadcast(qq)).select(
         "doc_id",
         "q_id",

@@ -90,6 +90,52 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def clustered_embeddings(
+    emb: DataFrame,
+    group_div: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANISOTROPIC (clustered) embedding fixture, derived
+    deterministically from the driver's isotropic embeddings table
+    (VERDICT r8 item 2): the isotropic fixture is the WORST case for
+    LSH blocking — structureless data gives buckets nothing to
+    separate — so near-dup pruning claims need a separable fixture
+    where vectors form tight families.
+
+    Family ``vec_id DIV group_div`` (with the maxsim family's 8-token
+    docs, group_div=32 makes families of 4 documents — small TRUE
+    near-dup groups whose COUNT grows with the corpus, the realistic
+    dedup shape); each output vector is pulled 3/4 toward its
+    family centroid:
+
+        cent(fam, d) = (((fam+1)·(d+7)·1103515245) mod 2001 - 1000)/1000
+        v' = cent·0.75 + v·0.25
+
+    Engine-portable: the centroid is exact int64 arithmetic and the
+    mix is two IEEE double mul-adds on values both engines hold
+    bit-identically, so ``floor(v'·10⁶)`` replays in SQL (same
+    discipline as the rp_lsh weight formula). Schema is unchanged:
+    (id_col, vec_col as array<double>)."""
+    fam = F.expr(f"CAST({id_col} DIV {group_div} AS BIGINT)")
+    return emb.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda v, d: (
+                (
+                    ((fam + 1) * (d.cast("bigint") + 7) * 1103515245)
+                    % 2001
+                    - 1000
+                ).cast("double")
+                / F.lit(1000.0)
+            )
+            * F.lit(0.75)
+            + v * F.lit(0.25),
+        ).alias(vec_col),
+    )
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events table loader, robust to driver-data timestamp drift.
 
