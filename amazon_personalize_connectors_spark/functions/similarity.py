@@ -800,6 +800,43 @@ def ivf_index_build(
     )
 
 
+def refined_ivf_index_build(
+    spark,
+    embeddings: DataFrame,
+    index_path: str,
+    rounds: int = 2,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> None:
+    """Persist a Lloyd-REFINED IVF index (VERDICT r8 item 4 — the
+    build-once/probe-many split for the refined family): compute
+    ``refined_centroid_table`` once, write the centroid table and the
+    refined-cell inverted lists in the exact ``ivf_index_build``
+    layout, and serve with ``ivf_probe_topk_indexed`` — the probe path
+    is SHARED, so the indexed serve is result-identical to the in-plan
+    ``ivf_refined_probe_topk`` at equal (rounds, nprobe, k)
+    (law pinned in tests/test_functions.py). The ``rounds`` corpus
+    passes and the extra assignment happen once at build; every probe
+    afterwards costs one broadcast centroid join + partition-pruned
+    list join."""
+    cents = refined_centroid_table(
+        embeddings, rounds, block_col, id_col, vec_col, round_digits
+    )
+    cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    emb = _as_double(embeddings, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    _assign_to_centroids(emb, cents, round_digits).select(
+        F.col("id").alias("n_id"),
+        F.col("vec").alias("n_vec"),
+        "assigned_block",
+    ).write.mode("overwrite").partitionBy("assigned_block").parquet(
+        f"{index_path}/lists"
+    )
+
+
 def ivf_probe_topk_indexed(
     spark,
     index_path: str,
@@ -1401,6 +1438,44 @@ def hnsw_index_build(
     # StorageLevel for DataFrame.persist on the JVM side)
     blocked = blocked.persist()
     out_m = _knn_out_edges_from_signed(blocked, tables, m, max_pair_rows)
+    _hnsw_assemble(
+        blocked,
+        tables,
+        out_m,
+        index_path,
+        m=m,
+        long_links=long_links,
+        entry_sample=entry_sample,
+        hash_family=(
+            f"block:{block_col}" if block_col is not None else RP_HASH_FAMILY
+        ),
+        n_bits=n_bits,
+        n_tables=n_tables,
+    )
+    blocked.unpersist()
+
+
+def _hnsw_assemble(
+    blocked: DataFrame,
+    tables: list,
+    out_m: DataFrame,
+    index_path: str,
+    m: int,
+    long_links: int,
+    entry_sample: int,
+    hash_family: str,
+    n_bits: int,
+    n_tables: int,
+) -> None:
+    """Downstream half of the HNSW build — symmetrize + prune, hubs,
+    cross links, entry promotion, writes, _META stamp — shared by the
+    one-session batch build (``hnsw_index_build``) and the 100 TB
+    build path (``streaming.ann_monitor.hnsw_index_from_store``,
+    which feeds it the MAINTAINED ``out_m`` edge store instead of a
+    fresh candidate pass). Every stage here is a linear one-pass
+    transform of bounded inputs (N·m edges, ≤ n_tables·2^n_bits + N/
+    entry_sample hub rows): no stage re-runs the quadratic candidate
+    generation, which is exactly why the split is the scale story."""
     # symmetrization reads out_m twice (forward + swapped) — persist
     # the m-per-node edge list (bounded: N·m rows) so the candidate
     # scoring join runs once
@@ -1502,9 +1577,7 @@ def hnsw_index_build(
     # (block_col builds record the trusted key instead of the LSH
     # family — their candidate geometry never touched _rp_weight)
     meta = {
-        "hash_family": (
-            f"block:{block_col}" if block_col is not None else RP_HASH_FAMILY
-        ),
+        "hash_family": hash_family,
         "m": m,
         "long_links": long_links,
         "n_bits": n_bits,
@@ -1516,7 +1589,6 @@ def hnsw_index_build(
         json.dump(meta, f)
     os.replace(tmp, os.path.join(index_path, "_META.json"))
     out_m.unpersist()
-    blocked.unpersist()
 
 
 def _check_index_family(index_path: str) -> None:

@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "maxsim_rerank",
     "maxsim_ann_pipeline",
     "maxsim_neardup",
+    "maxsim_neardup_clustered",
     "ivf_refined_probe",
     "pq_adc",
     "rrf_fusion",
@@ -331,6 +332,68 @@ STREAM_ONE_RUN = [
 ]
 
 
+def _serve_probe(spark) -> dict:
+    """Build-once / probe-many serving measurement (VERDICT r8 item 4):
+    the e2e hnsw_topk / ivf_refined_probe queries rebuild their index
+    every run — the right shape for an oracle-checked correctness
+    query, the wrong accounting for a serving system, where the build
+    amortizes over every probe. This phase builds each persisted index
+    ONCE into a temp dir and reports the build cost and the MEDIAN
+    probe-only wall time separately (same graph/probe parameters as
+    the e2e queries, so the numbers decompose them directly)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        hnsw_index_build,
+        hnsw_probe_topk,
+        ivf_probe_topk_indexed,
+        refined_ivf_index_build,
+    )
+    from amazon_personalize_connectors_spark.sources import synthetic
+
+    emb = synthetic.load_table(spark, SF_DIR, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    out: dict = {}
+    root = tempfile.mkdtemp(prefix="apcs_bench_serve_")
+    try:
+        t0 = time.perf_counter()
+        hnsw_index_build(spark, emb, f"{root}/hnsw", m=12)
+        out["hnsw_build"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        refined_ivf_index_build(spark, emb, f"{root}/ivf", rounds=2)
+        out["ivf_refined_build"] = round(time.perf_counter() - t0, 3)
+        for key, probe in (
+            (
+                "hnsw_probe_only",
+                lambda: hnsw_probe_topk(
+                    spark, f"{root}/hnsw", queries_df, k=5, ef=16, rounds=3
+                ),
+            ),
+            (
+                "ivf_refined_probe_only",
+                lambda: ivf_probe_topk_indexed(
+                    spark, f"{root}/ivf", queries_df, k=5, nprobe=2
+                ),
+            ),
+        ):
+            samples = []
+            for _ in range(max(1, N_RUNS)):
+                t0 = time.perf_counter()
+                out[f"{key}_rows"] = probe().count()
+                samples.append(round(time.perf_counter() - t0, 3))
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+            out[key] = round(statistics.median(samples), 3)
+    except Exception as exc:  # noqa: BLE001 — serve phase is additive
+        out["error"] = f"{type(exc).__name__}: {exc}"[:300]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _run_suite(spark, qs, names: list[str]):
     """Interleaved N_RUNS passes over ``names``; returns (samples,
     rows_out, errors). rows_out records each query's first-run count so
@@ -474,6 +537,10 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
+    # serving split: persisted-index build once, probe-only medians
+    # (VERDICT r8 item 4 — see _serve_probe)
+    serve = _serve_probe(spark)
+
     ok = {name: s for name, s in samples.items() if s and name not in errors}
     times = {name: round(statistics.median(s), 3) for name, s in ok.items()}
     spread = {name: [round(min(s), 3), round(max(s), 3)] for name, s in ok.items()}
@@ -499,6 +566,7 @@ def main() -> None:
         "headline_isolated": isolated,
         "stream_queries": stream_times,
         "stream_rows_out": stream_rows,
+        "serve_probe": serve,
         "sf": sf,
         "runs_per_query": max(1, N_RUNS),
         "errors": errors,
@@ -522,6 +590,7 @@ def main() -> None:
         "rows_out": {n: rows_out[n] for n in HEADLINE_20 if n in rows_out},
         "stream_queries": stream_times,
         "stream_rows_out": stream_rows,
+        "serve_probe": serve,
         "sf": sf,
         "runs_per_query": max(1, N_RUNS),
         "suite_total": suite_total,

@@ -1243,3 +1243,42 @@ def test_maxsim_is_token_order_invariant_and_tops_planted_dup(spark):
     )[0]
     assert self_score["doc_id"] == 10
     assert out[0]["score"] == self_score["score"]
+
+
+def test_refined_ivf_indexed_serve_equals_in_plan(spark, tmp_path):
+    """Build-once/probe-many law (VERDICT r8 item 4): probing the
+    PERSISTED refined-IVF index (refined_ivf_index_build +
+    ivf_probe_topk_indexed) is result-identical to the in-plan
+    ivf_refined_probe_topk at equal (rounds, nprobe, k) — the bench's
+    probe-only numbers measure the same search, minus the rebuild."""
+    import random as _random
+
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        ivf_probe_topk_indexed,
+        ivf_refined_probe_topk,
+        refined_ivf_index_build,
+    )
+
+    rng = _random.Random(20260816)
+    rows = [
+        (i, i % 5, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    qs = emb.where("vec_id % 10 = 0")
+    in_plan = {
+        (r["q_id"], r["n_id"], r["rank"], r["score"])
+        for r in ivf_refined_probe_topk(
+            emb, qs, rounds=2, nprobe=2, k=4
+        ).collect()
+    }
+    idx = str(tmp_path / "rivf")
+    refined_ivf_index_build(spark, emb, idx, rounds=2)
+    served = {
+        (r["q_id"], r["n_id"], r["rank"], r["score"])
+        for r in ivf_probe_topk_indexed(
+            spark, idx, qs, k=4, nprobe=2
+        ).collect()
+    }
+    assert served == in_plan and len(served) > 0
