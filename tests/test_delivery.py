@@ -266,3 +266,171 @@ def test_incremental_content_ingest_delivers_each_content_once(spark, tmp_path):
     # repeated content was never re-delivered in the later batches
     later = set().union(*(delivered[1:] or [set()]))
     assert later & set(range(30)) == set()
+
+
+# --- K4 against a REAL socket (VERDICT r8 item 6) -------------------------
+#
+# The reference POSTs to Braze /users/track fire-and-forget
+# (/root/reference/src/braze_dequeue_function/main.py:23-45: bearer
+# auth, X-Braze-Bulk, 75-attribute cap, response ignored).
+# HttpUserTrackTransport fixes the response handling (status check,
+# retry + backoff, DLQ surfacing) but had only ever been driven
+# against synthetic transports — these tests exercise the real HTTP
+# stack through a stdlib loopback server: 2xx happy path (headers +
+# payload shape asserted server-side), 5xx-then-recover (retry loop),
+# persistent 5xx and connection-refused (both -> DLQ rows via
+# deliver()).
+
+
+class _Script:
+    """Per-test HTTP behavior: a list of status codes to serve, then
+    200 forever. Records every request's headers and parsed body."""
+
+    def __init__(self, statuses):
+        self.statuses = list(statuses)
+        self.requests = []
+
+
+def _loopback_server(script):
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            script.requests.append(
+                {
+                    "headers": {k.lower(): v for k, v in self.headers.items()},
+                    "body": json.loads(body) if body else None,
+                }
+            )
+            status = script.statuses.pop(0) if script.statuses else 200
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(b'{"message":"ok"}' if status == 200 else b'{"message":"err"}')
+
+        def log_message(self, *a):  # silence per-request stderr noise
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}/users/track"
+
+
+def test_http_transport_2xx_sends_reference_shape():
+    from amazon_personalize_connectors_spark.sinks.transport import (
+        HttpUserTrackTransport,
+    )
+
+    script = _Script([200])
+    srv, url = _loopback_server(script)
+    try:
+        t = HttpUserTrackTransport(url, api_key="sekret", backoff_s=0.01)
+        t.send_batch([{"external_id": "u1"}, {"external_id": "u2"}])
+    finally:
+        srv.shutdown()
+    assert len(script.requests) == 1
+    req = script.requests[0]
+    # bdeq:23-45 contract: bearer auth, bulk header, JSON body of
+    # {"attributes": [...]} — asserted on what actually hit the wire
+    assert req["headers"]["authorization"] == "Bearer sekret"
+    assert req["headers"]["x-braze-bulk"] == "true"
+    assert req["headers"]["content-type"] == "application/json"
+    assert req["body"] == {
+        "attributes": [{"external_id": "u1"}, {"external_id": "u2"}]
+    }
+
+
+def test_http_transport_retries_5xx_then_succeeds():
+    from amazon_personalize_connectors_spark.sinks.transport import (
+        HttpUserTrackTransport,
+    )
+
+    script = _Script([503, 503, 200])
+    srv, url = _loopback_server(script)
+    try:
+        t = HttpUserTrackTransport(
+            url, api_key="k", max_retries=3, backoff_s=0.01
+        )
+        t.send_batch([{"external_id": "u1"}])  # must not raise
+    finally:
+        srv.shutdown()
+    assert len(script.requests) == 3, "expected 2 failed attempts + 1 success"
+
+
+def test_http_transport_persistent_5xx_raises_after_retries():
+    from amazon_personalize_connectors_spark.sinks.transport import (
+        HttpUserTrackTransport,
+        TransportError,
+    )
+
+    script = _Script([500, 500, 500])
+    srv, url = _loopback_server(script)
+    try:
+        t = HttpUserTrackTransport(
+            url, api_key="k", max_retries=2, backoff_s=0.01
+        )
+        with pytest.raises(TransportError, match="HTTP 500"):
+            t.send_batch([{"external_id": "u1"}])
+    finally:
+        srv.shutdown()
+    assert len(script.requests) == 3  # initial + 2 retries, then DLQ
+
+
+def test_http_transport_connection_error_routes_to_dlq(spark):
+    """End-to-end through deliver(): executors POST to a port with no
+    listener; every record must come back as a DLQ row instead of the
+    job dying (the reference's silent-loss defect inverted)."""
+    import socket
+
+    from amazon_personalize_connectors_spark.sinks.transport import (
+        HttpUserTrackTransport,
+    )
+
+    # reserve a port and close it so nothing listens there
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    dead_url = f"http://127.0.0.1:{s.getsockname()[1]}/users/track"
+    s.close()
+    rows = [(str(i),) for i in range(7)]
+    payloads = spark.createDataFrame(rows, "external_id string").repartition(2)
+    failures = deliver(
+        payloads,
+        lambda: HttpUserTrackTransport(
+            dead_url, api_key="k", max_retries=1, backoff_s=0.01, timeout_s=2.0
+        ),
+        batch_size=5,
+    ).collect()
+    assert len(failures) == 7
+    ids = {json.loads(r["record_json"])["external_id"] for r in failures}
+    assert ids == {str(i) for i in range(7)}
+    assert all("ConnectionError" in r["error"] or "TransportError" in r["error"]
+               for r in failures)
+
+
+def test_http_transport_5xx_then_2xx_through_deliver(spark):
+    """deliver() + real socket + flaky server: first attempt 503, the
+    retry succeeds — zero DLQ rows and the server saw both hits."""
+    from amazon_personalize_connectors_spark.sinks.transport import (
+        HttpUserTrackTransport,
+    )
+
+    script = _Script([503])
+    srv, url = _loopback_server(script)
+    try:
+        payloads = spark.createDataFrame(
+            [("a",), ("b",)], "external_id string"
+        ).coalesce(1)
+        n = deliver(
+            payloads,
+            lambda: HttpUserTrackTransport(
+                url, api_key="k", max_retries=2, backoff_s=0.01
+            ),
+            batch_size=75,
+        ).count()
+    finally:
+        srv.shutdown()
+    assert n == 0
+    assert len(script.requests) == 2
