@@ -1,0 +1,1468 @@
+"""Query builders split out of __spark_entry__.py (r9): verbatim
+moves, same names, same behavior — the entry file star-imports
+this package to keep the driver contract stable."""
+
+from __future__ import annotations
+
+from amazon_personalize_connectors_spark.queries._shared import *  # noqa: F401,F403
+from amazon_personalize_connectors_spark.queries.q01 import *  # noqa: F401,F403
+
+
+
+def q_salted_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 under the explicit skew strategy: salted_join must produce
+    exactly the attribution join's rows (same oracle). The mapping is
+    the skewed fan-out side; recs replicate salt_factor times."""
+    from amazon_personalize_connectors_spark.operators.skew import salted_join
+
+    recs = _ok_recs(spark, sf_dir).select(
+        F.col("input.itemId").alias("item_id")
+    )
+    mapping = synthetic.user_item_mapping(spark, sf_dir).select(
+        F.col("ITEM_ID").alias("item_id"), F.col("USER_ID").alias("user_id")
+    )
+    return salted_join(mapping, recs, on="item_id", salt_factor=8).select(
+        F.col("item_id").alias("query_item_id"), "user_id"
+    )
+
+
+def q_intersect_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) set op: recommended item ids that also
+    exist in the metadata catalog — completes the set-op family
+    (union = multi-file scans, except = delta, intersect = here).
+    Catalyst plans it as a left-semi aggregate, one shuffle each."""
+    recommended = _ok_recs(spark, sf_dir).select(
+        F.explode("output.recommendedItems").alias("item_id")
+    )
+    catalog = synthetic.item_metadata(spark, sf_dir).select(
+        F.col("id").alias("item_id")
+    )
+    return recommended.intersect(catalog)
+
+
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming, oracle-checked: tumbling 1-hour
+    event-time windows with a watermark, run as Trigger.AvailableNow
+    over the events parquet and drained to a memory sink. With
+    AvailableNow the stream result is a deterministic function of the
+    input files, so the same DuckDB oracle as a batch GROUP BY
+    applies — proving the streaming and batch paths agree."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.windows import (
+        run_stream_to_memory,
+        windowed_event_counts,
+    )
+
+    # Stage a landing prefix (load_events also normalizes the
+    # fixture's TIMESTAMP(NANOS), which no parquet source reads
+    # directly as a timestamp in Spark 4).
+    landing = tempfile.mkdtemp(prefix="apc-stream-landing-")
+    batch = synthetic.load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    batch.write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(batch.schema).parquet(landing)
+    return run_stream_to_memory(windowed_event_counts(stream))
+
+
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, oracle-checked: clicks joined to
+    same-user purchases within 10 minutes, both sides watermarked
+    file streams drained with Trigger.AvailableNow. Inner-join output
+    is a deterministic function of the inputs, so the batch interval
+    join is the oracle."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_interval_join,
+    )
+
+    landing = tempfile.mkdtemp(prefix="apc-stream-join-")
+    batch = synthetic.load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    batch.write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(batch.schema).parquet(landing)
+    clicks = stream.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    purchases = stream.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    joined = stream_interval_join(clicks, purchases)
+    out = joined.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("click_id").cast("bigint").alias("click_id"),
+        F.col("purchase_id").cast("bigint").alias("purchase_id"),
+        # exact integer microseconds, floor-divided — second-level
+        # truncation differs between engines on fractional timestamps
+        F.floor(
+            (F.unix_micros("r_ts") - F.unix_micros("l_ts")) / F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("delay_s"),
+    )
+    return run_stream_to_memory(out, output_mode="append")
+
+
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events file stream enriched with the
+    (broadcast) customer dimension — no state store, no stream-side
+    shuffle; each micro-batch hash-probes the dim map-side. Drained
+    with Trigger.AvailableNow, so the batch join is the oracle."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_static_enrich,
+    )
+
+    landing = tempfile.mkdtemp(prefix="apc-stream-static-")
+    batch = synthetic.load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    batch.write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(batch.schema).parquet(landing)
+    cust = synthetic.load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") - 1).cast("bigint").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+    )
+    enriched = stream_static_enrich(stream, cust, "user_id")
+    out = enriched.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "segment",
+        "nation",
+    )
+    return run_stream_to_memory(out, output_mode="append")
+
+
+def q_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality audit: five named expectations over
+    orders evaluated as ONE map-side-combinable aggregate (one scan
+    however many rules run), plus the quarantine count the same rules
+    produce row-wise — the F10 validity predicates generalized to a
+    declarative rule set."""
+    from amazon_personalize_connectors_spark.operators.expectations import (
+        Expectation,
+        expectations_audit,
+        valid_row,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    rules = [
+        Expectation("price_positive", F.col("o_totalprice") > 0),
+        Expectation("price_under_cap", F.col("o_totalprice") <= 300000),
+        Expectation(
+            "status_known", F.col("o_orderstatus").isin("O", "F", "P")
+        ),
+        Expectation(
+            "date_in_range",
+            F.col("o_orderdate").cast("date") < F.lit("2001-01-01").cast("date"),
+        ),
+        Expectation(
+            "priority_format", F.col("o_orderpriority").rlike("^[1-5]-")
+        ),
+    ]
+    # the quarantine count is the violation count of the conjunction —
+    # one more conditional-count column in the SAME single-pass agg
+    return expectations_audit(
+        orders, rules + [Expectation("n_quarantined", valid_row(rules))]
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% stratified sample of events per event type:
+    md5-bucket the event id (engine-portable, stable under growth and
+    repartitioning — randomSplit/sample are neither) and keep the
+    lowest fifth of the bucket space. No shuffle at all — a pure
+    filter the scan can evaluate."""
+    events = synthetic.load_events(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "event_id", "event_type")), 1, 8), 16, 10
+    ).cast("bigint")
+    return events.where(bucket < F.lit(int(0.2 * 2**32))).select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "event_type",
+        F.col("user_id").cast("bigint").alias("user_id"),
+    )
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose first view precedes their first
+    click which precedes their first purchase. One conditional
+    aggregation per user (map-side combinable) then an ordering
+    predicate — no joins, no windows."""
+    events = synthetic.load_events(spark, sf_dir)
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    per_user = events.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return per_user.where(
+        F.col("t_view").isNotNull()
+        & F.col("t_click").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_view") < F.col("t_click"))
+        & (F.col("t_click") < F.col("t_purchase"))
+    ).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.date_format("t_view", "yyyy-MM-dd HH:mm:ss").alias("first_view"),
+        F.date_format("t_purchase", "yyyy-MM-dd HH:mm:ss").alias("first_purchase"),
+    )
+
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global running revenue in order-key order via the distributed
+    prefix sum (no single-task global window); exact decimal
+    accumulation so the running value is layout-independent."""
+    from amazon_personalize_connectors_spark.operators.ids import add_running_total
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    out = add_running_total(orders, ["o_orderkey"], "price", "running_price")
+    return out.select(
+        "o_orderkey", F.col("running_price").cast("double").alias("running_price")
+    )
+
+
+def q_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding count-distinct (cumulative unique users by day). An
+    expanding DISTINCT window would hold all history in every frame —
+    the scalable form is first-seen day per user (one map-side-
+    combinable min agg), daily new-user counts, then the distributed
+    prefix sum over the tiny day table. Exact integer arithmetic
+    end to end."""
+    from amazon_personalize_connectors_spark.operators.ids import add_running_total
+
+    events = synthetic.load_events(spark, sf_dir)
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    out = add_running_total(daily, ["day"], "new_users", "cum_users")
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.col("cum_users").cast("bigint").alias("cum_users"),
+    )
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate: revenue by (priority, year) with subtotals
+    and grand total; GROUPING() distinguishes subtotal nulls from
+    data nulls. Partial aggregation keeps the shuffle small."""
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderpriority",
+            F.year("o_orderdate").alias("order_year"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .rollup("o_orderpriority", "order_year")
+        .agg(
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.grouping("order_year").alias("g_year"),
+            F.sum("price").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1h wide, 30min slide): every event
+    lands in exactly two windows. Spark's window() generator aligns
+    to the epoch; the oracle reproduces both window starts per event
+    via floor(epoch/slide) arithmetic."""
+    ev = synthetic.load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate (all 4 grouping combinations of priority x
+    status) — completes the grouping-sets family next to ROLLUP."""
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.sum("price").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch validation: per event type, exact distinct users
+    plus a flag that Spark's approx_count_distinct (rsd=2%) landed
+    within 5% of truth. The oracle pins the flag to TRUE, so a sketch
+    regression fails the value-hash — exact values stay comparable
+    across engines while the sketch itself is still exercised."""
+    events = synthetic.load_events(spark, sf_dir)
+    agg = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("__approx") - F.col("n_users_exact"))
+            <= 0.05 * F.col("n_users_exact")
+        ).alias("approx_within_5pct"),
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price within each priority class — row_number
+    window + early filter (one shuffle, no global sort)."""
+    from amazon_personalize_connectors_spark.operators.band import top_k_per_group
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    return top_k_per_group(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        group_cols=["o_orderpriority"],
+        order_cols=["o_totalprice", "o_orderkey"],
+        k=3,
+    )
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization quality evaluation: recall@5 of the SQ8 integer
+    ranking against the exact cosine ranking, per query vector. Both
+    rankings are deterministic (round-6 floats / pure int64), so the
+    intersection count — and the single constant division — is
+    bit-stable across engines. This is the eval loop a user runs
+    before trusting a quantized index at corpus scale."""
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        brute_force_topk,
+        sq8_topk,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    exact = brute_force_topk(emb, queries_df, k=5).select("q_id", "n_id")
+    quant = sq8_topk(emb, queries_df, k=5).select("q_id", "n_id")
+    hits = (
+        exact.join(quant, ["q_id", "n_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            F.col("q_id").cast("bigint").alias("q_id"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / F.lit(5.0)).alias("recall_at_5"),
+        )
+    )
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: per near-dup component keep the
+    best representative (longest text, then smallest id) — the final
+    step that turns dedup groups into a cleaned corpus. Singleton
+    docs (no near-dup edge) form their own component. Selection is
+    one max(struct) aggregate — no window, no per-group sort."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        neardup_components,
+        ngram_jaccard_pairs_materialized,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    # materialized-shingle pair path (result-identical to the in-plan
+    # form, same oracle): tokenize once, not once per self-join side —
+    # the shape you'd run at scale before an iterative consumer
+    work = tempfile.mkdtemp(prefix="apcs_canon_sh_")
+    edges = ngram_jaccard_pairs_materialized(spark, docs, f"{work}/shingles")
+    comp = neardup_components(edges).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    labeled = (
+        docs.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
+    return (
+        labeled.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max(
+                F.struct(
+                    F.col("n_chars").alias("nc"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                )
+            ).alias("best"),
+        )
+        .select(
+            F.col("component").cast("bigint").alias("component"),
+            "n_docs",
+            (-F.col("best.neg_id")).cast("bigint").alias("canonical_id"),
+            F.col("best.nc").cast("bigint").alias("canonical_chars"),
+        )
+    )
+
+
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free temporal split: the first day where the running
+    event count reaches ceil(80%) of the total becomes the boundary
+    (train = up to and including it). Day counts collapse the data
+    first, the prefix sum runs distributed, and the threshold is
+    exact integer arithmetic — no percentile interpolation."""
+    from amazon_personalize_connectors_spark.operators.ids import add_running_total
+
+    events = synthetic.load_events(spark, sf_dir)
+    daily = (
+        events.select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    cum = add_running_total(daily, ["day"], "n", "cum")
+    total = daily.agg(F.sum("n").cast("bigint").alias("total"))
+    with_k = cum.crossJoin(F.broadcast(total)).withColumn(
+        "k", F.floor((F.lit(8) * F.col("total") + 9) / 10).cast("bigint")
+    )
+    return with_k.agg(
+        F.date_format(
+            F.min(F.when(F.col("cum") >= F.col("k"), F.col("day"))), "yyyy-MM-dd"
+        ).alias("split_day"),
+        F.min(F.when(F.col("cum") >= F.col("k"), F.col("cum")))
+        .cast("bigint")
+        .alias("n_train"),
+        (
+            F.max("total") - F.min(F.when(F.col("cum") >= F.col("k"), F.col("cum")))
+        )
+        .cast("bigint")
+        .alias("n_test"),
+    )
+
+
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users per day. An expanding/sliding
+    DISTINCT window does not distribute; the scale shape is bounded
+    fan-out: distinct (user, day) pairs each replicate into the <= 7
+    window-days they serve, then one distinct count per window-day.
+    Fan-out is exactly 7x the ALREADY-collapSED pair set — never 7x
+    the raw events."""
+    events = synthetic.load_events(spark, sf_dir)
+    du = (
+        events.select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / F.lit(86400))
+            .cast("bigint")
+            .alias("day"),
+        )
+        .distinct()
+    )
+    bounds = du.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    fanned = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(6))
+        ).alias("wday"),
+    ).distinct()
+    return (
+        fanned.crossJoin(F.broadcast(bounds))
+        .where((F.col("wday") >= F.col("d0")) & (F.col("wday") <= F.col("d1")))
+        .groupBy("wday")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users_7d"))
+        .select(F.col("wday").cast("bigint").alias("day"), "n_users_7d")
+    )
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: event-type transition counts and
+    probabilities per user session stream (lead over (ts, event_id)
+    order). The per-source totals join back as a broadcast (the type
+    vocabulary is tiny); probability is one bigint division."""
+    from pyspark.sql.window import Window
+
+    events = synthetic.load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select(
+            "user_id", "ts", "event_id", F.col("event_type").alias("from_type")
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = trans.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("n_from")
+    )
+    return trans.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias("p"),
+    )
+
+
+def q_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM feature build per user: recency in integer days against
+    the global max day (broadcast 1-row bound), exact frequency, and
+    decimal-accumulated monetary value — the standard personalization
+    feature triple, one shuffle on the user key."""
+    events = synthetic.load_events(spark, sf_dir)
+    per_user = events.groupBy("user_id").agg(
+        F.max(F.floor(F.unix_timestamp("ts") / F.lit(86400)))
+        .cast("bigint")
+        .alias("last_day"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("monetary_dec"),
+    )
+    gmax = per_user.agg(F.max("last_day").alias("gday"))
+    return per_user.crossJoin(F.broadcast(gmax)).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        (F.col("gday") - F.col("last_day")).cast("bigint").alias("recency_days"),
+        "frequency",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+    )
+
+
+def q_rolling_revenue_28d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 28-day revenue per customer over sparse daily spend:
+    pre-aggregate to one row per (customer, day), then an integer
+    RANGE frame (missing days contribute nothing — a ROWS frame
+    would be wrong). Decimal accumulation; day numbers are exact
+    epoch-day integers."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        rolling_range_sum,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400))
+            .cast("bigint")
+            .alias("day"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .groupBy("o_custkey", "day")
+        .agg(F.sum("price").alias("spend"))
+    )
+    out = rolling_range_sum(
+        daily, ["o_custkey"], "day", "spend", 28, "spend_28d"
+    )
+    return out.select(
+        "o_custkey",
+        "day",
+        F.col("spend").cast("double").alias("spend"),
+        F.col("spend_28d").cast("double").alias("spend_28d"),
+    )
+
+
+def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: daily order counts per priority with
+    every missing day in the global span zero-filled. Span and group
+    list come from tiny broadcast aggregates — no driver collect
+    builds the calendar."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        gap_fill_days,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            "o_orderpriority", F.to_date("o_orderdate").alias("day")
+        )
+        .groupBy("o_orderpriority", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    filled = gap_fill_days(
+        daily, ["o_orderpriority"], "day", "n_orders", 0
+    )
+    return filled.select(
+        "o_orderpriority",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over events: users bucketed by
+    first-active 7-day period, counted once per (cohort, offset)
+    cell. Pure integer period arithmetic (floor(epoch_day/7)) — no
+    engine-specific week truncation."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    events = synthetic.load_events(spark, sf_dir)
+    return cohort_retention(events, "user_id", "ts", period_days=7).select(
+        "cohort", F.col("offset").cast("bigint").alias("offset"), "n_users"
+    )
+
+
+def q_orders_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands / SCD-2 history build: collapse each
+    customer's consecutive same-status order runs (date+key order)
+    into validity ranges. Both window passes share one sort."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        gaps_islands,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400))
+        .cast("bigint")
+        .alias("day"),
+        "o_orderstatus",
+    )
+    out = gaps_islands(
+        orders,
+        ["o_custkey"],
+        ["day", "o_orderkey"],
+        "o_orderstatus",
+    )
+    return out.select(
+        "o_custkey",
+        "island_id",
+        "o_orderstatus",
+        "n_rows",
+        F.col("island_start").cast("bigint").alias("island_start"),
+        F.col("island_end").cast("bigint").alias("island_end"),
+    )
+
+
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over order baskets: part pairs
+    co-ordered in >= 3 orders with support counts and lift. Pair
+    generation is a self equi-join on the order key (fan-out bounded
+    by items per order); totals join in as broadcasts; the single
+    final integer division keeps the double bit-stable."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        cooccurrence_lift,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+        F.col("l_partkey").cast("bigint").alias("l_partkey"),
+    )
+    return cooccurrence_lift(
+        li, "l_orderkey", "l_partkey", min_pair_count=3
+    ).select("item_a", "item_b", "n_ab", "n_a", "n_b", "lift")
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample: 5 orders per priority class,
+    weighted by price, via all-integer priority keys
+    (hash-uniform * 1e6 // weight_cents) — reproducible across
+    engines, partition layouts, and data growth."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        priority_sample_k,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    out = priority_sample_k(
+        orders, ["o_orderpriority"], "cents", ["o_orderkey"], k=5
+    )
+    return out.select(
+        "o_orderpriority",
+        "o_orderkey",
+        (F.col("cents").cast("decimal(18,2)") / 100)
+        .cast("double")
+        .alias("price"),
+    )
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler over orders (nulls, exact distincts,
+    min/max as strings, long-form): all stats in ONE aggregate over
+    one scan, unpivoted via an inline struct array."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        profile_columns,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    return profile_columns(
+        orders,
+        ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 10 != 7)
+    sharing any word 4-gram with the held-out benchmark split
+    (doc_id % 10 == 7). The benchmark gram set is hashed to 8 bytes
+    and broadcast, so the corpus side never shuffles."""
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        decontaminate_ngrams,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 7)
+    test = docs.where(F.col("doc_id") % 10 == 7)
+    return decontaminate_ngrams(train, test, n=4).select(
+        F.col("train_id").cast("bigint").alias("train_id"),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_hit_grams").cast("bigint").alias("n_hit_grams"),
+        "hit_frac",
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: docs laid end-to-end in doc_id order and cut
+    into 512-token context windows via the distributed prefix sum;
+    the oracle is the single-task SQL window the operator refuses to
+    run at scale."""
+    from amazon_personalize_connectors_spark.functions.text import (
+        pack_sequences,
+        tokens,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    return pack_sequences(sized, ["doc_id"], capacity=512).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        "start_offset",
+        "bin_id",
+        "spans_boundary",
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a corpus with synthesized contact strings
+    (the synthetic docs contain none): every doc gets one email and
+    one NANP phone appended; the scrubber must mask exactly those and
+    nothing else. Scrubbed text is pinned by md5 digest."""
+    from amazon_personalize_connectors_spark.functions.text import scrub_pii
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    withc = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 010-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        ).alias("text2"),
+    )
+    cols = scrub_pii(F.col("text2"))
+    return withc.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        cols["n_emails"].alias("n_emails"),
+        cols["n_phones"].alias("n_phones"),
+        F.md5(cols["scrubbed"]).alias("scrub_digest"),
+    )
+
+
+def q_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (cosine) LSH near-dup pairs: exact-int64
+    dot-product signs give a data-independent 6-bit bucket; candidates
+    are a same-bucket equi-join, then the exact rounded cosine."""
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        rp_lsh_pairs,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    return rp_lsh_pairs(emb, n_bits=6, min_cosine=0.3).select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "score",
+    )
+
+
+def q_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha = 0.5) language-mixture rebalancing:
+    per-lang keep rate sqrt(min_count / count), membership by salted
+    md5 bucket; output = per-lang survivor counts + the keep rate."""
+    from amazon_personalize_connectors_spark.functions.text import (
+        temperature_resample,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    kept = temperature_resample(docs, group_col="lang", id_col="doc_id")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.min("keep_rate"), 6).alias("keep_rate"),
+    )
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup, oracle-checked: the events table is
+    staged TWICE into the landing prefix (two identical file batches);
+    dropDuplicatesWithinWatermark must emit each event exactly once —
+    a duplicate is either matched in state or dropped as late, and
+    its first copy was already emitted, so the AvailableNow result is
+    the batch DISTINCT regardless of how files split into
+    micro-batches."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_dedup,
+    )
+
+    landing = tempfile.mkdtemp(prefix="apc-stream-dedup-")
+    batch = synthetic.load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    batch.coalesce(4).write.mode("append").parquet(landing)
+    batch.coalesce(4).write.mode("append").parquet(landing)
+    stream = spark.readStream.schema(batch.schema).parquet(landing)
+    out = stream_dedup(stream, ["event_id"], "ts", "1 hour")
+    return run_stream_to_memory(
+        out.select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "event_type",
+        ),
+        output_mode="append",
+    )
+
+
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quartiles (ntile window) per order priority with
+    per-bucket counts and integer-cents bounds — the histogram/binning
+    member of the window family. Tie-broken by order key so bucket
+    assignment is deterministic; one window shuffle on the group key."""
+    from pyspark.sql.window import Window
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    return (
+        orders.select("o_orderpriority", "o_orderkey", cents.alias("cents"))
+        .withColumn("q", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("q").cast("bigint").alias("quartile"),
+            "n",
+            "lo_cents",
+            "hi_cents",
+        )
+    )
+
+
+def q_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic reservoir-style sample of k=3 events per event
+    type: rank by a salted md5 of the event id (uniform,
+    engine-portable, stable under growth and repartitioning — unlike
+    sampleBy) and keep the first k per group. One window shuffle."""
+    from pyspark.sql.window import Window
+
+    events = synthetic.load_events(spark, sf_dir)
+    key = F.md5(
+        F.concat_ws("|", F.col("event_id").cast("string"), F.lit("sample-v1"))
+    )
+    w = Window.partitionBy("event_type").orderBy("__k", "event_id")
+    return (
+        events.select("event_type", "event_id", key.alias("__k"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "event_type",
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def q_approx_median_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch validation (the approx_distinct pattern): per
+    priority, the exact integer-cents median next to a flag that
+    percentile_approx (GK sketch, accuracy 1000, mergeable — no
+    per-group sort) landed within 2%. The oracle pins the flag TRUE,
+    so a sketch regression fails the value-hash while exact values
+    stay engine-comparable."""
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    agg = (
+        orders.select("o_orderpriority", cents.alias("cents"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(cents, 0.5)").alias("median_cents"),
+            F.expr("approx_percentile(cents, 0.5, 1000)").alias("__apx"),
+        )
+    )
+    return agg.select(
+        "o_orderpriority",
+        "median_cents",
+        (
+            F.abs(F.col("__apx") - F.col("median_cents"))
+            <= 0.02 * F.col("median_cents")
+        ).alias("approx_within_2pct"),
+    )
+
+
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LLM corpus-prep chain as ONE lazy plan: quality filter
+    -> exact dedup (min-id representative, one window shuffle) ->
+    4-gram benchmark decontamination (contaminated survivors dropped)
+    -> temperature language rebalancing -> sequence packing into
+    512-token context windows. Every stage is the library operator;
+    the composition proves they fuse without materialization
+    barriers."""
+    from pyspark.sql.window import Window
+
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        decontaminate_ngrams,
+    )
+    from amazon_personalize_connectors_spark.functions.text import (
+        pack_sequences,
+        quality_filter_flags,
+        temperature_resample,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    flags = quality_filter_flags(F.col("text"))
+    kept = docs.where(flags["keep"]).select(
+        "doc_id", "lang", "text", flags["n_tokens"].alias("n_tokens")
+    )
+    w = Window.partitionBy(F.md5("text"))
+    reps = (
+        kept.withColumn("min_id", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("min_id"))
+        .drop("min_id")
+    )
+    train = reps.where(F.col("doc_id") % 10 != 7)
+    bench = docs.where(F.col("doc_id") % 10 == 7)
+    contaminated = decontaminate_ngrams(train, bench, n=4).select(
+        F.col("train_id").alias("doc_id")
+    )
+    clean = train.join(contaminated, "doc_id", "left_anti")
+    balanced = temperature_resample(clean, group_col="lang", id_col="doc_id")
+    packed = pack_sequences(
+        balanced.select("doc_id", "lang", "n_tokens"), ["doc_id"], capacity=512
+    )
+    return packed.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "start_offset",
+        "bin_id",
+    )
+
+
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregate (30-min gap): Spark merges
+    overlapping per-event windows inside one (user, session)
+    aggregate — the engine's third sessionization strategy next to
+    the window-lag form (events_sessionize) and the stateful
+    applyInPandasWithState form, all pinned to the same
+    island-detection semantics. Bounds exposed as exact integer
+    microseconds (second-level formatting differs across engines on
+    fractional timestamps)."""
+    events = synthetic.load_events(spark, sf_dir)
+    agg = events.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return agg.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.unix_micros("session_window.start").alias("start_us"),
+        F.unix_micros("session_window.end").alias("end_us"),
+        "n_events",
+    )
+
+
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured columns: parse the
+    JSON props string once into a variant, then typed variant_get
+    extraction — no per-query re-parsing, open schema. The oracle is
+    classic JSON-path extraction, pinning variant results to the
+    string-path semantics."""
+    events = synthetic.load_events(spark, sf_dir)
+    v = events.select(
+        "event_id", "event_type", F.parse_json("props").alias("v")
+    )
+    return v.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k_val"),
+        (F.expr("variant_get(v, '$.k', 'bigint')") % 2 == 0).alias("k_even"),
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal: 3-token segments appearing in
+    more than 2 distinct docs are stripped corpus-wide, documents
+    reconstructed from surviving segments in order (text pinned by
+    digest). One codegen segmentation pass, one distinct-doc-count
+    aggregate on the segment hash, one ordered re-nest."""
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        strip_repeated_segments,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    out = strip_repeated_segments(docs, seg_tokens=3, max_doc_freq=2)
+    return out.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("n_segs").cast("bigint").alias("n_segs"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.md5("clean_text").alias("clean_digest"),
+    )
+
+
+def q_line_dedup_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB form of line_dedup: the segment table is written to
+    parquet once and feeds both the frequency aggregate and the
+    reconstruction branch (the recompute form segments the corpus
+    twice). Same oracle as line_dedup — identical results from a
+    different physical strategy."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        strip_repeated_segments_materialized,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="apcs_segments_")
+    out = strip_repeated_segments_materialized(
+        spark, docs, f"{work}/segments", seg_tokens=3, max_doc_freq=2
+    )
+    return out.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("n_segs").cast("bigint").alias("n_segs"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.md5("clean_text").alias("clean_digest"),
+    )
+
+
+def q_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration PageRank over the Jaccard near-dup graph in exact
+    fixed-point integer arithmetic (ranks scaled by 1e12, integral
+    div everywhere) — bit-reproducible on any engine/partitioning;
+    the iterative driver-unrolled pattern next to kmeans_refine and
+    neardup_components."""
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        ngram_jaccard_pairs_materialized,
+        pagerank_fixed_point,
+    )
+
+    import tempfile
+
+    docs = synthetic.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    work = tempfile.mkdtemp(prefix="apcs_pr_sh_")
+    edges = ngram_jaccard_pairs_materialized(spark, docs, f"{work}/shingles")
+    return pagerank_fixed_point(edges, n_iter=2).select(
+        F.col("node").cast("bigint").alias("node"), "rank"
+    )
+
+
+def q_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM statistics: exact counts and conditional
+    probability P(w2 | w1) = c(w1 w2) / c(w1 ·) as exact
+    bigint/bigint division. One codegen bigram explode, two
+    map-side-combinable aggregates sharing the (w1-keyed) second
+    shuffle via broadcast join back. Bounded output: bigrams seen
+    at least 5 times."""
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    from amazon_personalize_connectors_spark.functions.text import tokens
+
+    with_t = docs.select(tokens(F.col("text")).alias("t")).where(
+        F.size("t") >= 2
+    )
+    big = with_t.select(
+        "t",
+        F.explode(F.sequence(F.lit(0), F.size("t") - 2)).alias("i"),
+    ).select(
+        F.get("t", F.col("i")).alias("w1"),
+        F.get("t", F.col("i") + 1).alias("w2"),
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    return (
+        c12.where(F.col("c12") >= 5)
+        .join(F.broadcast(c1), "w1")
+        .select(
+            "w1", "w2", "c12", "c1",
+            (F.col("c12") / F.col("c1")).alias("p"),
+        )
+    )
+
+
+def q_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM coverage scoring: the LM is built from the train
+    split (doc_id % 10 != 7) and every held-out doc is scored by its
+    known-bigram count, summed LM mass, and known fraction — the
+    integer-exact stand-in for perplexity filtering. One bigram-keyed
+    equi-join + one per-doc aggregate; no broadcast assumption (a
+    web-scale LM is itself large)."""
+    from amazon_personalize_connectors_spark.functions.text import lm_coverage
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 7)
+    heldout = docs.where(F.col("doc_id") % 10 == 7)
+    return lm_coverage(train, heldout).select(
+        F.col("id").cast("bigint").alias("id"),
+        "n_bigrams", "n_hits", "hit_mass", "coverage",
+    )
+
+
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge round: top-20 adjacent character pairs inside
+    tokens, corpus-wide — the statistic a byte-pair tokenizer trainer
+    computes per merge. One count aggregate over two codegen explodes;
+    the global top-n sorts only the aggregated pair table."""
+    from amazon_personalize_connectors_spark.functions.text import bpe_pair_stats
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    return bpe_pair_stats(docs, top_n=20)
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring removal: 8-token grams occurring in
+    >= 2 distinct docs mark their positions for removal everywhere;
+    docs rebuilt from surviving tokens (md5 of the cleaned text is
+    the portable value-hash). Grams hash to 64 bits pre-shuffle; all
+    joins are 8-byte equi-joins — the overlapping-span complement to
+    line_dedup's fixed segments."""
+    from amazon_personalize_connectors_spark.functions.dedup import substring_dedup
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    return substring_dedup(docs, n=8, min_docs=2).select(
+        F.col("id").cast("bigint").alias("id"),
+        "n_tokens", "n_removed", "clean_md5",
+    )
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key per order, interleaving the
+    customer bucket and the order-date day bucket — the
+    multi-dimensional layout key that, range-partitioned and sorted,
+    bounds how many files a (customer AND date-range) predicate
+    touches. Pure int64 shift/mask/add codegen; bit-identical in any
+    engine."""
+    from amazon_personalize_connectors_spark.operators.layout import zorder_key
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 1024).cast("bigint")
+    y = (
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1995-01-01"))
+        )
+        % 1024
+    ).cast("bigint")
+    return orders.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        x.alias("x"),
+        y.alias("y"),
+        zorder_key([x, y], bits=10).alias("zkey"),
+    )
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-aware train/val/test split: near-duplicate documents
+    must land in the SAME split, or eval leaks training content — so
+    membership is decided by the salted md5 bucket of each doc's
+    near-dup COMPONENT representative (singletons represent
+    themselves), not of the doc id. Output: per-split doc and
+    component counts; the oracle replays components + bucketing, so
+    any doc crossing splits breaks the value-hash."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        neardup_components,
+        ngram_jaccard_pairs_materialized,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    work = tempfile.mkdtemp(prefix="apcs_split_sh_")
+    comp = neardup_components(
+        ngram_jaccard_pairs_materialized(spark, docs, f"{work}/shingles")
+    ).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    with_comp = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("component").cast("string"), F.lit("split-v1")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    split = (
+        F.when(bucket < 3435973836, F.lit("train"))
+        .when(bucket < 3865470566, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        with_comp.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("component").alias("n_components"),
+        )
+    )
+
+
+def q_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search against a PERSISTED parquet index (build once:
+    centroids + block-partitioned inverted lists; serve: quantize
+    queries, equi-join the stored lists with partition pruning) —
+    result-identical to the in-plan ivf_probe_topk, same oracle."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        ivf_index_build,
+        ivf_probe_topk_indexed,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    index = tempfile.mkdtemp(prefix="apcs_ivf_index_")
+    ivf_index_build(spark, emb, index)
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    return ivf_probe_topk_indexed(spark, index, queries_df, k=5).select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("n_id").cast("bigint").alias("n_id"),
+        "rank", "score",
+    )
+
+
+def q_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF search against the persisted index
+    (functions/similarity.py:ivf_probe_topk_indexed, nprobe=2): each
+    query probes its TWO nearest inverted lists — the standard recall
+    dial for vectors near a Voronoi boundary, whose true neighbors
+    sit in the runner-up cell that nprobe=1 structurally misses
+    (q:ivf_index_probe is the single-probe baseline; the graph-ANN
+    answer to the same problem is q:hnsw_topk's hub hops). The
+    oracle re-derives centroids, ranks each query's top-2 cells, and
+    brute-forces within them."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        ivf_index_build,
+        ivf_probe_topk_indexed,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    index = tempfile.mkdtemp(prefix="apcs_ivf_mp_")
+    ivf_index_build(spark, emb, index)
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    return ivf_probe_topk_indexed(
+        spark, index, queries_df, k=5, nprobe=2
+    ).select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("n_id").cast("bigint").alias("n_id"),
+        "rank", "score",
+    )
+
+
+def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-similarity decontamination (functions/similarity.py:
+    embedding_decontaminate): the SEMANTIC leakage check next to the
+    n-gram q:decontaminate — every corpus vector is flagged when its
+    cosine against ANY held-out vector (vec_id % 50 == 0, the eval
+    proxy) reaches 0.8. One broadcast of the small held-out side, one
+    map-side max/count — the corpus never shuffles. Held-out members
+    of the corpus flag themselves at cosine 1."""
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        embedding_decontaminate,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    heldout = emb.where(F.col("vec_id") % 50 == 0)
+    return embedding_decontaminate(emb, heldout, min_cosine=0.8).select(
+        F.col("id").cast("bigint").alias("id"),
+        "n_hits",
+        "max_cosine",
+        "keep",
+    )
+
+
+def q_embedding_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-prefiltered embedding decontamination (functions/
+    similarity.py:embedding_decontaminate_lsh — VERDICT r7 item 3):
+    the same verdict as q:embedding_decontaminate, but only corpus
+    vectors sharing >=1 RP-LSH bucket (4 tables x 4 bits, the
+    lsh_signed_nodes signatures) with a held-out vector are scored —
+    the held-out BUCKET SETS ride one 1-row broadcast and the
+    candidate test is a codegen array_contains OR-chain, so the
+    corpus never shuffles and the exhaustive 10^4x per-row cosine
+    multiplier collapses to the candidate fraction. The oracle
+    replays signatures, prefilter, and scoring bit-for-bit."""
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        embedding_decontaminate_lsh,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    heldout = emb.where(F.col("vec_id") % 50 == 0)
+    return embedding_decontaminate_lsh(
+        emb, heldout, min_cosine=0.8, n_bits=4, n_tables=4
+    ).select(
+        F.col("id").cast("bigint").alias("id"),
+        "n_hits",
+        "max_cosine",
+        "keep",
+    )
+
+
+def q_stream_hnsw_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming kNN-graph maintenance (streaming/ann_monitor.py): the
+    embeddings arrive as a multi-file stream (AvailableNow); each
+    micro-batch recomputes top-m edges ONLY for nodes sharing an LSH
+    bucket with it (the quadratic work is incremental — history is
+    never re-scored) and rewrites only the t0 partitions holding
+    them. LAW: the drained edge store equals the batch layer-0 kNN
+    (similarity.py:knn_out_edges) — same buckets, same exact int
+    scores, same tie-breaks; the oracle replays that batch build
+    (the hnsw_topk pyramid through its out_m stage)."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.ann_monitor import (
+        edges_from_store,
+        maintain_from_stream,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    landing = tempfile.mkdtemp(prefix="apc-ann-landing-")
+    emb.repartition(4).write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(emb.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(landing)
+    store = tempfile.mkdtemp(prefix="apc-ann-store-")
+    ckpt = tempfile.mkdtemp(prefix="apc-ann-ckpt-")
+    maintain_from_stream(stream, store, ckpt, m=12, n_bits=4, n_tables=4)
+    return edges_from_store(spark, store).select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+        "qdot",
+    )
+
+__all__ = [
+    "q_salted_attribution",
+    "q_intersect_items",
+    "q_stream_windowed_counts",
+    "q_stream_interval_join",
+    "q_stream_static_join",
+    "q_expectations_audit",
+    "q_stratified_sample",
+    "q_event_funnel",
+    "q_running_revenue",
+    "q_cumulative_uniques",
+    "q_rollup_revenue",
+    "q_sliding_windows",
+    "q_cube_revenue",
+    "q_approx_distinct",
+    "q_topk_per_group",
+    "q_ann_recall",
+    "q_dedup_canonical",
+    "q_temporal_split",
+    "q_rolling_distinct_users",
+    "q_markov_transitions",
+    "q_rfm_features",
+    "q_rolling_revenue_28d",
+    "q_gap_fill_daily",
+    "q_cohort_retention",
+    "q_orders_islands",
+    "q_basket_lift",
+    "q_priority_sample",
+    "q_column_profile",
+    "q_decontaminate",
+    "q_pack_sequences",
+    "q_pii_scrub",
+    "q_rp_lsh_pairs",
+    "q_lang_mixture",
+    "q_stream_dedup",
+    "q_ntile_quartiles",
+    "q_sample_k_per_group",
+    "q_approx_median_check",
+    "q_corpus_prep_pipeline",
+    "q_session_window_native",
+    "q_variant_props",
+    "q_line_dedup",
+    "q_line_dedup_materialized",
+    "q_neardup_pagerank",
+    "q_bigram_stats",
+    "q_lm_coverage",
+    "q_bpe_pair_stats",
+    "q_substring_dedup",
+    "q_zorder_layout",
+    "q_leakage_safe_split",
+    "q_ivf_index_probe",
+    "q_ivf_multiprobe",
+    "q_embedding_decontaminate",
+    "q_embedding_decontaminate_lsh",
+    "q_stream_hnsw_edges",
+]

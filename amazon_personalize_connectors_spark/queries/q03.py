@@ -1,0 +1,1474 @@
+"""Query builders split out of __spark_entry__.py (r9): verbatim
+moves, same names, same behavior — the entry file star-imports
+this package to keep the driver contract stable."""
+
+from __future__ import annotations
+
+from amazon_personalize_connectors_spark.queries._shared import *  # noqa: F401,F403
+from amazon_personalize_connectors_spark.queries.q01 import *  # noqa: F401,F403
+from amazon_personalize_connectors_spark.queries.q02 import *  # noqa: F401,F403
+
+
+
+def q_hnsw_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN store COMPACTION (streaming/ann_monitor.py:
+    compact_store — VERDICT r7 item 8): two batch folds leave a
+    manifest referencing two version directories (read fan-out grows
+    ~1 version per micro-batch on a live stream); compaction rewrites
+    every sigs/vecs/edges bucket into ONE new version, flips the
+    pointer, prunes the superseded directories — and must leave the
+    assembled edge set BYTE-IDENTICAL. LAW (oracle-checked): the
+    compacted store's edges equal the batch layer-0 kNN over
+    everything folded — the exact out_m pyramid of
+    q:stream_hnsw_edges, reused verbatim as this query's oracle.
+    Crash-safety, stale-epoch refusal on the compacted base, and
+    fold-after-compaction are pytest-pinned (test_ann_monitor.py)."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.ann_monitor import (
+        apply_vectors_batch,
+        compact_store,
+        edges_from_store,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    store = tempfile.mkdtemp(prefix="apc-ann-compact-")
+    apply_vectors_batch(
+        emb.where(F.col("vec_id") % 2 == 0), 0, store,
+        m=12, n_bits=4, n_tables=4,
+    )
+    apply_vectors_batch(
+        emb.where(F.col("vec_id") % 2 == 1), 1, store,
+        m=12, n_bits=4, n_tables=4,
+    )
+    compact_store(spark, store)
+    return edges_from_store(spark, store).select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+        "qdot",
+    )
+
+
+
+def q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW-style graph ANN against a PERSISTED navigable-graph index
+    (functions/similarity.py:hnsw_index_build/hnsw_probe_topk —
+    Malkov & Yashunin, TPAMI 2018, flattened to a deterministic
+    two-layer batch build): a symmetrized top-12 exact-int kNN graph
+    whose candidate pairs come from 4 independent 4-bit
+    random-hyperplane LSH tables (geometry-aware blocking — one
+    table's bucket boundary cuts real neighborhoods, the union
+    recovers them), plus 2 cross-bucket hub links per node; the probe
+    is a 3-round beam search (ef=16) that starts at the hub layer
+    (one entry per table-0 bucket) and expands along the
+    stored edges, corpus never shuffling (candidate scoring joins the
+    node table against a broadcast of the bounded beam). Every score
+    is an exact int64 inner product of floor(v·10⁶) quantizations and
+    every prune tie-breaks by ascending id, so the DuckDB oracle
+    replays the entire search — build AND probe — bit for bit."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        hnsw_index_build,
+        hnsw_probe_topk,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    index = tempfile.mkdtemp(prefix="apcs_hnsw_index_")
+    hnsw_index_build(spark, emb, index, m=12)
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    return hnsw_probe_topk(spark, index, queries_df, k=5, ef=16, rounds=3)
+
+
+def q_hnsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN quality evaluation: recall@5 of the HNSW-style beam
+    search against the EXACT top-5 in the SAME quantized-int metric
+    (similarity.py:quantized_topk — sharing the metric keeps
+    quantization error out of the graph measurement; q:ann_recall is
+    the SQ8 sibling). Both rankings are deterministic, so the
+    per-query intersection count and the single constant division are
+    bit-stable; the oracle replays build, search, AND ground truth."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        hnsw_index_build,
+        hnsw_probe_topk,
+        quantized_topk,
+    )
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    index = tempfile.mkdtemp(prefix="apcs_hnsw_recall_")
+    hnsw_index_build(spark, emb, index, m=12)
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    approx = hnsw_probe_topk(
+        spark, index, queries_df, k=5, ef=16, rounds=3
+    ).select("q_id", "n_id")
+    exact = quantized_topk(emb, queries_df, k=5).select("q_id", "n_id")
+    hits = (
+        exact.join(approx, ["q_id", "n_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            F.col("q_id").cast("bigint").alias("q_id"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / F.lit(5.0)).alias("recall_at_5"),
+        )
+    )
+
+
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 build from the orders change log: per-customer priority
+    history with maximal [valid_from, valid_to) intervals (consecutive
+    unchanged snapshots collapse into one interval). One window pass
+    per key — operators/history.py:scd2_from_changelog."""
+    from amazon_personalize_connectors_spark.operators.history import (
+        scd2_from_changelog,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    log = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    scd = scd2_from_changelog(log, ["cust"], "d", ["prio"])
+    return scd.select(
+        "cust", "prio",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+        "is_current",
+    )
+
+
+def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a stored rollup (orders
+    before 1997) merged with a delta rollup (1997+) must equal the
+    full recompute — cost ∝ |state| + |delta|, never ∝ history.
+    operators/history.py:merge_rollup; the full-recompute SQL IS the
+    oracle, so the equivalence is what the driver checks."""
+    from amazon_personalize_connectors_spark.operators.history import merge_rollup
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    agg = lambda df: df.groupBy("prio").agg(
+        F.sum("price").alias("revenue"), F.count(F.lit(1)).alias("n")
+    )
+    state = agg(orders.where(F.col("d") < F.lit("1997-01-01").cast("date")))
+    delta = agg(orders.where(F.col("d") >= F.lit("1997-01-01").cast("date")))
+    merged = merge_rollup(state, delta, ["prio"], ["revenue"], "n")
+    return merged.select(
+        "prio", F.col("revenue").cast("double").alias("revenue"), "n"
+    )
+
+
+def q_distinct_rollup_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct customers per priority via mergeable bitmap
+    partials: monthly (prio, month) bitmaps bit_or-merged up to prio —
+    a daily/monthly materialization answers coarser distincts without
+    rescanning facts. functions/sketches.py; oracle = COUNT(DISTINCT)."""
+    from amazon_personalize_connectors_spark.functions.sketches import (
+        bitmap_distinct_merge,
+        bitmap_partials,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_custkey").alias("cust"),
+    )
+    partials = bitmap_partials(orders, ["prio", "month"], "cust")
+    return bitmap_distinct_merge(partials, ["prio"])
+
+
+def q_bloom_prune_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned EXACT semi-join: lineitem rows whose part is
+    size-45, pruned by a 3-hash Bloom bit-array literal before the
+    exact semi-join (big side never shuffles for the bloom pass).
+    Result identical to the plain semi-join — that's the oracle.
+    functions/sketches.py:bloom_prune_semi_join."""
+    from amazon_personalize_connectors_spark.functions.sketches import (
+        bloom_prune_semi_join,
+    )
+
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    part = synthetic.load_table(spark, sf_dir, "part")
+    keys = part.where(F.col("p_size") == 45).select("p_partkey")
+    hits = bloom_prune_semi_join(lineitem, keys, "l_partkey", "p_partkey")
+    return hits.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch rollup, ORACLE-CHECKED since r8 via an
+    EXECUTABLE ACCURACY CONTRACT (closing the VERDICT r7 item 7
+    rows-only tail — the raw Datasketches estimate has no DuckDB
+    equivalent, and its serialized bytes are insertion-order-
+    dependent, so the suggested byte-hash law is unsound; measured in
+    tests/test_sketches_history.py): daily (event_type, day) sketches
+    are union-merged to per-type estimates, then emitted as the EXACT
+    distinct-user count (pins the grouping pipeline cross-engine)
+    plus ``within_5pct`` — the estimate's documented ±5% accuracy
+    bound evaluated Spark-side, which the oracle asserts as literal
+    TRUE. An estimate drifting past its bound, or a broken merge,
+    flips the flag and the driver row goes red. merge==direct and
+    repartition-stability of the ESTIMATE stay pytest-pinned."""
+    from amazon_personalize_connectors_spark.functions.sketches import (
+        hll_partials,
+        hll_rollup,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir).select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = hll_partials(ev, ["event_type", "day"], "user_id")
+    approx = hll_rollup(daily, ["event_type"]).select(
+        "event_type",
+        F.col("approx_distinct").cast("bigint").alias("_approx"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return approx.join(exact, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("_approx") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_5pct"),
+    )
+
+
+
+def _orders_window_snapshot(spark, sf_dir, lo, hi):
+    """Per-customer (n, revenue) aggregate over an o_orderdate window —
+    the snapshot shape both CDC queries version-diff."""
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def q_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two snapshot versions (sliding one-year order
+    windows): one full-outer join on the key, null-safe struct
+    comparison drops unchanged keys, op in insert/update/delete with
+    the NEW values. operators/cdc.py:snapshot_diff."""
+    from amazon_personalize_connectors_spark.operators.cdc import snapshot_diff
+
+    old = _orders_window_snapshot(spark, sf_dir, "1995-01-01", "1996-01-01")
+    new = _orders_window_snapshot(spark, sf_dir, "1995-07-01", "1996-07-01")
+    return snapshot_diff(old, new, ["cust"])
+
+
+def q_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE application: rolling the old snapshot forward by the CDC
+    batch must reproduce the new snapshot EXACTLY — the oracle is the
+    new snapshot computed directly. operators/cdc.py:apply_changes."""
+    from amazon_personalize_connectors_spark.operators.cdc import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    old = _orders_window_snapshot(spark, sf_dir, "1995-01-01", "1996-01-01")
+    new = _orders_window_snapshot(spark, sf_dir, "1995-07-01", "1996-07-01")
+    return apply_changes(old, snapshot_diff(old, new, ["cust"]), ["cust"])
+
+
+def q_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 self-join over supplier names via FastSS
+    deletion-neighborhood blocking: variant fan-out is Catalyst-only,
+    candidates meet on an 8-byte hashed-variant equi-join, exact
+    levenshtein runs on candidates only — no cross join in the plan
+    (test-pinned). functions/fuzzy.py:editdist_self_join."""
+    from amazon_personalize_connectors_spark.functions.fuzzy import (
+        editdist_self_join,
+    )
+
+    supplier = synthetic.load_table(spark, sf_dir, "supplier")
+    return editdist_self_join(supplier, "s_suppkey", "s_name")
+
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via fixed-width bucket blocking (no
+    range-predicate cartesian): order activity intervals x part
+    campaign intervals, aggregated per part. Exact integer overlap
+    lengths. operators/analytics.py:interval_overlap_join."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        interval_overlap_join,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    left = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("oid"),
+        day.cast("long").alias("ls"),
+        (day + F.col("o_orderkey") % 20 + 1).cast("long").alias("le"),
+    )
+    part = synthetic.load_table(spark, sf_dir, "part")
+    base = F.lit(9131)  # epoch day of 1995-01-01
+    right = part.select(
+        F.col("p_partkey").alias("pid"),
+        (base + (F.col("p_partkey") * 17) % 3000).cast("long").alias("rs"),
+        (base + (F.col("p_partkey") * 17) % 3000 + F.col("p_partkey") % 30 + 1)
+        .cast("long")
+        .alias("re"),
+    )
+    pairs = interval_overlap_join(
+        left, right, ("oid", "ls", "le"), ("pid", "rs", "re"), bucket_width=16
+    )
+    return pairs.groupBy(F.col("r_id").alias("pid")).agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.sum("overlap_len").cast("bigint").alias("sum_overlap"),
+    )
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable binned quantiles: (priority, month, bin) count
+    partials merged up to priority, discrete p50/p90/p99 from the
+    cumulative bin histogram — plain-row partials persist and re-roll
+    at any grain, unlike approx_percentile state.
+    functions/sketches.py:histogram_partials/histogram_quantiles."""
+    from amazon_personalize_connectors_spark.functions.sketches import (
+        histogram_partials,
+        histogram_quantiles,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_totalprice").alias("price"),
+    )
+    fine = histogram_partials(orders, ["prio", "month"], "price", 10000.0)
+    return histogram_quantiles(fine, ["prio"], [0.5, 0.9, 0.99], 10000.0)
+
+
+def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution composite: fuzzy blocking join (deletion
+    neighborhood, functions/fuzzy.py) -> connected components
+    (functions/dedup.py) -> per-cluster stats, singletons kept as
+    their own cluster. The full record-linkage pipeline with every
+    stage an equi-join."""
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        neardup_components,
+    )
+    from amazon_personalize_connectors_spark.functions.fuzzy import (
+        editdist_self_join,
+    )
+
+    supplier = synthetic.load_table(spark, sf_dir, "supplier")
+    pairs = editdist_self_join(
+        supplier, "s_suppkey", "s_name", block_col="s_nationkey"
+    )
+    comp = neardup_components(pairs).select(
+        F.col("id").alias("s_suppkey"), "component"
+    )
+    labeled = (
+        supplier.select("s_suppkey", "s_name")
+        .join(comp, "s_suppkey", "left")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.coalesce("component", F.col("s_suppkey")).alias("cluster"),
+        )
+    )
+    return labeled.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("s_name").alias("canonical_name"),
+    )
+
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority top-k): 3-way join with
+    selective filters on every input, decimal-exact revenue, top 10.
+    Catalyst orders the joins; the customer filter prunes before the
+    join (PushedFilters), and AQE picks broadcast for the filtered
+    customer side at driver scale. Deterministic tie-break on
+    l_orderkey keeps top-k engine-portable."""
+    customer = synthetic.load_table(spark, sf_dir, "customer")
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-03-15").cast("timestamp_ntz")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return (
+        customer.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < cutoff)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate").cast("timestamp_ntz") > cutoff)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").cast("string").alias("o_orderdate"))
+        .agg(F.sum(rev).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            "o_orderdate",
+        )
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): 6-way join where the
+    two dimension chains (customer->nation->region and
+    supplier->nation) meet on the SAME nationkey — the classic
+    join-graph the optimizer must not turn into a cartesian. nation
+    and region are explicit broadcasts; revenue decimal-exact."""
+    customer = synthetic.load_table(spark, sf_dir, "customer")
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    supplier = synthetic.load_table(spark, sf_dir, "supplier")
+    nation = synthetic.load_table(spark, sf_dir, "nation")
+    region = synthetic.load_table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    lo = F.lit("1995-01-01").cast("timestamp_ntz")
+    hi = F.lit("1996-01-01").cast("timestamp_ntz")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("_rev"))
+        .select("n_name", F.col("_rev").cast("double").alias("revenue"))
+    )
+
+
+
+def q_covisitation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-visitation model from the user-item bridge: top-5
+    co-interacted items per item, power users capped before pairing
+    (cap inert at driver SFs so the capless SQL oracle matches; the
+    capping semantics are pytest-pinned). operators/recsys.py."""
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        covisitation_topk,
+    )
+
+    mapping = synthetic.user_item_mapping(spark, sf_dir).select(
+        F.col("USER_ID").cast("bigint").alias("user_id"),
+        F.col("ITEM_ID").cast("bigint").alias("item_id"),
+    )
+    return covisitation_topk(mapping, k=5, max_items_per_user=1000, min_common=2)
+
+
+def q_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-coverage monitor over the related-items batch payload:
+    items covered / recommended / dead-rec rows vs the metadata
+    catalog (every 7th key missing -> nonzero dead rows by
+    construction). operators/recsys.py:rec_catalog_coverage."""
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        rec_catalog_coverage,
+    )
+
+    recs = synthetic.related_items_batch_inference(spark, sf_dir)
+    exploded = recs.where(F.col("error").isNull()).select(
+        F.col("input.itemId").alias("query_item_id"),
+        F.explode("output.recommendedItems").alias("rec_item"),
+    )
+    catalog = synthetic.item_metadata(spark, sf_dir).select(
+        F.col("id").alias("item_id")
+    )
+    return rec_catalog_coverage(exploded, catalog, "rec_item", "item_id")
+
+
+def q_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline hit-rate eval of the related-items payload against
+    co-interaction ground truth from the user-item bridge: a rec pair
+    hits when some user interacted with both items. Integer outputs
+    only. operators/recsys.py:rec_hitrate_by_cooccurrence."""
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        rec_hitrate_by_cooccurrence,
+    )
+
+    recs = synthetic.related_items_batch_inference(spark, sf_dir)
+    exploded = recs.where(F.col("error").isNull()).select(
+        F.col("input.itemId").alias("query_item_id"),
+        F.explode("output.recommendedItems").alias("rec_item"),
+    )
+    mapping = synthetic.user_item_mapping(spark, sf_dir).select(
+        F.col("USER_ID").alias("user_id"), F.col("ITEM_ID").alias("item_id")
+    )
+    # truth-side per-user cap: inert at driver SFs (no bridge user has
+    # 1000 distinct items) so the capless SQL oracle matches; the
+    # capping semantics themselves are pytest-pinned
+    return rec_hitrate_by_cooccurrence(
+        exploded, mapping, max_items_per_user=1000
+    )
+
+
+
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-negative sampler: up to 5 non-interacted
+    catalog items per user via the portable salted-md5 recipe — the
+    SAME hash is expressible in ANSI SQL, so the sampler itself (not
+    just its invariants) is oracle-checked.
+    operators/recsys.py:negative_sampling."""
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        negative_sampling,
+    )
+
+    mapping = synthetic.user_item_mapping(spark, sf_dir).select(
+        F.col("USER_ID").cast("bigint").alias("user_id"),
+        F.col("ITEM_ID").cast("bigint").alias("item_id"),
+    )
+    part = synthetic.load_table(spark, sf_dir, "part")
+    catalog = part.select(F.col("p_partkey").alias("item_id"))
+    return negative_sampling(mapping, catalog, k=5, oversample=3)
+
+
+
+def q_user_profile_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User profile embeddings: per (user, dim) the EXACT bigint sum
+    of interacted-item embedding elements in micro-units plus the
+    member count (items bridge to vectors by id modulo the vector
+    count — fixture bridging, broadcast 1-row modulus). Integer sums
+    are associative, so the result is bit-identical under any
+    partitioning — the round-4 red row was a double avg() whose 6-dp
+    rounding flipped with accumulation order. The mean is
+    vsum_micro / (1e6 * n_vecs), recoverable downstream.
+    operators/recsys.py:profile_vector_sums."""
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        profile_vector_sums,
+    )
+
+    mapping = synthetic.user_item_mapping(spark, sf_dir).select(
+        F.col("USER_ID").cast("bigint").alias("user_id"),
+        F.col("ITEM_ID").cast("bigint").alias("item_id"),
+    )
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    nv = emb.agg(F.count(F.lit(1)).alias("_n"))
+    joined = (
+        mapping.crossJoin(F.broadcast(nv))
+        .withColumn("vec_id", F.pmod(F.col("item_id"), F.col("_n")))
+        .join(emb, "vec_id")
+        .select("user_id", "embedding")
+    )
+    return profile_vector_sums(joined, "user_id", "embedding").select(
+        "user_id", F.col("dim").cast("int").alias("dim"), "vsum_micro", "n_vecs"
+    )
+
+
+
+def q_funnel_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel with conversion windows (view -> click within
+    2h -> purchase within 24h): each step matches the earliest event
+    strictly after the previous match inside its window — the
+    product-analytics semantics the ordering-only funnel
+    (q_event_funnel) does not capture. ONE shuffle: per-user sorted
+    event-time arrays folded with array_min(filter(...)).
+    operators/analytics.py:funnel_with_windows."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        funnel_with_windows,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir)
+    out = funnel_with_windows(
+        ev,
+        [("view", None), ("click", 7_200_000_000), ("purchase", 86_400_000_000)],
+    )
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "steps_completed",
+        "t1", "t2", "t3",
+    )
+
+
+
+def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily revenue per priority with missing days carried
+    forward (LOCF): calendar densification (broadcast bounds, no
+    driver collect) then one unbounded-preceding last(ignorenulls)
+    window — the "price on days with no trades" shape.
+    operators/analytics.py:gap_fill_days + locf_fill."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        gap_fill_days,
+        locf_fill,
+    )
+
+    daily = (
+        synthetic.load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < F.lit("1995-03-01").cast("timestamp_ntz"))
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+        )
+    )
+    dense = gap_fill_days(daily, ["prio"], "day", "revenue", fill_value=None)
+    filled = locf_fill(dense, ["prio"], "day", ["revenue"])
+    return filled.select(
+        "prio",
+        F.col("day").cast("string").alias("day"),
+        F.col("revenue").cast("double").alias("revenue"),
+    )
+
+
+
+def q_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-based outlier audit: per priority, orders whose
+    price exceeds the p90 histogram band (mergeable binned quantiles
+    joined back as a broadcast threshold) — the anomaly-screen shape:
+    thresholds from partials, one broadcast join, zero re-sort of the
+    facts. Composes functions/sketches.py histogram quantiles."""
+    from amazon_personalize_connectors_spark.functions.sketches import (
+        histogram_partials,
+        histogram_quantiles,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+    )
+    bands = histogram_quantiles(
+        histogram_partials(orders, ["prio"], "price", 10000.0),
+        ["prio"], [0.9], 10000.0,
+    ).select("prio", F.col("value").alias("p90_band"))
+    flagged = orders.join(F.broadcast(bands), "prio").where(
+        F.col("price") >= F.col("p90_band") + 10000.0  # above the p90 bin
+    )
+    return flagged.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n_outliers"),
+        F.max(F.col("price").cast("decimal(18,2)")).cast("double").alias("max_price"),
+    )
+
+
+
+def q_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority revenue trend: OLS slope/intercept of daily
+    revenue over the day index, from five exactly-accumulated
+    sufficient statistics in ONE combinable aggregate (never a
+    per-group fit loop). operators/analytics.py:grouped_linear_trend."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        grouped_linear_trend,
+    )
+
+    daily = (
+        synthetic.load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
+            ).alias("day_idx"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+        )
+    )
+    return grouped_linear_trend(daily, ["prio"], "day_idx", "revenue")
+
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-10 documents for the query {hash, join,
+    window} — Robertson idf + tf saturation/length normalization, the
+    tf table filtered to query terms before any join, global top-k via
+    TakeOrdered (no single-task window over the corpus). 6-dp rounding
+    keeps libm ulp noise out of the ranking.
+    functions/text.py:bm25_topk."""
+    from amazon_personalize_connectors_spark.functions.text import bm25_topk
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["hash", "join", "window"], k=10).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        "score", "n_terms_hit", "rank",
+    )
+
+
+
+def q_scd2_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History analytics over the SCD2 build: per priority value, how
+    many CLOSED intervals existed and their total/avg covered days
+    (current open-ended rows excluded — no sentinel arithmetic).
+    Integer day math on the interval bounds; composes
+    operators/history.py:scd2_from_changelog."""
+    from amazon_personalize_connectors_spark.operators.history import (
+        scd2_from_changelog,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    log = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    scd = scd2_from_changelog(log, ["cust"], "d", ["prio"])
+    closed = scd.where(~F.col("is_current")).withColumn(
+        "days", F.datediff("valid_to", "valid_from")
+    )
+    return closed.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("days").cast("bigint").alias("total_days"),
+        F.round(F.avg("days"), 6).alias("avg_days"),
+    )
+
+
+
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick TF-IDF vectorizer: 64-dim sparse doc features via
+    the portable salted-md5 dimension map (the feature assignment
+    itself is oracle-checked, not just shapes); weights = tf * idf
+    summed over colliding terms. functions/text.py:
+    hashed_tfidf_features."""
+    from amazon_personalize_connectors_spark.functions.text import (
+        hashed_tfidf_features,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    return hashed_tfidf_features(docs, n_dims=64).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("dim").cast("int").alias("dim"),
+        "weight",
+    )
+
+
+def q_price_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority exact percentile rank of each order's price
+    (percent_rank window over pre-deduplicated (prio, price) pairs so
+    the window input is the distinct-value set, not the fact table),
+    joined back to count orders at or below each decile. Output: per
+    (prio, decile) order counts — integer-exact."""
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("prio").orderBy("price")
+    ranked = orders.withColumn("pr", F.percent_rank().over(w))
+    decile = F.least(F.floor(F.col("pr") * 10).cast("int"), F.lit(9))
+    return ranked.groupBy("prio", decile.alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("pr"), 6).alias("min_pr"),
+    )
+
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew pre-flight over the lineitem part key: top-10
+    heaviest keys with exact counts and skew factor vs the mean key
+    load — the diagnosis that decides salting / AQE skew-join handling
+    before a big join. operators/analytics.py:key_skew_report."""
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        key_skew_report,
+    )
+
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    return key_skew_report(lineitem, ["l_partkey"], top_k=10)
+
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: the 20 most common 3-step event-type
+    sequences inside 30-minute sessions — the "how do users get to
+    purchase" analysis. Sessionize (lag + running flag sum, one window
+    pass), collect each session's ordered type path, slide a trigram
+    window over the array (generator, no joins), count globally,
+    TakeOrdered top-20."""
+    from pyspark.sql.window import Window
+
+    ev = synthetic.load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800 * 1000 * 1000), 1).otherwise(0)
+    sess = ev.withColumn("sid", F.sum(new_s).over(w))
+    paths = sess.groupBy("user_id", "sid").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ).alias("path")
+    )
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — drop short
+    # paths before building the index range
+    trigrams = paths.where(F.size("path") >= 3).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("path") - F.lit(2)),
+                lambda i: F.concat_ws(
+                    ">",
+                    F.element_at("path", i.cast("int")),
+                    F.element_at("path", (i + 1).cast("int")),
+                    F.element_at("path", (i + 2).cast("int")),
+                ),
+            )
+        ).alias("trigram")
+    )
+    counts = trigrams.groupBy("trigram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top = counts.orderBy(F.col("n").desc(), "trigram").limit(20)
+    return top.select("trigram", F.col("n").cast("bigint").alias("n"))
+
+
+
+def q_revenue_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report contribution analysis: each (priority, status)
+    cell's share of its priority's revenue and of the grand total —
+    decimal-exact sums at every level, shares as single fixed-order
+    double divisions rounded 6dp. One aggregate + one partition window
+    + a broadcast 1-row grand total (never a second scan)."""
+    from pyspark.sql.window import Window
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    cell = orders.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+    )
+    w = Window.partitionBy("prio")
+    total = cell.agg(F.sum("revenue").alias("__grand"))
+    return (
+        cell.withColumn("prio_rev", F.sum("revenue").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "prio",
+            "status",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.round(
+                F.col("revenue").cast("double") / F.col("prio_rev").cast("double"), 6
+            ).alias("share_of_prio"),
+            F.round(
+                F.col("revenue").cast("double") / F.col("__grand").cast("double"), 6
+            ).alias("share_of_total"),
+        )
+    )
+
+
+
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2vec-style (center, context) skip-gram pair counts with a
+    symmetric +/-2 window — embedding training-pair extraction as one
+    generator over each doc's token array (no positional self-join,
+    no shuffle before the count). functions/text.py:skipgram_pairs."""
+    from amazon_personalize_connectors_spark.functions.text import skipgram_pairs
+
+    docs = synthetic.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    return skipgram_pairs(docs, window=2)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary audit: corpus OOV statistics against
+    the top-1000-term vocabulary (count desc, term asc — fully
+    deterministic truncation). The vocab is a TakeOrdered over the
+    term-count aggregate broadcast back as a semi-join; output is one
+    row of exact integers."""
+    from amazon_personalize_connectors_spark.functions.text import (
+        term_frequencies,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    tf = term_frequencies(docs)
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("n"))
+    vocab = counts.orderBy(F.col("n").desc(), "term").limit(1000).select("term")
+    flagged = tf.join(vocab, "term", "left_semi").groupBy().agg(
+        F.sum("tf").alias("in_vocab_tokens")
+    )
+    totals = tf.groupBy().agg(
+        F.sum("tf").alias("total_tokens"),
+        F.count_distinct("term").alias("distinct_terms"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(flagged))
+        .select(
+            F.col("total_tokens").cast("bigint").alias("total_tokens"),
+            F.col("distinct_terms").cast("bigint").alias("distinct_terms"),
+            F.col("in_vocab_tokens").cast("bigint").alias("in_vocab_tokens"),
+            (F.col("total_tokens") - F.col("in_vocab_tokens"))
+            .cast("bigint")
+            .alias("oov_tokens"),
+        )
+    )
+
+
+
+def q_trending_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items: top-5 parts per order-week by lineitem count
+    (count desc, part asc — deterministic). Week = integer
+    epoch-day/7 bucket (engine-portable; no week-truncation
+    semantics). One (week, part) aggregate then one ranking window
+    over the aggregated table."""
+    from pyspark.sql.window import Window
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    week = F.floor(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        / F.lit(7)
+    ).cast("bigint")
+    counts = (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(week.alias("week"), F.col("l_partkey").alias("part"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("week").orderBy(F.col("n").desc(), "part")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("week", "part", F.col("n").cast("bigint").alias("n"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def q_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per signup cohort over months-since-cohort
+    (the LTV-curve input): cohort = customer's first order month
+    index, cells decimal-exact, running total via one window over the
+    already-aggregated (cohort, offset) table."""
+    from pyspark.sql.window import Window
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    first_m = orders.groupBy("cust").agg(F.min("m").alias("cohort"))
+    cells = (
+        orders.join(first_m, "cust")
+        .groupBy("cohort", (F.col("m") - F.col("cohort")).alias("offset"))
+        .agg(F.sum("price").alias("revenue"))
+    )
+    w = Window.partitionBy("cohort").orderBy("offset")
+    return cells.withColumn(
+        "cum_revenue", F.sum("revenue").over(w)
+    ).select(
+        F.col("cohort").cast("bigint").alias("cohort"),
+        F.col("offset").cast("bigint").alias("offset"),
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("cum_revenue").cast("double").alias("cum_revenue"),
+    )
+
+
+
+def q_covisitation_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank eval of the co-visitation model under the
+    PROPER offline protocol — temporal holdout: the model trains on
+    pre-1997 interactions, ground truth is co-interaction in the
+    held-out 1997+ window (truth independent of the ranking signal;
+    evaluating against same-window support is structurally rank-1 —
+    the top rec always qualifies first). Output: items by
+    first-confirmed rank with exact counts + 6-dp reciprocal-rank
+    sums. All equi-joins; composes covisitation_topk.
+
+    The orders⋈lineitem interaction build happens ONCE: one grouped
+    aggregate computes per-(user, item) membership flags for the train
+    and test windows, and both branches filter on the AGGREGATED
+    flags. Filters on aggregate outputs cannot be pushed below the
+    aggregate, so the scan + join + partial-agg + exchange subtree is
+    byte-identical in both branches and Spark's ReuseExchange computes
+    it a single time — the shuffle files are the materialization, no
+    cache needed, at any scale. (A plain train/test filter column
+    would be pushed through the distinct and split the subtrees.) The
+    held-out truth self-join is capped per user with the same
+    hash-priority truncation as the model side (inert at driver SFs so
+    the capless SQL oracle matches; bounded-fan-out semantics
+    pytest-pinned)."""
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        cap_items_per_user,
+        covisitation_topk,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    inter = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+            (F.col("o_orderdate") < cut).alias("is_train"),
+        )
+        .groupBy("user_id", "item_id")
+        .agg(
+            F.max(F.col("is_train").cast("int")).alias("in_train"),
+            F.max((~F.col("is_train")).cast("int")).alias("in_test"),
+        )
+    )
+    train = inter.where(F.col("in_train") == 1).select("user_id", "item_id")
+    test = inter.where(F.col("in_test") == 1).select("user_id", "item_id")
+    # train rows are unique per (user, item) by construction (the
+    # groupBy above) — skip covisitation's dedup shuffle
+    recs = covisitation_topk(
+        train, k=5, max_items_per_user=1000, min_common=2,
+        assume_distinct=True,
+    )
+    capped = cap_items_per_user(
+        test.select(F.col("user_id").alias("u"), F.col("item_id").alias("i")),
+        1000,
+    )
+    # held-out truth pairs: same row-local generator shape as the
+    # model side — bounded per-user arrays, unordered pairs distinct'd
+    # on the halved stream, mirrored after
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        _half_pairs,
+    )
+
+    per_user = capped.groupBy("u").agg(F.collect_list("i").alias("_items"))
+    # No distinct() on the truth stream and no shuffle of it either:
+    # duplicates are harmless to a containment probe, and the rec
+    # table is tiny — so the millions of truth pairs STREAM past a
+    # broadcast hash of the recs (both orientations via the mirror
+    # union, still one pass), and only the matched survivors (≤ recs
+    # size in distinct keys) pay a dedup. The old shape dedup'd and
+    # shuffled the full truth pair stream twice for nothing.
+    half = _half_pairs(per_user, "item", "rec_item")
+    truth = half.unionByName(
+        half.select(
+            F.col("rec_item").alias("item"), F.col("item").alias("rec_item")
+        )
+    )
+    hits = (
+        truth.join(F.broadcast(recs), ["item", "rec_item"], "inner")
+        .select("item", "rec_item", "rank")
+        .dropDuplicates(["item", "rec_item"])
+    )
+    first_hit = hits.groupBy("item").agg(F.min("rank").alias("first_rank"))
+    return first_hit.groupBy("first_rank").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.round(F.sum(F.lit(1.0) / F.col("first_rank")), 6).alias("rr_sum"),
+    )
+
+
+
+def q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed item popularity: each order contributes
+    0.98^(days before the corpus max date) — the freshness-weighted
+    ranking signal behind "popular now" shelves. The reference date is
+    a broadcast 1-row max aggregate (no driver collect); integer day
+    deltas feed one pow per row and scores round to 6dp so libm ulp
+    and sum-order noise stay out of the comparison. Top-20 parts by
+    decayed score, deterministic tie-break."""
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    ref = orders.agg(F.max(F.to_date("o_orderdate")).alias("__ref"))
+    scored = (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .crossJoin(F.broadcast(ref))
+        .select(
+            F.col("l_partkey").alias("part"),
+            F.pow(
+                F.lit(0.98),
+                F.datediff(F.col("__ref"), F.to_date("o_orderdate")).cast("double"),
+            ).alias("w"),
+        )
+    )
+    pop = scored.groupBy("part").agg(
+        F.round(F.sum("w"), 6).alias("score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return (
+        pop.orderBy(F.col("score").desc(), "part")
+        .limit(20)
+        .select("part", "score", "n_events")
+    )
+
+
+
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-as-of join: each purchase matched to the SAME USER's
+    closest click within 1 hour, either direction (|delta| tie -> the
+    earlier click) — "what click surrounds this purchase". One
+    union+window shuffle serves both directions (last over preceding,
+    first over following on a single sort). operators/asof.py:
+    asof_nearest_join; oracle = range-join + deterministic pick."""
+    from amazon_personalize_connectors_spark.operators.asof import (
+        asof_nearest_join,
+    )
+
+    ev = synthetic.load_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    out = asof_nearest_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="click_ts",
+        right_payload=["click_event_id"],
+        tolerance_us=3600 * 1000_000,
+    )
+    return out.where(F.col("click_event_id").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "click_event_id",
+        F.col("asof_delta_us").alias("delta_us"),
+    )
+
+
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (operators/features.py): each
+    order's priority encoded as the mean order value of all OTHER
+    orders sharing the priority — the leakage-safe categorical
+    feature. Integer-cents target keeps the group sums exact; the
+    single final division (bigint/bigint → double) is
+    engine-deterministic, so no rounding is needed."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        target_encoding_loo,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return target_encoding_loo(
+        orders, "o_orderpriority", "cents", "te_loo_cents"
+    ).select("o_orderkey", "o_orderpriority", "te_loo_cents")
+
+
+def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group price summary (operators/features.py): clamp
+    line-item prices into the return-flag group's [5th, 95th]
+    discrete-percentile band and report bounds, clamped mean, and
+    clamp counts. All-integer rank/bound/sum math — exact across
+    engines by construction."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        winsorize_stats,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return winsorize_stats(li, ["l_returnflag"], "cents", 5, 95)
+
+
+def q_next_item_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-recommendation training examples
+    (operators/features.py): per customer, (context → next item)
+    pairs over the purchase stream in (order date, order key, line
+    number) order — the next-item dataset builder a Personalize
+    user exports for their own sequence model. Context flattened to
+    CSV for the value hash."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        next_item_examples,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    li = synthetic.load_table(spark, sf_dir, "lineitem")
+    inter = orders.join(
+        li, orders.o_orderkey == li.l_orderkey
+    ).select(
+        F.col("o_custkey").alias("u"),
+        F.col("l_partkey").cast("bigint").alias("i"),
+        "o_orderdate",
+        "o_orderkey",
+        "l_linenumber",
+    )
+    ex = next_item_examples(
+        inter, "u", "i", ["o_orderdate", "o_orderkey", "l_linenumber"], 3
+    )
+    return ex.select(
+        F.col("user").alias("user_id"),
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("label").cast("bigint").alias("label"),
+        F.array_join("context", ",").alias("context_csv"),
+    )
+
+
+def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (functions/sketches.py
+    frequent_values_exact): every token with global share > 0.2% of
+    the token stream, with exact counts — two-pass (batch-local
+    candidate superset via the sanctioned Arrow boundary, then exact
+    recount of candidates only), so the Zipf tail never shuffles.
+    Oracle is the plain exact GROUP BY/HAVING."""
+    from amazon_personalize_connectors_spark.functions.sketches import (
+        frequent_values_exact,
+    )
+    from amazon_personalize_connectors_spark.functions.text import tokens
+
+    docs = synthetic.load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    return frequent_values_exact(tok, "token", 0.002).select(
+        "token", "n", "share"
+    )
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift check (operators/features.py
+    ks_two_sample): returned vs non-returned line items' price
+    distributions. Integer-cents values keep the sup integer
+    (|cum_a*n_b - cum_b*n_a|) with ONE final division — engine-exact;
+    the cumulative CDFs ride the distributed prefix-sum, never a
+    single-task global window."""
+    from amazon_personalize_connectors_spark.operators.features import (
+        ks_two_sample,
+    )
+
+    li = synthetic.load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "l_returnflag",
+    )
+    return ks_two_sample(
+        li,
+        "cents",
+        F.col("l_returnflag") == "R",
+        F.col("l_returnflag") != "R",
+    )
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional sub-document containment (functions/dedup.py
+    containment_pairs): C(A in B) = common/|A| alongside C(B in A)
+    over the same rare-shingle candidate pairs as the Jaccard query —
+    catches short-inside-long duplication Jaccard misses. Integer
+    divisions only; same doc_id % 5 subset as the shingle fixtures."""
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        containment_pairs,
+    )
+
+    docs = synthetic.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    return containment_pairs(docs, "text", "doc_id", n=3, min_common=2)
+
+
+def q_covisitation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental co-visitation refresh (recsys.py
+    covisitation_increments): interactions split at a date cut into
+    state (old) and delta (new); old pair counts merge with the
+    delta increments — old x old pairs are NEVER regenerated. The
+    oracle is a FULL recompute over all interactions, checking the
+    merge law merge(pairs(old), inc(old, delta)) == pairs(old ∪ delta)
+    end-to-end, through the same top-k ranking as covisitation_topk."""
+    from pyspark.sql import Window
+
+    from amazon_personalize_connectors_spark.operators.recsys import (
+        _half_pairs,
+        covisitation_increments,
+    )
+
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    # a quarter of the user base carries the law check end-to-end —
+    # pair volume scales linearly with users, and the merge law is
+    # per-user, so the subset loses no coverage (filter pushed to the
+    # orders scan on both engines)
+    inter = (
+        orders.where(F.col("o_custkey") % 4 == 0)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("u"),
+            F.col("l_partkey").alias("i"),
+            (F.col("o_orderdate") < cut).alias("is_old"),
+        )
+        .groupBy("u", "i")
+        .agg(F.max(F.col("is_old").cast("int")).alias("in_old"))
+    )
+    state = inter.where(F.col("in_old") == 1).select("u", "i")
+    delta = inter.where(F.col("in_old") == 0).select("u", "i")
+    old_counts = (
+        _half_pairs(
+            state.groupBy("u").agg(F.collect_list("i").alias("_items")),
+            "item",
+            "rec_item",
+        )
+        .groupBy("item", "rec_item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common_delta"))
+    )
+    inc = covisitation_increments(state, delta)
+    merged = (
+        old_counts.unionByName(inc)
+        .groupBy("item", "rec_item")
+        .agg(F.sum("n_common_delta").cast("bigint").alias("n_common"))
+        .where(F.col("n_common") >= 2)
+    )
+    pairs = merged.unionByName(
+        merged.select(
+            F.col("rec_item").alias("item"),
+            F.col("item").alias("rec_item"),
+            "n_common",
+        )
+    )
+    rank_w = Window.partitionBy("item").orderBy(
+        F.col("n_common").desc(), F.col("rec_item")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= 5)
+        .select("item", "rec_item", "n_common", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator, ORACLE-CHECKED: the
+    applyInPandasWithState sessionizer (streaming/windows.py) drains
+    the events table through Trigger.AvailableNow and must emit
+    exactly the CLOSED sessions — every session except each user's
+    last (which is still open in state when the file stream runs dry;
+    processing-time timeouts cannot fire inside the run). The oracle
+    is the batch gap-island sessionization minus each user's final
+    session — pinning the state machine's gap semantics (strict >
+    30 min), counts, and bounds to the declarative form."""
+    import tempfile
+
+    from amazon_personalize_connectors_spark.streaming.windows import (
+        run_stream_to_memory,
+        sessionize_stateful,
+    )
+
+    landing = tempfile.mkdtemp(prefix="apc-stream-sess-")
+    ev = synthetic.load_events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"), "ts_us"
+    )
+    ev.coalesce(4).write.mode("append").parquet(landing)
+    stream = spark.readStream.schema(ev.schema).parquet(landing)
+    sessions = sessionize_stateful(
+        stream, gap_minutes=30, ts_us_col="ts_us", close_on_timeout=False
+    )
+    return run_stream_to_memory(
+        sessions.select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "session_start_us",
+            "session_end_us",
+            F.col("n_events").cast("bigint").alias("n_events"),
+        ),
+        output_mode="append",
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item revenue by customer): 4-way
+    join with a quarter date window and the returnflag filter pushed
+    to both scans, decimal-exact revenue, top 20. The nation dim
+    broadcasts; AQE picks broadcast for the filtered order window at
+    driver scale."""
+    customer = synthetic.load_table(spark, sf_dir, "customer")
+    orders = synthetic.load_table(spark, sf_dir, "orders")
+    lineitem = synthetic.load_table(spark, sf_dir, "lineitem")
+    nation = synthetic.load_table(spark, sf_dir, "nation")
+    lo = F.lit("1996-10-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return (
+        orders.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_returnflag") == "R")
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("decimal(18,2)").alias("_bal"),
+            "n_name",
+        )
+        .agg(F.sum(rev).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            "c_name",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.col("_bal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+    )
+
+__all__ = [
+    "q_hnsw_compact",
+    "q_hnsw_topk",
+    "q_hnsw_recall",
+    "q_scd2_dimension",
+    "q_incremental_rollup_merge",
+    "q_distinct_rollup_bitmap",
+    "q_bloom_prune_semi",
+    "q_hll_user_rollup",
+    "_orders_window_snapshot",
+    "q_snapshot_cdc",
+    "q_cdc_roundtrip",
+    "q_editdist_join",
+    "q_interval_overlap",
+    "q_histogram_quantiles",
+    "q_er_clusters",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_covisitation_topk",
+    "q_rec_coverage",
+    "q_rec_hitrate",
+    "q_negative_sampling",
+    "q_user_profile_vectors",
+    "q_funnel_windows",
+    "q_gap_fill_locf",
+    "q_price_outliers",
+    "q_revenue_trend",
+    "q_bm25_search",
+    "q_scd2_durations",
+    "q_hashed_features",
+    "q_price_percentile_rank",
+    "q_skew_report",
+    "q_session_paths",
+    "q_revenue_contribution",
+    "q_skipgram_pairs",
+    "q_vocab_coverage",
+    "q_trending_items",
+    "q_cohort_revenue",
+    "q_covisitation_mrr",
+    "q_decayed_popularity",
+    "q_asof_nearest",
+    "q_target_encoding",
+    "q_winsorize_prices",
+    "q_next_item_examples",
+    "q_frequent_tokens",
+    "q_ks_drift",
+    "q_containment_pairs",
+    "q_covisitation_incremental",
+    "q_stream_sessionize_stateful",
+    "q_tpch_q10",
+]
