@@ -11,352 +11,23 @@ from amazon_personalize_connectors_spark.queries.q05 import *  # noqa: F401,F403
 from amazon_personalize_connectors_spark.queries.q06 import *  # noqa: F401,F403
 from amazon_personalize_connectors_spark.queries._sqlcte import *  # noqa: F401,F403
 
-__all__ = [
-    "os",
-    "sys",
-    "Callable",
-    "datetime",
-    "timezone",
-    "DataFrame",
-    "SparkSession",
-    "F",
-    "ConnectorConfig",
-    "PipelineConfig",
-    "attribute_users",
-    "decorate_items",
-    "explode_recommendations",
-    "build_user_track_payloads",
-    "split_errors",
-    "limit_recommendations",
-    "related_items_pipeline",
-    "user_personalization_pipeline",
-    "synthetic",
-    "MAPPING_CTE",
-    "META_CTE",
-    "RECS_CTE",
-    "USER_RECS_CTE",
-    "RUN_TS",
-    "_CONNECTOR",
-    "_CONFIG",
-    "_ok_recs",
-    "_decorated_related",
-    "_flatten_decorated",
-    "q_error_split_ok",
-    "q_error_split_errors",
-    "q_attribution_join",
-    "q_explode_outer",
-    "q_decorate_flat",
-    "q_renest_ordered",
-    "q_renest_capped",
-    "q_flagship_related_flat",
-    "q_user_pers_flat",
-    "q_delta_except",
-    "q_payload_pivot",
-    "q_topk_slice",
-    "q_stamp_literals",
-    "q_text_tokens",
-    "q_text_quality",
-    "q_lang_profile",
-    "q_doc_fingerprint",
-    "q_dedup_exact",
-    "q_ngram_jaccard_pairs",
-    "q_neardup_components",
-    "q_neardup_triangles",
-    "q_ngram_jaccard_materialized",
-    "q_minhash_lsh",
-    "q_simhash",
-    "q_simhash64",
-    "q_state_digest_update",
-    "_QUALITY_FLAG_COLS",
-    "q_quality_filter",
-    "q_llm_corpus_survivors",
-    "q_chunk_documents",
-    "q_repetition_signals",
-    "q_simhash_neardup",
-    "q_ivf_probe_topk",
-    "q_hybrid_filtered_ann",
-    "q_kmeans_refine",
-    "q_ann_topk",
-    "q_ann_topk_partial",
-    "q_ann_quantized",
-    "q_sq8_cosine_topk",
-    "q_maxsim_multivector",
-    "q_maxsim_rerank",
-    "q_maxsim_ann_pipeline",
-    "q_maxsim_neardup",
-    "_maxsim_neardup_pipeline",
-    "q_maxsim_neardup_clustered",
-    "q_ivf_refined_probe",
-    "q_rrf_fusion",
-    "q_pq_adc",
-    "q_embedding_neardup",
-    "q_ivf_centroids",
-    "q_ivf_assign",
-    "q_events_hourly",
-    "q_events_sessionize",
-    "q_events_props",
-    "q_renest_legacy_window",
-    "q_delta_anti_hash",
-    "q_multimodal_decode",
-    "q_asof_join",
-    "q_lineitem_pricing",
-    "q_band_join_features",
-    "q_band_join_bucketed",
-    "q_window_analytics",
-    "q_semi_anti_join",
-    "q_pivot_events",
-    "q_percentiles",
-    "q_contiguous_ids",
-    "q_tfidf_top_terms",
-    "q_hash_split",
-    "q_salted_attribution",
-    "q_intersect_items",
-    "q_stream_windowed_counts",
-    "q_stream_interval_join",
-    "q_stream_static_join",
-    "q_expectations_audit",
-    "q_stratified_sample",
-    "q_event_funnel",
-    "q_running_revenue",
-    "q_cumulative_uniques",
-    "q_rollup_revenue",
-    "q_sliding_windows",
-    "q_cube_revenue",
-    "q_approx_distinct",
-    "q_topk_per_group",
-    "q_ann_recall",
-    "q_dedup_canonical",
-    "q_temporal_split",
-    "q_rolling_distinct_users",
-    "q_markov_transitions",
-    "q_rfm_features",
-    "q_rolling_revenue_28d",
-    "q_gap_fill_daily",
-    "q_cohort_retention",
-    "q_orders_islands",
-    "q_basket_lift",
-    "q_priority_sample",
-    "q_column_profile",
-    "q_decontaminate",
-    "q_pack_sequences",
-    "q_pii_scrub",
-    "q_rp_lsh_pairs",
-    "q_lang_mixture",
-    "q_stream_dedup",
-    "q_ntile_quartiles",
-    "q_sample_k_per_group",
-    "q_approx_median_check",
-    "q_corpus_prep_pipeline",
-    "q_session_window_native",
-    "q_variant_props",
-    "q_line_dedup",
-    "q_line_dedup_materialized",
-    "q_neardup_pagerank",
-    "q_bigram_stats",
-    "q_lm_coverage",
-    "q_bpe_pair_stats",
-    "q_substring_dedup",
-    "q_zorder_layout",
-    "q_leakage_safe_split",
-    "q_ivf_index_probe",
-    "q_ivf_multiprobe",
-    "q_embedding_decontaminate",
-    "q_embedding_decontaminate_lsh",
-    "q_stream_hnsw_edges",
-    "q_hnsw_compact",
-    "q_hnsw_topk",
-    "q_hnsw_recall",
-    "q_scd2_dimension",
-    "q_incremental_rollup_merge",
-    "q_distinct_rollup_bitmap",
-    "q_bloom_prune_semi",
-    "q_hll_user_rollup",
-    "_orders_window_snapshot",
-    "q_snapshot_cdc",
-    "q_cdc_roundtrip",
-    "q_editdist_join",
-    "q_interval_overlap",
-    "q_histogram_quantiles",
-    "q_er_clusters",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_covisitation_topk",
-    "q_rec_coverage",
-    "q_rec_hitrate",
-    "q_negative_sampling",
-    "q_user_profile_vectors",
-    "q_funnel_windows",
-    "q_gap_fill_locf",
-    "q_price_outliers",
-    "q_revenue_trend",
-    "q_bm25_search",
-    "q_scd2_durations",
-    "q_hashed_features",
-    "q_price_percentile_rank",
-    "q_skew_report",
-    "q_session_paths",
-    "q_revenue_contribution",
-    "q_skipgram_pairs",
-    "q_vocab_coverage",
-    "q_trending_items",
-    "q_cohort_revenue",
-    "q_covisitation_mrr",
-    "q_decayed_popularity",
-    "q_asof_nearest",
-    "q_target_encoding",
-    "q_winsorize_prices",
-    "q_next_item_examples",
-    "q_frequent_tokens",
-    "q_ks_drift",
-    "q_containment_pairs",
-    "q_covisitation_incremental",
-    "q_stream_sessionize_stateful",
-    "q_tpch_q10",
-    "q_tpch_q18",
-    "q_tpch_q4",
-    "q_tpch_q6",
-    "q_tpch_q14",
-    "q_tpch_q17",
-    "q_last_touch_attribution",
-    "q_audience_overlap",
-    "q_revenue_anomalies",
-    "q_rec_ndcg",
-    "_customer_privacy_classes",
-    "q_embedding_drift",
-    "q_stream_ks_drift",
-    "q_survival_repurchase",
-    "q_rec_diversity_ils",
-    "q_tpch_q1",
-    "q_tpch_q19",
-    "q_scd2_pit_revenue",
-    "q_source_quality",
-    "q_grouping_sets_revenue",
-    "q_except_all_returns",
-    "q_unpivot_metrics",
-    "q_tpch_q13",
-    "q_tpch_q15",
-    "q_tpch_q22",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q2",
-    "q_tpch_q9",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q16",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_forecast_mase",
-    "q_retractable_rollup",
-    "q_k_anonymity",
-    "q_privacy_gate",
-    "q_t_closeness",
-    "q_stream_model_refresh",
-    "q_mad_outliers",
-    "q_rec_auc_segments",
-    "q_score_calibration",
-    "q_wilson_ctr",
-    "q_revenue_gini",
-    "q_user_similarity",
-    "q_stream_auc_monitor",
-    "q_price_qty_corr",
-    "q_qty_price_spearman",
-    "q_price_qty_ols",
-    "q_chi2_flag_status",
-    "q_mi_priority_status",
-    "q_ivm_join_rollup",
-    "q_stream_ivm_rollup",
-    "q_linear_attribution",
-    "q_sorted_neighborhood",
-    "q_benford_audit",
-    "q_revenue_acf",
-    "q_fk_discovery",
-    "q_fd_discovery",
-    "q_tv_drift",
-    "q_stream_calibration",
-    "q_stream_quantiles",
-    "q_ab_test_purchase",
-    "q_markov_backtest",
-    "q_ipw_hitrate",
-    "q_pareto_skyline",
-    "q_psi_drift",
-    "q_bitemporal_report",
-    "q_merge_upsert",
-    "q_variant_drift_scan",
-    "q_stream_running_stats",
-    "q_linkage_fs",
-    "q_kfold_report",
-    "q_annotator_kappa",
-    "q_score_ece",
-    "q_revenue_changepoint",
-    "q_stream_minhash_lsh",
-    "q_mannwhitney_value",
-    "q_seasonal_decompose",
-    "q_theilsen_revenue",
-    "q_quota_allocation",
-    "q_basket_triples",
-    "q_revenue_share_hierarchy",
-    "q_weighted_median_price",
-    "q_lineitem_corr_matrix",
-    "q_trimmed_mean_price",
-    "q_stream_distinct_users",
-    "q_kcore_parts",
-    "q_image_ahash",
-    "q_image_resize_pixels",
-    "q_image_palette_resize",
-    "q_audio_frame_energy",
-    "q_stream_cms_topk",
-    "q_caliper_match_att",
-    "q_anova_price_flag",
-    "q_priority_revenue_ewma",
-    "q_revenue_matrix_profile",
-    "q_compaction_plan",
-    "q_open_orders_sweep",
-    "q_ams_f2",
-    "q_cms_heavy_hitters",
-    "q_dbscan_embeddings",
-    "q_mmr_rerank",
-    "_mmr_oracle_sql",
-    "q_did_purchase_value",
-    "q_graph_walks",
-    "_walks_oracle_sql",
-    "q_isotonic_calibration",
-    "q_js_drift",
-    "q_conformal_threshold",
-    "q_bpe_train",
-    "_bpe_oracle_sql",
-    "_bpe_cte_prefix",
-    "_bpe_rounds_sql",
-    "_bpe_vocab_oracle_sql",
-    "q_als_user_step",
-    "q_stream_js_drift",
-    "q_oof_target_encoding",
-    "q_cuped_purchase",
-    "q_rolling_ols_slope",
-    "q_growth_accounting",
-    "q_woe_iv_priority",
-    "q_bootstrap_ci",
-    "q_eb_shrunk_ctr",
-    "q_winnowing_dedup",
-    "q_bpe_vocab",
-    "q_stream_conformal",
-    "q_shapley_attribution",
-    "q_stream_capped_balance",
-    "q_stock_balance_floor",
-    "q_part_reach_bfs",
-    "q_price_interpolate_daily",
-    "_TOKS",
-    "_shingles_cte",
-    "_SHINGLES_CTE",
-    "_SHINGLES_CTE_2",
-    "_SIMHASH_BIT",
-    "_SIMHASH_SIG",
-    "_simhash64_bit",
-    "_SIMHASH64_SIG",
-    "_COSINE",
-    "_QUALITY_CTE",
-    "_CENTROID_CTE",
-    "_SQ8_CODES_CTE",
-    "_SQ8_DOT",
-    "_EXPLODE_OUTER",
-    "_FLAGSHIP",
-]
+
+# __all__ is the union of the submodules' exports, computed at import
+# time so adding a query to a chunk (and its chunk __all__) is enough —
+# no second registration point here to forget.
+from amazon_personalize_connectors_spark.queries import (  # noqa: E402
+    _shared as _m_shared,
+    _sqlcte as _m_sqlcte,
+    q01 as _m_q01,
+    q02 as _m_q02,
+    q03 as _m_q03,
+    q04 as _m_q04,
+    q05 as _m_q05,
+    q06 as _m_q06,
+)
+
+__all__ = list(dict.fromkeys(
+    n
+    for m in (_m_shared, _m_q01, _m_q02, _m_q03, _m_q04, _m_q05, _m_q06, _m_sqlcte)
+    for n in m.__all__
+))

@@ -1345,3 +1345,11 @@ SELECT priority, day_i,
     AS is_interpolated
 FROM calc
 """
+    # r9 serving-path aliases: the persisted/stream-assembled serve
+    # queries are LAW-IDENTICAL to their in-plan/batch twins
+    # (tests/test_functions.py indexed-serve law;
+    # tests/test_ann_monitor.py full-index-from-stream law), so the
+    # oracle replays the same SQL — the driver hash row then covers
+    # the alternative physical strategy end to end
+    sqls["ivf_refined_index_probe"] = sqls["ivf_refined_probe"]
+    sqls["hnsw_stream_index_probe"] = sqls["hnsw_topk"]

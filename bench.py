@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "maxsim_neardup",
     "maxsim_neardup_clustered",
     "ivf_refined_probe",
+    "ivf_refined_index_probe",
     "pq_adc",
     "rrf_fusion",
     "lm_coverage",
@@ -298,6 +299,7 @@ HEAVY_ONE_RUN = [
     "hnsw_topk",        # index BUILD + probe e2e; corpus fixed-size
     "hnsw_compact",     # two folds + full-store compaction, fixed-size
     "hnsw_recall",      # build + probe + exact ground truth, same shape
+    "hnsw_stream_index_probe",  # 3 folds + full assemble + probe (r9)
     "winnowing_dedup",
     "bpe_train",
     "bpe_vocab",
