@@ -839,15 +839,18 @@ def _maxsim_neardup_pipeline(emb: DataFrame, n_bits: int) -> DataFrame:
     story; q_maxsim_neardup_clustered runs the same pipeline on the
     anisotropic fixture with auto-sized signature width)."""
     from amazon_personalize_connectors_spark.functions.similarity import (
+        _iqdot,
         _pair_cap_filter,
-        maxsim_rescore,
         rp_lsh_buckets,
     )
 
     toks = emb.select(
         F.expr("CAST(vec_id DIV 8 AS BIGINT)").alias("doc_id"),
         (F.col("vec_id") % 8).cast("bigint").alias("tok"),
-        "embedding",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda v: F.floor(v * F.lit(1000000.0)).cast("bigint"),
+        ).alias("qv"),
     )
     bk = rp_lsh_buckets(emb, n_bits=n_bits)
     # executable pair cap on the token-bucket self-join (ADVICE r8):
@@ -856,46 +859,76 @@ def _maxsim_neardup_pipeline(emb: DataFrame, n_bits: int) -> DataFrame:
     # materializes instead of melting silently at larger SFs
     bk = _pair_cap_filter(bk, ["bucket"], 50_000_000, "maxsim_neardup")
     ta = bk.select(
-        "bucket", F.expr("CAST(id DIV 8 AS BIGINT)").alias("q_id")
+        "bucket", F.expr("CAST(id DIV 8 AS BIGINT)").alias("id_a")
     )
     tb = bk.select(
-        "bucket", F.expr("CAST(id DIV 8 AS BIGINT)").alias("doc_id")
+        "bucket", F.expr("CAST(id DIV 8 AS BIGINT)").alias("id_b")
     )
+    # UNORDERED candidate pairs (a < b): bucket sharing is symmetric by
+    # construction, so the ordered form just doubled everything — and
+    # with one (a, b) orientation, every 8×8 token dot matrix is
+    # computed ONCE and both directed MaxSims fold out of it (r9 —
+    # maxsim_rescore over the symmetric candidate set computed each
+    # matrix twice, once per direction; this halves the dominant
+    # scoring stage with bit-identical int64 results).
     cand = (
         ta.join(tb, "bucket")
-        .where(F.col("q_id") != F.col("doc_id"))
-        .select("q_id", "doc_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
-    all_q_toks = toks.select(
-        F.col("doc_id").alias("q_id"), "tok", "embedding"
+    pairs = (
+        cand.join(
+            toks.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("tok").alias("_tka"),
+                F.col("qv").alias("_qva"),
+            ),
+            "id_a",
+        )
+        .join(
+            toks.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("tok").alias("_tkb"),
+                F.col("qv").alias("_qvb"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "_tka",
+            "_tkb",
+            _iqdot(F.col("_qva"), F.col("_qvb")).alias("dot"),
+        )
     )
-    directed = maxsim_rescore(cand, toks, all_q_toks).select(
-        "q_id", "doc_id", "score"
-    )
-    # ONE pass over the expensive rescore: fold both directions of a
-    # pair onto the unordered key and keep pairs that surfaced in BOTH
-    # probe directions (n_dir = 2); pair score = the MIN of the two
-    # directed MaxSims (conservative symmetrization). Two filtered
-    # branches + a self-join would re-run the whole probe+rescore
-    # lineage per branch.
+    # two-level fold, ONE pass over the dots: level 1 groups on
+    # (pair, b-token) — each row is the dot-matrix row for that
+    # b-token (m{i} = dot(a-token i, b-token)), with m_tb its max;
+    # level 2 derives BOTH directed MaxSims:
+    #   score_ba = Σ_tb  max_ta dot   = sum(m_tb)
+    #   score_ab = Σ_ta  max_tb dot   = Σ_i max over tb-rows of m{i}
+    # (coalesce(·, 0) only fires when a-token i does not exist —
+    # boundary docs have < 8 tokens — never to clamp a negative best).
     from pyspark.sql import Window
 
-    sym = (
-        directed.groupBy(
-            F.least(F.col("q_id"), F.col("doc_id")).alias("id_a"),
-            F.greatest(F.col("q_id"), F.col("doc_id")).alias("id_b"),
+    lvl1 = pairs.groupBy("id_a", "id_b", "_tkb").agg(
+        F.max("dot").alias("m_tb"),
+        *[
+            F.max(F.when(F.col("_tka") == i, F.col("dot"))).alias(f"m{i}")
+            for i in range(8)
+        ],
+    )
+    sym = lvl1.groupBy("id_a", "id_b").agg(
+        (
+            sum(
+                F.coalesce(F.max(F.col(f"m{i}")), F.lit(0))
+                for i in range(8)
+            )
         )
-        .agg(
-            F.max(
-                F.when(F.col("q_id") < F.col("doc_id"), F.col("score"))
-            ).alias("score_ab"),
-            F.max(
-                F.when(F.col("q_id") > F.col("doc_id"), F.col("score"))
-            ).alias("score_ba"),
-            F.count(F.lit(1)).alias("n_dir"),
-        )
-        .where(F.col("n_dir") == 2)
+        .cast("bigint")
+        .alias("score_ab"),
+        F.sum("m_tb").cast("bigint").alias("score_ba"),
     )
     # partial top-20 per id_a-hash stratum BEFORE the global merge
     # (ADVICE r8): the previous single global Window.orderBy funneled
