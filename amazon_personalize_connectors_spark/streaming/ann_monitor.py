@@ -175,15 +175,29 @@ def apply_vectors_batch(
     a_sigs = affected_state.unionByName(new_sigs).localCheckpoint(eager=True)
 
     # candidate generation: per-table bucket equi-joins of the
-    # affected side against the full accumulated signature set
+    # affected side against the full accumulated signature set. The
+    # affected side is batch-proportional (never |history|); when its
+    # measured count is small it rides as a broadcast so the corpus
+    # side never shuffles (same count-gated physical dial as
+    # _knn_out_edges_from_signed; the shuffle join remains the path
+    # for pathological churn).
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        _KNN_BROADCAST_MAX_NODES,
+    )
+
+    maybe_bcast = (
+        F.broadcast
+        if a_sigs.count() <= _KNN_BROADCAST_MAX_NODES
+        else (lambda df: df)
+    )
     all_sigs = state_sigs.unionByName(new_sigs)
     cand = None
     for t in tables:
         a = a_sigs.select(F.col("id").alias("src"), F.col(t).alias("_k"))
         b = all_sigs.select(F.col("id").alias("dst"), F.col(t).alias("_k"))
-        p = a.join(b, "_k").where(F.col("src") != F.col("dst")).select(
-            "src", "dst"
-        )
+        p = maybe_bcast(a).join(b, "_k").where(
+            F.col("src") != F.col("dst")
+        ).select("src", "dst")
         cand = p if cand is None else cand.unionByName(p)
     cand = cand.distinct().localCheckpoint(eager=True)
 
