@@ -268,15 +268,17 @@ def compact_store(spark: SparkSession, store_path: str) -> None:
     with the distinct versions a manifest references; this resets it
     to 1).
 
-    Crash-safe with the same discipline as a batch: the new version
-    directory and its manifest are fully written BEFORE the pointer
-    flips (a crash before the flip leaves the old version authoritative
-    and the half-written directory inert), and directory deletion
-    happens only after the flip (a crash mid-delete leaves orphan
-    directories that the next compaction removes — readers never
-    consult them because the manifest no longer references them)."""
-    import shutil
-
+    Crash-safe AND reader-safe with the same discipline as
+    ann_monitor.compact_store (ADVICE r8): the new version directory
+    and its manifest are fully written BEFORE the pointer flips (a
+    crash before the flip leaves the old version authoritative and
+    the half-written directory inert), and post-flip pruning keeps a
+    GRACE WINDOW — the superseded version and everything its manifest
+    references survive, so a concurrent reader that resolved the old
+    manifest just before the flip still finds every bucket path; only
+    strictly older versions are removed (a crash mid-delete leaves
+    orphans the next compaction, or an explicit ``gc_store``,
+    removes)."""
     prev = _current_version(store_path)
     if prev is None:
         return
@@ -317,8 +319,36 @@ def compact_store(spark: SparkSession, store_path: str) -> None:
     commit_version(
         store_path, version, None, prev, read_meta(store_path, prev)["last_epoch"]
     )
-    # prune superseded version directories (post-flip: readers are
-    # already on v{version}; idempotent if re-run)
+    # grace-window pruning (ADVICE r8): keep prev's whole reachable
+    # set for in-flight readers; prune everything older
+    grace_live = {prev, version} | {
+        int(v) for kind in ("items", "pairs") for v in man[kind].values()
+    }
+    _prune_versions(store_path, grace_live)
+
+
+def gc_store(store_path: str) -> None:
+    """Explicit GC: delete every version directory the CURRENT
+    manifest doesn't reference. Run from a maintenance window when no
+    reader can hold a pre-flip manifest; compact_store itself only
+    prunes past the grace set (see there)."""
+    ver = _current_version(store_path)
+    if ver is None:
+        return
+    man = _read_manifest(store_path, ver)
+    live = {ver} | {
+        int(v) for kind in ("items", "pairs") for v in man[kind].values()
+    }
+    _prune_versions(store_path, live)
+
+
+def _prune_versions(store_path: str, live: set) -> None:
+    import shutil
+
     for name in os.listdir(store_path):
-        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < version:
+        if (
+            name.startswith("v")
+            and name[1:].isdigit()
+            and int(name[1:]) not in live
+        ):
             shutil.rmtree(os.path.join(store_path, name), ignore_errors=True)

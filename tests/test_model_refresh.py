@@ -188,6 +188,20 @@ def test_compact_store_collapses_versions_and_preserves_serving(spark, tmp_path)
 
     compact_store(spark, store)
 
+    # grace-window pruning (ADVICE r8): the pre-flip reader's whole
+    # reachable set survives the compaction; explicit gc_store()
+    # collapses to the single current version
+    from amazon_personalize_connectors_spark.streaming.model_refresh import (
+        _bucket_paths,
+        _read_manifest,
+        gc_store,
+    )
+
+    man_prev = _read_manifest(store, 2)
+    for kind in ("items", "pairs"):
+        for p in _bucket_paths(store, man_prev, kind):
+            assert os.path.exists(p), f"pre-flip reader path yanked: {p}"
+    gc_store(store)
     vdirs = sorted(d for d in os.listdir(store) if d.startswith("v"))
     assert vdirs == ["v3"], vdirs  # one surviving version
     man = _json.load(open(os.path.join(store, "v3", "_MANIFEST.json")))
