@@ -60,6 +60,25 @@ def _read_many(spark: SparkSession, schema: str, paths: list[str]) -> DataFrame:
     return spark.read.schema(schema).parquet(*existing)
 
 
+def _live_versions(store_path: str, upto: int | None) -> list[int]:
+    """The version dirs that constitute the state AS OF ``upto``: walk
+    the meta chain downward, stopping at (and including) the nearest
+    compaction (``epoch: null`` — it contains the union of everything
+    before it). Readers and folds union exactly this set, so
+    superseded directories may SURVIVE compaction (grace window for
+    in-flight readers, ADVICE r8) without ever being double-read —
+    previously state reads unioned ``range(version + 1)`` and were
+    only correct because pruning was immediate."""
+    live: list[int] = []
+    v = upto
+    while v is not None and v >= 0:
+        live.append(v)
+        if read_meta(store_path, v)["epoch"] is None:
+            break  # compaction: contains all earlier state
+        v = v - 1
+    return sorted(live)
+
+
 def apply_neardup_batch(
     batch: DataFrame,
     epoch_id: int,
@@ -77,7 +96,6 @@ def apply_neardup_batch(
     e = int(epoch_id)
     version, prior, _meta = plan_fold(store_path, e)
     vdir = os.path.join(store_path, f"v{version}")
-    state_range = 0 if prior is None else prior + 1
     new_bands = minhash_band_table(
         batch, text_col, id_col, n, num_hashes, band_size
     ).localCheckpoint(eager=True)  # read 3x: state join, self join, delta write
@@ -86,7 +104,7 @@ def apply_neardup_batch(
         _BANDS_SCHEMA,
         [
             os.path.join(store_path, f"v{i}", "bands")
-            for i in range(state_range)
+            for i in _live_versions(store_path, prior)
         ],
     )
     # batch-vs-state: the new doc is always the later member; order
@@ -156,7 +174,10 @@ def candidates_from_store(
     pairs = _read_many(
         spark,
         _PAIRS_SCHEMA,
-        [os.path.join(store_path, f"v{i}", "pairs") for i in range(ver + 1)],
+        [
+            os.path.join(store_path, f"v{i}", "pairs")
+            for i in _live_versions(store_path, ver)
+        ],
     )
     return pairs.groupBy("id_a", "id_b").agg(
         F.sum("n_shared_bands").cast("bigint").alias("n_shared_bands")
@@ -170,42 +191,64 @@ def compact_store(spark: SparkSession, store_path: str) -> None:
     The law is unaffected: bands are a per-doc map and pairs are
     epoch-disjoint, so unioning either is content-preserving.
 
-    Crash-safe like model_refresh.compact_store: the compacted dir is
-    fully written before the pointer flips (a crash leaves the old
-    versions authoritative and the half-written dir inert); stale
-    version dirs are pruned only after the flip. The compaction is a
+    Crash-safe AND reader-safe like model_refresh.compact_store: the
+    compacted dir is fully written before the pointer flips (a crash
+    leaves the old versions authoritative and the half-written dir
+    inert); post-flip pruning keeps the pre-flip reader's reachable
+    set (``_live_versions`` of the superseded version — readers union
+    the live chain, never a blind range, so surviving grace dirs are
+    never double-read) and an explicit ``gc_store`` collapses to the
+    current version from a maintenance window. The compaction is a
     non-epoch version in the chain (epoch None, last_epoch carried
     forward), so a resumed stream's next epoch folds cleanly on top —
     and a RETRY of the last epoch arriving after compaction is
     refused by plan_fold instead of overwriting the compacted state
     (compact only between successfully committed drains)."""
-    import shutil
-
     cur = _current_version(store_path)
     if cur is None:
         return
     last_epoch = read_meta(store_path, cur)["last_epoch"]
+    live = _live_versions(store_path, cur)
     version = cur + 1
     out = os.path.join(store_path, f"v{version}")
     bands = _read_many(
         spark,
         _BANDS_SCHEMA,
-        [os.path.join(store_path, f"v{i}", "bands") for i in range(cur + 1)],
+        [os.path.join(store_path, f"v{i}", "bands") for i in live],
     )
     pairs = _read_many(
         spark,
         _PAIRS_SCHEMA,
-        [os.path.join(store_path, f"v{i}", "pairs") for i in range(cur + 1)],
+        [os.path.join(store_path, f"v{i}", "pairs") for i in live],
     )
     bands.write.mode("overwrite").parquet(os.path.join(out, "bands"))
     pairs.groupBy("id_a", "id_b").agg(
         F.sum("n_shared_bands").cast("bigint").alias("n_shared_bands")
     ).write.mode("overwrite").parquet(os.path.join(out, "pairs"))
     commit_version(store_path, version, None, cur, last_epoch)
+    # grace-window pruning (ADVICE r8): the pre-flip reader's
+    # reachable set survives; everything below the previous
+    # compaction goes
+    _prune_versions(store_path, set(live) | {version})
+
+
+def gc_store(store_path: str) -> None:
+    """Explicit GC: delete every version dir outside the CURRENT
+    live chain. Run from a maintenance window when no reader can
+    hold a pre-flip pointer."""
+    ver = _current_version(store_path)
+    if ver is None:
+        return
+    _prune_versions(store_path, set(_live_versions(store_path, ver)))
+
+
+def _prune_versions(store_path: str, live: set) -> None:
+    import shutil
+
     for name in os.listdir(store_path):
         if (
             name.startswith("v")
             and name[1:].isdigit()
-            and int(name[1:]) < version
+            and int(name[1:]) not in live
         ):
             shutil.rmtree(os.path.join(store_path, name), ignore_errors=True)

@@ -94,6 +94,18 @@ def test_compact_store_preserves_candidates(spark, tmp_path):
     apply_neardup_batch(b1, 1, store)
     before = _snap(candidates_from_store(spark, store))
     compact_store(spark, store)
+    # grace-window pruning (ADVICE r8): the pre-flip reader's
+    # reachable set (v0, v1) SURVIVES the compaction — and the
+    # live-chain read means the survivors are never double-read;
+    # explicit gc_store collapses to the compacted version
+    from amazon_personalize_connectors_spark.streaming.neardup_monitor import (
+        gc_store,
+    )
+
+    vdirs = sorted(d for d in os.listdir(store) if d.startswith("v"))
+    assert vdirs == ["v0", "v1", "v2"]
+    assert _snap(candidates_from_store(spark, store)) == before
+    gc_store(store)
     vdirs = sorted(d for d in os.listdir(store) if d.startswith("v"))
     assert vdirs == ["v2"]
     assert _snap(candidates_from_store(spark, store)) == before
