@@ -125,3 +125,32 @@ def test_staged_names_resolve(ledger):
     rw, names, latest = ledger
     bad = [n for n in entry._STAGED if n not in names]
     assert not bad, f"_STAGED names not in registry: {bad}"
+
+
+def test_apply_window_rewrites_block(tmp_path):
+    """`rotate_window.apply_window` rewrites the _R{N}_WINDOW block by
+    regex — pin it against a miniature entry file in the CURRENT
+    format (r9 split the real file; this guards the regexes against
+    format drift without touching the repo's own entry file)."""
+    rw = _rw()
+    fake = tmp_path / "__spark_entry__.py"
+    fake.write_text(
+        "# header\n"
+        "_R8_WINDOW = [\n"
+        '    "a",\n'
+        '    "b",\n'
+        "]\n"
+        "_STAGED: list = []\n"
+        "def queries():\n"
+        "    all_q = {}\n"
+        "    out = {name: all_q[name] for name in _R8_WINDOW}\n"
+        "    for name in _R8_WINDOW:\n"
+        "        pass\n"
+        "    return out\n"
+    )
+    name = rw.apply_window(str(tmp_path), ["x", "y", "z"], 9)
+    assert name == "_R9_WINDOW"
+    src = fake.read_text()
+    assert '_R9_WINDOW = [\n    "x",\n    "y",\n    "z",\n]' in src
+    assert "for name in _R9_WINDOW" in src
+    assert "_R8_WINDOW" not in src
