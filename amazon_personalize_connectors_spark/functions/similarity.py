@@ -500,6 +500,13 @@ def ivf_probe_topk(
 # Bump this string whenever _rp_weight / the quantization changes.
 RP_HASH_FAMILY = "rp-mulstride-q6-v2"
 
+# The quantization-grid version alone (floor(v·1e6) int64) — block_col
+# index builds never touch _rp_weight but their stored qv DOES depend
+# on the grid, so their stamp carries this suffix and the probe-side
+# check verifies it (code-review r9: "block:<col>" alone would pass
+# the check forever, silently mixing grids if the grid ever changes).
+Q6_GRID_VERSION = "q6v1"
+
 
 def _rp_weight(bit: int, dim: Column) -> Column:
     """Engine-portable pseudo-random hyperplane weight in [-1000, 1000]:
@@ -1287,13 +1294,22 @@ def _pair_cap_filter(
     )
 
 
-# Below this node count, the bucket-join build side and the qv lookup
-# tables ride as broadcasts (a 1M-node (id, bucket) table is ~16 MB —
-# comfortably under executor broadcast budgets) and the whole kNN
-# stage runs map-side. Above it, the plain shuffle equi-joins are the
+# Below this node count, the NARROW (id, bucket) build side of the
+# bucket self-joins rides as a broadcast (~16 MB at 1M nodes — the
+# gate sizes exactly the 2-column table it broadcasts) and candidate
+# generation runs map-side. The qv vector tables are NEVER hinted
+# (code-review r9: at 1M nodes × dim-256 they are gigabytes — their
+# joins are high-cardinality id equi-joins that Spark/AQE plans fine
+# unhinted). Above the gate, the plain shuffle equi-joins are the
 # scale path — disk-backed, no driver/executor memory bound. Measured
 # r9 at sf0.1: candidates 11.7 s → 2.4 s with the hint.
 _KNN_BROADCAST_MAX_NODES = 1_000_000
+
+# The qv lookup tables broadcast only under an estimated-BYTES gate
+# (node count alone cannot see dim — code-review r9): 64 MB matches
+# the session's raised auto-broadcast threshold. ~8 bytes per dim
+# plus per-row array overhead.
+_KNN_BROADCAST_MAX_QV_BYTES = 64 * 1024 * 1024
 
 
 def _knn_out_edges_from_signed(
@@ -1302,6 +1318,7 @@ def _knn_out_edges_from_signed(
     m: int,
     max_pair_rows: int = 50_000_000,
     n_nodes: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Per-node top-``m`` out-edges by exact quantized inner product
     over multi-table bucket candidates — the layer-0 kNN stage shared
@@ -1309,15 +1326,25 @@ def _knn_out_edges_from_signed(
     ``max_pair_rows`` is the executable pair-cap contract
     (``_pair_cap_filter``): the bucket self-joins fail loudly before
     materializing more candidates than the cap. ``n_nodes`` (when
-    known) lets the small-corpus regime broadcast the bucket-join
-    build side and the qv lookups (see ``_KNN_BROADCAST_MAX_NODES``)
-    — a pure physical-strategy dial, results identical. (An unrolled
+    known) lets the small-corpus regime broadcast the NARROW
+    (id, bucket) bucket-join build side (``_KNN_BROADCAST_MAX_NODES``
+    gates a 2-column table whose size it can actually predict); the
+    qv vector tables additionally require ``dim`` so their hint is
+    gated on ESTIMATED BYTES (``_KNN_BROADCAST_MAX_QV_BYTES`` — at
+    1M nodes × dim-256 they are gigabytes and must shuffle). Pure
+    physical-strategy dials, results identical. (An unrolled
     "codegen dot" was measured here in r9 and REJECTED: with the
     candidate stage fixed, the interpreted zip_with+aggregate dot is
     ~5x FASTER than a 64-term unrolled expression — ANSI-checked
     per-element GetArrayItem codegen is the slower path.)"""
     small = n_nodes is not None and n_nodes <= _KNN_BROADCAST_MAX_NODES
     maybe_bcast = F.broadcast if small else (lambda df: df)
+    qv_small = (
+        n_nodes is not None
+        and dim is not None
+        and n_nodes * (dim * 8 + 32) <= _KNN_BROADCAST_MAX_QV_BYTES
+    )
+    maybe_bcast_qv = F.broadcast if qv_small else (lambda df: df)
     blocked = _pair_cap_filter(
         blocked, tables, max_pair_rows, "knn_out_edges"
     )
@@ -1334,8 +1361,8 @@ def _knn_out_edges_from_signed(
     qv_dst = blocked.select(F.col("id").alias("dst"), F.col("qv").alias("_bqv"))
     w_src = Window.partitionBy("src").orderBy(F.desc("qdot"), F.asc("dst"))
     return (
-        cand.join(maybe_bcast(qv_src), "src")
-        .join(maybe_bcast(qv_dst), "dst")
+        cand.join(maybe_bcast_qv(qv_src), "src")
+        .join(maybe_bcast_qv(qv_dst), "dst")
         .select("src", "dst", _iqdot(F.col("_aqv"), F.col("_bqv")).alias("qdot"))
         .withColumn("_rn", F.row_number().over(w_src))
         .where(F.col("_rn") <= m)
@@ -1358,15 +1385,18 @@ def knn_out_edges(
     exactly after draining. The candidate stage fails loudly past
     ``max_pair_rows`` (see ``_pair_cap_filter`` / ``auto_n_bits``)."""
     blocked = lsh_signed_nodes(embeddings, n_bits, n_tables, id_col, vec_col)
-    # one bounded source scan buys the broadcast regime (see
+    # two bounded source scans buy the broadcast regimes (see
     # _knn_out_edges_from_signed) — results identical either way
     n_nodes = embeddings.count()
+    head = embeddings.select(F.size(vec_col).alias("d")).head()
+    dim = int(head["d"]) if head else None
     return _knn_out_edges_from_signed(
         blocked,
         [f"t{t}" for t in range(n_tables)],
         m,
         max_pair_rows,
         n_nodes=n_nodes,
+        dim=dim,
     )
 
 
@@ -1464,12 +1494,14 @@ def hnsw_index_build(
     # to disk at cluster scale (MEMORY_AND_DISK is the default
     # StorageLevel for DataFrame.persist on the JVM side)
     blocked = blocked.persist()
-    # one bounded job over the (now materialized) cache: the node
-    # count picks the small-corpus broadcast regime — a physical dial
-    # only, results identical
+    # two bounded jobs over the (now materialized) cache: node count
+    # and dim pick the broadcast regimes — physical dials only,
+    # results identical
     n_nodes = blocked.count()
+    head = blocked.select(F.size("qv").alias("d")).head()
+    dim = int(head["d"]) if head else None
     out_m = _knn_out_edges_from_signed(
-        blocked, tables, m, max_pair_rows, n_nodes=n_nodes
+        blocked, tables, m, max_pair_rows, n_nodes=n_nodes, dim=dim
     )
     _hnsw_assemble(
         blocked,
@@ -1480,7 +1512,9 @@ def hnsw_index_build(
         long_links=long_links,
         entry_sample=entry_sample,
         hash_family=(
-            f"block:{block_col}" if block_col is not None else RP_HASH_FAMILY
+            f"block:{block_col}:{Q6_GRID_VERSION}"
+            if block_col is not None
+            else RP_HASH_FAMILY
         ),
         n_bits=n_bits,
         n_tables=n_tables,
@@ -1607,8 +1641,12 @@ def _hnsw_assemble(
         f"{index_path}/hubs"
     )
     # version stamp: which hash family produced the signatures/qv grid
-    # (block_col builds record the trusted key instead of the LSH
-    # family — their candidate geometry never touched _rp_weight)
+    # (block_col builds record the trusted key + grid suffix — their
+    # candidate geometry never touched _rp_weight). The sidecar uses
+    # DRIVER-LOCAL filesystem semantics, the same convention as every
+    # versioned store's _MANIFEST/_VERSION here (the driver
+    # coordinates pointer flips); an object-store/HDFS index path
+    # needs a Hadoop-FS port of exactly these few lines.
     meta = {
         "hash_family": hash_family,
         "m": m,
@@ -1630,9 +1668,12 @@ def _check_index_family(index_path: str) -> None:
     r8's per-bit stride fix) redefines every signature and qv grid,
     so probing a pre-change index silently degrades recall. An index
     with no ``_META.json`` predates version stamping — equally
-    unknowable, equally refused. ``block:*`` families are accepted as
-    long as the quantization grid version suffix matches the current
-    family's (the trusted block key never touched _rp_weight)."""
+    unknowable, equally refused. ``block:<col>:<grid>`` families
+    (trusted block key, no _rp_weight involvement) are accepted iff
+    their grid suffix equals the current ``Q6_GRID_VERSION`` — the
+    stored qv grid is the one thing a block index CAN drift on
+    (code-review r9: the previous bare ``block:*`` acceptance would
+    have passed forever)."""
     meta_path = os.path.join(index_path, "_META.json")
     if not os.path.exists(meta_path):
         raise ValueError(
@@ -1642,7 +1683,11 @@ def _check_index_family(index_path: str) -> None:
         )
     with open(meta_path) as f:
         fam = json.load(f).get("hash_family")
-    ok = fam == RP_HASH_FAMILY or (isinstance(fam, str) and fam.startswith("block:"))
+    ok = fam == RP_HASH_FAMILY or (
+        isinstance(fam, str)
+        and fam.startswith("block:")
+        and fam.endswith(":" + Q6_GRID_VERSION)
+    )
     if not ok:
         raise ValueError(
             f"ANN index at {index_path} was built with hash family "

@@ -3,9 +3,6 @@ verbatim from __spark_entry__.py's header)."""
 
 from __future__ import annotations
 
-
-from __future__ import annotations
-
 import os
 import sys
 from collections.abc import Callable

@@ -58,6 +58,7 @@ from amazon_personalize_connectors_spark.streaming.epoch_store import (
     commit_version,
     current_version as _current_version,
     plan_fold,
+    prune_versions as _prune_versions,
     read_meta,
 )
 
@@ -428,7 +429,7 @@ def compact_store(spark: SparkSession, store_path: str) -> None:
     grace_live = {prev, version} | {
         int(v) for kind in ("sigs", "vecs", "edges") for v in man[kind].values()
     }
-    _prune_versions(store_path, keep_at_least=None, live=grace_live)
+    _prune_versions(store_path, grace_live)
 
 
 def gc_store(store_path: str) -> None:
@@ -442,24 +443,7 @@ def gc_store(store_path: str) -> None:
     man = _read_manifest(store_path, ver)
     live = {int(v) for kind in ("sigs", "vecs", "edges") for v in man[kind].values()}
     live.add(ver)
-    _prune_versions(store_path, keep_at_least=None, live=live)
-
-
-def _prune_versions(
-    store_path: str, keep_at_least: int | None, live: set | None = None
-) -> None:
-    import shutil
-
-    for name in os.listdir(store_path):
-        if not (name.startswith("v") and name[1:].isdigit()):
-            continue
-        v = int(name[1:])
-        if live is not None:
-            doomed = v not in live
-        else:
-            doomed = v < keep_at_least
-        if doomed:
-            shutil.rmtree(os.path.join(store_path, name), ignore_errors=True)
+    _prune_versions(store_path, live)
 
 
 def hnsw_index_from_store(

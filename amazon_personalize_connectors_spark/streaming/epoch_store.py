@@ -140,3 +140,21 @@ def commit_version(
     with open(tmp, "w") as f:
         f.write(str(version))
     os.replace(tmp, _version_file(store_path))
+
+
+def prune_versions(store_path: str, live: set) -> None:
+    """Delete every ``v<N>`` directory whose N is not in ``live`` —
+    the one pruner shared by the pointer-flip stores' grace-window
+    compactions and explicit GCs (code-review r9: three drifting
+    copies collapsed here). ``ignore_errors``: a crash mid-delete
+    leaves orphans no manifest references; the next prune removes
+    them."""
+    import shutil
+
+    for name in os.listdir(store_path):
+        if (
+            name.startswith("v")
+            and name[1:].isdigit()
+            and int(name[1:]) not in live
+        ):
+            shutil.rmtree(os.path.join(store_path, name), ignore_errors=True)

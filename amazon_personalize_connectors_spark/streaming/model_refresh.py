@@ -55,6 +55,7 @@ from amazon_personalize_connectors_spark.streaming.epoch_store import (
     commit_version,
     current_version as _current_version,
     plan_fold,
+    prune_versions as _prune_versions,
     read_meta,
 )
 
@@ -340,15 +341,3 @@ def gc_store(store_path: str) -> None:
         int(v) for kind in ("items", "pairs") for v in man[kind].values()
     }
     _prune_versions(store_path, live)
-
-
-def _prune_versions(store_path: str, live: set) -> None:
-    import shutil
-
-    for name in os.listdir(store_path):
-        if (
-            name.startswith("v")
-            and name[1:].isdigit()
-            and int(name[1:]) not in live
-        ):
-            shutil.rmtree(os.path.join(store_path, name), ignore_errors=True)

@@ -43,9 +43,11 @@ from amazon_personalize_connectors_spark.functions.dedup import (
     minhash_band_table,
 )
 from amazon_personalize_connectors_spark.streaming.epoch_store import (
+    _meta_path,
     commit_version,
     current_version as _current_version,
     plan_fold,
+    prune_versions as _prune_versions,
     read_meta,
 )
 
@@ -68,12 +70,23 @@ def _live_versions(store_path: str, upto: int | None) -> list[int]:
     superseded directories may SURVIVE compaction (grace window for
     in-flight readers, ADVICE r8) without ever being double-read —
     previously state reads unioned ``range(version + 1)`` and were
-    only correct because pruning was immediate."""
+    only correct because pruning was immediate.
+
+    A LEGACY dir with no ``_META.json`` sidecar reads as
+    ``epoch: None`` through ``read_meta`` — but it is a FOLD delta,
+    not a compaction: the sidecar's physical existence is checked
+    before the epoch value, so legacy stores keep their full range
+    (treating the fallback as a compaction would silently truncate
+    state and let the pruner delete live deltas)."""
     live: list[int] = []
     v = upto
     while v is not None and v >= 0:
         live.append(v)
-        if read_meta(store_path, v)["epoch"] is None:
+        is_compaction = (
+            os.path.exists(_meta_path(store_path, v))
+            and read_meta(store_path, v)["epoch"] is None
+        )
+        if is_compaction:
             break  # compaction: contains all earlier state
         v = v - 1
     return sorted(live)
@@ -240,15 +253,3 @@ def gc_store(store_path: str) -> None:
     if ver is None:
         return
     _prune_versions(store_path, set(_live_versions(store_path, ver)))
-
-
-def _prune_versions(store_path: str, live: set) -> None:
-    import shutil
-
-    for name in os.listdir(store_path):
-        if (
-            name.startswith("v")
-            and name[1:].isdigit()
-            and int(name[1:]) not in live
-        ):
-            shutil.rmtree(os.path.join(store_path, name), ignore_errors=True)

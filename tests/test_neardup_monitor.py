@@ -118,3 +118,36 @@ def test_compact_store_preserves_candidates(spark, tmp_path):
     apply_neardup_batch(b2, 3, store)
     after = _snap(candidates_from_store(spark, store))
     assert set(before).issubset(after) and len(after) > len(before)
+
+
+def test_live_versions_keeps_legacy_meta_less_dirs(spark, tmp_path):
+    """Code-review r9: a version dir with NO _META.json sidecar is a
+    LEGACY fold delta, not a compaction — the live-chain walk must
+    keep walking past it (treating it as a compaction would truncate
+    state reads and let the pruner delete live deltas)."""
+    import os as _os
+
+    from amazon_personalize_connectors_spark.streaming.neardup_monitor import (
+        _live_versions,
+        apply_neardup_batch,
+        candidates_from_store,
+    )
+
+    store = str(tmp_path / "nd_legacy")
+    _os.makedirs(store, exist_ok=True)
+    b0 = spark.createDataFrame(DOCS[:3], "doc_id long, text string")
+    b1 = spark.createDataFrame(DOCS[3:], "doc_id long, text string")
+    apply_neardup_batch(b0, 0, store)
+    apply_neardup_batch(b1, 1, store)
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in candidates_from_store(spark, store).collect()
+    }
+    # simulate a legacy store: strip v0's sidecar
+    _os.remove(_os.path.join(store, "v0", "_META.json"))
+    assert _live_versions(store, 1) == [0, 1]
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in candidates_from_store(spark, store).collect()
+    }
+    assert got == full and len(got) > 0
