@@ -136,6 +136,7 @@ def apply_vectors_batch(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint_token: str | None = None,
 ) -> None:
     """foreachBatch body: fold one vector micro-batch into the kNN
     edge store, recomputing edges ONLY for nodes sharing an LSH bucket
@@ -145,7 +146,7 @@ def apply_vectors_batch(
     spark = batch.sparkSession
     if batch.isEmpty():
         return
-    version, prior, _meta = plan_fold(store_path, epoch_id)
+    version, prior, _meta = plan_fold(store_path, epoch_id, checkpoint_token)
     man = _read_manifest(store_path, prior)
     _check_store_family(store_path, man, fresh=prior is None)
     n_bits = man["n_bits"] or n_bits
@@ -309,7 +310,8 @@ def apply_vectors_batch(
     with open(tmp_man, "w") as f:
         json.dump(new_man, f)
     os.replace(tmp_man, _manifest_path(store_path, version))
-    commit_version(store_path, version, int(epoch_id), prior, int(epoch_id))
+    commit_version(store_path, version, int(epoch_id), prior,
+                   int(epoch_id), token=checkpoint_token)
 
 
 def maintain_from_stream(
@@ -324,7 +326,10 @@ def maintain_from_stream(
     os.makedirs(store_path, exist_ok=True)
     q = (
         stream.writeStream.foreachBatch(
-            lambda b, e: apply_vectors_batch(b, e, store_path, **graph_kwargs)
+            lambda b, e: apply_vectors_batch(
+                b, e, store_path, checkpoint_token=checkpoint_dir,
+                **graph_kwargs
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
@@ -418,6 +423,7 @@ def compact_store(spark: SparkSession, store_path: str) -> None:
         None,
         prev,
         read_meta(store_path, prev)["last_epoch"],
+        token=read_meta(store_path, prev).get("token"),
     )
     # GRACE-WINDOW pruning (ADVICE r8): a concurrent reader that
     # resolved version ``prev`` just before the pointer flip is still

@@ -16,10 +16,32 @@ cost, ∝ |snapshot| + |batch| per trigger — is identical. For
 snapshots too large to rewrite per trigger, partition the store by a
 key hash and rewrite only partitions containing batch keys (the
 digest-store pattern in operators/delta.py).
+
+Replay discipline (code-review r9 — this sink previously recorded no
+epoch state at all): ``stream_apply_changes`` passes the foreachBatch
+epoch and its checkpoint location; a ``_CDC_META.json`` sidecar pins
+(last_epoch, prev, token). A replayed epoch — including after the
+pointer flip — re-merges onto its recorded PRIOR snapshot and
+overwrites its own version (idempotent: apply_changes is a pure
+function of prior + batch); a stale epoch, or ANY epoch from a
+different checkpoint (whose re-delivered batches carry different
+data), is refused instead of silently resurrecting old CDC ops onto
+newer state. Direct ``apply_batch`` calls with no epoch keep the
+guard-less legacy behavior.
+
+In-batch ordering: a DataFrame micro-batch carries NO row order, so
+when several ops hit one key in one batch the collapse needs an
+explicit event-sequence column (``seq_col`` — LSN, source timestamp)
+to pick the true last event; with one, [insert K, delete K] nets to
+the delete. Without one the collapse is the documented
+arbitrary-but-deterministic max over (op, values) — which
+systematically favors upserts over deletes ('u' > 'd'); supply
+``seq_col`` whenever the source emits intra-batch multi-ops.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,40 +52,114 @@ def _version_file(store_path: str) -> str:
     return os.path.join(store_path, "_VERSION")
 
 
+def _cdc_meta_path(store_path: str) -> str:
+    return os.path.join(store_path, "_CDC_META.json")
+
+
+def _read_cdc_meta(store_path: str) -> dict:
+    p = _cdc_meta_path(store_path)
+    if not os.path.exists(p):
+        return {"last_epoch": None, "prev": None, "token": None}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _snapshot_at(
+    spark: SparkSession, store_path: str, version: int | None
+) -> DataFrame | None:
+    if version is None:
+        return None
+    return spark.read.parquet(os.path.join(store_path, f"v{version}"))
+
+
 def read_snapshot(spark: SparkSession, store_path: str) -> DataFrame | None:
     """Current snapshot, or None before the first applied batch."""
     vf = _version_file(store_path)
     if not os.path.exists(vf):
         return None
     with open(vf) as f:
-        version = f.read().strip()
-    return spark.read.parquet(os.path.join(store_path, f"v{version}"))
+        version = int(f.read().strip())
+    return _snapshot_at(spark, store_path, version)
 
 
 def apply_batch(
-    batch: DataFrame, store_path: str, key_cols: list[str], op_col: str | None
+    batch: DataFrame,
+    store_path: str,
+    key_cols: list[str],
+    op_col: str | None,
+    epoch_id: int | None = None,
+    checkpoint_token: str | None = None,
+    seq_col: str | None = None,
 ) -> None:
     """Apply one micro-batch to the store (the foreachBatch body).
 
-    Rows are upserts keyed by ``key_cols`` (duplicates within the
-    batch collapse to an arbitrary-but-deterministic single row via
-    max over the value struct); ``op_col`` rows equal to 'delete'
-    evict their key."""
+    Rows are upserts keyed by ``key_cols``; ``op_col`` rows equal to
+    'delete' evict their key. In-batch duplicates collapse by the
+    LAST event when ``seq_col`` orders them, else by the documented
+    deterministic (op, values) max — see module docstring. With
+    ``epoch_id`` (the streaming path) the replay/fresh-checkpoint
+    guards engage; without it the call is guard-less (backfills,
+    tests)."""
     from amazon_personalize_connectors_spark.operators.cdc import apply_changes
 
     spark = batch.sparkSession
-    value_cols = [c for c in batch.columns if c not in key_cols and c != op_col]
-    # collapse in-batch duplicates deterministically
+    meta = _read_cdc_meta(store_path)
+    cur_version: int | None = None
+    if os.path.exists(_version_file(store_path)):
+        with open(_version_file(store_path)) as f:
+            cur_version = int(f.read().strip())
+
+    prior_version: int | None = cur_version
+    if epoch_id is not None and cur_version is not None:
+        last = meta.get("last_epoch")
+        stored_token = meta.get("token")
+        if (
+            checkpoint_token is not None
+            and stored_token is not None
+            and checkpoint_token != stored_token
+        ):
+            raise ValueError(
+                f"stream checkpoint {checkpoint_token!r} does not own "
+                f"the cdc store at {store_path!r} (committed by "
+                f"{stored_token!r}): a fresh or foreign checkpoint "
+                f"re-delivers CDC batches that would silently replay "
+                f"stale ops onto newer state. Use a new store path, or "
+                f"resume from the original checkpoint."
+            )
+        if last is not None:
+            e = int(epoch_id)
+            if e < last:
+                raise ValueError(
+                    f"epoch {e} is behind the cdc store's last applied "
+                    f"epoch {last} (store {store_path!r}): a fresh "
+                    f"streaming checkpoint cannot be pointed at an "
+                    f"existing store — its replayed batches would "
+                    f"resurrect deleted keys and revert updates. Use a "
+                    f"new store path when restarting from scratch."
+                )
+            if e == last:
+                # retry after the pointer flip: re-merge onto the
+                # RECORDED prior snapshot and overwrite our own version
+                # (idempotent — same prior, same batch, same merge)
+                prior_version = meta.get("prev")
+
+    value_cols = [
+        c
+        for c in batch.columns
+        if c not in key_cols and c != op_col and c != seq_col
+    ]
+    # collapse in-batch duplicates: seq-ordered last event when the
+    # source provides one, else the deterministic (op, values) max
+    lead = (
+        [F.col(seq_col)]
+        if seq_col
+        else []
+    ) + ([F.col(op_col)] if op_col else [F.lit("upsert").alias("_op")])
     collapsed = (
         batch.groupBy(*key_cols)
         .agg(
             F.max(
-                F.struct(
-                    *(
-                        [F.col(op_col)] if op_col else [F.lit("upsert").alias("_op")]
-                    ),
-                    *[F.col(c) for c in value_cols],
-                )
+                F.struct(*lead, *[F.col(c) for c in value_cols])
             ).alias("_m")
         )
         .select(
@@ -72,25 +168,62 @@ def apply_batch(
             *[F.col(f"_m.{c}").alias(c) for c in value_cols],
         )
     )
-    current = read_snapshot(spark, store_path)
+    current = _snapshot_at(spark, store_path, prior_version)
     if current is None:
         # null-safe: a NULL op is an upsert, never a silent delete
         # (same rule as operators/cdc.py apply_changes)
         merged = collapsed.where(~F.col("op").eqNullSafe("delete")).select(
             *key_cols, *value_cols
         )
-        version = 0
+        version = 0 if cur_version is None else cur_version
     else:
-        with open(_version_file(store_path)) as f:
-            version = int(f.read().strip()) + 1
+        version = (
+            cur_version
+            if prior_version != cur_version  # retry: overwrite own dir
+            else cur_version + 1
+        )
         merged = apply_changes(current, collapsed, key_cols, op_col="op")
     out = os.path.join(store_path, f"v{version}")
     merged.write.mode("overwrite").parquet(out)
-    # flip the pointer LAST: readers only ever see a complete version
+    # meta before pointer; pointer flip LAST via atomic rename —
+    # readers only ever see a complete version
+    if epoch_id is not None:
+        tmp_m = _cdc_meta_path(store_path) + ".tmp"
+        with open(tmp_m, "w") as f:
+            json.dump(
+                {
+                    "last_epoch": int(epoch_id),
+                    "prev": prior_version,
+                    "token": checkpoint_token,
+                },
+                f,
+            )
+        os.replace(tmp_m, _cdc_meta_path(store_path))
     tmp = _version_file(store_path) + ".tmp"
     with open(tmp, "w") as f:
         f.write(str(version))
     os.replace(tmp, _version_file(store_path))
+
+
+def prune_snapshots(store_path: str, keep_last: int = 2) -> None:
+    """Drop superseded snapshot versions, keeping the newest
+    ``keep_last`` (code-review r9: every trigger writes a FULL new
+    snapshot copy, so a long-lived stream otherwise grows disk by
+    |snapshot| per trigger forever). keep_last >= 2 preserves a grace
+    version for a reader that resolved the pointer just before the
+    latest flip — the same reader-safety story as the versioned
+    stores' compactions."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    if not os.path.exists(_version_file(store_path)):
+        return
+    with open(_version_file(store_path)) as f:
+        cur = int(f.read().strip())
+    from amazon_personalize_connectors_spark.streaming.epoch_store import (
+        prune_versions,
+    )
+
+    prune_versions(store_path, {cur - i for i in range(keep_last)})
 
 
 def stream_apply_changes(
@@ -99,6 +232,7 @@ def stream_apply_changes(
     key_cols: list[str],
     checkpoint_dir: str,
     op_col: str | None = None,
+    seq_col: str | None = None,
     timeout_s: float = 300.0,
 ) -> None:
     """Drain a stream (Trigger.AvailableNow) applying every micro-batch
@@ -106,7 +240,15 @@ def stream_apply_changes(
     os.makedirs(store_path, exist_ok=True)
     q = (
         stream.writeStream.foreachBatch(
-            lambda b, _epoch: apply_batch(b, store_path, key_cols, op_col)
+            lambda b, epoch: apply_batch(
+                b,
+                store_path,
+                key_cols,
+                op_col,
+                epoch_id=epoch,
+                checkpoint_token=checkpoint_dir,
+                seq_col=seq_col,
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -57,13 +57,14 @@ def apply_cms_batch(
     key_col: str,
     depth: int = 4,
     hex_chars: int = 2,
+    checkpoint_token: str | None = None,
 ) -> None:
     """foreachBatch body: fold one micro-batch's CMS cells into the
     store. Epoch-keyed (epoch_store.plan_fold): a replayed epoch
     overwrites its own version from the same prior."""
     spark = batch.sparkSession
     delta = cms_sketch(batch, key_col, depth=depth, hex_chars=hex_chars)
-    version, prior, _meta = plan_fold(store_path, epoch_id)
+    version, prior, _meta = plan_fold(store_path, epoch_id, checkpoint_token)
     if prior is None:
         merged = delta
     else:
@@ -78,7 +79,8 @@ def apply_cms_batch(
     merged.write.mode("overwrite").parquet(
         os.path.join(store_path, f"v{version}")
     )
-    commit_version(store_path, version, int(epoch_id), prior, int(epoch_id))
+    commit_version(store_path, version, int(epoch_id), prior,
+                   int(epoch_id), token=checkpoint_token)
 
 
 def maintain_from_stream(
@@ -96,7 +98,8 @@ def maintain_from_stream(
     q = (
         stream.writeStream.foreachBatch(
             lambda b, e: apply_cms_batch(
-                b, e, store_path, key_col, depth=depth, hex_chars=hex_chars
+                b, e, store_path, key_col, depth=depth, hex_chars=hex_chars,
+                checkpoint_token=checkpoint_dir,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -57,13 +57,14 @@ def apply_bitmap_batch(
     store_path: str,
     group_cols: list[str],
     id_col: str,
+    checkpoint_token: str | None = None,
 ) -> None:
     """foreachBatch body: OR one micro-batch's bitmap partials into
     the store. Epoch-keyed; replayed epochs overwrite their own
     version from the same prior."""
     spark = batch.sparkSession
     delta = bitmap_partials(batch, group_cols, id_col)
-    version, prior, _meta = plan_fold(store_path, epoch_id)
+    version, prior, _meta = plan_fold(store_path, epoch_id, checkpoint_token)
     if prior is None:
         merged = delta
     else:
@@ -78,7 +79,8 @@ def apply_bitmap_batch(
     merged.write.mode("overwrite").parquet(
         os.path.join(store_path, f"v{version}")
     )
-    commit_version(store_path, version, int(epoch_id), prior, int(epoch_id))
+    commit_version(store_path, version, int(epoch_id), prior,
+                   int(epoch_id), token=checkpoint_token)
 
 
 def maintain_from_stream(
@@ -95,7 +97,8 @@ def maintain_from_stream(
     q = (
         stream.writeStream.foreachBatch(
             lambda b, e: apply_bitmap_batch(
-                b, e, store_path, group_cols, id_col
+                b, e, store_path, group_cols, id_col,
+                checkpoint_token=checkpoint_dir,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -59,7 +59,7 @@ def read_grid(spark: SparkSession, store_path: str) -> DataFrame:
 
 def apply_grid_batch(
     batch: DataFrame, epoch_id: int, store_path: str, value_col: str, in_a, in_b
-) -> None:
+, checkpoint_token: str | None = None) -> None:
     """foreachBatch body: fold one micro-batch's per-value counts into
     the grid store. ``in_a`` / ``in_b`` are Column predicates naming
     the two populations (a row may match either, both, or neither).
@@ -71,7 +71,7 @@ def apply_grid_batch(
         F.sum(in_a.cast("long")).alias("a"),
         F.sum(in_b.cast("long")).alias("b"),
     )
-    version, prior, _meta = plan_fold(store_path, epoch_id)
+    version, prior, _meta = plan_fold(store_path, epoch_id, checkpoint_token)
     if prior is None:
         merged = delta
     else:
@@ -89,7 +89,8 @@ def apply_grid_batch(
     merged.write.mode("overwrite").parquet(
         os.path.join(store_path, f"v{version}")
     )
-    commit_version(store_path, version, int(epoch_id), prior, int(epoch_id))
+    commit_version(store_path, version, int(epoch_id), prior,
+                   int(epoch_id), token=checkpoint_token)
 
 
 def monitor_from_stream(
@@ -106,7 +107,10 @@ def monitor_from_stream(
     os.makedirs(store_path, exist_ok=True)
     q = (
         stream.writeStream.foreachBatch(
-            lambda b, e: apply_grid_batch(b, e, store_path, value_col, in_a, in_b)
+            lambda b, e: apply_grid_batch(
+                b, e, store_path, value_col, in_a, in_b,
+                checkpoint_token=checkpoint_dir,
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

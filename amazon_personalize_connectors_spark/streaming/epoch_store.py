@@ -14,7 +14,8 @@ sidecar::
 
     {"epoch": <epoch that produced it, or null for compaction>,
      "prev": <version this fold read its prior state from, or null>,
-     "last_epoch": <last stream epoch applied anywhere in the chain>}
+     "last_epoch": <last stream epoch applied anywhere in the chain>,
+     "token": <checkpoint identity of the writing stream, or null>}
 
 ``plan_fold`` classifies an incoming epoch against the committed
 meta:
@@ -39,12 +40,32 @@ Version numbers are a plain chain (``committed + 1``) rather than the
 epoch itself so that non-epoch writers — ``model_refresh.
 compact_store`` — can insert versions (``epoch: null``) without ever
 colliding with a future epoch's directory.
+
+The epoch heuristic alone has one hole (code-review r9): a store whose
+last applied epoch is 0 (a single-batch AvailableNow drain — common)
+cannot distinguish a RETRY of epoch 0 from a FRESH checkpoint's epoch
+0, which carries different data; the "retry" would then silently
+replace accumulated state. The ``token`` field closes it: each
+``maintain_from_stream`` wrapper passes its checkpoint location as the
+stream's identity, stored in the meta; a fold whose token differs from
+the committed one is REFUSED outright (any epoch — a different
+checkpoint re-delivers everything, so e > last is corruption too).
+Direct ``apply_*_batch`` calls (tests, backfills) pass no token and
+keep the epoch-only heuristic.
+
+Known narrow window (documented, not closed): a retry after a
+crash-between-flip-and-checkpoint-commit overwrites the POINTED-AT
+version directory in place; a reader resolving the pointer during
+that rewrite can see a partial version. Serving readers should prefer
+compacted versions (whose grace window guarantees completeness) when
+this matters.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import warnings
 
 from amazon_personalize_connectors_spark.streaming.cdc_sink import (
     _version_file,
@@ -76,19 +97,41 @@ def read_meta(store_path: str, version: int | None) -> dict:
         return json.load(f)
 
 
-def plan_fold(store_path: str, epoch_id: int) -> tuple[int, int | None, dict]:
+def plan_fold(
+    store_path: str, epoch_id: int, token: str | None = None
+) -> tuple[int, int | None, dict]:
     """Classify ``epoch_id`` against the committed state and return
     ``(write_version, prior_version, committed_meta)``.
 
-    Raises ValueError when the epoch is behind the last applied one
-    (fresh-checkpoint-against-old-store corruption guard)."""
+    Raises ValueError when the epoch is behind the last applied one,
+    or when ``token`` (the stream's checkpoint identity) differs from
+    the committed one (fresh-checkpoint-against-old-store corruption
+    guards — see module docstring)."""
     e = int(epoch_id)
     cur = current_version(store_path)
     meta = read_meta(store_path, cur)
     last = meta["last_epoch"]
     if cur is None:
         return 0, None, meta
+    stored_token = meta.get("token")
+    if token is not None and stored_token is not None and token != stored_token:
+        raise ValueError(
+            f"stream checkpoint {token!r} does not own the store at "
+            f"{store_path!r} (committed by {stored_token!r}): a fresh "
+            f"or foreign checkpoint re-delivers epochs whose data "
+            f"differs from the originals — folding would silently "
+            f"corrupt accumulated state. Use a new store path, or "
+            f"resume from the original checkpoint."
+        )
     if last is None:  # legacy store — cannot distinguish retry; advance
+        warnings.warn(
+            f"legacy epoch-less store at {store_path!r}: a micro-batch "
+            f"replayed after its pointer flip cannot be detected and "
+            f"will fold twice (double-counting additive state); "
+            f"compact and restart to adopt epoch metadata",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return cur + 1, cur, meta
     if e == last:
         if meta["epoch"] != e:
@@ -124,6 +167,7 @@ def commit_version(
     epoch_id: int | None,
     prior_version: int | None,
     last_epoch: int | None,
+    token: str | None = None,
 ) -> None:
     """Write the version's ``_META.json`` then flip ``_VERSION`` via
     atomic rename (meta before pointer: a crash between the two leaves
@@ -132,7 +176,12 @@ def commit_version(
     tmp_m = _meta_path(store_path, version) + ".tmp"
     with open(tmp_m, "w") as f:
         json.dump(
-            {"epoch": epoch_id, "prev": prior_version, "last_epoch": last_epoch},
+            {
+                "epoch": epoch_id,
+                "prev": prior_version,
+                "last_epoch": last_epoch,
+                "token": token,
+            },
             f,
         )
     os.replace(tmp_m, _meta_path(store_path, version))

@@ -42,31 +42,44 @@ from amazon_personalize_connectors_spark.operators.cdc import (
 from amazon_personalize_connectors_spark.streaming.cdc_sink import (
     _version_file,
 )
+from amazon_personalize_connectors_spark.streaming.epoch_store import (
+    current_version as _current_version,
+)
 
 _SCHEMA_A = "k long, grp string"
 _SCHEMA_B = "k long, val long"
 _SCHEMA_R = "grp string, sum_v long, n_rows long"
 
 
-def _current_version(store_path: str) -> int | None:
-    vf = _version_file(store_path)
-    if not os.path.exists(vf):
-        return None
-    with open(vf) as f:
-        return int(f.read().strip())
-
-
-def _read_many(
-    spark: SparkSession, schema: str, paths: list[str]
+def _read_required(
+    spark: SparkSession, schema: str, paths: list[str], what: str
 ) -> DataFrame:
-    existing = [p for p in paths if os.path.exists(p)]
-    if not existing:
+    """Union of version-dir inputs that must ALL exist: the fold's
+    correctness depends on complete prior state, so a missing dir is
+    an error (pruned store, foreign store, partial copy), never a
+    silent empty frame (code-review r9 — the old exists-filter made a
+    pruned delta dir silently undercount every later rollup)."""
+    if not paths:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*existing)
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        raise ValueError(
+            f"ivm store is missing required {what} dirs: {missing[:3]}"
+            f"{' ...' if len(missing) > 3 else ''} — per-epoch deltas "
+            f"are load-bearing state and must never be pruned (see "
+            f"module docstring)."
+        )
+    return spark.read.schema(schema).parquet(*paths)
+
+
+_TOKEN_FILE = "_TOKEN"
 
 
 def apply_ivm_batch(
-    batch: DataFrame, epoch_id: int, store_path: str
+    batch: DataFrame,
+    epoch_id: int,
+    store_path: str,
+    checkpoint_token: str | None = None,
 ) -> None:
     """foreachBatch body: fold one tagged micro-batch (columns
     ``side`` 'A'|'B', ``key``, ``grp``, ``val``) into the rollup
@@ -74,6 +87,21 @@ def apply_ivm_batch(
     spark = batch.sparkSession
     e = int(epoch_id)
     cur = _current_version(store_path)
+    token_path = os.path.join(store_path, _TOKEN_FILE)
+    if cur is not None and checkpoint_token is not None:
+        stored = (
+            open(token_path).read().strip()
+            if os.path.exists(token_path)
+            else None
+        )
+        if stored is not None and stored != checkpoint_token:
+            raise ValueError(
+                f"stream checkpoint {checkpoint_token!r} does not own "
+                f"the ivm store at {store_path!r} (committed by "
+                f"{stored!r}): a fresh or foreign checkpoint re-delivers "
+                f"epochs whose data differs from the originals. Use a "
+                f"new store path."
+            )
     if cur is not None and e < cur:
         # within one checkpoint Spark never replays an epoch behind the
         # committed one; seeing it means a FRESH checkpoint (epochs
@@ -95,17 +123,20 @@ def apply_ivm_batch(
         F.col("val").cast("long").alias("val"),
     )
     prior = list(range(e))
-    a_state = _read_many(
+    a_state = _read_required(
         spark, _SCHEMA_A,
         [os.path.join(store_path, f"v{i}", "a_delta") for i in prior],
+        "a_delta",
     )
-    b_state = _read_many(
+    b_state = _read_required(
         spark, _SCHEMA_B,
         [os.path.join(store_path, f"v{i}", "b_delta") for i in prior],
+        "b_delta",
     )
-    rollup = _read_many(
+    rollup = _read_required(
         spark, _SCHEMA_R,
         [os.path.join(store_path, f"v{e - 1}", "rollup")] if e > 0 else [],
+        "rollup",
     )
     new_rollup = incremental_join_rollup(
         rollup, a_state, da, b_state, db,
@@ -123,7 +154,11 @@ def apply_ivm_batch(
     new_rollup.write.mode("overwrite").parquet(
         os.path.join(vdir, "rollup")
     )
-    cur = _current_version(store_path)
+    if checkpoint_token is not None and not os.path.exists(token_path):
+        tmp_t = token_path + ".tmp"
+        with open(tmp_t, "w") as f:
+            f.write(checkpoint_token)
+        os.replace(tmp_t, token_path)
     if cur is None or e > cur:
         tmp = _version_file(store_path) + ".tmp"
         with open(tmp, "w") as f:
@@ -142,7 +177,9 @@ def maintain_from_stream(
     os.makedirs(store_path, exist_ok=True)
     q = (
         stream.writeStream.foreachBatch(
-            lambda b, e: apply_ivm_batch(b, e, store_path)
+            lambda b, e: apply_ivm_batch(
+                b, e, store_path, checkpoint_token=checkpoint_dir
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -111,7 +111,7 @@ def read_item_state(
 
 def apply_interactions_batch(
     batch: DataFrame, epoch_id: int, store_path: str, n_buckets: int = 16
-) -> None:
+, checkpoint_token: str | None = None) -> None:
     """foreachBatch body: merge one interaction micro-batch into the
     pair-count model, rewriting ONLY the hash buckets the batch
     touches. ``batch`` columns: (u, i). ``n_buckets`` applies to the
@@ -130,7 +130,7 @@ def apply_interactions_batch(
     batch = batch.select("u", "i").localCheckpoint(eager=True)
     if batch.isEmpty():
         return
-    version, prior, _meta = plan_fold(store_path, epoch_id)
+    version, prior, _meta = plan_fold(store_path, epoch_id, checkpoint_token)
     man = _read_manifest(store_path, prior)
     b_count = man["n_buckets"] if man["n_buckets"] else n_buckets
     out = os.path.join(store_path, f"v{version}")
@@ -199,7 +199,8 @@ def apply_interactions_batch(
     # flip LAST — commits pairs, items, manifest, and epoch meta
     # together; a retry of this epoch re-reads v{prior}'s manifest for
     # BOTH stores and idempotently overwrites v{version}
-    commit_version(store_path, version, int(epoch_id), prior, int(epoch_id))
+    commit_version(store_path, version, int(epoch_id), prior,
+                   int(epoch_id), token=checkpoint_token)
 
 
 def refresh_from_stream(
@@ -216,7 +217,8 @@ def refresh_from_stream(
     q = (
         stream.writeStream.foreachBatch(
             lambda b, e: apply_interactions_batch(
-                b, e, store_path, n_buckets
+                b, e, store_path, n_buckets,
+                checkpoint_token=checkpoint_dir,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
@@ -318,7 +320,9 @@ def compact_store(spark: SparkSession, store_path: str) -> None:
     # counter (epoch None) while carrying last_epoch forward so the
     # stream's next fold still validates against it
     commit_version(
-        store_path, version, None, prev, read_meta(store_path, prev)["last_epoch"]
+        store_path, version, None, prev,
+        read_meta(store_path, prev)["last_epoch"],
+        token=read_meta(store_path, prev).get("token"),
     )
     # grace-window pruning (ADVICE r8): keep prev's whole reachable
     # set for in-flight readers; prune everything older

@@ -101,13 +101,14 @@ def apply_neardup_batch(
     n: int = 3,
     num_hashes: int = 6,
     band_size: int = 2,
+    checkpoint_token: str | None = None,
 ) -> None:
     """foreachBatch body: band one document micro-batch, emit its new
     candidate pairs (batch-vs-state + batch-vs-batch), append its
     band delta. Same epoch discipline as streaming/ivm.py."""
     spark = batch.sparkSession
     e = int(epoch_id)
-    version, prior, _meta = plan_fold(store_path, e)
+    version, prior, _meta = plan_fold(store_path, e, checkpoint_token)
     vdir = os.path.join(store_path, f"v{version}")
     new_bands = minhash_band_table(
         batch, text_col, id_col, n, num_hashes, band_size
@@ -142,7 +143,7 @@ def apply_neardup_batch(
     )
     pairs.write.mode("overwrite").parquet(os.path.join(vdir, "pairs"))
     new_bands.write.mode("overwrite").parquet(os.path.join(vdir, "bands"))
-    commit_version(store_path, version, e, prior, e)
+    commit_version(store_path, version, e, prior, e, token=checkpoint_token)
 
 
 def maintain_from_stream(
@@ -157,7 +158,10 @@ def maintain_from_stream(
     os.makedirs(store_path, exist_ok=True)
     q = (
         stream.writeStream.foreachBatch(
-            lambda b, e: apply_neardup_batch(b, e, store_path, **band_kwargs)
+            lambda b, e: apply_neardup_batch(
+                b, e, store_path, checkpoint_token=checkpoint_dir,
+                **band_kwargs
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
@@ -238,7 +242,8 @@ def compact_store(spark: SparkSession, store_path: str) -> None:
     pairs.groupBy("id_a", "id_b").agg(
         F.sum("n_shared_bands").cast("bigint").alias("n_shared_bands")
     ).write.mode("overwrite").parquet(os.path.join(out, "pairs"))
-    commit_version(store_path, version, None, cur, last_epoch)
+    commit_version(store_path, version, None, cur, last_epoch,
+                   token=read_meta(store_path, cur).get("token"))
     # grace-window pruning (ADVICE r8): the pre-flip reader's
     # reachable set survives; everything below the previous
     # compaction goes

@@ -62,6 +62,7 @@ def apply_score_batch(
     group_col: str,
     score_col: str,
     label_col: str,
+    checkpoint_token: str | None = None,
 ) -> None:
     """foreachBatch body: fold one micro-batch's (group, score) counts
     into the grid store. ``epoch_id`` keys the fold
@@ -75,7 +76,7 @@ def apply_score_batch(
         F.sum(F.col(label_col).cast("long")).alias("_pos"),
         F.sum(F.lit(1) - F.col(label_col).cast("long")).alias("_neg"),
     )
-    version, prior, _meta = plan_fold(store_path, epoch_id)
+    version, prior, _meta = plan_fold(store_path, epoch_id, checkpoint_token)
     if prior is None:
         merged = delta
     else:
@@ -93,7 +94,8 @@ def apply_score_batch(
     merged.write.mode("overwrite").parquet(
         os.path.join(store_path, f"v{version}")
     )
-    commit_version(store_path, version, int(epoch_id), prior, int(epoch_id))
+    commit_version(store_path, version, int(epoch_id), prior,
+                   int(epoch_id), token=checkpoint_token)
 
 
 def monitor_scores_from_stream(
@@ -112,7 +114,8 @@ def monitor_scores_from_stream(
     q = (
         stream.writeStream.foreachBatch(
             lambda b, e: apply_score_batch(
-                b, e, store_path, group_col, score_col, label_col
+                b, e, store_path, group_col, score_col, label_col,
+                checkpoint_token=checkpoint_dir,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -304,3 +304,89 @@ def test_stream_ivm_rollup_law_and_retry_idempotent(spark, tmp_path):
     with _pytest.raises(ValueError, match="behind the store"):
         apply_ivm_batch(b0, 0, store)
     assert snap() == want
+
+
+def test_seq_col_makes_delete_after_insert_win(spark, tmp_path):
+    """Code-review r9: a DataFrame micro-batch has no row order, so
+    [insert K, delete K] in ONE batch used to collapse by (op, values)
+    max — upsert always beat delete and dropped keys resurrected. With
+    an event-sequence column the true last event wins."""
+    landing = str(tmp_path / "landing_seq")
+    store = str(tmp_path / "store_seq")
+    ckpt = str(tmp_path / "ckpt_seq")
+    schema = "k long, seq long, op string, v string"
+    spark.createDataFrame(
+        [
+            (1, 10, "upsert", "a"),   # insert then delete: key 1 must die
+            (1, 11, "delete", None),
+            (2, 20, "delete", None),  # delete then re-insert: key 2 lives
+            (2, 21, "upsert", "b2"),
+            (3, 30, "upsert", "c"),
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    from amazon_personalize_connectors_spark.streaming.cdc_sink import (
+        stream_apply_changes as sac,
+    )
+
+    sac(stream, store, ["k"], ckpt, op_col="op", seq_col="seq")
+    snap = {(r.k, r.v) for r in read_snapshot(spark, store).collect()}
+    assert snap == {(2, "b2"), (3, "c")}
+    # seq never leaks into the snapshot
+    assert set(read_snapshot(spark, store).columns) == {"k", "v"}
+
+
+def test_fresh_checkpoint_refused_on_cdc_store(spark, tmp_path):
+    """Code-review r9: the sink used to record no epoch state — a
+    fresh checkpoint pointed at an existing store replayed batch 0's
+    stale ops onto newer state (deleted keys resurrected, silently).
+    Now the checkpoint identity is pinned and a foreign drain is
+    refused."""
+    import pytest as _pytest
+
+    landing = str(tmp_path / "landing_tok")
+    store = str(tmp_path / "store_tok")
+    schema = "k long, op string, v string"
+    spark.createDataFrame(
+        [(1, "upsert", "a")], schema
+    ).write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    stream_apply_changes(stream, store, ["k"], str(tmp_path / "ckA"), op_col="op")
+    before = {(r.k, r.v) for r in read_snapshot(spark, store).collect()}
+
+    stream2 = spark.readStream.schema(schema).parquet(landing)
+    with _pytest.raises(Exception, match="does not own the cdc store"):
+        stream_apply_changes(
+            stream2, store, ["k"], str(tmp_path / "ckB"), op_col="op"
+        )
+    assert {(r.k, r.v) for r in read_snapshot(spark, store).collect()} == before
+
+
+def test_prune_snapshots_keeps_grace_and_current(spark, tmp_path):
+    import os as _os
+
+    from amazon_personalize_connectors_spark.streaming.cdc_sink import (
+        apply_batch,
+        prune_snapshots,
+    )
+
+    store = str(tmp_path / "store_prune")
+    _os.makedirs(store, exist_ok=True)
+    schema = "k long, op string, v string"
+    for i in range(4):
+        apply_batch(
+            spark.createDataFrame([(i, "upsert", f"v{i}")], schema),
+            store,
+            ["k"],
+            "op",
+        )
+    assert sorted(d for d in _os.listdir(store) if d.startswith("v")) == [
+        "v0", "v1", "v2", "v3",
+    ]
+    prune_snapshots(store, keep_last=2)
+    assert sorted(d for d in _os.listdir(store) if d.startswith("v")) == [
+        "v2", "v3",
+    ]
+    snap = {(r.k, r.v) for r in read_snapshot(spark, store).collect()}
+    assert snap == {(0, "v0"), (1, "v1"), (2, "v2"), (3, "v3")}

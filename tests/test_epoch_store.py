@@ -62,11 +62,14 @@ def test_retry_onto_compaction_refused(tmp_path):
         plan_fold(s, 1)
 
 
-def test_legacy_store_without_meta_advances(tmp_path):
+def test_legacy_store_without_meta_advances_with_warning(tmp_path):
     s = _store(tmp_path)
     (tmp_path / "store" / "v0").mkdir()
     (tmp_path / "store" / "_VERSION").write_text("0")
-    v, prior, meta = plan_fold(s, 7)
+    # the legacy path cannot detect replay-after-flip (double-count
+    # hazard) — it must SAY so, loudly (code-review r9)
+    with pytest.warns(RuntimeWarning, match="legacy epoch-less store"):
+        v, prior, meta = plan_fold(s, 7)
     assert (v, prior) == (1, 0) and meta["last_epoch"] is None
 
 

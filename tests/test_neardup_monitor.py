@@ -151,3 +151,55 @@ def test_live_versions_keeps_legacy_meta_less_dirs(spark, tmp_path):
         for r in candidates_from_store(spark, store).collect()
     }
     assert got == full and len(got) > 0
+
+
+def test_fresh_checkpoint_refused_even_at_epoch_zero(spark, tmp_path):
+    """Code-review r9: the epoch heuristic alone cannot distinguish a
+    RETRY of epoch 0 from a FRESH checkpoint's epoch 0 (a one-batch
+    AvailableNow drain leaves last_epoch=0, and the fresh run's epoch
+    0 carries different data) — the checkpoint-identity token closes
+    the hole: a drain from a different checkpoint must be refused, not
+    silently folded as a retry."""
+    import json as _json
+
+    landing = tmp_path / "docs_tok"
+    landing.mkdir()
+    (landing / "b0.json").write_text(
+        "\n".join(
+            _json.dumps({"doc_id": d, "text": t}) for d, t in DOCS[:3]
+        )
+    )
+    store = str(tmp_path / "nd_tok")
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(landing)
+    )
+    maintain_from_stream(stream, store, str(tmp_path / "ckptA"))
+    before = _snap(candidates_from_store(spark, store))
+
+    # different checkpoint, different data, epoch 0 again
+    landing2 = tmp_path / "docs_tok2"
+    landing2.mkdir()
+    (landing2 / "b0.json").write_text(
+        "\n".join(
+            _json.dumps({"doc_id": d + 100, "text": t}) for d, t in DOCS[3:]
+        )
+    )
+    stream2 = spark.readStream.schema("doc_id long, text string").json(
+        str(landing2)
+    )
+    with pytest.raises(Exception, match="does not own the store"):
+        maintain_from_stream(stream2, store, str(tmp_path / "ckptB"))
+    # state untouched by the refused drain
+    assert _snap(candidates_from_store(spark, store)) == before
+
+    # the ORIGINAL checkpoint may keep draining (same token)
+    (landing / "b1.json").write_text(
+        "\n".join(
+            _json.dumps({"doc_id": d, "text": t}) for d, t in DOCS[3:]
+        )
+    )
+    stream3 = spark.readStream.schema("doc_id long, text string").json(
+        str(landing)
+    )
+    maintain_from_stream(stream3, store, str(tmp_path / "ckptA"))
+    assert len(_snap(candidates_from_store(spark, store))) >= len(before)
