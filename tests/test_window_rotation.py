@@ -154,3 +154,18 @@ def test_apply_window_rewrites_block(tmp_path):
     assert '_R9_WINDOW = [\n    "x",\n    "y",\n    "z",\n]' in src
     assert "for name in _R9_WINDOW" in src
     assert "_R8_WINDOW" not in src
+
+
+def test_registry_debt_cap(ledger):
+    """Window-debt policy (VERDICT r9 item 8, VERIFIED.md): with 50
+    driver slots per round, the registry may not grow past the point
+    where the rotation staleness bound exceeds MAX_STALENESS_ROUNDS.
+    An over-cap query addition fails here the moment it is
+    registered, independent of the rotation tool being re-run."""
+    rw, names, latest = ledger
+    bound = rw.max_staleness(len(names), 50)
+    assert bound <= rw.MAX_STALENESS_ROUNDS, (
+        f"registry has {len(names)} queries -> staleness bound {bound} "
+        f"rounds > {rw.MAX_STALENESS_ROUNDS}; retire queries or grow "
+        f"the driver window (policy: VERIFIED.md)"
+    )

@@ -31,6 +31,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SENTINELS = ["flagship_related_flat", "attribution_join", "delta_except"]
 
+# Window-debt policy (VERDICT r9 item 8, documented in VERIFIED.md):
+# with a 50-slot driver window, oldest-first rotation bounds every
+# query's evidence at ceil(Q/50) rounds. The registry is capped so
+# that bound never exceeds this constant; the tool refuses to plan
+# past it, and tests/test_window_rotation.py pins the same cap.
+MAX_STALENESS_ROUNDS = 6
+
 
 def classify(repo_root: str, upto: int | None = None):
     """Classify every registry query by its latest driver evidence.
@@ -146,6 +153,14 @@ def main():
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rnd = current_round(repo_root)
     names, latest = classify(repo_root, upto=rnd)
+    bound = max_staleness(len(names), args.window)
+    if bound > MAX_STALENESS_ROUNDS:
+        sys.exit(
+            f"registry debt cap exceeded: {len(names)} queries / "
+            f"{args.window} slots -> staleness bound {bound} rounds "
+            f"> {MAX_STALENESS_ROUNDS} (policy: VERIFIED.md). Retire "
+            f"queries or grow the driver window before adding more."
+        )
     chosen = plan(names, latest, args.window)
     print(f"# proposed window ({len(chosen)} of {len(names)} queries)")
     for n in chosen:
