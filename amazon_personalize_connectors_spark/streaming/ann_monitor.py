@@ -55,6 +55,7 @@ from amazon_personalize_connectors_spark.functions.similarity import (
     lsh_signed_nodes,
 )
 from amazon_personalize_connectors_spark.streaming.epoch_store import (
+    checkpoint_identity,
     commit_version,
     current_version as _current_version,
     plan_fold,
@@ -324,10 +325,13 @@ def maintain_from_stream(
     """Drain a vector stream (Trigger.AvailableNow), maintaining the
     kNN edge store one micro-batch at a time."""
     os.makedirs(store_path, exist_ok=True)
+    # per-checkpoint nonce, not the path: a recreated checkpoint
+    # at the same location must read as a FOREIGN stream (ADVICE r9)
+    _stream_token = checkpoint_identity(checkpoint_dir)
     q = (
         stream.writeStream.foreachBatch(
             lambda b, e: apply_vectors_batch(
-                b, e, store_path, checkpoint_token=checkpoint_dir,
+                b, e, store_path, checkpoint_token=_stream_token,
                 **graph_kwargs
             )
         )

@@ -26,8 +26,13 @@ overwrites its own version (idempotent: apply_changes is a pure
 function of prior + batch); a stale epoch, or ANY epoch from a
 different checkpoint (whose re-delivered batches carry different
 data), is refused instead of silently resurrecting old CDC ops onto
-newer state. Direct ``apply_batch`` calls with no epoch keep the
-guard-less legacy behavior.
+newer state. The token is ``epoch_store.checkpoint_identity`` — a
+nonce file inside the checkpoint dir, so a deleted-and-recreated
+checkpoint reads as foreign (ADVICE r9) — not the dir path. Direct
+``apply_batch`` calls with no epoch stay guard-less, but on a
+stream-owned store they re-point ``_CDC_META.prev`` at the version
+they write so a later retry of the last epoch merges onto the true
+prior snapshot instead of discarding the backfill (ADVICE r9).
 
 In-batch ordering: a DataFrame micro-batch carries NO row order, so
 when several ops hit one key in one batch the collapse needs an
@@ -187,17 +192,31 @@ def apply_batch(
     merged.write.mode("overwrite").parquet(out)
     # meta before pointer; pointer flip LAST via atomic rename —
     # readers only ever see a complete version
+    new_meta: dict | None = None
     if epoch_id is not None:
+        new_meta = {
+            "last_epoch": int(epoch_id),
+            "prev": prior_version,
+            "token": checkpoint_token,
+        }
+    elif meta.get("last_epoch") is not None:
+        # guard-less write (backfill) onto a STREAM-OWNED store
+        # (ADVICE r9): advancing _VERSION while leaving _CDC_META
+        # untouched would make a later retry of epoch == last_epoch
+        # re-merge onto the now-stale recorded prev, silently
+        # discarding this backfill. Re-point prev at the version this
+        # write produced: the retry then re-applies its batch onto the
+        # true prior snapshot (idempotent — the batch's effects are
+        # already folded into the chain below the backfill).
+        new_meta = {
+            "last_epoch": meta["last_epoch"],
+            "prev": version,
+            "token": meta.get("token"),
+        }
+    if new_meta is not None:
         tmp_m = _cdc_meta_path(store_path) + ".tmp"
         with open(tmp_m, "w") as f:
-            json.dump(
-                {
-                    "last_epoch": int(epoch_id),
-                    "prev": prior_version,
-                    "token": checkpoint_token,
-                },
-                f,
-            )
+            json.dump(new_meta, f)
         os.replace(tmp_m, _cdc_meta_path(store_path))
     tmp = _version_file(store_path) + ".tmp"
     with open(tmp, "w") as f:
@@ -209,12 +228,19 @@ def prune_snapshots(store_path: str, keep_last: int = 2) -> None:
     """Drop superseded snapshot versions, keeping the newest
     ``keep_last`` (code-review r9: every trigger writes a FULL new
     snapshot copy, so a long-lived stream otherwise grows disk by
-    |snapshot| per trigger forever). keep_last >= 2 preserves a grace
-    version for a reader that resolved the pointer just before the
-    latest flip — the same reader-safety story as the versioned
-    stores' compactions."""
-    if keep_last < 1:
-        raise ValueError("keep_last must be >= 1")
+    |snapshot| per trigger forever). keep_last >= 2 is both reader
+    grace AND a retry-correctness requirement (ADVICE r9): the
+    ``_CDC_META`` 'prev' snapshot is what a Spark retry of the last
+    epoch re-merges onto — deleting it wedges the stream on a missing
+    parquet path. Belt-and-braces, the meta's ``prev`` (and the
+    current pointer) are ALWAYS added to the live set even if
+    ``keep_last`` arithmetic would drop them."""
+    if keep_last < 2:
+        raise ValueError(
+            "keep_last must be >= 2: the _CDC_META 'prev' snapshot is "
+            "required by the retry-after-flip path, not just reader "
+            "grace"
+        )
     if not os.path.exists(_version_file(store_path)):
         return
     with open(_version_file(store_path)) as f:
@@ -223,7 +249,12 @@ def prune_snapshots(store_path: str, keep_last: int = 2) -> None:
         prune_versions,
     )
 
-    prune_versions(store_path, {cur - i for i in range(keep_last)})
+    live = {cur - i for i in range(keep_last)}
+    live.add(cur)
+    prev = _read_cdc_meta(store_path).get("prev")
+    if prev is not None:
+        live.add(int(prev))
+    prune_versions(store_path, live)
 
 
 def stream_apply_changes(
@@ -237,7 +268,15 @@ def stream_apply_changes(
 ) -> None:
     """Drain a stream (Trigger.AvailableNow) applying every micro-batch
     onto the keyed snapshot at ``store_path``."""
+    # local import: epoch_store imports _version_file from this module
+    from amazon_personalize_connectors_spark.streaming.epoch_store import (
+        checkpoint_identity,
+    )
+
     os.makedirs(store_path, exist_ok=True)
+    # per-checkpoint nonce, not the path: a recreated checkpoint
+    # at the same location must read as a FOREIGN stream (ADVICE r9)
+    _stream_token = checkpoint_identity(checkpoint_dir)
     q = (
         stream.writeStream.foreachBatch(
             lambda b, epoch: apply_batch(
@@ -246,7 +285,7 @@ def stream_apply_changes(
                 key_cols,
                 op_col,
                 epoch_id=epoch,
-                checkpoint_token=checkpoint_dir,
+                checkpoint_token=_stream_token,
                 seq_col=seq_col,
             )
         )

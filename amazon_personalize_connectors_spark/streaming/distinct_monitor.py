@@ -26,6 +26,7 @@ from amazon_personalize_connectors_spark.functions.sketches import (
     bitmap_partials,
 )
 from amazon_personalize_connectors_spark.streaming.epoch_store import (
+    checkpoint_identity,
     commit_version,
     current_version as _current_version,
     plan_fold,
@@ -94,11 +95,14 @@ def maintain_from_stream(
     """Drain a stream (Trigger.AvailableNow), folding every
     micro-batch's bitmap partials into the store."""
     os.makedirs(store_path, exist_ok=True)
+    # per-checkpoint nonce, not the path: a recreated checkpoint
+    # at the same location must read as a FOREIGN stream (ADVICE r9)
+    _stream_token = checkpoint_identity(checkpoint_dir)
     q = (
         stream.writeStream.foreachBatch(
             lambda b, e: apply_bitmap_batch(
                 b, e, store_path, group_cols, id_col,
-                checkpoint_token=checkpoint_dir,
+                checkpoint_token=_stream_token,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

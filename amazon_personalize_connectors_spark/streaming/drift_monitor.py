@@ -38,6 +38,7 @@ from amazon_personalize_connectors_spark.operators.ids import (
     add_running_totals,
 )
 from amazon_personalize_connectors_spark.streaming.epoch_store import (
+    checkpoint_identity,
     commit_version,
     current_version as _current_version,
     plan_fold,
@@ -105,11 +106,14 @@ def monitor_from_stream(
     """Drain a stream (Trigger.AvailableNow), folding every
     micro-batch's value counts into the grid at ``store_path``."""
     os.makedirs(store_path, exist_ok=True)
+    # per-checkpoint nonce, not the path: a recreated checkpoint
+    # at the same location must read as a FOREIGN stream (ADVICE r9)
+    _stream_token = checkpoint_identity(checkpoint_dir)
     q = (
         stream.writeStream.foreachBatch(
             lambda b, e: apply_grid_batch(
                 b, e, store_path, value_col, in_a, in_b,
-                checkpoint_token=checkpoint_dir,
+                checkpoint_token=_stream_token,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -46,12 +46,15 @@ last applied epoch is 0 (a single-batch AvailableNow drain — common)
 cannot distinguish a RETRY of epoch 0 from a FRESH checkpoint's epoch
 0, which carries different data; the "retry" would then silently
 replace accumulated state. The ``token`` field closes it: each
-``maintain_from_stream`` wrapper passes its checkpoint location as the
-stream's identity, stored in the meta; a fold whose token differs from
-the committed one is REFUSED outright (any epoch — a different
-checkpoint re-delivers everything, so e > last is corruption too).
-Direct ``apply_*_batch`` calls (tests, backfills) pass no token and
-keep the epoch-only heuristic.
+``maintain_from_stream`` wrapper passes ``checkpoint_identity`` — a
+random nonce file written INTO the checkpoint dir on first use (NOT
+the dir path: a deleted-and-recreated checkpoint at the same path
+would reuse a path token and slip through as a "retry", ADVICE r9) —
+as the stream's identity, stored in the meta; a fold whose token
+differs from the committed one is REFUSED outright (any epoch — a
+different checkpoint re-delivers everything, so e > last is
+corruption too). Direct ``apply_*_batch`` calls (tests, backfills)
+pass no token and keep the epoch-only heuristic.
 
 Known narrow window (documented, not closed): a retry after a
 crash-between-flip-and-checkpoint-commit overwrites the POINTED-AT
@@ -70,6 +73,32 @@ import warnings
 from amazon_personalize_connectors_spark.streaming.cdc_sink import (
     _version_file,
 )
+
+
+def checkpoint_identity(checkpoint_dir: str) -> str:
+    """Stable per-checkpoint nonce used as the stream's ownership
+    token (ADVICE r9, medium): the token used to BE the checkpoint
+    directory PATH, so deleting and recreating a checkpoint at the
+    same location (the common 'restart fresh' move) reused the token
+    — the fresh stream's epoch 0 then matched ``last_epoch`` 0,
+    passed the retry branch, and silently replaced accumulated state
+    with one batch's worth. A random id file written into the
+    checkpoint dir on first use dies with the directory, so a
+    recreated checkpoint gets a NEW identity and is refused by the
+    token guard instead."""
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    p = os.path.join(checkpoint_dir, "_STREAM_IDENTITY")
+    if os.path.exists(p):
+        with open(p) as f:
+            return f.read().strip()
+    nonce = uuid.uuid4().hex
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(nonce)
+    os.replace(tmp, p)
+    return nonce
 
 
 def current_version(store_path: str) -> int | None:

@@ -43,6 +43,7 @@ from amazon_personalize_connectors_spark.streaming.cdc_sink import (
     _version_file,
 )
 from amazon_personalize_connectors_spark.streaming.epoch_store import (
+    checkpoint_identity,
     current_version as _current_version,
 )
 
@@ -175,10 +176,13 @@ def maintain_from_stream(
     """Drain a tagged stream (Trigger.AvailableNow), maintaining the
     join rollup store one micro-batch at a time."""
     os.makedirs(store_path, exist_ok=True)
+    # per-checkpoint nonce, not the path: a recreated checkpoint
+    # at the same location must read as a FOREIGN stream (ADVICE r9)
+    _stream_token = checkpoint_identity(checkpoint_dir)
     q = (
         stream.writeStream.foreachBatch(
             lambda b, e: apply_ivm_batch(
-                b, e, store_path, checkpoint_token=checkpoint_dir
+                b, e, store_path, checkpoint_token=_stream_token
             )
         )
         .option("checkpointLocation", checkpoint_dir)

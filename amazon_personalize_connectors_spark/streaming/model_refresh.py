@@ -52,6 +52,7 @@ from amazon_personalize_connectors_spark.operators.recsys import (
     covisitation_increments,
 )
 from amazon_personalize_connectors_spark.streaming.epoch_store import (
+    checkpoint_identity,
     commit_version,
     current_version as _current_version,
     plan_fold,
@@ -214,11 +215,14 @@ def refresh_from_stream(
     every micro-batch into the co-visitation model at ``store_path``.
     ``stream`` columns: (u, i)."""
     os.makedirs(store_path, exist_ok=True)
+    # per-checkpoint nonce, not the path: a recreated checkpoint
+    # at the same location must read as a FOREIGN stream (ADVICE r9)
+    _stream_token = checkpoint_identity(checkpoint_dir)
     q = (
         stream.writeStream.foreachBatch(
             lambda b, e: apply_interactions_batch(
                 b, e, store_path, n_buckets,
-                checkpoint_token=checkpoint_dir,
+                checkpoint_token=_stream_token,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

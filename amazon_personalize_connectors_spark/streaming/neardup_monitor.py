@@ -43,6 +43,7 @@ from amazon_personalize_connectors_spark.functions.dedup import (
     minhash_band_table,
 )
 from amazon_personalize_connectors_spark.streaming.epoch_store import (
+    checkpoint_identity,
     _meta_path,
     commit_version,
     current_version as _current_version,
@@ -55,11 +56,29 @@ _BANDS_SCHEMA = "id long, band int, bucket string"
 _PAIRS_SCHEMA = "id_a long, id_b long, n_shared_bands long"
 
 
-def _read_many(spark: SparkSession, schema: str, paths: list[str]) -> DataFrame:
-    existing = [p for p in paths if os.path.exists(p)]
-    if not existing:
+def _read_required(
+    spark: SparkSession, schema: str, paths: list[str], what: str
+) -> DataFrame:
+    """Union of version-dir inputs that must ALL exist (ADVICE r9:
+    this module previously exists-filtered, so a mistaken gc/prune
+    that removed a live bands/pairs dir silently DROPPED near-dup
+    state — undercounted candidates — instead of failing loudly).
+    Paths come from ``_live_versions``, i.e., they are load-bearing
+    state; every committed version writes both subdirs (empty parquet
+    still creates the dir), so a missing one is a pruned/foreign/
+    partial store, never a legitimate gap. Same discipline as
+    streaming/ivm.py ``_read_required``."""
+    if not paths:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*existing)
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        raise ValueError(
+            f"near-dup store is missing required {what} dirs: "
+            f"{missing[:3]}{' ...' if len(missing) > 3 else ''} — "
+            f"live-chain version dirs are load-bearing state and must "
+            f"never be pruned while reachable."
+        )
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def _live_versions(store_path: str, upto: int | None) -> list[int]:
@@ -113,13 +132,14 @@ def apply_neardup_batch(
     new_bands = minhash_band_table(
         batch, text_col, id_col, n, num_hashes, band_size
     ).localCheckpoint(eager=True)  # read 3x: state join, self join, delta write
-    state_bands = _read_many(
+    state_bands = _read_required(
         spark,
         _BANDS_SCHEMA,
         [
             os.path.join(store_path, f"v{i}", "bands")
             for i in _live_versions(store_path, prior)
         ],
+        "bands",
     )
     # batch-vs-state: the new doc is always the later member; order
     # the pair by id for a stable output key
@@ -156,10 +176,13 @@ def maintain_from_stream(
     """Drain a document stream (Trigger.AvailableNow), maintaining the
     near-dup store one micro-batch at a time."""
     os.makedirs(store_path, exist_ok=True)
+    # per-checkpoint nonce, not the path: a recreated checkpoint
+    # at the same location must read as a FOREIGN stream (ADVICE r9)
+    _stream_token = checkpoint_identity(checkpoint_dir)
     q = (
         stream.writeStream.foreachBatch(
             lambda b, e: apply_neardup_batch(
-                b, e, store_path, checkpoint_token=checkpoint_dir,
+                b, e, store_path, checkpoint_token=_stream_token,
                 **band_kwargs
             )
         )
@@ -188,13 +211,14 @@ def candidates_from_store(
     ver = _current_version(store_path)
     if ver is None:
         return spark.createDataFrame([], _PAIRS_SCHEMA)
-    pairs = _read_many(
+    pairs = _read_required(
         spark,
         _PAIRS_SCHEMA,
         [
             os.path.join(store_path, f"v{i}", "pairs")
             for i in _live_versions(store_path, ver)
         ],
+        "pairs",
     )
     return pairs.groupBy("id_a", "id_b").agg(
         F.sum("n_shared_bands").cast("bigint").alias("n_shared_bands")
@@ -228,15 +252,17 @@ def compact_store(spark: SparkSession, store_path: str) -> None:
     live = _live_versions(store_path, cur)
     version = cur + 1
     out = os.path.join(store_path, f"v{version}")
-    bands = _read_many(
+    bands = _read_required(
         spark,
         _BANDS_SCHEMA,
         [os.path.join(store_path, f"v{i}", "bands") for i in live],
+        "bands",
     )
-    pairs = _read_many(
+    pairs = _read_required(
         spark,
         _PAIRS_SCHEMA,
         [os.path.join(store_path, f"v{i}", "pairs") for i in live],
+        "pairs",
     )
     bands.write.mode("overwrite").parquet(os.path.join(out, "bands"))
     pairs.groupBy("id_a", "id_b").agg(

@@ -36,6 +36,7 @@ from amazon_personalize_connectors_spark.operators.evaluation import (
     auc_from_grid,
 )
 from amazon_personalize_connectors_spark.streaming.epoch_store import (
+    checkpoint_identity,
     commit_version,
     current_version as _current_version,
     plan_fold,
@@ -111,11 +112,14 @@ def monitor_scores_from_stream(
     micro-batch's (group, score) counts into the grid at
     ``store_path``."""
     os.makedirs(store_path, exist_ok=True)
+    # per-checkpoint nonce, not the path: a recreated checkpoint
+    # at the same location must read as a FOREIGN stream (ADVICE r9)
+    _stream_token = checkpoint_identity(checkpoint_dir)
     q = (
         stream.writeStream.foreachBatch(
             lambda b, e: apply_score_batch(
                 b, e, store_path, group_col, score_col, label_col,
-                checkpoint_token=checkpoint_dir,
+                checkpoint_token=_stream_token,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

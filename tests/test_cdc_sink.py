@@ -390,3 +390,115 @@ def test_prune_snapshots_keeps_grace_and_current(spark, tmp_path):
     ]
     snap = {(r.k, r.v) for r in read_snapshot(spark, store).collect()}
     assert snap == {(0, "v0"), (1, "v1"), (2, "v2"), (3, "v3")}
+
+
+def test_recreated_checkpoint_at_same_path_refused(spark, tmp_path):
+    """ADVICE r9 (medium): with the token derived from the checkpoint
+    PATH, 'rm -rf checkpoint && restart' reused the token; the fresh
+    stream's epoch 0 then matched last_epoch 0 and silently REPLACED
+    accumulated state with one batch's worth. The per-checkpoint
+    nonce makes the recreated checkpoint read as foreign."""
+    import shutil
+
+    import pytest as _pytest
+
+    landing = str(tmp_path / "landing_rc")
+    store = str(tmp_path / "store_rc")
+    ckpt = str(tmp_path / "ck_rc")
+    schema = "k long, op string, v string"
+    spark.createDataFrame(
+        [(1, "upsert", "a"), (2, "upsert", "b")], schema
+    ).write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    stream_apply_changes(stream, store, ["k"], ckpt, op_col="op")
+    before = {(r.k, r.v) for r in read_snapshot(spark, store).collect()}
+    assert before == {(1, "a"), (2, "b")}
+
+    # operational "restart fresh": drop the checkpoint, keep the store
+    shutil.rmtree(ckpt)
+    spark.createDataFrame(
+        [(9, "upsert", "z")], schema
+    ).write.mode("overwrite").parquet(landing)
+    stream2 = spark.readStream.schema(schema).parquet(landing)
+    with _pytest.raises(Exception, match="does not own the cdc store"):
+        stream_apply_changes(stream2, store, ["k"], ckpt, op_col="op")
+    # state untouched — NOT replaced by the one new batch
+    assert {(r.k, r.v) for r in read_snapshot(spark, store).collect()} == before
+
+
+def test_prune_snapshots_rejects_keep_last_1(spark, tmp_path):
+    """ADVICE r9: keep_last=1 would delete the _CDC_META 'prev'
+    snapshot that a retry of the last epoch must re-read — a
+    retry-correctness requirement, not just reader grace."""
+    import pytest as _pytest
+
+    from amazon_personalize_connectors_spark.streaming.cdc_sink import (
+        prune_snapshots,
+    )
+
+    with _pytest.raises(ValueError, match="keep_last must be >= 2"):
+        prune_snapshots(str(tmp_path / "s"), keep_last=1)
+
+
+def test_retry_after_prune_still_finds_prev(spark, tmp_path):
+    """A retry of the last applied epoch after prune_snapshots must
+    re-merge onto the recorded prev snapshot (it survives the prune)
+    and reproduce the same state."""
+    import os as _os
+
+    from amazon_personalize_connectors_spark.streaming.cdc_sink import (
+        apply_batch,
+        prune_snapshots,
+    )
+
+    store = str(tmp_path / "store_rp")
+    _os.makedirs(store, exist_ok=True)
+    schema = "k long, op string, v string"
+    batches = {
+        0: [(1, "upsert", "a")],
+        1: [(2, "upsert", "b")],
+        2: [(1, "delete", None), (3, "upsert", "c")],
+    }
+    for e, rows in batches.items():
+        apply_batch(
+            spark.createDataFrame(rows, schema),
+            store, ["k"], "op", epoch_id=e, checkpoint_token="tok",
+        )
+    want = {(r.k, r.v) for r in read_snapshot(spark, store).collect()}
+    prune_snapshots(store, keep_last=2)
+    # Spark retries epoch 2 (same token, same batch) post-prune
+    apply_batch(
+        spark.createDataFrame(batches[2], schema),
+        store, ["k"], "op", epoch_id=2, checkpoint_token="tok",
+    )
+    assert {(r.k, r.v) for r in read_snapshot(spark, store).collect()} == want
+
+
+def test_backfill_on_stream_owned_store_survives_retry(spark, tmp_path):
+    """ADVICE r9: a guard-less apply_batch (epoch_id=None, backfill)
+    on a stream-owned store must re-point _CDC_META.prev at its own
+    version; a later Spark retry of the last epoch then merges onto
+    the true prior snapshot instead of silently discarding the
+    backfill's writes."""
+    import os as _os
+
+    from amazon_personalize_connectors_spark.streaming.cdc_sink import (
+        apply_batch,
+    )
+
+    store = str(tmp_path / "store_bf")
+    _os.makedirs(store, exist_ok=True)
+    schema = "k long, op string, v string"
+    apply_batch(spark.createDataFrame([(1, "upsert", "a")], schema),
+                store, ["k"], "op", epoch_id=0, checkpoint_token="tok")
+    last_rows = [(2, "upsert", "b")]
+    apply_batch(spark.createDataFrame(last_rows, schema),
+                store, ["k"], "op", epoch_id=1, checkpoint_token="tok")
+    # backfill: guard-less write adds key 7
+    apply_batch(spark.createDataFrame([(7, "upsert", "bf")], schema),
+                store, ["k"], "op")
+    # Spark retries the last epoch (1) — same token, same batch
+    apply_batch(spark.createDataFrame(last_rows, schema),
+                store, ["k"], "op", epoch_id=1, checkpoint_token="tok")
+    snap = {(r.k, r.v) for r in read_snapshot(spark, store).collect()}
+    assert snap == {(1, "a"), (2, "b"), (7, "bf")}

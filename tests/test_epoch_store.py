@@ -149,3 +149,25 @@ def test_distinct_monitor_or_folds_exactly(spark, tmp_path):
     again = {r["prio"]: r["n_distinct"]
              for r in distinct_from_store(spark, store, ["prio"]).collect()}
     assert again == got
+
+
+def test_checkpoint_identity_is_a_nonce_not_the_path(tmp_path):
+    """ADVICE r9 (medium): the ownership token must NOT be the
+    checkpoint path — deleting and recreating a checkpoint at the
+    same location is a FRESH stream (its epoch 0 carries different
+    data) and must get a NEW identity."""
+    import shutil
+
+    from amazon_personalize_connectors_spark.streaming.epoch_store import (
+        checkpoint_identity,
+    )
+
+    ck = str(tmp_path / "ck")
+    t1 = checkpoint_identity(ck)
+    assert t1 != ck and len(t1) >= 16
+    # stable across calls while the checkpoint lives
+    assert checkpoint_identity(ck) == t1
+    # delete-and-recreate at the SAME path -> different identity
+    shutil.rmtree(ck)
+    t2 = checkpoint_identity(ck)
+    assert t2 != t1

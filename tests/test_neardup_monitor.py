@@ -203,3 +203,29 @@ def test_fresh_checkpoint_refused_even_at_epoch_zero(spark, tmp_path):
     )
     maintain_from_stream(stream3, store, str(tmp_path / "ckptA"))
     assert len(_snap(candidates_from_store(spark, store))) >= len(before)
+
+
+def test_missing_live_dir_fails_loudly(spark, tmp_path):
+    """ADVICE r9: state reads used to exists-filter, so a mistaken
+    gc/prune that removed a live bands/pairs dir silently DROPPED
+    near-dup state (undercounted candidates). Live-chain dirs are
+    load-bearing: a missing one must raise, not skip."""
+    import shutil
+
+    store = str(tmp_path / "nd_req")
+    os.makedirs(store, exist_ok=True)
+    b0 = spark.createDataFrame(DOCS[:3], "doc_id long, text string")
+    b1 = spark.createDataFrame(DOCS[3:], "doc_id long, text string")
+    apply_neardup_batch(b0, 0, store)
+    apply_neardup_batch(b1, 1, store)
+    # simulate the mistaken prune of a LIVE delta dir
+    shutil.rmtree(os.path.join(store, "v0", "pairs"))
+    with pytest.raises(ValueError, match="missing required pairs"):
+        candidates_from_store(spark, store)
+    shutil.rmtree(os.path.join(store, "v0", "bands"))
+    b2 = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="missing required bands"):
+        apply_neardup_batch(b2, 2, store)

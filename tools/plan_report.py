@@ -43,6 +43,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")
 
+# codegen floors (VERDICT r9 item 4): distinct whole-stage-codegen
+# span ids the named relational plans must compile to — a refactor
+# that knocks the hot path out of codegen (e.g., an accidental UDF or
+# a non-codegen expression in the aggregate) fails the invariant
+# instead of silently shipping an interpreted plan.
+CODEGEN_FLOOR = {
+    "flagship_related_flat": 2,
+    "attribution_join": 2,
+    "tpch_q1": 2,
+    "tpch_q3": 3,
+    "delta_except": 2,
+}
+
 # queries where a Python boundary is the sanctioned design
 ARROW_SANCTIONED = {
     "multimodal_decode",     # codec must run in Python (Arrow-batched)
@@ -79,7 +92,12 @@ def main() -> None:
                     "exchanges": len(re.findall(r"Exchange hashpartitioning", plan)),
                     "reused": len(re.findall(r"ReusedExchange", plan)),
                     "broadcasts": len(re.findall(r"BroadcastExchange", plan)),
-                    "codegen": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+                    # executedPlan().toString() marks codegen stages as
+                    # "*(N)" prefixes, NOT "WholeStageCodegen (N)" (that
+                    # rendering only appears in formatted explain) — the
+                    # old regex made this column permanently 0 and unable
+                    # to catch a codegen regression (VERDICT r9 item 4)
+                    "codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
                     "python": len(re.findall(r"BatchEvalPython", plan)),
                     "arrow": len(
                         re.findall(
@@ -104,6 +122,13 @@ def main() -> None:
         r["name"]
         for r in rows
         if not r.get("err") and r["arrow"] and r["name"] not in ARROW_SANCTIONED
+    ]
+    below_floor = [
+        f"{r['name']} ({r['codegen']} < {CODEGEN_FLOOR[r['name']]})"
+        for r in rows
+        if not r.get("err")
+        and r["name"] in CODEGEN_FLOOR
+        and r["codegen"] < CODEGEN_FLOOR[r["name"]]
     ]
 
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
@@ -142,12 +167,18 @@ def main() -> None:
             f"* Arrow boundaries outside the sanctioned set "
             f"({', '.join(sorted(ARROW_SANCTIONED))}): **{len(stray_arrow)}**"
             f" ({', '.join(stray_arrow) or 'none'})\n"
+            f"* Codegen floors (distinct `*(N)` spans, AQE-off plans): "
+            f"**{len(below_floor)}** below floor"
+            f" ({', '.join(below_floor) or 'none'})\n"
         )
     print(
         f"PLANS.md written: {len(rows)} queries, "
         f"{len(bad_python)} python, {len(bad_cartesian)} cartesian, "
-        f"{len(stray_arrow)} stray arrow"
+        f"{len(stray_arrow)} stray arrow, "
+        f"{len(below_floor)} below codegen floor"
     )
+    if below_floor:
+        sys.exit(f"codegen floor violated: {below_floor}")
 
 
 if __name__ == "__main__":
