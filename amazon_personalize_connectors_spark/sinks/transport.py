@@ -36,6 +36,11 @@ from amazon_personalize_connectors_spark.operators.payload import chunk_iterable
 
 BRAZE_MAX_ATTRIBUTES_PER_POST = 75  # bdeq:18
 SQS_MAX_BATCH = 10  # enqueue.py:19
+# template.yaml:334-337 — the queue redrives a message to the dead
+# letter queue after maxReceiveCount=5 failed receives; VisibilityTimeout
+# 610 s is the redelivery delay between receives.
+SQS_MAX_RECEIVE_COUNT = 5
+SQS_VISIBILITY_TIMEOUT_S = 610.0
 
 
 class TransportError(Exception):
@@ -82,6 +87,48 @@ class RecordingTransport(Transport):
         return [
             json.load(open(os.path.join(spool_dir, f)))
             for f in sorted(os.listdir(spool_dir))
+        ]
+
+
+class FlakyTransport(Transport):
+    """Test double for redrive semantics: every chunk fails its first
+    ``fail_times`` receives, then succeeds and spools. The receive
+    counter must survive executor process boundaries AND be shared
+    across the re-receives of one chunk, so it lives on the
+    filesystem keyed by the chunk's first record id."""
+
+    def __init__(self, spool_dir: str, fail_times: int):
+        self.spool_dir = spool_dir
+        self.fail_times = fail_times
+
+    def send_batch(self, batch: list[dict[str, Any]]) -> None:
+        import os
+
+        os.makedirs(self.spool_dir, exist_ok=True)
+        key = str(batch[0].get("external_id", "k")).replace(os.sep, "_")
+        counter = os.path.join(self.spool_dir, f"receives-{key}")
+        seen = 0
+        if os.path.exists(counter):
+            with open(counter) as f:
+                seen = int(f.read().strip())
+        seen += 1
+        with open(counter, "w") as f:
+            f.write(str(seen))
+        if seen <= self.fail_times:
+            raise TransportError(f"synthetic flake, receive {seen}")
+        with open(os.path.join(self.spool_dir, f"batch-{key}.json"), "w") as f:
+            json.dump(batch, f)
+
+    @staticmethod
+    def delivered_batches(spool_dir: str) -> list[list[dict[str, Any]]]:
+        import os
+
+        if not os.path.isdir(spool_dir):
+            return []
+        return [
+            json.load(open(os.path.join(spool_dir, f)))
+            for f in sorted(os.listdir(spool_dir))
+            if f.startswith("batch-")
         ]
 
 
@@ -202,6 +249,7 @@ _DLQ_SCHEMA = T.StructType(
     [
         T.StructField("record_json", T.StringType()),
         T.StructField("error", T.StringType()),
+        T.StructField("receive_count", T.IntegerType()),
     ]
 )
 
@@ -210,15 +258,28 @@ def deliver(
     payloads: DataFrame,
     transport_factory: Callable[[], Transport],
     batch_size: int = BRAZE_MAX_ATTRIBUTES_PER_POST,
+    max_receives: int = SQS_MAX_RECEIVE_COUNT,
+    redelivery_delay_s: float = 0.0,
 ) -> DataFrame:
     """Send payload rows through the transport in fixed-size chunks
     (P4); return a lazy DataFrame of failed records + error messages.
+
+    Redrive semantics (template.yaml:334-337): each chunk is a queue
+    message — a failed send is re-received up to ``max_receives``
+    times total (SQS ``maxReceiveCount=5``), with
+    ``redelivery_delay_s`` between receives (the 610 s
+    ``VisibilityTimeout`` in the reference; 0 here — in-process
+    redelivery has no visibility window to wait out). Only after the
+    final receive fails does the chunk land in the DLQ frame, each
+    record row carrying its ``receive_count``.
 
     The caller triggers delivery by acting on the returned frame
     (e.g. writing it to a DLQ path); an empty result means full
     success. One transport per partition; rows are JSON-encoded in
     Catalyst (``to_json``) so the Python loop only chunks and sends.
     """
+    if max_receives < 1:
+        raise ValueError("max_receives must be >= 1")
     encoded = payloads.select(
         F.to_json(F.struct(*[F.col(c) for c in payloads.columns])).alias("j")
     )
@@ -227,12 +288,21 @@ def deliver(
         transport = transport_factory()
         for chunk in chunk_iterable((r.j for r in rows), batch_size):
             records = [json.loads(j) for j in chunk]
-            try:
-                transport.send_batch(records)
-            except Exception as exc:  # noqa: BLE001 — surface as DLQ rows
-                err = f"{type(exc).__name__}: {exc}"
+            err = None
+            for receive in range(1, max_receives + 1):
+                try:
+                    transport.send_batch(records)
+                    err = None
+                    break
+                except Exception as exc:  # noqa: BLE001 — redrive, then DLQ
+                    err = f"{type(exc).__name__}: {exc}"
+                    if receive < max_receives and redelivery_delay_s > 0:
+                        time.sleep(redelivery_delay_s)
+            if err is not None:
                 for j in chunk:
-                    yield Row(record_json=j, error=err)
+                    yield Row(
+                        record_json=j, error=err, receive_count=max_receives
+                    )
 
     return payloads.sparkSession.createDataFrame(
         encoded.rdd.mapPartitions(send_partition), _DLQ_SCHEMA

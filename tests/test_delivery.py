@@ -434,3 +434,58 @@ def test_http_transport_5xx_then_2xx_through_deliver(spark):
         srv.shutdown()
     assert n == 0
     assert len(script.requests) == 2
+
+
+def test_redrive_four_failures_then_success_delivers_exactly_once(
+    spark, tmp_path
+):
+    """SQS redrive semantics (template.yaml:334-337, VERDICT r9 item
+    6): a chunk whose transport fails 4 receives then succeeds on the
+    5th is delivered exactly once — zero DLQ rows, one spooled batch,
+    exactly maxReceiveCount=5 receives consumed."""
+    import os
+
+    from amazon_personalize_connectors_spark.sinks.transport import (
+        FlakyTransport,
+    )
+
+    spool = str(tmp_path / "flaky4")
+    payloads = spark.createDataFrame(
+        [("u1",), ("u2",), ("u3",)], "external_id string"
+    ).coalesce(1)
+    failures = deliver(
+        payloads, lambda: FlakyTransport(spool, fail_times=4), batch_size=75
+    ).collect()
+    assert failures == []
+    batches = FlakyTransport.delivered_batches(spool)
+    assert len(batches) == 1
+    assert {r["external_id"] for r in batches[0]} == {"u1", "u2", "u3"}
+    with open(os.path.join(spool, "receives-u1")) as f:
+        assert int(f.read()) == 5
+
+
+def test_redrive_exhausted_lands_in_dlq_with_receive_count(
+    spark, tmp_path
+):
+    """A chunk that fails all 5 receives redrives to the DLQ frame:
+    every record row carries receive_count=5, nothing is spooled, and
+    the transport saw exactly 5 receives (no infinite redelivery)."""
+    import os
+
+    from amazon_personalize_connectors_spark.sinks.transport import (
+        FlakyTransport,
+    )
+
+    spool = str(tmp_path / "flaky5")
+    payloads = spark.createDataFrame(
+        [("u1",), ("u2",)], "external_id string"
+    ).coalesce(1)
+    failures = deliver(
+        payloads, lambda: FlakyTransport(spool, fail_times=99), batch_size=75
+    ).collect()
+    assert len(failures) == 2
+    assert all(r["receive_count"] == 5 for r in failures)
+    assert all("synthetic flake, receive 5" in r["error"] for r in failures)
+    assert FlakyTransport.delivered_batches(spool) == []
+    with open(os.path.join(spool, "receives-u1")) as f:
+        assert int(f.read()) == 5
