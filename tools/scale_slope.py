@@ -41,10 +41,79 @@ DEFAULT = [
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
+def probe_slopes(spark) -> dict[str, dict]:
+    """Probe-path scale slopes for the serving split (VERDICT r9 item
+    7): per SF, build each persisted ANN index ONCE into a temp dir,
+    then time PROBE-ONLY wall (N_RUNS medians) against the fixed
+    prebuilt index. The in-plan e2e forms are covered by the regular
+    query slopes; this isolates the serve path, whose slope should be
+    near-flat (target <= 0.3/decade — probes touch the bucketed
+    candidate set, not the corpus)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        hnsw_index_build,
+        hnsw_probe_topk,
+        ivf_probe_topk_indexed,
+        refined_ivf_index_build,
+    )
+    from amazon_personalize_connectors_spark.sources import synthetic
+
+    out: dict[str, dict] = {
+        "hnsw_probe_topk": {"sec": {}, "rows_out": {}, "probe_only": True},
+        "ivf_probe_topk_indexed": {"sec": {}, "rows_out": {}, "probe_only": True},
+    }
+    for sf, d in SF_DIRS:
+        emb = synthetic.load_table(spark, d, "embeddings")
+        queries_df = emb.where(F.col("vec_id") % 50 == 0)
+        root = tempfile.mkdtemp(prefix=f"apcs_slope_probe_{sf}_")
+        try:
+            hnsw_index_build(spark, emb, f"{root}/hnsw", m=12)
+            refined_ivf_index_build(spark, emb, f"{root}/ivf", rounds=2)
+            for name, probe in (
+                (
+                    "hnsw_probe_topk",
+                    lambda: hnsw_probe_topk(
+                        spark, f"{root}/hnsw", queries_df, k=5, ef=16, rounds=3
+                    ),
+                ),
+                (
+                    "ivf_probe_topk_indexed",
+                    lambda: ivf_probe_topk_indexed(
+                        spark, f"{root}/ivf", queries_df, k=5, nprobe=2
+                    ),
+                ),
+            ):
+                samples = []
+                for _ in range(N_RUNS):
+                    t0 = time.perf_counter()
+                    out[name]["rows_out"][sf] = probe().count()
+                    samples.append(time.perf_counter() - t0)
+                    spark.catalog.clearCache()
+                    spark.sparkContext._jvm.System.gc()
+                out[name]["sec"][sf] = round(statistics.median(samples), 3)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    for name, rec in out.items():
+        slopes = {}
+        for (sf_a, _), (sf_b, _) in zip(SF_DIRS, SF_DIRS[1:]):
+            slopes[f"{sf_a}->{sf_b}"] = round(
+                math.log10(rec["sec"][sf_b] / rec["sec"][sf_a]), 2
+            )
+        rec["exponent"] = slopes
+        print(f"{name:28s} {rec['sec']}  slopes={slopes}", flush=True)
+    return out
+
+
 def main() -> None:
     import __spark_entry__ as e
 
-    names = sys.argv[1:] or DEFAULT
+    args = [a for a in sys.argv[1:] if a != "--probes"]
+    do_probes = "--probes" in sys.argv[1:]
+    names = args or ([] if do_probes else DEFAULT)
     spark = get_spark("apc-scale-slope")
     qs = e.queries()
     for _sf, d in SF_DIRS:  # warm parquet footers at every scale
@@ -70,6 +139,9 @@ def main() -> None:
             )
         results[name] = {"sec": times, "rows_out": rows, "exponent": slopes}
         print(f"{name:28s} {times}  slopes={slopes}", flush=True)
+
+    if do_probes:
+        results.update(probe_slopes(spark))
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
