@@ -517,6 +517,49 @@ def simhash16(text: Column) -> Column:
     return sig
 
 
+def simhash16_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sig) 16-bit SimHash signatures for a whole corpus — the
+    scale form of the ``simhash16`` column, same explode + single
+    hash-aggregate shape as ``simhash64_table`` (codegen'd integer
+    sums with map-side partial combine; the per-row column form folds
+    arrays through interpreted higher-order lambdas — equal wall time
+    at sf0.1, where both are fixed-overhead-dominated, but the agg
+    form is the one whose per-token cost stays JVM-compiled as the
+    corpus grows). Bit-identical to the column form (pinned in
+    tests/test_functions.py): integer sums are associative and token
+    order never matters; tokenless docs get the all-ones signature
+    0xFFFF (zero sums -> every bit >= 0), matching the column
+    convention."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    word = (
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("bigint").alias("w")
+    )
+    words = toks.select("id", word)
+    sums = words.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("w"), i).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"s{i}")
+            for i in range(16)
+        ]
+    )
+    sig = F.lit(0).cast("bigint")
+    for i in range(16):
+        sig = sig + F.when(
+            F.col(f"s{i}") >= 0, F.lit(1 << i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    with_sig = sums.select("id", sig.alias("sig"))
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return all_ids.join(with_sig, "id", "left").select(
+        "id",
+        F.coalesce("sig", F.lit((1 << 16) - 1).cast("bigint")).alias("sig"),
+    )
+
+
 def simhash64_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

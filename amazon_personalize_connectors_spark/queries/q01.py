@@ -396,13 +396,23 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash signature per document."""
-    from amazon_personalize_connectors_spark.functions.dedup import simhash16
+    """16-bit SimHash signature per document, via the corpus-scale
+    explode+aggregate form (bit-identical to the per-row ``simhash16``
+    column — pinned in tests/test_functions.py). The r10 mover
+    investigation found this row is FIXED-OVERHEAD-dominated at sf0.1
+    (scan+count alone costs 0.23 s of its ~1.1 s; nothing in it is
+    data-proportional), so its absolute time tracks machine speed —
+    read it against the bench sentinel. The agg form is kept because
+    its per-token work stays codegen'd as the corpus grows, where the
+    column form's interpreted lambdas would start to bind."""
+    from amazon_personalize_connectors_spark.functions.dedup import simhash16_table
 
     docs = synthetic.load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") % 10 == 0
     )
-    return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+    return simhash16_table(docs).select(
+        F.col("id").alias("doc_id"), F.col("sig").alias("simhash")
+    )
 
 
 def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -290,16 +290,27 @@ BENCH_QUERIES = [
     "embedding_decontaminate_lsh",
 ]
 
+# ANN serving family benched through the SERVE SPLIT, not in-plan
+# (VERDICT r9 item 3): hnsw_topk / hnsw_recall / hnsw_stream_index_probe
+# rebuilt their index inside every benched run (~94 s/round of the
+# suite) even though the store layer persists it. Their CORRECTNESS
+# rows are untouched (still full queries()/oracle_sql() entries, still
+# driver-hash-checked); their PERFORMANCE accounting is the serve
+# split below — one explicit hnsw_build row (the build-bench) +
+# probe-only medians. Listed here so the drop is loud, not silent:
+ANN_SERVE_SPLIT_BENCHED = [
+    "hnsw_topk",
+    "hnsw_recall",
+    "hnsw_stream_index_probe",
+]
+
 # Heavy-but-bounded queries whose cost is fixed by a domain contract,
 # not the scale factor (theilsen: calendar-bounded pair grid; dbscan /
 # mmr: bounded iterative rounds with localCheckpoint barriers). Benched
 # ONCE per round like the streaming family so the 3-pass suite doesn't
 # triple their fixed cost.
 HEAVY_ONE_RUN = [
-    "hnsw_topk",        # index BUILD + probe e2e; corpus fixed-size
     "hnsw_compact",     # two folds + full-store compaction, fixed-size
-    "hnsw_recall",      # build + probe + exact ground truth, same shape
-    "hnsw_stream_index_probe",  # 3 folds + full assemble + probe (r9)
     "winnowing_dedup",
     "bpe_train",
     "bpe_vocab",
@@ -332,6 +343,31 @@ STREAM_ONE_RUN = [
     "stream_distinct_users",
     "stream_capped_balance",
 ]
+
+
+def _sentinel(spark) -> float:
+    """Constant-work environment sentinel (VERDICT r9 item 5): a
+    fixed, data-independent, CPU-bound workload (codegen'd hash +
+    aggregate over a synthetic range — no I/O, no shuffle skew, no SF
+    dependence) timed like any query. Round-over-round, the ratio of
+    sentinel times measures MACHINE speed drift (co-tenant load,
+    thermal state), so a uniform suite-wide slowdown can be attributed
+    to environment instead of being mistaken for a code regression
+    (the r8→r9 headline rows moved a uniform ~1.27x from contention).
+    Median of N_RUNS, same discipline as the query rows."""
+    from pyspark.sql import functions as F
+
+    times = []
+    for _ in range(max(1, N_RUNS)):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 150_000_000, 1, 32)
+            .select(F.xxhash64(F.col("id")).alias("h"))
+            .agg(F.sum(F.col("h") % F.lit(1_000_003)).alias("s"))
+            .collect()
+        )
+        times.append(round(time.perf_counter() - t0, 3))
+    return round(statistics.median(times), 3)
 
 
 def _serve_probe(spark) -> dict:
@@ -440,11 +476,21 @@ def _headline_isolated() -> dict:
     spark = get_spark("apc-bench-headline")
     qs = e.queries()
     spark.read.parquet(f"{SF_DIR}/part.parquet").count()
+    # sentinel bracketing the phase: the isolated numbers are the
+    # round-over-round comparison of record, so the machine-speed
+    # measurement must cover THIS window, not just the later suite
+    sent_before = _sentinel(spark)
     samples, rows_out, errors = _run_suite(spark, qs, HEADLINE_20)
+    sent_after = _sentinel(spark)
     times = {
         n: round(statistics.median(s), 3) for n, s in samples.items() if s
     }
-    return {"queries": times, "rows_out": rows_out, "errors": errors}
+    return {
+        "queries": times,
+        "rows_out": rows_out,
+        "errors": errors,
+        "sentinel": [sent_before, sent_after],
+    }
 
 
 def main() -> None:
@@ -543,6 +589,9 @@ def main() -> None:
     # (VERDICT r8 item 4 — see _serve_probe)
     serve = _serve_probe(spark)
 
+    # constant-work environment sentinel (see _sentinel)
+    sentinel = _sentinel(spark)
+
     ok = {name: s for name, s in samples.items() if s and name not in errors}
     times = {name: round(statistics.median(s), 3) for name, s in ok.items()}
     spread = {name: [round(min(s), 3), round(max(s), 3)] for name, s in ok.items()}
@@ -569,6 +618,8 @@ def main() -> None:
         "stream_queries": stream_times,
         "stream_rows_out": stream_rows,
         "serve_probe": serve,
+        "sentinel": sentinel,
+        "ann_serve_split_benched": ANN_SERVE_SPLIT_BENCHED,
         "sf": sf,
         "runs_per_query": max(1, N_RUNS),
         "errors": errors,
@@ -593,6 +644,7 @@ def main() -> None:
         "stream_queries": stream_times,
         "stream_rows_out": stream_rows,
         "serve_probe": serve,
+        "sentinel": sentinel,
         "sf": sf,
         "runs_per_query": max(1, N_RUNS),
         "suite_total": suite_total,

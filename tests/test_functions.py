@@ -1282,3 +1282,27 @@ def test_refined_ivf_indexed_serve_equals_in_plan(spark, tmp_path):
         ).collect()
     }
     assert served == in_plan and len(served) > 0
+
+
+def test_simhash16_table_equals_column_form(spark, docs):
+    """The corpus-scale explode+aggregate form (q:simhash's benched
+    shape since r10) is bit-identical to the per-row simhash16
+    column, including the tokenless-doc all-ones convention."""
+    from amazon_personalize_connectors_spark.functions.dedup import (
+        simhash16_table,
+    )
+
+    aug = docs.select("doc_id", "text").union(
+        spark.createDataFrame(
+            [(901, ""), (902, " .,;! ")], "doc_id long, text string"
+        )
+    )
+    col_form = {
+        r.doc_id: r.sig
+        for r in aug.select(
+            "doc_id", simhash16(F.col("text")).alias("sig")
+        ).collect()
+    }
+    tab_form = {r.id: r.sig for r in simhash16_table(aug).collect()}
+    assert tab_form == col_form
+    assert tab_form[901] == 0xFFFF and tab_form[902] == 0xFFFF
