@@ -517,96 +517,83 @@ def simhash16(text: Column) -> Column:
     return sig
 
 
-def simhash16_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+def _simhash_table(
+    df: DataFrame, text_col: str, id_col: str, hex_offsets: list[tuple[int, int]]
 ) -> DataFrame:
-    """(id, sig) 16-bit SimHash signatures for a whole corpus — the
-    scale form of the ``simhash16`` column, same explode + single
-    hash-aggregate shape as ``simhash64_table`` (codegen'd integer
-    sums with map-side partial combine; the per-row column form folds
-    arrays through interpreted higher-order lambdas — equal wall time
-    at sf0.1, where both are fixed-overhead-dominated, but the agg
-    form is the one whose per-token cost stays JVM-compiled as the
-    corpus grows). Bit-identical to the column form (pinned in
-    tests/test_functions.py): integer sums are associative and token
-    order never matters; tokenless docs get the all-ones signature
-    0xFFFF (zero sums -> every bit >= 0), matching the column
-    convention."""
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
-    )
-    word = (
-        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("bigint").alias("w")
-    )
-    words = toks.select("id", word)
-    sums = words.groupBy("id").agg(
-        *[
-            F.sum(
-                F.shiftright(F.col("w"), i).bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"s{i}")
-            for i in range(16)
-        ]
-    )
-    sig = F.lit(0).cast("bigint")
-    for i in range(16):
-        sig = sig + F.when(
-            F.col(f"s{i}") >= 0, F.lit(1 << i).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    with_sig = sums.select("id", sig.alias("sig"))
-    all_ids = df.select(F.col(id_col).alias("id"))
-    return all_ids.join(with_sig, "id", "left").select(
-        "id",
-        F.coalesce("sig", F.lit((1 << 16) - 1).cast("bigint")).alias("sig"),
-    )
+    """Corpus-scale SimHash: explode tokens, then ONE hash aggregate
+    with an integer sum per signature bit — all inside whole-stage
+    codegen with map-side partial combine (the per-row column forms
+    fold arrays through interpreted higher-order lambdas; fine for
+    ad-hoc columns, this is the shape whose per-token cost stays
+    JVM-compiled as the corpus grows). ``hex_offsets`` is the same
+    (md5-hex start, bits) slice list ``_simhash_bit_sums`` takes, so
+    the two code paths hash identically by construction — the
+    bit-identity laws are pinned in tests/test_functions.py.
 
-
-def simhash64_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """(id, sig) 64-bit SimHash signatures for a whole corpus — the
-    scale form of ``simhash64``: explode tokens, then ONE hash
-    aggregate with 64 integer sums, all inside whole-stage codegen
-    with map-side partial combine (the per-row column expression folds
-    arrays through interpreted higher-order lambdas — fine for ad-hoc
-    columns, ~4x slower corpus-wide). Bit-identical to ``simhash64``:
-    integer sums are associative, and token order never matters.
-
-    Docs with no tokens get the all-ones signature (-1), matching the
-    column form's zero-sum convention."""
+    The top bit of a 64-wide signature contributes -2^63 (the SIGNED
+    encoding ``simhash64`` documents); narrower widths fit unsigned.
+    Tokenless docs vanish at the explode and are restored with the
+    all-ones signature (zero sums -> every bit set), matching the
+    column forms' convention."""
+    n_bits = sum(b for _, b in hex_offsets)
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
     h = F.md5("tok")
     words = toks.select(
         "id",
-        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("lo"),
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("hi"),
+        *[
+            F.conv(F.substring(h, start, bits // 4), 16, 10)
+            .cast("bigint")
+            .alias(f"w{k}")
+            for k, (start, bits) in enumerate(hex_offsets)
+        ],
     )
+    # global bit i -> (word k, local shift), walking slices in order
+    bit_word: list[tuple[int, int]] = []
+    for k, (_, bits) in enumerate(hex_offsets):
+        bit_word += [(k, j) for j in range(bits)]
     sums = words.groupBy("id").agg(
         *[
             F.sum(
-                F.shiftright(F.col("lo" if i < 32 else "hi"), i % 32)
-                .bitwiseAND(F.lit(1))
-                * 2
-                - 1
+                F.shiftright(F.col(f"w{k}"), j).bitwiseAND(F.lit(1)) * 2 - 1
             ).alias(f"s{i}")
-            for i in range(64)
+            for i, (k, j) in enumerate(bit_word)
         ]
     )
+    def _weight(i: int) -> int:
+        return -(1 << 63) if (i == 63 and n_bits == 64) else (1 << i)
+
     sig = F.lit(0).cast("bigint")
-    for i in range(63):
+    for i in range(n_bits):
         sig = sig + F.when(
-            F.col(f"s{i}") >= 0, F.lit(1 << i).cast("bigint")
+            F.col(f"s{i}") >= 0, F.lit(_weight(i)).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
-    sig = sig + F.when(
-        F.col("s63") >= 0, F.lit(-(1 << 63)).cast("bigint")
-    ).otherwise(F.lit(0).cast("bigint"))
     with_sig = sums.select("id", sig.alias("sig"))
-    # tokenless docs vanish at the explode — restore with all-ones
+    all_ones = sum(_weight(i) for i in range(n_bits))
     all_ids = df.select(F.col(id_col).alias("id"))
     return all_ids.join(with_sig, "id", "left").select(
-        "id", F.coalesce("sig", F.lit(-1).cast("bigint")).alias("sig")
+        "id", F.coalesce("sig", F.lit(all_ones).cast("bigint")).alias("sig")
     )
+
+
+def simhash16_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sig) 16-bit SimHash signatures for a whole corpus — the
+    scale form of the ``simhash16`` column (same md5 slice), via the
+    shared ``_simhash_table`` aggregate. Tokenless docs -> 0xFFFF."""
+    return _simhash_table(df, text_col, id_col, [(1, 16)])
+
+
+def simhash64_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sig) 64-bit SimHash signatures for a whole corpus — the
+    scale form of ``simhash64`` (same two-word md5 slices, same SIGNED
+    bit-63 encoding), via the shared ``_simhash_table`` aggregate.
+    Tokenless docs -> -1 (all ones)."""
+    return _simhash_table(df, text_col, id_col, [(9, 32), (1, 32)])
 
 
 def simhash_neardup_pairs(

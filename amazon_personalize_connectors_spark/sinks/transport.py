@@ -44,7 +44,16 @@ SQS_VISIBILITY_TIMEOUT_S = 610.0
 
 
 class TransportError(Exception):
-    """A batch failed after all retries."""
+    """A batch failed after all retries.
+
+    ``retryable=False`` marks deterministic failures (validation
+    4xx, malformed payloads): redelivering the same bytes cannot
+    succeed, so ``deliver`` DLQs the chunk immediately instead of
+    burning max_receives re-sends (code-review r10)."""
+
+    def __init__(self, message: str, retryable: bool = True):
+        super().__init__(message)
+        self.retryable = retryable
 
 
 class Transport:
@@ -237,7 +246,20 @@ class HttpUserTrackTransport(Transport):
                 )
                 if resp.status_code // 100 == 2:
                     return
+                if resp.status_code // 100 == 4 and resp.status_code not in (
+                    408,  # request timeout — transient
+                    429,  # rate limited — transient by definition
+                ):
+                    # deterministic rejection: the same bytes can never
+                    # succeed — skip internal retries AND tell deliver's
+                    # redrive loop not to re-receive the chunk
+                    raise TransportError(
+                        f"HTTP {resp.status_code}: {resp.text[:200]}",
+                        retryable=False,
+                    )
                 last = TransportError(f"HTTP {resp.status_code}: {resp.text[:200]}")
+            except TransportError:
+                raise
             except Exception as exc:  # noqa: BLE001 — network errors retry
                 last = exc
             if attempt < self.max_retries:
@@ -271,7 +293,12 @@ def deliver(
     ``VisibilityTimeout`` in the reference; 0 here — in-process
     redelivery has no visibility window to wait out). Only after the
     final receive fails does the chunk land in the DLQ frame, each
-    record row carrying its ``receive_count``.
+    record row carrying its ``receive_count`` — except a
+    ``TransportError(retryable=False)`` (deterministic rejection,
+    e.g. a validation 4xx), which DLQs immediately with the actual
+    receive count: re-sending identical bytes cannot succeed, and
+    with a real ``redelivery_delay_s`` the pointless re-receives
+    would serialize into hours per bad partition.
 
     The caller triggers delivery by acting on the returned frame
     (e.g. writing it to a DLQ path); an empty result means full
@@ -289,19 +316,26 @@ def deliver(
         for chunk in chunk_iterable((r.j for r in rows), batch_size):
             records = [json.loads(j) for j in chunk]
             err = None
+            receives = 0
             for receive in range(1, max_receives + 1):
+                receives = receive
                 try:
                     transport.send_batch(records)
                     err = None
                     break
                 except Exception as exc:  # noqa: BLE001 — redrive, then DLQ
                     err = f"{type(exc).__name__}: {exc}"
+                    if not getattr(exc, "retryable", True):
+                        # deterministic failure (validation 4xx): the
+                        # same bytes can never succeed — straight to
+                        # DLQ, no redelivery burn (code-review r10)
+                        break
                     if receive < max_receives and redelivery_delay_s > 0:
                         time.sleep(redelivery_delay_s)
             if err is not None:
                 for j in chunk:
                     yield Row(
-                        record_json=j, error=err, receive_count=max_receives
+                        record_json=j, error=err, receive_count=receives
                     )
 
     return payloads.sparkSession.createDataFrame(

@@ -28,11 +28,14 @@ different checkpoint (whose re-delivered batches carry different
 data), is refused instead of silently resurrecting old CDC ops onto
 newer state. The token is ``epoch_store.checkpoint_identity`` — a
 nonce file inside the checkpoint dir, so a deleted-and-recreated
-checkpoint reads as foreign (ADVICE r9) — not the dir path. Direct
-``apply_batch`` calls with no epoch stay guard-less, but on a
-stream-owned store they re-point ``_CDC_META.prev`` at the version
-they write so a later retry of the last epoch merges onto the true
-prior snapshot instead of discarding the backfill (ADVICE r9).
+checkpoint reads as foreign (ADVICE r9) — not the dir path; an
+upgrade/re-home goes through the explicit ``adopt_cdc_store``.
+Direct ``apply_batch`` calls with no epoch stay guard-less on
+un-owned stores; on a stream-owned store they require
+``allow_stream_owned=True`` and re-point ``_CDC_META.prev`` at the
+version they write so a later retry of the last epoch merges onto
+the true prior snapshot instead of discarding the backfill wholesale
+(ADVICE r9; overlapping-key caveat in the apply_batch docstring).
 
 In-batch ordering: a DataFrame micro-batch carries NO row order, so
 when several ops hit one key in one batch the collapse needs an
@@ -95,6 +98,7 @@ def apply_batch(
     epoch_id: int | None = None,
     checkpoint_token: str | None = None,
     seq_col: str | None = None,
+    allow_stream_owned: bool = False,
 ) -> None:
     """Apply one micro-batch to the store (the foreachBatch body).
 
@@ -104,11 +108,35 @@ def apply_batch(
     deterministic (op, values) max — see module docstring. With
     ``epoch_id`` (the streaming path) the replay/fresh-checkpoint
     guards engage; without it the call is guard-less (backfills,
-    tests)."""
+    tests).
+
+    Guard-less writes onto a STREAM-OWNED store (meta present) must
+    opt in with ``allow_stream_owned=True`` and carry a caveat
+    (code-review r10): the write re-points ``_CDC_META.prev`` at its
+    own version so a later Spark retry of the last epoch merges onto
+    the true prior snapshot — which preserves the backfill EXCEPT on
+    keys the retried epoch itself touches, where the epoch's value is
+    re-applied and wins (a key it upserted reverts to its value; a
+    key it deleted is re-deleted even if the backfill re-added it).
+    Backfill disjoint keys, or pause/drain the stream first, when
+    that matters."""
     from amazon_personalize_connectors_spark.operators.cdc import apply_changes
 
     spark = batch.sparkSession
     meta = _read_cdc_meta(store_path)
+    if (
+        epoch_id is None
+        and meta.get("last_epoch") is not None
+        and not allow_stream_owned
+    ):
+        raise ValueError(
+            f"guard-less apply_batch onto the stream-owned cdc store "
+            f"at {store_path!r}: pass allow_stream_owned=True to "
+            f"backfill it (see the docstring caveat — a retry of the "
+            f"last epoch re-applies its batch, which wins on "
+            f"overlapping keys), or drain/stop the owning stream "
+            f"first."
+        )
     cur_version: int | None = None
     if os.path.exists(_version_file(store_path)):
         with open(_version_file(store_path)) as f:
@@ -128,8 +156,11 @@ def apply_batch(
                 f"the cdc store at {store_path!r} (committed by "
                 f"{stored_token!r}): a fresh or foreign checkpoint "
                 f"re-delivers CDC batches that would silently replay "
-                f"stale ops onto newer state. Use a new store path, or "
-                f"resume from the original checkpoint."
+                f"stale ops onto newer state. Use a new store path; "
+                f"or, if this checkpoint legitimately owns the store "
+                f"(pre-nonce meta, or an intentional re-home), run "
+                f"cdc_sink.adopt_cdc_store(store, checkpoint_dir) "
+                f"first."
             )
         if last is not None:
             e = int(epoch_id)
@@ -200,14 +231,15 @@ def apply_batch(
             "token": checkpoint_token,
         }
     elif meta.get("last_epoch") is not None:
-        # guard-less write (backfill) onto a STREAM-OWNED store
-        # (ADVICE r9): advancing _VERSION while leaving _CDC_META
-        # untouched would make a later retry of epoch == last_epoch
-        # re-merge onto the now-stale recorded prev, silently
-        # discarding this backfill. Re-point prev at the version this
-        # write produced: the retry then re-applies its batch onto the
-        # true prior snapshot (idempotent — the batch's effects are
-        # already folded into the chain below the backfill).
+        # opted-in backfill onto a STREAM-OWNED store (ADVICE r9):
+        # advancing _VERSION while leaving _CDC_META untouched would
+        # make a later retry of epoch == last_epoch re-merge onto the
+        # now-stale recorded prev, silently discarding this backfill
+        # wholesale. Re-point prev at the version this write produced:
+        # the retry then re-applies its batch onto the true prior
+        # snapshot — preserving the backfill on all keys the epoch
+        # didn't touch; on OVERLAPPING keys the re-applied epoch wins
+        # (the documented allow_stream_owned caveat).
         new_meta = {
             "last_epoch": meta["last_epoch"],
             "prev": version,
@@ -222,6 +254,24 @@ def apply_batch(
     with open(tmp, "w") as f:
         f.write(str(version))
     os.replace(tmp, _version_file(store_path))
+
+
+def adopt_cdc_store(store_path: str, checkpoint_dir: str) -> None:
+    """Deliberately transfer cdc-store ownership to ``checkpoint_dir``
+    (the _CDC_META twin of ``epoch_store.adopt_store`` — see its
+    docstring for why migration is explicit, never automatic)."""
+    from amazon_personalize_connectors_spark.streaming.epoch_store import (
+        checkpoint_identity,
+    )
+
+    meta = _read_cdc_meta(store_path)
+    if meta.get("last_epoch") is None:
+        return  # not stream-owned yet — first epoch stamps ownership
+    meta["token"] = checkpoint_identity(checkpoint_dir)
+    tmp = _cdc_meta_path(store_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _cdc_meta_path(store_path))
 
 
 def prune_snapshots(store_path: str, keep_last: int = 2) -> None:

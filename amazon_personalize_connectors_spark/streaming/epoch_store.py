@@ -94,11 +94,47 @@ def checkpoint_identity(checkpoint_dir: str) -> str:
         with open(p) as f:
             return f.read().strip()
     nonce = uuid.uuid4().hex
-    tmp = p + ".tmp"
+    # per-writer tmp name + re-read after replace: with a SHARED tmp
+    # path, two first-users racing could interleave write/replace so a
+    # caller returns a nonce that is not the one the file ends up
+    # holding — and then commits an identity the next restart cannot
+    # reproduce. Re-reading makes every caller return whatever nonce
+    # actually won (code-review r10).
+    tmp = f"{p}.{nonce}.tmp"
     with open(tmp, "w") as f:
         f.write(nonce)
+    try:
+        os.replace(tmp, p)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    with open(p) as f:
+        return f.read().strip()
+
+
+def adopt_store(store_path: str, checkpoint_dir: str) -> None:
+    """Deliberately transfer store ownership to ``checkpoint_dir`` —
+    the migration path for (a) stores whose meta predates the nonce
+    scheme (token == an old checkpoint PATH; their legitimate stream
+    would otherwise be refused forever after upgrading) and (b)
+    intentional re-homing of a store to a new stream. This is an
+    explicit OPERATOR action, never automatic: auto-grandfathering a
+    path-shaped token would reopen the recreated-checkpoint replay
+    hole this scheme exists to close. Rewrites the committed
+    version's token in place (same meta otherwise); the next fold
+    from ``checkpoint_dir`` then passes the ownership guard but still
+    faces the epoch checks (a fresh checkpoint's epoch 0 against
+    last_epoch > 0 remains refused)."""
+    cur = current_version(store_path)
+    if cur is None:
+        return  # nothing committed yet — first fold stamps ownership
+    meta = read_meta(store_path, cur)
+    meta["token"] = checkpoint_identity(checkpoint_dir)
+    p = _meta_path(store_path, cur)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
     os.replace(tmp, p)
-    return nonce
 
 
 def current_version(store_path: str) -> int | None:
@@ -149,8 +185,10 @@ def plan_fold(
             f"{store_path!r} (committed by {stored_token!r}): a fresh "
             f"or foreign checkpoint re-delivers epochs whose data "
             f"differs from the originals — folding would silently "
-            f"corrupt accumulated state. Use a new store path, or "
-            f"resume from the original checkpoint."
+            f"corrupt accumulated state. Use a new store path; or, if "
+            f"this checkpoint legitimately owns the store (pre-nonce "
+            f"meta, or an intentional re-home), run "
+            f"epoch_store.adopt_store(store, checkpoint_dir) first."
         )
     if last is None:  # legacy store — cannot distinguish retry; advance
         warnings.warn(

@@ -291,17 +291,20 @@ BENCH_QUERIES = [
 ]
 
 # ANN serving family benched through the SERVE SPLIT, not in-plan
-# (VERDICT r9 item 3): hnsw_topk / hnsw_recall / hnsw_stream_index_probe
-# rebuilt their index inside every benched run (~94 s/round of the
-# suite) even though the store layer persists it. Their CORRECTNESS
-# rows are untouched (still full queries()/oracle_sql() entries, still
-# driver-hash-checked); their PERFORMANCE accounting is the serve
-# split below — one explicit hnsw_build row (the build-bench) +
-# probe-only medians. Listed here so the drop is loud, not silent:
+# (VERDICT r9 item 3): hnsw_topk / hnsw_recall rebuilt their index
+# inside every benched run (~60 s/round of the suite) even though the
+# store layer persists it — and both decompose EXACTLY into the serve
+# split's hnsw_build + hnsw_probe_only rows, so a regression in
+# either path still moves a bench number. Their CORRECTNESS rows are
+# untouched (still full queries()/oracle_sql() entries, still
+# driver-hash-checked). hnsw_stream_index_probe does NOT decompose
+# that way (its cost is 3 stream folds + store assembly, which no
+# serve row times), so it STAYS benched in HEAVY_ONE_RUN —
+# code-review r10 caught that dropping it left a 5x fold/assemble
+# regression invisible. Listed here so the drop is loud, not silent:
 ANN_SERVE_SPLIT_BENCHED = [
     "hnsw_topk",
     "hnsw_recall",
-    "hnsw_stream_index_probe",
 ]
 
 # Heavy-but-bounded queries whose cost is fixed by a domain contract,
@@ -311,6 +314,9 @@ ANN_SERVE_SPLIT_BENCHED = [
 # triple their fixed cost.
 HEAVY_ONE_RUN = [
     "hnsw_compact",     # two folds + full-store compaction, fixed-size
+    "hnsw_stream_index_probe",  # 3 folds + assemble + probe — the
+    # fold/assemble path has no serve-split row (see
+    # ANN_SERVE_SPLIT_BENCHED note), so it keeps an e2e bench row
     "winnowing_dedup",
     "bpe_train",
     "bpe_vocab",
@@ -370,6 +376,46 @@ def _sentinel(spark) -> float:
     return round(statistics.median(times), 3)
 
 
+def serve_probe_specs(spark, sf_dir: str, root: str) -> dict:
+    """THE canonical serve-split workloads — single source of truth
+    for build/probe parameters, shared by bench.py:_serve_probe and
+    tools/scale_slope.py:probe_slopes (code-review r10: the two had
+    drifted-copy parameter lists; a retune of one would silently make
+    the other measure a different workload). Returns
+    {name: {"build": thunk, "probe": thunk}} where each build writes
+    its persisted index under ``root`` and each probe runs against
+    it. Parameters mirror the e2e queries (hnsw_topk /
+    ivf_refined_index_probe) so the serve numbers decompose them."""
+    from pyspark.sql import functions as F
+
+    from amazon_personalize_connectors_spark.functions.similarity import (
+        hnsw_index_build,
+        hnsw_probe_topk,
+        ivf_probe_topk_indexed,
+        refined_ivf_index_build,
+    )
+    from amazon_personalize_connectors_spark.sources import synthetic
+
+    emb = synthetic.load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    return {
+        "hnsw": {
+            "build": lambda: hnsw_index_build(spark, emb, f"{root}/hnsw", m=12),
+            "probe": lambda: hnsw_probe_topk(
+                spark, f"{root}/hnsw", queries_df, k=5, ef=16, rounds=3
+            ),
+        },
+        "ivf_refined": {
+            "build": lambda: refined_ivf_index_build(
+                spark, emb, f"{root}/ivf", rounds=2
+            ),
+            "probe": lambda: ivf_probe_topk_indexed(
+                spark, f"{root}/ivf", queries_df, k=5, nprobe=2
+            ),
+        },
+    }
+
+
 def _serve_probe(spark) -> dict:
     """Build-once / probe-many serving measurement (VERDICT r8 item 4):
     the e2e hnsw_topk / ivf_refined_probe queries rebuild their index
@@ -382,49 +428,23 @@ def _serve_probe(spark) -> dict:
     import shutil
     import tempfile
 
-    from pyspark.sql import functions as F
-
-    from amazon_personalize_connectors_spark.functions.similarity import (
-        hnsw_index_build,
-        hnsw_probe_topk,
-        ivf_probe_topk_indexed,
-        refined_ivf_index_build,
-    )
-    from amazon_personalize_connectors_spark.sources import synthetic
-
-    emb = synthetic.load_table(spark, SF_DIR, "embeddings")
-    queries_df = emb.where(F.col("vec_id") % 50 == 0)
     out: dict = {}
     root = tempfile.mkdtemp(prefix="apcs_bench_serve_")
     try:
-        t0 = time.perf_counter()
-        hnsw_index_build(spark, emb, f"{root}/hnsw", m=12)
-        out["hnsw_build"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        refined_ivf_index_build(spark, emb, f"{root}/ivf", rounds=2)
-        out["ivf_refined_build"] = round(time.perf_counter() - t0, 3)
-        for key, probe in (
-            (
-                "hnsw_probe_only",
-                lambda: hnsw_probe_topk(
-                    spark, f"{root}/hnsw", queries_df, k=5, ef=16, rounds=3
-                ),
-            ),
-            (
-                "ivf_refined_probe_only",
-                lambda: ivf_probe_topk_indexed(
-                    spark, f"{root}/ivf", queries_df, k=5, nprobe=2
-                ),
-            ),
-        ):
+        specs = serve_probe_specs(spark, SF_DIR, root)
+        for name, spec in specs.items():
+            t0 = time.perf_counter()
+            spec["build"]()
+            out[f"{name}_build"] = round(time.perf_counter() - t0, 3)
+        for name, spec in specs.items():
             samples = []
             for _ in range(max(1, N_RUNS)):
                 t0 = time.perf_counter()
-                out[f"{key}_rows"] = probe().count()
+                out[f"{name}_probe_only_rows"] = spec["probe"]().count()
                 samples.append(round(time.perf_counter() - t0, 3))
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
-            out[key] = round(statistics.median(samples), 3)
+            out[f"{name}_probe_only"] = round(statistics.median(samples), 3)
     except Exception as exc:  # noqa: BLE001 — serve phase is additive
         out["error"] = f"{type(exc).__name__}: {exc}"[:300]
     finally:

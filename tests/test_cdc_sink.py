@@ -494,11 +494,48 @@ def test_backfill_on_stream_owned_store_survives_retry(spark, tmp_path):
     last_rows = [(2, "upsert", "b")]
     apply_batch(spark.createDataFrame(last_rows, schema),
                 store, ["k"], "op", epoch_id=1, checkpoint_token="tok")
-    # backfill: guard-less write adds key 7
+    # backfill: opt-in guard-less write adds key 7 (disjoint from the
+    # epoch's keys — the sanctioned shape; overlap caveat documented)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="allow_stream_owned"):
+        apply_batch(spark.createDataFrame([(7, "upsert", "bf")], schema),
+                    store, ["k"], "op")
     apply_batch(spark.createDataFrame([(7, "upsert", "bf")], schema),
-                store, ["k"], "op")
+                store, ["k"], "op", allow_stream_owned=True)
     # Spark retries the last epoch (1) — same token, same batch
     apply_batch(spark.createDataFrame(last_rows, schema),
                 store, ["k"], "op", epoch_id=1, checkpoint_token="tok")
     snap = {(r.k, r.v) for r in read_snapshot(spark, store).collect()}
     assert snap == {(1, "a"), (2, "b"), (7, "bf")}
+
+
+def test_adopt_cdc_store_migrates_legacy_token(spark, tmp_path):
+    """_CDC_META twin of epoch_store.adopt_store: a store committed
+    under the pre-nonce scheme (token == checkpoint path) refuses its
+    own upgraded stream until the operator adopts it explicitly."""
+    import os as _os
+
+    from amazon_personalize_connectors_spark.streaming.cdc_sink import (
+        adopt_cdc_store,
+        apply_batch,
+    )
+    from amazon_personalize_connectors_spark.streaming.epoch_store import (
+        checkpoint_identity,
+    )
+
+    store = str(tmp_path / "store_adopt")
+    ck = str(tmp_path / "ck_adopt")
+    _os.makedirs(store, exist_ok=True)
+    schema = "k long, op string, v string"
+    apply_batch(spark.createDataFrame([(1, "upsert", "a")], schema),
+                store, ["k"], "op", epoch_id=0, checkpoint_token=ck)
+    nonce = checkpoint_identity(ck)
+    with pytest.raises(ValueError, match="does not own the cdc store"):
+        apply_batch(spark.createDataFrame([(2, "upsert", "b")], schema),
+                    store, ["k"], "op", epoch_id=1, checkpoint_token=nonce)
+    adopt_cdc_store(store, ck)
+    apply_batch(spark.createDataFrame([(2, "upsert", "b")], schema),
+                store, ["k"], "op", epoch_id=1, checkpoint_token=nonce)
+    snap = {(r.k, r.v) for r in read_snapshot(spark, store).collect()}
+    assert snap == {(1, "a"), (2, "b")}

@@ -489,3 +489,59 @@ def test_redrive_exhausted_lands_in_dlq_with_receive_count(
     assert FlakyTransport.delivered_batches(spool) == []
     with open(os.path.join(spool, "receives-u1")) as f:
         assert int(f.read()) == 5
+
+
+def test_http_400_skips_redrive_straight_to_dlq(spark):
+    """A deterministic validation rejection (HTTP 400) must not burn
+    internal retries OR redrive re-receives — identical bytes can
+    never succeed. Exactly ONE request hits the server; the DLQ rows
+    carry receive_count=1 (code-review r10)."""
+    from amazon_personalize_connectors_spark.sinks.transport import (
+        HttpUserTrackTransport,
+    )
+
+    script = _Script([400] * 20)
+    srv, url = _loopback_server(script)
+    try:
+        payloads = spark.createDataFrame(
+            [("a",), ("b",)], "external_id string"
+        ).coalesce(1)
+        failures = deliver(
+            payloads,
+            lambda: HttpUserTrackTransport(
+                url, api_key="k", max_retries=3, backoff_s=0.01
+            ),
+            batch_size=75,
+        ).collect()
+    finally:
+        srv.shutdown()
+    assert len(failures) == 2
+    assert all(r["receive_count"] == 1 for r in failures)
+    assert all("HTTP 400" in r["error"] for r in failures)
+    assert len(script.requests) == 1
+
+
+def test_http_429_stays_retryable(spark):
+    """Rate limiting (429) is transient by definition: the transport's
+    internal backoff retries it and the batch succeeds — zero DLQ."""
+    from amazon_personalize_connectors_spark.sinks.transport import (
+        HttpUserTrackTransport,
+    )
+
+    script = _Script([429, 429])
+    srv, url = _loopback_server(script)
+    try:
+        payloads = spark.createDataFrame(
+            [("a",)], "external_id string"
+        ).coalesce(1)
+        n = deliver(
+            payloads,
+            lambda: HttpUserTrackTransport(
+                url, api_key="k", max_retries=3, backoff_s=0.01
+            ),
+            batch_size=75,
+        ).count()
+    finally:
+        srv.shutdown()
+    assert n == 0
+    assert len(script.requests) == 3  # 2 rate-limited + the success

@@ -171,3 +171,40 @@ def test_checkpoint_identity_is_a_nonce_not_the_path(tmp_path):
     shutil.rmtree(ck)
     t2 = checkpoint_identity(ck)
     assert t2 != t1
+
+
+def test_adopt_store_migrates_legacy_path_token(tmp_path):
+    """Pre-nonce stores hold token == an old checkpoint PATH; after
+    upgrading, their legitimate stream would be refused forever
+    (code-review r10). adopt_store is the explicit migration: it
+    rewrites the committed token to the checkpoint's nonce, after
+    which the same stream folds — while a checkpoint that did NOT
+    adopt stays refused (no silent grandfathering)."""
+    from amazon_personalize_connectors_spark.streaming.epoch_store import (
+        adopt_store,
+        checkpoint_identity,
+    )
+
+    store = _store(tmp_path)
+    ck = str(tmp_path / "ck")
+    # legacy commit: token is the checkpoint dir PATH (pre-r10 scheme)
+    commit_version(store, 0, 0, None, 0, token=ck)
+    nonce = checkpoint_identity(ck)
+    with pytest.raises(ValueError, match="does not own"):
+        plan_fold(store, 1, token=nonce)
+    adopt_store(store, ck)
+    version, prior, _ = plan_fold(store, 1, token=nonce)
+    assert (version, prior) == (1, 0)
+    # meta otherwise untouched
+    meta = read_meta(store, 0)
+    assert meta["last_epoch"] == 0 and meta["token"] == nonce
+
+
+def test_adopt_store_noop_on_uncommitted_store(tmp_path):
+    from amazon_personalize_connectors_spark.streaming.epoch_store import (
+        adopt_store,
+    )
+
+    store = _store(tmp_path)
+    adopt_store(store, str(tmp_path / "ck2"))  # must not raise
+    assert current_version(store) is None

@@ -52,45 +52,25 @@ def probe_slopes(spark) -> dict[str, dict]:
     import shutil
     import tempfile
 
-    from pyspark.sql import functions as F
+    import bench  # repo-root bench.py: serve_probe_specs is THE
+    # single source of build/probe parameters (code-review r10)
 
-    from amazon_personalize_connectors_spark.functions.similarity import (
-        hnsw_index_build,
-        hnsw_probe_topk,
-        ivf_probe_topk_indexed,
-        refined_ivf_index_build,
-    )
-    from amazon_personalize_connectors_spark.sources import synthetic
-
+    names = {"hnsw": "hnsw_probe_topk", "ivf_refined": "ivf_probe_topk_indexed"}
     out: dict[str, dict] = {
-        "hnsw_probe_topk": {"sec": {}, "rows_out": {}, "probe_only": True},
-        "ivf_probe_topk_indexed": {"sec": {}, "rows_out": {}, "probe_only": True},
+        n: {"sec": {}, "rows_out": {}, "probe_only": True} for n in names.values()
     }
     for sf, d in SF_DIRS:
-        emb = synthetic.load_table(spark, d, "embeddings")
-        queries_df = emb.where(F.col("vec_id") % 50 == 0)
         root = tempfile.mkdtemp(prefix=f"apcs_slope_probe_{sf}_")
         try:
-            hnsw_index_build(spark, emb, f"{root}/hnsw", m=12)
-            refined_ivf_index_build(spark, emb, f"{root}/ivf", rounds=2)
-            for name, probe in (
-                (
-                    "hnsw_probe_topk",
-                    lambda: hnsw_probe_topk(
-                        spark, f"{root}/hnsw", queries_df, k=5, ef=16, rounds=3
-                    ),
-                ),
-                (
-                    "ivf_probe_topk_indexed",
-                    lambda: ivf_probe_topk_indexed(
-                        spark, f"{root}/ivf", queries_df, k=5, nprobe=2
-                    ),
-                ),
-            ):
+            specs = bench.serve_probe_specs(spark, d, root)
+            for key, spec in specs.items():
+                spec["build"]()
+            for key, spec in specs.items():
+                name = names[key]
                 samples = []
                 for _ in range(N_RUNS):
                     t0 = time.perf_counter()
-                    out[name]["rows_out"][sf] = probe().count()
+                    out[name]["rows_out"][sf] = spec["probe"]().count()
                     samples.append(time.perf_counter() - t0)
                     spark.catalog.clearCache()
                     spark.sparkContext._jvm.System.gc()
