@@ -524,6 +524,8 @@ def test_adopt_cdc_store_migrates_legacy_token(spark, tmp_path):
         checkpoint_identity,
     )
 
+    import pytest
+
     store = str(tmp_path / "store_adopt")
     ck = str(tmp_path / "ck_adopt")
     _os.makedirs(store, exist_ok=True)
