@@ -51,67 +51,66 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Driver verification window: the driver oracle-checks the FIRST 50
 # entries of queries() in dict order; queries() reorders the full
-# registry so this list comes first. Round-10 rotation (ledger:
+# registry so this list comes first. Round-11 rotation (ledger:
 # VERIFIED.md; generated AND applied by `tools/rotate_window.py
 # --apply`, which rewrites this block): the 3 sentinels, the 3
-# round-9 staged serving queries that have never earned a driver
-# row (maxsim_neardup_clustered, ivf_refined_index_probe,
-# hnsw_stream_index_probe — VERDICT r9 item 1), ALL 9 r3-only
-# evidence-tail queries (VERDICT r9 item 2), and 35 oldest r4
-# greens. tests/test_window_rotation.py pins the invariants AS OF
-# THIS WINDOW'S ROUND (evidence < r10), so landing
-# CORRECTNESS_r10.json does not re-redden the suite.
-_R10_WINDOW = [
+# _REVERIFY simhash queries whose registered form changed after
+# their r8 driver rows (VERDICT r10 item 1), ALL 13 r4-evidence
+# queries at the staleness bound (VERDICT r10 item 2), and 31
+# oldest r5 greens. tests/test_window_rotation.py pins the
+# invariants AS OF THIS WINDOW'S ROUND (evidence < r11), so landing
+# CORRECTNESS_r11.json does not re-redden the suite.
+_R11_WINDOW = [
     "flagship_related_flat",
     "attribution_join",
     "delta_except",
-    "maxsim_neardup_clustered",
-    "ivf_refined_index_probe",
-    "hnsw_stream_index_probe",
-    "orders_islands",
-    "basket_lift",
-    "priority_sample",
-    "column_profile",
-    "stream_static_join",
-    "expectations_audit",
-    "neardup_triangles",
-    "leakage_safe_split",
-    "ivf_index_probe",
-    "renest_capped",
-    "sliding_windows",
-    "semi_anti_join",
-    "pivot_events",
-    "percentiles",
-    "stream_windowed_counts",
-    "salted_attribution",
-    "tfidf_top_terms",
-    "contiguous_ids",
-    "hash_split",
-    "intersect_items",
-    "approx_distinct",
-    "topk_per_group",
-    "delta_anti_hash",
-    "scd2_dimension",
-    "incremental_rollup_merge",
-    "distinct_rollup_bitmap",
-    "bloom_prune_semi",
-    "snapshot_cdc",
-    "cdc_roundtrip",
-    "editdist_join",
-    "interval_overlap",
-    "histogram_quantiles",
-    "er_clusters",
-    "tpch_q3",
-    "tpch_q5",
-    "covisitation_topk",
-    "rec_coverage",
-    "rec_hitrate",
-    "negative_sampling",
-    "funnel_windows",
-    "gap_fill_locf",
-    "price_outliers",
-    "revenue_trend",
-    "bm25_search",
+    "simhash",
+    "simhash64",
+    "simhash_neardup",
+    "scd2_durations",
+    "hashed_features",
+    "price_percentile_rank",
+    "skew_report",
+    "session_paths",
+    "revenue_contribution",
+    "skipgram_pairs",
+    "vocab_coverage",
+    "trending_items",
+    "cohort_revenue",
+    "covisitation_mrr",
+    "decayed_popularity",
+    "asof_nearest",
+    "user_profile_vectors",
+    "target_encoding",
+    "winsorize_prices",
+    "next_item_examples",
+    "frequent_tokens",
+    "ks_drift",
+    "containment_pairs",
+    "covisitation_incremental",
+    "stream_sessionize_stateful",
+    "tpch_q10",
+    "tpch_q18",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q14",
+    "tpch_q17",
+    "last_touch_attribution",
+    "audience_overlap",
+    "rec_ndcg",
+    "k_anonymity",
+    "privacy_gate",
+    "retractable_rollup",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q13",
+    "grouping_sets_revenue",
+    "embedding_drift",
+    "stream_ks_drift",
+    "survival_repurchase",
+    "rec_diversity_ils",
+    "tpch_q1",
+    "scd2_pit_revenue",
 ]
 
 # Staging discipline (VERDICT r6 item 3 / r7 item 6): queries added
@@ -121,6 +120,20 @@ _R10_WINDOW = [
 # tests/test_window_rotation.py exempts exactly this list from the
 # staleness invariant.
 _STAGED: list[str] = []
+
+# Re-verification pool (VERDICT r10 item 1): queries whose REGISTERED
+# FORM changed after their last driver-green row — the old evidence
+# attests a query that no longer exists. tools/rotate_window.py ranks
+# these just below red rows (ahead of never-verified) so they lead
+# the next window; the list drains once that window's driver row
+# lands. Round 11: the simhash family switched to the corpus-scale
+# table form (functions/dedup.py `simhash16_table`, commits
+# c2db82a/602a514) AFTER its r8 driver rows.
+_REVERIFY: list[str] = [
+    "simhash",
+    "simhash64",
+    "simhash_neardup",
+]
 
 
 
@@ -423,7 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_similarity": q_user_similarity,
         "stream_auc_monitor": q_stream_auc_monitor,
     }
-    out = {name: all_q[name] for name in _R10_WINDOW}
+    out = {name: all_q[name] for name in _R11_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
     return out
 

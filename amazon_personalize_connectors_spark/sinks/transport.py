@@ -93,10 +93,11 @@ class RecordingTransport(Transport):
 
         if not os.path.isdir(spool_dir):
             return []
-        return [
-            json.load(open(os.path.join(spool_dir, f)))
-            for f in sorted(os.listdir(spool_dir))
-        ]
+        out = []
+        for name in sorted(os.listdir(spool_dir)):
+            with open(os.path.join(spool_dir, name)) as f:
+                out.append(json.load(f))
+        return out
 
 
 class FlakyTransport(Transport):
@@ -198,10 +199,11 @@ class SpoolingQueueTransport(QueueTransport):
 
         if not os.path.isdir(spool_dir):
             return []
-        return [
-            json.load(open(os.path.join(spool_dir, f)))
-            for f in sorted(os.listdir(spool_dir))
-        ]
+        out = []
+        for name in sorted(os.listdir(spool_dir)):
+            with open(os.path.join(spool_dir, name)) as f:
+                out.append(json.load(f))
+        return out
 
 
 class HttpUserTrackTransport(Transport):
@@ -231,7 +233,12 @@ class HttpUserTrackTransport(Transport):
         try:
             import requests
         except ImportError as exc:  # pragma: no cover
-            raise TransportError("requests not available in this environment") from exc
+            # deterministic in this process — redriving the chunk
+            # max_receives times (with redelivery sleeps) cannot make
+            # the dependency appear; DLQ immediately (ADVICE r10)
+            raise TransportError(
+                "requests not available in this environment", retryable=False
+            ) from exc
         payload = {"attributes": batch}
         headers = {
             "Content-Type": "application/json",
@@ -282,6 +289,7 @@ def deliver(
     batch_size: int = BRAZE_MAX_ATTRIBUTES_PER_POST,
     max_receives: int = SQS_MAX_RECEIVE_COUNT,
     redelivery_delay_s: float = 0.0,
+    sleep_fn: Callable[[float], None] = time.sleep,
 ) -> DataFrame:
     """Send payload rows through the transport in fixed-size chunks
     (P4); return a lazy DataFrame of failed records + error messages.
@@ -331,7 +339,14 @@ def deliver(
                         # DLQ, no redelivery burn (code-review r10)
                         break
                     if receive < max_receives and redelivery_delay_s > 0:
-                        time.sleep(redelivery_delay_s)
+                        # the SQS visibility window (template.yaml:334,
+                        # VisibilityTimeout=610): a failed receive's
+                        # message is invisible for the full window
+                        # before it can be re-received. ``sleep_fn`` is
+                        # injectable so tests pin the re-receive
+                        # ordering against a simulated clock instead of
+                        # sleeping out real windows (VERDICT r10 §7).
+                        sleep_fn(redelivery_delay_s)
             if err is not None:
                 for j in chunk:
                     yield Row(

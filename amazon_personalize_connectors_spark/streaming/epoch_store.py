@@ -94,22 +94,26 @@ def checkpoint_identity(checkpoint_dir: str) -> str:
         with open(p) as f:
             return f.read().strip()
     nonce = uuid.uuid4().hex
-    # per-writer tmp name + re-read after replace: with a SHARED tmp
-    # path, two first-users racing could interleave write/replace so a
-    # caller returns a nonce that is not the one the file ends up
-    # holding — and then commits an identity the next restart cannot
-    # reproduce. Re-reading makes every caller return whatever nonce
-    # actually won (code-review r10).
+    # write-then-hardlink: os.link is atomic AND exclusive, and the
+    # target only ever appears fully written, so exactly one nonce is
+    # ever observable and no reader can see a partial file. (The
+    # previous tmp+os.replace scheme narrowed but did not close the
+    # race — caller A could re-read its own nonce before B's replace
+    # landed, then commit an ownership token the file no longer held,
+    # and the next restart was refused as foreign. A bare
+    # O_CREAT|O_EXCL open has the dual hole: losers can read the
+    # winner's file before its nonce is written. ADVICE r10.)
     tmp = f"{p}.{nonce}.tmp"
     with open(tmp, "w") as f:
         f.write(nonce)
     try:
-        os.replace(tmp, p)
+        os.link(tmp, p)
+    except FileExistsError:
+        with open(p) as f:
+            return f.read().strip()
     finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-    with open(p) as f:
-        return f.read().strip()
+        os.unlink(tmp)
+    return nonce
 
 
 def adopt_store(store_path: str, checkpoint_dir: str) -> None:

@@ -208,3 +208,22 @@ def test_adopt_store_noop_on_uncommitted_store(tmp_path):
     store = _store(tmp_path)
     adopt_store(store, str(tmp_path / "ck2"))  # must not raise
     assert current_version(store) is None
+
+
+def test_checkpoint_identity_concurrent_first_use_single_nonce(tmp_path):
+    """Exactly one nonce is ever observable (ADVICE r10): the identity
+    file is created with O_CREAT|O_EXCL, so N racing first-users all
+    return the single winning nonce — none can commit an ownership
+    token the file no longer holds."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from amazon_personalize_connectors_spark.streaming.epoch_store import (
+        checkpoint_identity,
+    )
+
+    ck = str(tmp_path / "ck_race")
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        got = list(ex.map(lambda _: checkpoint_identity(ck), range(64)))
+    assert len(set(got)) == 1
+    with open(f"{ck}/_STREAM_IDENTITY") as f:
+        assert f.read().strip() == got[0]

@@ -85,7 +85,9 @@ def test_window_matches_plan(ledger):
     rnd, window = _active_window()
     staged = set(entry._STAGED)
     plannable = [n for n in names if n not in staged]
-    expected = rw.plan(plannable, latest, 50)
+    expected = rw.plan(
+        plannable, latest, 50, reverify=getattr(entry, "_REVERIFY", [])
+    )
     assert window == expected, (
         "active window diverges from tools/rotate_window.py plan; "
         "re-run `python tools/rotate_window.py --apply`"
@@ -125,6 +127,20 @@ def test_staged_names_resolve(ledger):
     rw, names, latest = ledger
     bad = [n for n in entry._STAGED if n not in names]
     assert not bad, f"_STAGED names not in registry: {bad}"
+
+
+def test_reverify_names_resolve_and_are_windowed(ledger):
+    """_REVERIFY (VERDICT r10 item 1) lists queries whose registered
+    form changed after their last driver row: every entry must resolve
+    in the registry AND sit in the active window — a reverify entry
+    left outside the window would carry stale-form evidence forward."""
+    rw, names, latest = ledger
+    rnd, window = _active_window()
+    reverify = list(getattr(entry, "_REVERIFY", []))
+    bad = [n for n in reverify if n not in names]
+    assert not bad, f"_REVERIFY names not in registry: {bad}"
+    unwindowed = [n for n in reverify if n not in window]
+    assert not unwindowed, f"_REVERIFY entries missing from window: {unwindowed}"
 
 
 def test_apply_window_rewrites_block(tmp_path):

@@ -1,7 +1,13 @@
 #!/usr/bin/env python
 """Regenerate QUERIES.md from the query docstrings in __spark_entry__.
 
-Usage: python tools/gen_queries_md.py  (writes QUERIES.md in repo root)
+Usage: python tools/gen_queries_md.py            (writes QUERIES.md)
+       python tools/gen_queries_md.py --check    (exit 1 if stale)
+
+``--check`` renders in memory and diffs against the committed file —
+wired into pytest (tests/test_layout.py) so a query docstring change
+that skips regeneration fails the suite, exactly as the PLANS.md
+invariants already do (VERDICT r10 item 3).
 """
 
 import inspect
@@ -25,7 +31,7 @@ Generated from the query docstrings — regenerate with
 """
 
 
-def main() -> None:
+def render() -> str:
     qs = e.queries()
     oracles = e.oracle_sql()
     rows = []
@@ -35,10 +41,26 @@ def main() -> None:
             doc = doc[:152] + "..."
         kind = "hash" if name in oracles else "rows-only"
         rows.append(f"| {i} | `{name}` | {kind} | {doc} |")
+    return HEADER + "\n".join(rows) + "\n"
+
+
+def main() -> None:
+    text = render()
     out = os.path.join(ROOT, "QUERIES.md")
+    if "--check" in sys.argv[1:]:
+        with open(out) as f:
+            committed = f.read()
+        if committed != text:
+            sys.exit(
+                "QUERIES.md is stale vs the query docstrings — "
+                "regenerate with `python tools/gen_queries_md.py`"
+            )
+        print("QUERIES.md current")
+        return
+    n = text.count("\n| ") - 1  # minus the table-header row
     with open(out, "w") as f:
-        f.write(HEADER + "\n".join(rows) + "\n")
-    print(f"wrote {out}: {len(rows)} queries ({len(oracles)} oracle-checked)")
+        f.write(text)
+    print(f"wrote {out}: {n} queries")
 
 
 if __name__ == "__main__":

@@ -130,6 +130,14 @@ def main() -> None:
         and r["name"] in CODEGEN_FLOOR
         and r["codegen"] < CODEGEN_FLOOR[r["name"]]
     ]
+    # a floor-listed query that fails to PLAN at all is a stronger
+    # regression than a missing codegen span — count it into the same
+    # gate instead of silently filtering it out (ADVICE r10)
+    below_floor += [
+        f"{r['name']} (unplannable: {r['err']})"
+        for r in rows
+        if r.get("err") and r["name"] in CODEGEN_FLOOR
+    ]
 
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write(

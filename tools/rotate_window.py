@@ -81,8 +81,15 @@ def classify(repo_root: str, upto: int | None = None):
     return names, latest
 
 
-def plan(names, latest, window: int):
+def plan(names, latest, window: int, reverify=()):
     red = [n for n in names if latest.get(n, (0, ""))[1] == "red"]
+    # re-verification pool (VERDICT r10 item 1): queries whose
+    # REGISTERED FORM changed after their last driver-green row (the
+    # builder lists them in __spark_entry__._REVERIFY). Their old
+    # evidence attests a query that no longer exists, so they rank
+    # just below red — ahead of never-verified — and the list drains
+    # (is emptied) once the next round's driver row lands.
+    rev = [n for n in names if n in set(reverify) and n not in red]
     never = [n for n in names if n not in latest]
     # rows-only evidence (historical `err=no_oracle` rows that have
     # since gained a real oracle) is weaker than hash-green: drain it
@@ -97,7 +104,7 @@ def plan(names, latest, window: int):
         key=lambda n: latest[n][0],  # oldest evidence first
     )
     chosen: list[str] = []
-    for pool in ([s for s in SENTINELS if s in names], red, never, rows_only, greens):
+    for pool in ([s for s in SENTINELS if s in names], red, rev, never, rows_only, greens):
         for n in pool:
             if n not in chosen and len(chosen) < window:
                 chosen.append(n)
@@ -161,11 +168,16 @@ def main():
             f"> {MAX_STALENESS_ROUNDS} (policy: VERIFIED.md). Retire "
             f"queries or grow the driver window before adding more."
         )
-    chosen = plan(names, latest, args.window)
+    import __spark_entry__ as e
+
+    reverify = list(getattr(e, "_REVERIFY", []))
+    chosen = plan(names, latest, args.window, reverify=reverify)
     print(f"# proposed window ({len(chosen)} of {len(names)} queries)")
     for n in chosen:
         rnum, state = latest.get(n, (None, "never"))
         tag = f"r{rnum}:{state}" if rnum else "never-verified"
+        if n in reverify:
+            tag += " (form changed — reverify)"
         print(f"{n:40s} {tag}")
     outside = [n for n in names if n not in chosen]
     stale = [n for n in outside if n not in latest]
