@@ -376,7 +376,7 @@ def _sentinel(spark) -> float:
     return round(statistics.median(times), 3)
 
 
-def serve_probe_specs(spark, sf_dir: str, root: str) -> dict:
+def serve_probe_specs(spark, sf_dir: str, root: str, auto_width: bool = False) -> dict:
     """THE canonical serve-split workloads — single source of truth
     for build/probe parameters, shared by bench.py:_serve_probe and
     tools/scale_slope.py:probe_slopes (code-review r10: the two had
@@ -385,7 +385,18 @@ def serve_probe_specs(spark, sf_dir: str, root: str) -> dict:
     {name: {"build": thunk, "probe": thunk}} where each build writes
     its persisted index under ``root`` and each probe runs against
     it. Parameters mirror the e2e queries (hnsw_topk /
-    ivf_refined_index_probe) so the serve numbers decompose them."""
+    ivf_refined_index_probe) so the serve numbers decompose them.
+
+    ``auto_width=True`` switches the HNSW build's LSH blocking from
+    the e2e-mirror fixed width (n_bits=4 — comparable bench numbers
+    at the pinned sf0.1) to the documented scale policy
+    (``n_bits=None`` → auto_n_bits ≈ log2(N/target_bucket), the
+    sizing a 100 TB deployment uses — similarity.py's pair-cap
+    message points at it). tools/scale_slope.py uses this so the
+    probe-slope series measures ONE policy across every SF; at sf1
+    (20k vectors) the fixed width correctly REFUSES via the pair cap
+    (4 tables × N²/2⁴ ≈ 100M candidate pairs > 50M), which is the
+    guard doing its job, not a probe-path defect."""
     from pyspark.sql import functions as F
 
     from amazon_personalize_connectors_spark.functions.similarity import (
@@ -400,7 +411,13 @@ def serve_probe_specs(spark, sf_dir: str, root: str) -> dict:
     queries_df = emb.where(F.col("vec_id") % 50 == 0)
     return {
         "hnsw": {
-            "build": lambda: hnsw_index_build(spark, emb, f"{root}/hnsw", m=12),
+            "build": lambda: hnsw_index_build(
+                spark,
+                emb,
+                f"{root}/hnsw",
+                m=12,
+                **({"n_bits": None, "target_bucket": 256} if auto_width else {}),
+            ),
             "probe": lambda: hnsw_probe_topk(
                 spark, f"{root}/hnsw", queries_df, k=5, ef=16, rounds=3
             ),

@@ -31,6 +31,16 @@ SF_DIRS = [
     ("0.01", "/root/testdata/sf0.01"),
     ("0.1", "/root/testdata/sf0.1"),
 ]
+# optional extra decade (VERDICT r10 item 5): sf1 is generated
+# locally by tools/gen_scaled_data.py (10 key-shifted copies of
+# sf0.1 — same per-key group sizes, salted doc tokens / rotated
+# embeddings so dedup+ANN workloads scale linearly, not as
+# K-cliques). Picked up automatically when present.
+_SF1 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".localdata", "sf1"
+)
+if os.path.isdir(_SF1):
+    SF_DIRS.append(("1", _SF1))
 DEFAULT = [
     "covisitation_topk",
     "ngram_jaccard_pairs",
@@ -57,12 +67,22 @@ def probe_slopes(spark) -> dict[str, dict]:
 
     names = {"hnsw": "hnsw_probe_topk", "ivf_refined": "ivf_probe_topk_indexed"}
     out: dict[str, dict] = {
-        n: {"sec": {}, "rows_out": {}, "probe_only": True} for n in names.values()
+        n: {
+            "sec": {},
+            "rows_out": {},
+            "probe_only": True,
+            "lsh_policy": "auto_n_bits(target_bucket=256)",
+        }
+        for n in names.values()
     }
     for sf, d in SF_DIRS:
         root = tempfile.mkdtemp(prefix=f"apcs_slope_probe_{sf}_")
         try:
-            specs = bench.serve_probe_specs(spark, d, root)
+            # auto_width: one sizing policy (n_bits ~ log2(N)) across
+            # every SF so the slope series is internally consistent —
+            # and the only policy that builds at sf1 at all (the
+            # e2e-mirror fixed width correctly hits the pair cap there)
+            specs = bench.serve_probe_specs(spark, d, root, auto_width=True)
             for key, spec in specs.items():
                 spec["build"]()
             for key, spec in specs.items():
