@@ -123,17 +123,23 @@ _STAGED: list[str] = []
 
 # Re-verification pool (VERDICT r10 item 1): queries whose REGISTERED
 # FORM changed after their last driver-green row — the old evidence
-# attests a query that no longer exists. tools/rotate_window.py ranks
-# these just below red rows (ahead of never-verified) so they lead
-# the next window; the list drains once that window's driver row
-# lands. Round 11: the simhash family switched to the corpus-scale
-# table form (functions/dedup.py `simhash16_table`, commits
-# c2db82a/602a514) AFTER its r8 driver rows.
-_REVERIFY: list[str] = [
-    "simhash",
-    "simhash64",
-    "simhash_neardup",
-]
+# attests a query that no longer exists. Maps query -> the round whose
+# gates the form change landed AFTER, so drainage is DERIVED, not a
+# manual edit: tools/rotate_window.py treats an entry as active only
+# while the query's latest driver evidence is <= that round, and
+# ranks active entries just below red rows (ahead of never-verified)
+# so they lead the next window. Once a newer driver row lands the
+# entry is inert (and can be deleted at leisure); a forgotten
+# deletion can no longer pin window slots (self-review r11).
+# Round 11: the simhash family switched to the corpus-scale table
+# form (functions/dedup.py `simhash16_table`, commits
+# c2db82a/602a514) after the round-10 gates; its driver evidence
+# is r8.
+_REVERIFY: dict[str, int] = {
+    "simhash": 10,
+    "simhash64": 10,
+    "simhash_neardup": 10,
+}
 
 
 

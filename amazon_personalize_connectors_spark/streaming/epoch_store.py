@@ -111,8 +111,37 @@ def checkpoint_identity(checkpoint_dir: str) -> str:
     except FileExistsError:
         with open(p) as f:
             return f.read().strip()
+    except OSError:
+        # hardlink-less filesystem (object-store FUSE mount, VFAT,
+        # some overlays): fall back to O_CREAT|O_EXCL — exclusivity
+        # still holds everywhere POSIX-ish; losers bridge the
+        # winner's create-to-write gap by retrying empty reads
+        # (self-review r11: the link-only form broke first use on
+        # mounts where the pre-r11 os.replace scheme worked).
+        return _identity_excl_fallback(p, nonce)
     finally:
         os.unlink(tmp)
+    return nonce
+
+
+def _identity_excl_fallback(p: str, nonce: str) -> str:
+    import time
+
+    try:
+        fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        for _ in range(200):  # ~2 s bound; the winner's write is tiny
+            with open(p) as f:
+                got = f.read().strip()
+            if got:
+                return got
+            time.sleep(0.01)
+        raise RuntimeError(
+            f"_STREAM_IDENTITY at {p} stayed empty — winner died "
+            "between create and write; delete the file to retry"
+        )
+    with os.fdopen(fd, "w") as f:
+        f.write(nonce)
     return nonce
 
 

@@ -227,3 +227,25 @@ def test_checkpoint_identity_concurrent_first_use_single_nonce(tmp_path):
     assert len(set(got)) == 1
     with open(f"{ck}/_STREAM_IDENTITY") as f:
         assert f.read().strip() == got[0]
+
+
+def test_checkpoint_identity_hardlink_less_filesystem(tmp_path, monkeypatch):
+    """Hardlink-less mounts (object-store FUSE, VFAT, some overlays)
+    raise OSError from os.link; checkpoint_identity must fall back to
+    O_CREAT|O_EXCL instead of failing stream startup (self-review
+    r11 — the link-only form regressed environments the pre-r11
+    os.replace scheme supported)."""
+    import os as _os
+
+    from amazon_personalize_connectors_spark.streaming import epoch_store as es
+
+    ck = str(tmp_path / "ck_nolink")
+
+    def no_link(*a, **k):
+        raise OSError(1, "Operation not permitted")
+
+    monkeypatch.setattr(es.os, "link", no_link)
+    n = es.checkpoint_identity(ck)
+    assert len(n) == 32
+    assert es.checkpoint_identity(ck) == n  # stable on re-read
+    assert sorted(_os.listdir(ck)) == ["_STREAM_IDENTITY"]  # no tmp leak

@@ -106,3 +106,27 @@ def test_copy_table_documents_consistency(tmp_path):
     ids0 = base.column("doc_id").to_numpy()
     ids1 = copy.column("doc_id").to_numpy()
     assert (ids1 - ids0 == 5000).all()
+
+
+def test_scale_slope_merge_keeps_missing_sf_points():
+    """SCALE_SLOPE.json merge (self-review r11): a re-run on a
+    machine WITHOUT the optional sf1 data must extend the committed
+    record, not erase its sf1 points — and exponents recompute from
+    the merged series."""
+    spec = importlib.util.spec_from_file_location(
+        "scale_slope", os.path.join(REPO, "tools", "scale_slope.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    committed = {
+        "q": {
+            "sec": {"0.01": 1.0, "0.1": 2.0, "1": 20.0},
+            "rows_out": {"0.01": 5, "0.1": 50, "1": 500},
+            "exponent": {"0.01->0.1": 0.3, "0.1->1": 1.0},
+        }
+    }
+    fresh = {"q": {"sec": {"0.01": 1.0, "0.1": 4.0}, "rows_out": {"0.01": 5, "0.1": 50}}}
+    out = mod.merge_results(committed, fresh)["q"]
+    assert out["sec"] == {"0.01": 1.0, "0.1": 4.0, "1": 20.0}  # sf1 kept
+    assert out["rows_out"]["1"] == 500
+    assert out["exponent"] == {"0.01->0.1": 0.6, "0.1->1": 0.7}

@@ -185,3 +185,29 @@ def test_registry_debt_cap(ledger):
         f"rounds > {rw.MAX_STALENESS_ROUNDS}; retire queries or grow "
         f"the driver window (policy: VERIFIED.md)"
     )
+
+
+def test_reverify_drains_on_newer_evidence():
+    """_REVERIFY entries (query -> form-change round) drain DERIVED,
+    not by manual edit (self-review r11): once a query's latest
+    driver evidence exceeds the recorded form-change round, plan()
+    stops ranking it ahead of stale greens — a forgotten cleanup
+    cannot pin window slots forever."""
+    rw = _rw()
+    sent = rw.SENTINELS[0]
+    names = [sent, "a", "b", "c"]
+    latest = {
+        sent: (11, "green"),
+        "a": (8, "green"),
+        "b": (11, "green"),
+        "c": (4, "green"),
+    }
+    reverify = {"a": 10, "b": 10}  # a: evidence r8 <= 10 -> active;
+    # b: evidence r11 > 10 -> drained
+    assert rw.active_reverify(latest, reverify) == {"a"}
+    chosen = rw.plan(names, latest, window=3, reverify=reverify)
+    # a (active reverify) outranks the much staler c; drained b falls
+    # back to plain oldest-first and misses the 3-slot window
+    assert chosen == [sent, "a", "c"]
+    # legacy list form: never drains
+    assert rw.active_reverify(latest, ["b"]) == {"b"}

@@ -4,10 +4,12 @@
 Usage: python tools/gen_queries_md.py            (writes QUERIES.md)
        python tools/gen_queries_md.py --check    (exit 1 if stale)
 
-``--check`` renders in memory and diffs against the committed file —
-wired into pytest (tests/test_layout.py) so a query docstring change
-that skips regeneration fails the suite, exactly as the PLANS.md
-invariants already do (VERDICT r10 item 3).
+``--check`` renders in memory and diffs against the committed file.
+The pytest gate (tests/test_docs_freshness.py) does the same compare
+via ``render()`` directly, so a query docstring change that skips
+regeneration fails the suite, exactly as the PLANS.md invariants
+already do (VERDICT r10 item 3); ``--check`` is the CLI convenience
+for pre-commit use.
 """
 
 import inspect

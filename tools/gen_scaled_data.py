@@ -115,6 +115,13 @@ def main() -> None:
         ),
     )
     args = ap.parse_args()
+    if os.path.basename(args.out.rstrip("/")) == "sf1" and args.copies != 10:
+        raise SystemExit(
+            f"--copies {args.copies} into an 'sf1'-named dir would corrupt "
+            "tools/scale_slope.py's per-decade exponent math (it labels that "
+            "dir SF=1, a full 10x step from sf0.1) — pass --out with an "
+            "honest name or use --copies 10"
+        )
     if os.path.exists(args.out):
         shutil.rmtree(args.out)
     os.makedirs(args.out)

@@ -81,15 +81,34 @@ def classify(repo_root: str, upto: int | None = None):
     return names, latest
 
 
+def active_reverify(latest, reverify) -> set:
+    """The still-active subset of the _REVERIFY pool: dict entries
+    drain once the query's latest evidence round exceeds the recorded
+    form-change round; legacy list entries never drain."""
+    if isinstance(reverify, dict):
+        return {
+            n
+            for n, changed in reverify.items()
+            if latest.get(n, (0, ""))[0] <= changed
+        }
+    return set(reverify)
+
+
 def plan(names, latest, window: int, reverify=()):
     red = [n for n in names if latest.get(n, (0, ""))[1] == "red"]
+    red_set = set(red)
     # re-verification pool (VERDICT r10 item 1): queries whose
-    # REGISTERED FORM changed after their last driver-green row (the
-    # builder lists them in __spark_entry__._REVERIFY). Their old
-    # evidence attests a query that no longer exists, so they rank
-    # just below red — ahead of never-verified — and the list drains
-    # (is emptied) once the next round's driver row lands.
-    rev = [n for n in names if n in set(reverify) and n not in red]
+    # REGISTERED FORM changed after their last driver-green row
+    # (__spark_entry__._REVERIFY maps query -> the round the change
+    # landed after). Their old evidence attests a query that no
+    # longer exists, so they rank just below red — ahead of
+    # never-verified. An entry DRAINS automatically once the query's
+    # latest evidence round exceeds its form-change round — a
+    # forgotten manual cleanup cannot pin window slots (self-review
+    # r11; the legacy list form never drains and stays supported for
+    # the apply-regression test fixtures).
+    active = active_reverify(latest, reverify)
+    rev = [n for n in names if n in active and n not in red_set]
     never = [n for n in names if n not in latest]
     # rows-only evidence (historical `err=no_oracle` rows that have
     # since gained a real oracle) is weaker than hash-green: drain it
@@ -170,13 +189,17 @@ def main():
         )
     import __spark_entry__ as e
 
-    reverify = list(getattr(e, "_REVERIFY", []))
+    reverify = getattr(e, "_REVERIFY", {})
     chosen = plan(names, latest, args.window, reverify=reverify)
+    active = active_reverify(latest, reverify)
+    drained = [n for n in reverify if n not in active]
+    if drained:
+        print(f"# reverify drained (newer evidence; safe to delete): {drained}")
     print(f"# proposed window ({len(chosen)} of {len(names)} queries)")
     for n in chosen:
         rnum, state = latest.get(n, (None, "never"))
         tag = f"r{rnum}:{state}" if rnum else "never-verified"
-        if n in reverify:
+        if n in active:
             tag += " (form changed — reverify)"
         print(f"{n:40s} {tag}")
     outside = [n for n in names if n not in chosen]

@@ -67,14 +67,13 @@ def probe_slopes(spark) -> dict[str, dict]:
 
     names = {"hnsw": "hnsw_probe_topk", "ivf_refined": "ivf_probe_topk_indexed"}
     out: dict[str, dict] = {
-        n: {
-            "sec": {},
-            "rows_out": {},
-            "probe_only": True,
-            "lsh_policy": "auto_n_bits(target_bucket=256)",
-        }
-        for n in names.values()
+        n: {"sec": {}, "rows_out": {}, "probe_only": True} for n in names.values()
     }
+    # provenance: auto_width only changes the HNSW build's LSH
+    # blocking — refined_ivf_index_build has no n_bits parameter, so
+    # stamping the policy on both records would be false metadata
+    # (self-review r11)
+    out[names["hnsw"]]["lsh_policy"] = "auto_n_bits(target_bucket=256)"
     for sf, d in SF_DIRS:
         root = tempfile.mkdtemp(prefix=f"apcs_slope_probe_{sf}_")
         try:
@@ -106,6 +105,33 @@ def probe_slopes(spark) -> dict[str, dict]:
         rec["exponent"] = slopes
         print(f"{name:28s} {rec['sec']}  slopes={slopes}", flush=True)
     return out
+
+
+def merge_results(merged: dict, results: dict) -> dict:
+    """Per-query deep merge of new sec/rows_out points into the
+    evidence record, exponents recomputed from the merged series —
+    normalized per decade, so uneven SF steps stay comparable."""
+    for name, rec in results.items():
+        old = merged.get(name)
+        if isinstance(old, dict) and isinstance(old.get("sec"), dict):
+            sec = {**old["sec"], **rec["sec"]}
+            rows = {**old.get("rows_out", {}), **rec.get("rows_out", {})}
+            sfs = sorted(sec, key=float)
+            rec = {
+                **old,
+                **rec,
+                "sec": sec,
+                "rows_out": rows,
+                "exponent": {
+                    f"{a}->{b}": round(
+                        math.log10(sec[b] / sec[a]) / math.log10(float(b) / float(a)),
+                        2,
+                    )
+                    for a, b in zip(sfs, sfs[1:])
+                },
+            }
+        merged[name] = rec
+    return merged
 
 
 def main() -> None:
@@ -148,14 +174,18 @@ def main() -> None:
         "SCALE_SLOPE.json",
     )
     # merge into the existing evidence file so partial runs extend it
-    # instead of discarding the rest of the family
+    # instead of discarding the rest of the family. Per-QUERY deep
+    # merge of the sec/rows_out points, with exponents recomputed from
+    # the merged series: a re-run on a machine WITHOUT the optional
+    # sf1 decade must not erase a committed sf1 evidence point
+    # (self-review r11 — replacing whole records silently did).
     merged: dict = {}
     if os.path.exists(path):
         try:
             merged = json.load(open(path)).get("queries", {})
         except Exception:  # noqa: BLE001 — a corrupt file just resets
             merged = {}
-    merged.update(results)
+    merge_results(merged, results)
     out = {
         "runs_per_point": N_RUNS,
         "note": "exponent=log10(t_b/t_a) per 10x data decade; "
