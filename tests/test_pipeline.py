@@ -277,3 +277,42 @@ def test_merge_schema_evolution_read(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "price"}
     rows = {r.id: (r.name, r.price) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_renest_window_legacy_operator_law(spark):
+    """W1 literal-mode law, pinned at the OPERATOR level (retirement
+    prerequisite for the q:renest_legacy_window registry entry —
+    VERIFIED.md retirement policy item 5): the window-prefix
+    collect_list + groupBy/max form (ri:202-214) must (a) order by
+    pos, not input order; (b) DROP null recs the way collect_list
+    does; (c) yield [] for a group whose recs are all null; and
+    (d) agree with the idiomatic single-aggregate renest_ordered on
+    exactly those inputs."""
+    from amazon_personalize_connectors_spark.operators.decorate import (
+        renest_ordered,
+        renest_window_legacy,
+    )
+
+    rows = [
+        # out-of-order pos within group g1 + one null rec at pos 1
+        ("g1", 2, "c"),
+        ("g1", 0, "a"),
+        ("g1", 1, None),
+        ("g1", 3, "d"),
+        # group with ONLY null recs -> []
+        ("g2", 0, None),
+        ("g2", 1, None),
+        # singleton
+        ("g3", 0, "z"),
+    ]
+    exploded = spark.createDataFrame(rows, "k string, pos int, rec string")
+    legacy = {
+        r["k"]: r["recommendations"]
+        for r in renest_window_legacy(exploded, ["k"], F.col("rec")).collect()
+    }
+    assert legacy == {"g1": ["a", "c", "d"], "g2": [], "g3": ["z"]}
+    idiomatic = {
+        r["k"]: r["recommendations"]
+        for r in renest_ordered(exploded, ["k"], F.col("rec")).collect()
+    }
+    assert idiomatic == legacy

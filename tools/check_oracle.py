@@ -37,11 +37,27 @@ TABLES = (
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
+    # spill instead of OOM on large-SF oracles: an in-memory DuckDB
+    # has NO temp dir by default, so a 25M-row EXCEPT ALL hash table
+    # (the flagship family at the local sf1 decade) must fit in RAM
+    # or die — give it a spill path and a bounded budget so one big
+    # oracle cannot take down the whole sweep process (r11 sf1 sweep)
+    import tempfile
+
+    con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='apcs_duck_')}'")
+    con.execute("SET memory_limit='24GB'")
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # a table may be a single file (driver testdata) or a
+        # DIRECTORY of part files (tools/gen_scaled_data.py output,
+        # e.g. the local sf1 decade) — Spark reads both identically,
+        # DuckDB needs a glob for the directory form
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
 
 
@@ -166,6 +182,19 @@ def main() -> int:
     argv = sys.argv[1:]
     lint_only = "--lint" in argv
     argv = [a for a in argv if a != "--lint"]
+    # --max-hash-rows N: above N result rows, compare COUNT + column
+    # names only (both engines still execute fully) instead of
+    # collecting both sides into pandas for the value hash — the
+    # multi-million-row flagship family at the local sf1 decade
+    # exceeds driver/pandas memory, and count parity one decade above
+    # the bench SF is the evidence sought there; full value-hash
+    # parity stands at sf0.001/0.01. Default: unlimited (the driver
+    # gate's behavior, unchanged).
+    max_hash_rows = None
+    if "--max-hash-rows" in argv:
+        i = argv.index("--max-hash-rows")
+        max_hash_rows = int(argv[i + 1])
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -198,9 +227,54 @@ def main() -> int:
         if lint_only:
             print(f"[lint ok] {name} ({time.time()-t0:.1f}s)")
             continue
+        if max_hash_rows is not None and name in oracles:
+            try:
+                scnt = df.count()
+                spark.catalog.clearCache()
+            except Exception as ex:
+                print(f"[FAIL] {name}: spark error: {ex}")
+                failed.append(name)
+                continue
+            if scnt > max_hash_rows:
+                try:
+                    ocnt = con.execute(
+                        f"SELECT count(*) FROM ({oracles[name]})"
+                    ).fetchone()[0]
+                    ocols = [
+                        r[0]
+                        for r in con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+                    ]
+                except Exception as ex:
+                    print(f"[FAIL] {name}: oracle error: {ex}")
+                    failed.append(name)
+                    continue
+                probs = []
+                if scnt != ocnt:
+                    probs.append(f"row count differs: spark={scnt} oracle={ocnt}")
+                if sorted(df.columns) != sorted(ocols):
+                    probs.append(
+                        f"columns differ: spark={sorted(df.columns)}"
+                        f" oracle={sorted(ocols)}"
+                    )
+                if probs:
+                    print(f"[FAIL] {name} ({time.time()-t0:.1f}s)")
+                    for p in probs:
+                        print(f"       {p}")
+                    failed.append(name)
+                else:
+                    print(
+                        f"[count-only] {name}: {scnt} rows both engines"
+                        f" (> {max_hash_rows} hash cap) ({time.time()-t0:.1f}s)"
+                    )
+                continue
         try:
             sdf = df.toPandas()
             spark.catalog.clearCache()
+            # reclaim accumulated broadcasts between queries — the
+            # same heap-creep control bench.py uses; a 295-query
+            # sweep at a large SF otherwise exhausts the machine
+            # mid-run (r11 sf1 sweep)
+            spark.sparkContext._jvm.System.gc()
         except Exception as ex:
             print(f"[FAIL] {name}: spark error: {ex}")
             failed.append(name)
