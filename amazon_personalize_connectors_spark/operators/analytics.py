@@ -1697,8 +1697,38 @@ def matrix_profile_ssd(
             ),
         ),
     )
+    # third executable contract (r11, found by the sf1 sweep): the SSD
+    # hot loop is int64 and exact only while m·(max-min)² fits — past
+    # that ANSI raised a raw ARITHMETIC_OVERFLOW deep in the pair
+    # join. Make the docstring's "requantize first" an actionable
+    # guard at the same observed-grid aggregate, so the refusal names
+    # the fix instead of a stack trace. (The SSD RANKING is
+    # scale-invariant, so dividing units before profiling is always
+    # available to the caller.)
+    import math as _math
+
+    range_bound = _math.isqrt((2**63 - 1) // m)
+    vrange = grid.agg(
+        (F.max("_v") - F.min("_v")).cast("bigint").alias("_v_range")
+    )
+    lagged = lagged.crossJoin(F.broadcast(vrange))
+    range_check = F.assert_true(
+        F.coalesce(F.col("_v_range"), F.lit(0)) <= range_bound,
+        F.concat(
+            F.lit("matrix_profile_ssd: value range "),
+            F.col("_v_range").cast("string"),
+            F.lit(
+                f" implies SSD up to m*range^2 beyond int64 (range bound "
+                f"{range_bound} at m={m}). Requantize to coarser integer "
+                f"units (the SSD ranking is scale-invariant) before "
+                f"profiling."
+            ),
+        ),
+    )
     windows = lagged.where(
-        F.col(f"_v{m - 1}").isNotNull() & pair_check.isNull()
+        F.col(f"_v{m - 1}").isNotNull()
+        & pair_check.isNull()
+        & range_check.isNull()
     )
     left = windows.select(
         F.col("idx").alias("ia"),

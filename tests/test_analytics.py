@@ -1335,3 +1335,28 @@ def test_changepoint_matches_python_reference(spark):
         assert abs(r["gain"] - (no_split - cost)) < 1e-9
 
     check()
+
+
+def test_matrix_profile_range_guard_refuses_overflow_scale(spark):
+    """Int64-overflow contract made executable (r11, found by the sf1
+    sweep): a series whose value range implies m*range^2 beyond int64
+    must refuse with the requantize message at execution — not raise a
+    raw ANSI ARITHMETIC_OVERFLOW deep in the pair join — while an
+    in-range series is untouched."""
+    import pytest as _pytest
+
+    from amazon_personalize_connectors_spark.operators.analytics import (
+        matrix_profile_ssd,
+    )
+
+    big = 2_000_000_000  # range 2e9 > isqrt((2^63-1)/3) ≈ 1.75e9 at m=3
+    rows = [(i, big if i % 2 else 0) for i in range(12)]
+    df = spark.createDataFrame(rows, "t int, v long")
+    with _pytest.raises(Exception, match="Requantize to coarser integer"):
+        matrix_profile_ssd(df, "t", "v", m=3, exclusion=2).collect()
+    # same shape, in-range values: still works and stays exact
+    ok = spark.createDataFrame(
+        [(i, (i % 4) * 1000) for i in range(12)], "t int, v long"
+    )
+    out = matrix_profile_ssd(ok, "t", "v", m=3, exclusion=2)
+    assert out.count() == 10

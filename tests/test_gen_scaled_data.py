@@ -130,3 +130,27 @@ def test_scale_slope_merge_keeps_missing_sf_points():
     assert out["sec"] == {"0.01": 1.0, "0.1": 4.0, "1": 20.0}  # sf1 kept
     assert out["rows_out"]["1"] == 500
     assert out["exponent"] == {"0.01->0.1": 0.6, "0.1->1": 0.7}
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/testdata/sf0.1"), reason="driver testdata absent"
+)
+def test_copy_table_preserves_name_key_bijection(tmp_path):
+    """s_name/c_name embed the key and act as alternate keys (official
+    TPC-H Q21 groups by s_name; the engine groups by suppkey and
+    decorates — identical ONLY while the bijection holds). Verbatim
+    copies broke it at sf1 and the two groupings diverged (r11 sweep
+    finding); copies must rewrite the name from the shifted key."""
+    m = _mod()
+    for c in (0, 3):
+        m.copy_table("supplier", c, str(tmp_path))
+    base = pq.read_table(f"{tmp_path}/part-000.parquet")
+    copy = pq.read_table(f"{tmp_path}/part-003.parquet")
+    names0 = set(base.column("s_name").to_pylist())
+    names3 = set(copy.column("s_name").to_pylist())
+    assert not names0 & names3  # disjoint across copies
+    keys3 = copy.column("s_suppkey").to_pylist()
+    assert all(
+        n == f"Supplier#{k:09d}"
+        for n, k in zip(copy.column("s_name").to_pylist(), keys3)
+    )

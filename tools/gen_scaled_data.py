@@ -87,6 +87,24 @@ def copy_table(name: str, c: int, out_dir: str) -> None:
     for key, stride in STRIDES[name].items():
         arr = cols[key].to_numpy()
         cols[key] = pa.array(arr + c * stride, type=tbl.schema.field(key).type)
+    # preserve the TPC-H name<->key BIJECTION: s_name/c_name embed the
+    # key ("Supplier#%09d"), and queries legitimately treat the name
+    # as an alternate key (official Q21 groups by s_name; the engine
+    # side groups by suppkey and decorates). Verbatim-copied names
+    # made 10 keys share one name at sf1 and the two groupings
+    # diverged — a generator artifact, not an engine bug (found by
+    # the r11 sf1 correctness sweep). p_name is NON-unique in the
+    # driver data (64 values / 20k parts) and stays verbatim.
+    if name == "supplier" and c > 0:
+        cols["s_name"] = pa.array(
+            [f"Supplier#{k:09d}" for k in cols["s_suppkey"].to_pylist()],
+            type=pa.string(),
+        )
+    if name == "customer" and c > 0:
+        cols["c_name"] = pa.array(
+            [f"Customer#{k:09d}" for k in cols["c_custkey"].to_pylist()],
+            type=pa.string(),
+        )
     if name == "documents" and c > 0:
         texts = [_salt_text(t, c) for t in cols["text"].to_pylist()]
         cols["text"] = pa.array(texts, type=pa.string())
