@@ -31,6 +31,7 @@ from amazon_personalize_connectors_spark.queries import (  # noqa: E402
     sql01 as _sql01,
     sql02 as _sql02,
     sql03 as _sql03,
+    sql04 as _sql04,
 )
 
 
@@ -51,66 +52,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Driver verification window: the driver oracle-checks the FIRST 50
 # entries of queries() in dict order; queries() reorders the full
-# registry so this list comes first. Round-11 rotation (ledger:
+# registry so this list comes first. Round-12 rotation (ledger:
 # VERIFIED.md; generated AND applied by `tools/rotate_window.py
-# --apply`, which rewrites this block): the 3 sentinels, the 3
-# _REVERIFY simhash queries whose registered form changed after
-# their r8 driver rows (VERDICT r10 item 1), ALL 13 r4-evidence
-# queries at the staleness bound (VERDICT r10 item 2), and 31
-# oldest r5 greens. tests/test_window_rotation.py pins the
-# invariants AS OF THIS WINDOW'S ROUND (evidence < r11), so landing
-# CORRECTNESS_r11.json does not re-redden the suite.
-_R11_WINDOW = [
+# --apply`, which rewrites this block): the 3 sentinels, the
+# _REVERIFY entry `revenue_matrix_profile` (registered form
+# requantized to whole dollars after its r7 row — VERDICT r11
+# item 1), ALL 15 remaining r5-evidence greens (closing the
+# freshest-evidence invariant: after this window no registry
+# evidence predates r6 — VERDICT r11 item 3), and 31 oldest r6
+# greens. tests/test_window_rotation.py pins the invariants AS OF
+# THIS WINDOW'S ROUND (evidence < r12), so landing
+# CORRECTNESS_r12.json does not re-redden the suite.
+_R12_WINDOW = [
     "flagship_related_flat",
     "attribution_join",
     "delta_except",
-    "simhash",
-    "simhash64",
-    "simhash_neardup",
-    "scd2_durations",
-    "hashed_features",
-    "price_percentile_rank",
-    "skew_report",
-    "session_paths",
-    "revenue_contribution",
-    "skipgram_pairs",
-    "vocab_coverage",
-    "trending_items",
-    "cohort_revenue",
-    "covisitation_mrr",
-    "decayed_popularity",
-    "asof_nearest",
-    "user_profile_vectors",
-    "target_encoding",
-    "winsorize_prices",
-    "next_item_examples",
-    "frequent_tokens",
-    "ks_drift",
-    "containment_pairs",
-    "covisitation_incremental",
-    "stream_sessionize_stateful",
-    "tpch_q10",
-    "tpch_q18",
-    "tpch_q4",
-    "tpch_q6",
-    "tpch_q14",
-    "tpch_q17",
-    "last_touch_attribution",
-    "audience_overlap",
-    "rec_ndcg",
-    "k_anonymity",
-    "privacy_gate",
-    "retractable_rollup",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q13",
-    "grouping_sets_revenue",
-    "embedding_drift",
-    "stream_ks_drift",
-    "survival_repurchase",
-    "rec_diversity_ils",
-    "tpch_q1",
-    "scd2_pit_revenue",
+    "revenue_matrix_profile",
+    "source_quality",
+    "tpch_q19",
+    "except_all_returns",
+    "unpivot_metrics",
+    "tpch_q15",
+    "tpch_q22",
+    "forecast_mase",
+    "stream_model_refresh",
+    "mad_outliers",
+    "rec_auc_segments",
+    "score_calibration",
+    "wilson_ctr",
+    "revenue_gini",
+    "user_similarity",
+    "stream_auc_monitor",
+    "revenue_anomalies",
+    "ab_test_purchase",
+    "markov_backtest",
+    "ipw_hitrate",
+    "stream_calibration",
+    "price_qty_corr",
+    "qty_price_spearman",
+    "tv_drift",
+    "fk_discovery",
+    "fd_discovery",
+    "stream_quantiles",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
+    "price_qty_ols",
+    "chi2_flag_status",
+    "benford_audit",
+    "revenue_acf",
+    "ivm_join_rollup",
+    "merge_upsert",
+    "variant_drift_scan",
+    "stream_running_stats",
+    "linkage_fs",
+    "kfold_report",
+    "annotator_kappa",
+    "score_ece",
+    "revenue_changepoint",
 ]
 
 # Staging discipline (VERDICT r6 item 3 / r7 item 6): queries added
@@ -119,7 +122,14 @@ _R11_WINDOW = [
 # priority) into the NEXT round's window, and
 # tests/test_window_rotation.py exempts exactly this list from the
 # staleness invariant.
-_STAGED: list[str] = []
+_STAGED: list[str] = [
+    "dup_ngram_fraction",
+    "token_pmi",
+    "doc_entropy",
+    "zipf_alpha",
+    "source_overlap",
+    "bigram_perplexity",
+]
 
 # Re-verification pool (VERDICT r10 item 1): queries whose REGISTERED
 # FORM changed after their last driver-green row — the old evidence
@@ -136,9 +146,11 @@ _STAGED: list[str] = []
 # c2db82a/602a514) after the round-10 gates; its driver evidence
 # is r8.
 _REVERIFY: dict[str, int] = {
-    "simhash": 10,
-    "simhash64": 10,
-    "simhash_neardup": 10,
+    # (r11's simhash trio drained: r11 driver rows are green.)
+    # Round 12 (VERDICT r11 item 1): requantized from cents to whole
+    # dollars (queries/q06.py) so the r11 int64 range guard can't
+    # fire at sf>=0.1; its driver evidence is r7.
+    "revenue_matrix_profile": 11,
 }
 
 
@@ -331,7 +343,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "pq_adc": q_pq_adc,
         "simhash_neardup": q_simhash_neardup,
-        "ivf_probe_topk": q_ivf_probe_topk,
         "quality_filter": q_quality_filter,
         "llm_corpus_survivors": q_llm_corpus_survivors,
         "repetition_signals": q_repetition_signals,
@@ -441,8 +452,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_gini": q_revenue_gini,
         "user_similarity": q_user_similarity,
         "stream_auc_monitor": q_stream_auc_monitor,
+        # round-12 corpus-analytics wave (queries/q07.py; staged for
+        # the r13 window). Registering these six displaced
+        # ivf_probe_topk under the 300-query debt cap -- the FIRST
+        # exercised retirement (policy: VERIFIED.md; it was the
+        # eligible-queue head: ivf_refined_index_probe carries the
+        # serving path's evidence and ivf_index_probe the unrefined
+        # in-plan probe's).
+        "dup_ngram_fraction": q_dup_ngram_fraction,
+        "token_pmi": q_token_pmi,
+        "doc_entropy": q_doc_entropy,
+        "zipf_alpha": q_zipf_alpha,
+        "source_overlap": q_source_overlap,
+        "bigram_perplexity": q_bigram_perplexity,
     }
-    out = {name: all_q[name] for name in _R11_WINDOW}
+    out = {name: all_q[name] for name in _R12_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
     return out
 
@@ -454,4 +478,9 @@ def oracle_sql() -> dict[str, str]:
     sqls = _sql01.build()
     _sql02.add(sqls)
     _sql03.add(sqls)
+    _sql04.add(sqls)
+    # ivf_probe_topk retired r12 (displaced by the q07 wave under the
+    # 300-query cap); its SQL text stays above because the
+    # ivf_index_probe / ivf_multiprobe aliases copy it.
+    sqls.pop("ivf_probe_topk", None)
     return sqls

@@ -1215,3 +1215,115 @@ def bfs_min_hops(
         dist = dist.unionByName(fresh)
         frontier = fresh.select("node")
     return dist
+
+
+def dup_ngram_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    flag_threshold: float = 0.30,
+) -> DataFrame:
+    """Within-document duplicated-n-gram fraction — the RefinedWeb /
+    Gopher "rep" family's distribution-wide member: the share of a
+    document's n-gram INSTANCES that are repeats of another instance
+    in the same document. ``repetition_signals`` sees only the single
+    most frequent gram; this sees all of them, so long multi-phrase
+    templates score high even when no one phrase dominates.
+
+        dup_frac = Σ_{g: c_g>1} c_g / Σ_g c_g      (per document)
+
+    Exact bigint counts and a bigint/bigint ratio — oracle-exact.
+
+    Scale shape: ``gram_table`` (explode + flat slice projection,
+    whole-stage codegen) feeding ONE map-side-combinable groupBy to
+    the (doc, gram) grid and one per-doc aggregate. Documents
+    shorter than n tokens contribute their single partial gram
+    (gram_table's window formula), so every non-empty document gets
+    a row and the fraction is well-defined."""
+    g = gram_table(df, text_col=text_col, id_col=id_col, n=n)
+    cells = g.groupBy("id", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per_doc = cells.groupBy("id").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("dup_grams"),
+    )
+    frac = F.col("dup_grams").cast("double") / F.col("n_grams").cast("double")
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        "dup_grams",
+        frac.alias("dup_frac"),
+        (frac > F.lit(flag_threshold)).alias("flag_repetitive"),
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 8,
+) -> DataFrame:
+    """Cross-source n-gram overlap matrix — the corpus-level
+    contamination audit: for every source pair, how much of one
+    source's distinct n-gram vocabulary appears in the other
+    (``embedding_decontaminate`` answers this per-document against a
+    held-out set; this answers it source-against-source, the first
+    question asked when a new crawl slice joins a training mix).
+
+        jaccard(a,b)      = |G_a ∩ G_b| / |G_a ∪ G_b|
+        containment_a(a,b) = |G_a ∩ G_b| / |G_a|
+
+    Exact distinct-gram counts (bigint) and bigint ratios.
+
+    Scale shape: distinct (source, gram) vocabulary via one
+    map-side-combinable aggregate (instances collapse BEFORE any
+    join); the pair stage is an equi-join of that vocabulary with
+    itself ON THE GRAM (shuffle keyed by high-entropy gram text —
+    no skew), with per-gram fan-out bounded by the number of
+    sources squared, and sources are a bounded domain (like the
+    reference's dataset groups), never data-sized. No cross join,
+    no all-pairs over documents."""
+    sg = (
+        df.select(
+            F.col(source_col).alias("s"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+        )
+        .where(F.col("g") != "")
+        .distinct()
+    )
+    sizes = sg.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("n_g"))
+    common = (
+        sg.alias("a")
+        .join(sg.alias("b"), "g")
+        .where(F.col("a.s") < F.col("b.s"))
+        .groupBy(F.col("a.s").alias("source_a"), F.col("b.s").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    out = (
+        common.join(
+            sizes.select(F.col("s").alias("source_a"), F.col("n_g").alias("n_a")),
+            "source_a",
+        )
+        .join(
+            sizes.select(F.col("s").alias("source_b"), F.col("n_g").alias("n_b")),
+            "source_b",
+        )
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        "common",
+        (
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double")
+        ).alias("jaccard"),
+        (F.col("common").cast("double") / F.col("n_a").cast("double")).alias(
+            "containment_a"
+        ),
+    )

@@ -1040,3 +1040,260 @@ def bpe_encode_vocab_counts(
             F.sum("cnt").cast("bigint").alias("total_occurrences"),
         )
     )
+
+
+def token_pmi(
+    df,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+    scale: int = 1_000_000_000,
+):
+    """Top collocations by pointwise mutual information over adjacent
+    token pairs — the classic phrase-mining pass (word2vec-style
+    phrase joining, vocabulary curation) a pretraining corpus
+    pipeline runs before tokenizer training.
+
+        pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) )
+                 = ln( c_ab·N·N / (N_b·c_a·c_b) )
+
+    with c_ab adjacent-pair counts over N_b pair instances and
+    c_a/c_b unigram counts over N token instances.
+
+    Exactness contract (the ``mutual_information`` quantization
+    pattern): all counts exact bigints; the log ARGUMENT is a ratio
+    of exact decimal(38,0) cross-products cast to double once; the
+    emitted ``pmi_q = floor(pmi·scale)`` is a bigint so the oracle
+    compare is exact. (decimal(38,0) bounds the corpus at ~1e12
+    token instances for the c_ab·N² product — pre-aggregate or
+    sample vocabularies beyond that.)
+
+    Scale shape: two map-side-combinable groupBys (pairs, unigrams),
+    two equi-joins of the PAIR VOCABULARY (distinct pairs, not
+    instances) against the unigram vocabulary, and a distributed
+    take-ordered for the top-k (``orderBy().limit()`` is a per-
+    partition top-k + driver merge of k·P rows — never a global
+    sort). min_count prunes the pair vocabulary BEFORE the joins.
+    """
+    d = "decimal(38,0)"
+    pairs = doc_bigrams(df, text_col=text_col)
+    cb = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ab")
+    )
+    nb = cb.agg(F.sum("c_ab").cast("bigint").alias("n_b"))
+    uni = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n = uni.agg(F.sum("c").cast("bigint").alias("n_tok"))
+    j = (
+        cb.where(F.col("c_ab") >= min_count)
+        .join(uni.select(F.col("term").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(n))
+    )
+    num = (
+        (F.col("c_ab").cast(d) * F.col("n_tok").cast(d)).cast(d)
+        * F.col("n_tok").cast(d)
+    ).cast(d)
+    den = (
+        (F.col("n_b").cast(d) * F.col("c_a").cast(d)).cast(d)
+        * F.col("c_b").cast(d)
+    ).cast(d)
+    pmi_q = F.floor(
+        F.log(num.cast("double") / den.cast("double")) * F.lit(float(scale))
+    ).cast("bigint")
+    return (
+        j.select(
+            "w1",
+            "w2",
+            "c_ab",
+            pmi_q.alias("pmi_q"),
+            (pmi_q.cast("double") / F.lit(float(scale))).alias("pmi"),
+        )
+        .orderBy(F.col("pmi_q").desc(), "w1", "w2")
+        .limit(top_k)
+    )
+
+
+def doc_entropy(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000_000,
+):
+    """Per-document unigram token entropy (nats) — the low-entropy
+    detector for template spam, keyword stuffing, and boilerplate
+    (near-zero entropy) that complements ``repetition_signals``
+    (which only sees the TOP gram; entropy sees the whole
+    distribution).
+
+        H(doc) = Σ_t (c_t/n) · ln(n/c_t)
+
+    Exactness: per-term contributions are quantized
+    ``floor(term·scale)`` and summed as exact bigints (the
+    ``mutual_information`` pattern), so the result is
+    order-independent and oracle-exact; ``entropy = H_q/scale``.
+
+    Scale shape: one map-side-combinable groupBy to the (doc, term)
+    grid; the per-doc total rides as a window sum OVER THE GRID
+    (grid-sized, never a second corpus pass); one final per-doc
+    aggregate. Documents with zero tokens produce no rows."""
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("id")
+    g = tf.withColumn("n", F.sum("c").over(w).cast("bigint"))
+    term_q = F.floor(
+        (F.col("c").cast("double") / F.col("n").cast("double"))
+        * F.log(F.col("n").cast("double") / F.col("c").cast("double"))
+        * F.lit(float(scale))
+    ).cast("bigint")
+    return g.select("id", "n", term_q.alias("q")).groupBy("id", "n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("distinct_tokens"),
+        F.sum("q").cast("bigint").alias("h_q"),
+    ).select(
+        F.col("id").alias(id_col),
+        F.col("n").alias("n_tokens"),
+        "distinct_tokens",
+        "h_q",
+        (F.col("h_q").cast("double") / F.lit(float(scale))).alias("entropy"),
+    )
+
+
+def zipf_alpha(
+    df,
+    text_col: str = "text",
+    group_col: str = "lang",
+    max_rank: int = 500,
+    scale: int = 1_000_000_000,
+):
+    """Zipf exponent per corpus slice: OLS slope of ln(frequency) on
+    ln(rank) over the top ``max_rank`` terms — natural language sits
+    near alpha ~= 1; machine-generated or templated slices drift, so
+    the per-(lang/source) alpha is a cheap corpus-health audit
+    (Zipf 1949; used as a quality signal in corpus curation).
+
+    Exactness: ln(rank) and ln(freq) are quantized to bigint
+    micro-units per TERM (deterministic scalar floor), the OLS
+    moment sums run in exact decimal(38,0) (Σxy at rank 500 already
+    exceeds int64 in quanta²), and the final slope is a ratio of two
+    exact moments cast to double once:
+
+        alpha = -(n·Σxy − Σx·Σy) / (n·Σxx − Σx²)
+
+    Scale shape: one map-side-combinable groupBy to the
+    (group, term) grid; per-group rank via row_number over the grid
+    (domain-sized); the kept rows are ≤ max_rank per group, so the
+    moment aggregate is bounded regardless of corpus size."""
+    from pyspark.sql import Window
+
+    d = "decimal(38,0)"
+    counts = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    ranked = counts.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("grp").orderBy(F.col("f").desc(), "term")
+        ),
+    ).where(F.col("r") <= max_rank)
+    x_q = F.floor(F.log(F.col("r").cast("double")) * F.lit(float(scale))).cast(d)
+    y_q = F.floor(F.log(F.col("f").cast("double")) * F.lit(float(scale))).cast(d)
+    m = ranked.select("grp", x_q.alias("x"), y_q.alias("y")).groupBy("grp").agg(
+        F.count(F.lit(1)).cast(d).alias("n"),
+        F.sum("x").cast(d).alias("sx"),
+        F.sum("y").cast(d).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d)).cast(d).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d)).cast(d).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(d)
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(d)
+    return m.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("bigint").alias("n_ranked"),
+        F.when(
+            den.cast("double") != 0.0,
+            -(num.cast("double") / den.cast("double")),
+        ).alias("alpha"),
+    )
+
+
+def bigram_perplexity(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000_000,
+):
+    """Per-document perplexity under an add-one-smoothed bigram LM
+    trained on the corpus itself — the perplexity-filtering pass
+    (CCNet/RefinedWeb style) that flags documents whose local token
+    transitions are improbable under the corpus distribution, without
+    any external model artifact:
+
+        P(w2|w1)  = (c(w1,w2) + 1) / (c(w1·) + V)
+        H(doc)    = (1/m) Σ_pairs ln( (c(w1·)+V) / (c(w1,w2)+1) )
+        ppl(doc)  = exp(H)
+
+    Exactness: counts and V are exact bigints; each pair term's log
+    argument is a ratio of two bigints cast to double once (both
+    < 2^53 — no widening bridge needed); per-pair terms are
+    quantized ``floor(term·scale)`` and summed as bigints, so H is
+    order-independent and oracle-exact; ppl is a deterministic
+    scalar ``exp`` of the same double in both engines.
+
+    Scale shape: the model IS two map-side-combinable groupBys over
+    the pair instances (pair counts, left-context counts) plus a
+    1-row broadcast vocabulary size; scoring joins the pair
+    INSTANCES against the pair vocabulary (equi-join on (w1,w2),
+    then w1) and aggregates per doc. No Python, no windows over
+    fact-sized data."""
+    pairs = doc_bigrams(df, text_col=text_col, id_col=id_col)
+    cb = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    cu = pairs.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .agg(F.count_distinct("term").cast("bigint").alias("v"))
+    )
+    scored = (
+        pairs.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    term_q = F.floor(
+        F.log(
+            (F.col("c1") + F.col("v")).cast("double")
+            / (F.col("c12") + F.lit(1)).cast("double")
+        )
+        * F.lit(float(scale))
+    ).cast("bigint")
+    per_doc = scored.select(F.col("id"), term_q.alias("q")).groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("q").cast("bigint").alias("h_q"),
+    )
+    ce = F.col("h_q").cast("double") / (
+        F.col("n_bigrams").cast("double") * F.lit(float(scale))
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_bigrams",
+        "h_q",
+        ce.alias("cross_entropy"),
+        F.exp(ce).alias("ppl"),
+    )

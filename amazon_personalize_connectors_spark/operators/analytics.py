@@ -1705,6 +1705,17 @@ def matrix_profile_ssd(
     # the fix instead of a stack trace. (The SSD RANKING is
     # scale-invariant, so dividing units before profiling is always
     # available to the caller.)
+    # On the ADVICE r11 note about this guard: (a) the "second
+    # scan" aggregates the GRID, which the pair-cap guard above
+    # already bounds to ~max_pair_rows rows (calendar-sized, never
+    # data-sized), so its cost is a rounding error next to the pair
+    # join it protects; (b) the suggested per-window range bound is
+    # UNSOUND for pair SSD — two internally-flat windows at
+    # different levels (per-window range 0 each) still produce
+    # |a_k-b_k| up to the GLOBAL range, which is therefore the
+    # tightest bound computable without enumerating pairs. The
+    # conservatism (refusing a series whose worst-case pair cannot
+    # actually occur) stays as the documented contract.
     import math as _math
 
     range_bound = _math.isqrt((2**63 - 1) // m)

@@ -9,6 +9,7 @@ from amazon_personalize_connectors_spark.queries.q03 import *  # noqa: F401,F403
 from amazon_personalize_connectors_spark.queries.q04 import *  # noqa: F401,F403
 from amazon_personalize_connectors_spark.queries.q05 import *  # noqa: F401,F403
 from amazon_personalize_connectors_spark.queries.q06 import *  # noqa: F401,F403
+from amazon_personalize_connectors_spark.queries.q07 import *  # noqa: F401,F403
 from amazon_personalize_connectors_spark.queries._sqlcte import *  # noqa: F401,F403
 
 
@@ -24,10 +25,11 @@ from amazon_personalize_connectors_spark.queries import (  # noqa: E402
     q04 as _m_q04,
     q05 as _m_q05,
     q06 as _m_q06,
+    q07 as _m_q07,
 )
 
 __all__ = list(dict.fromkeys(
     n
-    for m in (_m_shared, _m_q01, _m_q02, _m_q03, _m_q04, _m_q05, _m_q06, _m_sqlcte)
+    for m in (_m_shared, _m_q01, _m_q02, _m_q03, _m_q04, _m_q05, _m_q06, _m_q07, _m_sqlcte)
     for n in m.__all__
 ))

@@ -164,18 +164,27 @@ def q_revenue_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     subsequence, the exact integer SSD to its nearest non-trivial
     neighbor — motifs (repeated weekly shapes) score low, discords
     (anomalous weeks) high. The all-pairs stage is calendar², a
-    guarded domain contract, never data²."""
+    guarded domain contract, never data².
+
+    Units (r12): daily revenue is aggregated in WHOLE DOLLARS —
+    the exact cents sum integer-divided by 100 — because the
+    operator's int64 guard bounds the value range at
+    isqrt(int64max/m) ≈ 1.15e9 for m=7, and the sf0.1 cents range
+    (1.41e9) already exceeds it (the r11 sf1 sweep found this; the
+    SSD ranking is scale-invariant, so coarser units preserve the
+    motif/discord ordering). Dollar ranges stay inside the guard
+    through ~sf8; past that the guard fires again by design and the
+    caller requantizes further (weekly, or tens of dollars)."""
     from amazon_personalize_connectors_spark.operators.analytics import (
         matrix_profile_ssd,
     )
 
     orders = synthetic.load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.sum(
-            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
-        )
-        .cast("bigint")
-        .alias("v")
+        F.expr(
+            "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+            " AS BIGINT)) DIV 100 AS BIGINT)"
+        ).alias("v")
     )
     out = matrix_profile_ssd(daily, "day", "v", m=7, exclusion=3)
     return out.select(

@@ -525,12 +525,15 @@ SELECT priority, strftime(day, '%Y-%m-%d') AS day, value,
 FROM sm
 """
     # all-pairs over the calendar-bounded window grid; exact bigint
-    # cents SSD; argmin rank per subsequence with idx ties
+    # whole-dollar SSD (cents sum // 100 — keeps the daily value
+    # range inside the operator's isqrt(int64max/m) guard through
+    # ~sf8; ranking is scale-invariant); argmin rank per subsequence
+    # with idx ties
     sqls["revenue_matrix_profile"] = """
 WITH s AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
          CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS v
+                       AS BIGINT)) // 100 AS BIGINT) AS v
   FROM orders GROUP BY 1
 ),
 g AS (SELECT day, v, row_number() OVER (ORDER BY day) AS idx FROM s),

@@ -91,8 +91,13 @@ def checkpoint_identity(checkpoint_dir: str) -> str:
     os.makedirs(checkpoint_dir, exist_ok=True)
     p = os.path.join(checkpoint_dir, "_STREAM_IDENTITY")
     if os.path.exists(p):
-        with open(p) as f:
-            return f.read().strip()
+        # ADVICE r11: on the O_EXCL fallback path (hardlink-less
+        # mounts) an existing file may still be mid-write — an empty
+        # read here would return "" as the ownership token, and a
+        # store committed with token "" is refused as foreign on
+        # every later restart. Treat empty as write-in-progress at
+        # EVERY read site, not just the fallback loser branch.
+        return _read_identity(p)
     nonce = uuid.uuid4().hex
     # write-then-hardlink: os.link is atomic AND exclusive, and the
     # target only ever appears fully written, so exactly one nonce is
@@ -109,8 +114,11 @@ def checkpoint_identity(checkpoint_dir: str) -> str:
     try:
         os.link(tmp, p)
     except FileExistsError:
-        with open(p) as f:
-            return f.read().strip()
+        # the existing file may be an O_EXCL-fallback writer's
+        # (another process on the same mount can be mid-gap even if
+        # WE could hardlink) — same empty-read retry as every read
+        # site (ADVICE r11)
+        return _read_identity(p)
     except OSError:
         # hardlink-less filesystem (object-store FUSE mount, VFAT,
         # some overlays): fall back to O_CREAT|O_EXCL — exclusivity
@@ -124,22 +132,33 @@ def checkpoint_identity(checkpoint_dir: str) -> str:
     return nonce
 
 
-def _identity_excl_fallback(p: str, nonce: str) -> str:
+def _read_identity(p: str) -> str:
+    """Read the identity file, treating EMPTY as write-in-progress:
+    the O_EXCL fallback writer has a create-to-write gap during which
+    the file exists but holds no nonce. Bounded retry (~2 s; the
+    winner's write is a single tiny buffer) shared by every read site
+    — fast path, hardlink-collision path, and fallback-loser path —
+    so no caller can ever return "" as an ownership token (ADVICE
+    r11)."""
     import time
 
+    for _ in range(200):
+        with open(p) as f:
+            got = f.read().strip()
+        if got:
+            return got
+        time.sleep(0.01)
+    raise RuntimeError(
+        f"_STREAM_IDENTITY at {p} stayed empty — winner died "
+        "between create and write; delete the file to retry"
+    )
+
+
+def _identity_excl_fallback(p: str, nonce: str) -> str:
     try:
         fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
-        for _ in range(200):  # ~2 s bound; the winner's write is tiny
-            with open(p) as f:
-                got = f.read().strip()
-            if got:
-                return got
-            time.sleep(0.01)
-        raise RuntimeError(
-            f"_STREAM_IDENTITY at {p} stayed empty — winner died "
-            "between create and write; delete the file to retry"
-        )
+        return _read_identity(p)
     with os.fdopen(fd, "w") as f:
         f.write(nonce)
     return nonce

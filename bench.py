@@ -80,7 +80,6 @@ BENCH_QUERIES = [
     "ann_topk_partial",
     "embedding_neardup",
     "ivf_assign",
-    "ivf_probe_topk",
     "kmeans_refine",
     "text_quality",
     "quality_filter",

@@ -249,3 +249,47 @@ def test_checkpoint_identity_hardlink_less_filesystem(tmp_path, monkeypatch):
     assert len(n) == 32
     assert es.checkpoint_identity(ck) == n  # stable on re-read
     assert sorted(_os.listdir(ck)) == ["_STREAM_IDENTITY"]  # no tmp leak
+
+
+def test_checkpoint_identity_empty_file_read_retries(tmp_path):
+    """ADVICE r11: a caller arriving during the O_EXCL fallback
+    winner's create-to-write gap sees an EXISTING but EMPTY
+    _STREAM_IDENTITY. Every read site must treat empty as
+    write-in-progress and retry — returning "" would commit an
+    ownership token the file never holds, refusing the store as
+    foreign on every later restart."""
+    import threading
+    import time
+
+    from amazon_personalize_connectors_spark.streaming import epoch_store as es
+
+    ck = tmp_path / "ck_gap"
+    ck.mkdir()
+    p = ck / "_STREAM_IDENTITY"
+    p.write_text("")  # the winner's create landed, its write has not
+
+    def late_write():
+        time.sleep(0.15)
+        p.write_text("f" * 32)
+
+    t = threading.Thread(target=late_write)
+    t.start()
+    try:
+        # exists() fast path — previously an unretried read of ""
+        got = es.checkpoint_identity(str(ck))
+    finally:
+        t.join()
+    assert got == "f" * 32
+
+
+def test_checkpoint_identity_empty_file_winner_died(tmp_path):
+    """If the file stays empty past the bounded retry (~2 s), the
+    failure is explicit and names the recovery, never a "" token."""
+    import pytest as _pytest
+
+    from amazon_personalize_connectors_spark.streaming import epoch_store as es
+
+    p = tmp_path / "_STREAM_IDENTITY"
+    p.write_text("")
+    with _pytest.raises(RuntimeError, match="stayed empty"):
+        es._read_identity(str(p))

@@ -44,11 +44,28 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # has NO temp dir by default, so a 25M-row EXCEPT ALL hash table
     # (the flagship family at the local sf1 decade) must fit in RAM
     # or die — give it a spill path and a bounded budget so one big
-    # oracle cannot take down the whole sweep process (r11 sf1 sweep)
+    # oracle cannot take down the whole sweep process (r11 sf1 sweep).
+    # ADVICE r11: the budget is min(24GB, DuckDB's own 80%-of-RAM
+    # default) — a flat 24GB RAISED the cap above physical memory on
+    # small hosts — and the spill dir is removed at process exit
+    # instead of leaking one mkdtemp per sweep.
+    import atexit
+    import shutil
     import tempfile
 
-    con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='apcs_duck_')}'")
-    con.execute("SET memory_limit='24GB'")
+    spill = tempfile.mkdtemp(prefix="apcs_duck_")
+    atexit.register(shutil.rmtree, spill, ignore_errors=True)
+    con.execute(f"SET temp_directory='{spill}'")
+    default_cap = con.execute(
+        "SELECT value FROM duckdb_settings() WHERE name='memory_limit'"
+    ).fetchone()[0]
+    try:
+        unit = {"KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40}
+        num, suffix = default_cap.split()
+        default_bytes = int(float(num) * unit[suffix])
+    except (ValueError, KeyError):
+        default_bytes = 24 * 2**30  # unparseable -> keep old behavior
+    con.execute(f"SET memory_limit='{min(24 * 2**30, default_bytes)}B'")
     for t in TABLES:
         # a table may be a single file (driver testdata) or a
         # DIRECTORY of part files (tools/gen_scaled_data.py output,
