@@ -1264,12 +1264,25 @@ def _pair_cap_filter(
     ``assert_true`` on a FILTER (column pruning cannot strip it)
     BEFORE a single pair exists. Lazy: no job at call time; Catalyst
     reuses the signature aggregation for the counts."""
-    counts = None
-    for tcol in tables:
-        c = blocked.groupBy(F.col(tcol).alias("_k")).agg(
+    if len(tables) == 1:
+        counts = blocked.groupBy(F.col(tables[0]).alias("_k")).agg(
             F.count(F.lit(1)).cast("bigint").alias("_n")
         )
-        counts = c if counts is None else counts.unionByName(c)
+    else:
+        # one pass instead of len(tables) unioned groupBys (r12): the
+        # (table, bucket) pair IS the group key, so exploding the
+        # signature columns turns the per-table scans into a single
+        # map-side-combinable aggregate — same Σ_t Σ_b n_b² total,
+        # one shuffle of (tab, bucket) pairs instead of n_tables.
+        counts = (
+            blocked.select(
+                F.posexplode(
+                    F.array(*[F.col(t).cast("bigint") for t in tables])
+                ).alias("_t", "_k")
+            )
+            .groupBy("_t", "_k")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+        )
     tot = counts.agg(
         F.sum(F.col("_n") * F.col("_n")).cast("bigint").alias("_pairs")
     )
@@ -1348,14 +1361,34 @@ def _knn_out_edges_from_signed(
     blocked = _pair_cap_filter(
         blocked, tables, max_pair_rows, "knn_out_edges"
     )
-    cand = None
-    for tcol in tables:
-        a = blocked.select(F.col("id").alias("src"), F.col(tcol).alias("_k"))
-        b = blocked.select(F.col("id").alias("dst"), F.col(tcol).alias("_k"))
-        p = a.join(maybe_bcast(b), "_k").where(
+    if len(tables) == 1:
+        a = blocked.select(
+            F.col("id").alias("src"), F.col(tables[0]).alias("_k")
+        )
+        b = blocked.select(
+            F.col("id").alias("dst"), F.col(tables[0]).alias("_k")
+        )
+        cand = a.join(maybe_bcast(b), "_k").where(
             F.col("src") != F.col("dst")
         ).select("src", "dst")
-        cand = p if cand is None else cand.unionByName(p)
+    else:
+        # one (table, bucket) equi-join instead of n_tables unioned
+        # per-table joins (r12): exploding the signature columns makes
+        # the table index part of the join key, so the union of
+        # per-table bucket self-joins collapses into a single join —
+        # the node table is scanned once, not n_tables times, and the
+        # downstream distinct sees the identical pair set.
+        stacked = blocked.select(
+            "id",
+            F.posexplode(
+                F.array(*[F.col(t).cast("bigint") for t in tables])
+            ).alias("_t", "_k"),
+        )
+        a = stacked.select(F.col("id").alias("src"), "_t", "_k")
+        b = stacked.select(F.col("id").alias("dst"), "_t", "_k")
+        cand = a.join(maybe_bcast(b), ["_t", "_k"]).where(
+            F.col("src") != F.col("dst")
+        ).select("src", "dst")
     cand = cand.distinct()
     qv_src = blocked.select(F.col("id").alias("src"), F.col("qv").alias("_aqv"))
     qv_dst = blocked.select(F.col("id").alias("dst"), F.col("qv").alias("_bqv"))
@@ -1385,11 +1418,14 @@ def knn_out_edges(
     exactly after draining. The candidate stage fails loudly past
     ``max_pair_rows`` (see ``_pair_cap_filter`` / ``auto_n_bits``)."""
     blocked = lsh_signed_nodes(embeddings, n_bits, n_tables, id_col, vec_col)
-    # two bounded source scans buy the broadcast regimes (see
+    # ONE bounded source scan buys the broadcast regimes (see
     # _knn_out_edges_from_signed) — results identical either way
-    n_nodes = embeddings.count()
-    head = embeddings.select(F.size(vec_col).alias("d")).head()
-    dim = int(head["d"]) if head else None
+    # (was two scans pre-r12)
+    stats = embeddings.agg(
+        F.count(F.lit(1)).alias("n"), F.first(F.size(vec_col)).alias("d")
+    ).head()
+    n_nodes = int(stats["n"])
+    dim = int(stats["d"]) if stats["d"] is not None else None
     return _knn_out_edges_from_signed(
         blocked,
         [f"t{t}" for t in range(n_tables)],
@@ -1494,12 +1530,14 @@ def hnsw_index_build(
     # to disk at cluster scale (MEMORY_AND_DISK is the default
     # StorageLevel for DataFrame.persist on the JVM side)
     blocked = blocked.persist()
-    # two bounded jobs over the (now materialized) cache: node count
-    # and dim pick the broadcast regimes — physical dials only,
-    # results identical
-    n_nodes = blocked.count()
-    head = blocked.select(F.size("qv").alias("d")).head()
-    dim = int(head["d"]) if head else None
+    # ONE bounded job over the (now materialized) cache: node count
+    # and dim together pick the broadcast regimes — physical dials
+    # only, results identical (was two jobs pre-r12)
+    stats = blocked.agg(
+        F.count(F.lit(1)).alias("n"), F.first(F.size("qv")).alias("d")
+    ).head()
+    n_nodes = int(stats["n"])
+    dim = int(stats["d"]) if stats["d"] is not None else None
     out_m = _knn_out_edges_from_signed(
         blocked, tables, m, max_pair_rows, n_nodes=n_nodes, dim=dim
     )
@@ -1568,15 +1606,21 @@ def _hnsw_assemble(
     # with a smaller-id cluster in ALL tables at once; cross links
     # (below) give every node an escape edge toward the other tables'
     # entry points as well.
-    hub_frames = [
-        blocked.groupBy(F.col(tcol).alias("hblk"))
+    # one pass instead of n_tables unioned groupBys (r12): posexplode
+    # yields (table index, bucket) pairs, so every table's min-id hub
+    # comes out of a single map-side-combinable aggregate — one
+    # shuffle of (htab, hblk) keys, identical hub rows.
+    hubs = (
+        blocked.select(
+            "id",
+            F.posexplode(
+                F.array(*[F.col(t).cast("bigint") for t in tables])
+            ).alias("htab", "hblk"),
+        )
+        .groupBy("htab", "hblk")
         .agg(F.min("id").alias("hub"))
-        .select(F.lit(i).alias("htab"), "hblk", "hub")
-        for i, tcol in enumerate(tables)
-    ]
-    hubs = hub_frames[0]
-    for hf in hub_frames[1:]:
-        hubs = hubs.unionByName(hf)
+        .select("htab", "hblk", "hub")
+    )
     hub_nodes = hubs.alias("hb").join(
         blocked.alias("hn"), F.col("hb.hub") == F.col("hn.id")
     ).select(
@@ -1588,21 +1632,25 @@ def _hnsw_assemble(
     # cross candidates: per table, every node × that table's hubs in
     # a DIFFERENT bucket; distinct (src, dst) before scoring (the
     # same pair can surface from several tables)
-    cross_cand = None
-    for i, tcol in enumerate(tables):
-        cc = (
-            blocked.alias("nd")
-            .join(
-                F.broadcast(
-                    hub_nodes.where(F.col("htab") == i).alias("hh")
+    # one broadcast nested-loop join instead of n_tables (r12): the
+    # per-table condition nd.t{i} != hub_blk becomes an element_at
+    # over the node's signature array indexed by the hub's own table —
+    # the node table is scanned once against a single broadcast of
+    # ALL hubs, producing the identical (src, dst) candidate set.
+    cross_cand = (
+        blocked.alias("nd")
+        .join(
+            F.broadcast(hub_nodes.alias("hh")),
+            F.element_at(
+                F.array(
+                    *[F.col(f"nd.{t}").cast("bigint") for t in tables]
                 ),
-                F.col(f"nd.{tcol}") != F.col("hh.hub_blk"),
+                F.col("hh.htab") + 1,
             )
-            .select(
-                F.col("nd.id").alias("src"), F.col("hh.hub").alias("dst")
-            )
+            != F.col("hh.hub_blk"),
         )
-        cross_cand = cc if cross_cand is None else cross_cand.unionByName(cc)
+        .select(F.col("nd.id").alias("src"), F.col("hh.hub").alias("dst"))
+    )
     hub_qvs = hub_nodes.select(
         F.col("hub").alias("dst"), F.col("hub_qv")
     ).distinct()

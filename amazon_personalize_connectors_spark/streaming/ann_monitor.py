@@ -166,10 +166,21 @@ def apply_vectors_batch(
     state_sigs = _read_buckets(
         spark, _bucket_paths(store_path, man, "sigs"), sig_schema
     )
-    touched = {
-        t: [r[0] for r in new_sigs.select(t).distinct().collect()]
-        for t in tables
-    }
+    # ONE driver job discovers every table's touched buckets (r12;
+    # was n_tables separate distinct().collect() round-trips): the
+    # batch is already localCheckpointed, so this is a single tiny
+    # aggregate over it.
+    touched = {t: [] for t in tables}
+    for r in (
+        new_sigs.select(
+            F.posexplode(F.array(*[F.col(t) for t in tables])).alias(
+                "_t", "_b"
+            )
+        )
+        .distinct()
+        .collect()
+    ):
+        touched[tables[r["_t"]]].append(r["_b"])
     affected_pred = None
     for t in tables:
         p = F.col(t).isin(touched[t])
@@ -188,25 +199,43 @@ def apply_vectors_batch(
         _KNN_BROADCAST_MAX_NODES,
     )
 
+    # ONE driver job yields both the broadcast-regime count and the
+    # affected t0 partition list (r12; was a count() plus two later
+    # duplicate t0-distinct collects): a_sigs is localCheckpointed, so
+    # the aggregate is a single bounded scan of it.
+    a_stats = a_sigs.agg(
+        F.count(F.lit(1)).alias("_n"), F.collect_set("t0").alias("_t0s")
+    ).head()
     maybe_bcast = (
         F.broadcast
-        if a_sigs.count() <= _KNN_BROADCAST_MAX_NODES
+        if int(a_stats["_n"]) <= _KNN_BROADCAST_MAX_NODES
         else (lambda df: df)
     )
+    a_parts = sorted(a_stats["_t0s"])
     all_sigs = state_sigs.unionByName(new_sigs)
-    cand = None
-    for t in tables:
-        a = a_sigs.select(F.col("id").alias("src"), F.col(t).alias("_k"))
-        b = all_sigs.select(F.col("id").alias("dst"), F.col(t).alias("_k"))
-        p = maybe_bcast(a).join(b, "_k").where(
-            F.col("src") != F.col("dst")
-        ).select("src", "dst")
-        cand = p if cand is None else cand.unionByName(p)
+    # one (table, bucket) equi-join instead of n_tables unioned
+    # per-table joins (r12, mirroring _knn_out_edges_from_signed): the
+    # accumulated signature set is scanned ONCE — at scale that is one
+    # pass over the linear narrow term, not n_tables passes.
+    a_st = a_sigs.select(
+        F.col("id").alias("src"),
+        F.posexplode(F.array(*[F.col(t) for t in tables])).alias("_t", "_k"),
+    )
+    b_st = all_sigs.select(
+        F.col("id").alias("dst"),
+        F.posexplode(F.array(*[F.col(t) for t in tables])).alias("_t", "_k"),
+    )
+    cand = (
+        maybe_bcast(a_st)
+        .join(b_st, ["_t", "_k"])
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
     cand = cand.distinct().localCheckpoint(eager=True)
 
     # vector payloads: only partitions that can hold a candidate id
     need_t0 = sorted(
-        {r[0] for r in a_sigs.select("t0").distinct().collect()}
+        set(a_parts)
         | {
             r[0]
             for r in cand.join(
@@ -237,9 +266,9 @@ def apply_vectors_batch(
         .select("src", "dst", "qdot")
     )
 
-    # rewrite ONLY the t0 partitions holding affected nodes: their
-    # non-affected residents carry over untouched
-    a_parts = sorted({r[0] for r in a_sigs.select("t0").distinct().collect()})
+    # rewrite ONLY the t0 partitions holding affected nodes (a_parts,
+    # collected above): their non-affected residents carry over
+    # untouched
     stored_edges = _read_buckets(
         spark, _bucket_paths(store_path, man, "edges", a_parts), _EDGE_SCHEMA
     )
@@ -267,9 +296,8 @@ def apply_vectors_batch(
     }
 
     # sig/vec partitions touched by NEW nodes: carried residents + new
-    new_parts = sorted(
-        {r[0] for r in new_sigs.select("t0").distinct().collect()}
-    )
+    # (already collected in the single touched-buckets job above)
+    new_parts = sorted(set(touched["t0"]))
     sig_part = state_sigs.where(F.col("t0").isin(new_parts)).unionByName(
         new_sigs
     )
