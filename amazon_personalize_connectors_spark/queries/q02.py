@@ -50,6 +50,7 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from amazon_personalize_connectors_spark.streaming.windows import (
+        adaptive_stream_partitions,
         run_stream_to_memory,
         windowed_event_counts,
     )
@@ -63,7 +64,10 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch.write.mode("overwrite").parquet(landing)
     stream = spark.readStream.schema(batch.schema).parquet(landing)
-    return run_stream_to_memory(windowed_event_counts(stream))
+    return run_stream_to_memory(
+        windowed_event_counts(stream),
+        state_partitions=adaptive_stream_partitions(spark, landing),
+    )
 
 
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,6 +79,7 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from amazon_personalize_connectors_spark.streaming.windows import (
+        adaptive_stream_partitions,
         run_stream_to_memory,
         stream_interval_join,
     )
@@ -108,7 +113,11 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("delay_s"),
     )
-    return run_stream_to_memory(out, output_mode="append")
+    return run_stream_to_memory(
+        out,
+        output_mode="append",
+        state_partitions=adaptive_stream_partitions(spark, landing),
+    )
 
 
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -859,6 +868,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from amazon_personalize_connectors_spark.streaming.windows import (
+        adaptive_stream_partitions,
         run_stream_to_memory,
         stream_dedup,
     )
@@ -878,6 +888,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         ),
         output_mode="append",
+        state_partitions=adaptive_stream_partitions(spark, landing),
     )
 
 

@@ -1358,6 +1358,7 @@ def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from amazon_personalize_connectors_spark.streaming.windows import (
+        adaptive_stream_partitions,
         run_stream_to_memory,
         sessionize_stateful,
     )
@@ -1379,6 +1380,7 @@ def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("bigint").alias("n_events"),
         ),
         output_mode="append",
+        state_partitions=adaptive_stream_partitions(spark, landing),
     )
 
 

@@ -858,6 +858,7 @@ def q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_user_stats_pandas,
     )
     from amazon_personalize_connectors_spark.streaming.windows import (
+        adaptive_stream_partitions,
         run_stream_to_memory,
     )
 
@@ -868,7 +869,9 @@ def q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "maxFilesPerTrigger", 8
     ).parquet(landing)
     emits = run_stream_to_memory(
-        running_user_stats_pandas(stream), output_mode="update"
+        running_user_stats_pandas(stream),
+        output_mode="update",
+        state_partitions=adaptive_stream_partitions(spark, landing),
     )
     # last emit per user == running total (n monotone, first/last
     # monotone in their directions)

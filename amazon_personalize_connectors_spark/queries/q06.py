@@ -1068,6 +1068,7 @@ def q_stream_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         capped_running_balance_pandas,
     )
     from amazon_personalize_connectors_spark.streaming.windows import (
+        adaptive_stream_partitions,
         run_stream_to_memory,
     )
 
@@ -1087,6 +1088,11 @@ def q_stream_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint")
         ).alias("delta"),
     )
+    # one source scan for the whole landing staging (r12): the bounds
+    # job materializes the narrow (4-long-column) projection into the
+    # cache and the four slice writes read it back, instead of each
+    # re-scanning + re-projecting the source parquet.
+    ev = ev.persist()
     bounds = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
     span = max(1, (bounds[1] - bounds[0]) // 4 + 1)
     landing = tempfile.mkdtemp(prefix="apc-stream-bal-")
@@ -1102,6 +1108,7 @@ def q_stream_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             if f not in seen:
                 os.utime(f, (t_base + i * 10, t_base + i * 10))
                 seen.add(f)
+    ev.unpersist()
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1110,6 +1117,7 @@ def q_stream_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits = run_stream_to_memory(
         capped_running_balance_pandas(stream, floor_v=0, cap_v=25_000),
         output_mode="update",
+        state_partitions=adaptive_stream_partitions(spark, landing),
     )
     # n_seen strictly increases per user across emits, so max_by is
     # deterministic: the final emit is the drained balance

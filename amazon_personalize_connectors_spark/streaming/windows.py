@@ -17,6 +17,8 @@ Both run identically over a file source with Trigger.AvailableNow
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Iterable, Iterator
 from typing import Any
 
@@ -198,11 +200,40 @@ def sessionize_stateful(
 _MEMORY_SINK_SEQ = [0]
 
 
+_STREAM_ADVISORY_BYTES = 64 << 20  # mirrors AQE's 64 MB advisory size
+
+
+def adaptive_stream_partitions(
+    spark, landing_dir: str, floor: int = 8
+) -> int:
+    """Size a stream's shuffle/state partitions from its landing-input
+    BYTES, the same way AQE sizes post-shuffle partitions (guide §2.3:
+    scale-adaptive, never a constant tuned to one machine): total
+    landing bytes / 64 MB advisory, clamped to [``floor``, the session
+    ``spark.sql.shuffle.partitions``]. Stateful micro-batch cost is
+    dominated by per-partition task + state-store-commit overhead, so a
+    law-check landing of a few MB gets ``floor`` partitions while a
+    100 TB landing keeps the session's full scale setting. The state
+    partition count is a PHYSICAL dial only — per-key emits are
+    partition-invariant — but it is frozen into the checkpoint at
+    first batch, so derive it before ``run_stream_to_memory``."""
+    total = 0
+    for root, _dirs, files in os.walk(landing_dir):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(min(floor, cap), min(cap, -(-total // _STREAM_ADVISORY_BYTES)))
+
+
 def run_stream_to_memory(
     transformed: DataFrame,
     output_mode: str = "complete",
     checkpoint_dir: str | None = None,
     timeout_s: float = 300.0,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a streaming frame through Trigger.AvailableNow into a
     memory sink and return the result as a batch DataFrame.
@@ -219,20 +250,35 @@ def run_stream_to_memory(
     _MEMORY_SINK_SEQ[0] += 1
     name = f"apc_stream_result_{_MEMORY_SINK_SEQ[0]}"
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="apc-stream-ckpt-")
-    q = (
-        transformed.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # state_partitions (see adaptive_stream_partitions): the stream's
+    # shuffle/state partition count is read from the session conf at
+    # query start and frozen into the checkpoint — set it for the
+    # drain, restore after. Physical dial only: per-key emits are
+    # identical at any partition count.
+    _SP = "spark.sql.shuffle.partitions"
+    saved_sp = spark.conf.get(_SP) if state_partitions is not None else None
+    if state_partitions is not None:
+        spark.conf.set(_SP, str(state_partitions))
     try:
-        if not q.awaitTermination(timeout_s):
-            raise TimeoutError(f"stream {name} still running after {timeout_s}s")
+        q = (
+            transformed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(timeout_s):
+                raise TimeoutError(
+                    f"stream {name} still running after {timeout_s}s"
+                )
+        finally:
+            if q.isActive:
+                q.stop()
     finally:
-        if q.isActive:
-            q.stop()
+        if saved_sp is not None:
+            spark.conf.set(_SP, saved_sp)
     return spark.table(name)
 
 
