@@ -151,6 +151,12 @@ _REVERIFY: dict[str, int] = {
     # dollars (queries/q06.py) so the r11 int64 range guard can't
     # fire at sf>=0.1; its driver evidence is r7.
     "revenue_matrix_profile": 11,
+    # Round 12 (optimization): theilsen_slope's lower-median selection
+    # moved from a one-task global window to the range-partitioned
+    # running-total machinery (operators/analytics.py r12 notes);
+    # result proved identical vs the oracle at sf0.01, but the
+    # registered plan changed after its last driver row.
+    "theilsen_revenue": 11,
 }
 
 

@@ -1283,7 +1283,17 @@ def theilsen_slope(
         .alias("t"),
         "v",
     )
-    a = base.select(
+    # r12: the pair self-join read ``base`` on both sides, re-running
+    # the daily rollup AND its guard count per side (4 source scans at
+    # sf0.1); materialize the grid-bounded series once — it is at most
+    # ``max_grid_rows`` rows by the guard just applied.
+    base = base.localCheckpoint(eager=True)
+    # r12: the rollup collapses to ~1 AQE-coalesced partition, so the
+    # O(days²) pair expansion (≤ 12.5M rows at the guard default) ran
+    # in ONE task; spread the probe side across the cluster first —
+    # a shuffle of ≤ max_grid_rows rows buys days²/P per task.
+    n_par = df.sparkSession.sparkContext.defaultParallelism
+    a = base.repartition(n_par).select(
         "_grid_n", F.col("t").alias("t1"), F.col("v").alias("v1")
     )
     b = base.select(
@@ -1309,21 +1319,35 @@ def theilsen_slope(
     cells = q.groupBy("_grid_n", "slope_q").agg(
         F.count(F.lit(1)).cast("bigint").alias("_c")
     )
-    w_cum = (
-        Window.partitionBy("_grid_n")
-        .orderBy("slope_q")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # r12: the lower-median selection was a single global window
+    # partitioned on the constant guard column — a ONE-TASK sort +
+    # cumsum over the distinct-slope grid, which is ~n_pairs cells
+    # when slopes rarely collide (measured: 2.89M cells, ~10 s in one
+    # task at sf0.1; the grid bound still allows 12.5M). The
+    # cumulative count over the slope grid is exactly the
+    # running-total shape operators/ids.py solves with a range
+    # repartition + bounded per-partition offsets collect — the same
+    # exact bigint cumulative, computed in parallel. The cell grid is
+    # materialized once so the quadratic pair expansion is not
+    # replayed for the total-count pass.
+    from amazon_personalize_connectors_spark.operators.ids import (
+        add_running_totals,
     )
-    w_all = Window.partitionBy("_grid_n")
-    ranked = cells.select(
-        "_grid_n",
-        "slope_q",
-        F.sum("_c").over(w_cum).cast("bigint").alias("_cum"),
-        F.sum("_c").over(w_all).cast("bigint").alias("_np"),
+
+    cum = add_running_totals(
+        cells, ["slope_q"], {"_c": "_cum"}, total_names={"_c": "_np"}
     )
-    best = ranked.where(2 * F.col("_cum") >= F.col("_np")).groupBy(
-        "_grid_n", "_np"
-    ).agg(F.min("slope_q").cast("bigint").alias("slope_q"))
+    best = (
+        cum.where(
+            2 * F.col("_cum").cast("bigint")
+            >= F.col("_np").cast("bigint")
+        )
+        .groupBy("_grid_n", "_np")
+        .agg(F.min("slope_q").cast("bigint").alias("slope_q"))
+    )
+    best = best.select(
+        "_grid_n", F.col("_np").cast("bigint").alias("_np"), "slope_q"
+    )
     return best.select(
         F.col("_grid_n").cast("bigint").alias("n_days"),
         F.col("_np").alias("n_pairs"),

@@ -57,13 +57,21 @@ def add_running_totals(
     order_cols: Sequence[str],
     value_cols: dict[str, str],
     num_partitions: int | None = None,
+    total_names: dict[str, str] | None = None,
 ) -> DataFrame:
     """Multi-column twin of ``add_running_total``: one range
     repartition + one per-partition offsets collect + one window pass
     carries ALL the cumulative sums (``{value_col: output_name}``) —
     callers needing several prefix sums over the same ordering (e.g.
     the two-sample KS cumulative distribution pair) pay the
-    range-shuffle once, not per column."""
+    range-shuffle once, not per column.
+
+    ``total_names`` (``{value_col: output_name}``, r12) additionally
+    attaches each column's GRAND total as a constant column, for
+    callers that need cumulative/total together (e.g. a median
+    selection's ``2*cum >= n``). It is free: the total is the last
+    prefix of the per-partition sums this function already collects —
+    no extra job, no second pass over ``df``."""
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ordered = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(
         *order_cols
@@ -108,6 +116,14 @@ def add_running_totals(
             F.coalesce(F.col(f"__offset_{i}"), F.lit(0))
             + F.sum(value_col).over(w),
         )
+    if total_names:
+        vcols = list(value_cols)
+        for value_col, tname in total_names.items():
+            i = vcols.index(value_col)
+            out = out.withColumn(
+                tname,
+                F.lit(acc[i]).cast(sum_types[f"__s_{i}"]),
+            )
     return out.drop(
         "__pid", *[f"__offset_{i}" for i in range(len(value_cols))]
     )
