@@ -848,6 +848,12 @@ def mmr_rerank(
     )
 
 
+# frontier rows are three bigints (~24 B); 1M walkers ~ a few tens of
+# MB broadcast — comfortably inside the session's 64 MB dial. Above
+# this, rounds fall back to the shuffle join.
+_WALK_BROADCAST_MAX_FRONTIER = 1_000_000
+
+
 def graph_random_walks(
     edges: DataFrame,
     starts: DataFrame,
@@ -890,6 +896,22 @@ def graph_random_walks(
         F.col(start_col).alias("node"),
         F.lit(0).cast("bigint").alias("step"),
     ).localCheckpoint(eager=True)
+    # r12 (guide §3.1): the per-round frontier is a checkpointed RDD
+    # with NO stats, so Spark sort-merge-joined it against the full
+    # adjacency — shuffling + sorting the corpus-sized edge list every
+    # round (measured ~7 s/round at sf0.1's 2.4M edges). The frontier
+    # is bounded by |starts| and only SHRINKS (dead ends end walks
+    # early), so ONE bounded count up front gates an explicit
+    # broadcast for every round: the adjacency then never shuffles —
+    # each round is a map-side hash join over the persisted cache plus
+    # a frontier-sized argmin shuffle. Past the gate (huge walker
+    # sets) the shuffle join remains the fallback.
+    n_walkers = frontier.count()
+    maybe_bcast = (
+        F.broadcast
+        if n_walkers <= _WALK_BROADCAST_MAX_FRONTIER
+        else (lambda df: df)
+    )
     out = frontier
     for t in range(1, walk_len + 1):
         h = F.md5(
@@ -903,7 +925,7 @@ def graph_random_walks(
             )
         )
         frontier = (
-            frontier.join(adj, frontier["node"] == adj["cur"])
+            maybe_bcast(frontier).join(adj, frontier["node"] == adj["cur"])
             .select("walk", "nxt", h.alias("h"))
             .groupBy("walk")
             .agg(F.min(F.struct(F.col("h"), F.col("nxt"))).alias("b"))
