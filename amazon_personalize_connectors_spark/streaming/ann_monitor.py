@@ -279,10 +279,8 @@ def apply_vectors_batch(
     carry_t0 = (
         state_sigs.select(F.col("id").alias("src"), F.col("t0").alias("bucket"))
     )
-    next_edges = (
-        carry.join(carry_t0, "src")
-        .unionByName(out_m_new.join(src_t0, "src"))
-        .localCheckpoint(eager=True)  # read twice: write + written-part probe
+    next_edges = carry.join(carry_t0, "src").unionByName(
+        out_m_new.join(src_t0, "src")
     )
     next_edges.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(out, "edges")
@@ -290,9 +288,15 @@ def apply_vectors_batch(
     # an affected bucket can end the fold EMPTY (its only resident has
     # no candidates) — a manifest entry would then point at a missing
     # partition dir; record only buckets that actually wrote rows and
-    # drop the rest
+    # drop the rest. r12: the write itself already materialized that
+    # set as `bucket=<n>` partition directories (partitionBy creates a
+    # directory iff the bucket wrote rows), so read it back from the
+    # filesystem instead of checkpointing next_edges and running a
+    # distinct-collect job over it.
     written_edge_parts = {
-        r[0] for r in next_edges.select("bucket").distinct().collect()
+        int(d.split("=", 1)[1])
+        for d in os.listdir(os.path.join(out, "edges"))
+        if d.startswith("bucket=")
     }
 
     # sig/vec partitions touched by NEW nodes: carried residents + new
