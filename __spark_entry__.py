@@ -55,12 +55,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry so this list comes first. Round-12 rotation (ledger:
 # VERIFIED.md; generated AND applied by `tools/rotate_window.py
 # --apply`, which rewrites this block): the 3 sentinels, the
-# _REVERIFY entry `revenue_matrix_profile` (registered form
+# _REVERIFY entries `revenue_matrix_profile` (registered form
 # requantized to whole dollars after its r7 row — VERDICT r11
-# item 1), ALL 15 remaining r5-evidence greens (closing the
-# freshest-evidence invariant: after this window no registry
-# evidence predates r6 — VERDICT r11 item 3), and 31 oldest r6
-# greens. tests/test_window_rotation.py pins the invariants AS OF
+# item 1) and `theilsen_revenue` (median selection parallelized in
+# the r12 optimization round after its r6 row), ALL 15 remaining
+# r5-evidence greens (closing the freshest-evidence invariant:
+# after this window no registry evidence predates r6 — VERDICT r11
+# item 3), and the oldest r6 greens up to 50 slots.
+# tests/test_window_rotation.py pins the invariants AS OF
 # THIS WINDOW'S ROUND (evidence < r12), so landing
 # CORRECTNESS_r12.json does not re-redden the suite.
 _R12_WINDOW = [
@@ -68,6 +70,7 @@ _R12_WINDOW = [
     "attribution_join",
     "delta_except",
     "revenue_matrix_profile",
+    "theilsen_revenue",
     "source_quality",
     "tpch_q19",
     "except_all_returns",
@@ -113,7 +116,6 @@ _R12_WINDOW = [
     "kfold_report",
     "annotator_kappa",
     "score_ece",
-    "revenue_changepoint",
 ]
 
 # Staging discipline (VERDICT r6 item 3 / r7 item 6): queries added

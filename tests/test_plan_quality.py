@@ -49,7 +49,7 @@ def test_core_queries_have_no_python_udf(spark, sf_dir):
         # one sanctioned Arrow user among the similarity queries)
         "simhash64",
         "simhash_neardup",
-        "ivf_probe_topk",
+        "ivf_index_probe",
         "quality_filter",
         "llm_corpus_survivors",
         "repetition_signals",
