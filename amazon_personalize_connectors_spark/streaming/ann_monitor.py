@@ -186,7 +186,11 @@ def apply_vectors_batch(
         p = F.col(t).isin(touched[t])
         affected_pred = p if affected_pred is None else (affected_pred | p)
     affected_state = state_sigs.where(affected_pred)
-    a_sigs = affected_state.unionByName(new_sigs).localCheckpoint(eager=True)
+    # persist (not eager localCheckpoint): the regime-dial aggregate
+    # below is the materializing job, so the four downstream readers
+    # (candidates, carry anti-join, src_t0, the dial itself) share one
+    # computation of a_sigs in ONE job instead of two (r12 wave 7).
+    a_sigs = affected_state.unionByName(new_sigs).persist()
 
     # candidate generation: per-table bucket equi-joins of the
     # affected side against the full accumulated signature set. The
@@ -201,8 +205,8 @@ def apply_vectors_batch(
 
     # ONE driver job yields both the broadcast-regime count and the
     # affected t0 partition list (r12; was a count() plus two later
-    # duplicate t0-distinct collects): a_sigs is localCheckpointed, so
-    # the aggregate is a single bounded scan of it.
+    # duplicate t0-distinct collects) — and, since wave 7, doubles as
+    # the job that materializes the a_sigs cache.
     a_stats = a_sigs.agg(
         F.count(F.lit(1)).alias("_n"), F.collect_set("t0").alias("_t0s")
     ).head()
@@ -221,29 +225,33 @@ def apply_vectors_batch(
         F.col("id").alias("src"),
         F.posexplode(F.array(*[F.col(t) for t in tables])).alias("_t", "_k"),
     )
+    # dst's OWN t0 rides along through candidate generation (r12
+    # wave 7): it is functional on dst, so the (src, dst) distinct is
+    # unchanged, and the vector-partition discovery below needs no
+    # second join/scan of the accumulated signature set.
     b_st = all_sigs.select(
         F.col("id").alias("dst"),
+        F.col("t0").alias("_dt0"),
         F.posexplode(F.array(*[F.col(t) for t in tables])).alias("_t", "_k"),
     )
     cand = (
         maybe_bcast(a_st)
         .join(b_st, ["_t", "_k"])
         .where(F.col("src") != F.col("dst"))
-        .select("src", "dst")
+        .select("src", "dst", "_dt0")
+        .distinct()
+        .persist()
     )
-    cand = cand.distinct().localCheckpoint(eager=True)
 
-    # vector payloads: only partitions that can hold a candidate id
+    # vector payloads: only partitions that can hold a candidate id.
+    # ONE aggregate both materializes the cand cache and returns the
+    # dst partition set (was an eager checkpoint plus a join-collect
+    # against the signature store).
     need_t0 = sorted(
         set(a_parts)
         | {
-            r[0]
-            for r in cand.join(
-                all_sigs.select(F.col("id").alias("dst"), "t0"), "dst"
-            )
-            .select("t0")
-            .distinct()
-            .collect()
+            int(b)
+            for b in cand.agg(F.collect_set("_dt0").alias("_b")).head()["_b"]
         }
     )
     state_vecs = _read_buckets(
@@ -252,7 +260,8 @@ def apply_vectors_batch(
     vecs = state_vecs.unionByName(new_nodes.select("id", "qv"))
     w_src = Window.partitionBy("src").orderBy(F.desc("qdot"), F.asc("dst"))
     out_m_new = (
-        cand.join(
+        cand.select("src", "dst")
+        .join(
             vecs.select(F.col("id").alias("src"), F.col("qv").alias("_aqv")),
             "src",
         )
@@ -282,9 +291,52 @@ def apply_vectors_batch(
     next_edges = carry.join(carry_t0, "src").unionByName(
         out_m_new.join(src_t0, "src")
     )
-    next_edges.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(out, "edges")
+
+    # sig/vec partitions touched by NEW nodes: carried residents + new
+    # (already collected in the single touched-buckets job above)
+    new_parts = sorted(set(touched["t0"]))
+    sig_part = state_sigs.where(F.col("t0").isin(new_parts)).unionByName(
+        new_sigs
     )
+    vec_part = (
+        _read_buckets(
+            spark, _bucket_paths(store_path, man, "vecs", new_parts), _VEC_SCHEMA
+        )
+        .unionByName(new_nodes.select("id", "qv"))
+        .join(
+            sig_part.select(F.col("id").alias("_i"), "t0"),
+            F.col("id") == F.col("_i"),
+        )
+        .select("id", "qv", F.col("t0").alias("bucket"))
+    )
+
+    # the three store writes are independent jobs over disjoint output
+    # directories — overlap them from a small driver thread pool so
+    # one write's straggler tail back-fills with the others' tasks
+    # (guide §2.6); the manifest is written only after ALL of them
+    # complete (the join below), so the crash-safety discipline —
+    # version directory fully written before the pointer flips — is
+    # unchanged (r12 wave 7).
+    from concurrent.futures import ThreadPoolExecutor
+
+    writes = (
+        lambda: next_edges.write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out, "edges")),
+        lambda: sig_part.withColumn("bucket", F.col("t0"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out, "sigs")),
+        lambda: vec_part.write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out, "vecs")),
+    )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for done in [pool.submit(w) for w in writes]:
+            done.result()
+    cand.unpersist()
+    a_sigs.unpersist()
+
     # an affected bucket can end the fold EMPTY (its only resident has
     # no candidates) — a manifest entry would then point at a missing
     # partition dir; record only buckets that actually wrote rows and
@@ -298,30 +350,6 @@ def apply_vectors_batch(
         for d in os.listdir(os.path.join(out, "edges"))
         if d.startswith("bucket=")
     }
-
-    # sig/vec partitions touched by NEW nodes: carried residents + new
-    # (already collected in the single touched-buckets job above)
-    new_parts = sorted(set(touched["t0"]))
-    sig_part = state_sigs.where(F.col("t0").isin(new_parts)).unionByName(
-        new_sigs
-    )
-    sig_part.withColumn("bucket", F.col("t0")).write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(os.path.join(out, "sigs"))
-    vec_part = (
-        _read_buckets(
-            spark, _bucket_paths(store_path, man, "vecs", new_parts), _VEC_SCHEMA
-        )
-        .unionByName(new_nodes.select("id", "qv"))
-        .join(
-            sig_part.select(F.col("id").alias("_i"), "t0"),
-            F.col("id") == F.col("_i"),
-        )
-        .select("id", "qv", F.col("t0").alias("bucket"))
-    )
-    vec_part.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(out, "vecs")
-    )
 
     edge_entries = {
         b: v for b, v in man["edges"].items() if int(b) not in set(a_parts)
@@ -414,28 +442,45 @@ def compact_store(spark: SparkSession, store_path: str) -> None:
     sigs = _read_buckets(
         spark, _bucket_paths(store_path, man, "sigs"), sig_schema
     ).localCheckpoint(eager=True)  # read 3x: write + 2 bucket joins
-    sigs.withColumn("bucket", F.col("t0")).write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(os.path.join(out, "sigs"))
     vecs = _read_buckets(
         spark, _bucket_paths(store_path, man, "vecs"), _VEC_SCHEMA
     )
-    vecs.join(
-        sigs.select(F.col("id").alias("_i"), "t0"), F.col("id") == F.col("_i")
-    ).select("id", "qv", F.col("t0").alias("bucket")).write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(os.path.join(out, "vecs"))
     edges = _read_buckets(
         spark, _bucket_paths(store_path, man, "edges"), _EDGE_SCHEMA
     )
+    # the three full-store rewrites are independent jobs over disjoint
+    # output directories (vecs/edges join only the CHECKPOINTED sigs)
+    # — overlap them from a driver thread pool (guide §2.6); the
+    # manifest below is written only after all three complete, so the
+    # pointer-flip crash-safety discipline is unchanged (r12 wave 7).
     # bucket rides back in via the owning node's t0 — the same
-    # re-derivation the fold's carry path uses
-    edges.join(
-        sigs.select(F.col("id").alias("src"), F.col("t0").alias("bucket")),
-        "src",
-    ).write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(out, "edges")
+    # re-derivation the fold's carry path uses.
+    from concurrent.futures import ThreadPoolExecutor
+
+    writes = (
+        lambda: sigs.withColumn("bucket", F.col("t0"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out, "sigs")),
+        lambda: vecs.join(
+            sigs.select(F.col("id").alias("_i"), "t0"),
+            F.col("id") == F.col("_i"),
+        )
+        .select("id", "qv", F.col("t0").alias("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out, "vecs")),
+        lambda: edges.join(
+            sigs.select(F.col("id").alias("src"), F.col("t0").alias("bucket")),
+            "src",
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out, "edges")),
     )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for done in [pool.submit(w) for w in writes]:
+            done.result()
     new_man = {
         "n_bits": man["n_bits"],
         "n_tables": n_tables,

@@ -150,16 +150,29 @@ def apply_interactions_batch(
     state_for_inc = state_touched.join(
         batch.select("u").distinct(), "u", "left_semi"
     )
+    # persist, not eager localCheckpoint (r12 wave 7): the bucket
+    # probe below is the job that materializes the increments cache,
+    # so the expensive covisitation DAG runs once in ONE job instead
+    # of a checkpoint job plus a probe job; the merge then reads the
+    # cache.
     inc = (
         covisitation_increments(state_for_inc, batch)
         .withColumnRenamed("n_common_delta", "n_common")
-        .localCheckpoint(eager=True)  # read twice: bucket probe + merge
+        .persist()
     )
     p_bucket = F.pmod(F.xxhash64("item"), F.lit(b_count))
     touched_pair_buckets = sorted(
-        r[0] for r in inc.select(p_bucket.alias("_b")).distinct().collect()
+        int(b)
+        for b in inc.agg(F.collect_set(p_bucket).alias("_bs")).head()["_bs"]
     )
-    if touched_pair_buckets:
+    # the pairs merge and the item-state rewrite are independent jobs
+    # over disjoint output directories — overlap them from a driver
+    # thread pool (guide §2.6); the manifest is written only after
+    # both complete, so the pointer-flip commit discipline is
+    # unchanged (r12 wave 7).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_pairs() -> None:
         current = _read_buckets(
             spark,
             _bucket_paths(store_path, man, "pairs", touched_pair_buckets),
@@ -174,14 +187,22 @@ def apply_interactions_batch(
         merged.write.mode("overwrite").partitionBy("bucket").parquet(
             os.path.join(out, "pairs")
         )
-    next_items = (
-        state_touched.unionByName(batch)
-        .distinct()
-        .withColumn("bucket", u_bucket)
-    )
-    next_items.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(out, "items")
-    )
+
+    def _write_items() -> None:
+        next_items = (
+            state_touched.unionByName(batch)
+            .distinct()
+            .withColumn("bucket", u_bucket)
+        )
+        next_items.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(out, "items")
+        )
+
+    writes = ([_write_pairs] if touched_pair_buckets else []) + [_write_items]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for done in [pool.submit(w) for w in writes]:
+            done.result()
+    inc.unpersist()
     new_man = {
         "n_buckets": b_count,
         "items": {
