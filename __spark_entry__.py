@@ -71,6 +71,7 @@ _R12_WINDOW = [
     "delta_except",
     "revenue_matrix_profile",
     "theilsen_revenue",
+    "covisitation_incremental",
     "source_quality",
     "tpch_q19",
     "except_all_returns",
@@ -115,7 +116,6 @@ _R12_WINDOW = [
     "linkage_fs",
     "kfold_report",
     "annotator_kappa",
-    "score_ece",
 ]
 
 # Staging discipline (VERDICT r6 item 3 / r7 item 6): queries added
@@ -159,6 +159,13 @@ _REVERIFY: dict[str, int] = {
     # result proved identical vs the oracle at sf0.01, but the
     # registered plan changed after its last driver row.
     "theilsen_revenue": 11,
+    # Round 12 (optimization): covisitation_increments re-keyed
+    # entirely on the user — collect_set + array_except absorb the
+    # (u, i)-keyed distinct and anti-join into the u-keyed groupBys
+    # (operators/recsys.py r12 notes); proved identical vs the oracle
+    # at sf0.001/sf0.01 and exceptAll-equal to the old form at sf0.1,
+    # but the registered plan changed after its last driver row (r11).
+    "covisitation_incremental": 11,
 }
 
 

@@ -159,23 +159,42 @@ def covisitation_increments(
     hash-priority truncation does not commute with unions.
 
     Returns (item, rec_item, n_common_delta) with item < rec_item
-    (canonical half; mirror when serving)."""
+    (canonical half; mirror when serving).
+
+    Shape (r12): everything is keyed on the user. The old form ran a
+    (u, i)-keyed ``distinct`` plus a (u, i)-keyed anti-join against
+    state before two u-keyed groupBys — two extra exchanges and a
+    second full pass over state. Instead, both sides aggregate to
+    per-user arrays in ONE u-keyed exchange each and
+    ``array_except(delta_set, olds)`` computes N row-locally: the
+    dedup (collect_set) and the anti-join (array_except) are
+    absorbed into work the groupBys were doing anyway. State must be
+    unique per (u, i) — every caller maintains it that way (the
+    stores keep items distinct; the batch query groups on exactly
+    that key) — and N is then a proper set, so pair counts are
+    unchanged."""
     state = state_items.select(
         F.col(user_col).alias("u"), F.col(item_col).alias("i")
     )
-    new = (
-        delta_items.select(
-            F.col(user_col).alias("u"), F.col(item_col).alias("i")
-        )
-        .distinct()
-        .join(state, ["u", "i"], "left_anti")
+    delta = delta_items.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("i")
     )
-    news = new.groupBy("u").agg(F.collect_list("i").alias("_items"))
+    delta_sets = delta.groupBy("u").agg(F.collect_set("i").alias("_delta"))
     olds = state.groupBy("u").agg(F.collect_list("i").alias("_olds"))
-    nn = _half_pairs(news, "item", "rec_item")
+    # left join: users absent from state keep their whole delta set;
+    # users absent from delta contribute nothing (as before)
+    # an empty array of the item type, whatever it is: slice of the
+    # delta set (length 0) — keeps the operator type-generic
+    empty = F.slice(F.col("_delta"), 1, 0)
+    joined = delta_sets.join(olds, "u", "left").select(
+        F.array_except(
+            F.col("_delta"), F.coalesce(F.col("_olds"), empty)
+        ).alias("_items"),
+        F.coalesce(F.col("_olds"), empty).alias("_olds"),
+    )
+    nn = _half_pairs(joined.select("_items"), "item", "rec_item")
     no = (
-        news.join(olds, "u")
-        .select(F.explode("_items").alias("_a"), F.col("_olds"))
+        joined.select(F.explode("_items").alias("_a"), F.col("_olds"))
         .select("_a", F.explode("_olds").alias("_b"))
         .select(
             F.least("_a", "_b").alias("item"),
