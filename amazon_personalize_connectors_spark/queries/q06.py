@@ -1096,18 +1096,34 @@ def q_stream_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
     span = max(1, (bounds[1] - bounds[0]) // 4 + 1)
     landing = tempfile.mkdtemp(prefix="apc-stream-bal-")
-    seen: set = set()
     t_base = _time.time() - 3600
-    for i in range(4):
+    # the four time-disjoint slices are independent single-file writes
+    # off the same cached projection — overlap them into PRIVATE dirs
+    # from a driver thread pool (guide §2.6; was 4 sequential appends),
+    # then move the files into the landing in slice order with the
+    # staggered mtimes the drain contract needs (FileStreamSource
+    # orders by mtime, so the balance still hops the micro-batch
+    # boundaries in time order).
+    import shutil
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_slice(i: int) -> str:
         lo = bounds[0] + i * span
         sl = ev.where(F.col("ts_us") >= lo)
         if i < 3:
             sl = sl.where(F.col("ts_us") < lo + span)
-        sl.coalesce(1).write.mode("append").parquet(landing)
-        for f in glob.glob(landing + "/*.parquet"):
-            if f not in seen:
-                os.utime(f, (t_base + i * 10, t_base + i * 10))
-                seen.add(f)
+        d = tempfile.mkdtemp(prefix=f"apc-stream-bal-s{i}-")
+        sl.coalesce(1).write.mode("overwrite").parquet(d)
+        return d
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        slice_dirs = list(pool.map(_write_slice, range(4)))
+    for i, d in enumerate(slice_dirs):
+        for f in sorted(glob.glob(d + "/*.parquet")):
+            dst = os.path.join(landing, f"slice{i}-" + os.path.basename(f))
+            shutil.move(f, dst)
+            os.utime(dst, (t_base + i * 10, t_base + i * 10))
+        shutil.rmtree(d, ignore_errors=True)
     ev.unpersist()
     stream = (
         spark.readStream.schema(ev.schema)
