@@ -350,6 +350,69 @@ STREAM_ONE_RUN = [
 ]
 
 
+# Machine-readable bench-exclusion list (VERDICT r11 item 5): the
+# registry rows deliberately NOT timed by this harness — previously
+# prose in VERIFIED.md, now data so a new query can't silently be
+# neither benched nor excluded (tests/test_bench_contract.py asserts
+# benched-groups ∪ BENCH_EXCLUDED == the full registry, disjoint).
+# Three exclusion classes:
+#   * variant/law-check twins whose BENCHED sibling exercises the same
+#     operator path at equal-or-larger cost (e.g. the materialized /
+#     capped / legacy-window / salted forms, split halves);
+#   * batch-law stream twins — their stateful siblings in
+#     STREAM_ONE_RUN carry the drain cost accounting;
+#   * bounded rows-only checks whose wall time is fixed per-query
+#     harness overhead, not operator throughput.
+BENCH_EXCLUDED = [
+    "approx_distinct",
+    "asof_join",
+    "band_join_bucketed",
+    "band_join_features",
+    "bigram_perplexity",
+    "contiguous_ids",
+    "cube_revenue",
+    "doc_entropy",
+    "dup_ngram_fraction",
+    "error_split_errors",
+    "error_split_ok",
+    "event_funnel",
+    "events_props",
+    "explode_outer",
+    "hash_split",
+    "hybrid_filtered_ann",
+    "intersect_items",
+    "ivf_centroids",
+    "lang_profile",
+    "leakage_safe_split",
+    "line_dedup_materialized",
+    "multimodal_decode",
+    "neardup_components",
+    "neardup_pagerank",
+    "percentiles",
+    "pivot_events",
+    "renest_capped",
+    "renest_legacy_window",
+    "rollup_revenue",
+    "salted_attribution",
+    "semi_anti_join",
+    "sliding_windows",
+    "source_overlap",
+    "stamp_literals",
+    "stratified_sample",
+    "stream_dedup",
+    "stream_interval_join",
+    "stream_static_join",
+    "stream_windowed_counts",
+    "text_tokens",
+    "tfidf_top_terms",
+    "token_pmi",
+    "topk_per_group",
+    "topk_slice",
+    "window_analytics",
+    "zipf_alpha",
+]
+
+
 def _sentinel(spark) -> float:
     """Constant-work environment sentinel (VERDICT r9 item 5): a
     fixed, data-independent, CPU-bound workload (codegen'd hash +
