@@ -1665,12 +1665,6 @@ def _hnsw_assemble(
         .where(F.col("_rn") <= long_links)
         .select("src", "dst")
     )
-    local.unionByName(cross).distinct().write.mode("overwrite").parquet(
-        f"{index_path}/edges"
-    )
-    blocked.select("id", "qv").write.mode("overwrite").parquet(
-        f"{index_path}/nodes"
-    )
     entries = hub_nodes.select("hub", "hub_qv")
     if entry_sample > 0:
         # geometry-independent entry promotion (see docstring): pure
@@ -1685,9 +1679,28 @@ def _hnsw_assemble(
                 F.col("id").alias("hub"), F.col("qv").alias("hub_qv")
             )
         )
-    entries.distinct().write.mode("overwrite").parquet(
-        f"{index_path}/hubs"
+    # the three index writes are independent jobs over disjoint output
+    # directories (all off the persisted blocked/out_m tables) —
+    # overlap them from a driver thread pool (guide §2.6) so the
+    # trivial nodes/hubs jobs back-fill the edge write's tail; _META
+    # still lands only after every write completes (r12 wave 9).
+    from concurrent.futures import ThreadPoolExecutor
+
+    writes = (
+        lambda: local.unionByName(cross)
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/edges"),
+        lambda: blocked.select("id", "qv")
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/nodes"),
+        lambda: entries.distinct()
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/hubs"),
     )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for done in [pool.submit(w) for w in writes]:
+            done.result()
     # version stamp: which hash family produced the signatures/qv grid
     # (block_col builds record the trusted key + grid suffix — their
     # candidate geometry never touched _rp_weight). The sidecar uses
