@@ -52,70 +52,67 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Driver verification window: the driver oracle-checks the FIRST 50
 # entries of queries() in dict order; queries() reorders the full
-# registry so this list comes first. Round-12 rotation (ledger:
+# registry so this list comes first. Round-13 rotation (ledger:
 # VERIFIED.md; generated AND applied by `tools/rotate_window.py
-# --apply`, which rewrites this block): the 3 sentinels, the
-# _REVERIFY entries `revenue_matrix_profile` (registered form
-# requantized to whole dollars after its r7 row — VERDICT r11
-# item 1) and `theilsen_revenue` (median selection parallelized in
-# the r12 optimization round after its r6 row), ALL 15 remaining
-# r5-evidence greens (closing the freshest-evidence invariant:
-# after this window no registry evidence predates r6 — VERDICT r11
-# item 3), and the oldest r6 greens up to 50 slots.
+# --apply`, which rewrites this block): the 3 sentinels, the 6
+# corpus-analytics queries staged during round 12 (never-verified —
+# they drain in with top priority), and the oldest greens (r6, then
+# r7) up to 50 slots. No red rows and no active _REVERIFY entries at
+# rotation time (the r12 trio drained — see _REVERIFY below).
 # tests/test_window_rotation.py pins the invariants AS OF
-# THIS WINDOW'S ROUND (evidence < r12), so landing
-# CORRECTNESS_r12.json does not re-redden the suite.
-_R12_WINDOW = [
+# THIS WINDOW'S ROUND (evidence < r13), so landing
+# CORRECTNESS_r13.json does not re-redden the suite.
+_R13_WINDOW = [
     "flagship_related_flat",
     "attribution_join",
     "delta_except",
-    "revenue_matrix_profile",
-    "theilsen_revenue",
-    "covisitation_incremental",
-    "source_quality",
-    "tpch_q19",
-    "except_all_returns",
-    "unpivot_metrics",
-    "tpch_q15",
-    "tpch_q22",
-    "forecast_mase",
-    "stream_model_refresh",
-    "mad_outliers",
-    "rec_auc_segments",
-    "score_calibration",
-    "wilson_ctr",
-    "revenue_gini",
-    "user_similarity",
-    "stream_auc_monitor",
-    "revenue_anomalies",
-    "ab_test_purchase",
-    "markov_backtest",
-    "ipw_hitrate",
-    "stream_calibration",
-    "price_qty_corr",
-    "qty_price_spearman",
-    "tv_drift",
-    "fk_discovery",
-    "fd_discovery",
-    "stream_quantiles",
-    "tpch_q2",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q16",
-    "tpch_q20",
-    "tpch_q21",
-    "price_qty_ols",
-    "chi2_flag_status",
-    "benford_audit",
-    "revenue_acf",
-    "ivm_join_rollup",
-    "merge_upsert",
-    "variant_drift_scan",
-    "stream_running_stats",
-    "linkage_fs",
-    "kfold_report",
-    "annotator_kappa",
+    "dup_ngram_fraction",
+    "token_pmi",
+    "doc_entropy",
+    "zipf_alpha",
+    "source_overlap",
+    "bigram_perplexity",
+    "score_ece",
+    "revenue_changepoint",
+    "stream_minhash_lsh",
+    "sorted_neighborhood",
+    "linear_attribution",
+    "stream_ivm_rollup",
+    "bitemporal_report",
+    "psi_drift",
+    "pareto_skyline",
+    "renest_legacy_window",
+    "error_split_ok",
+    "quota_allocation",
+    "cms_heavy_hitters",
+    "dbscan_embeddings",
+    "mmr_rerank",
+    "error_split_errors",
+    "explode_outer",
+    "decorate_flat",
+    "renest_ordered",
+    "mannwhitney_value",
+    "seasonal_decompose",
+    "ams_f2",
+    "open_orders_sweep",
+    "compaction_plan",
+    "priority_revenue_ewma",
+    "anova_price_flag",
+    "caliper_match_att",
+    "stream_cms_topk",
+    "audio_frame_energy",
+    "image_ahash",
+    "kcore_parts",
+    "stream_distinct_users",
+    "trimmed_mean_price",
+    "lineitem_corr_matrix",
+    "weighted_median_price",
+    "basket_triples",
+    "revenue_share_hierarchy",
+    "did_purchase_value",
+    "graph_walks",
+    "isotonic_calibration",
+    "js_drift",
 ]
 
 # Staging discipline (VERDICT r6 item 3 / r7 item 6): queries added
@@ -125,12 +122,8 @@ _R12_WINDOW = [
 # tests/test_window_rotation.py exempts exactly this list from the
 # staleness invariant.
 _STAGED: list[str] = [
-    "dup_ngram_fraction",
-    "token_pmi",
-    "doc_entropy",
-    "zipf_alpha",
-    "source_overlap",
-    "bigram_perplexity",
+    # (r12's six corpus-analytics additions drained into the r13
+    # window at rotation time — never-verified priority.)
 ]
 
 # Re-verification pool (VERDICT r10 item 1): queries whose REGISTERED
@@ -149,23 +142,13 @@ _STAGED: list[str] = [
 # is r8.
 _REVERIFY: dict[str, int] = {
     # (r11's simhash trio drained: r11 driver rows are green.)
-    # Round 12 (VERDICT r11 item 1): requantized from cents to whole
-    # dollars (queries/q06.py) so the r11 int64 range guard can't
-    # fire at sf>=0.1; its driver evidence is r7.
-    "revenue_matrix_profile": 11,
-    # Round 12 (optimization): theilsen_slope's lower-median selection
-    # moved from a one-task global window to the range-partitioned
-    # running-total machinery (operators/analytics.py r12 notes);
-    # result proved identical vs the oracle at sf0.01, but the
-    # registered plan changed after its last driver row.
-    "theilsen_revenue": 11,
-    # Round 12 (optimization): covisitation_increments re-keyed
-    # entirely on the user — collect_set + array_except absorb the
-    # (u, i)-keyed distinct and anti-join into the u-keyed groupBys
-    # (operators/recsys.py r12 notes); proved identical vs the oracle
-    # at sf0.001/sf0.01 and exceptAll-equal to the old form at sf0.1,
-    # but the registered plan changed after its last driver row (r11).
-    "covisitation_incremental": 11,
+    # (r12's three entries — revenue_matrix_profile, theilsen_revenue,
+    # covisitation_incremental — drained: all three rotated into the
+    # r12 window and CORRECTNESS_r12.json holds their green rows, so
+    # the entries went inert by the drainage rule and are deleted
+    # here, r13 inherited-state fix: the entry-implies-exempt test
+    # correctly red-flagged the stale inert entries once the driver's
+    # r12 evidence landed.)
 }
 
 
@@ -481,7 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "bigram_perplexity": q_bigram_perplexity,
     }
-    out = {name: all_q[name] for name in _R12_WINDOW}
+    out = {name: all_q[name] for name in _R13_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
     return out
 

@@ -308,9 +308,18 @@ ANN_SERVE_SPLIT_BENCHED = [
 
 # Heavy-but-bounded queries whose cost is fixed by a domain contract,
 # not the scale factor (theilsen: calendar-bounded pair grid; dbscan /
-# mmr: bounded iterative rounds with localCheckpoint barriers). Benched
-# ONCE per round like the streaming family so the 3-pass suite doesn't
-# triple their fixed cost.
+# mmr: bounded iterative rounds with localCheckpoint barriers).
+# r13 (VERDICT r12 item 1 — measurement-bug fix, declared in
+# OPTIMIZATION_r13.md): these rows are now MEDIANS of N_RUNS
+# back-to-back runs instead of a single end-of-suite sample. The
+# one-shot rows carried ±2-3x session-order noise (r12 evidence:
+# hnsw_compact 49.1 s one-shot vs 17.9 s isolated median vs 13.5 s
+# mid-session), which made the driver's ground truth untrustworthy
+# for exactly the family r12 optimized hardest. Methodology
+# unchanged otherwise (same queries, same count()-to-materialization
+# timing, same clearCache+GC between runs); costs ~2-3 min of extra
+# suite wall time. Old single-sample values remain on record in
+# BENCH_r12.json / BENCH_LOCAL.json history.
 HEAVY_ONE_RUN = [
     "hnsw_compact",     # two folds + full-store compaction, fixed-size
     "hnsw_stream_index_probe",  # 3 folds + assemble + probe — the
@@ -655,19 +664,13 @@ def main() -> None:
     # per-query and excluded from the suite total.
     samples, rows_out, errors = _run_suite(spark, qs, BENCH_QUERIES)
 
-    # heavy bounded-cost family: one timed run each, merged into the
-    # main tables (see HEAVY_ONE_RUN note)
-    for name in HEAVY_ONE_RUN:
-        if name not in qs:
-            continue
-        try:
-            t0 = time.perf_counter()
-            rows_out[name] = qs[name](spark, SF_DIR).count()
-            samples[name] = [round(time.perf_counter() - t0, 3)]
-        except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
+    # heavy bounded-cost family: median of N_RUNS timed runs each
+    # (r13 — see HEAVY_ONE_RUN note; was a single end-of-suite sample
+    # through r12), merged into the main tables
+    h_samples, h_rows, h_errors = _run_suite(spark, qs, HEAVY_ONE_RUN)
+    samples.update(h_samples)
+    rows_out.update(h_rows)
+    errors.update(h_errors)
 
     # streaming family: one timed drain each (see STREAM_ONE_RUN note)
     stream_times: dict[str, float] = {}

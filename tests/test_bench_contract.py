@@ -84,10 +84,21 @@ def test_sf1_scale_gate_current_and_clean():
     gate = json.load(open(path))
     assert not gate["errors"], f"sf1 gate errors: {gate['errors']}"
     b = _bench()
-    want = set(b.HEADLINE_20) | set(b.HEAVY_ONE_RUN)
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "sf1_gate", os.path.join(REPO, "tools", "sf1_gate.py")
+    )
+    sf1 = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(sf1)
+    want = (
+        set(b.HEADLINE_20)
+        | set(b.HEAVY_ONE_RUN)
+        | set(sf1.STREAM_FOLD_GATED)  # r13: stream-fold family gated too
+    )
     covered = set(gate["queries"])
     missing = want - covered
-    assert not missing, f"sf1 gate missing headline/heavy rows: {sorted(missing)}"
+    assert not missing, f"sf1 gate missing headline/heavy/stream rows: {sorted(missing)}"
     latest = max(
         int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
         for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))

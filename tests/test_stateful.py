@@ -255,3 +255,65 @@ def test_capped_balance_fold_sorts_within_batch(spark, tmp_path):
     )
     got = [(r["n_seen"], r["balance"]) for r in emits.collect()]
     assert got == [(3, 5)]
+
+
+def test_landing_bytes_hadoop_fs_fallback(spark, tmp_path):
+    """VERDICT r12 item 6: a non-POSIX landing path (any scheme://
+    URI) walks as EMPTY under os.walk, which used to silently return
+    the floor and under-partition a real landing; _landing_bytes must
+    fall back to the Hadoop FileSystem content summary. A ``file:``
+    URI is the in-container stand-in for the object-store case: the
+    same code path (os.walk finds nothing, Hadoop FS resolves the
+    scheme) executes."""
+    from amazon_personalize_connectors_spark.streaming.windows import (
+        _landing_bytes,
+        adaptive_stream_partitions,
+    )
+
+    landing = tmp_path / "landing"
+    spark.range(1000).coalesce(1).write.parquet(str(landing))
+    local = _landing_bytes(spark, str(landing))
+    assert local > 0
+    via_uri = _landing_bytes(spark, "file:" + str(landing))
+    # Hadoop's LocalFileSystem hides .crc checksum sidecars that
+    # os.walk counts — sizes agree modulo those few bytes
+    assert via_uri > 0 and abs(via_uri - local) < 256
+    # and a missing path still degrades to 0 (-> floor), not an error
+    assert _landing_bytes(spark, "file:" + str(tmp_path / "nope")) == 0
+    assert adaptive_stream_partitions(
+        spark, "file:" + str(landing)
+    ) == adaptive_stream_partitions(spark, str(landing))
+
+
+def test_drain_conf_mutation_is_locked_and_restored(spark, tmp_path):
+    """VERDICT r12 item 6: the shuffle-partition mutation around a
+    drain is session-global — two overlapping partition-scoped drains
+    must fail LOUDLY (second one raises), and a completed drain must
+    restore the session conf exactly."""
+    import pytest as _pytest
+
+    from amazon_personalize_connectors_spark.streaming import windows as W
+
+    schema = "user_id long, ts_us long"
+    landing = tmp_path / "landing"
+    spark.createDataFrame([(1, 100), (2, 200)], schema).coalesce(
+        1
+    ).write.parquet(str(landing))
+    stream = spark.readStream.schema(schema).parquet(str(landing))
+    counts = stream.groupBy("user_id").count()
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    # overlap: someone else's partition-scoped drain is active
+    assert W._DRAIN_CONF_LOCK.acquire(blocking=False)
+    try:
+        with _pytest.raises(RuntimeError, match="another partition-scoped"):
+            W.run_stream_to_memory(counts, state_partitions=8)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    finally:
+        W._DRAIN_CONF_LOCK.release()
+    # normal path: drain completes, conf restored, lock free again
+    out = W.run_stream_to_memory(counts, state_partitions=8)
+    assert out.count() == 2
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert W._DRAIN_CONF_LOCK.acquire(blocking=False)
+    W._DRAIN_CONF_LOCK.release()
