@@ -157,30 +157,43 @@ def apply_vectors_batch(
     out = os.path.join(store_path, f"v{version}")
     sig_schema = _sig_schema(n_tables)
 
+    # LAZY localCheckpoint (r13): the touched-buckets collect below is
+    # the job that materializes the checkpoint (it scans every
+    # partition, so doCheckpoint finds all blocks already computed),
+    # so the batch's LSH signing runs once in ONE job instead of an
+    # eager-checkpoint job plus a collect job. localCheckpoint rather
+    # than persist deliberately: a cache() here builds a COLUMNAR
+    # InMemoryRelation of the qv array column — measured 2x slower
+    # per fold (cache build + per-reader decompression) than the
+    # checkpoint's plain row blocks.
     new_nodes = lsh_signed_nodes(
         batch, n_bits, n_tables, id_col, vec_col
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     new_sigs = new_nodes.select("id", *tables)
 
     # affected discovery: the narrow signature scan (see module doc)
     state_sigs = _read_buckets(
         spark, _bucket_paths(store_path, man, "sigs"), sig_schema
     )
-    # ONE driver job discovers every table's touched buckets (r12;
-    # was n_tables separate distinct().collect() round-trips): the
-    # batch is already localCheckpointed, so this is a single tiny
-    # aggregate over it.
+    # ONE driver job discovers every table's touched buckets AND the
+    # per-bucket batch counts (r13; the counts make the fresh-store
+    # fold below job-free for its regime dial), materializing the
+    # new_nodes cache as it runs.
     touched = {t: [] for t in tables}
+    n_new = 0
     for r in (
         new_sigs.select(
             F.posexplode(F.array(*[F.col(t) for t in tables])).alias(
                 "_t", "_b"
             )
         )
-        .distinct()
+        .groupBy("_t", "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
         .collect()
     ):
         touched[tables[r["_t"]]].append(r["_b"])
+        if r["_t"] == 0:
+            n_new += int(r["_n"])
     affected_pred = None
     for t in tables:
         p = F.col(t).isin(touched[t])
@@ -206,16 +219,22 @@ def apply_vectors_batch(
     # ONE driver job yields both the broadcast-regime count and the
     # affected t0 partition list (r12; was a count() plus two later
     # duplicate t0-distinct collects) — and, since wave 7, doubles as
-    # the job that materializes the a_sigs cache.
-    a_stats = a_sigs.agg(
-        F.count(F.lit(1)).alias("_n"), F.collect_set("t0").alias("_t0s")
-    ).head()
+    # the job that materializes the a_sigs cache. On a FRESH store
+    # (r13) there is no state to scan: a_sigs == new_sigs, so the
+    # count and t0 set are already known from the touched-buckets
+    # collect and the whole job is skipped.
+    if prior is None:
+        a_n, a_parts = n_new, sorted(set(touched["t0"]))
+    else:
+        a_stats = a_sigs.agg(
+            F.count(F.lit(1)).alias("_n"), F.collect_set("t0").alias("_t0s")
+        ).head()
+        a_n, a_parts = int(a_stats["_n"]), sorted(a_stats["_t0s"])
     maybe_bcast = (
         F.broadcast
-        if int(a_stats["_n"]) <= _KNN_BROADCAST_MAX_NODES
+        if a_n <= _KNN_BROADCAST_MAX_NODES
         else (lambda df: df)
     )
-    a_parts = sorted(a_stats["_t0s"])
     all_sigs = state_sigs.unionByName(new_sigs)
     # one (table, bucket) equi-join instead of n_tables unioned
     # per-table joins (r12, mirroring _knn_out_edges_from_signed): the

@@ -126,10 +126,17 @@ def apply_interactions_batch(
     (fresh checkpoint against an old store) is refused."""
     spark = batch.sparkSession
     # the batch is read several times (bucket probe, increments,
-    # item-state union) and the anti-join inside
-    # covisitation_increments must observe a stable row set — pin it
-    batch = batch.select("u", "i").localCheckpoint(eager=True)
+    # item-state union) and the per-user delta aggregation inside
+    # covisitation_increments must observe a stable row set — pin it.
+    # persist, not eager localCheckpoint (r13): the bucket-probe
+    # collect below is the job that materializes the cache, so the
+    # batch projection runs once in ONE job instead of a checkpoint
+    # job plus a collect job; recompute-on-eviction replays the
+    # micro-batch relation deterministically from the checkpointed
+    # offsets within this foreachBatch call.
+    batch = batch.select("u", "i").persist()
     if batch.isEmpty():
+        batch.unpersist()
         return
     version, prior, _meta = plan_fold(store_path, epoch_id, checkpoint_token)
     man = _read_manifest(store_path, prior)
@@ -203,6 +210,7 @@ def apply_interactions_batch(
         for done in [pool.submit(w) for w in writes]:
             done.result()
     inc.unpersist()
+    batch.unpersist()
     new_man = {
         "n_buckets": b_count,
         "items": {
