@@ -54,11 +54,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries of queries() in dict order; queries() reorders the full
 # registry so this list comes first. Round-13 rotation (ledger:
 # VERIFIED.md; generated AND applied by `tools/rotate_window.py
-# --apply`, which rewrites this block): the 3 sentinels, the 6
+# --apply`, which rewrites this block): the 3 sentinels, the active
+# _REVERIFY entry `delta_anti_hash` (stored-digest snapshot form,
+# this round's optimization — ranks just below red), the 6
 # corpus-analytics queries staged during round 12 (never-verified —
-# they drain in with top priority), and the oldest greens (r6, then
-# r7) up to 50 slots. No red rows and no active _REVERIFY entries at
-# rotation time (the r12 trio drained — see _REVERIFY below).
+# they drain in next), and the oldest greens (r6, then r7) up to 50
+# slots. No red rows at rotation time.
 # tests/test_window_rotation.py pins the invariants AS OF
 # THIS WINDOW'S ROUND (evidence < r13), so landing
 # CORRECTNESS_r13.json does not re-redden the suite.
@@ -66,6 +67,7 @@ _R13_WINDOW = [
     "flagship_related_flat",
     "attribution_join",
     "delta_except",
+    "delta_anti_hash",
     "dup_ngram_fraction",
     "token_pmi",
     "doc_entropy",
@@ -112,7 +114,6 @@ _R13_WINDOW = [
     "did_purchase_value",
     "graph_walks",
     "isotonic_calibration",
-    "js_drift",
 ]
 
 # Staging discipline (VERDICT r6 item 3 / r7 item 6): queries added
@@ -149,6 +150,14 @@ _REVERIFY: dict[str, int] = {
     # here, r13 inherited-state fix: the entry-implies-exempt test
     # correctly red-flagged the stale inert entries once the driver's
     # r12 evidence landed.)
+    # Round 13 (optimization): the snapshot now stores its record
+    # digests at write time (operators/delta.py
+    # with_record_digests/delta_check_stored_digests) so the state
+    # branch's scan prunes to (user_id, h1, h2) — result rows proved
+    # identical (oracle green sf0.001/sf0.01 + the stored-digest
+    # equivalence test), but the registered plan changed after its
+    # last driver row (r11).
+    "delta_anti_hash": 12,
 }
 
 

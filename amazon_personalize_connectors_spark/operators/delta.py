@@ -130,6 +130,45 @@ def delta_check_anti_hash(current: DataFrame, state: DataFrame | None) -> DataFr
     )
 
 
+def with_record_digests(
+    df: DataFrame, h1_col: str = "__h1", h2_col: str = "__h2"
+) -> DataFrame:
+    """``df`` plus its two record-digest columns — what a snapshot
+    WRITER stamps so later readers never re-hash (and never re-read)
+    the payload columns: ``delta_check_stored_digests`` below then
+    prunes the state-side scan to (filter cols + h1 + h2). Digests
+    are computed from the canonical in-session frame, the same
+    discipline as ``record_digests``."""
+    h1, h2 = _digest_cols(df)
+    return df.withColumn(h1_col, h1).withColumn(h2_col, h2)
+
+
+def delta_check_stored_digests(
+    current: DataFrame,
+    state: DataFrame | None,
+    h1_col: str = "__h1",
+    h2_col: str = "__h2",
+) -> DataFrame:
+    """``delta_check_anti_hash`` over a snapshot that already CARRIES
+    its digests (``with_record_digests`` at write time): both the
+    row-dedup and the anti-join key off the stored (h1, h2), so the
+    current side never re-hashes the payload and the state side's
+    parquet scan prunes to the digest columns (plus whatever filter
+    defines the state subset) instead of every payload column —
+    guide §6 ReadSchema narrowing (r13, VERDICT item 3). Semantics
+    identical to delta_check_anti_hash on the same rows: equal
+    digests ⇒ equal rows is already that function's dedup/join
+    assumption, and parquet round-trips bigint digests exactly."""
+    deduped = current.dropDuplicates([h1_col, h2_col])
+    if state is None:
+        return deduped.drop(h1_col, h2_col)
+    state_digests = state.select(h1_col, h2_col).distinct()
+    return (
+        deduped.join(state_digests, [h1_col, h2_col], "left_anti")
+        .drop(h1_col, h2_col)
+    )
+
+
 def write_sync_state(decorated: DataFrame, state_path: str) -> None:
     """K5 — persist the new last-sync snapshot (closes README.md:150's
     TODO). Overwrite: state is a full snapshot, not a log. This is the

@@ -1173,18 +1173,30 @@ def q_delta_anti_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline per branch is what made the naive form 10x slower
     (digest-after-filter breaks exchange reuse). Parquet round-trip
     measured steadier than localCheckpoint, whose block-manager
-    blocks compete with shuffle memory."""
+    blocks compete with shuffle memory.
+
+    r13 (guide §6, VERDICT item 3): the digest is computed ONCE at
+    snapshot-write time and stored (``with_record_digests``), so the
+    state branch's parquet scan prunes to (user_id, h1, h2) instead
+    of every payload column and the current branch never re-hashes —
+    ReadSchema evidence in plans/r13/delta_anti_hash_after.txt.
+    Result rows identical (equal digests ⇒ equal rows is the
+    operator's standing dedup/join assumption; bigint digests
+    round-trip parquet exactly)."""
     import tempfile
 
     from amazon_personalize_connectors_spark.operators.delta import (
-        delta_check_anti_hash,
+        delta_check_stored_digests,
+        with_record_digests,
     )
 
     snap = tempfile.mkdtemp(prefix="apc-delta-snap-")
-    q_flagship_related_flat(spark, sf_dir).write.mode("overwrite").parquet(snap)
+    with_record_digests(q_flagship_related_flat(spark, sf_dir)).write.mode(
+        "overwrite"
+    ).parquet(snap)
     current = spark.read.parquet(snap)
     state = current.where(F.col("user_id").cast("bigint") % 2 == 0)
-    return delta_check_anti_hash(current, state)
+    return delta_check_stored_digests(current, state)
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

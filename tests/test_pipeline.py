@@ -316,3 +316,45 @@ def test_renest_window_legacy_operator_law(spark):
         for r in renest_ordered(exploded, ["k"], F.col("rec")).collect()
     }
     assert idiomatic == legacy
+
+
+def test_stored_digest_delta_equals_anti_hash(spark, tmp_path):
+    """r13: delta_check_stored_digests over a with_record_digests
+    snapshot must produce EXACTLY delta_check_anti_hash's rows — the
+    digest moved from read-time to write-time, nothing else. Also
+    pins the point of the change: the stored digests equal what the
+    read-back side would recompute (parquet round-trips the digest
+    inputs exactly)."""
+    from amazon_personalize_connectors_spark.operators.delta import (
+        _digest_cols,
+        delta_check_stored_digests,
+        with_record_digests,
+    )
+
+    rows = [
+        (1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5), (4, "d", 4.5),
+        (2, "b", 2.5),  # duplicate record — dedup semantics must hold
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, v double")
+    snap = str(tmp_path / "snap")
+    with_record_digests(df).write.parquet(snap)
+    back = spark.read.parquet(snap)
+    # stored digests == recomputed-after-round-trip digests
+    h1, h2 = _digest_cols(back.drop("__h1", "__h2"))
+    mism = back.where((F.col("__h1") != h1) | (F.col("__h2") != h2))
+    assert mism.isEmpty()
+    state = back.where(F.col("k") % 2 == 0)
+    got = delta_check_stored_digests(back, state)
+    want = delta_check_anti_hash(
+        back.drop("__h1", "__h2"), state.drop("__h1", "__h2")
+    )
+    assert got.columns == want.columns
+    # row-level equality (exceptAll trips INTERNAL_ERROR_ATTRIBUTE_NOT
+    # _FOUND on this dedup+anti plan in 4.1.2; the frames are tiny)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # first-sync path (state None) dedups like the anti-hash form
+    got0 = delta_check_stored_digests(back, None)
+    want0 = delta_check_anti_hash(back.drop("__h1", "__h2"), None)
+    assert got0.count() == want0.count() == 4
