@@ -54,12 +54,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries of queries() in dict order; queries() reorders the full
 # registry so this list comes first. Round-13 rotation (ledger:
 # VERIFIED.md; generated AND applied by `tools/rotate_window.py
-# --apply`, which rewrites this block): the 3 sentinels, the active
-# _REVERIFY entry `delta_anti_hash` (stored-digest snapshot form,
-# this round's optimization — ranks just below red), the 6
-# corpus-analytics queries staged during round 12 (never-verified —
-# they drain in next), and the oldest greens (r6, then r7) up to 50
-# slots. No red rows at rotation time.
+# --apply`, which rewrites this block): the 3 sentinels, the five
+# active _REVERIFY entries (delta_anti_hash stored-digest snapshot +
+# the gram_table shingle family — this round's optimizations, ranked
+# just below red), the 6 corpus-analytics queries staged during
+# round 12 (never-verified — they drain in next), and the oldest
+# greens (r6, then r7) up to 50 slots. No red rows at rotation time.
 # tests/test_window_rotation.py pins the invariants AS OF
 # THIS WINDOW'S ROUND (evidence < r13), so landing
 # CORRECTNESS_r13.json does not re-redden the suite.
@@ -68,6 +68,10 @@ _R13_WINDOW = [
     "attribution_join",
     "delta_except",
     "delta_anti_hash",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_materialized",
+    "neardup_pagerank",
+    "containment_pairs",
     "dup_ngram_fraction",
     "token_pmi",
     "doc_entropy",
@@ -110,10 +114,6 @@ _R13_WINDOW = [
     "lineitem_corr_matrix",
     "weighted_median_price",
     "basket_triples",
-    "revenue_share_hierarchy",
-    "did_purchase_value",
-    "graph_walks",
-    "isotonic_calibration",
 ]
 
 # Staging discipline (VERDICT r6 item 3 / r7 item 6): queries added
@@ -158,6 +158,17 @@ _REVERIFY: dict[str, int] = {
     # equivalence test), but the registered plan changed after its
     # last driver row (r11).
     "delta_anti_hash": 12,
+    # Round 13 (optimization): the Jaccard/containment shingle set is
+    # built by gram_table + (id, hash) DISTINCT (whole-stage codegen)
+    # instead of the interpreted word_shingles HOF — measured 4x on
+    # the pair query at sf0.1, rows proved identical (exceptAll both
+    # ways empty + oracle green sf0.001/sf0.01 for all six consumers).
+    # These four registered plans drift (neardup_components's stays
+    # checkpoint-backed); their last driver rows predate the change.
+    "ngram_jaccard_pairs": 12,
+    "ngram_jaccard_materialized": 12,
+    "neardup_pagerank": 12,
+    "containment_pairs": 12,
 }
 
 

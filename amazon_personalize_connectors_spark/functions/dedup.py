@@ -145,15 +145,33 @@ def _rare_hashed_shingles(
 ) -> DataFrame:
     """(id, n_shingles, shingle:int64) with stop-shingles removed.
 
+    r13 (guide §1.2/§4 — the r10 simhash form-switch precedent): the
+    shingle set is built by ``gram_table`` (explode + flat slice/
+    concat projection, pure whole-stage codegen) followed by a
+    (id, shingle-hash) DISTINCT, instead of the per-row interpreted
+    ``transform``+``array_distinct`` HOF of ``word_shingles`` — the
+    HOF lambda is evaluated per ELEMENT outside codegen and the old
+    form re-ran it for every consumer branch. Measured at sf0.1:
+    the whole pair query 4.4 -> 1.0 s warm (4x), identical rows
+    (exceptAll both ways empty). n_shingles (the per-doc DISTINCT
+    gram count both Jaccard denominators need) is a window count
+    over the distinct table — one extra narrow exchange of 8-byte
+    hashes, far cheaper than three interpreted tokenizer passes.
+    Same hash-collision assumption as the pair join itself
+    (within-doc xxhash64 collisions ~n²/2⁶⁴).
+
     Kept as an INNER join against the rare set (not a broadcast
-    anti-join against the small stop head): measured at sf0.1 the
-    anti form is ~45% SLOWER (6.5 vs 4.5 s) — the inner join's
-    shingle-hash exchange is shared with the downstream self-join
-    (ReusedExchange), while the anti form re-tokenizes per branch
-    unshuffled and then pays the full exchange anyway at the pair
-    join."""
-    sh = shingle_table(df, text_col, id_col, n).withColumn(
-        "shingle", F.xxhash64("shingle")
+    anti-join against the small stop head): measured in r12 the
+    anti form is ~45% SLOWER — the inner join's shingle-hash
+    exchange is shared with the downstream self-join
+    (ReusedExchange)."""
+    sh = (
+        gram_table(df, text_col, id_col, n)
+        .select("id", F.xxhash64("g").alias("shingle"))
+        .distinct()
+        .withColumn(
+            "n_shingles", F.count(F.lit(1)).over(Window.partitionBy("id"))
+        )
     )
     rare = (
         sh.groupBy("shingle")
@@ -277,9 +295,17 @@ def ngram_jaccard_pairs_materialized(
     # materialize the RAW hashed table (before the rare filter): the
     # tokenizer+explode runs exactly once; the stop-shingle aggregate,
     # its join, and both self-join sides all scan the narrow
-    # (id, n_shingles, shingle:int64) parquet instead
-    sh_raw = shingle_table(df, text_col, id_col, n).withColumn(
-        "shingle", F.xxhash64("shingle")
+    # (id, n_shingles, shingle:int64) parquet instead.
+    # r13: built through gram_table + distinct (codegen) rather than
+    # the interpreted word_shingles HOF — same rows, same reasoning
+    # as _rare_hashed_shingles above.
+    sh_raw = (
+        gram_table(df, text_col, id_col, n)
+        .select("id", F.xxhash64("g").alias("shingle"))
+        .distinct()
+        .withColumn(
+            "n_shingles", F.count(F.lit(1)).over(Window.partitionBy("id"))
+        )
     )
     if buckets > 0:
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
