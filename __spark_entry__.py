@@ -54,10 +54,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries of queries() in dict order; queries() reorders the full
 # registry so this list comes first. Round-13 rotation (ledger:
 # VERIFIED.md; generated AND applied by `tools/rotate_window.py
-# --apply`, which rewrites this block): the 3 sentinels, the five
+# --apply`, which rewrites this block): the 3 sentinels, the six
 # active _REVERIFY entries (delta_anti_hash stored-digest snapshot +
-# the gram_table shingle family — this round's optimizations, ranked
-# just below red), the 6 corpus-analytics queries staged during
+# the gram_table shingle/minhash family — this round's
+# optimizations, ranked just below red), the 6 corpus-analytics
+# queries staged during
 # round 12 (never-verified — they drain in next), and the oldest
 # greens (r6, then r7) up to 50 slots. No red rows at rotation time.
 # tests/test_window_rotation.py pins the invariants AS OF
@@ -72,6 +73,7 @@ _R13_WINDOW = [
     "ngram_jaccard_materialized",
     "neardup_pagerank",
     "containment_pairs",
+    "minhash_lsh",
     "dup_ngram_fraction",
     "token_pmi",
     "doc_entropy",
@@ -113,7 +115,6 @@ _R13_WINDOW = [
     "trimmed_mean_price",
     "lineitem_corr_matrix",
     "weighted_median_price",
-    "basket_triples",
 ]
 
 # Staging discipline (VERDICT r6 item 3 / r7 item 6): queries added
@@ -169,6 +170,13 @@ _REVERIFY: dict[str, int] = {
     "ngram_jaccard_materialized": 12,
     "neardup_pagerank": 12,
     "containment_pairs": 12,
+    # Round 13 (optimization): minhash_band_table draws grams from
+    # gram_table (duplicates kept — a min aggregate is duplicate-
+    # insensitive, so signatures are bit-identical) instead of the
+    # interpreted array_distinct HOF; oracle green sf0.01 for the
+    # whole candidate family, only this registered plan drifts
+    # (stream_minhash_lsh's is store-read-backed).
+    "minhash_lsh": 12,
 }
 
 

@@ -480,9 +480,18 @@ def minhash_band_table(
     array_min(transform(distinct(transform(...))))) blows up
     whole-stage codegen compile time, and at scale the exploded
     shingle table is the shape you want anyway (map-side combinable
-    min aggregates, one shuffle keyed by doc id)."""
+    min aggregates, one shuffle keyed by doc id).
+
+    r13: grams come from ``gram_table`` (codegen explode, duplicates
+    KEPT) instead of ``shingle_table``'s interpreted per-row
+    ``array_distinct`` HOF — a min aggregate is duplicate-
+    insensitive (min over the gram multiset == min over the distinct
+    set), so the signatures are bit-identical while the corpus scan
+    drops its only interpreted lambda."""
     num_bands = num_hashes // band_size
-    sh = shingle_table(df, text_col, id_col, n)
+    sh = gram_table(df, text_col, id_col, n).withColumnRenamed(
+        "g", "shingle"
+    )
     sig = sh.groupBy("id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"mh{s}")
