@@ -54,13 +54,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries of queries() in dict order; queries() reorders the full
 # registry so this list comes first. Round-13 rotation (ledger:
 # VERIFIED.md; generated AND applied by `tools/rotate_window.py
-# --apply`, which rewrites this block): the 3 sentinels, the six
-# active _REVERIFY entries (delta_anti_hash stored-digest snapshot +
-# the gram_table shingle/minhash family — this round's
-# optimizations, ranked just below red), the 6 corpus-analytics
-# queries staged during
-# round 12 (never-verified — they drain in next), and the oldest
-# greens (r6, then r7) up to 50 slots. No red rows at rotation time.
+# --apply`, which rewrites this block): the 3 sentinels, the seven
+# active _REVERIFY entries (delta_anti_hash stored-digest snapshot,
+# the gram_table shingle/minhash family, winnowing's window-count
+# blocking — this round's optimizations, ranked just below red), the
+# 6 corpus-analytics queries staged during round 12 (never-verified —
+# they drain in next), and the oldest greens (r6, then r7) up to 50
+# slots. No red rows at rotation time.
 # tests/test_window_rotation.py pins the invariants AS OF
 # THIS WINDOW'S ROUND (evidence < r13), so landing
 # CORRECTNESS_r13.json does not re-redden the suite.
@@ -74,6 +74,7 @@ _R13_WINDOW = [
     "neardup_pagerank",
     "containment_pairs",
     "minhash_lsh",
+    "winnowing_dedup",
     "dup_ngram_fraction",
     "token_pmi",
     "doc_entropy",
@@ -114,7 +115,6 @@ _R13_WINDOW = [
     "stream_distinct_users",
     "trimmed_mean_price",
     "lineitem_corr_matrix",
-    "weighted_median_price",
 ]
 
 # Staging discipline (VERDICT r6 item 3 / r7 item 6): queries added
@@ -177,6 +177,12 @@ _REVERIFY: dict[str, int] = {
     # whole candidate family, only this registered plan drifts
     # (stream_minhash_lsh's is store-read-backed).
     "minhash_lsh": 12,
+    # Round 13 (optimization): winnowing_candidates' rare-fingerprint
+    # blocking moved from a groupBy+self-join branch (a third full
+    # evaluation of the per-document gram hashing) to a window count
+    # on the pair join's own fp exchange; counts identical (fps rows
+    # distinct per (id, fp)), oracle green sf0.01, ~1.5x.
+    "winnowing_dedup": 12,
 }
 
 

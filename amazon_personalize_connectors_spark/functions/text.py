@@ -973,10 +973,23 @@ def winnowing_candidates(
     discriminative signal anyway), pairs sharing ≥ ``min_shared``.
     Output (id_a, id_b, n_shared)."""
     fps = winnowing_fingerprints(df, id_col, text_col, gram, window)
-    rare = fps.groupBy("fp").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_c")
-    ).where(F.col("_c") <= max_fp_freq).select("fp")
-    filtered = fps.join(rare, "fp")
+    # rare-fingerprint blocking as a WINDOW count over the fp
+    # partition rather than a groupBy + self-join (r13, guide §2.4):
+    # the old rare-set branch was a third full evaluation of the
+    # per-document gram hashing (Catalyst duplicates the fps subtree
+    # per consumer), plus its own exchange; the window form computes
+    # the frequency on the SAME single exchange the pair join needs,
+    # so the document text is hashed once and both join sides read
+    # the one shuffled fingerprint table (ReusedExchange). Counts are
+    # identical: fps rows are distinct per (id, fp), so the partition
+    # count IS the document frequency."""
+    from pyspark.sql import Window as _W
+
+    filtered = (
+        fps.withColumn("_c", F.count(F.lit(1)).over(_W.partitionBy("fp")))
+        .where(F.col("_c") <= max_fp_freq)
+        .drop("_c")
+    )
     a = filtered.select("fp", F.col("id").alias("id_a"))
     b = filtered.select("fp", F.col("id").alias("id_b"))
     return (
