@@ -149,12 +149,27 @@ def apply_ivm_batch(
     )
     # materialize BEFORE overwriting: every input version dir is
     # immutable (< e), so only this epoch's own (retry-overwritable)
-    # dir is ever written
-    da.write.mode("overwrite").parquet(os.path.join(vdir, "a_delta"))
-    db.write.mode("overwrite").parquet(os.path.join(vdir, "b_delta"))
-    new_rollup.write.mode("overwrite").parquet(
-        os.path.join(vdir, "rollup")
+    # dir is ever written. The three writes are independent jobs over
+    # disjoint output directories (the rollup reads only PRIOR
+    # version dirs, never this epoch's deltas) — overlap them from a
+    # driver thread pool (guide §2.6, r13; the epoch commit below
+    # still lands only after all three complete).
+    from concurrent.futures import ThreadPoolExecutor
+
+    writes = (
+        lambda: da.write.mode("overwrite").parquet(
+            os.path.join(vdir, "a_delta")
+        ),
+        lambda: db.write.mode("overwrite").parquet(
+            os.path.join(vdir, "b_delta")
+        ),
+        lambda: new_rollup.write.mode("overwrite").parquet(
+            os.path.join(vdir, "rollup")
+        ),
     )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for done in [pool.submit(w) for w in writes]:
+            done.result()
     if checkpoint_token is not None and not os.path.exists(token_path):
         tmp_t = token_path + ".tmp"
         with open(tmp_t, "w") as f:

@@ -161,8 +161,23 @@ def apply_neardup_batch(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_bands"))
     )
-    pairs.write.mode("overwrite").parquet(os.path.join(vdir, "pairs"))
-    new_bands.write.mode("overwrite").parquet(os.path.join(vdir, "bands"))
+    # the two writes are independent jobs over disjoint output
+    # directories off the eagerly-checkpointed band table — overlap
+    # them from a driver thread pool (guide §2.6, r13); the commit
+    # below still lands only after both complete.
+    from concurrent.futures import ThreadPoolExecutor
+
+    writes = (
+        lambda: pairs.write.mode("overwrite").parquet(
+            os.path.join(vdir, "pairs")
+        ),
+        lambda: new_bands.write.mode("overwrite").parquet(
+            os.path.join(vdir, "bands")
+        ),
+    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for done in [pool.submit(w) for w in writes]:
+            done.result()
     commit_version(store_path, version, e, prior, e, token=checkpoint_token)
 
 
