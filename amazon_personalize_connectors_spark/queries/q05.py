@@ -1325,15 +1325,16 @@ def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = synthetic.load_table(spark, sf_dir, "lineitem").where(
         F.col("l_orderkey") % 4 == 0
     )
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    # r13 (guide §2.4): row-local per-order pair generation (bounded
+    # by items/order) instead of the corpus self-join — identical
+    # pair set, one exchange fewer (see q_graph_walks).
+    ps = li.groupBy(F.col("l_orderkey").alias("o")).agg(
+        F.collect_set(F.col("l_partkey").cast("bigint")).alias("ps")
+    )
     edges = (
-        a.join(b, "o")
-        .where(F.col("pa") < F.col("pb"))
-        .select(
-            F.col("pa").cast("bigint").alias("id_a"),
-            F.col("pb").cast("bigint").alias("id_b"),
-        )
+        ps.select(F.explode("ps").alias("id_a"), "ps")
+        .select("id_a", F.explode("ps").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
     return kcore_peel(edges, k=3, n_rounds=6).select(

@@ -492,11 +492,16 @@ def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("o"),
         F.col("l_partkey").cast("bigint").alias("p"),
     )
-    a = li.select("o", F.col("p").alias("src"))
-    b = li.select(F.col("o").alias("o2"), F.col("p").alias("dst"))
+    # r13 (guide §2.4): per-order pairs generated ROW-LOCALLY from
+    # the order's collect_set (bounded by items/order) instead of a
+    # corpus self-join — one groupBy exchange + codegen explode
+    # replaces the join's double scan + SMJ; pair set identical
+    # (exceptAll both ways empty at sf0.1), 2x on the edge build.
+    ps = li.groupBy("o").agg(F.collect_set("p").alias("ps"))
     edges = (
-        a.join(b, (a["o"] == b["o2"]) & (F.col("src") != F.col("dst")))
-        .select("src", "dst")
+        ps.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
         .distinct()
     )
     starts = edges.select(F.col("src").alias("id")).distinct().where(
@@ -1186,19 +1191,22 @@ def q_part_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bfs_min_hops,
     )
 
-    facts = (
+    # r13 (guide §2.4): per-order unordered pairs generated row-
+    # locally from the order's part set (collect_set dedups exactly
+    # like the old DISTINCT facts), then support-counted — the
+    # corpus self-join and its double scan drop out; counts and the
+    # support filter are identical (each shared order contributes
+    # one pair instance in both forms).
+    ps = (
         synthetic.load_table(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_orderkey").cast("bigint").alias("_b"),
-            F.col("l_partkey").cast("bigint").alias("_i"),
-        )
-        .distinct()
+        .groupBy(F.col("l_orderkey").cast("bigint").alias("_b"))
+        .agg(F.collect_set(F.col("l_partkey").cast("bigint")).alias("ps"))
     )
     edges = (
-        facts.alias("x")
-        .join(facts.alias("y"), F.col("x._b") == F.col("y._b"))
-        .where(F.col("x._i") < F.col("y._i"))
-        .groupBy(F.col("x._i").alias("id_a"), F.col("y._i").alias("id_b"))
+        ps.select(F.explode("ps").alias("id_a"), "ps")
+        .select("id_a", F.explode("ps").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_n"))
         .where(F.col("_n") >= 2)
         .select("id_a", "id_b")
